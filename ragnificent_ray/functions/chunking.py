@@ -1,0 +1,294 @@
+"""Markdown/text chunkers — flat-row producers for the ``chunks`` table.
+
+Semantics-equal rewrite of the reference chunkers, restructured as pure
+functions that emit flat dict rows ready for Arrow (metadata promoted to
+columns, SURVEY §1.3):
+
+* semantic chunker — ``RAGnificent/utils/chunk_utils.py:37-220``
+  (header-stack section parsing, md5 content-addressed ids, word-window
+  splitting with parent-header context prefixes). Chunk ids and content
+  are **byte-exact** vs. the reference (golden id
+  ``4d400e9e128711522ee4b11054e4fd4c`` is asserted in tests).
+* plain-text chunker — ``chunk_utils.py:248-299`` (non-markdown input).
+* sliding-window — ``chunk_utils.py:302-334`` + the pipeline wrapper
+  ``rag/pipeline.py:723-761`` (ids ``{url}_{i}``).
+* recursive — ``chunk_utils.py:337-382`` + wrapper ``:763-801``.
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urlparse
+
+from .hashing import md5_hex
+
+_MD_HEADING = re.compile(r"^#+ ", re.MULTILINE)
+
+
+def parse_markdown_sections(markdown: str) -> list[dict]:
+    """Split markdown into header-hierarchy sections.
+
+    Reproduces ``chunk_utils.py:134-220`` exactly: manual header
+    detection (≤3 leading spaces, 1-6 ``#`` then a space), a header stack
+    popped at levels ≥ the new level, ``" > "``-joined paths, and a
+    "Document Start" pseudo-section for pre-header content.
+    """
+    sections: list[dict] = []
+    stack: list[tuple[int, str]] = []  # (level, text)
+    cur: dict | None = None
+
+    for line in markdown.split("\n"):
+        stripped = line.lstrip(" ")
+        n_spaces = len(line) - len(stripped)
+        level = 0
+        if n_spaces <= 3 and stripped.startswith("#"):
+            n_hash = len(stripped) - len(stripped.lstrip("#"))
+            if 1 <= n_hash <= 6 and n_hash < len(stripped) and stripped[n_hash] == " ":
+                level = n_hash
+        if level:
+            if cur is not None:
+                sections.append(cur)
+            text = stripped[level + 1 :].strip()
+            while stack and stack[-1][0] >= level:
+                stack.pop()
+            path_elements = [t for _, t in stack] + [text]
+            parents = [
+                {"text": t, "level": lv, "markdown": "#" * lv + " " + t}
+                for lv, t in stack
+            ]
+            stack.append((level, text))
+            cur = {
+                "heading": line,
+                "content": line + "\n",
+                "level": level,
+                "path": " > ".join(path_elements),
+                "path_elements": path_elements,
+                "parent_headers": parents,
+            }
+        elif cur is not None:
+            cur["content"] += line + "\n"
+        elif line.strip():
+            cur = {
+                "heading": "Document Start",
+                "content": line + "\n",
+                "level": 0,
+                "path": "Document Start",
+                "path_elements": ["Document Start"],
+                "parent_headers": [],
+            }
+    if cur is not None:
+        sections.append(cur)
+    return sections
+
+
+def _base_row(source_url: str, domain: str, sec: dict, created_at: str) -> dict:
+    return {
+        "source_url": source_url,
+        "domain": domain,
+        "heading": sec["heading"],
+        "heading_level": sec["level"],
+        "heading_path": sec["path"],
+        "path_elements": list(sec["path_elements"]),
+        "parent_headers": [dict(p) for p in sec["parent_headers"]],
+        "nested_level": len(sec["parent_headers"]),
+        "created_at": created_at,
+    }
+
+
+def semantic_chunks(
+    markdown: str,
+    source_url: str,
+    chunk_size: int = 1000,
+    chunk_overlap: int = 200,
+    created_at: str = "",
+) -> list[dict]:
+    """Markdown → flat chunk rows (semantic strategy, C1)."""
+    domain = urlparse(source_url).netloc
+    rows: list[dict] = []
+    for sec in parse_markdown_sections(markdown):
+        content = sec["content"]
+        if len(content) <= chunk_size:
+            row = _base_row(source_url, domain, sec, created_at)
+            row.update(
+                id=md5_hex(f"{source_url}:{sec['path']}"),
+                content=content,
+                chunk_type="section",
+                word_count=len(content.split()),
+                char_count=len(content),
+                position=0,
+                is_continuation=False,
+            )
+            rows.append(row)
+            continue
+        words = content.split()
+        step = chunk_size // 5 - chunk_overlap // 5
+        take = chunk_size // 5
+        for i in range(0, len(words), step):
+            window = words[i : i + take]
+            if not window:
+                continue
+            body = " ".join(window)
+            if i > 0:
+                ctx = [p["markdown"] for p in sec["parent_headers"]]
+                if sec["heading"] and not body.startswith(sec["heading"]):
+                    ctx.append(sec["heading"])
+                text = ("\n".join(ctx) + "\n\n" + body) if ctx else body
+            else:
+                text = body
+            row = _base_row(source_url, domain, sec, created_at)
+            row.update(
+                id=md5_hex(f"{source_url}:{sec['path']}:{i}"),
+                content=text,
+                chunk_type="content_chunk",
+                word_count=len(window),
+                char_count=len(text),
+                position=i // step,
+                is_continuation=i > 0,
+            )
+            rows.append(row)
+    return rows
+
+
+def text_chunks(
+    content: str,
+    source_url: str,
+    chunk_size: int = 1000,
+    chunk_overlap: int = 200,
+    created_at: str = "",
+) -> list[dict]:
+    """Non-markdown fallback (``chunk_utils.py:268-299``): fixed word
+    windows, ids ``md5(f"{url}:text:{i}")``, chunk_type ``text_chunk``."""
+    domain = urlparse(source_url).netloc
+    words = content.split()
+    step = chunk_size // 5 - chunk_overlap // 5
+    take = chunk_size // 5
+    rows = []
+    for i in range(0, len(words), step):
+        window = words[i : i + take]
+        if not window:
+            continue
+        body = " ".join(window)
+        rows.append({
+            "id": md5_hex(f"{source_url}:text:{i}"),
+            "content": body,
+            "source_url": source_url,
+            "domain": domain,
+            "heading": "",
+            "heading_level": 0,
+            "heading_path": "",
+            "path_elements": [],
+            "parent_headers": [],
+            "nested_level": 0,
+            "chunk_type": "text_chunk",
+            "word_count": len(window),
+            "char_count": len(body),
+            "position": i // step,
+            "is_continuation": i > 0,
+            "created_at": created_at,
+        })
+    return rows
+
+
+def create_semantic_chunks(
+    content: str,
+    source_url: str,
+    chunk_size: int = 1000,
+    chunk_overlap: int = 200,
+    created_at: str = "",
+) -> list[dict]:
+    """Dispatch on markdown-ness (``chunk_utils.py:248-267``)."""
+    if _MD_HEADING.search(content):
+        return semantic_chunks(content, source_url, chunk_size, chunk_overlap, created_at)
+    return text_chunks(content, source_url, chunk_size, chunk_overlap, created_at)
+
+
+def sliding_window_texts(
+    content: str, chunk_size: int = 1000, chunk_overlap: int = 200
+) -> list[str]:
+    """``chunk_utils.py:302-334``: window length derived from the average
+    word length of the document."""
+    if not content:
+        return []
+    words = content.split()
+    avg = len(content) / max(len(words), 1)
+    take = max(int(chunk_size / avg), 1)
+    overlap = min(int(chunk_overlap / avg), take - 1)
+    out = []
+    for i in range(0, len(words), take - overlap):
+        window = words[i : i + take]
+        if window:
+            out.append(" ".join(window))
+    return out
+
+
+def recursive_texts(
+    content: str, chunk_size: int = 1000, chunk_overlap: int = 200
+) -> list[str]:
+    """``chunk_utils.py:337-382``: paragraph grouping with char-overlap
+    carry; single-paragraph docs fall back to the sliding window."""
+    if not content:
+        return []
+    if len(content) <= chunk_size:
+        return [content]
+    paragraphs = re.split(r"\n\s*\n", content)
+    if len(paragraphs) <= 1:
+        return sliding_window_texts(content, chunk_size, chunk_overlap)
+    out: list[str] = []
+    cur = ""
+    for para in paragraphs:
+        if cur and len(cur) + len(para) + 2 > chunk_size:
+            out.append(cur)
+            carry = cur[-chunk_overlap:] if chunk_overlap < len(cur) else cur
+            cur = carry + "\n\n" + para
+        elif cur:
+            cur += "\n\n" + para
+        else:
+            cur = para
+    if cur:
+        out.append(cur)
+    return out
+
+
+def strategy_chunks(
+    content: str,
+    source_url: str,
+    strategy: str = "semantic",
+    chunk_size: int = 1000,
+    chunk_overlap: int = 200,
+    created_at: str = "",
+) -> list[dict]:
+    """Strategy dispatcher (C6, ``rag/pipeline.py:850-874``). The
+    sliding_window / recursive strategies use the pipeline wrapper's id
+    scheme ``{url}_{i}`` (``rag/pipeline.py:745,786``)."""
+    if strategy == "semantic":
+        return create_semantic_chunks(
+            content, source_url, chunk_size, chunk_overlap, created_at
+        )
+    if strategy == "sliding_window":
+        texts = sliding_window_texts(content, chunk_size, chunk_overlap)
+    elif strategy == "recursive":
+        texts = recursive_texts(content, chunk_size, chunk_overlap)
+    else:
+        raise ValueError(f"unknown chunking strategy: {strategy!r}")
+    domain = urlparse(source_url).netloc
+    return [
+        {
+            "id": f"{source_url}_{i}",
+            "content": text,
+            "source_url": source_url,
+            "domain": domain,
+            "heading": "",
+            "heading_level": 0,
+            "heading_path": "",
+            "path_elements": [],
+            "parent_headers": [],
+            "nested_level": 0,
+            "chunk_type": strategy,
+            "word_count": len(text.split()),
+            "char_count": len(text),
+            "position": i,
+            "is_continuation": i > 0,
+            "created_at": created_at,
+        }
+        for i, text in enumerate(texts)
+    ]

@@ -1,0 +1,306 @@
+"""A small DOM over stdlib ``html.parser`` + the reference's extractors.
+
+The reference does its HTML work with the Rust ``scraper`` crate
+(``/root/reference/src/markdown_converter.rs:87-294`` and
+``/root/reference/src/html_parser.rs``). This module re-implements the
+*semantics* on the stdlib parser (no bs4/lxml in the sandbox):
+
+* ``element.text()`` ≙ concatenation of all descendant text nodes (no
+  separator), then ``trim`` — matching scraper's
+  ``element.text().collect::<String>()``.
+* headings collected **grouped by level h1→h6**, document order within a
+  level (``markdown_converter.rs:100-118`` — quirk reproduced on purpose).
+* links require non-empty text; hrefs resolved against the base URL
+  (``markdown_converter.rs:136-155``).
+* image ``alt`` defaults to ``"image"`` (``markdown_converter.rs:164``).
+* ``pre, code`` selects BOTH elements, so code nested in pre is emitted
+  twice (``markdown_converter.rs:225-248`` — quirk reproduced).
+* outlink extraction: skip ``javascript:``/``#``, keep absolute hrefs
+  verbatim, resolve relative ones, then sort + dedup
+  (``html_parser.rs:80-111``).
+
+Everything here is a pure function str → plain-Python struct; the Arrow
+batch wrappers live in ``ragnificent_ray.stages``.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+from urllib.parse import urljoin, urlparse
+
+_VOID_TAGS = {
+    "area", "base", "br", "col", "embed", "hr", "img", "input",
+    "link", "meta", "param", "source", "track", "wbr",
+}
+
+
+class Node:
+    __slots__ = ("tag", "attrs", "children", "parent")
+
+    def __init__(self, tag: str, attrs: dict[str, str] | None = None):
+        self.tag = tag
+        self.attrs = attrs or {}
+        self.children: list = []  # Node or str (text)
+        self.parent: "Node | None" = None
+
+    def append(self, child) -> None:
+        if isinstance(child, Node):
+            child.parent = self
+        self.children.append(child)
+
+    def iter_elements(self, include_self: bool = False):
+        """Depth-first document-order traversal of element nodes."""
+        if include_self:
+            yield self
+        for c in self.children:
+            if isinstance(c, Node):
+                yield from c.iter_elements(include_self=True)
+
+    def find_all(self, *tags: str) -> list["Node"]:
+        want = set(tags)
+        return [el for el in self.iter_elements() if el.tag in want]
+
+    def text(self) -> str:
+        """All descendant text concatenated (scraper ``.text()``), trimmed."""
+        parts: list[str] = []
+        stack = list(reversed(self.children))
+        while stack:
+            c = stack.pop()
+            if isinstance(c, str):
+                parts.append(c)
+            else:
+                stack.extend(reversed(c.children))
+        return "".join(parts).strip()
+
+    def classes(self) -> list[str]:
+        return self.attrs.get("class", "").split()
+
+
+class _DomBuilder(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = Node("#document")
+        self.stack = [self.root]
+
+    def handle_starttag(self, tag, attrs):
+        node = Node(tag, {k: (v if v is not None else "") for k, v in attrs})
+        self.stack[-1].append(node)
+        if tag not in _VOID_TAGS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        self.stack[-1].append(
+            Node(tag, {k: (v if v is not None else "") for k, v in attrs})
+        )
+
+    def handle_endtag(self, tag):
+        # pop to the nearest matching open tag (tolerates stray end tags)
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                break
+
+    def handle_data(self, data):
+        if data:
+            self.stack[-1].append(data)
+
+
+def parse_dom(html: str) -> Node:
+    b = _DomBuilder()
+    b.feed(html)
+    b.close()
+    return b.root
+
+
+def resolve_url(href: str, base_url: str) -> str:
+    """Join semantics of ``markdown_converter.rs:79-84``: base.join(href),
+    falling back to href-as-absolute, falling back to the base itself."""
+    try:
+        joined = urljoin(base_url, href)
+    except ValueError:
+        joined = ""
+    if joined:
+        return joined
+    p = urlparse(href)
+    if p.scheme and p.netloc:
+        return href
+    return base_url
+
+
+# ---------------------------------------------------------------- Document
+
+def parse_html_to_document(html: str, base_url: str) -> dict:
+    """HTML → Document struct (``markdown_converter.rs:266-294`` semantics).
+
+    Returns a plain dict shaped exactly like the ``documents`` Arrow
+    schema row (SURVEY §1.3): title, headings, paragraphs, links, images,
+    lists, code_blocks, blockquotes — all grouped by type.
+    """
+    dom = parse_dom(html)
+
+    titles = dom.find_all("title")
+    title = titles[0].text() if titles else "No Title"
+
+    headings = []
+    by_level: dict[int, list] = {i: [] for i in range(1, 7)}
+    for el in dom.iter_elements():
+        if len(el.tag) == 2 and el.tag[0] == "h" and el.tag[1] in "123456":
+            t = el.text()
+            if t:
+                by_level[int(el.tag[1])].append(t)
+    for lvl in range(1, 7):
+        headings.extend({"level": lvl, "text": t} for t in by_level[lvl])
+
+    paragraphs = [t for el in dom.find_all("p") if (t := el.text())]
+
+    links = []
+    for el in dom.find_all("a"):
+        href = el.attrs.get("href")
+        if href is not None:
+            t = el.text()
+            if t:
+                links.append({"text": t, "url": resolve_url(href, base_url)})
+
+    images = []
+    for el in dom.find_all("img"):
+        src = el.attrs.get("src")
+        if src is not None:
+            alt = el.attrs.get("alt", "image") or "image"
+            images.append({"alt": alt, "src": resolve_url(src, base_url)})
+
+    lists = []
+    for ordered in (False, True):
+        for el in dom.find_all("ol" if ordered else "ul"):
+            items = [t for li in el.find_all("li") if (t := li.text())]
+            if items:
+                lists.append({"ordered": ordered, "items": items})
+
+    code_blocks = []
+    for el in dom.iter_elements():
+        if el.tag in ("pre", "code"):
+            t = el.text()
+            if t:
+                lang = next(
+                    (c[len("language-"):] for c in el.classes()
+                     if c.startswith("language-")),
+                    "",
+                )
+                code_blocks.append({"language": lang, "code": t})
+
+    blockquotes = [t for el in dom.find_all("blockquote") if (t := el.text())]
+
+    return {
+        "title": title.strip() if titles else "No Title",
+        "base_url": base_url,
+        "headings": headings,
+        "paragraphs": paragraphs,
+        "links": links,
+        "images": images,
+        "lists": lists,
+        "code_blocks": code_blocks,
+        "blockquotes": blockquotes,
+    }
+
+
+# ---------------------------------------------------------------- outlinks
+
+def extract_links(html: str, base_url: str) -> list[str]:
+    """Unique sorted outlinks (``html_parser.rs:80-111`` semantics)."""
+    dom = parse_dom(html)
+    links: list[str] = []
+    for el in dom.find_all("a"):
+        href = el.attrs.get("href")
+        if not href or href.startswith("javascript:") or href.startswith("#"):
+            continue
+        if href.startswith("http://") or href.startswith("https://"):
+            links.append(href)
+        else:
+            try:
+                links.append(urljoin(base_url, href))
+            except ValueError:
+                pass
+    links = sorted(set(links))
+    return links
+
+
+# ------------------------------------------------------------ main content
+
+_MAIN_SELECTORS = ("main", "article", ("div", "id", "content"),
+                   ("div", "class", "content"), "body")
+
+
+def extract_main_content(html: str) -> str:
+    """First match of main/article/#content/.content/body → its inner HTML
+    region re-serialized as text span (``html_parser.rs:18-37``). We return
+    the *text* of the region; the engine uses this only as an optional
+    pre-filter stage, mirroring the reference's fallback-to-whole-doc."""
+    dom = parse_dom(html)
+    for sel in _MAIN_SELECTORS:
+        for el in dom.iter_elements():
+            if isinstance(sel, str):
+                if el.tag == sel:
+                    return el.text()
+            else:
+                tag, attr, value = sel
+                if attr == "id" and el.attrs.get("id") == value:
+                    return el.text()
+                if attr == "class" and value in el.classes():
+                    return el.text()
+    return dom.text()
+
+
+_UNWANTED_TAGS = {"script", "style", "iframe", "noscript", "header",
+                  "footer", "nav"}
+_UNWANTED_CLASSES = {"advertisement", "ad", "banner", "sidebar", "menu",
+                     "comments", "related", "share", "social"}
+
+
+def clean_html_text(html: str) -> str:
+    """Text of the document minus script/style/nav/ad-class subtrees
+    (``html_parser.rs:40-77`` intent, applied structurally)."""
+    dom = parse_dom(html)
+
+    def keep(el: Node) -> bool:
+        if el.tag in _UNWANTED_TAGS:
+            return False
+        if _UNWANTED_CLASSES & set(el.classes()):
+            return False
+        return el.attrs.get("id") != "cookie-notice"
+
+    parts: list[str] = []
+
+    def walk(node: Node) -> None:
+        for c in node.children:
+            if isinstance(c, str):
+                parts.append(c)
+            elif keep(c):
+                walk(c)
+
+    walk(dom)
+    return " ".join("".join(parts).split())
+
+
+# ---------------------------------------------------------------- metadata
+
+def extract_metadata(html: str) -> dict:
+    """title/description/keywords/og:title/og:image
+    (``core/scraper.py:1023-1070`` semantics)."""
+    dom = parse_dom(html)
+    meta = {"title": "", "description": "", "keywords": "",
+            "og_title": "", "og_image": ""}
+    titles = dom.find_all("title")
+    if titles:
+        meta["title"] = titles[0].text()
+    for el in dom.find_all("meta"):
+        name = el.attrs.get("name", "").lower()
+        prop = el.attrs.get("property", "").lower()
+        content = el.attrs.get("content", "")
+        if name == "description":
+            meta["description"] = content
+        elif name == "keywords":
+            meta["keywords"] = content
+        elif prop == "og:title":
+            meta["og_title"] = content
+        elif prop == "og:image":
+            meta["og_image"] = content
+    return meta

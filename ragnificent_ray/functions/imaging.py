@@ -1,0 +1,178 @@
+"""Minimal image codecs + perceptual hashing (stdlib + numpy only).
+
+The sandbox has no Pillow (SURVEY §7.6), so the synthetic world encodes
+its RGB images with:
+
+* ``fmt="png"`` — a real, spec-compliant PNG (8-bit RGB, zlib, filter 0)
+  written/read by this module; lossless, so the per-row invariant is
+  exact pixel equality.
+* ``fmt="lossy"`` — a quantizing codec (top-6-bits per channel + zlib)
+  standing in for JPEG-class formats; reconstruction error is bounded at
+  ±2/255 per sample, giving PSNR ≈ 46 dB ≥ the 40 dB invariant from
+  BASELINE.json's ``input_hint``.
+
+``phash64`` is an 8×8 average-hash over block-mean-downsampled grayscale
+pixels — deterministic, vectorizable, and mergeable into the harvest
+table's ``phash: int64`` column.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_LOSSY_MAGIC = b"RQL1"
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(rgb: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 array as an RGB8 PNG (filter type 0)."""
+    if rgb.dtype != np.uint8 or rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError("png_encode expects (H, W, 3) uint8")
+    h, w = rgb.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    # one 0x00 filter byte per scanline, then raw RGB
+    raw = np.empty((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 0] = 0
+    raw[:, 1:] = rgb.reshape(h, w * 3)
+    idat = zlib.compress(raw.tobytes(), 6)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """Decode an RGB8 PNG produced by :func:`png_encode` (filters 0-4)."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w, h, idat = 8, 0, 0, b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, color = struct.unpack(">IIBB", payload[:10])
+            if depth != 8 or color != 2:
+                raise ValueError("only 8-bit RGB supported")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, 1 + w * 3)
+    filters = raw[:, 0]
+    if np.any(filters != 0):
+        return _unfilter(raw, w, h)
+    return raw[:, 1:].reshape(h, w, 3).copy()
+
+
+def _unfilter(raw: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Scanline-by-scanline PNG filter reversal (types 0-4)."""
+    bpp = 3
+    out = np.zeros((h, w * bpp), dtype=np.uint8)
+    for y in range(h):
+        f = int(raw[y, 0])
+        line = raw[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(w * bpp, np.int32)
+        if f == 0:
+            cur = line
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:  # Sub / Average / Paeth need sequential recurrences
+            cur = np.zeros(w * bpp, np.int32)
+            for x in range(w * bpp):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if f == 1:
+                    cur[x] = (line[x] + a) & 0xFF
+                elif f == 3:
+                    cur[x] = (line[x] + ((a + b) >> 1)) & 0xFF
+                else:  # Paeth
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    cur[x] = (line[x] + pred) & 0xFF
+        out[y] = cur.astype(np.uint8)
+    return out.reshape(h, w, 3)
+
+
+def lossy_encode(rgb: np.ndarray) -> bytes:
+    """Quantize to the top 6 bits per channel and zlib-compress.
+
+    Reconstruction maps each sample to ``(v & ~3) | 2``; worst-case error
+    is 2/255 → PSNR ≈ 46 dB on natural noise, always ≥ 40 dB.
+    """
+    if rgb.dtype != np.uint8 or rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError("lossy_encode expects (H, W, 3) uint8")
+    h, w = rgb.shape[:2]
+    q = (rgb >> 2).astype(np.uint8)
+    return _LOSSY_MAGIC + struct.pack(">II", w, h) + zlib.compress(q.tobytes(), 6)
+
+
+def lossy_decode(data: bytes) -> np.ndarray:
+    if data[:4] != _LOSSY_MAGIC:
+        raise ValueError("not a lossy-codec payload")
+    w, h = struct.unpack(">II", data[4:12])
+    q = np.frombuffer(zlib.decompress(data[12:]), dtype=np.uint8).reshape(h, w, 3)
+    return ((q.astype(np.uint16) << 2) | 2).astype(np.uint8)
+
+
+def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    if fmt == "png":
+        return png_decode(data)
+    if fmt == "lossy":
+        return lossy_decode(data)
+    raise ValueError(f"unknown image format: {fmt!r}")
+
+
+def encode_image(rgb: np.ndarray, fmt: str) -> bytes:
+    if fmt == "png":
+        return png_encode(rgb)
+    if fmt == "lossy":
+        return lossy_encode(rgb)
+    raise ValueError(f"unknown image format: {fmt!r}")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 images."""
+    diff = a.astype(np.float64) - b.astype(np.float64)
+    mse = float(np.mean(diff * diff))
+    if mse == 0.0:
+        return float("inf")
+    return 20.0 * np.log10(255.0) - 10.0 * np.log10(mse)
+
+
+def phash64(rgb: np.ndarray) -> int:
+    """64-bit average-hash: 8×8 block-mean grayscale vs. its mean.
+
+    Returned as a *signed* int64 (two's complement) so it stores directly
+    in the harvest table's ``phash: int64`` column.
+    """
+    gray = rgb.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = gray.shape
+    # pad to multiples of 8 then block-mean down to 8×8
+    ph, pw = -h % 8, -w % 8
+    if ph or pw:
+        gray = np.pad(gray, ((0, ph), (0, pw)), mode="edge")
+    bh, bw = gray.shape[0] // 8, gray.shape[1] // 8
+    small = gray.reshape(8, bh, 8, bw).mean(axis=(1, 3))
+    bits = (small > small.mean()).astype(np.uint64).ravel()
+    value = np.uint64(0)
+    for bit in bits:
+        value = (value << np.uint64(1)) | bit
+    return int(value.astype(np.int64))

@@ -1,0 +1,104 @@
+"""Document → markdown / JSON / XML renderers.
+
+Byte-level reproduction of the reference's Rust renderers
+(``/root/reference/src/markdown_converter.rs:297-436``): grouped
+sections in fixed order (title, headings, paragraphs, links, images,
+lists, code blocks, blockquotes), the two-step newline squeeze, and the
+serde/quick-xml serialization shapes.
+"""
+
+from __future__ import annotations
+
+import json
+
+
+def document_to_markdown(doc: dict) -> str:
+    out: list[str] = [f"# {doc['title']}\n\n"]
+    for h in doc["headings"]:
+        out.append(f"{'#' * int(h['level'])} {h['text']}\n\n")
+    for p in doc["paragraphs"]:
+        out.append(f"{p}\n\n")
+    for lk in doc["links"]:
+        out.append(f"[{lk['text']}]({lk['url']})\n\n")
+    for im in doc["images"]:
+        out.append(f"![{im['alt']}]({im['src']})\n\n")
+    for ls in doc["lists"]:
+        if ls["ordered"]:
+            out.extend(f"{i + 1}. {item}\n" for i, item in enumerate(ls["items"]))
+        else:
+            out.extend(f"- {item}\n" for item in ls["items"])
+        out.append("\n")
+    for cb in doc["code_blocks"]:
+        out.append(f"```{cb['language']}\n{cb['code']}\n```\n\n")
+    for bq in doc["blockquotes"]:
+        quoted = "\n".join(f"> {line}" for line in bq.splitlines())
+        out.append(f"{quoted}\n\n")
+    # clean_markdown (markdown_converter.rs:392-398): two single-pass
+    # replaces, then trim — order matters, reproduced exactly.
+    md = "".join(out)
+    return md.replace("\n\n\n\n", "\n\n").replace("\n\n\n", "\n\n").strip()
+
+
+_FIELD_ORDER = ("title", "base_url", "headings", "paragraphs", "links",
+                "images", "lists", "code_blocks", "blockquotes")
+
+
+def document_to_json(doc: dict) -> str:
+    """serde_json pretty-print shape: 2-space indent, struct field order."""
+    ordered = {k: doc[k] for k in _FIELD_ORDER}
+    return json.dumps(ordered, indent=2, ensure_ascii=False)
+
+
+def _xml_escape(s: str) -> str:
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        .replace("'", "&apos;").replace('"', "&quot;")
+    )
+
+
+def document_to_xml(doc: dict) -> str:
+    """quick-xml `se::to_string` shape: <Document> root, repeated child
+    elements named after the Vec field, struct fields as nested tags."""
+    parts = ["<Document>"]
+    parts.append(f"<title>{_xml_escape(doc['title'])}</title>")
+    parts.append(f"<base_url>{_xml_escape(doc['base_url'])}</base_url>")
+    for h in doc["headings"]:
+        parts.append(
+            f"<headings><level>{int(h['level'])}</level>"
+            f"<text>{_xml_escape(h['text'])}</text></headings>"
+        )
+    for p in doc["paragraphs"]:
+        parts.append(f"<paragraphs>{_xml_escape(p)}</paragraphs>")
+    for lk in doc["links"]:
+        parts.append(
+            f"<links><text>{_xml_escape(lk['text'])}</text>"
+            f"<url>{_xml_escape(lk['url'])}</url></links>"
+        )
+    for im in doc["images"]:
+        parts.append(
+            f"<images><alt>{_xml_escape(im['alt'])}</alt>"
+            f"<src>{_xml_escape(im['src'])}</src></images>"
+        )
+    for ls in doc["lists"]:
+        items = "".join(f"<items>{_xml_escape(i)}</items>" for i in ls["items"])
+        ordered = "true" if ls["ordered"] else "false"
+        parts.append(f"<lists><ordered>{ordered}</ordered>{items}</lists>")
+    for cb in doc["code_blocks"]:
+        parts.append(
+            f"<code_blocks><language>{_xml_escape(cb['language'])}</language>"
+            f"<code>{_xml_escape(cb['code'])}</code></code_blocks>"
+        )
+    for bq in doc["blockquotes"]:
+        parts.append(f"<blockquotes>{_xml_escape(bq)}</blockquotes>")
+    parts.append("</Document>")
+    return "".join(parts)
+
+
+def render_document(doc: dict, fmt: str) -> str:
+    if fmt == "markdown":
+        return document_to_markdown(doc)
+    if fmt == "json":
+        return document_to_json(doc)
+    if fmt == "xml":
+        return document_to_xml(doc)
+    raise ValueError(f"unknown format: {fmt!r}")

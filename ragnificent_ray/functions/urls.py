@@ -1,0 +1,78 @@
+"""URL validation / sanitization / canonicalization (vectorized helpers).
+
+Semantics reproduce the reference scraper's URL handling:
+
+* validity: scheme in {http, https} and a non-empty netloc
+  (reference: ``RAGnificent/core/validators.py:16-44``)
+* sanitization: strip userinfo (``user:pass@``) from the netloc and drop
+  the fragment (reference: ``RAGnificent/core/validators.py:47-79``)
+* domain: ``urlparse(url).netloc`` with ``"unknown"`` fallback
+  (reference: ``RAGnificent/core/throttle.py:246-252``)
+
+These are pure functions used from inside ``map_batches`` stages; the
+batch-level wrappers live in :mod:`ragnificent_ray.stages.canonicalize`.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from urllib.parse import urlparse, urlunparse
+
+
+def validate_url(url: str) -> bool:
+    """True iff the URL has an http(s) scheme and a netloc."""
+    if not url:
+        return False
+    try:
+        p = urlparse(url)
+    except ValueError:
+        return False
+    return bool(p.scheme) and bool(p.netloc) and p.scheme in ("http", "https")
+
+
+def sanitize_url(url: str) -> str:
+    """Strip userinfo and fragment; empty string when unparseable."""
+    if not url:
+        return ""
+    try:
+        p = urlparse(url)
+    except ValueError:
+        return ""
+    netloc = p.netloc
+    if "@" in netloc:
+        netloc = netloc.split("@")[1]
+    return urlunparse((p.scheme, netloc, p.path, p.params, p.query, ""))
+
+
+def extract_domain(url: str) -> str:
+    """netloc of the URL, or "unknown" (reference throttle semantics)."""
+    try:
+        return urlparse(url).netloc or "unknown"
+    except ValueError:
+        return "unknown"
+
+
+def url_hash64(url: str) -> int:
+    """Stable unsigned 64-bit hash of the canonicalized URL string.
+
+    blake2b with an 8-byte digest — stable across processes and Python
+    versions (unlike ``hash()``), cheap, and uniform enough to key both
+    the cuckoo-filter shards and the domain-hash partitioning.
+    """
+    return int.from_bytes(
+        hashlib.blake2b(url.encode("utf-8"), digest_size=8).digest(), "big"
+    )
+
+
+def canonicalize(url: str) -> tuple[str, str, int] | None:
+    """Validate + sanitize a raw URL.
+
+    Returns ``(canonical_url, domain, url_hash)`` or ``None`` for URLs
+    the reference would reject (non-http(s), missing netloc).
+    """
+    if not validate_url(url):
+        return None
+    clean = sanitize_url(url)
+    if not clean:
+        return None
+    return clean, extract_domain(clean), url_hash64(clean)

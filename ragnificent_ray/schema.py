@@ -1,0 +1,111 @@
+"""Arrow schemas for every logical table (SURVEY §1.3).
+
+One ``ray.data.Dataset`` per logical table; all stages are
+``map_batches`` transforms with ``batch_format="pyarrow"`` producing
+tables under these schemas, so blocks stay zero-copy Arrow end-to-end.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+FRONTIER = pa.schema([
+    ("url", pa.string()),
+    ("domain", pa.string()),
+    ("depth", pa.int32()),
+    ("priority", pa.float32()),
+    ("lastmod", pa.string()),
+    ("changefreq", pa.string()),
+    ("url_hash", pa.uint64()),
+    ("seed_rank", pa.int64()),
+])
+
+PAGES = pa.schema([
+    ("url", pa.string()),
+    ("domain", pa.string()),
+    ("depth", pa.int32()),
+    ("seed_rank", pa.int64()),
+    ("status", pa.int16()),
+    ("fetched_at", pa.timestamp("us")),
+    ("html", pa.large_binary()),
+    ("content_len", pa.int64()),
+    ("from_cache", pa.bool_()),
+    ("response_time", pa.float64()),
+])
+
+HEADING = pa.struct([("level", pa.int8()), ("text", pa.string())])
+LINK = pa.struct([("text", pa.string()), ("url", pa.string())])
+IMAGE = pa.struct([("alt", pa.string()), ("src", pa.string())])
+LIST_ = pa.struct([("ordered", pa.bool_()), ("items", pa.list_(pa.string()))])
+CODE_BLOCK = pa.struct([("language", pa.string()), ("code", pa.string())])
+
+DOCUMENTS = pa.schema([
+    ("url", pa.string()),
+    ("domain", pa.string()),
+    ("depth", pa.int32()),
+    ("seed_rank", pa.int64()),
+    ("title", pa.string()),
+    ("headings", pa.list_(HEADING)),
+    ("paragraphs", pa.list_(pa.string())),
+    ("links", pa.list_(LINK)),
+    ("images", pa.list_(IMAGE)),
+    ("lists", pa.list_(LIST_)),
+    ("code_blocks", pa.list_(CODE_BLOCK)),
+    ("blockquotes", pa.list_(pa.string())),
+])
+
+RENDERED = pa.schema([
+    ("url", pa.string()),
+    ("domain", pa.string()),
+    ("depth", pa.int32()),
+    ("seed_rank", pa.int64()),
+    ("title", pa.string()),
+    ("fmt", pa.string()),
+    ("content", pa.large_string()),
+    ("markdown", pa.large_string()),
+])
+
+PARENT_HEADER = pa.struct([
+    ("text", pa.string()), ("level", pa.int32()), ("markdown", pa.string()),
+])
+
+CHUNKS = pa.schema([
+    ("id", pa.string()),
+    ("content", pa.large_string()),
+    ("source_url", pa.string()),
+    ("domain", pa.string()),
+    ("chunk_type", pa.string()),
+    ("heading", pa.string()),
+    ("heading_level", pa.int32()),
+    ("heading_path", pa.string()),
+    ("path_elements", pa.list_(pa.string())),
+    ("parent_headers", pa.list_(PARENT_HEADER)),
+    ("word_count", pa.int32()),
+    ("char_count", pa.int32()),
+    ("nested_level", pa.int32()),
+    ("position", pa.int32()),
+    ("is_continuation", pa.bool_()),
+    ("created_at", pa.string()),
+])
+
+HARVEST = pa.schema([
+    ("image_id", pa.string()),
+    ("bytes", pa.binary()),
+    ("w", pa.int32()),
+    ("h", pa.int32()),
+    ("fmt", pa.string()),
+    ("caption", pa.string()),
+    ("phash", pa.int64()),
+])
+
+DOMAIN_STATS = pa.schema([
+    ("domain", pa.string()),
+    ("success_count", pa.int64()),
+    ("error_count", pa.int64()),
+    ("avg_response_time", pa.float64()),
+    ("rate_limit", pa.float64()),
+])
+
+
+def empty_table(schema: pa.Schema) -> pa.Table:
+    return schema.empty_table()

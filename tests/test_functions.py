@@ -1,0 +1,242 @@
+"""Unit tests for the pure-function core: URLs, imaging, HTML, chunking.
+
+Ports the reference's converter/chunker test assertions to our
+implementations (SURVEY §5): golden chunk id, nested-header hierarchy
+invariants, markdown-conversion regression, outlink dedup.
+"""
+
+import numpy as np
+import pytest
+
+from ragnificent_ray.functions import chunking, htmldom, imaging, render, urls
+
+
+# ------------------------------------------------------------------- urls
+
+def test_validate_url():
+    assert urls.validate_url("https://example.com/x")
+    assert urls.validate_url("http://example.com")
+    assert not urls.validate_url("ftp://example.com")
+    assert not urls.validate_url("example.com/x")
+    assert not urls.validate_url("")
+
+
+def test_sanitize_url_strips_userinfo_and_fragment():
+    assert (
+        urls.sanitize_url("https://user:pw@example.com/a?q=1#frag")
+        == "https://example.com/a?q=1"
+    )
+
+
+def test_canonicalize():
+    got = urls.canonicalize("https://u@site0.test/page/1#x")
+    assert got is not None
+    url, domain, h = got
+    assert url == "https://site0.test/page/1"
+    assert domain == "site0.test"
+    assert h == urls.url_hash64("https://site0.test/page/1")
+    assert urls.canonicalize("javascript:void(0)") is None
+
+
+# ---------------------------------------------------------------- imaging
+
+def test_png_roundtrip_exact():
+    rng = np.random.Generator(np.random.PCG64(42))
+    img = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+    data = imaging.png_encode(img)
+    back = imaging.png_decode(data)
+    assert np.array_equal(img, back)
+
+
+def test_lossy_psnr_above_40db():
+    rng = np.random.Generator(np.random.PCG64(7))
+    img = rng.integers(0, 256, size=(96, 128, 3), dtype=np.uint8)
+    back = imaging.lossy_decode(imaging.lossy_encode(img))
+    assert imaging.psnr(img, back) >= 40.0
+
+
+def test_phash_deterministic_and_discriminative():
+    rng = np.random.Generator(np.random.PCG64(1))
+    a = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    b = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    assert imaging.phash64(a) == imaging.phash64(a)
+    assert imaging.phash64(a) != imaging.phash64(b)
+    assert -(2**63) <= imaging.phash64(a) < 2**63
+
+
+# ------------------------------------------------------------------- html
+
+HTML = """<html><head><title> Test Page </title></head><body>
+<h2>Second</h2><h1>First</h1>
+<p>Para one.</p><p></p><p>Para two.</p>
+<a href="/rel">rel link</a><a href="https://abs.test/x">abs</a>
+<a href="javascript:void(0)">js</a><a href="#f">anchor</a><a href="/empty"></a>
+<img src="/i.png" alt="a cap"><img src="/j.png">
+<ul><li>u1</li><li>u2</li></ul><ol><li>o1</li></ol>
+<pre><code class="language-rust">let x = 1;</code></pre>
+<blockquote>quoted
+text</blockquote>
+</body></html>"""
+
+
+def test_parse_html_to_document_semantics():
+    doc = htmldom.parse_html_to_document(HTML, "https://base.test/dir/page")
+    assert doc["title"] == "Test Page"
+    # grouped by level: h1 before h2 despite document order (rust quirk)
+    assert [h["level"] for h in doc["headings"]] == [1, 2]
+    assert [h["text"] for h in doc["headings"]] == ["First", "Second"]
+    assert doc["paragraphs"] == ["Para one.", "Para two."]
+    # empty-text links dropped; relative resolved
+    assert {lk["url"] for lk in doc["links"]} == {
+        "https://base.test/rel",
+        "https://abs.test/x",
+        "javascript:void(0)",
+        "https://base.test/dir/page#f",
+    }
+    # img alt defaults to "image"
+    assert doc["images"][0]["alt"] == "a cap"
+    assert doc["images"][1]["alt"] == "image"
+    assert doc["images"][0]["src"] == "https://base.test/i.png"
+    assert doc["lists"] == [
+        {"ordered": False, "items": ["u1", "u2"]},
+        {"ordered": True, "items": ["o1"]},
+    ]
+    # "pre, code" selects both pre and nested code (rust quirk)
+    assert len(doc["code_blocks"]) == 2
+    assert doc["code_blocks"][0]["code"] == "let x = 1;"
+    assert doc["code_blocks"][1]["language"] == "rust"
+    assert doc["blockquotes"] == ["quoted\ntext"]
+
+
+def test_extract_links_sorted_deduped():
+    html = (
+        '<a href="https://b.test/x">x</a><a href="/a">a</a>'
+        '<a href="https://b.test/x">x again</a>'
+        '<a href="javascript:alert(1)">j</a><a href="#top">t</a>'
+    )
+    links = htmldom.extract_links(html, "https://base.test/")
+    assert links == ["https://b.test/x", "https://base.test/a"]
+
+
+def test_markdown_conversion_regression_no_duplicates():
+    # reference tests/unit/test_markdown_conversion_regression.py: the
+    # rendered markdown contains the page h1 exactly once as "# Header"
+    html = "<html><head><title>T</title></head><body><h1>Header</h1><p>x</p></body></html>"
+    doc = htmldom.parse_html_to_document(html, "https://t.test/")
+    md = render.document_to_markdown(doc)
+    assert md.count("# Header") == 1
+    assert md.startswith("# T\n\n")
+    assert "<h1>" not in md
+
+
+def test_render_markdown_shape():
+    doc = htmldom.parse_html_to_document(HTML, "https://base.test/")
+    md = render.document_to_markdown(doc)
+    assert "# Test Page" in md
+    assert "## Second" in md
+    assert "[rel link](https://base.test/rel)" in md
+    assert "![a cap](https://base.test/i.png)" in md
+    assert "- u1\n- u2" in md
+    assert "1. o1" in md
+    assert "```rust\nlet x = 1;\n```" in md
+    assert "> quoted\n> text" in md
+    assert "\n\n\n" not in md  # newline squeeze
+
+
+def test_render_json_xml():
+    doc = htmldom.parse_html_to_document(HTML, "https://base.test/")
+    import json
+
+    j = json.loads(render.document_to_json(doc))
+    assert list(j.keys())[0] == "title"
+    x = render.document_to_xml(doc)
+    assert x.startswith("<Document><title>")
+    assert "<headings><level>1</level><text>First</text></headings>" in x
+
+
+# --------------------------------------------------------------- chunking
+
+GOLDEN_DOC = """# Test Document
+
+This is a test document for RAG integration testing.
+
+## Section 1
+
+This is the first section of the test document.
+
+### Subsection 1.1
+
+This is a subsection with some specific content about RAG systems.
+Retrieval Augmented Generation combines search with generation.
+
+## Section 2
+
+This is the second section of the test document.
+
+### Subsection 2.1
+
+This subsection contains information about testing methodologies.
+Integration testing verifies that components work together correctly.
+"""
+
+
+def test_golden_chunk_id_matches_reference_fixture():
+    # /root/reference/data/test_chunks.json: md5("https://example.com/test:Test Document")
+    rows = chunking.semantic_chunks(GOLDEN_DOC, "https://example.com/test")
+    assert rows[0]["id"] == "4d400e9e128711522ee4b11054e4fd4c"
+    assert rows[0]["heading_path"] == "Test Document"
+    assert rows[0]["chunk_type"] == "section"
+
+
+def test_nested_header_hierarchy_invariants():
+    # ported from reference tests/unit/test_nested_header_chunking.py
+    rows = chunking.semantic_chunks(GOLDEN_DOC, "https://example.com/test")
+    assert len(rows) == 5
+    assert [r["heading_level"] for r in rows] == [1, 2, 3, 2, 3]
+    assert rows[2]["heading_path"] == "Test Document > Section 1 > Subsection 1.1"
+    assert rows[2]["parent_headers"][0]["markdown"] == "# Test Document"
+    assert rows[2]["parent_headers"][1]["markdown"] == "## Section 1"
+    for r in rows:
+        assert r["nested_level"] == len(r["parent_headers"])
+        assert " > ".join(r["path_elements"]) == r["heading_path"]
+        assert r["word_count"] == len(r["content"].split())
+        assert r["char_count"] == len(r["content"])
+
+
+def test_oversize_section_splits_with_context_prefix():
+    body = "word " * 900
+    md = "# Top\n\n## Sub\n\n" + body
+    rows = chunking.semantic_chunks(md, "https://e.test/p", chunk_size=1000,
+                                    chunk_overlap=200)
+    conts = [r for r in rows if r["chunk_type"] == "content_chunk"]
+    assert len(conts) > 1
+    assert conts[0]["position"] == 0 and not conts[0]["is_continuation"]
+    assert conts[1]["is_continuation"]
+    # continuation carries parent-header markdown prefix
+    assert conts[1]["content"].startswith("# Top\n## Sub\n\n")
+    # ids are md5(f"{url}:{path}:{i}")
+    from ragnificent_ray.functions.hashing import md5_hex
+
+    step = 1000 // 5 - 200 // 5
+    assert conts[1]["id"] == md5_hex(f"https://e.test/p:Top > Sub:{step}")
+
+
+def test_non_markdown_text_chunker():
+    text = "plain text " * 300
+    rows = chunking.create_semantic_chunks(text, "https://e.test/t")
+    assert all(r["chunk_type"] == "text_chunk" for r in rows)
+    from ragnificent_ray.functions.hashing import md5_hex
+
+    assert rows[0]["id"] == md5_hex("https://e.test/t:text:0")
+
+
+def test_sliding_and_recursive_strategies():
+    text = ("para one words here.\n\n" * 30).strip()
+    sw = chunking.strategy_chunks(text, "https://e.test/s", strategy="sliding_window",
+                                  chunk_size=200, chunk_overlap=50)
+    assert len(sw) > 1 and sw[0]["id"] == "https://e.test/s_0"
+    rc = chunking.strategy_chunks(text, "https://e.test/s", strategy="recursive",
+                                  chunk_size=200, chunk_overlap=50)
+    assert len(rc) > 1 and rc[0]["chunk_type"] == "recursive"
+    with pytest.raises(ValueError):
+        chunking.strategy_chunks(text, "u", strategy="nope")
