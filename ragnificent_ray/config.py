@@ -1,0 +1,68 @@
+"""Engine configuration (mirrors the reference's layered config surface,
+``core/config.py``, reduced to the knobs our Ray Data engine uses)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class WorldConfig:
+    """Synthetic-web shape (FIXTURES.md scale knobs)."""
+
+    n_domains: int = 4
+    pages_per_domain: int = 8
+    images_per_page: int = 2
+    seed: int = 42
+    deep_pages_per_domain: int | None = None
+
+
+@dataclass
+class CrawlConfig:
+    world: WorldConfig = field(default_factory=WorldConfig)
+
+    # frontier / discovery (reference sitemap_utils semantics)
+    seeds: list[str] | None = None  # default: every world domain base URL
+    respect_robots_txt: bool = True
+    min_priority: float | None = None
+    include_patterns: list[str] | None = None
+    exclude_patterns: list[str] | None = None
+    limit_per_domain: int | None = None
+
+    # BFS link-following (engine extension; reference exposes but never
+    # feeds back outlinks — SURVEY §3.1)
+    follow_links: bool = True
+    max_depth: int = 2
+    allow_cross_domain: bool = False
+
+    # politeness budget (reference core/throttle.py defaults are 1 rps;
+    # the bench raises this — same budget is handed to the oracle)
+    default_rate: float = 100.0
+    domain_limits: dict | None = None
+    adaptive_throttling: bool = True
+    retry_delay: float = 2.0
+    max_retries: int = 3
+
+    # extraction / chunking
+    formats: tuple = ("markdown",)
+    chunk_strategy: str = "semantic"
+    chunk_size: int = 1000
+    chunk_overlap: int = 200
+    harvest_images: bool = True
+    embed_chunks: bool = False
+    embedding_dim: int = 384
+
+    # distribution knobs
+    n_seen_shards: int = 8
+    n_politeness_shards: int = 4
+    fetch_concurrency: int = 8
+    fetch_batch_size: int = 32
+    parse_batch_size: int = 64
+    seen_capacity_per_shard: int = 1 << 16
+
+    def seed_urls(self) -> list[str]:
+        if self.seeds is not None:
+            return list(self.seeds)
+        return [
+            f"https://site{d}.test" for d in range(self.world.n_domains)
+        ]

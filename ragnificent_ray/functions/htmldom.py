@@ -136,7 +136,10 @@ def parse_html_to_document(html: str, base_url: str) -> dict:
     schema row (SURVEY §1.3): title, headings, paragraphs, links, images,
     lists, code_blocks, blockquotes — all grouped by type.
     """
-    dom = parse_dom(html)
+    return document_from_dom(parse_dom(html), base_url)
+
+
+def document_from_dom(dom: Node, base_url: str) -> dict:
 
     titles = dom.find_all("title")
     title = titles[0].text() if titles else "No Title"
@@ -206,7 +209,10 @@ def parse_html_to_document(html: str, base_url: str) -> dict:
 
 def extract_links(html: str, base_url: str) -> list[str]:
     """Unique sorted outlinks (``html_parser.rs:80-111`` semantics)."""
-    dom = parse_dom(html)
+    return outlinks_from_dom(parse_dom(html), base_url)
+
+
+def outlinks_from_dom(dom: Node, base_url: str) -> list[str]:
     links: list[str] = []
     for el in dom.find_all("a"):
         href = el.attrs.get("href")
@@ -219,8 +225,16 @@ def extract_links(html: str, base_url: str) -> list[str]:
                 links.append(urljoin(base_url, href))
             except ValueError:
                 pass
-    links = sorted(set(links))
-    return links
+    return sorted(set(links))
+
+
+def parse_page(html: str, base_url: str) -> tuple[dict, list[str]]:
+    """One DOM build → (Document struct, sorted unique outlinks).
+
+    The crawl's hot path: document extraction (M7) and outlink harvest
+    (M15) share a single parse instead of re-parsing the HTML."""
+    dom = parse_dom(html)
+    return document_from_dom(dom, base_url), outlinks_from_dom(dom, base_url)
 
 
 # ------------------------------------------------------------ main content

@@ -1,0 +1,75 @@
+"""Lance sink adapter (S13): real ``write_lance`` when available,
+Parquet-directory layout otherwise (SURVEY §7.6 — no ``pylance`` in this
+sandbox).
+
+The adapter keeps one sink call site in the pipelines:
+``write_harvest(ds_or_table, uri)``. With pylance installed it becomes
+``ray.data.Dataset.write_lance(uri)``; without, it writes
+``{uri}/part-*.parquet`` plus ``_lance_adapter.json`` recording the
+schema and the intended Lance layout, and ``read_harvest`` reads either
+form back.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+try:  # pragma: no cover - not present in sandbox
+    import lance  # noqa: F401
+
+    HAVE_LANCE = True
+except ImportError:
+    HAVE_LANCE = False
+
+
+def write_harvest(data, uri: str) -> None:
+    """data: ray.data.Dataset or pyarrow.Table → Lance table at uri."""
+    import ray.data as rd
+
+    if HAVE_LANCE:
+        if isinstance(data, pa.Table):
+            import lance
+
+            lance.write_dataset(data, uri, mode="overwrite")
+        else:
+            data.write_lance(uri)
+        return
+    os.makedirs(uri, exist_ok=True)
+    if isinstance(data, pa.Table):
+        pq.write_table(data, os.path.join(uri, "part-00000.parquet"))
+        schema = data.schema
+    else:
+        assert isinstance(data, rd.Dataset)
+        data.write_parquet(uri)
+        schema = pa.schema(
+            [(f.name, f.type) for f in
+             pq.read_schema(_first_parquet(uri))]
+        ) if _first_parquet(uri) else None
+    meta = {
+        "format": "lance-parquet-adapter",
+        "schema": str(schema),
+        "note": "pylance unavailable in sandbox; parquet stand-in",
+    }
+    with open(os.path.join(uri, "_lance_adapter.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+
+
+def _first_parquet(uri: str) -> str | None:
+    for name in sorted(os.listdir(uri)):
+        if name.endswith(".parquet"):
+            return os.path.join(uri, name)
+    return None
+
+
+def read_harvest(uri: str) -> pa.Table:
+    if HAVE_LANCE:
+        import lance
+
+        return lance.dataset(uri).to_table()
+    files = [os.path.join(uri, n) for n in sorted(os.listdir(uri))
+             if n.endswith(".parquet")]
+    return pa.concat_tables([pq.read_table(f) for f in files])

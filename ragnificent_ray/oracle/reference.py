@@ -1,0 +1,141 @@
+"""Single-process oracle: the reference's sequential crawl semantics.
+
+Ground truth for order / seen-set / row parity at small scale (SURVEY
+§7.1 step 2). Implements exactly the semantics established in SURVEY
+§3.1: depth-0 frontier = filtered-sitemap entries in seed-list order;
+deeper levels ordered (depth, parent_rank, per-page lexicographic link
+index); URL-seen dedup at enqueue time; first claim of a duplicate URL
+is the lowest-ranked parent (candidates are encountered in ascending
+rank because pages are processed in rank order and per-page links are
+sorted).
+
+It shares the *pure* extraction functions with the engine (parser,
+renderer, chunker, sitemap discovery) — parity tests therefore verify
+the distributed machinery (frontier rounds, seen shards, dedup
+shuffles, harvest fan-out), while the shared functions are unit-tested
+directly against reference-ported assertions (tests/test_functions.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import asdict, dataclass, field
+
+from ..config import CrawlConfig
+from ..functions.htmldom import parse_page
+from ..functions.imaging import decode_image, phash64
+from ..functions.render import document_to_markdown
+from ..functions.chunking import strategy_chunks
+from ..functions.urls import canonicalize
+from ..stages.extract import derive_rank
+from ..sources.sitemap import discover_domain_urls, filter_urls
+from ..sources.synth_web import SynthWorld
+
+SEED_STRIDE = 1_000_000
+RANK_STRIDE = 100_000
+
+
+@dataclass
+class OracleResult:
+    order: list[tuple[int, int, str]] = field(default_factory=list)  # (depth, rank, url)
+    seen_hashes: set[int] = field(default_factory=set)
+    documents: list[dict] = field(default_factory=list)
+    chunks: list[dict] = field(default_factory=list)
+    harvest: list[dict] = field(default_factory=list)
+    fetch_failures: list[tuple[str, int]] = field(default_factory=list)
+
+
+def run_oracle(cfg: CrawlConfig) -> OracleResult:
+    world = SynthWorld(**asdict(cfg.world))
+    res = OracleResult()
+
+    allowed_domains = (
+        None if cfg.allow_cross_domain
+        else {u.split("://", 1)[-1].split("/", 1)[0] for u in cfg.seed_urls()}
+    )
+
+    # depth-0 frontier: per-seed sitemap discovery in seed order
+    frontier: list[tuple[int, str]] = []  # (rank, url)
+    for seed_idx, seed in enumerate(cfg.seed_urls()):
+        entries = discover_domain_urls(
+            seed, world.fetch, respect_robots_txt=cfg.respect_robots_txt
+        )
+        entries = filter_urls(
+            entries,
+            min_priority=cfg.min_priority,
+            include_patterns=cfg.include_patterns,
+            exclude_patterns=cfg.exclude_patterns,
+            limit=cfg.limit_per_domain,
+        )
+        for pos, e in enumerate(entries):
+            got = canonicalize(e["loc"])
+            if got is None:
+                continue
+            url, _, h = got
+            if h in res.seen_hashes:
+                continue
+            res.seen_hashes.add(h)
+            frontier.append((seed_idx * SEED_STRIDE + pos, url))
+
+    for depth in range(cfg.max_depth + 1):
+        if not frontier:
+            break
+        next_frontier: list[tuple[int, str]] = []
+        for rank, url in frontier:
+            res.order.append((depth, rank, url))
+            r = world.fetch(url)
+            if r.status != 200 or not r.body:
+                res.fetch_failures.append((url, r.status))
+                continue
+            doc, outlinks = parse_page(r.body.decode("utf-8", "replace"), url)
+            doc_row = dict(doc)
+            doc_row.update(url=url, depth=depth, seed_rank=rank)
+            res.documents.append(doc_row)
+
+            md = document_to_markdown(doc)
+            res.chunks.extend(
+                strategy_chunks(
+                    md, url, strategy=cfg.chunk_strategy,
+                    chunk_size=cfg.chunk_size,
+                    chunk_overlap=cfg.chunk_overlap,
+                )
+            )
+
+            if cfg.harvest_images:
+                for im in doc["images"]:
+                    got = canonicalize(im["src"])
+                    if got is None:
+                        continue
+                    src, _, h = got
+                    if h in res.seen_hashes:
+                        continue
+                    res.seen_hashes.add(h)
+                    ir = world.fetch(src)
+                    if ir.status != 200:
+                        continue
+                    name = src.rsplit("/", 1)[-1]
+                    stem, _, ext = name.rpartition(".")
+                    pixels = decode_image(ir.body, ext)
+                    res.harvest.append({
+                        "image_id": stem,
+                        "bytes": ir.body,
+                        "w": int(pixels.shape[1]),
+                        "h": int(pixels.shape[0]),
+                        "fmt": ext,
+                        "caption": im["alt"],
+                        "phash": phash64(pixels),
+                    })
+
+            if cfg.follow_links and depth < cfg.max_depth:
+                for idx, link in enumerate(outlinks):
+                    got = canonicalize(link)
+                    if got is None:
+                        continue
+                    curl, cdomain, h = got
+                    if allowed_domains is not None and cdomain not in allowed_domains:
+                        continue
+                    if h in res.seen_hashes:
+                        continue
+                    res.seen_hashes.add(h)
+                    next_frontier.append((derive_rank(rank, idx, RANK_STRIDE), curl))
+        frontier = next_frontier
+    return res

@@ -1,0 +1,493 @@
+"""The Ray-Data-native crawl: BFS frontier rounds over streaming stages.
+
+Shape per round (SURVEY §3.1-new)::
+
+    frontier.parquet ──read──▶ fetch(actor pool, politeness-gated)
+        ──▶ parse (one DOM pass → Document + outlinks, html dropped)
+        ──▶ write documents.parquet                     [checkpoint]
+    documents.parquet ──▶ render (md/json/xml) ──▶ write rendered
+                      ──▶ chunk (C1)           ──▶ write chunks
+                      ──▶ image candidates ──▶ canonicalize ──▶ seen-filter
+                            ──▶ fetch images ──▶ decode+phash ──▶ harvest (Lance)
+                      ──▶ outlinks ──▶ canonicalize ──▶ domain filter
+                            ──▶ min-rank dedup (groupby) ──▶ seen-filter
+                            ──▶ write next round's frontier.parquet
+
+Control crosses process boundaries only at dataset shuffles and the
+seen/politeness shard RPCs; per-domain politeness state never moves
+(SURVEY §3.1). Every round's outputs land in per-round parquet/Lance
+checkpoints with lineage+metrics, and the manifest makes the whole
+crawl resumable (state/checkpoint.py).
+
+Ordering contract (SURVEY §7.4): Ray gives no execution order; the
+``(depth, seed_rank)`` columns define the reference order, and parity
+with the sequential oracle is checked on the rank-sorted sequence.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import asdict, dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from ..config import CrawlConfig
+from ..io.lance import write_harvest
+from ..schema import FRONTIER
+from ..sources.sitemap import discover_domain_urls, filter_urls
+from ..stages.canonicalize import canonicalize_batch
+from ..stages.chunk import chunk_batch
+from ..stages.embed import HashEmbedder
+from ..stages.extract import (
+    harvest_decode_batch,
+    image_candidates_batch,
+    outlinks_batch,
+    parse_documents_batch,
+    render_batch,
+)
+from ..stages.fetch import FetchWorker, make_backend
+from ..state.checkpoint import CheckpointManager, config_hash
+from ..state.politeness import PolitenessService
+from ..state.seen import SeenSet
+
+SEED_STRIDE = 1_000_000
+RANK_STRIDE = 100_000
+
+
+# --------------------------------------------------------------- discovery
+
+class DiscoverWorker:
+    """Sitemap discovery per seed (S2-S4): robots → sitemap recursion →
+    reference-order filter → ranked frontier rows. Runs as a small actor
+    pool over the seed list; each seed's discovery is inherently
+    sequential (first-hit-wins), so parallelism is across seeds."""
+
+    def __init__(self, world_cfg: dict, politeness=None, crawl_cfg: dict | None = None):
+        self.backend = make_backend(world_cfg)
+        self.politeness = politeness
+        self.cfg = crawl_cfg or {}
+
+    def _fetch(self, url: str):
+        if self.politeness is not None:
+            from ..functions.urls import extract_domain
+
+            delay = self.politeness.reserve(extract_domain(url), 1)[0]
+            if delay > 0:
+                time.sleep(delay)
+        return self.backend.fetch(url)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {name: [] for name in FRONTIER.names}
+        for seed_url, seed_idx in zip(
+            batch.column("seed_url").to_pylist(),
+            batch.column("seed_idx").to_pylist(),
+        ):
+            entries = discover_domain_urls(
+                seed_url, self._fetch,
+                respect_robots_txt=self.cfg.get("respect_robots_txt", True),
+            )
+            entries = filter_urls(
+                entries,
+                min_priority=self.cfg.get("min_priority"),
+                include_patterns=self.cfg.get("include_patterns"),
+                exclude_patterns=self.cfg.get("exclude_patterns"),
+                limit=self.cfg.get("limit_per_domain"),
+            )
+            for pos, e in enumerate(entries):
+                out["url"].append(e["loc"])
+                out["domain"].append("")  # filled by canonicalize
+                out["depth"].append(0)
+                out["priority"].append(e["priority"])
+                out["lastmod"].append(e["lastmod"])
+                out["changefreq"].append(e["changefreq"])
+                out["url_hash"].append(0)
+                out["seed_rank"].append(seed_idx * SEED_STRIDE + pos)
+        return pa.table({
+            name: pa.array(out[name], type=FRONTIER.field(name).type)
+            for name in FRONTIER.names
+        })
+
+
+def to_frontier_schema(batch: pa.Table) -> pa.Table:
+    """Normalize candidate rows to the FRONTIER schema (missing sitemap
+    metadata → nulls) so every round's frontier files unify."""
+    n = batch.num_rows
+    cols = {}
+    for f in FRONTIER:
+        if f.name in batch.column_names:
+            cols[f.name] = batch.column(f.name).cast(f.type)
+        else:
+            cols[f.name] = pa.nulls(n, type=f.type)
+    return pa.table(cols)
+
+
+class SeenFilter:
+    """map_batches stage: keep only rows whose url_hash is new (D1)."""
+
+    def __init__(self, seen: SeenSet):
+        self.seen = seen
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        hashes = batch.column("url_hash").to_numpy(zero_copy_only=False)
+        mask = self.seen.check_and_add(hashes.astype(np.uint64))
+        return batch.filter(pa.array(mask))
+
+
+# ------------------------------------------------------------------ result
+
+@dataclass
+class CrawlResult:
+    out_dir: str
+    rounds: list[int] = field(default_factory=list)
+    metrics: dict = field(default_factory=dict)
+
+    def _round_dirs(self, table: str) -> list[str]:
+        out = []
+        for r in self.rounds:
+            d = os.path.join(self.out_dir, "rounds", f"round={r:04d}", table)
+            if os.path.isdir(d) and any(
+                n.endswith(".parquet") for n in os.listdir(d)
+            ):
+                out.append(d)
+        return out
+
+    def dataset(self, table: str) -> rd.Dataset:
+        dirs = self._round_dirs(table)
+        if not dirs:
+            import pyarrow as pa
+
+            return rd.from_arrow(pa.table({}))
+        return rd.read_parquet(dirs)
+
+    def table(self, table: str) -> pa.Table:
+        dirs = self._round_dirs(table)
+        tabs = []
+        for d in dirs:
+            for n in sorted(os.listdir(d)):
+                if n.endswith(".parquet"):
+                    tabs.append(pq.read_table(os.path.join(d, n)))
+        return pa.concat_tables(tabs) if tabs else pa.table({})
+
+
+def _dir_rows(path: str) -> int:
+    if not os.path.isdir(path):
+        return 0
+    total = 0
+    for name in os.listdir(path):
+        if name.endswith(".parquet"):
+            total += pq.ParquetFile(os.path.join(path, name)).metadata.num_rows
+    return total
+
+
+def _write_parquet(ds: rd.Dataset, path: str) -> int:
+    os.makedirs(path, exist_ok=True)
+    ds.write_parquet(path)
+    return _dir_rows(path)
+
+
+# ------------------------------------------------------------------- crawl
+
+def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResult:
+    """Run the full crawl. Ray must already be initialized by the caller
+    (driver contract); this function owns only its shard actors."""
+    ckpt = CheckpointManager(out_dir)
+    chash = config_hash(cfg)
+    world_cfg = asdict(cfg.world)
+
+    politeness = PolitenessService(
+        n_shards=cfg.n_politeness_shards,
+        default_rate=cfg.default_rate,
+        domain_limits=cfg.domain_limits,
+        adaptive=cfg.adaptive_throttling,
+        retry_delay=cfg.retry_delay,
+    )
+    seen = SeenSet(
+        n_shards=cfg.n_seen_shards,
+        capacity_per_shard=cfg.seen_capacity_per_shard,
+    )
+
+    result = CrawlResult(out_dir=out_dir)
+    t_start = time.monotonic()
+    try:
+        done = ckpt.completed_rounds(chash) if resume else []
+        if done:
+            # Replay completed rounds' hashes (pages + images) PLUS the
+            # pending round's frontier — those URLs were claimed before the
+            # interruption; without them a deeper round could re-enqueue.
+            # The pending round's *image* hashes are NOT restored and its
+            # partial outputs are cleared: the round re-runs idempotently.
+            pending = max(done) + 1
+            seen.restore(ckpt.seen_hashes_for_rounds(done))
+            seen.restore(ckpt.seen_hashes_for_rounds(
+                [pending], tables=("frontier",)))
+            import shutil
+
+            for sub in ("documents", "rendered", "chunks", "harvest",
+                        "image_frontier"):
+                shutil.rmtree(ckpt.table_dir(pending, sub), ignore_errors=True)
+            shutil.rmtree(ckpt.table_dir(pending + 1, "frontier"),
+                          ignore_errors=True)
+            result.rounds.extend(done)
+
+        crawl_opts = {
+            "respect_robots_txt": cfg.respect_robots_txt,
+            "min_priority": cfg.min_priority,
+            "include_patterns": cfg.include_patterns,
+            "exclude_patterns": cfg.exclude_patterns,
+            "limit_per_domain": cfg.limit_per_domain,
+        }
+
+        for depth in range(cfg.max_depth + 1):
+            if depth in done:
+                continue
+            rdir = ckpt.round_dir(depth)
+            frontier_dir = ckpt.table_dir(depth, "frontier")
+
+            # ---- build this round's frontier --------------------------------
+            if depth == 0:
+                seeds = cfg.seed_urls()
+                seeds_ds = rd.from_arrow(pa.table({
+                    "seed_url": pa.array(seeds),
+                    "seed_idx": pa.array(range(len(seeds)), type=pa.int64()),
+                })).repartition(max(1, len(seeds)))
+                frontier_ds = (
+                    seeds_ds.map_batches(
+                        DiscoverWorker,
+                        fn_constructor_kwargs={
+                            "world_cfg": world_cfg,
+                            "politeness": politeness,
+                            "crawl_cfg": crawl_opts,
+                        },
+                        batch_format="pyarrow",
+                        batch_size=1,
+                        concurrency=min(max(1, len(seeds)), cfg.fetch_concurrency),
+                        num_cpus=0.25,
+                    )
+                    .map_batches(canonicalize_batch, batch_format="pyarrow")
+                    .map_batches(
+                        SeenFilter,
+                        fn_constructor_kwargs={"seen": seen},
+                        batch_format="pyarrow",
+                        concurrency=2,
+                        num_cpus=0.1,
+                    )
+                )
+                n_frontier = _write_parquet(frontier_ds, frontier_dir)
+            else:
+                n_frontier = _dir_rows(frontier_dir)
+
+            if n_frontier == 0:
+                ckpt.complete_round(
+                    depth, {"depth": depth, "inputs": [], "n_frontier": 0},
+                    {"pages_fetched": 0}, chash,
+                )
+                result.rounds.append(depth)
+                break
+
+            round_t0 = time.monotonic()
+
+            # ---- fetch + parse → documents ---------------------------------
+            pages = rd.read_parquet(frontier_dir).map_batches(
+                FetchWorker,
+                fn_constructor_kwargs={
+                    "world_cfg": world_cfg,
+                    "politeness": politeness,
+                    "max_retries": cfg.max_retries,
+                    "retry_delay": cfg.retry_delay,
+                },
+                batch_format="pyarrow",
+                batch_size=cfg.fetch_batch_size,
+                concurrency=cfg.fetch_concurrency,
+                num_cpus=0.5,
+            )
+            docs = pages.map_batches(
+                parse_documents_batch,
+                batch_format="pyarrow",
+                batch_size=cfg.parse_batch_size,
+            )
+            docs_dir = ckpt.table_dir(depth, "documents")
+            n_docs = _write_parquet(docs, docs_dir)
+
+            n_rendered = n_chunks = n_harvest = n_next = 0
+            if n_docs:
+                docs_pq = rd.read_parquet(docs_dir)
+
+                # ---- render + chunk ----------------------------------------
+                rendered = docs_pq.map_batches(
+                    lambda b: render_batch(b, formats=tuple(cfg.formats)),
+                    batch_format="pyarrow",
+                )
+                n_rendered = _write_parquet(
+                    rendered, ckpt.table_dir(depth, "rendered"))
+                md_ds = rd.read_parquet(
+                    ckpt.table_dir(depth, "rendered")
+                ).map_batches(
+                    lambda b: b.filter(pc.equal(b["fmt"], "markdown")),
+                    batch_format="pyarrow",
+                )
+                chunks = md_ds.map_batches(
+                    lambda b: chunk_batch(
+                        b, strategy=cfg.chunk_strategy,
+                        chunk_size=cfg.chunk_size,
+                        chunk_overlap=cfg.chunk_overlap,
+                    ),
+                    batch_format="pyarrow",
+                )
+                if cfg.embed_chunks:
+                    chunks = chunks.map_batches(
+                        HashEmbedder,
+                        fn_constructor_kwargs={"dim": cfg.embedding_dim},
+                        batch_format="pyarrow",
+                        batch_size=32,
+                        concurrency=4,
+                    )
+                n_chunks = _write_parquet(chunks, ckpt.table_dir(depth, "chunks"))
+
+                # ---- harvest images ----------------------------------------
+                if cfg.harvest_images:
+                    img_cands = (
+                        docs_pq.map_batches(
+                            lambda b: image_candidates_batch(b, RANK_STRIDE),
+                            batch_format="pyarrow",
+                        )
+                        .map_batches(canonicalize_batch, batch_format="pyarrow")
+                        .map_batches(
+                            SeenFilter,
+                            fn_constructor_kwargs={"seen": seen},
+                            batch_format="pyarrow",
+                            concurrency=2,
+                            num_cpus=0.1,
+                        )
+                    )
+                    img_dir = ckpt.table_dir(depth, "image_frontier")
+                    n_img = _write_parquet(img_cands, img_dir)
+                    if n_img:
+                        harvest = (
+                            rd.read_parquet(img_dir)
+                            .map_batches(
+                                FetchWorker,
+                                fn_constructor_kwargs={
+                                    "world_cfg": world_cfg,
+                                    "politeness": politeness,
+                                    "max_retries": cfg.max_retries,
+                                    "retry_delay": cfg.retry_delay,
+                                },
+                                batch_format="pyarrow",
+                                batch_size=cfg.fetch_batch_size,
+                                concurrency=cfg.fetch_concurrency,
+                                num_cpus=0.5,
+                            )
+                            .map_batches(harvest_decode_batch,
+                                         batch_format="pyarrow")
+                        )
+                        hdir = ckpt.table_dir(depth, "harvest")
+                        write_harvest(harvest, hdir)
+                        n_harvest = _dir_rows(hdir)
+
+                # ---- outlinks → next frontier ------------------------------
+                if cfg.follow_links and depth < cfg.max_depth:
+                    allowed = (
+                        None if cfg.allow_cross_domain
+                        else {d for u in cfg.seed_urls()
+                              for d in [u.split("://", 1)[-1].split("/", 1)[0]]}
+                    )
+
+                    def _domain_filter(b: pa.Table, allowed=allowed) -> pa.Table:
+                        if allowed is None or b.num_rows == 0:
+                            return b
+                        mask = pa.array(
+                            [d in allowed for d in b.column("domain").to_pylist()]
+                        )
+                        return b.filter(mask)
+
+                    cands = (
+                        docs_pq.map_batches(
+                            lambda b: outlinks_batch(b, RANK_STRIDE),
+                            batch_format="pyarrow",
+                        )
+                        .map_batches(canonicalize_batch, batch_format="pyarrow")
+                        .map_batches(_domain_filter, batch_format="pyarrow")
+                    )
+                    # min-rank dedup BEFORE the seen filter so duplicate
+                    # candidates resolve deterministically to the earliest
+                    # parent (oracle parity) — a per-round groupby over the
+                    # (small) candidate table, not the page data.
+                    deduped = cands.groupby("url_hash").map_groups(
+                        lambda g: g.sort_values("seed_rank").head(1),
+                        batch_format="pandas",
+                    )
+                    nxt = deduped.map_batches(
+                        SeenFilter,
+                        fn_constructor_kwargs={"seen": seen},
+                        batch_format="pyarrow",
+                        concurrency=2,
+                        num_cpus=0.1,
+                    ).map_batches(to_frontier_schema, batch_format="pyarrow")
+                    n_next = _write_parquet(
+                        nxt, ckpt.table_dir(depth + 1, "frontier"))
+
+            # ---- finalize round --------------------------------------------
+            lineage = {
+                "depth": depth,
+                "inputs": [frontier_dir],
+                "n_frontier": n_frontier,
+                "config_hash": chash,
+            }
+            metrics = {
+                "n_frontier": n_frontier,
+                "pages_parsed": n_docs,
+                "pages_failed": n_frontier - n_docs,
+                "rendered": n_rendered,
+                "chunks": n_chunks,
+                "harvest_rows": n_harvest,
+                "next_frontier": n_next,
+                "round_sec": time.monotonic() - round_t0,
+            }
+            ckpt.complete_round(depth, lineage, metrics, chash)
+            result.rounds.append(depth)
+            result.metrics[f"round_{depth}"] = metrics
+            if depth < cfg.max_depth and _dir_rows(
+                ckpt.table_dir(depth + 1, "frontier")
+            ) == 0:
+                break  # frontier exhausted before max_depth
+
+        # ---- domain stats (G1) --------------------------------------------
+        stats_rows = politeness.stats_rows()
+        if stats_rows:
+            stats = pa.table({
+                "domain": pa.array([r["domain"] for r in stats_rows]),
+                "success_count": pa.array(
+                    [r["success_count"] for r in stats_rows], type=pa.int64()),
+                "error_count": pa.array(
+                    [r["error_count"] for r in stats_rows], type=pa.int64()),
+                "avg_response_time": pa.array(
+                    [r["avg_response_time"] for r in stats_rows]),
+                "rate_limit": pa.array([r["rate_limit"] for r in stats_rows]),
+            })
+            pq.write_table(stats, os.path.join(out_dir, "domain_stats.parquet"))
+
+        result.metrics["seen_urls"] = seen.size()
+        result.metrics["total_sec"] = time.monotonic() - t_start
+        total_pages = sum(
+            result.metrics.get(f"round_{r}", {}).get("pages_parsed", 0)
+            for r in result.rounds
+        )
+        result.metrics["pages_parsed_total"] = total_pages
+        if result.metrics["total_sec"] > 0:
+            result.metrics["pages_per_sec"] = (
+                total_pages / result.metrics["total_sec"]
+            )
+        result.metrics["seen_hashes"] = None  # fetched via seen_snapshot()
+        result.metrics["_seen_snapshot"] = seen.snapshot()
+        return result
+    finally:
+        politeness.shutdown()
+        seen.shutdown()

@@ -1,0 +1,194 @@
+"""Sitemap discovery + filtering (S2-S4, M4-M6 in SURVEY §2).
+
+Pure functions parameterized by a ``fetch: Callable[[str], FetchResult]``
+so the single-process oracle and the distributed discovery stage run the
+*same* code — per-domain sitemap discovery is inherently sequential
+(first-hit-wins over candidate locations, recursive index expansion with
+a processed-set), exactly as the reference does it
+(``RAGnificent/utils/sitemap_utils.py:303-420``).
+
+Reproduced reference semantics:
+
+* robots.txt ``Sitemap:`` lines first; fall back to the four well-known
+  locations; FIRST location that yields URLs wins (``:377-398``).
+* namespace-tolerant XML parsing of ``<urlset>`` / ``<sitemapindex>``
+  with recursion into child sitemaps (``:162-266,344-351``).
+* HTML sitemaps: ``<a href>`` extraction, skipping ``javascript:``/``#``
+  (``:268-301``).
+* domain filter is a SUBSTRING match ``domain in loc`` — quirky but
+  kept for parity (``:400-407``); optional ``/docs`` filter (``:410-417``).
+* ``filter_urls``: priority (None passes), include-any / exclude-none
+  regex, head-``limit`` applied LAST (``:422-475``) — making the limit
+  order-sensitive, which is why ``seed_rank`` is assigned here.
+"""
+
+from __future__ import annotations
+
+import re
+import xml.etree.ElementTree as ET
+from typing import Callable, Optional
+from urllib.parse import urljoin, urlparse
+
+from ..functions.htmldom import parse_dom
+
+_NS_RE = re.compile(r'xmlns\s*=\s*["\']([^"\']+)["\']')
+
+# a sitemap URL entry: {"loc", "lastmod", "changefreq", "priority"}
+SitemapEntry = dict
+
+
+def parse_sitemap_xml(content: str) -> tuple[list[SitemapEntry], list[str]]:
+    """XML → (url entries, child sitemap urls). Parse errors → ([], [])."""
+    try:
+        m = _NS_RE.search(content)
+        ns = m[1] if m else None
+        ns_map = {"sm": ns} if ns else {}
+        root = ET.fromstring(content)
+    except ET.ParseError:
+        return [], []
+    if root.tag.endswith("sitemapindex"):
+        children = [
+            el.text.strip()
+            for el in root.findall(
+                ".//sm:sitemap/sm:loc" if ns else ".//sitemap/loc", ns_map
+            )
+            if el is not None and el.text
+        ]
+        return [], children
+    entries = []
+    for url_el in root.findall(".//sm:url" if ns else ".//url", ns_map):
+        loc_el = url_el.find("sm:loc" if ns else "loc", ns_map)
+        if loc_el is None or not loc_el.text:
+            continue
+
+        def _text(name: str) -> Optional[str]:
+            el = url_el.find(f"sm:{name}" if ns else name, ns_map)
+            return el.text.strip() if el is not None and el.text else None
+
+        pr_text = _text("priority")
+        try:
+            priority = float(pr_text) if pr_text else None
+        except (TypeError, ValueError):
+            priority = None
+        entries.append({
+            "loc": loc_el.text.strip(),
+            "lastmod": _text("lastmod"),
+            "changefreq": _text("changefreq"),
+            "priority": priority,
+        })
+    return entries, []
+
+
+def parse_html_sitemap(content: str, base_url: str) -> list[SitemapEntry]:
+    """HTML fallback sitemap (S4): every <a href>, resolved, no metadata."""
+    entries = []
+    for el in parse_dom(content).find_all("a"):
+        href = el.attrs.get("href")
+        if not href or href.startswith("javascript:") or href.startswith("#"):
+            continue
+        entries.append({
+            "loc": urljoin(base_url, href),
+            "lastmod": None,
+            "changefreq": None,
+            "priority": None,
+        })
+    return entries
+
+
+def sitemaps_from_robots(robots_text: str) -> list[str]:
+    out = []
+    for line in robots_text.splitlines():
+        if line.lower().startswith("sitemap:"):
+            out.append(line[8:].strip())
+    return out
+
+
+def discover_domain_urls(
+    base_url: str,
+    fetch: Callable,
+    respect_robots_txt: bool = True,
+    filter_by_domain: bool = True,
+    docs_path_filter: bool = False,
+) -> list[SitemapEntry]:
+    """Full per-domain discovery in reference traversal order."""
+    p = urlparse(base_url)
+    base = f"{p.scheme}://{p.netloc}"
+    domain = p.netloc
+
+    locations: list[str] = []
+    if respect_robots_txt:
+        r = fetch(f"{base}/robots.txt")
+        if r is not None and r.status == 200:
+            locations.extend(sitemaps_from_robots(r.body.decode("utf-8", "replace")))
+    if not locations:
+        locations.extend([
+            f"{base}/sitemap.xml",
+            f"{base}/sitemap_index.xml",
+            f"{base}/sitemap/sitemap.xml",
+            f"{base}/sitemaps/sitemap.xml",
+        ])
+
+    processed: set[str] = set()
+
+    def process(sitemap_url: str) -> list[SitemapEntry]:
+        if sitemap_url in processed:
+            return []
+        processed.add(sitemap_url)
+        r = fetch(sitemap_url)
+        if r is None or r.status != 200:
+            return []
+        text = r.body.decode("utf-8", "replace")
+        ctype = (r.content_type or "").lower()
+        if "html" in ctype:
+            return parse_html_sitemap(text, sitemap_url)
+        entries, children = parse_sitemap_xml(text)
+        for child in children:
+            entries.extend(process(child))
+        return entries
+
+    discovered: list[SitemapEntry] = []
+    for loc in locations:
+        if found := process(loc):
+            discovered.extend(found)
+            break  # first source that yields URLs wins
+
+    if filter_by_domain:
+        discovered = [e for e in discovered if domain in e["loc"]]
+        if docs_path_filter and "/docs" in base_url:
+            discovered = [e for e in discovered if "/docs" in e["loc"]]
+    return discovered
+
+
+def filter_urls(
+    entries: list[SitemapEntry],
+    min_priority: Optional[float] = None,
+    include_patterns: Optional[list[str]] = None,
+    exclude_patterns: Optional[list[str]] = None,
+    limit: Optional[int] = None,
+) -> list[SitemapEntry]:
+    """Order-preserving filters; limit applied LAST (order-sensitive)."""
+    out = list(entries)
+    if min_priority is not None:
+        out = [e for e in out
+               if e["priority"] is None or e["priority"] >= min_priority]
+    if include_patterns:
+        pats = [re.compile(p) for p in include_patterns]
+        out = [e for e in out if any(p.search(e["loc"]) for p in pats)]
+    if exclude_patterns:
+        pats = [re.compile(p) for p in exclude_patterns]
+        out = [e for e in out if not any(p.search(e["loc"]) for p in pats)]
+    if limit is not None:
+        out = out[:limit]
+    return out
+
+
+def read_links_file(path: str) -> list[str]:
+    """S1: URL-per-line text file; blanks and ``#`` comments skipped
+    (``core/scraper.py:1155-1183``)."""
+    urls = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            s = line.strip()
+            if s and not s.startswith("#"):
+                urls.append(s.split(",")[0].strip())
+    return urls

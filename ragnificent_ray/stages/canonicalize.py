@@ -1,0 +1,36 @@
+"""Canonicalize stage (M1-M3): validate, sanitize, hash — one
+``map_batches`` pass over Arrow, emitting url/domain/url_hash columns.
+
+Stateless task stage. The per-URL work is pure string parsing (stdlib
+urlparse); rows that fail validation (non-http(s), no netloc —
+``core/validators.py:16-44``) are dropped, matching the reference's
+skip-and-log behavior.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.urls import canonicalize
+
+
+def canonicalize_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
+    """Rewrites ``url`` to its sanitized form and appends ``domain`` and
+    ``url_hash`` columns; invalid rows are filtered out."""
+    raw = batch.column(url_col).to_pylist()
+    keep_idx, urls, domains, hashes = [], [], [], []
+    for i, u in enumerate(raw):
+        got = canonicalize(u) if u else None
+        if got is None:
+            continue
+        keep_idx.append(i)
+        urls.append(got[0])
+        domains.append(got[1])
+        hashes.append(got[2])
+    kept = batch.take(pa.array(keep_idx, type=pa.int64()))
+    cols = {name: kept.column(name) for name in kept.column_names}
+    cols[url_col] = pa.array(urls, type=pa.string())
+    cols["domain"] = pa.array(domains, type=pa.string())
+    cols["url_hash"] = pa.array(np.asarray(hashes, dtype=np.uint64))
+    return pa.table(cols)

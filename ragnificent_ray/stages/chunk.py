@@ -1,0 +1,46 @@
+"""Chunk stage (C1-C6): rendered markdown → flat chunk rows.
+
+Stateless ``map_batches`` flat-map. Chunk ids are content-addressed
+md5 (reference ``chunk_utils.py:56-58,106-108``) so output is
+order-independent and dedupable downstream (D3).
+
+``created_at`` is stamped once per batch (ISO) — the reference stamps
+per chunk with ``datetime.now()``; the column is excluded from equality
+checks either way (FIXTURES §5).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pyarrow as pa
+
+from ..functions.chunking import strategy_chunks
+from ..schema import CHUNKS
+
+
+def chunk_batch(
+    batch: pa.Table,
+    strategy: str = "semantic",
+    chunk_size: int = 1000,
+    chunk_overlap: int = 200,
+    content_col: str = "markdown",
+    url_col: str = "url",
+) -> pa.Table:
+    created_at = datetime.now().isoformat()
+    contents = batch.column(content_col).to_pylist()
+    urls = batch.column(url_col).to_pylist()
+    rows: list[dict] = []
+    for url, content in zip(urls, contents):
+        if not content:
+            continue
+        rows.extend(
+            strategy_chunks(
+                content, url, strategy=strategy, chunk_size=chunk_size,
+                chunk_overlap=chunk_overlap, created_at=created_at,
+            )
+        )
+    return pa.table({
+        name: pa.array([r[name] for r in rows], type=CHUNKS.field(name).type)
+        for name in CHUNKS.names
+    })

@@ -1,0 +1,48 @@
+"""Embedding stage (A4): stateful actor pool over chunk batches.
+
+The reference loads a SentenceTransformer once per process and encodes
+in batches of 32 (``rag/embedding.py:115-203``, ``core/config.py:156-179``).
+The sandbox has no model downloads, so the default embedder is a
+deterministic hash-projection: blake2b(text) seeds a Gaussian vector,
+L2-normalized — dimension and normalization invariants (FIXTURES §6)
+hold, and the class is a drop-in slot for a real model (swap
+``_encode``; the Ray-side plumbing is identical).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+class HashEmbedder:
+    """``map_batches(HashEmbedder, concurrency=N, batch_size=32)``."""
+
+    def __init__(self, dim: int = 384, normalize: bool = True,
+                 text_col: str = "content"):
+        self.dim = dim
+        self.normalize = normalize
+        self.text_col = text_col
+
+    def _encode(self, texts: list[str]) -> np.ndarray:
+        out = np.empty((len(texts), self.dim), dtype=np.float32)
+        for i, t in enumerate(texts):
+            seed = int.from_bytes(
+                hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "big"
+            )
+            rng = np.random.Generator(np.random.PCG64(seed))
+            v = rng.standard_normal(self.dim).astype(np.float32)
+            if self.normalize:
+                v /= np.linalg.norm(v) or 1.0
+            out[i] = v
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        vecs = self._encode(texts)
+        emb = pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs.ravel(), type=pa.float32()), self.dim
+        )
+        return batch.append_column("embedding", emb)

@@ -1,0 +1,195 @@
+"""Extraction stages: pages → documents → rendered / outlinks / harvest.
+
+All stateless ``map_batches`` task stages over Arrow batches
+(``batch_format="pyarrow"``). The per-row HTML parse is the CPU work of
+the pipeline (the reference pays it in Rust; we pay it in the stdlib
+parser) — everything around it stays columnar.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions.htmldom import extract_links, parse_html_to_document, parse_page
+from ..functions.imaging import decode_image, phash64
+from ..functions.render import document_to_markdown, render_document
+from ..schema import DOCUMENTS, HARVEST, RENDERED
+
+_CARRY = ("url", "domain", "depth", "seed_rank")
+
+
+def derive_rank(parent_rank: int, idx: int, stride: int = 100_000) -> int:
+    """Child rank = parent_rank * stride + idx, saturating: beyond depth
+    ~3 the product would overflow int64, so deep children inherit the
+    parent rank (intra-page order is folded — documented limit; the
+    parity corpus stays within the exact regime)."""
+    if parent_rank < (2**62) // stride:
+        return parent_rank * stride + idx
+    return parent_rank
+
+
+def _carry_cols(batch: pa.Table, keep: list[int] | None = None) -> dict:
+    cols = {}
+    for name in _CARRY:
+        if name in batch.column_names:
+            col = batch.column(name)
+            cols[name] = col.take(pa.array(keep, type=pa.int64())) if keep is not None else col
+    return cols
+
+
+def parse_documents_batch(batch: pa.Table, with_outlinks: bool = True) -> pa.Table:
+    """pages → documents (M7) + an ``outlinks`` column (M15).
+
+    One DOM build per page serves both extraction semantics
+    (:func:`parse_page`); the large ``html`` column is dropped here, so
+    everything downstream is narrow. Non-200 / empty rows are dropped.
+    """
+    urls = batch.column("url").to_pylist()
+    statuses = batch.column("status").to_pylist()
+    htmls = batch.column("html").to_pylist()
+    keep, docs, outlinks = [], [], []
+    for i, (url, status, html) in enumerate(zip(urls, statuses, htmls)):
+        if status != 200 or not html:
+            continue
+        keep.append(i)
+        doc, links = parse_page(html.decode("utf-8", "replace"), url)
+        docs.append(doc)
+        outlinks.append(links)
+    cols = _carry_cols(batch, keep)
+    for field in ("title", "headings", "paragraphs", "links", "images",
+                  "lists", "code_blocks", "blockquotes"):
+        cols[field] = pa.array(
+            [d[field] for d in docs], type=DOCUMENTS.field(field).type
+        )
+    if with_outlinks:
+        cols["outlinks"] = pa.array(outlinks, type=pa.list_(pa.string()))
+    return pa.table(cols)
+
+
+def render_batch(batch: pa.Table, formats: tuple = ("markdown",)) -> pa.Table:
+    """documents → rendered (M8-M10). One output row per (doc, fmt);
+    ``markdown`` column always carried for chunking
+    (``core/scraper.py:488-497`` keeps markdown alongside json/xml)."""
+    n = batch.num_rows
+    rows = batch.to_pylist()
+    out = {name: [] for name in RENDERED.names}
+    for row in rows:
+        md = document_to_markdown(row)
+        for fmt in formats:
+            content = md if fmt == "markdown" else render_document(row, fmt)
+            out["url"].append(row["url"])
+            out["domain"].append(row.get("domain", ""))
+            out["depth"].append(row.get("depth", 0))
+            out["seed_rank"].append(row.get("seed_rank", 0))
+            out["title"].append(row["title"])
+            out["fmt"].append(fmt)
+            out["content"].append(content)
+            out["markdown"].append(md)
+    return pa.table(
+        {name: pa.array(out[name], type=RENDERED.field(name).type)
+         for name in RENDERED.names}
+    )
+
+
+def outlinks_batch(batch: pa.Table, rank_stride: int = 100_000) -> pa.Table:
+    """documents → next-depth frontier candidates (M15).
+
+    Consumes the ``outlinks`` column produced by
+    :func:`parse_documents_batch` (already per-page sorted+deduped,
+    html_parser.rs:107-108); the candidate rank is
+    ``parent_rank * rank_stride + idx`` so that sorting by rank
+    reproduces the deterministic BFS order (depth, parent_rank,
+    per-page lexicographic index) without a global sort per round
+    (SURVEY §2.8 O2). Valid while pages emit < rank_stride links and
+    depth ≤ 3 before int64 overflow.
+    """
+    depths = batch.column("depth").to_pylist()
+    ranks = batch.column("seed_rank").to_pylist()
+    linklists = batch.column("outlinks").to_pylist()
+    out_url, out_depth, out_rank = [], [], []
+    for links, depth, rank in zip(linklists, depths, ranks):
+        for idx, link in enumerate(links or []):
+            out_url.append(link)
+            out_depth.append(depth + 1)
+            out_rank.append(derive_rank(rank, idx, rank_stride))
+    return pa.table({
+        "url": pa.array(out_url, type=pa.string()),
+        "depth": pa.array(out_depth, type=pa.int32()),
+        "seed_rank": pa.array(out_rank, type=pa.int64()),
+    })
+
+
+def image_candidates_batch(batch: pa.Table, rank_stride: int = 100_000) -> pa.Table:
+    """documents → image-URL fetch candidates carrying alt-as-caption."""
+    rows = batch.select(
+        [c for c in ("url", "depth", "seed_rank", "images")
+         if c in batch.column_names]
+    ).to_pylist()
+    out_url, out_caption, out_rank = [], [], []
+    for row in rows:
+        for idx, im in enumerate(row.get("images") or []):
+            out_url.append(im["src"])
+            out_caption.append(im["alt"])
+            out_rank.append(derive_rank(row.get("seed_rank", 0), idx, rank_stride))
+    return pa.table({
+        "url": pa.array(out_url, type=pa.string()),
+        "caption": pa.array(out_caption, type=pa.string()),
+        "seed_rank": pa.array(out_rank, type=pa.int64()),
+    })
+
+
+def harvest_decode_batch(batch: pa.Table) -> pa.Table:
+    """fetched image bytes → harvest rows (decode, dims, phash).
+
+    ``image_id`` = filename stem; ``fmt`` = extension. Failed fetches
+    (non-200) are dropped. Decoded pixels are only used transiently for
+    w/h/phash — the stored ``bytes`` stay the encoded payload
+    (input_hint schema)."""
+    urls = batch.column("url").to_pylist()
+    statuses = batch.column("status").to_pylist()
+    bodies = batch.column("html").to_pylist() if "html" in batch.column_names \
+        else batch.column("body").to_pylist()
+    captions = batch.column("caption").to_pylist()
+    out = {name: [] for name in HARVEST.names}
+    for url, status, body, caption in zip(urls, statuses, bodies, captions):
+        if status != 200 or not body:
+            continue
+        name = url.rsplit("/", 1)[-1]
+        stem, _, ext = name.rpartition(".")
+        try:
+            pixels = decode_image(body, ext)
+        except Exception:
+            continue
+        h, w = pixels.shape[:2]
+        out["image_id"].append(stem)
+        out["bytes"].append(body)
+        out["w"].append(w)
+        out["h"].append(h)
+        out["fmt"].append(ext)
+        out["caption"].append(caption)
+        out["phash"].append(phash64(pixels))
+    return pa.table(
+        {name: pa.array(out[name], type=HARVEST.field(name).type)
+         for name in HARVEST.names}
+    )
+
+
+def metadata_batch(batch: pa.Table) -> pa.Table:
+    """pages → page-metadata columns (M16)."""
+    from ..functions.htmldom import extract_metadata
+
+    urls = batch.column("url").to_pylist()
+    htmls = batch.column("html").to_pylist()
+    metas = [
+        extract_metadata(h.decode("utf-8", "replace")) if h else
+        {"title": "", "description": "", "keywords": "", "og_title": "", "og_image": ""}
+        for h in htmls
+    ]
+    return pa.table({
+        "url": pa.array(urls, type=pa.string()),
+        "title": pa.array([m["title"] for m in metas], type=pa.string()),
+        "description": pa.array([m["description"] for m in metas], type=pa.string()),
+        "keywords": pa.array([m["keywords"] for m in metas], type=pa.string()),
+        "og_title": pa.array([m["og_title"] for m in metas], type=pa.string()),
+        "og_image": pa.array([m["og_image"] for m in metas], type=pa.string()),
+    })

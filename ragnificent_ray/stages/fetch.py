@@ -1,0 +1,128 @@
+"""Fetch stage: politeness-gated actor pool (A1+A3 in SURVEY §2.4).
+
+``FetchWorker`` is a callable class for
+``Dataset.map_batches(FetchWorker, concurrency=N, batch_size=B)``:
+backend construction (the sandbox "network" or a real HTTP session)
+happens once per actor in ``__init__``; each ``__call__`` fetches one
+Arrow batch of URLs.
+
+Politeness protocol per batch (SURVEY §4.2 "partitioning/skew"):
+group the batch's URLs by domain, request slots from the owning
+:class:`PolitenessShard` (one RPC per domain), fire each fetch at its
+slot time, then fire-and-forget the outcome report (feeding the shard's
+adaptive-rate state). Because slot allocation is centralized per domain,
+per-domain rate limits hold no matter which pool actor handles which
+batch — domain skew costs waiting time, never correctness.
+
+Retry semantics ported from ``core/scraper.py:227-287`` +
+``core/throttle.py:176-221``: transport errors retry up to
+``max_retries`` with ``retry_delay * 2**attempt`` backoff; 429/503
+retry after the Retry-After hint (or the default 5 s); other 4xx/5xx
+are final. The reference's jittered sleeps are dropped (determinism).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pyarrow as pa
+
+from ..sources.synth_web import FetchResult, SynthWorld
+
+
+def make_backend(world_cfg: dict):
+    """Backend factory: dict config → object with ``fetch(url)``.
+
+    The only backend in the sandbox is :class:`SynthWorld`; a real
+    deployment would register an HTTP-session backend here (the actor
+    pattern — session per actor — is identical).
+    """
+    return SynthWorld(**world_cfg)
+
+
+class FetchWorker:
+    def __init__(
+        self,
+        world_cfg: dict,
+        politeness=None,
+        max_retries: int = 3,
+        retry_delay: float = 2.0,
+        out_col: str = "html",
+    ):
+        self.backend = make_backend(world_cfg)
+        self.politeness = politeness
+        self.max_retries = max_retries
+        self.retry_delay = retry_delay
+        self.out_col = out_col
+
+    def _fetch_once(self, url: str) -> tuple[FetchResult | None, float, Exception | None]:
+        t0 = time.monotonic()
+        try:
+            r = self.backend.fetch(url)
+            return r, time.monotonic() - t0, None
+        except Exception as e:  # transport-level failure
+            return None, time.monotonic() - t0, e
+
+    def _fetch_with_retries(self, url: str) -> tuple[int, bytes, str, float]:
+        """→ (status, body, content_type, total_response_time)."""
+        total_rt = 0.0
+        attempt = 0
+        while True:
+            r, rt, err = self._fetch_once(url)
+            total_rt += rt
+            if err is not None:
+                if attempt >= self.max_retries:
+                    return 599, b"", "", total_rt
+                time.sleep(self.retry_delay * (2**attempt))
+                attempt += 1
+                continue
+            if r.status in (429, 503) and attempt < self.max_retries:
+                time.sleep(5.0)  # Retry-After default (throttle.py:318-321)
+                attempt += 1
+                continue
+            return r.status, r.body, r.content_type, total_rt
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        domains = batch.column("domain").to_pylist()
+        n = len(urls)
+        statuses = [0] * n
+        bodies: list[bytes] = [b""] * n
+        ctypes = [""] * n
+        rts = [0.0] * n
+
+        # group row indices by domain, preserving in-batch order
+        by_domain: dict[str, list[int]] = {}
+        for i, d in enumerate(domains):
+            by_domain.setdefault(d, []).append(i)
+
+        for domain, idxs in by_domain.items():
+            delays = (
+                self.politeness.reserve(domain, len(idxs))
+                if self.politeness is not None
+                else [0.0] * len(idxs)
+            )
+            t0 = time.monotonic()
+            outcomes = []
+            for slot, i in zip(delays, idxs):
+                wait = slot - (time.monotonic() - t0)
+                if wait > 0:
+                    time.sleep(wait)
+                status, body, ctype, rt = self._fetch_with_retries(urls[i])
+                statuses[i], bodies[i], ctypes[i], rts[i] = status, body, ctype, rt
+                outcomes.append((status, rt, status >= 400))
+            if self.politeness is not None:
+                self.politeness.report(domain, outcomes)
+
+        fetched_at = pa.array(
+            [int(time.time() * 1e6)] * n, type=pa.timestamp("us")
+        )
+        cols = {name: batch.column(name) for name in batch.column_names}
+        cols["status"] = pa.array(statuses, type=pa.int16())
+        cols[self.out_col] = pa.array(bodies, type=pa.large_binary())
+        cols["content_type"] = pa.array(ctypes, type=pa.string())
+        cols["content_len"] = pa.array([len(b) for b in bodies], type=pa.int64())
+        cols["fetched_at"] = fetched_at
+        cols["response_time"] = pa.array(rts, type=pa.float64())
+        cols["from_cache"] = pa.array([False] * n, type=pa.bool_())
+        return pa.table(cols)

@@ -1,0 +1,106 @@
+"""Cuckoo filter — the approximate-membership core of the URL-seen set.
+
+The north rule calls for a sharded cuckoo-filter URL-seen set keyed by
+canonicalized URL hash (BASELINE.json ``north_star``). This is a
+bucketed fingerprint table (4 slots × 16-bit fingerprints, partial-key
+cuckoo hashing per Fan et al., "Cuckoo Filter: Practically Better Than
+Bloom", CoNEXT 2014) with numpy bulk lookups so a whole Arrow batch of
+``url_hash`` values is tested in one vectorized pass.
+
+False-positive story (SURVEY §7.4): a false positive would *drop* a URL,
+breaking seen-set parity. The owning shard actor therefore pairs the
+filter with an exact spill set and consults it only on filter-positives
+— the filter short-circuits the overwhelmingly common "never seen"
+case, the exact set confirms the rare positives. At 10^10-URL scale the
+exact set becomes per-shard sorted hash spill files; same interface.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_EMPTY = 0  # fingerprint 0 marks an empty slot
+_SLOTS = 4
+_MAX_KICKS = 500
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(4, (n - 1).bit_length())
+
+
+class CuckooFilter:
+    def __init__(self, capacity: int = 1 << 16, seed: int = 0x5EED):
+        self.n_buckets = _next_pow2(max(1, int(capacity / _SLOTS / 0.95)))
+        self.table = np.zeros((self.n_buckets, _SLOTS), dtype=np.uint16)
+        self.seed = np.uint64(seed)
+        self.count = 0
+
+    # -- hashing -----------------------------------------------------------
+
+    def _fingerprint(self, h: np.ndarray) -> np.ndarray:
+        fp = ((h >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
+        # fingerprint 0 is reserved for "empty"
+        fp[fp == _EMPTY] = 1
+        return fp
+
+    def _index1(self, h: np.ndarray) -> np.ndarray:
+        return (h & np.uint64(self.n_buckets - 1)).astype(np.int64)
+
+    def _alt_index(self, idx: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        # partial-key cuckoo: i2 = i1 xor hash(fp)
+        fp_hash = (fp.astype(np.uint64) * np.uint64(0x5BD1E995)) ^ self.seed
+        return ((idx.astype(np.uint64) ^ fp_hash) & np.uint64(self.n_buckets - 1)).astype(np.int64)
+
+    # -- bulk ops ----------------------------------------------------------
+
+    def contains_bulk(self, hashes: np.ndarray) -> np.ndarray:
+        """Vectorized membership test for a uint64 hash array."""
+        h = hashes.astype(np.uint64, copy=False)
+        fp = self._fingerprint(h)
+        i1 = self._index1(h)
+        i2 = self._alt_index(i1, fp)
+        fp2d = fp[:, None]
+        hit1 = (self.table[i1] == fp2d).any(axis=1)
+        hit2 = (self.table[i2] == fp2d).any(axis=1)
+        return hit1 | hit2
+
+    def add_bulk(self, hashes: np.ndarray) -> bool:
+        """Insert all hashes; False if the table saturated (caller should
+        rebuild at a larger capacity from its authoritative set)."""
+        h = hashes.astype(np.uint64, copy=False)
+        fp = self._fingerprint(h)
+        i1 = self._index1(h)
+        i2 = self._alt_index(i1, fp)
+        for k in range(len(h)):
+            if not self._insert_one(int(i1[k]), int(i2[k]), int(fp[k])):
+                return False  # bail on first saturation; caller rebuilds
+        return True
+
+    def _insert_one(self, i1: int, i2: int, fp: int) -> bool:
+        for idx in (i1, i2):
+            row = self.table[idx]
+            empty = np.nonzero(row == _EMPTY)[0]
+            if len(empty):
+                row[empty[0]] = fp
+                self.count += 1
+                return True
+        # evict: deterministic pseudo-random kick-out (cheap LCG — no
+        # numpy Generator construction on the insert path)
+        state = (fp * 2654435761 + i1) & 0xFFFFFFFF
+        idx = i1 if state & 1 else i2
+        cur = fp
+        for _ in range(_MAX_KICKS):
+            state = (state * 1103515245 + 12345) & 0xFFFFFFFF
+            slot = (state >> 16) & (_SLOTS - 1)
+            cur, self.table[idx, slot] = int(self.table[idx, slot]), cur
+            idx = int(self._alt_index(np.array([idx]), np.array([cur], np.uint16))[0])
+            row = self.table[idx]
+            empty = np.nonzero(row == _EMPTY)[0]
+            if len(empty):
+                row[empty[0]] = cur
+                self.count += 1
+                return True
+        # saturated: the displaced fingerprint `cur` was dropped, so the
+        # filter may now report false NEGATIVES — the caller must rebuild
+        # from its authoritative hash set before trusting negatives again.
+        return False

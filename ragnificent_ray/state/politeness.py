@@ -1,0 +1,203 @@
+"""Domain-sharded politeness: token-bucket scheduling + adaptive rates.
+
+A1 in SURVEY §2.4. The reference serializes every request through one
+lock-guarded ``RequestThrottler`` (``core/throttle.py:85-174``); here
+the per-domain state lives in ``PolitenessShard`` actors keyed by
+``hash(domain) % N``, so there is no cross-actor locking and the state
+for a domain never moves (the "join" of frontier rows with their
+politeness budget is actor-local — J4 in SURVEY §2.5).
+
+Semantics ported from the reference (same constants, same thresholds):
+
+* per-domain interval = 1 / rate_limit; a reservation hands each URL a
+  wall-clock slot ≥ previous slot + interval (``throttle.py:107-115``).
+* adaptive adjustment after ≥5 samples: slow (>2 s avg) → ×0.8, fast
+  (<0.5 s, err<5%) → ×1.2 capped at 10 rps, error rate >10% → ×0.5,
+  floor 0.1 rps (``throttle.py:268-299``).
+* consecutive-error exponential backoff, capped at 60 s
+  (``throttle.py:149-162``); jitter is dropped for determinism (noted
+  divergence — jitter only changes wall time, never ordering/results).
+* wildcard ``*.domain`` limits take precedence over the default
+  (``throttle.py:253-266``).
+
+Scale note: one shard comfortably owns tens of thousands of domains
+(its state is a dict of ~100-byte records); N shards ≈ 2-4 × nodes.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import deque
+from dataclasses import dataclass, field
+
+import ray
+
+
+@dataclass
+class _DomainState:
+    rate_limit: float
+    next_slot: float = 0.0
+    success_count: int = 0
+    error_count: int = 0
+    consecutive_errors: int = 0
+    backoff_until: float = 0.0
+    total_response_time: float = 0.0
+    request_times: deque = field(default_factory=lambda: deque(maxlen=100))
+    status_codes: dict = field(default_factory=dict)
+
+
+class _PolitenessCore:
+    """Actor-free core so the oracle and unit tests share the logic."""
+
+    def __init__(
+        self,
+        default_rate: float = 1.0,
+        domain_limits: dict[str, float] | None = None,
+        adaptive: bool = True,
+        retry_delay: float = 2.0,
+        clock=time.monotonic,
+    ):
+        self.default_rate = max(0.1, default_rate)
+        self.domain_limits = dict(domain_limits or {})
+        self.adaptive = adaptive
+        self.retry_delay = retry_delay
+        self.clock = clock
+        self.domains: dict[str, _DomainState] = {}
+
+    def _state(self, domain: str) -> _DomainState:
+        st = self.domains.get(domain)
+        if st is None:
+            st = _DomainState(rate_limit=self._configured_rate(domain))
+            self.domains[domain] = st
+        return st
+
+    def _configured_rate(self, domain: str) -> float:
+        if domain in self.domain_limits:
+            return self.domain_limits[domain]
+        for pattern, limit in self.domain_limits.items():
+            if pattern.startswith("*.") and domain.endswith(pattern[1:]):
+                return limit
+        return self.default_rate
+
+    def reserve(self, domain: str, n: int) -> list[float]:
+        """Allocate n fetch slots for a domain; returns absolute times
+        (on this core's clock) the caller must wait for before firing."""
+        st = self._state(domain)
+        now = self.clock()
+        interval = 1.0 / st.rate_limit
+        start = max(now, st.next_slot, st.backoff_until)
+        slots = [start + i * interval for i in range(n)]
+        st.next_slot = start + n * interval
+        return slots
+
+    def report(self, domain: str, outcomes: list[tuple[int, float, bool]]) -> None:
+        """outcomes: (status_code, response_time, is_error) per request."""
+        st = self._state(domain)
+        for status, rt, is_error in outcomes:
+            if is_error:
+                st.error_count += 1
+                st.consecutive_errors += 1
+                if st.consecutive_errors > 1:
+                    backoff = min(
+                        60.0, self.retry_delay * (2 ** (st.consecutive_errors - 1))
+                    )
+                    st.backoff_until = self.clock() + backoff
+            else:
+                st.success_count += 1
+                st.consecutive_errors = 0
+                st.backoff_until = 0.0
+                if status:
+                    st.status_codes[status] = st.status_codes.get(status, 0) + 1
+                st.total_response_time += rt
+                st.request_times.append(rt)
+                if self.adaptive and len(st.request_times) >= 5:
+                    self._adjust(st)
+
+    def _adjust(self, st: _DomainState) -> None:
+        avg = sum(st.request_times) / len(st.request_times)
+        total = st.success_count + st.error_count
+        err = st.error_count / total if total else 0.0
+        new = st.rate_limit
+        if avg > 2.0:
+            new = max(0.1, st.rate_limit * 0.8)
+        elif avg < 0.5 and err < 0.05:
+            new = min(10.0, st.rate_limit * 1.2)
+        if err > 0.1:
+            new = max(0.1, st.rate_limit * 0.5)
+        if st.rate_limit and abs(new - st.rate_limit) / st.rate_limit > 0.2:
+            st.rate_limit = new
+
+    def stats_rows(self) -> list[dict]:
+        """Columnar G1 rows for the ``domain_stats`` table."""
+        rows = []
+        for domain, st in self.domains.items():
+            n = len(st.request_times)
+            rows.append({
+                "domain": domain,
+                "success_count": st.success_count,
+                "error_count": st.error_count,
+                "avg_response_time": (
+                    sum(st.request_times) / n if n else 0.0
+                ),
+                "rate_limit": st.rate_limit,
+            })
+        return rows
+
+
+@ray.remote(num_cpus=0.05)
+class PolitenessShard(_PolitenessCore):
+    """Ray actor wrapper. ``reserve`` times are on the *shard's* clock;
+    callers only use them as relative delays (slot - shard_now), which
+    a second RPC-free approximation handles: we return slots together
+    with the shard's current time."""
+
+    def reserve_with_now(self, domain: str, n: int) -> tuple[list[float], float]:
+        return self.reserve(domain, n), self.clock()
+
+
+class PolitenessService:
+    """Client over N shards; ``hash(domain) % N`` routing (stable hash)."""
+
+    def __init__(
+        self,
+        n_shards: int = 4,
+        default_rate: float = 1.0,
+        domain_limits: dict[str, float] | None = None,
+        adaptive: bool = True,
+        retry_delay: float = 2.0,
+    ):
+        self.n_shards = n_shards
+        self.shards = [
+            PolitenessShard.remote(
+                default_rate=default_rate,
+                domain_limits=domain_limits,
+                adaptive=adaptive,
+                retry_delay=retry_delay,
+            )
+            for _ in range(n_shards)
+        ]
+
+    def shard_for(self, domain: str):
+        from ..functions.hashing import stable_hash64
+
+        return self.shards[stable_hash64(domain) % self.n_shards]
+
+    def reserve(self, domain: str, n: int) -> list[float]:
+        """Relative delays (seconds from now) for n requests to domain."""
+        slots, shard_now = ray.get(
+            self.shard_for(domain).reserve_with_now.remote(domain, n)
+        )
+        return [max(0.0, s - shard_now) for s in slots]
+
+    def report(self, domain: str, outcomes: list[tuple[int, float, bool]]):
+        # fire-and-forget: stats/adaptive updates need not block fetching
+        self.shard_for(domain).report.remote(domain, outcomes)
+
+    def stats_rows(self) -> list[dict]:
+        parts = ray.get([s.stats_rows.remote() for s in self.shards])
+        return [r for p in parts for r in p]
+
+    def shutdown(self) -> None:
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []

@@ -1,0 +1,127 @@
+"""Sharded URL-seen set — cuckoo-filter actors + exact confirmation.
+
+D1 in SURVEY §2.7: N lightweight ``SeenShard`` actors, shard key =
+``url_hash % N``. Each shard holds a :class:`CuckooFilter` (the scale
+path: one vectorized membership pass per batch) plus an exact hash set
+(the parity path: filter positives are confirmed so a cuckoo false
+positive can never silently drop a URL — SURVEY §7.4). The shard is the
+single serialization point for its key range, so two concurrent tasks
+submitting the same URL race safely: exactly one gets "new".
+
+Batches route client-side: a ``map_batches`` task groups its
+``url_hash`` column by shard and issues ONE ``check_and_add`` RPC per
+shard per batch (amortized round trip, SURVEY D1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import ray
+
+from .cuckoo import CuckooFilter
+
+
+class _SeenShardState:
+    """Plain-object core (actor-free for unit tests and the oracle)."""
+
+    def __init__(self, capacity: int = 1 << 16):
+        self.filter = CuckooFilter(capacity=capacity)
+        self.exact: set[int] = set()
+
+    def check_and_add(self, hashes: list[int]) -> list[bool]:
+        """True per input hash iff it was NOT seen before this call.
+
+        Duplicates inside one call: the first occurrence wins.
+        """
+        arr = np.asarray(hashes, dtype=np.uint64)
+        if len(arr) == 0:
+            return []
+        maybe_seen = self.filter.contains_bulk(arr)
+        out = []
+        fresh: list[int] = []
+        for h, positive in zip(hashes, maybe_seen):
+            if positive and h in self.exact:
+                out.append(False)
+            elif h in self.exact:  # duplicate within this call
+                out.append(False)
+            else:
+                self.exact.add(h)
+                fresh.append(h)
+                out.append(True)
+        if fresh and not self.filter.add_bulk(np.asarray(fresh, dtype=np.uint64)):
+            self._rebuild()
+        return out
+
+    def _rebuild(self) -> None:
+        f = CuckooFilter(capacity=max(1 << 16, 2 * len(self.exact)))
+        f.add_bulk(np.fromiter(self.exact, dtype=np.uint64, count=len(self.exact)))
+        self.filter = f
+
+    def snapshot(self) -> list[int]:
+        """All seen hashes (for checkpoint manifests / parity checks)."""
+        return sorted(self.exact)
+
+    def restore(self, hashes: list[int]) -> None:
+        self.exact.update(hashes)
+        if hashes:
+            self.filter.add_bulk(np.asarray(hashes, dtype=np.uint64))
+
+    def size(self) -> int:
+        return len(self.exact)
+
+
+@ray.remote(num_cpus=0.05)
+class SeenShard(_SeenShardState):
+    """Ray actor wrapper; tiny CPU reservation — it's a lookup service."""
+
+
+class SeenSet:
+    """Client handle over N shard actors; lives on the driver and inside
+    ``map_batches`` workers (actor handles serialize fine)."""
+
+    def __init__(self, n_shards: int = 8, capacity_per_shard: int = 1 << 16):
+        self.n_shards = n_shards
+        self.shards = [
+            SeenShard.remote(capacity=capacity_per_shard) for _ in range(n_shards)
+        ]
+
+    def check_and_add(self, hashes: np.ndarray) -> np.ndarray:
+        """Bulk filter a uint64 hash array → boolean "is new" mask.
+
+        One RPC per shard per call; preserves input order.
+        """
+        n = len(hashes)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        shard_ids = (hashes % np.uint64(self.n_shards)).astype(np.int64)
+        result = np.zeros(n, dtype=bool)
+        refs, spans = [], []
+        for s in range(self.n_shards):
+            idx = np.nonzero(shard_ids == s)[0]
+            if len(idx):
+                refs.append(self.shards[s].check_and_add.remote(
+                    [int(h) for h in hashes[idx]]))
+                spans.append(idx)
+        for idx, flags in zip(spans, ray.get(refs)):
+            result[idx] = flags
+        return result
+
+    def snapshot(self) -> list[int]:
+        parts = ray.get([s.snapshot.remote() for s in self.shards])
+        return sorted(h for p in parts for h in p)
+
+    def restore(self, hashes: list[int]) -> None:
+        by_shard: dict[int, list[int]] = {}
+        for h in hashes:
+            by_shard.setdefault(h % self.n_shards, []).append(h)
+        ray.get([
+            self.shards[s].restore.remote(hs) for s, hs in by_shard.items()
+        ])
+
+    def size(self) -> int:
+        return sum(ray.get([s.size.remote() for s in self.shards]))
+
+    def shutdown(self) -> None:
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []

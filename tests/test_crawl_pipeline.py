@@ -1,0 +1,136 @@
+"""End-to-end crawl parity vs the sequential oracle, plus resume.
+
+The north rule's correctness gates (BASELINE.json): under the same seed
+list and politeness budget the crawl ordering and URL-seen set must
+match the reference exactly; every harvested row must satisfy
+decoded-pixel equality (PSNR ≥ 40 dB lossy) and caption byte-equality.
+"""
+
+import shutil
+
+import numpy as np
+import pytest
+
+from ragnificent_ray.config import CrawlConfig, WorldConfig
+
+
+def tiny_cfg():
+    return CrawlConfig(
+        world=WorldConfig(n_domains=2, pages_per_domain=4, images_per_page=1),
+        default_rate=1000.0,
+        n_seen_shards=2,
+        n_politeness_shards=1,
+        fetch_concurrency=2,
+        max_depth=2,
+    )
+
+
+@pytest.fixture(scope="module")
+def crawl_and_oracle(ray_session, tmp_path_factory):
+    from ragnificent_ray.oracle.reference import run_oracle
+    from ragnificent_ray.pipelines.crawl import run_crawl
+
+    out = str(tmp_path_factory.mktemp("crawl"))
+    cfg = tiny_cfg()
+    res = run_crawl(cfg, out)
+    oracle = run_oracle(cfg)
+    return cfg, res, oracle
+
+
+def test_url_seen_set_matches_oracle(crawl_and_oracle):
+    _, res, oracle = crawl_and_oracle
+    assert set(res.metrics["_seen_snapshot"]) == oracle.seen_hashes
+
+
+def test_crawl_ordering_matches_oracle(crawl_and_oracle):
+    _, res, oracle = crawl_and_oracle
+    ft = res.table("frontier")
+    engine_order = sorted(zip(
+        ft.column("depth").to_pylist(),
+        ft.column("seed_rank").to_pylist(),
+        ft.column("url").to_pylist(),
+    ))
+    assert engine_order == sorted(oracle.order)
+
+
+def test_harvest_rows_match_oracle_bytes_captions_phash(crawl_and_oracle):
+    from ragnificent_ray.functions.imaging import decode_image, psnr
+    from ragnificent_ray.sources.synth_web import SynthWorld
+
+    cfg, res, oracle = crawl_and_oracle
+    ht = res.table("harvest")
+    eng = sorted(ht.to_pylist(), key=lambda r: r["image_id"])
+    ora = sorted(oracle.harvest, key=lambda r: r["image_id"])
+    assert [r["image_id"] for r in eng] == [r["image_id"] for r in ora]
+    world = SynthWorld(n_domains=cfg.world.n_domains,
+                       pages_per_domain=cfg.world.pages_per_domain,
+                       images_per_page=cfg.world.images_per_page)
+    for e, o in zip(eng, ora):
+        assert e["caption"] == o["caption"]  # byte equality
+        assert e["phash"] == o["phash"]
+        assert (e["w"], e["h"]) == (o["w"], o["h"])
+        truth = world.image_pixels(e["image_id"])
+        decoded = decode_image(e["bytes"], e["fmt"])
+        if e["fmt"] == "png":
+            assert np.array_equal(decoded, truth)
+        else:
+            assert psnr(truth, decoded) >= 40.0
+
+
+def test_chunks_match_oracle_ids_and_content(crawl_and_oracle):
+    _, res, oracle = crawl_and_oracle
+    ct = res.table("chunks")
+    eng = {r["id"]: r["content"] for r in ct.to_pylist()}
+    ora = {c["id"]: c["content"] for c in oracle.chunks}
+    assert eng == ora
+
+
+def test_domain_stats_written(crawl_and_oracle):
+    import os
+
+    import pyarrow.parquet as pq
+
+    _, res, _ = crawl_and_oracle
+    p = os.path.join(res.out_dir, "domain_stats.parquet")
+    t = pq.read_table(p)
+    stats = {r["domain"]: r for r in t.to_pylist()}
+    assert "site0.test" in stats and "site1.test" in stats
+    assert all(r["success_count"] > 0 for r in stats.values())
+
+
+def test_resume_skips_completed_rounds_and_redoes_missing(
+    ray_session, tmp_path_factory, crawl_and_oracle
+):
+    import os
+
+    from ragnificent_ray.pipelines.crawl import run_crawl
+    from ragnificent_ray.state.checkpoint import CheckpointManager
+
+    cfg, full_res, oracle = crawl_and_oracle
+    out = str(tmp_path_factory.mktemp("resume"))
+    res1 = run_crawl(cfg, out)
+    # simulate a crash after round 0: drop round 1+ from the manifest and
+    # delete their outputs, keeping round 1's frontier (written by round 0)
+    ckpt = CheckpointManager(out)
+    m = ckpt.load_manifest()
+    m["completed_rounds"] = [e for e in m["completed_rounds"] if e["round"] == 0]
+    ckpt._write_manifest(m)
+    for r in res1.rounds:
+        if r == 0:
+            continue
+        rdir = ckpt.round_dir(r)
+        for sub in ("documents", "rendered", "chunks", "harvest",
+                    "image_frontier"):
+            shutil.rmtree(os.path.join(rdir, sub), ignore_errors=True)
+
+    res2 = run_crawl(cfg, out, resume=True)
+    assert set(res2.rounds) == set(res1.rounds)
+    # no double-fetch of round 0: resumed seen set still matches oracle
+    assert set(res2.metrics["_seen_snapshot"]) == oracle.seen_hashes
+    # outputs reconstructed identically
+    ct1 = sorted(full_res.table("chunks").column("id").to_pylist())
+    ct2 = sorted(res2.table("chunks").column("id").to_pylist())
+    assert ct1 == ct2
+    h1 = sorted(full_res.table("harvest").column("image_id").to_pylist())
+    h2 = sorted(res2.table("harvest").column("image_id").to_pylist())
+    assert h1 == h2

@@ -1,0 +1,88 @@
+"""Unit tests for state machinery: cuckoo filter, seen-shard core,
+politeness core (actor-free classes — no Ray needed)."""
+
+import numpy as np
+
+from ragnificent_ray.state.cuckoo import CuckooFilter
+from ragnificent_ray.state.politeness import _PolitenessCore
+from ragnificent_ray.state.seen import _SeenShardState
+
+
+def test_cuckoo_membership_no_false_negatives():
+    f = CuckooFilter(capacity=4096)
+    rng = np.random.Generator(np.random.PCG64(3))
+    items = rng.integers(0, 2**63, size=2000, dtype=np.uint64)
+    assert f.add_bulk(items)
+    assert f.contains_bulk(items).all()  # no false negatives
+
+
+def test_cuckoo_low_false_positive_rate():
+    f = CuckooFilter(capacity=8192)
+    rng = np.random.Generator(np.random.PCG64(4))
+    items = rng.integers(0, 2**63, size=4000, dtype=np.uint64)
+    f.add_bulk(items)
+    probes = rng.integers(0, 2**63, size=20000, dtype=np.uint64)
+    fresh = probes[~np.isin(probes, items)]
+    fp_rate = f.contains_bulk(fresh).mean()
+    assert fp_rate < 0.01  # 16-bit fingerprints, 4-slot buckets
+
+
+def test_seen_shard_check_and_add_semantics():
+    s = _SeenShardState(capacity=1024)
+    out = s.check_and_add([1, 2, 3, 2, 1])
+    assert out == [True, True, True, False, False]  # in-call dups lose
+    assert s.check_and_add([3, 4]) == [False, True]
+    assert s.size() == 4
+    assert s.snapshot() == [1, 2, 3, 4]
+
+
+def test_seen_shard_survives_filter_saturation():
+    # capacity far below inserts → forces at least one rebuild
+    s = _SeenShardState(capacity=64)
+    items = list(range(10_000))
+    flags = s.check_and_add(items)
+    assert all(flags)
+    again = s.check_and_add(items)
+    assert not any(again)  # still exactly-once after rebuilds
+
+
+def test_politeness_reserve_spacing_and_backoff():
+    t = [0.0]
+    core = _PolitenessCore(default_rate=2.0, adaptive=False, clock=lambda: t[0])
+    slots = core.reserve("a.test", 3)
+    assert slots == [0.0, 0.5, 1.0]  # 2 rps → 0.5 s interval
+    slots2 = core.reserve("a.test", 1)
+    assert slots2 == [1.5]  # continues after prior reservation
+    # two consecutive errors → exponential backoff gates the next slot
+    core.report("a.test", [(599, 0.1, True), (599, 0.1, True)])
+    st = core.domains["a.test"]
+    assert st.backoff_until == t[0] + min(60.0, 2.0 * 2)  # 2*2^(2-1)
+    t[0] = 0.0
+    nxt = core.reserve("a.test", 1)[0]
+    assert nxt >= st.backoff_until
+
+
+def test_politeness_adaptive_adjustment_matches_reference_rules():
+    # Reference quirk (throttle.py:286-299): adjustments only apply when
+    # |new-current|/current > 0.2, but the slow (×0.8) and fast (×1.2)
+    # rules produce EXACTLY 20% change — so they never fire. Only the
+    # error-rate rule (×0.5) crosses the threshold. Reproduced for parity.
+    t = [0.0]
+    core = _PolitenessCore(default_rate=1.0, adaptive=True, clock=lambda: t[0])
+    core.report("b.test", [(200, 0.1, False)] * 5)  # fast → ×1.2 → skipped
+    assert core.domains["b.test"].rate_limit == 1.0
+    core.report("c.test", [(200, 3.0, False)] * 10)  # slow → ×0.8 → skipped
+    assert core.domains["c.test"].rate_limit == 1.0
+    # >10% error rate → ×0.5, which IS a >20% change → applies
+    core.report("d.test", [(200, 0.1, False)] * 5 + [(599, 0.1, True)] * 2
+                + [(200, 0.1, False)])
+    assert core.domains["d.test"].rate_limit == 0.5
+
+
+def test_politeness_wildcard_domain_limits():
+    core = _PolitenessCore(
+        default_rate=1.0, domain_limits={"*.big.test": 5.0, "exact.test": 0.5}
+    )
+    assert core._configured_rate("sub.big.test") == 5.0
+    assert core._configured_rate("exact.test") == 0.5
+    assert core._configured_rate("other.test") == 1.0
