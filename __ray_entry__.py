@@ -1,44 +1,223 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship RAG pipeline (chunk → embed) over sf0.001.
+``queries()`` — one entry per implemented operator family (SURVEY §2):
+relational, text-analysis, dedup, similarity-search, RAG, crawl, and
+multimodal stages. ``oracle_sql()`` — DuckDB equivalents where the op is
+SQL-expressible; crawl/sketch/embedding ops are rows-only by design.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
+# crawl world size per sf tier (FIXTURES.md scale knobs)
+_WORLD_BY_SF = {
+    "0.001": dict(n_domains=4, pages_per_domain=8, images_per_page=2),
+    "0.01": dict(n_domains=8, pages_per_domain=16, images_per_page=2),
+    "0.1": dict(n_domains=16, pages_per_domain=32, images_per_page=3),
+}
+
+_CRAWL_CACHE: dict[str, Any] = {}
+
+
+def _world_for(sf_dir: str) -> dict:
+    tail = os.path.basename(os.path.normpath(sf_dir))
+    key = tail.replace("sf", "") if tail.startswith("sf") else "0.01"
+    return dict(_WORLD_BY_SF.get(key, _WORLD_BY_SF["0.01"]))
+
+
+def _crawl(sf_dir: str):
+    """Run (once per sf_dir) the full crawl on the synthetic world sized
+    for this sf tier; memoized because several queries() entries project
+    different tables of the same crawl."""
+    if sf_dir in _CRAWL_CACHE:
+        return _CRAWL_CACHE[sf_dir]
+    from ragnificent_ray.config import CrawlConfig, WorldConfig
+    from ragnificent_ray.pipelines.crawl import run_crawl
+
+    world = _world_for(sf_dir)
+    cfg = CrawlConfig(world=WorldConfig(**world), default_rate=10000.0,
+                      adaptive_throttling=False)
+    tag = hashlib.blake2b(
+        f"{sf_dir}:{sorted(world.items())}".encode(), digest_size=6
+    ).hexdigest()
+    out_dir = f"/tmp/ragnificent_ray_runs/crawl_{tag}"
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    res = run_crawl(cfg, out_dir)
+    _CRAWL_CACHE[sf_dir] = res
+    return res
+
+
+# --------------------------------------------------------------- callables
+
+def _crawl_harvest(sf_dir: str):
+    return _crawl(sf_dir).table("harvest")
+
+
+def _crawl_order(sf_dir: str):
+    import pyarrow as pa
+
+    ft = _crawl(sf_dir).table("frontier")
+    return ft.select(["depth", "seed_rank", "url"]).sort_by(
+        [("depth", "ascending"), ("seed_rank", "ascending")]
+    )
+
+
+def _crawl_documents(sf_dir: str):
+    import pyarrow as pa
+
+    dt = _crawl(sf_dir).table("documents")
+    rows = dt.to_pylist()
+    return pa.table({
+        "url": pa.array([r["url"] for r in rows]),
+        "title": pa.array([r["title"] for r in rows]),
+        "depth": pa.array([r["depth"] for r in rows], type=pa.int32()),
+        "seed_rank": pa.array([r["seed_rank"] for r in rows], type=pa.int64()),
+        "n_headings": pa.array([len(r["headings"]) for r in rows], type=pa.int64()),
+        "n_paragraphs": pa.array([len(r["paragraphs"]) for r in rows], type=pa.int64()),
+        "n_links": pa.array([len(r["links"]) for r in rows], type=pa.int64()),
+        "n_images": pa.array([len(r["images"]) for r in rows], type=pa.int64()),
+        "n_code_blocks": pa.array([len(r["code_blocks"]) for r in rows], type=pa.int64()),
+        "n_outlinks": pa.array([len(r["outlinks"]) for r in rows], type=pa.int64()),
+    })
+
+
+def _crawl_chunks(sf_dir: str):
+    ct = _crawl(sf_dir).table("chunks")
+    return ct.select(["id", "content", "source_url", "chunk_type",
+                      "heading_path", "word_count", "char_count",
+                      "nested_level", "position", "is_continuation"])
+
+
+def _crawl_domain_stats(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    res = _crawl(sf_dir)
+    return pq.read_table(os.path.join(res.out_dir, "domain_stats.parquet"))
+
+
+def _image_decode_stats(sf_dir: str):
+    import ray.data as rd
+
+    from ragnificent_ray.stages.multimodal import ImageDecodeStage
+
+    harvest = _crawl_harvest(sf_dir)
+    return rd.from_arrow(harvest).map_batches(
+        ImageDecodeStage, batch_format="pyarrow", batch_size=64,
+        concurrency=2,
+    )
+
+
+def _image_resize(sf_dir: str):
+    import ray.data as rd
+
+    from ragnificent_ray.stages.multimodal import ImageResizeStage
+
+    harvest = _crawl_harvest(sf_dir)
+    return rd.from_arrow(harvest).map_batches(
+        ImageResizeStage, batch_format="pyarrow", batch_size=64,
+        concurrency=2,
+    ).select_columns(["image_id", "fmt", "thumb", "thumb_h", "thumb_w"])
+
+
+def _video_frame_sample(sf_dir: str):
+    import ray.data as rd
+
+    from ragnificent_ray.stages.multimodal import VideoFrameSampleStage
+
+    harvest = _crawl_harvest(sf_dir)
+    return rd.from_arrow(harvest).map_batches(
+        VideoFrameSampleStage, batch_format="pyarrow", batch_size=64,
+        concurrency=2,
+    )
+
+
+def _rag_chunks(sf_dir: str):
+    from ragnificent_ray.pipelines.rag import chunk_documents
+
+    return chunk_documents(sf_dir).map_batches(
+        lambda b: b.select(["id", "content", "source_url", "word_count",
+                            "char_count", "position", "is_continuation"]),
+        batch_format="pyarrow",
+    )
+
+
+def _rag_embed_norms(sf_dir: str):
+    from ragnificent_ray.pipelines.rag import embed_documents
+
+    return embed_documents(sf_dir)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: documents → chunks → embeddings."""
+    from ragnificent_ray.pipelines.rag import rag_flagship
+
+    return rag_flagship(SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ragnificent_ray.pipelines import ann, dedup, relational, textstats
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {}
+    for mod in (relational, textstats, dedup, ann):
+        out.update(mod.QUERIES)
+    out.update({
+        "rag_chunks": _rag_chunks,
+        "rag_embed_norms": _rag_embed_norms,
+        "crawl_harvest": _crawl_harvest,
+        "crawl_order": _crawl_order,
+        "crawl_documents": _crawl_documents,
+        "crawl_chunks": _crawl_chunks,
+        "crawl_domain_stats": _crawl_domain_stats,
+        "image_decode_stats": _image_decode_stats,
+        "image_resize": _image_resize,
+        "video_frame_sample": _video_frame_sample,
+    })
+    return out
+
+
+# chunker window arithmetic (chunk_size=1000, overlap=200 → take 200
+# words, step 160) mirrored in SQL for the plain-text chunk path
+_RAG_CHUNKS_SQL = """
+    WITH d AS (
+        SELECT doc_id,
+               'https://docs.test/' || doc_id AS url,
+               regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    ), w AS (
+        SELECT url, toks,
+               unnest(range(0, greatest(len(toks), 1), 160)) AS i
+        FROM d
+    )
+    SELECT md5(url || ':text:' || i) AS id,
+           array_to_string(toks[i + 1 : i + 200], ' ') AS content,
+           url AS source_url,
+           CAST(len(toks[i + 1 : i + 200]) AS INT) AS word_count,
+           CAST(length(array_to_string(toks[i + 1 : i + 200], ' ')) AS INT)
+               AS char_count,
+           CAST(i // 160 AS INT) AS position,
+           i > 0 AS is_continuation
+    FROM w
+    WHERE len(toks[i + 1 : i + 200]) > 0
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ragnificent_ray.pipelines import ann, dedup, relational, textstats
+
+    out: dict[str, str] = {}
+    for mod in (relational, textstats, dedup, ann):
+        out.update(mod.ORACLE_SQL)
+    out["rag_chunks"] = _RAG_CHUNKS_SQL
+    return out

@@ -1,0 +1,225 @@
+"""Benchmark harness (driver contract).
+
+Plain run: executes the headline crawl (pages fetched+extracted+harvested
+per second on the synthetic frontier, per BASELINE.json's metric) plus a
+representative slice of the queries() surface over $GRAFT_SF_DIR, then
+prints ONE JSON line.
+
+``--scaling``: runs the headline crawl in two fresh processes at
+num_cpus=8 and num_cpus=32 on the same input (the sandbox stand-in for
+N / 4N node clusters) and reports both throughputs + scaling efficiency;
+also refreshes the scaling section in BASELINE.md.
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     RAY_GRAFT_CPUS (default 32),
+     BENCH_WORLD (optional "domains,pages,images" override).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# headline crawl world: sized so per-round compute dominates actor
+# startup at 32 CPUs (~19k pages / ~58k images ≈ 80 s of single-core work)
+_DEFAULT_WORLD = (32, 400, 3)
+
+
+def _bench_world() -> tuple[int, int, int]:
+    raw = os.environ.get("BENCH_WORLD")
+    if raw:
+        d, p, i = (int(x) for x in raw.split(","))
+        return d, p, i
+    return _DEFAULT_WORLD
+
+
+def _consume(ds) -> int:
+    """Stream-consume a Dataset (or count a table/frame)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    if isinstance(ds, rd.Dataset):
+        total = 0
+        for batch in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+            total += batch.num_rows
+        return total
+    if isinstance(ds, (pa.Table, pd.DataFrame)):
+        return len(ds)
+    return 0
+
+
+def run_crawl_headline() -> dict:
+    from ragnificent_ray.config import CrawlConfig, WorldConfig
+    from ragnificent_ray.pipelines.crawl import run_crawl
+
+    d, p, i = _bench_world()
+    out_dir = f"/tmp/ragnificent_bench/crawl_{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cfg = CrawlConfig(
+        world=WorldConfig(n_domains=d, pages_per_domain=p, images_per_page=i),
+        default_rate=100000.0,
+        adaptive_throttling=False,
+        fetch_concurrency=max(4, NUM_CPUS // 2),
+        fetch_batch_size=64,
+        n_seen_shards=8,
+        n_politeness_shards=4,
+    )
+    t0 = time.monotonic()
+    res = run_crawl(cfg, out_dir)
+    sec = time.monotonic() - t0
+    pages = res.metrics.get("pages_parsed_total", 0)
+    harvest = sum(
+        res.metrics.get(f"round_{r}", {}).get("harvest_rows", 0)
+        for r in res.rounds
+    )
+    return {
+        "sec": round(sec, 3),
+        "pages": pages,
+        "harvest_rows": harvest,
+        "pages_per_sec": round(pages / sec, 2) if sec else 0.0,
+    }
+
+
+QUERY_NAMES = [
+    "lineitem_agg", "segment_revenue", "events_hourly", "top_orders",
+    "token_stats", "quality_scores", "lang_id",
+    "exact_dedup", "minhash_lsh_pairs", "simhash64", "embedding_neardup",
+    "ann_topk", "rag_chunks", "rag_embed_norms",
+]
+
+
+def run_queries() -> dict[str, float]:
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out = {}
+    for name in QUERY_NAMES:
+        t0 = time.monotonic()
+        _consume(qs[name](SF_DIR))
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def main() -> None:
+    import logging
+
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    t0 = time.monotonic()
+    crawl = run_crawl_headline()
+    queries = run_queries()
+    total = time.monotonic() - t0
+    queries["crawl_harvest"] = crawl["sec"]
+
+    sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
+    print(json.dumps({
+        "metric": "pages_fetched_extracted_per_sec",
+        "value": crawl["pages_per_sec"],
+        "unit": "pages/sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "num_cpus": NUM_CPUS,
+        "crawl_pages": crawl["pages"],
+        "crawl_harvest_rows": crawl["harvest_rows"],
+        "crawl_sec": crawl["sec"],
+        "total_sec": round(total, 3),
+    }))
+    ray.shutdown()
+
+
+def scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   BENCH_ONLY_CRAWL="1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    tp_lo, tp_hi = r_lo["value"], r_hi["value"]
+    eff = (tp_hi / tp_lo) / (hi / lo) if tp_lo else 0.0
+    result = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "pages_per_sec_8": tp_lo,
+        "pages_per_sec_32": tp_hi,
+        "crawl_sec_8": r_lo["crawl_sec"],
+        "crawl_sec_32": r_hi["crawl_sec"],
+        "num_cpus": [lo, hi],
+    }
+    print(json.dumps(result))
+    _update_baseline_md(result)
+
+
+def _update_baseline_md(result: dict) -> None:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE.md")
+    marker = "<!-- bench-scaling -->"
+    block = (
+        f"{marker}\n"
+        f"## Measured scaling (bench.py --scaling, synthetic crawl)\n\n"
+        f"| num_cpus | pages/s | crawl sec |\n|---|---|---|\n"
+        f"| 8 | {result['pages_per_sec_8']} | {result['crawl_sec_8']} |\n"
+        f"| 32 | {result['pages_per_sec_32']} | {result['crawl_sec_32']} |\n\n"
+        f"Scaling efficiency (32 vs 8 CPUs, 4× resources): "
+        f"**{result['value']}** (target ≥ 0.8)\n"
+    )
+    try:
+        with open(path, encoding="utf-8") as f:
+            text = f.read()
+    except FileNotFoundError:
+        text = ""
+    if marker in text:
+        head = text.split(marker)[0]
+        text = head + block
+    else:
+        text = text.rstrip() + "\n\n" + block
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(text)
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    elif os.environ.get("BENCH_ONLY_CRAWL"):
+        import logging
+
+        import ray
+
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+        import ray.data
+
+        ray.data.DataContext.get_current().enable_progress_bars = False
+        logging.getLogger("ray.data").setLevel(logging.ERROR)
+        crawl = run_crawl_headline()
+        print(json.dumps({
+            "metric": "pages_fetched_extracted_per_sec",
+            "value": crawl["pages_per_sec"],
+            "unit": "pages/sec",
+            "crawl_sec": crawl["sec"],
+            "num_cpus": NUM_CPUS,
+        }))
+        ray.shutdown()
+    else:
+        main()

@@ -1,0 +1,34 @@
+"""ragnificent_ray — a Ray-Data-native crawl / harvest / RAG data engine."""
+
+from __future__ import annotations
+
+
+def _stabilize_fsspec_http() -> None:
+    """Make ``fsspec.implementations.http`` importable without aiohttp.
+
+    Ray Data's path resolution imports ``HTTPFileSystem`` on every
+    read/write and only catches ``ModuleNotFoundError``. In this
+    container aiohttp is absent, so the module import fails — and under
+    CONCURRENT dataset executions (threads) the failed-import cleanup
+    races, surfacing as a plain ``ImportError`` that aborts a write.
+    Installing a tiny stub makes the import succeed deterministically;
+    Ray only ever uses the class in ``isinstance`` checks.
+    """
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+    except ModuleNotFoundError:
+        import sys
+        import types
+
+        mod = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # sentinel only — never instantiated here
+            pass
+
+        mod.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = mod
+    except ImportError:
+        pass
+
+
+_stabilize_fsspec_http()

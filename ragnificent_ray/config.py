@@ -40,6 +40,7 @@ class CrawlConfig:
     default_rate: float = 100.0
     domain_limits: dict | None = None
     adaptive_throttling: bool = True
+    adaptive_max_rate: float = 10.0
     retry_delay: float = 2.0
     max_retries: int = 3
 

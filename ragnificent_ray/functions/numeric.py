@@ -1,0 +1,25 @@
+"""Numeric helpers shared by the oracle-checked queries.
+
+DuckDB's ``ROUND(x, n)`` rounds half AWAY from zero; Python/numpy round
+half to even. Every float the engine emits next to a SQL oracle goes
+through these helpers so the value-hash comparison can't flake on
+``x.xxxx5`` boundaries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.compute as pc
+
+
+def round_half_away(x, digits: int = 4):
+    """Scalar / ndarray round, half away from zero (DuckDB semantics)."""
+    arr = np.asarray(x, dtype=np.float64)
+    scale = 10.0 ** digits
+    out = np.sign(arr) * np.floor(np.abs(arr) * scale + 0.5) / scale
+    return float(out) if np.isscalar(x) or out.ndim == 0 else out
+
+
+def pc_round4(col):
+    """Arrow column round(…, 4) with DuckDB-matching mode."""
+    return pc.round(col, 4, round_mode="half_towards_infinity")

@@ -1,0 +1,178 @@
+"""Similarity search over the ``embeddings`` table.
+
+* ``ann_topk`` — brute-force cosine top-k: the query matrix is broadcast
+  (``ray.put`` once), every batch computes a block matmul and keeps its
+  local top-k per query, then a tiny per-query ``map_groups`` merges
+  partials — the canonical distributed exact-kNN shape. SQL-checkable.
+* ``ann_lsh_topk`` — the scale path: random-hyperplane LSH buckets
+  (deterministic seed); queries probe only matching buckets. Approximate
+  (rows-only check): at 10^10 rows the bucketing turns the all-pairs
+  matmul into per-bucket work.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from ..functions.numeric import round_half_away
+
+TOP_K = 10
+N_QUERIES = 5
+LSH_PLANES = 8
+
+
+def _pq(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    t = pq.read_table(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    sel = ids < N_QUERIES
+    q = np.array(
+        [e for e, keep in zip(t.column("embedding").to_pylist(), sel) if keep],
+        dtype=np.float64,
+    )
+    qids = ids[sel]
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    return qids, qn
+
+
+def ann_topk(sf_dir: str):
+    """Exact cosine top-k of every vec_id < N_QUERIES query."""
+    qids, qn = _query_matrix(sf_dir)
+    qref = ray.put((qids, qn))
+
+    ds = rd.read_parquet(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+
+    class PartialTopK:
+        def __init__(self, ref):
+            self.qids, self.qn = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+            m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            sims = self.qn @ m.T  # (Q, B)
+            out_q, out_n, out_s = [], [], []
+            k = min(TOP_K, sims.shape[1])
+            for qi in range(len(self.qids)):
+                # local top-k with deterministic (−sim, id) order
+                order = np.lexsort((ids, -sims[qi]))[:k]
+                out_q.extend([int(self.qids[qi])] * len(order))
+                out_n.extend(ids[order].tolist())
+                out_s.extend(sims[qi][order].tolist())
+            return pa.table({
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"],
+                          ascending=[False, True]).head(TOP_K)
+        g = g.reset_index(drop=True)
+        g["rank"] = g.index + 1
+        g["cos_sim"] = round_half_away(g["sim"].to_numpy(), 4)
+        return g[["query_id", "neighbor_id", "rank", "cos_sim"]]
+
+    return (
+        ds.map_batches(PartialTopK, fn_constructor_kwargs={"ref": qref},
+                       batch_format="pyarrow", batch_size=4096, concurrency=2)
+        .groupby("query_id")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def ann_lsh_topk(sf_dir: str):
+    """Approximate top-k: random-hyperplane buckets, probe own bucket.
+
+    Deterministic (seeded planes); recall < 1 by design — rows-only
+    check. Pattern: add bucket column → groupby bucket → exact search
+    inside the bucket for the queries hashed there."""
+    rng = np.random.Generator(np.random.PCG64(7))
+    qids, qn = _query_matrix(sf_dir)
+    dim = qn.shape[1]
+    planes = rng.standard_normal((LSH_PLANES, dim))
+    qbuckets = (qn @ planes.T > 0) @ (1 << np.arange(LSH_PLANES))
+    ref = ray.put((qids, qn, planes, qbuckets))
+
+    ds = rd.read_parquet(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+
+    class BucketSearch:
+        def __init__(self, ref):
+            self.qids, self.qn, self.planes, self.qbuckets = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+            m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            buckets = (m @ self.planes.T > 0) @ (1 << np.arange(LSH_PLANES))
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(self.qids)):
+                mask = buckets == self.qbuckets[qi]
+                if not mask.any():
+                    continue
+                sims = self.qn[qi] @ m[mask].T
+                sub_ids = ids[mask]
+                order = np.lexsort((sub_ids, -sims))[:TOP_K]
+                out_q.extend([int(self.qids[qi])] * len(order))
+                out_n.extend(sub_ids[order].tolist())
+                out_s.extend(sims[order].tolist())
+            return pa.table({
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"],
+                          ascending=[False, True]).head(TOP_K)
+        g = g.reset_index(drop=True)
+        g["rank"] = g.index + 1
+        g["cos_sim"] = round_half_away(g["sim"].to_numpy(), 4)
+        return g[["query_id", "neighbor_id", "rank", "cos_sim"]]
+
+    return (
+        ds.map_batches(BucketSearch, fn_constructor_kwargs={"ref": ref},
+                       batch_format="pyarrow", batch_size=4096, concurrency=2)
+        .groupby("query_id")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+ORACLE_SQL = {
+    "ann_topk": f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id AS query_id, emb AS qemb FROM e
+            WHERE vec_id < {N_QUERIES}
+        ), scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   list_cosine_similarity(q.qemb, e.emb) AS sim
+            FROM q CROSS JOIN e
+        )
+        SELECT query_id, neighbor_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+               ) AS BIGINT) AS rank,
+               ROUND(sim, 4) AS cos_sim
+        FROM scored
+        QUALIFY rank <= {TOP_K}
+    """,
+}
+
+QUERIES = {
+    "ann_topk": ann_topk,
+    "ann_lsh_topk": ann_lsh_topk,
+}

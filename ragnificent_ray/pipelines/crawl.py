@@ -128,7 +128,11 @@ def to_frontier_schema(batch: pa.Table) -> pa.Table:
 
 
 class SeenFilter:
-    """map_batches stage: keep only rows whose url_hash is new (D1)."""
+    """Seen-filter stage: keep only rows whose url_hash is new (D1).
+
+    Used as a plain FUNCTION stage (task-based, no pool startup): the
+    mutable state lives in the SeenSet's shard actors, the filter itself
+    only routes — actor handles serialize into the task closure."""
 
     def __init__(self, seen: SeenSet):
         self.seen = seen
@@ -208,6 +212,7 @@ def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResu
         domain_limits=cfg.domain_limits,
         adaptive=cfg.adaptive_throttling,
         retry_delay=cfg.retry_delay,
+        adaptive_max_rate=cfg.adaptive_max_rate,
     )
     seen = SeenSet(
         n_shards=cfg.n_seen_shards,
@@ -272,13 +277,7 @@ def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResu
                         num_cpus=0.25,
                     )
                     .map_batches(canonicalize_batch, batch_format="pyarrow")
-                    .map_batches(
-                        SeenFilter,
-                        fn_constructor_kwargs={"seen": seen},
-                        batch_format="pyarrow",
-                        concurrency=2,
-                        num_cpus=0.1,
-                    )
+                    .map_batches(SeenFilter(seen), batch_format="pyarrow")
                 )
                 n_frontier = _write_parquet(frontier_ds, frontier_dir)
             else:
@@ -314,90 +313,87 @@ def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResu
                 batch_size=cfg.parse_batch_size,
             )
             docs_dir = ckpt.table_dir(depth, "documents")
+            t_fetch0 = time.monotonic()
             n_docs = _write_parquet(docs, docs_dir)
+            fetch_parse_sec = time.monotonic() - t_fetch0
 
             n_rendered = n_chunks = n_harvest = n_next = 0
             if n_docs:
                 docs_pq = rd.read_parquet(docs_dir)
 
-                # ---- render + chunk ----------------------------------------
-                rendered = docs_pq.map_batches(
-                    lambda b: render_batch(b, formats=tuple(cfg.formats)),
-                    batch_format="pyarrow",
-                )
-                n_rendered = _write_parquet(
-                    rendered, ckpt.table_dir(depth, "rendered"))
-                md_ds = rd.read_parquet(
-                    ckpt.table_dir(depth, "rendered")
-                ).map_batches(
-                    lambda b: b.filter(pc.equal(b["fmt"], "markdown")),
-                    batch_format="pyarrow",
-                )
-                chunks = md_ds.map_batches(
-                    lambda b: chunk_batch(
-                        b, strategy=cfg.chunk_strategy,
-                        chunk_size=cfg.chunk_size,
-                        chunk_overlap=cfg.chunk_overlap,
-                    ),
-                    batch_format="pyarrow",
-                )
-                if cfg.embed_chunks:
-                    chunks = chunks.map_batches(
-                        HashEmbedder,
-                        fn_constructor_kwargs={"dim": cfg.embedding_dim},
+                # The four post-parse branches are independent consumers of
+                # the documents checkpoint — run them as concurrent dataset
+                # executions so pool startup and the narrow shuffles overlap
+                # instead of serializing the round.
+                def _do_rendered() -> int:
+                    rendered = docs_pq.map_batches(
+                        lambda b: render_batch(b, formats=tuple(cfg.formats)),
                         batch_format="pyarrow",
-                        batch_size=32,
-                        concurrency=4,
                     )
-                n_chunks = _write_parquet(chunks, ckpt.table_dir(depth, "chunks"))
+                    return _write_parquet(
+                        rendered, ckpt.table_dir(depth, "rendered"))
 
-                # ---- harvest images ----------------------------------------
-                if cfg.harvest_images:
+                def _do_chunks() -> int:
+                    # fused render(markdown)+chunk — markdown re-render is
+                    # ~0.1 ms/page, cheaper than a file round-trip
+                    chunks = docs_pq.map_batches(
+                        lambda b: chunk_batch(
+                            render_batch(b, formats=("markdown",)),
+                            strategy=cfg.chunk_strategy,
+                            chunk_size=cfg.chunk_size,
+                            chunk_overlap=cfg.chunk_overlap,
+                        ),
+                        batch_format="pyarrow",
+                    )
+                    if cfg.embed_chunks:
+                        chunks = chunks.map_batches(
+                            HashEmbedder,
+                            fn_constructor_kwargs={"dim": cfg.embedding_dim},
+                            batch_format="pyarrow",
+                            batch_size=32,
+                            concurrency=2,
+                            num_cpus=0.5,
+                        )
+                    return _write_parquet(chunks, ckpt.table_dir(depth, "chunks"))
+
+                def _do_harvest() -> int:
                     img_cands = (
                         docs_pq.map_batches(
                             lambda b: image_candidates_batch(b, RANK_STRIDE),
                             batch_format="pyarrow",
                         )
                         .map_batches(canonicalize_batch, batch_format="pyarrow")
-                        .map_batches(
-                            SeenFilter,
-                            fn_constructor_kwargs={"seen": seen},
-                            batch_format="pyarrow",
-                            concurrency=2,
-                            num_cpus=0.1,
-                        )
+                        .map_batches(SeenFilter(seen), batch_format="pyarrow")
                     )
                     img_dir = ckpt.table_dir(depth, "image_frontier")
-                    n_img = _write_parquet(img_cands, img_dir)
-                    if n_img:
-                        harvest = (
-                            rd.read_parquet(img_dir)
-                            .map_batches(
-                                FetchWorker,
-                                fn_constructor_kwargs={
-                                    "world_cfg": world_cfg,
-                                    "politeness": politeness,
-                                    "max_retries": cfg.max_retries,
-                                    "retry_delay": cfg.retry_delay,
-                                },
-                                batch_format="pyarrow",
-                                batch_size=cfg.fetch_batch_size,
-                                concurrency=cfg.fetch_concurrency,
-                                num_cpus=0.5,
-                            )
-                            .map_batches(harvest_decode_batch,
-                                         batch_format="pyarrow")
+                    if _write_parquet(img_cands, img_dir) == 0:
+                        return 0
+                    harvest = (
+                        rd.read_parquet(img_dir)
+                        .map_batches(
+                            FetchWorker,
+                            fn_constructor_kwargs={
+                                "world_cfg": world_cfg,
+                                "politeness": politeness,
+                                "max_retries": cfg.max_retries,
+                                "retry_delay": cfg.retry_delay,
+                            },
+                            batch_format="pyarrow",
+                            batch_size=cfg.fetch_batch_size,
+                            concurrency=cfg.fetch_concurrency,
+                            num_cpus=0.5,
                         )
-                        hdir = ckpt.table_dir(depth, "harvest")
-                        write_harvest(harvest, hdir)
-                        n_harvest = _dir_rows(hdir)
+                        .map_batches(harvest_decode_batch, batch_format="pyarrow")
+                    )
+                    hdir = ckpt.table_dir(depth, "harvest")
+                    write_harvest(harvest, hdir)
+                    return _dir_rows(hdir)
 
-                # ---- outlinks → next frontier ------------------------------
-                if cfg.follow_links and depth < cfg.max_depth:
+                def _do_outlinks() -> int:
                     allowed = (
                         None if cfg.allow_cross_domain
-                        else {d for u in cfg.seed_urls()
-                              for d in [u.split("://", 1)[-1].split("/", 1)[0]]}
+                        else {u.split("://", 1)[-1].split("/", 1)[0]
+                              for u in cfg.seed_urls()}
                     )
 
                     def _domain_filter(b: pa.Table, allowed=allowed) -> pa.Table:
@@ -425,14 +421,27 @@ def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResu
                         batch_format="pandas",
                     )
                     nxt = deduped.map_batches(
-                        SeenFilter,
-                        fn_constructor_kwargs={"seen": seen},
-                        batch_format="pyarrow",
-                        concurrency=2,
-                        num_cpus=0.1,
+                        SeenFilter(seen), batch_format="pyarrow"
                     ).map_batches(to_frontier_schema, batch_format="pyarrow")
-                    n_next = _write_parquet(
+                    return _write_parquet(
                         nxt, ckpt.table_dir(depth + 1, "frontier"))
+
+                from concurrent.futures import ThreadPoolExecutor
+
+                t_branch0 = time.monotonic()
+                with ThreadPoolExecutor(max_workers=4) as pool:
+                    f_rendered = pool.submit(_do_rendered)
+                    f_chunks = pool.submit(_do_chunks)
+                    f_harvest = (pool.submit(_do_harvest)
+                                 if cfg.harvest_images else None)
+                    f_next = (pool.submit(_do_outlinks)
+                              if cfg.follow_links and depth < cfg.max_depth
+                              else None)
+                    n_rendered = f_rendered.result()
+                    n_chunks = f_chunks.result()
+                    n_harvest = f_harvest.result() if f_harvest else 0
+                    n_next = f_next.result() if f_next else 0
+                branch_sec = time.monotonic() - t_branch0
 
             # ---- finalize round --------------------------------------------
             lineage = {
@@ -450,6 +459,8 @@ def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResu
                 "harvest_rows": n_harvest,
                 "next_frontier": n_next,
                 "round_sec": time.monotonic() - round_t0,
+                "fetch_parse_sec": round(fetch_parse_sec, 3),
+                "branch_sec": round(locals().get("branch_sec", 0.0), 3),
             }
             ckpt.complete_round(depth, lineage, metrics, chash)
             result.rounds.append(depth)

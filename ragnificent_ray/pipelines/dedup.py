@@ -1,0 +1,338 @@
+"""Deduplication operators over the ``documents`` / ``embeddings`` tables.
+
+The five families the brief calls for, each mapped to a scale-conscious
+Ray Data shape:
+
+* exact          — content-hash + hash-partitioned group-first (D3)
+* n-gram Jaccard — all-pairs verification with the comparison side
+                   broadcast (``ray.put`` once); exact, SQL-checkable
+* MinHash + LSH  — shingle → minhash → banded buckets → groupby →
+                   candidate pairs → exact verify (the 100 TB path:
+                   only the banding shuffle touches all rows)
+* SimHash        — 64-bit sketch column (hamming-bucket dedup key)
+* embedding cos  — near-dup pairs by cosine over the embedding column,
+                   block-broadcast matmul; SQL-checkable via
+                   ``list_cosine_similarity``
+
+Broadcast note: the "small side" here is the token/embedding matrix of
+the corpus being deduped — fine up to ~10M docs on a 128 GiB node; past
+that, the MinHash-LSH path is the intended route (documented pattern:
+banding shuffle instead of broadcast).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from ..functions.hashing import md5_hex, stable_hash64
+from ..functions.numeric import round_half_away
+
+JACCARD_THRESHOLD = 0.6
+COSINE_THRESHOLD = 0.4
+MINHASH_PERMS = 64
+LSH_BANDS = 16  # 16 bands × 4 rows
+_MERSENNE = (1 << 61) - 1
+
+
+def _pq(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+# -------------------------------------------------------------- exact dedup
+
+def exact_dedup(sf_dir: str):
+    """Keep the lowest doc_id per md5(text): hash column in a vectorized
+    map, then hash-partitioned group-first (the D3 pattern)."""
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "text_hash",
+            pa.array([md5_hex(t) for t in batch.column("text").to_pylist()]),
+        )
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g.nsmallest(1, "doc_id")
+        return keep[["doc_id", "text_hash"]]
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow", batch_size=8192)
+        .groupby("text_hash")
+        .map_groups(first, batch_format="pandas")
+    )
+
+
+# ------------------------------------------------------- token-set helpers
+
+def _token_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_ids, binary doc×vocab matrix) for the unigram token sets."""
+    t = pq.read_table(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+    doc_ids = np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64)
+    token_sets = [set(x.strip().split()) for x in t.column("text").to_pylist()]
+    vocab = {w: i for i, w in enumerate(sorted(set().union(*token_sets)))}
+    m = np.zeros((len(doc_ids), len(vocab)), dtype=np.float32)
+    for r, s in enumerate(token_sets):
+        for w in s:
+            m[r, vocab[w]] = 1.0
+    return doc_ids, m
+
+
+def ngram_jaccard_pairs(sf_dir: str):
+    """Exact all-pairs unigram-set Jaccard ≥ threshold (a < b).
+
+    The full binary matrix is broadcast once; each batch computes its
+    block of the pair matrix with one matmul (vectorized intersections).
+    """
+    doc_ids, matrix = _token_matrix(sf_dir)
+    mref = ray.put((doc_ids, matrix))
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    class BlockJaccard:
+        def __init__(self, ref):
+            self.doc_ids, self.matrix = ray.get(ref)
+            self.sizes = self.matrix.sum(axis=1)
+            self.index = {d: i for i, d in enumerate(self.doc_ids)}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            rows = [self.index[d] for d in batch.column("doc_id").to_pylist()]
+            block = self.matrix[rows]                       # (b, V)
+            inter = block @ self.matrix.T                   # (b, N)
+            union = self.sizes[rows][:, None] + self.sizes[None, :] - inter
+            jac = np.where(union > 0, inter / union, 0.0)
+            a_ids = self.doc_ids[rows][:, None]
+            mask = (jac >= JACCARD_THRESHOLD) & (a_ids < self.doc_ids[None, :])
+            ai, bi = np.nonzero(mask)
+            return pa.table({
+                "doc_a": pa.array(self.doc_ids[rows][ai], type=pa.int64()),
+                "doc_b": pa.array(self.doc_ids[bi], type=pa.int64()),
+                "jaccard": pa.array(round_half_away(jac[ai, bi], 4),
+                                    type=pa.float64()),
+            })
+
+    return ds.map_batches(BlockJaccard, fn_constructor_kwargs={"ref": mref},
+                          batch_format="pyarrow", batch_size=256,
+                          concurrency=2)
+
+
+# ------------------------------------------------------------- minhash+LSH
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    toks = text.strip().split()
+    if len(toks) < k:
+        grams = [" ".join(toks)] if toks else []
+    else:
+        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    return np.unique(np.array([stable_hash64(g) & _MERSENNE for g in grams],
+                              dtype=np.uint64))
+
+
+def _minhash(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    if len(shingles) == 0:
+        return np.full(len(a), _MERSENNE, dtype=np.uint64)
+    # (P, S) permuted hashes mod Mersenne prime, min over shingles
+    v = (a[:, None] * shingles[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+    return v.min(axis=1)
+
+
+def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.4):
+    """Near-dup pairs via MinHash banding (SURVEY §2.7 D-pattern).
+
+    shingle(word-3-gram) → 64 minhashes → 16 bands of 4 → explode to
+    (band_id, band_hash, doc_id) rows → groupby band bucket → candidate
+    pairs → exact shingle-Jaccard verification (shingle sets broadcast).
+    At 10^10 scale only the narrow band rows shuffle; verification
+    fetches just the candidate docs' shingle sets.
+    """
+    rng = np.random.Generator(np.random.PCG64(42))
+    a = rng.integers(1, _MERSENNE, size=MINHASH_PERMS, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=MINHASH_PERMS, dtype=np.uint64)
+    rows_per_band = MINHASH_PERMS // LSH_BANDS
+
+    t = pq.read_table(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+    shingle_map = {
+        d: _shingle_hashes(x)
+        for d, x in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist())
+    }
+    sref = ray.put(shingle_map)
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        out_doc, out_band, out_hash = [], [], []
+        for d, x in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            mh = _minhash(_shingle_hashes(x), a, b)
+            for band in range(LSH_BANDS):
+                sig = mh[band * rows_per_band:(band + 1) * rows_per_band]
+                out_doc.append(d)
+                out_band.append(band)
+                out_hash.append(int(stable_hash64(sig.tobytes().hex())))
+        return pa.table({
+            "doc_id": pa.array(out_doc, type=pa.int64()),
+            "band_id": pa.array(out_band, type=pa.int32()),
+            "band_hash": pa.array(np.array(out_hash, dtype=np.uint64)),
+        })
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].tolist())
+        pairs = [(x, y) for i, x in enumerate(ids) for y in ids[i + 1:]]
+        if not pairs:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        return pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+
+    class Verify:
+        def __init__(self, ref):
+            self.shingles = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            seen = set()
+            oa, ob, oj = [], [], []
+            for x, y in zip(batch.column("doc_a").to_pylist(),
+                            batch.column("doc_b").to_pylist()):
+                if (x, y) in seen:
+                    continue
+                seen.add((x, y))
+                sa, sb = self.shingles[x], self.shingles[y]
+                inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                union = len(sa) + len(sb) - inter
+                j = inter / union if union else 0.0
+                if j >= jaccard_threshold:
+                    oa.append(x)
+                    ob.append(y)
+                    oj.append(round_half_away(j, 4))
+            return pa.table({
+                "doc_a": pa.array(oa, type=pa.int64()),
+                "doc_b": pa.array(ob, type=pa.int64()),
+                "jaccard": pa.array(oj, type=pa.float64()),
+            })
+
+    pairs = (
+        ds.map_batches(band_rows, batch_format="pyarrow", batch_size=2048)
+        .groupby(["band_id", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .map_batches(Verify, fn_constructor_kwargs={"ref": sref},
+                     batch_format="pyarrow", concurrency=2)
+    )
+    return pairs
+
+
+# ------------------------------------------------------------------ simhash
+
+def simhash64(sf_dir: str):
+    """64-bit SimHash sketch per document (token-hash sign aggregation)."""
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        out = []
+        bit_cols = np.arange(64, dtype=np.uint64)
+        for t in batch.column("text").to_pylist():
+            toks = t.strip().split()
+            if not toks:
+                out.append(0)
+                continue
+            hs = np.array([stable_hash64(w) for w in toks], dtype=np.uint64)
+            bits = ((hs[:, None] >> bit_cols[None, :]) & 1).astype(np.int32)
+            acc = (2 * bits - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for i in range(64):
+                if acc[i] > 0:
+                    sig |= np.uint64(1) << np.uint64(i)
+            out.append(int(sig.astype(np.int64)))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "simhash": pa.array(out, type=pa.int64()),
+        })
+
+    return ds.map_batches(sketch, batch_format="pyarrow", batch_size=4096)
+
+
+# ------------------------------------------------- embedding cosine near-dup
+
+def embedding_neardup(sf_dir: str):
+    """Near-duplicate pairs by embedding cosine ≥ threshold (a < b).
+
+    Normalized float64 matrix broadcast once; per-batch block matmul.
+    SQL oracle casts the float32 lists to DOUBLE so both engines work
+    on identical inputs."""
+    t = pq.read_table(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    mn = m / np.where(norms == 0, 1, norms)
+    ref = ray.put((ids, mn))
+
+    ds = rd.read_parquet(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+
+    class BlockCosine:
+        def __init__(self, ref):
+            self.ids, self.mn = ray.get(ref)
+            self.index = {d: i for i, d in enumerate(self.ids)}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            rows = [self.index[d] for d in batch.column("vec_id").to_pylist()]
+            sims = self.mn[rows] @ self.mn.T
+            a_ids = self.ids[rows][:, None]
+            mask = (sims >= COSINE_THRESHOLD) & (a_ids < self.ids[None, :])
+            ai, bi = np.nonzero(mask)
+            return pa.table({
+                "vec_a": pa.array(self.ids[rows][ai], type=pa.int64()),
+                "vec_b": pa.array(self.ids[bi], type=pa.int64()),
+                "cos_sim": pa.array(round_half_away(sims[ai, bi], 4),
+                                    type=pa.float64()),
+            })
+
+    return ds.map_batches(BlockCosine, fn_constructor_kwargs={"ref": ref},
+                          batch_format="pyarrow", batch_size=256,
+                          concurrency=2)
+
+
+ORACLE_SQL = {
+    "exact_dedup": """
+        SELECT MIN(doc_id) AS doc_id, md5(text) AS text_hash
+        FROM documents GROUP BY md5(text)
+    """,
+    "ngram_jaccard_pairs": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.toks, b.toks))), 4)
+                   AS jaccard
+        FROM t a JOIN t b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.toks, b.toks)))
+              >= {JACCARD_THRESHOLD}
+    """,
+    "embedding_neardup": f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND(list_cosine_similarity(a.emb, b.emb), 4) AS cos_sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.emb, b.emb) >= {COSINE_THRESHOLD}
+    """,
+}
+
+QUERIES = {
+    "exact_dedup": exact_dedup,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "minhash_lsh_pairs": minhash_lsh_pairs,
+    "simhash64": simhash64,
+    "embedding_neardup": embedding_neardup,
+}

@@ -1,0 +1,79 @@
+"""RAG pipeline over a documents table: chunk → embed → (dedup) — the
+Ray rendering of the reference's ``Pipeline.run_pipeline`` steps
+(``rag/pipeline.py:1206-1540``): extract/chunk/embed/store, with the
+inter-step JSON files replaced by streaming Dataset stages."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import ray.data as rd
+
+from ..stages.chunk import chunk_batch
+from ..stages.embed import HashEmbedder
+
+
+def _pq(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def chunk_documents(sf_dir: str, strategy: str = "semantic",
+                    chunk_size: int = 1000, chunk_overlap: int = 200):
+    """documents table → chunk rows (deterministic ids; the plain-text
+    path of C1/C5 since the synthetic texts carry no markdown)."""
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def add_url(batch: pa.Table) -> pa.Table:
+        urls = [f"https://docs.test/{d}" for d in
+                batch.column("doc_id").to_pylist()]
+        return batch.append_column("url", pa.array(urls, type=pa.string()))
+
+    return (
+        ds.map_batches(add_url, batch_format="pyarrow", batch_size=4096)
+        .map_batches(
+            lambda b: chunk_batch(b, strategy=strategy, chunk_size=chunk_size,
+                                  chunk_overlap=chunk_overlap,
+                                  content_col="text", url_col="url",
+                                  created_at="1970-01-01T00:00:00"),
+            batch_format="pyarrow",
+            batch_size=2048,
+        )
+    )
+
+
+def embed_documents(sf_dir: str, dim: int = 384):
+    """chunk → embed (A4 actor pool); returns id + embedding-norm proof
+    columns (norm ≈ 1, dim fixed — FIXTURES §6 invariants)."""
+    from ..functions.numeric import round_half_away
+
+    chunks = chunk_documents(sf_dir)
+    embedded = chunks.map_batches(
+        HashEmbedder, fn_constructor_kwargs={"dim": dim},
+        batch_format="pyarrow", batch_size=256, concurrency=2, num_cpus=0.5,
+    )
+
+    def proof(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        emb = batch.column("embedding")
+        m = np.array(emb.to_pylist(), dtype=np.float64)
+        return pa.table({
+            "id": batch["id"],
+            "source_url": batch["source_url"],
+            "dim": pa.array([m.shape[1]] * len(m), type=pa.int64()),
+            "l2_norm": pa.array(round_half_away(
+                np.linalg.norm(m, axis=1), 4)),
+        })
+
+    return embedded.map_batches(proof, batch_format="pyarrow")
+
+
+def rag_flagship(sf_dir: str):
+    """entry() pipeline: chunk + embed the documents table, returning the
+    embedded chunk rows (id, content metadata, embedding)."""
+    chunks = chunk_documents(sf_dir)
+    return chunks.map_batches(
+        HashEmbedder, fn_constructor_kwargs={"dim": 384},
+        batch_format="pyarrow", batch_size=256, concurrency=2, num_cpus=0.5,
+    )

@@ -1,0 +1,262 @@
+"""Relational operators over the testdata tables (correctness-gate queries).
+
+Each function takes ``sf_dir`` and returns a Ray Dataset / Arrow table;
+``ORACLE_SQL`` holds the DuckDB-equivalent statement with IDENTICAL
+column names (driver contract). Patterns exercised, scale-consciously:
+
+* column-pruned reads (``read_parquet(columns=...)``)
+* partial aggregation inside ``map_batches`` before the (small) groupby
+  shuffle — the combiner pattern from SURVEY §2.6/G1
+* broadcast hash join for small dimension tables (``ray.put`` once,
+  lookup per batch) instead of a shuffle join
+* sort + limit top-k
+* tumbling-window aggregate over the events stream table
+
+Float results are rounded to 4 decimals on BOTH sides so value-hash
+comparison is stable across summation orders.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from ..functions.numeric import pc_round4, round_half_away
+
+
+def _pq(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+# ---------------------------------------------------------------- lineitem Q1
+
+def lineitem_agg(sf_dir: str):
+    """TPC-H-Q1-shaped grouped aggregate with in-batch pre-aggregation."""
+    ds = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            count_order=("l_quantity", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("count_order", alias_name="count_order"),
+        )
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "sum_qty": pc_round4(batch["sum_qty"]),
+            "sum_base_price": pc_round4(batch["sum_base_price"]),
+            "sum_disc_price": pc_round4(batch["sum_disc_price"]),
+            "count_order": batch["count_order"],
+        })
+
+    return out.map_batches(final, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------- top-k
+
+def top_orders(sf_dir: str):
+    """sort + limit top-k (O3-style), deterministic tiebreak on key."""
+    ds = rd.read_parquet(
+        _pq(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    return ds.sort(["o_totalprice", "o_orderkey"],
+                   descending=[True, False]).limit(10)
+
+
+# ------------------------------------------------------------ broadcast join
+
+def segment_revenue(sf_dir: str):
+    """orders ⋈ customer via broadcast of the small side (J-pattern:
+    ray.put once, dict lookup per batch — no shuffle)."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(_pq(sf_dir, "customer"),
+                         columns=["c_custkey", "c_mktsegment"])
+    lookup_ref = ray.put(dict(zip(
+        cust.column("c_custkey").to_pylist(),
+        cust.column("c_mktsegment").to_pylist(),
+    )))
+
+    ds = rd.read_parquet(_pq(sf_dir, "orders"),
+                         columns=["o_custkey", "o_totalprice"])
+
+    class JoinAndPartial:
+        def __init__(self, ref):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df["c_mktsegment"] = df["o_custkey"].map(self.lookup)
+            g = df.groupby("c_mktsegment", as_index=False).agg(
+                revenue=("o_totalprice", "sum"),
+                n_orders=("o_totalprice", "size"),
+            )
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(JoinAndPartial, fn_constructor_kwargs={"ref": lookup_ref},
+                       batch_format="pyarrow", batch_size=65536, concurrency=2)
+        .groupby("c_mktsegment")
+        .aggregate(Sum("revenue", alias_name="revenue"),
+                   Sum("n_orders", alias_name="n_orders"))
+    )
+    return out.map_batches(
+        lambda b: pa.table({
+            "c_mktsegment": b["c_mktsegment"],
+            "revenue": pc_round4(b["revenue"]),
+            "n_orders": b["n_orders"],
+        }),
+        batch_format="pyarrow",
+    )
+
+
+# --------------------------------------------------------- windowed aggregate
+
+def events_hourly(sf_dir: str):
+    """Tumbling 1-hour window per event_type (streaming-shaped op as a
+    groupby over the truncated timestamp — SURVEY §2.10 mapping)."""
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["window_start"] = (
+            df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:%M:%S")
+        )
+        g = df.groupby(["event_type", "window_start"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("sum_value", alias_name="sum_value"))
+    )
+    return out.map_batches(
+        lambda b: pa.table({
+            "event_type": b["event_type"],
+            "window_start": b["window_start"],
+            "n_events": b["n_events"],
+            "sum_value": pc_round4(b["sum_value"]),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+# -------------------------------------------------------- per-key profiling
+
+def user_activity(sf_dir: str):
+    """Per-user profile incl. a distinct-count — ``map_groups`` custom
+    aggregate (per-group pandas)."""
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "event_type", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "n_events": [len(g)],
+            "n_types": [g["event_type"].nunique()],
+            "max_value": [round_half_away(float(g["value"].max()), 4)],
+        })
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+# ------------------------------------------------------------ filter/project
+
+def click_events(sf_dir: str):
+    """Vectorized filter + projection (Arrow compute, zero-copy)."""
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "event_type", "value", "user_id"])
+    return ds.map_batches(
+        lambda b: b.filter(
+            pc.and_(pc.equal(b["event_type"], "click"),
+                    pc.greater(b["value"], 10.0))
+        ).select(["event_id", "user_id", "value"]),
+        batch_format="pyarrow",
+    )
+
+
+ORACLE_SQL = {
+    "lineitem_agg": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 4) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+               COUNT(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "top_orders": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    "segment_revenue": """
+        SELECT c_mktsegment,
+               ROUND(SUM(o_totalprice), 4) AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "events_hourly": """
+        SELECT event_type,
+               strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "user_activity": """
+        SELECT user_id, COUNT(*) AS n_events,
+               COUNT(DISTINCT event_type) AS n_types,
+               ROUND(MAX(value), 4) AS max_value
+        FROM events GROUP BY user_id
+    """,
+    "click_events": """
+        SELECT event_id, user_id, value FROM events
+        WHERE event_type = 'click' AND value > 10.0
+    """,
+}
+
+QUERIES = {
+    "lineitem_agg": lineitem_agg,
+    "top_orders": top_orders,
+    "segment_revenue": segment_revenue,
+    "events_hourly": events_hourly,
+    "user_activity": user_activity,
+    "click_events": click_events,
+}

@@ -1,0 +1,188 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Large-scale training-data pipeline staples (per the build brief):
+token counting, quality scoring, language-ID heuristic, document
+fingerprinting. All vectorized-per-batch; the stopword set and language
+profiles are compiled once per actor (stateful stage pattern).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from ..functions.numeric import round_half_away
+
+from ..functions.hashing import stable_hash64
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "in", "is", "a", "it", "that", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "pour", "dans"},
+    "es": {"el", "la", "los", "las", "y", "es", "un", "una", "para", "en"},
+    "zh": set(),  # no-latin-stopword fallback
+}
+
+_BPEISH = re.compile(r"\w+|[^\w\s]")
+
+
+def _pq(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def token_stats(sf_dir: str):
+    """Per-document token counts (whitespace tokenization) + average
+    token length — SQL-oracle-checkable."""
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n_tokens, avg_len = [], []
+        for t in texts:
+            toks = t.strip().split()
+            n = len(toks)
+            n_tokens.append(n)
+            avg_len.append(round_half_away(sum(map(len, toks)) / n, 4) if n else 0.0)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tokens, type=pa.int64()),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+            "avg_token_len": pa.array(avg_len, type=pa.float64()),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow", batch_size=8192)
+
+
+def quality_scores(sf_dir: str):
+    """Stopword-ratio quality signal (length/stopword heuristics the
+    reference-scale pipelines use for corpus filtering)."""
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+    stops = set(STOPWORDS)
+
+    def score(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ratios, lens = [], []
+        for t in texts:
+            toks = t.strip().lower().split()
+            n = len(toks)
+            ratios.append(round_half_away(sum(w in stops for w in toks) / n, 4) if n else 0.0)
+            lens.append(n)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "stopword_ratio": pa.array(ratios, type=pa.float64()),
+            "n_tokens": pa.array(lens, type=pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=8192)
+
+
+class LangId:
+    """Stateful language-ID scorer (profiles built once per actor).
+
+    Heuristic: argmax of per-language stopword hit counts; ties and
+    zero-hit docs fall back to "und". Deterministic — the result is a
+    function of the text only (no SQL oracle: rows-only check)."""
+
+    def __init__(self):
+        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        langs = []
+        for t in texts:
+            toks = set(t.lower().split())
+            best, best_hits = "und", 0
+            for lang in sorted(self.profiles):
+                hits = len(toks & self.profiles[lang])
+                if hits > best_hits:
+                    best, best_hits = lang, hits
+            langs.append(best)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "guessed_lang": pa.array(langs, type=pa.string()),
+        })
+
+
+def lang_id(sf_dir: str):
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(LangId, batch_format="pyarrow", batch_size=8192,
+                          concurrency=2)
+
+
+def token_count_bpeish(sf_dir: str):
+    """Token counting with a BPE-ish regex (words + punctuation marks),
+    the second tokenizer the brief asks for."""
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def count(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_bpeish_tokens": pa.array(
+                [len(_BPEISH.findall(t)) for t in texts], type=pa.int64()),
+        })
+
+    return ds.map_batches(count, batch_format="pyarrow", batch_size=8192)
+
+
+def fingerprints(sf_dir: str):
+    """Document fingerprinting: min/max of rolling word-4-gram hashes
+    (winnowing-style sketch; stable 64-bit). Rows-only check."""
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        mins, maxs = [], []
+        for t in texts:
+            toks = t.strip().split()
+            grams = [" ".join(toks[i:i + 4]) for i in range(max(1, len(toks) - 3))]
+            hs = np.array([stable_hash64(g) for g in grams], dtype=np.uint64)
+            mins.append(int(hs.min().astype(np.int64)))
+            maxs.append(int(hs.max().astype(np.int64)))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "fp_min": pa.array(mins, type=pa.int64()),
+            "fp_max": pa.array(maxs, type=pa.int64()),
+        })
+
+    return ds.map_batches(fp, batch_format="pyarrow", batch_size=8192)
+
+
+_SQL_STOPS = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+ORACLE_SQL = {
+    "token_stats": """
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+               length(text) AS n_chars,
+               ROUND(CAST(length(replace(trim(text), ' ', '')) AS DOUBLE)
+                     / len(regexp_split_to_array(trim(text), '\\s+')), 4)
+                   AS avg_token_len
+        FROM documents
+    """,
+    "quality_scores": f"""
+        SELECT doc_id,
+               ROUND(CAST(len(list_filter(
+                     regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x IN ({_SQL_STOPS}))) AS DOUBLE)
+                     / len(regexp_split_to_array(trim(text), '\\s+')), 4)
+                   AS stopword_ratio,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+        FROM documents
+    """,
+}
+
+QUERIES = {
+    "token_stats": token_stats,
+    "quality_scores": quality_scores,
+    "lang_id": lang_id,
+    "token_count_bpeish": token_count_bpeish,
+    "fingerprints": fingerprints,
+}

@@ -26,8 +26,10 @@ def chunk_batch(
     chunk_overlap: int = 200,
     content_col: str = "markdown",
     url_col: str = "url",
+    created_at: str | None = None,
 ) -> pa.Table:
-    created_at = datetime.now().isoformat()
+    if created_at is None:
+        created_at = datetime.now().isoformat()
     contents = batch.column(content_col).to_pylist()
     urls = batch.column(url_col).to_pylist()
     rows: list[dict] = []

@@ -1,0 +1,158 @@
+"""Multimodal column stages: decode / resize / feature-extract / frame-sample.
+
+Image/audio/video payloads travel as opaque ``binary`` columns with
+typed metadata (the harvest table shape). Each stage is an actor-pool
+``map_batches`` class — heavy codec/model setup belongs in ``__init__``.
+Per the build brief, codecs absent from this container are STUBBED:
+
+* image decode/resize — REAL (the stdlib PNG / lossy codecs).
+* audio feature-extract, video frame-sample — the Ray-side plumbing
+  (schema, batch signature, output layout) is real and tested; the codec
+  call itself raises ``NotImplementedError`` unless ``fake=True``, which
+  substitutes a deterministic stand-in (hash-seeded), so pipelines can
+  be exercised end-to-end without the native libraries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.hashing import stable_hash64
+from ..functions.imaging import decode_image
+from ..functions.numeric import round_half_away
+
+
+def _block_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize (pure numpy; deterministic)."""
+    h, w = img.shape[:2]
+    rows = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    cols = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[rows][:, cols]
+
+
+class ImageDecodeStage:
+    """binary+fmt → decoded stats (REAL decode via the sandbox codecs).
+
+    Emits width/height/mean-luma per row; a model-feature variant would
+    replace the body of ``_features`` and keep the identical plumbing."""
+
+    def __init__(self, bytes_col: str = "bytes", fmt_col: str = "fmt"):
+        self.bytes_col = bytes_col
+        self.fmt_col = fmt_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        datas = batch.column(self.bytes_col).to_pylist()
+        fmts = batch.column(self.fmt_col).to_pylist()
+        ws, hs, lumas = [], [], []
+        for data, fmt in zip(datas, fmts):
+            img = decode_image(data, fmt)
+            hs.append(img.shape[0])
+            ws.append(img.shape[1])
+            lumas.append(round_half_away(
+                float((img.astype(np.float64)
+                       @ [0.299, 0.587, 0.114]).mean()), 4))
+        out = {name: batch.column(name) for name in batch.column_names
+               if name != self.bytes_col}
+        out["dec_w"] = pa.array(ws, type=pa.int32())
+        out["dec_h"] = pa.array(hs, type=pa.int32())
+        out["mean_luma"] = pa.array(lumas, type=pa.float64())
+        return pa.table(out)
+
+
+class ImageResizeStage:
+    """binary+fmt → fixed-size thumbnail stats (REAL resize)."""
+
+    def __init__(self, out_h: int = 16, out_w: int = 16,
+                 bytes_col: str = "bytes", fmt_col: str = "fmt"):
+        self.out_h, self.out_w = out_h, out_w
+        self.bytes_col, self.fmt_col = bytes_col, fmt_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        datas = batch.column(self.bytes_col).to_pylist()
+        fmts = batch.column(self.fmt_col).to_pylist()
+        thumbs = []
+        for data, fmt in zip(datas, fmts):
+            img = decode_image(data, fmt)
+            thumbs.append(
+                _block_resize(img, self.out_h, self.out_w).tobytes()
+            )
+        out = {name: batch.column(name) for name in batch.column_names
+               if name != self.bytes_col}
+        out["thumb"] = pa.array(thumbs, type=pa.binary())
+        out["thumb_h"] = pa.array([self.out_h] * len(thumbs), type=pa.int32())
+        out["thumb_w"] = pa.array([self.out_w] * len(thumbs), type=pa.int32())
+        return pa.table(out)
+
+
+class AudioFeatureStage:
+    """binary audio → fixed-dim feature vector.
+
+    STUB: no audio codec in this container. ``fake=True`` produces a
+    deterministic hash-seeded feature vector so the actor-pool plumbing
+    (schema, batch size, output layout) is fully exercised; ``fake=False``
+    raises ``NotImplementedError`` at the codec call, as the brief asks."""
+
+    def __init__(self, dim: int = 32, fake: bool = True,
+                 bytes_col: str = "bytes", id_col: str = "image_id"):
+        self.dim, self.fake = dim, fake
+        self.bytes_col, self.id_col = bytes_col, id_col
+
+    def _decode_audio(self, data: bytes) -> np.ndarray:
+        raise NotImplementedError(
+            "audio decoding requires an audio codec (not in this container)"
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        datas = batch.column(self.bytes_col).to_pylist()
+        feats = np.empty((len(datas), self.dim), dtype=np.float32)
+        for i, (rid, data) in enumerate(zip(ids, datas)):
+            if self.fake:
+                rng = np.random.Generator(
+                    np.random.PCG64(stable_hash64(str(rid))))
+                feats[i] = rng.standard_normal(self.dim).astype(np.float32)
+            else:
+                wave = self._decode_audio(data)
+                feats[i] = wave[: self.dim]
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "audio_features": pa.FixedSizeListArray.from_arrays(
+                pa.array(feats.ravel(), type=pa.float32()), self.dim),
+        })
+
+
+class VideoFrameSampleStage:
+    """binary video → N sampled frame descriptors.
+
+    STUB like :class:`AudioFeatureStage`: deterministic fake frames when
+    ``fake=True``, ``NotImplementedError`` otherwise."""
+
+    def __init__(self, n_frames: int = 4, fake: bool = True,
+                 bytes_col: str = "bytes", id_col: str = "image_id"):
+        self.n_frames, self.fake = n_frames, fake
+        self.bytes_col, self.id_col = bytes_col, id_col
+
+    def _decode_video(self, data: bytes):
+        raise NotImplementedError(
+            "video decoding requires a video codec (not in this container)"
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        out_id, out_frame, out_hash = [], [], []
+        for rid in ids:
+            if not self.fake:
+                self._decode_video(b"")
+            for f in range(self.n_frames):
+                out_id.append(rid)
+                out_frame.append(f)
+                out_hash.append(
+                    int(np.int64(np.uint64(
+                        stable_hash64(f"{rid}:frame:{f}")).astype(np.int64)))
+                )
+        return pa.table({
+            self.id_col: pa.array(out_id, type=pa.string()),
+            "frame_idx": pa.array(out_frame, type=pa.int32()),
+            "frame_hash": pa.array(out_hash, type=pa.int64()),
+        })

@@ -55,12 +55,17 @@ class _PolitenessCore:
         domain_limits: dict[str, float] | None = None,
         adaptive: bool = True,
         retry_delay: float = 2.0,
+        adaptive_max_rate: float = 10.0,
         clock=time.monotonic,
     ):
         self.default_rate = max(0.1, default_rate)
         self.domain_limits = dict(domain_limits or {})
         self.adaptive = adaptive
         self.retry_delay = retry_delay
+        # reference hard-codes the adaptive speed-up cap at 10 rps
+        # (throttle.py:288); configurable so a generous bench budget
+        # isn't silently collapsed to 10 rps after 5 fast responses
+        self.adaptive_max_rate = adaptive_max_rate
         self.clock = clock
         self.domains: dict[str, _DomainState] = {}
 
@@ -121,7 +126,7 @@ class _PolitenessCore:
         if avg > 2.0:
             new = max(0.1, st.rate_limit * 0.8)
         elif avg < 0.5 and err < 0.05:
-            new = min(10.0, st.rate_limit * 1.2)
+            new = min(self.adaptive_max_rate, st.rate_limit * 1.2)
         if err > 0.1:
             new = max(0.1, st.rate_limit * 0.5)
         if st.rate_limit and abs(new - st.rate_limit) / st.rate_limit > 0.2:
@@ -165,6 +170,7 @@ class PolitenessService:
         domain_limits: dict[str, float] | None = None,
         adaptive: bool = True,
         retry_delay: float = 2.0,
+        adaptive_max_rate: float = 10.0,
     ):
         self.n_shards = n_shards
         self.shards = [
@@ -173,6 +179,7 @@ class PolitenessService:
                 domain_limits=domain_limits,
                 adaptive=adaptive,
                 retry_delay=retry_delay,
+                adaptive_max_rate=adaptive_max_rate,
             )
             for _ in range(n_shards)
         ]

@@ -18,6 +18,7 @@ def tiny_cfg():
     return CrawlConfig(
         world=WorldConfig(n_domains=2, pages_per_domain=4, images_per_page=1),
         default_rate=1000.0,
+        adaptive_throttling=False,
         n_seen_shards=2,
         n_politeness_shards=1,
         fetch_concurrency=2,

@@ -1,0 +1,77 @@
+"""Every SQL-oracled query must match DuckDB on the same parquet inputs
+(local mirror of the driver's correctness gate, at sf0.001)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def _to_pandas(result) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data as rd
+
+    if isinstance(result, rd.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64").round(6)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _oracle(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con.execute(sql).fetchdf()
+
+
+def _all_queries():
+    import __ray_entry__ as entrymod
+
+    sqls = entrymod.oracle_sql()
+    cases = []
+    for name, fn in entrymod.queries().items():
+        if name.startswith("crawl_") or name.startswith("image_") \
+                or name.startswith("video_"):
+            continue  # crawl-backed queries covered by the pipeline tests
+        cases.append((name, fn, sqls.get(name)))
+    return cases
+
+
+CASES = _all_queries()
+
+
+@pytest.mark.parametrize("name,fn,sql", CASES, ids=[c[0] for c in CASES])
+def test_query_matches_oracle(ray_session, name, fn, sql):
+    got = _normalize(_to_pandas(fn(SF_DIR)))
+    assert len(got) >= 0  # smoke: runs and returns a frame
+    if sql is None:
+        # rows-only check (driver records the weaker gate): deterministic
+        # across two runs
+        again = _normalize(_to_pandas(fn(SF_DIR)))
+        pd.testing.assert_frame_equal(got, again)
+        return
+    want = _normalize(_oracle(sql))
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: columns {list(got.columns)} vs oracle {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=False, atol=1e-6)
