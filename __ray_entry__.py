@@ -46,7 +46,7 @@ def _crawl(sf_dir: str):
 
     world = _world_for(sf_dir)
     cfg = CrawlConfig(world=WorldConfig(**world), default_rate=10000.0,
-                      adaptive_throttling=False)
+                      adaptive_throttling=False, retry_delay=0.05)
     tag = hashlib.blake2b(
         f"{sf_dir}:{sorted(world.items())}".encode(), digest_size=6
     ).hexdigest()

@@ -67,8 +67,9 @@ def run_crawl_headline() -> dict:
         world=WorldConfig(n_domains=d, pages_per_domain=p, images_per_page=i),
         default_rate=100000.0,
         adaptive_throttling=False,
+        retry_delay=0.05,  # backoff budget scaled to the synthetic rtt
         fetch_concurrency=max(4, NUM_CPUS // 2),
-        fetch_batch_size=64,
+        fetch_batch_size=256,
         n_seen_shards=8,
         n_politeness_shards=4,
     )

@@ -56,10 +56,17 @@ class CrawlConfig:
     # distribution knobs
     n_seen_shards: int = 8
     n_politeness_shards: int = 4
+    # fetch runs task-based: fetch_concurrency caps concurrent fetch
+    # tasks only when a politeness budget makes more waiting than work;
+    # batch size trades politeness-RPC amortization vs pipelining
     fetch_concurrency: int = 8
-    fetch_batch_size: int = 32
+    fetch_batch_size: int = 256
     parse_batch_size: int = 64
     seen_capacity_per_shard: int = 1 << 16
+    # outlink min-rank dedup buckets (power of 2): groups the groupby
+    # shuffle into ~this many vectorized partitions instead of one
+    # Python group per URL
+    dedup_buckets: int = 64
 
     def seed_urls(self) -> list[str]:
         if self.seeds is not None:

@@ -43,7 +43,7 @@ from ..schema import FRONTIER
 from ..sources.sitemap import discover_domain_urls, filter_urls
 from ..stages.canonicalize import canonicalize_batch
 from ..stages.chunk import chunk_batch
-from ..stages.embed import HashEmbedder
+from ..stages.embed import embed_batch
 from ..stages.extract import (
     harvest_decode_batch,
     image_candidates_batch,
@@ -51,7 +51,7 @@ from ..stages.extract import (
     parse_documents_batch,
     render_batch,
 )
-from ..stages.fetch import FetchWorker, make_backend
+from ..stages.fetch import FetchWorker, cached_backend, make_backend
 from ..state.checkpoint import CheckpointManager, config_hash
 from ..state.politeness import PolitenessService
 from ..state.seen import SeenSet
@@ -64,14 +64,27 @@ RANK_STRIDE = 100_000
 
 class DiscoverWorker:
     """Sitemap discovery per seed (S2-S4): robots → sitemap recursion →
-    reference-order filter → ranked frontier rows. Runs as a small actor
-    pool over the seed list; each seed's discovery is inherently
-    sequential (first-hit-wins), so parallelism is across seeds."""
+    reference-order filter → ranked frontier rows. Runs task-based over
+    the seed list (one batch = one seed); each seed's discovery is
+    inherently sequential (first-hit-wins), so parallelism is across
+    seeds."""
 
     def __init__(self, world_cfg: dict, politeness=None, crawl_cfg: dict | None = None):
-        self.backend = make_backend(world_cfg)
+        self.world_cfg = world_cfg
+        self._backend = None
         self.politeness = politeness
         self.cfg = crawl_cfg or {}
+
+    @property
+    def backend(self):
+        if self._backend is None:
+            self._backend = cached_backend(self.world_cfg)
+        return self._backend
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_backend"] = None
+        return state
 
     def _fetch(self, url: str):
         if self.politeness is not None:
@@ -197,6 +210,15 @@ def _write_parquet(ds: rd.Dataset, path: str) -> int:
     return _dir_rows(path)
 
 
+def _fetch_parallelism(n_rows: int) -> int:
+    """Blocks for a fetch fan-out. A frontier table is KBs while the
+    fetch work it fans into is seconds-per-block, so Ray's size-based
+    block coalescing would starve the pool — split to ≥2 blocks per
+    CPU, capped so huge frontiers keep ~2k URLs per block."""
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(1, min(n_rows, max(2 * cpus, n_rows // 2048)))
+
+
 # ------------------------------------------------------------------- crawl
 
 def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResult:
@@ -265,16 +287,13 @@ def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResu
                 })).repartition(max(1, len(seeds)))
                 frontier_ds = (
                     seeds_ds.map_batches(
-                        DiscoverWorker,
-                        fn_constructor_kwargs={
-                            "world_cfg": world_cfg,
-                            "politeness": politeness,
-                            "crawl_cfg": crawl_opts,
-                        },
+                        DiscoverWorker(
+                            world_cfg=world_cfg,
+                            politeness=politeness,
+                            crawl_cfg=crawl_opts,
+                        ),
                         batch_format="pyarrow",
                         batch_size=1,
-                        concurrency=min(max(1, len(seeds)), cfg.fetch_concurrency),
-                        num_cpus=0.25,
                     )
                     .map_batches(canonicalize_batch, batch_format="pyarrow")
                     .map_batches(SeenFilter(seen), batch_format="pyarrow")
@@ -294,18 +313,17 @@ def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResu
             round_t0 = time.monotonic()
 
             # ---- fetch + parse → documents ---------------------------------
-            pages = rd.read_parquet(frontier_dir).map_batches(
-                FetchWorker,
-                fn_constructor_kwargs={
-                    "world_cfg": world_cfg,
-                    "politeness": politeness,
-                    "max_retries": cfg.max_retries,
-                    "retry_delay": cfg.retry_delay,
-                },
+            pages = rd.read_parquet(frontier_dir).repartition(
+                _fetch_parallelism(n_frontier)
+            ).map_batches(
+                FetchWorker(
+                    world_cfg=world_cfg,
+                    politeness=politeness,
+                    max_retries=cfg.max_retries,
+                    retry_delay=cfg.retry_delay,
+                ),
                 batch_format="pyarrow",
                 batch_size=cfg.fetch_batch_size,
-                concurrency=cfg.fetch_concurrency,
-                num_cpus=0.5,
             )
             docs = pages.map_batches(
                 parse_documents_batch,
@@ -314,12 +332,15 @@ def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResu
             )
             docs_dir = ckpt.table_dir(depth, "documents")
             t_fetch0 = time.monotonic()
-            n_docs = _write_parquet(docs, docs_dir)
+            # one execution materializes fetch+parse; the checkpoint
+            # write and the four branches then consume the SAME blocks
+            # from the object store instead of 5 parquet re-reads
+            docs_pq = docs.materialize()
+            n_docs = docs_pq.count()
             fetch_parse_sec = time.monotonic() - t_fetch0
 
             n_rendered = n_chunks = n_harvest = n_next = 0
             if n_docs:
-                docs_pq = rd.read_parquet(docs_dir)
 
                 # The four post-parse branches are independent consumers of
                 # the documents checkpoint — run them as concurrent dataset
@@ -347,12 +368,9 @@ def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResu
                     )
                     if cfg.embed_chunks:
                         chunks = chunks.map_batches(
-                            HashEmbedder,
-                            fn_constructor_kwargs={"dim": cfg.embedding_dim},
+                            lambda b: embed_batch(b, dim=cfg.embedding_dim),
                             batch_format="pyarrow",
-                            batch_size=32,
-                            concurrency=2,
-                            num_cpus=0.5,
+                            batch_size=1024,
                         )
                     return _write_parquet(chunks, ckpt.table_dir(depth, "chunks"))
 
@@ -364,24 +382,24 @@ def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResu
                         )
                         .map_batches(canonicalize_batch, batch_format="pyarrow")
                         .map_batches(SeenFilter(seen), batch_format="pyarrow")
+                        .materialize()
                     )
                     img_dir = ckpt.table_dir(depth, "image_frontier")
-                    if _write_parquet(img_cands, img_dir) == 0:
+                    n_imgs = _write_parquet(img_cands, img_dir)
+                    if n_imgs == 0:
                         return 0
                     harvest = (
-                        rd.read_parquet(img_dir)
+                        img_cands
+                        .repartition(_fetch_parallelism(n_imgs))
                         .map_batches(
-                            FetchWorker,
-                            fn_constructor_kwargs={
-                                "world_cfg": world_cfg,
-                                "politeness": politeness,
-                                "max_retries": cfg.max_retries,
-                                "retry_delay": cfg.retry_delay,
-                            },
+                            FetchWorker(
+                                world_cfg=world_cfg,
+                                politeness=politeness,
+                                max_retries=cfg.max_retries,
+                                retry_delay=cfg.retry_delay,
+                            ),
                             batch_format="pyarrow",
                             batch_size=cfg.fetch_batch_size,
-                            concurrency=cfg.fetch_concurrency,
-                            num_cpus=0.5,
                         )
                         .map_batches(harvest_decode_batch, batch_format="pyarrow")
                     )
@@ -414,11 +432,35 @@ def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResu
                     )
                     # min-rank dedup BEFORE the seen filter so duplicate
                     # candidates resolve deterministically to the earliest
-                    # parent (oracle parity) — a per-round groupby over the
-                    # (small) candidate table, not the page data.
-                    deduped = cands.groupby("url_hash").map_groups(
-                        lambda g: g.sort_values("seed_rank").head(1),
-                        batch_format="pandas",
+                    # parent (oracle parity). Combiner pattern: per-block
+                    # partial dedup shrinks the shuffle, then a bucketed
+                    # groupby (url_hash & mask → ~n_buckets groups) does
+                    # the global dedup vectorized — NOT one Python call
+                    # per URL group, which is the skew/overhead trap at
+                    # 10^10-URL scale.
+                    mask = cfg.dedup_buckets - 1
+
+                    def _partial_dedup(df):
+                        return df.sort_values(["url_hash", "seed_rank"],
+                                              kind="stable") \
+                                 .drop_duplicates("url_hash")
+
+                    def _add_bucket(b: pa.Table) -> pa.Table:
+                        bucket = pc.bit_wise_and(
+                            b.column("url_hash"), pa.scalar(
+                                mask, type=b.column("url_hash").type)
+                        )
+                        return b.append_column("bucket", bucket)
+
+                    def _bucket_dedup(df):
+                        return _partial_dedup(df).drop(columns=["bucket"])
+
+                    deduped = (
+                        cands.map_batches(_partial_dedup,
+                                          batch_format="pandas")
+                        .map_batches(_add_bucket, batch_format="pyarrow")
+                        .groupby("bucket")
+                        .map_groups(_bucket_dedup, batch_format="pandas")
                     )
                     nxt = deduped.map_batches(
                         SeenFilter(seen), batch_format="pyarrow"
@@ -428,15 +470,31 @@ def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResu
 
                 from concurrent.futures import ThreadPoolExecutor
 
+                branch_times: dict[str, float] = {}
+
+                def _timed(name, fn):
+                    def run():
+                        t0 = time.monotonic()
+                        try:
+                            return fn()
+                        finally:
+                            branch_times[name] = round(
+                                time.monotonic() - t0, 3)
+                    return run
+
                 t_branch0 = time.monotonic()
-                with ThreadPoolExecutor(max_workers=4) as pool:
-                    f_rendered = pool.submit(_do_rendered)
-                    f_chunks = pool.submit(_do_chunks)
-                    f_harvest = (pool.submit(_do_harvest)
+                with ThreadPoolExecutor(max_workers=5) as pool:
+                    f_docs = pool.submit(
+                        _timed("docs_ckpt",
+                               lambda: _write_parquet(docs_pq, docs_dir)))
+                    f_rendered = pool.submit(_timed("rendered", _do_rendered))
+                    f_chunks = pool.submit(_timed("chunks", _do_chunks))
+                    f_harvest = (pool.submit(_timed("harvest", _do_harvest))
                                  if cfg.harvest_images else None)
-                    f_next = (pool.submit(_do_outlinks)
+                    f_next = (pool.submit(_timed("outlinks", _do_outlinks))
                               if cfg.follow_links and depth < cfg.max_depth
                               else None)
+                    f_docs.result()
                     n_rendered = f_rendered.result()
                     n_chunks = f_chunks.result()
                     n_harvest = f_harvest.result() if f_harvest else 0
@@ -461,6 +519,7 @@ def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResu
                 "round_sec": time.monotonic() - round_t0,
                 "fetch_parse_sec": round(fetch_parse_sec, 3),
                 "branch_sec": round(locals().get("branch_sec", 0.0), 3),
+                "branch_times": dict(locals().get("branch_times", {})),
             }
             ckpt.complete_round(depth, lineage, metrics, chash)
             result.rounds.append(depth)

@@ -46,3 +46,21 @@ class HashEmbedder:
             pa.array(vecs.ravel(), type=pa.float32()), self.dim
         )
         return batch.append_column("embedding", emb)
+
+
+_EMBEDDER_CACHE: dict[tuple, HashEmbedder] = {}
+
+
+def embed_batch(batch: pa.Table, dim: int = 384, normalize: bool = True,
+                text_col: str = "content") -> pa.Table:
+    """Task-based embedding over a batch, fusable with upstream stages.
+
+    The embedder instance is cached per worker process (the slot where a
+    real model load would amortize); the hash embedder itself is cheap,
+    so fusing it into the chunk stage beats a dedicated actor pool whose
+    spawn would dominate short rounds."""
+    key = (dim, normalize, text_col)
+    e = _EMBEDDER_CACHE.get(key)
+    if e is None:
+        e = _EMBEDDER_CACHE[key] = HashEmbedder(dim, normalize, text_col)
+    return e(batch)

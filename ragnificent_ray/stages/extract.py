@@ -74,6 +74,9 @@ def render_batch(batch: pa.Table, formats: tuple = ("markdown",)) -> pa.Table:
     rows = batch.to_pylist()
     out = {name: [] for name in RENDERED.names}
     for row in rows:
+        # checkpointed documents carry the page url as `url`; the
+        # renderers' Document shape names it `base_url`
+        row.setdefault("base_url", row["url"])
         md = document_to_markdown(row)
         for fmt in formats:
             content = md if fmt == "markdown" else render_document(row, fmt)

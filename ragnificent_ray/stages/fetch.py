@@ -40,7 +40,28 @@ def make_backend(world_cfg: dict):
     return SynthWorld(**world_cfg)
 
 
+_BACKEND_CACHE: dict[tuple, object] = {}
+
+
+def cached_backend(world_cfg: dict):
+    """Per-process backend cache. Fetch stages run task-based (cheap
+    construction, no actor-pool spawn); Ray reuses worker processes, so
+    the backend/session is built once per worker, not once per task."""
+    key = tuple(sorted(world_cfg.items()))
+    b = _BACKEND_CACHE.get(key)
+    if b is None:
+        b = _BACKEND_CACHE[key] = make_backend(world_cfg)
+    return b
+
+
 class FetchWorker:
+    """Callable for ``map_batches``. Passed as an INSTANCE it runs
+    task-based (pickles small: the backend is resolved lazily from the
+    per-process cache — no actor-pool spawn, and Ray fuses it with the
+    surrounding read/parse stages); passed as the CLASS with
+    ``fn_constructor_kwargs`` it runs as an actor pool (the right shape
+    when the backend holds heavy state, e.g. a browser or model)."""
+
     def __init__(
         self,
         world_cfg: dict,
@@ -49,11 +70,23 @@ class FetchWorker:
         retry_delay: float = 2.0,
         out_col: str = "html",
     ):
-        self.backend = make_backend(world_cfg)
+        self.world_cfg = world_cfg
+        self._backend = None
         self.politeness = politeness
         self.max_retries = max_retries
         self.retry_delay = retry_delay
         self.out_col = out_col
+
+    @property
+    def backend(self):
+        if self._backend is None:
+            self._backend = cached_backend(self.world_cfg)
+        return self._backend
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_backend"] = None  # resolved from the worker's cache
+        return state
 
     def _fetch_once(self, url: str) -> tuple[FetchResult | None, float, Exception | None]:
         t0 = time.monotonic()
@@ -96,12 +129,15 @@ class FetchWorker:
         for i, d in enumerate(domains):
             by_domain.setdefault(d, []).append(i)
 
+        delays_by_domain = (
+            self.politeness.reserve_batch(
+                {d: len(idxs) for d, idxs in by_domain.items()})
+            if self.politeness is not None
+            else {d: [0.0] * len(idxs) for d, idxs in by_domain.items()}
+        )
+        reports: dict[str, list] = {}
         for domain, idxs in by_domain.items():
-            delays = (
-                self.politeness.reserve(domain, len(idxs))
-                if self.politeness is not None
-                else [0.0] * len(idxs)
-            )
+            delays = delays_by_domain[domain]
             t0 = time.monotonic()
             outcomes = []
             for slot, i in zip(delays, idxs):
@@ -111,8 +147,9 @@ class FetchWorker:
                 status, body, ctype, rt = self._fetch_with_retries(urls[i])
                 statuses[i], bodies[i], ctypes[i], rts[i] = status, body, ctype, rt
                 outcomes.append((status, rt, status >= 400))
-            if self.politeness is not None:
-                self.politeness.report(domain, outcomes)
+            reports[domain] = outcomes
+        if self.politeness is not None:
+            self.politeness.report_batch(reports)
 
         fetched_at = pa.array(
             [int(time.time() * 1e6)] * n, type=pa.timestamp("us")

@@ -159,6 +159,15 @@ class PolitenessShard(_PolitenessCore):
     def reserve_with_now(self, domain: str, n: int) -> tuple[list[float], float]:
         return self.reserve(domain, n), self.clock()
 
+    def reserve_many(self, pairs: list[tuple[str, int]]) -> tuple[dict, float]:
+        """Batched reservation: one RPC covers every domain a fetch batch
+        touches on this shard (RPC count per batch = shards, not domains)."""
+        return {d: self.reserve(d, n) for d, n in pairs}, self.clock()
+
+    def report_many(self, per_domain: dict) -> None:
+        for d, outcomes in per_domain.items():
+            self.report(d, outcomes)
+
 
 class PolitenessService:
     """Client over N shards; ``hash(domain) % N`` routing (stable hash)."""
@@ -196,9 +205,36 @@ class PolitenessService:
         )
         return [max(0.0, s - shard_now) for s in slots]
 
+    def reserve_batch(self, counts: dict[str, int]) -> dict[str, list[float]]:
+        """Relative delays for a whole fetch batch: RPCs = shards touched
+        (issued in parallel), not domains touched."""
+        from ..functions.hashing import stable_hash64
+
+        by_shard: dict[int, list[tuple[str, int]]] = {}
+        for d, n in counts.items():
+            by_shard.setdefault(stable_hash64(d) % self.n_shards, []).append((d, n))
+        refs = [self.shards[i].reserve_many.remote(pairs)
+                for i, pairs in by_shard.items()]
+        out: dict[str, list[float]] = {}
+        for slots_map, shard_now in ray.get(refs):
+            for d, slots in slots_map.items():
+                out[d] = [max(0.0, s - shard_now) for s in slots]
+        return out
+
     def report(self, domain: str, outcomes: list[tuple[int, float, bool]]):
         # fire-and-forget: stats/adaptive updates need not block fetching
         self.shard_for(domain).report.remote(domain, outcomes)
+
+    def report_batch(self, per_domain: dict) -> None:
+        """Fire-and-forget batched outcome report, one RPC per shard."""
+        from ..functions.hashing import stable_hash64
+
+        by_shard: dict[int, dict] = {}
+        for d, outcomes in per_domain.items():
+            by_shard.setdefault(
+                stable_hash64(d) % self.n_shards, {})[d] = outcomes
+        for i, m in by_shard.items():
+            self.shards[i].report_many.remote(m)
 
     def stats_rows(self) -> list[dict]:
         parts = ray.get([s.stats_rows.remote() for s in self.shards])
