@@ -63,10 +63,6 @@ class CrawlConfig:
     fetch_batch_size: int = 256
     parse_batch_size: int = 64
     seen_capacity_per_shard: int = 1 << 16
-    # outlink min-rank dedup buckets (power of 2): groups the groupby
-    # shuffle into ~this many vectorized partitions instead of one
-    # Python group per URL
-    dedup_buckets: int = 64
 
     def seed_urls(self) -> list[str]:
         if self.seeds is not None:

@@ -158,6 +158,44 @@ class SeenFilter:
         return batch.filter(pa.array(mask))
 
 
+class MinRankPropose:
+    """Phase 1 of the distributed min-rank claim (see SeenSet): propose
+    every candidate's (url_hash, seed_rank) to its owning shard, pass
+    the batch through unchanged. Runs fused into the candidate
+    materialize; the materialize IS the phase barrier."""
+
+    def __init__(self, seen: SeenSet):
+        self.seen = seen
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows:
+            self.seen.propose_min(
+                batch.column("url_hash").to_numpy(
+                    zero_copy_only=False).astype(np.uint64),
+                batch.column("seed_rank").to_numpy(zero_copy_only=False),
+            )
+        return batch
+
+
+class MinRankResolve:
+    """Phase 2: keep only the rows whose (url_hash, seed_rank) won the
+    proposal round and were not already seen — the winners are claimed
+    into the seen set atomically on their shard."""
+
+    def __init__(self, seen: SeenSet):
+        self.seen = seen
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        mask = self.seen.resolve_min(
+            batch.column("url_hash").to_numpy(
+                zero_copy_only=False).astype(np.uint64),
+            batch.column("seed_rank").to_numpy(zero_copy_only=False),
+        )
+        return batch.filter(pa.array(mask))
+
+
 # ------------------------------------------------------------------ result
 
 @dataclass
@@ -223,7 +261,20 @@ def _fetch_parallelism(n_rows: int) -> int:
 
 def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResult:
     """Run the full crawl. Ray must already be initialized by the caller
-    (driver contract); this function owns only its shard actors."""
+    (driver contract); this function owns only its shard actors.
+
+    Execution shape: rounds are PIPELINED. Per round, only the stages
+    that gate determinism run on the critical path — fetch+parse, the
+    image-URL seen-claim, and the outlink dedup+seen-claim that builds
+    the next frontier. The heavy sinks (document/rendered/chunk
+    checkpoint writes, image fetch+decode+harvest write) stream in the
+    background and overlap the next round's fetch; a round is marked
+    complete in the manifest only after ALL its writes land, so resume
+    semantics are unchanged.
+    """
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
     ckpt = CheckpointManager(out_dir)
     chash = config_hash(cfg)
     world_cfg = asdict(cfg.world)
@@ -241,8 +292,18 @@ def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResu
         capacity_per_shard=cfg.seen_capacity_per_shard,
     )
 
+    fetcher = FetchWorker(
+        world_cfg=world_cfg,
+        politeness=politeness,
+        max_retries=cfg.max_retries,
+        retry_delay=cfg.retry_delay,
+    )
+
     result = CrawlResult(out_dir=out_dir)
     t_start = time.monotonic()
+    pool = ThreadPoolExecutor(max_workers=16)
+    manifest_lock = threading.Lock()
+    finalizers = []
     try:
         done = ckpt.completed_rounds(chash) if resume else []
         if done:
@@ -272,20 +333,157 @@ def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResu
             "limit_per_domain": cfg.limit_per_domain,
         }
 
+        allowed_domains = (
+            None if cfg.allow_cross_domain
+            else {u.split("://", 1)[-1].split("/", 1)[0]
+                  for u in cfg.seed_urls()}
+        )
+
+        def _timed(times: dict, name: str, fn):
+            def run(*a, **kw):
+                t0 = time.monotonic()
+                try:
+                    return fn(*a, **kw)
+                finally:
+                    times[name] = round(time.monotonic() - t0, 3)
+            return run
+
+        def _render_and_chunk(docs_pq, depth: int, times: dict):
+            """Render once; write the rendered table and the chunk table
+            from the same materialized blocks."""
+            formats = tuple(cfg.formats)
+            rendered_mat = docs_pq.map_batches(
+                lambda b: render_batch(b, formats=formats),
+                batch_format="pyarrow",
+            ).materialize()
+            tw = threading.Thread(
+                target=_timed(
+                    times, "rendered_write",
+                    lambda: _write_parquet(
+                        rendered_mat, ckpt.table_dir(depth, "rendered"))))
+            tw.start()
+            chunk_src = rendered_mat
+            if len(formats) > 1:
+                chunk_src = chunk_src.map_batches(
+                    lambda b: b.filter(
+                        pc.equal(b.column("fmt"), "markdown")),
+                    batch_format="pyarrow",
+                )
+            chunks = chunk_src.map_batches(
+                lambda b: chunk_batch(
+                    b,
+                    strategy=cfg.chunk_strategy,
+                    chunk_size=cfg.chunk_size,
+                    chunk_overlap=cfg.chunk_overlap,
+                ),
+                batch_format="pyarrow",
+            )
+            if cfg.embed_chunks:
+                chunks = chunks.map_batches(
+                    lambda b: embed_batch(b, dim=cfg.embedding_dim),
+                    batch_format="pyarrow",
+                    batch_size=1024,
+                )
+            n_chunks = _write_parquet(chunks, ckpt.table_dir(depth, "chunks"))
+            tw.join()
+            n_rendered = _dir_rows(ckpt.table_dir(depth, "rendered"))
+            return n_rendered, n_chunks
+
+        def _harvest_heavy(img_cands, n_imgs: int, depth: int, times: dict):
+            """Fetch+decode+write the images this round claimed. The
+            claim (seen-filter) already happened on the critical path;
+            this part streams in the background."""
+            img_dir = ckpt.table_dir(depth, "image_frontier")
+            tw = threading.Thread(
+                target=_timed(times, "image_frontier_write",
+                              lambda: _write_parquet(img_cands, img_dir)))
+            tw.start()
+            harvest = (
+                img_cands
+                .repartition(_fetch_parallelism(n_imgs))
+                .map_batches(
+                    fetcher,
+                    batch_format="pyarrow",
+                    batch_size=cfg.fetch_batch_size,
+                )
+                .map_batches(harvest_decode_batch, batch_format="pyarrow")
+            )
+            hdir = ckpt.table_dir(depth, "harvest")
+            write_harvest(harvest, hdir)
+            tw.join()
+            return _dir_rows(hdir)
+
+        def _outlinks_next_frontier(docs_pq, depth: int):
+            """Critical-path stage: outlink extraction → min-rank dedup
+            → seen-claim → next frontier (materialized)."""
+
+            def _domain_filter(b: pa.Table, allowed=allowed_domains) -> pa.Table:
+                if allowed is None or b.num_rows == 0:
+                    return b
+                mask = pa.array(
+                    [d in allowed for d in b.column("domain").to_pylist()]
+                )
+                return b.filter(mask)
+
+            cands = (
+                docs_pq.map_batches(
+                    lambda b: outlinks_batch(b, RANK_STRIDE),
+                    batch_format="pyarrow",
+                )
+                .map_batches(canonicalize_batch, batch_format="pyarrow")
+                .map_batches(_domain_filter, batch_format="pyarrow")
+            )
+            # min-rank dedup BEFORE the seen filter so duplicate
+            # candidates resolve deterministically to the earliest
+            # parent (oracle parity). Two-phase claim on the seen
+            # shards instead of a groupby shuffle: per-block partial
+            # dedup shrinks the candidate set, phase 1 (fused into the
+            # materialize) proposes (hash -> min rank) to the owning
+            # shard, phase 2 resolves winners and claims them -- the
+            # shard is the serialization point, no all-to-all exchange,
+            # and url skew costs RPC fan-in, never a sort.
+            def _partial_dedup(df):
+                return df.sort_values(["url_hash", "seed_rank"],
+                                      kind="stable") \
+                         .drop_duplicates("url_hash")
+
+            cands_mat = (
+                cands.map_batches(_partial_dedup, batch_format="pandas")
+                .map_batches(MinRankPropose(seen), batch_format="pyarrow")
+                .materialize()  # barrier: all proposals are in
+            )
+            nxt = cands_mat.map_batches(
+                MinRankResolve(seen), batch_format="pyarrow"
+            ).map_batches(
+                to_frontier_schema, batch_format="pyarrow"
+            ).materialize()
+            return nxt, nxt.count()
+
+        # (materialized next-round frontier, row count) handed from the
+        # outlinks stage of round d to round d+1 — the only inter-round
+        # dependency on the critical path
+        next_frontier = None
+
         for depth in range(cfg.max_depth + 1):
             if depth in done:
                 continue
-            rdir = ckpt.round_dir(depth)
             frontier_dir = ckpt.table_dir(depth, "frontier")
 
-            # ---- build this round's frontier --------------------------------
-            if depth == 0:
+            # ---- this round's frontier --------------------------------------
+            frontier_written = None  # future for the checkpoint write
+            if next_frontier is not None:
+                frontier_mat, n_frontier = next_frontier
+                next_frontier = None
+            elif _dir_rows(frontier_dir) > 0:  # resume path
+                n_frontier = _dir_rows(frontier_dir)
+                frontier_mat = rd.read_parquet(frontier_dir).materialize()
+            elif depth == 0:
                 seeds = cfg.seed_urls()
                 seeds_ds = rd.from_arrow(pa.table({
                     "seed_url": pa.array(seeds),
                     "seed_idx": pa.array(range(len(seeds)), type=pa.int64()),
                 })).repartition(max(1, len(seeds)))
-                frontier_ds = (
+                frontier_mat = (
                     seeds_ds.map_batches(
                         DiscoverWorker(
                             world_cfg=world_cfg,
@@ -297,84 +495,57 @@ def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResu
                     )
                     .map_batches(canonicalize_batch, batch_format="pyarrow")
                     .map_batches(SeenFilter(seen), batch_format="pyarrow")
+                    .materialize()
                 )
-                n_frontier = _write_parquet(frontier_ds, frontier_dir)
+                n_frontier = frontier_mat.count()
+                frontier_written = pool.submit(
+                    _write_parquet, frontier_mat, frontier_dir)
             else:
-                n_frontier = _dir_rows(frontier_dir)
+                n_frontier = 0
 
             if n_frontier == 0:
-                ckpt.complete_round(
-                    depth, {"depth": depth, "inputs": [], "n_frontier": 0},
-                    {"pages_fetched": 0}, chash,
-                )
-                result.rounds.append(depth)
+                with manifest_lock:
+                    ckpt.complete_round(
+                        depth, {"depth": depth, "inputs": [], "n_frontier": 0},
+                        {"pages_fetched": 0}, chash,
+                    )
+                    result.rounds.append(depth)
                 break
 
             round_t0 = time.monotonic()
+            branch_times: dict[str, float] = {}
 
-            # ---- fetch + parse → documents ---------------------------------
-            pages = rd.read_parquet(frontier_dir).repartition(
+            # ---- fetch + parse → documents (critical path) ------------------
+            docs = frontier_mat.repartition(
                 _fetch_parallelism(n_frontier)
             ).map_batches(
-                FetchWorker(
-                    world_cfg=world_cfg,
-                    politeness=politeness,
-                    max_retries=cfg.max_retries,
-                    retry_delay=cfg.retry_delay,
-                ),
+                fetcher,
                 batch_format="pyarrow",
                 batch_size=cfg.fetch_batch_size,
-            )
-            docs = pages.map_batches(
+            ).map_batches(
                 parse_documents_batch,
                 batch_format="pyarrow",
                 batch_size=cfg.parse_batch_size,
             )
             docs_dir = ckpt.table_dir(depth, "documents")
             t_fetch0 = time.monotonic()
-            # one execution materializes fetch+parse; the checkpoint
-            # write and the four branches then consume the SAME blocks
-            # from the object store instead of 5 parquet re-reads
             docs_pq = docs.materialize()
             n_docs = docs_pq.count()
             fetch_parse_sec = time.monotonic() - t_fetch0
 
-            n_rendered = n_chunks = n_harvest = n_next = 0
+            futures = {}
+            n_imgs = n_next = 0
             if n_docs:
+                futures["docs_ckpt"] = pool.submit(
+                    _timed(branch_times, "docs_ckpt",
+                           lambda d=docs_pq, p=docs_dir: _write_parquet(d, p)))
+                futures["render_chunks"] = pool.submit(
+                    _timed(branch_times, "render_chunks",
+                           _render_and_chunk), docs_pq, depth, branch_times)
 
-                # The four post-parse branches are independent consumers of
-                # the documents checkpoint — run them as concurrent dataset
-                # executions so pool startup and the narrow shuffles overlap
-                # instead of serializing the round.
-                def _do_rendered() -> int:
-                    rendered = docs_pq.map_batches(
-                        lambda b: render_batch(b, formats=tuple(cfg.formats)),
-                        batch_format="pyarrow",
-                    )
-                    return _write_parquet(
-                        rendered, ckpt.table_dir(depth, "rendered"))
-
-                def _do_chunks() -> int:
-                    # fused render(markdown)+chunk — markdown re-render is
-                    # ~0.1 ms/page, cheaper than a file round-trip
-                    chunks = docs_pq.map_batches(
-                        lambda b: chunk_batch(
-                            render_batch(b, formats=("markdown",)),
-                            strategy=cfg.chunk_strategy,
-                            chunk_size=cfg.chunk_size,
-                            chunk_overlap=cfg.chunk_overlap,
-                        ),
-                        batch_format="pyarrow",
-                    )
-                    if cfg.embed_chunks:
-                        chunks = chunks.map_batches(
-                            lambda b: embed_batch(b, dim=cfg.embedding_dim),
-                            batch_format="pyarrow",
-                            batch_size=1024,
-                        )
-                    return _write_parquet(chunks, ckpt.table_dir(depth, "chunks"))
-
-                def _do_harvest() -> int:
+                if cfg.harvest_images:
+                    # image-URL claim stays on the critical path so the
+                    # round-order of the seen set is deterministic
                     img_cands = (
                         docs_pq.map_batches(
                             lambda b: image_candidates_batch(b, RANK_STRIDE),
@@ -384,150 +555,78 @@ def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResu
                         .map_batches(SeenFilter(seen), batch_format="pyarrow")
                         .materialize()
                     )
-                    img_dir = ckpt.table_dir(depth, "image_frontier")
-                    n_imgs = _write_parquet(img_cands, img_dir)
-                    if n_imgs == 0:
-                        return 0
-                    harvest = (
-                        img_cands
-                        .repartition(_fetch_parallelism(n_imgs))
-                        .map_batches(
-                            FetchWorker(
-                                world_cfg=world_cfg,
-                                politeness=politeness,
-                                max_retries=cfg.max_retries,
-                                retry_delay=cfg.retry_delay,
-                            ),
-                            batch_format="pyarrow",
-                            batch_size=cfg.fetch_batch_size,
-                        )
-                        .map_batches(harvest_decode_batch, batch_format="pyarrow")
-                    )
-                    hdir = ckpt.table_dir(depth, "harvest")
-                    write_harvest(harvest, hdir)
-                    return _dir_rows(hdir)
+                    n_imgs = img_cands.count()
+                    if n_imgs:
+                        futures["harvest"] = pool.submit(
+                            _timed(branch_times, "harvest", _harvest_heavy),
+                            img_cands, n_imgs, depth, branch_times)
 
-                def _do_outlinks() -> int:
-                    allowed = (
-                        None if cfg.allow_cross_domain
-                        else {u.split("://", 1)[-1].split("/", 1)[0]
-                              for u in cfg.seed_urls()}
-                    )
+                if cfg.follow_links and depth < cfg.max_depth:
+                    t0 = time.monotonic()
+                    nxt_mat, n_next = _outlinks_next_frontier(docs_pq, depth)
+                    branch_times["outlinks"] = round(time.monotonic() - t0, 3)
+                    if n_next:
+                        futures["frontier_next"] = pool.submit(
+                            _timed(branch_times, "frontier_next_write",
+                                   lambda m=nxt_mat, d=depth: _write_parquet(
+                                       m, ckpt.table_dir(d + 1, "frontier"))))
+                        next_frontier = (nxt_mat, n_next)
 
-                    def _domain_filter(b: pa.Table, allowed=allowed) -> pa.Table:
-                        if allowed is None or b.num_rows == 0:
-                            return b
-                        mask = pa.array(
-                            [d in allowed for d in b.column("domain").to_pylist()]
-                        )
-                        return b.filter(mask)
+            critical_sec = time.monotonic() - round_t0
 
-                    cands = (
-                        docs_pq.map_batches(
-                            lambda b: outlinks_batch(b, RANK_STRIDE),
-                            batch_format="pyarrow",
-                        )
-                        .map_batches(canonicalize_batch, batch_format="pyarrow")
-                        .map_batches(_domain_filter, batch_format="pyarrow")
-                    )
-                    # min-rank dedup BEFORE the seen filter so duplicate
-                    # candidates resolve deterministically to the earliest
-                    # parent (oracle parity). Combiner pattern: per-block
-                    # partial dedup shrinks the shuffle, then a bucketed
-                    # groupby (url_hash & mask → ~n_buckets groups) does
-                    # the global dedup vectorized — NOT one Python call
-                    # per URL group, which is the skew/overhead trap at
-                    # 10^10-URL scale.
-                    mask = cfg.dedup_buckets - 1
+            # ---- deferred round finalization --------------------------------
+            def _finalize(depth=depth, futures=futures, n_frontier=n_frontier,
+                          n_docs=n_docs, n_imgs=n_imgs, n_next=n_next,
+                          branch_times=branch_times, round_t0=round_t0,
+                          critical_sec=critical_sec,
+                          fetch_parse_sec=fetch_parse_sec,
+                          frontier_dir=frontier_dir,
+                          frontier_written=frontier_written):
+                if frontier_written is not None:
+                    frontier_written.result()
+                n_rendered, n_chunks = (
+                    futures["render_chunks"].result()
+                    if "render_chunks" in futures else (0, 0))
+                n_harvest = (futures["harvest"].result()
+                             if "harvest" in futures else 0)
+                if "docs_ckpt" in futures:
+                    futures["docs_ckpt"].result()
+                if "frontier_next" in futures:
+                    futures["frontier_next"].result()
+                lineage = {
+                    "depth": depth,
+                    "inputs": [frontier_dir],
+                    "n_frontier": n_frontier,
+                    "config_hash": chash,
+                }
+                metrics = {
+                    "n_frontier": n_frontier,
+                    "pages_parsed": n_docs,
+                    "pages_failed": n_frontier - n_docs,
+                    "rendered": n_rendered,
+                    "chunks": n_chunks,
+                    "image_frontier": n_imgs,
+                    "harvest_rows": n_harvest,
+                    "next_frontier": n_next,
+                    "round_sec": round(time.monotonic() - round_t0, 3),
+                    "critical_sec": round(critical_sec, 3),
+                    "fetch_parse_sec": round(fetch_parse_sec, 3),
+                    "branch_times": dict(branch_times),
+                }
+                with manifest_lock:
+                    ckpt.complete_round(depth, lineage, metrics, chash)
+                    result.rounds.append(depth)
+                    result.metrics[f"round_{depth}"] = metrics
 
-                    def _partial_dedup(df):
-                        return df.sort_values(["url_hash", "seed_rank"],
-                                              kind="stable") \
-                                 .drop_duplicates("url_hash")
+            finalizers.append(pool.submit(_finalize))
 
-                    def _add_bucket(b: pa.Table) -> pa.Table:
-                        bucket = pc.bit_wise_and(
-                            b.column("url_hash"), pa.scalar(
-                                mask, type=b.column("url_hash").type)
-                        )
-                        return b.append_column("bucket", bucket)
+            if next_frontier is None:
+                break  # frontier exhausted (or link-following off)
 
-                    def _bucket_dedup(df):
-                        return _partial_dedup(df).drop(columns=["bucket"])
-
-                    deduped = (
-                        cands.map_batches(_partial_dedup,
-                                          batch_format="pandas")
-                        .map_batches(_add_bucket, batch_format="pyarrow")
-                        .groupby("bucket")
-                        .map_groups(_bucket_dedup, batch_format="pandas")
-                    )
-                    nxt = deduped.map_batches(
-                        SeenFilter(seen), batch_format="pyarrow"
-                    ).map_batches(to_frontier_schema, batch_format="pyarrow")
-                    return _write_parquet(
-                        nxt, ckpt.table_dir(depth + 1, "frontier"))
-
-                from concurrent.futures import ThreadPoolExecutor
-
-                branch_times: dict[str, float] = {}
-
-                def _timed(name, fn):
-                    def run():
-                        t0 = time.monotonic()
-                        try:
-                            return fn()
-                        finally:
-                            branch_times[name] = round(
-                                time.monotonic() - t0, 3)
-                    return run
-
-                t_branch0 = time.monotonic()
-                with ThreadPoolExecutor(max_workers=5) as pool:
-                    f_docs = pool.submit(
-                        _timed("docs_ckpt",
-                               lambda: _write_parquet(docs_pq, docs_dir)))
-                    f_rendered = pool.submit(_timed("rendered", _do_rendered))
-                    f_chunks = pool.submit(_timed("chunks", _do_chunks))
-                    f_harvest = (pool.submit(_timed("harvest", _do_harvest))
-                                 if cfg.harvest_images else None)
-                    f_next = (pool.submit(_timed("outlinks", _do_outlinks))
-                              if cfg.follow_links and depth < cfg.max_depth
-                              else None)
-                    f_docs.result()
-                    n_rendered = f_rendered.result()
-                    n_chunks = f_chunks.result()
-                    n_harvest = f_harvest.result() if f_harvest else 0
-                    n_next = f_next.result() if f_next else 0
-                branch_sec = time.monotonic() - t_branch0
-
-            # ---- finalize round --------------------------------------------
-            lineage = {
-                "depth": depth,
-                "inputs": [frontier_dir],
-                "n_frontier": n_frontier,
-                "config_hash": chash,
-            }
-            metrics = {
-                "n_frontier": n_frontier,
-                "pages_parsed": n_docs,
-                "pages_failed": n_frontier - n_docs,
-                "rendered": n_rendered,
-                "chunks": n_chunks,
-                "harvest_rows": n_harvest,
-                "next_frontier": n_next,
-                "round_sec": time.monotonic() - round_t0,
-                "fetch_parse_sec": round(fetch_parse_sec, 3),
-                "branch_sec": round(locals().get("branch_sec", 0.0), 3),
-                "branch_times": dict(locals().get("branch_times", {})),
-            }
-            ckpt.complete_round(depth, lineage, metrics, chash)
-            result.rounds.append(depth)
-            result.metrics[f"round_{depth}"] = metrics
-            if depth < cfg.max_depth and _dir_rows(
-                ckpt.table_dir(depth + 1, "frontier")
-            ) == 0:
-                break  # frontier exhausted before max_depth
+        # ---- wait for all background sinks ---------------------------------
+        for f in finalizers:
+            f.result()
+        result.rounds.sort()
 
         # ---- domain stats (G1) --------------------------------------------
         stats_rows = politeness.stats_rows()
@@ -559,5 +658,6 @@ def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResu
         result.metrics["_seen_snapshot"] = seen.snapshot()
         return result
     finally:
+        pool.shutdown(wait=True)
         politeness.shutdown()
         seen.shutdown()

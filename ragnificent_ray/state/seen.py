@@ -27,6 +27,8 @@ class _SeenShardState:
     def __init__(self, capacity: int = 1 << 16):
         self.filter = CuckooFilter(capacity=capacity)
         self.exact: set[int] = set()
+        # hash → min proposed rank, for the two-phase min-rank claim
+        self.pending_min: dict[int, int] = {}
 
     def check_and_add(self, hashes: list[int]) -> list[bool]:
         """True per input hash iff it was NOT seen before this call.
@@ -56,6 +58,40 @@ class _SeenShardState:
         f = CuckooFilter(capacity=max(1 << 16, 2 * len(self.exact)))
         f.add_bulk(np.fromiter(self.exact, dtype=np.uint64, count=len(self.exact)))
         self.filter = f
+
+    def propose_min(self, hashes: list[int], ranks: list[int]) -> None:
+        """Phase 1 of the min-rank claim: record the smallest rank ever
+        proposed for each hash. Deterministic regardless of arrival
+        order once all proposals are in (the caller barriers between
+        phases)."""
+        pend = self.pending_min
+        for h, r in zip(hashes, ranks):
+            cur = pend.get(h)
+            if cur is None or r < cur:
+                pend[h] = r
+
+    def resolve_min(self, hashes: list[int], ranks: list[int]) -> list[bool]:
+        """Phase 2: True iff (hash, rank) is the proposal winner AND the
+        hash was not already seen; winners are claimed into the seen
+        set. The unique owner (rank == pending min) pops its pending
+        entry win or lose, so the table drains exactly once per
+        proposed hash."""
+        out = []
+        fresh: list[int] = []
+        pend = self.pending_min
+        for h, r in zip(hashes, ranks):
+            owner = pend.get(h) == r
+            if owner:
+                del pend[h]
+            if owner and h not in self.exact:
+                self.exact.add(h)
+                fresh.append(h)
+                out.append(True)
+            else:
+                out.append(False)
+        if fresh and not self.filter.add_bulk(np.asarray(fresh, dtype=np.uint64)):
+            self._rebuild()
+        return out
 
     def snapshot(self) -> list[int]:
         """All seen hashes (for checkpoint manifests / parity checks)."""
@@ -102,6 +138,39 @@ class SeenSet:
                 refs.append(self.shards[s].check_and_add.remote(
                     [int(h) for h in hashes[idx]]))
                 spans.append(idx)
+        for idx, flags in zip(spans, ray.get(refs)):
+            result[idx] = flags
+        return result
+
+    def _route(self, hashes: np.ndarray):
+        shard_ids = (hashes % np.uint64(self.n_shards)).astype(np.int64)
+        for s in range(self.n_shards):
+            idx = np.nonzero(shard_ids == s)[0]
+            if len(idx):
+                yield s, idx
+
+    def propose_min(self, hashes: np.ndarray, ranks: np.ndarray) -> None:
+        """Phase-1 RPC fan-out of the two-phase min-rank claim; blocks
+        until every touched shard acked (the phase barrier is the
+        enclosing dataset execution)."""
+        refs = [
+            self.shards[s].propose_min.remote(
+                [int(h) for h in hashes[idx]],
+                [int(r) for r in ranks[idx]])
+            for s, idx in self._route(hashes)
+        ]
+        ray.get(refs)
+
+    def resolve_min(self, hashes: np.ndarray, ranks: np.ndarray) -> np.ndarray:
+        """Phase-2 RPC fan-out → boolean winner mask, input order."""
+        n = len(hashes)
+        result = np.zeros(n, dtype=bool)
+        refs, spans = [], []
+        for s, idx in self._route(hashes):
+            refs.append(self.shards[s].resolve_min.remote(
+                [int(h) for h in hashes[idx]],
+                [int(r) for r in ranks[idx]]))
+            spans.append(idx)
         for idx, flags in zip(spans, ray.get(refs)):
             result[idx] = flags
         return result
