@@ -44,10 +44,14 @@ from ..sources.sitemap import discover_domain_urls, filter_urls
 from ..stages.canonicalize import canonicalize_batch
 from ..stages.chunk import chunk_batch
 from ..stages.embed import embed_batch
+from ..stages.claims import (
+    CLAIM_COLUMNS,
+    AttachClaims,
+    ExplodeClaimedImages,
+    ExplodeResolveOutlinks,
+)
 from ..stages.extract import (
     harvest_decode_batch,
-    image_candidates_batch,
-    outlinks_batch,
     parse_documents_batch,
     render_batch,
 )
@@ -158,44 +162,6 @@ class SeenFilter:
         return batch.filter(pa.array(mask))
 
 
-class MinRankPropose:
-    """Phase 1 of the distributed min-rank claim (see SeenSet): propose
-    every candidate's (url_hash, seed_rank) to its owning shard, pass
-    the batch through unchanged. Runs fused into the candidate
-    materialize; the materialize IS the phase barrier."""
-
-    def __init__(self, seen: SeenSet):
-        self.seen = seen
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if batch.num_rows:
-            self.seen.propose_min(
-                batch.column("url_hash").to_numpy(
-                    zero_copy_only=False).astype(np.uint64),
-                batch.column("seed_rank").to_numpy(zero_copy_only=False),
-            )
-        return batch
-
-
-class MinRankResolve:
-    """Phase 2: keep only the rows whose (url_hash, seed_rank) won the
-    proposal round and were not already seen — the winners are claimed
-    into the seen set atomically on their shard."""
-
-    def __init__(self, seen: SeenSet):
-        self.seen = seen
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch
-        mask = self.seen.resolve_min(
-            batch.column("url_hash").to_numpy(
-                zero_copy_only=False).astype(np.uint64),
-            batch.column("seed_rank").to_numpy(zero_copy_only=False),
-        )
-        return batch.filter(pa.array(mask))
-
-
 # ------------------------------------------------------------------ result
 
 @dataclass
@@ -254,23 +220,62 @@ def _fetch_parallelism(n_rows: int) -> int:
     block coalescing would starve the pool — split to ≥2 blocks per
     CPU, capped so huge frontiers keep ~2k URLs per block."""
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    return max(1, min(n_rows, max(2 * cpus, n_rows // 2048)))
+    return max(1, min(n_rows, max(4 * cpus, n_rows // 2048)))
 
 
 # ------------------------------------------------------------------- crawl
+
+def _block_writer(path: str, drop_columns: tuple = (), tag: str = ""):
+    """Per-block parquet writer fused into a map stage (write + pass
+    through) so a checkpoint costs zero extra executions. Filenames are
+    content-addressed (hash of the block's url sequence) so a retried
+    task overwrites its own file instead of duplicating rows."""
+    import hashlib
+
+    os.makedirs(path, exist_ok=True)
+
+    def write(batch: pa.Table) -> pa.Table:
+        out = batch
+        drop = [c for c in drop_columns if c in out.column_names]
+        if drop:
+            out = out.drop_columns(drop)
+        if out.num_rows:
+            basis = (
+                "\n".join(out.column("url").to_pylist())
+                if "url" in out.column_names else repr(out.num_rows)
+            )
+            key = hashlib.blake2b(
+                (tag + basis).encode(), digest_size=10).hexdigest()
+            tmp = os.path.join(path, f".part-{key}.tmp")
+            pq.write_table(out, tmp)
+            os.replace(tmp, os.path.join(path, f"part-{key}.parquet"))
+        return batch
+
+    return write
+
 
 def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResult:
     """Run the full crawl. Ray must already be initialized by the caller
     (driver contract); this function owns only its shard actors.
 
-    Execution shape: rounds are PIPELINED. Per round, only the stages
-    that gate determinism run on the critical path — fetch+parse, the
-    image-URL seen-claim, and the outlink dedup+seen-claim that builds
-    the next frontier. The heavy sinks (document/rendered/chunk
-    checkpoint writes, image fetch+decode+harvest write) stream in the
-    background and overlap the next round's fetch; a round is marked
-    complete in the manifest only after ALL its writes land, so resume
-    semantics are unchanged.
+    Execution shape: a Ray Data execution has a fixed dispatch cost and
+    concurrent executions serialize their dispatch, so each round is
+    exactly FOUR executions (stages/claims.py):
+
+    1. critical — fetch → parse → AttachClaims (image seen-claims +
+       outlink min-rank proposals on the sharded seen set) →
+       block-write(documents) → materialize (= the phase-1 barrier).
+    2. critical — ExplodeResolveOutlinks (phase-2 resolve) →
+       block-write(next frontier) → materialize.
+    3. background — render → block-write(rendered) → chunk (→ embed)
+       → chunks sink.
+    4. background — ExplodeClaimedImages → block-write(image_frontier)
+       → fetch → decode → harvest sink.
+
+    Background sinks overlap the next round's critical path; a round is
+    marked complete in the manifest only after ALL its writes land, so
+    resume semantics are unchanged. The seen set evolves in exact round
+    order because every claim happens inside a critical-path execution.
     """
     import threading
     from concurrent.futures import ThreadPoolExecutor
@@ -302,6 +307,11 @@ def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResu
     result = CrawlResult(out_dir=out_dir)
     t_start = time.monotonic()
     pool = ThreadPoolExecutor(max_workers=16)
+    # ONE background lane: concurrent Ray Data executions serialize
+    # their task dispatch (measured ~1 s fixed cost each, worse when
+    # overlapped), so the heavy sinks run one at a time, overlapping
+    # the next round's critical path — at most 2 executions in flight.
+    bg_pool = ThreadPoolExecutor(max_workers=2)
     manifest_lock = threading.Lock()
     finalizers = []
     try:
@@ -348,21 +358,19 @@ def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResu
                     times[name] = round(time.monotonic() - t0, 3)
             return run
 
-        def _render_and_chunk(docs_pq, depth: int, times: dict):
-            """Render once; write the rendered table and the chunk table
-            from the same materialized blocks."""
+        def _render_and_chunk(docs_pq, depth: int):
+            """Background execution 3: one render pass feeds both the
+            rendered checkpoint (fused block-write) and the chunker."""
             formats = tuple(cfg.formats)
-            rendered_mat = docs_pq.map_batches(
+            rendered = docs_pq.map_batches(
                 lambda b: render_batch(b, formats=formats),
                 batch_format="pyarrow",
-            ).materialize()
-            tw = threading.Thread(
-                target=_timed(
-                    times, "rendered_write",
-                    lambda: _write_parquet(
-                        rendered_mat, ckpt.table_dir(depth, "rendered"))))
-            tw.start()
-            chunk_src = rendered_mat
+            ).map_batches(
+                _block_writer(ckpt.table_dir(depth, "rendered"),
+                              tag=f"rendered{depth}:"),
+                batch_format="pyarrow",
+            )
+            chunk_src = rendered
             if len(formats) > 1:
                 chunk_src = chunk_src.map_batches(
                     lambda b: b.filter(
@@ -385,83 +393,30 @@ def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResu
                     batch_size=1024,
                 )
             n_chunks = _write_parquet(chunks, ckpt.table_dir(depth, "chunks"))
-            tw.join()
-            n_rendered = _dir_rows(ckpt.table_dir(depth, "rendered"))
-            return n_rendered, n_chunks
+            return _dir_rows(ckpt.table_dir(depth, "rendered")), n_chunks
 
-        def _harvest_heavy(img_cands, n_imgs: int, depth: int, times: dict):
-            """Fetch+decode+write the images this round claimed. The
-            claim (seen-filter) already happened on the critical path;
-            this part streams in the background."""
-            img_dir = ckpt.table_dir(depth, "image_frontier")
-            tw = threading.Thread(
-                target=_timed(times, "image_frontier_write",
-                              lambda: _write_parquet(img_cands, img_dir)))
-            tw.start()
-            harvest = (
-                img_cands
-                .repartition(_fetch_parallelism(n_imgs))
-                .map_batches(
-                    fetcher,
-                    batch_format="pyarrow",
-                    batch_size=cfg.fetch_batch_size,
-                )
-                .map_batches(harvest_decode_batch, batch_format="pyarrow")
-            )
+        def _harvest(docs_pq, depth: int):
+            """Background execution 4: already-claimed image URLs →
+            image_frontier checkpoint (fused) → fetch → decode →
+            harvest sink, one execution."""
+            stream = docs_pq.map_batches(
+                ExplodeClaimedImages(), batch_format="pyarrow",
+            ).map_batches(
+                _block_writer(ckpt.table_dir(depth, "image_frontier"),
+                              tag=f"imgf{depth}:"),
+                batch_format="pyarrow",
+            ).map_batches(
+                fetcher,
+                batch_format="pyarrow",
+                batch_size=cfg.fetch_batch_size,
+            ).map_batches(harvest_decode_batch, batch_format="pyarrow")
             hdir = ckpt.table_dir(depth, "harvest")
-            write_harvest(harvest, hdir)
-            tw.join()
+            write_harvest(stream, hdir)
             return _dir_rows(hdir)
 
-        def _outlinks_next_frontier(docs_pq, depth: int):
-            """Critical-path stage: outlink extraction → min-rank dedup
-            → seen-claim → next frontier (materialized)."""
-
-            def _domain_filter(b: pa.Table, allowed=allowed_domains) -> pa.Table:
-                if allowed is None or b.num_rows == 0:
-                    return b
-                mask = pa.array(
-                    [d in allowed for d in b.column("domain").to_pylist()]
-                )
-                return b.filter(mask)
-
-            cands = (
-                docs_pq.map_batches(
-                    lambda b: outlinks_batch(b, RANK_STRIDE),
-                    batch_format="pyarrow",
-                )
-                .map_batches(canonicalize_batch, batch_format="pyarrow")
-                .map_batches(_domain_filter, batch_format="pyarrow")
-            )
-            # min-rank dedup BEFORE the seen filter so duplicate
-            # candidates resolve deterministically to the earliest
-            # parent (oracle parity). Two-phase claim on the seen
-            # shards instead of a groupby shuffle: per-block partial
-            # dedup shrinks the candidate set, phase 1 (fused into the
-            # materialize) proposes (hash -> min rank) to the owning
-            # shard, phase 2 resolves winners and claims them -- the
-            # shard is the serialization point, no all-to-all exchange,
-            # and url skew costs RPC fan-in, never a sort.
-            def _partial_dedup(df):
-                return df.sort_values(["url_hash", "seed_rank"],
-                                      kind="stable") \
-                         .drop_duplicates("url_hash")
-
-            cands_mat = (
-                cands.map_batches(_partial_dedup, batch_format="pandas")
-                .map_batches(MinRankPropose(seen), batch_format="pyarrow")
-                .materialize()  # barrier: all proposals are in
-            )
-            nxt = cands_mat.map_batches(
-                MinRankResolve(seen), batch_format="pyarrow"
-            ).map_batches(
-                to_frontier_schema, batch_format="pyarrow"
-            ).materialize()
-            return nxt, nxt.count()
-
         # (materialized next-round frontier, row count) handed from the
-        # outlinks stage of round d to round d+1 — the only inter-round
-        # dependency on the critical path
+        # resolve execution of round d to round d+1 — the only
+        # inter-round dependency on the critical path
         next_frontier = None
 
         for depth in range(cfg.max_depth + 1):
@@ -470,7 +425,6 @@ def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResu
             frontier_dir = ckpt.table_dir(depth, "frontier")
 
             # ---- this round's frontier --------------------------------------
-            frontier_written = None  # future for the checkpoint write
             if next_frontier is not None:
                 frontier_mat, n_frontier = next_frontier
                 next_frontier = None
@@ -495,11 +449,12 @@ def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResu
                     )
                     .map_batches(canonicalize_batch, batch_format="pyarrow")
                     .map_batches(SeenFilter(seen), batch_format="pyarrow")
+                    .map_batches(
+                        _block_writer(frontier_dir, tag="frontier0:"),
+                        batch_format="pyarrow")
                     .materialize()
                 )
                 n_frontier = frontier_mat.count()
-                frontier_written = pool.submit(
-                    _write_parquet, frontier_mat, frontier_dir)
             else:
                 n_frontier = 0
 
@@ -514,8 +469,10 @@ def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResu
 
             round_t0 = time.monotonic()
             branch_times: dict[str, float] = {}
+            follow = cfg.follow_links and depth < cfg.max_depth
 
-            # ---- fetch + parse → documents (critical path) ------------------
+            # ---- execution 1: fetch+parse+claims+doc-ckpt (critical) --------
+            docs_dir = ckpt.table_dir(depth, "documents")
             docs = frontier_mat.repartition(
                 _fetch_parallelism(n_frontier)
             ).map_batches(
@@ -526,73 +483,66 @@ def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResu
                 parse_documents_batch,
                 batch_format="pyarrow",
                 batch_size=cfg.parse_batch_size,
+            ).map_batches(
+                AttachClaims(
+                    seen,
+                    rank_stride=RANK_STRIDE,
+                    allowed_domains=allowed_domains,
+                    harvest_images=cfg.harvest_images,
+                    follow_links=follow,
+                ),
+                batch_format="pyarrow",
+            ).map_batches(
+                _block_writer(docs_dir, drop_columns=CLAIM_COLUMNS,
+                              tag=f"docs{depth}:"),
+                batch_format="pyarrow",
             )
-            docs_dir = ckpt.table_dir(depth, "documents")
             t_fetch0 = time.monotonic()
-            docs_pq = docs.materialize()
+            docs_pq = docs.materialize()  # phase-1 barrier for proposals
             n_docs = docs_pq.count()
             fetch_parse_sec = time.monotonic() - t_fetch0
 
             futures = {}
-            n_imgs = n_next = 0
+            n_next = 0
             if n_docs:
-                futures["docs_ckpt"] = pool.submit(
-                    _timed(branch_times, "docs_ckpt",
-                           lambda d=docs_pq, p=docs_dir: _write_parquet(d, p)))
-                futures["render_chunks"] = pool.submit(
+                futures["render_chunks"] = bg_pool.submit(
                     _timed(branch_times, "render_chunks",
-                           _render_and_chunk), docs_pq, depth, branch_times)
-
+                           _render_and_chunk), docs_pq, depth)
                 if cfg.harvest_images:
-                    # image-URL claim stays on the critical path so the
-                    # round-order of the seen set is deterministic
-                    img_cands = (
-                        docs_pq.map_batches(
-                            lambda b: image_candidates_batch(b, RANK_STRIDE),
-                            batch_format="pyarrow",
-                        )
-                        .map_batches(canonicalize_batch, batch_format="pyarrow")
-                        .map_batches(SeenFilter(seen), batch_format="pyarrow")
-                        .materialize()
-                    )
-                    n_imgs = img_cands.count()
-                    if n_imgs:
-                        futures["harvest"] = pool.submit(
-                            _timed(branch_times, "harvest", _harvest_heavy),
-                            img_cands, n_imgs, depth, branch_times)
+                    futures["harvest"] = bg_pool.submit(
+                        _timed(branch_times, "harvest", _harvest),
+                        docs_pq, depth)
 
-                if cfg.follow_links and depth < cfg.max_depth:
+                # ---- execution 2: resolve → next frontier (critical) --------
+                if follow:
                     t0 = time.monotonic()
-                    nxt_mat, n_next = _outlinks_next_frontier(docs_pq, depth)
-                    branch_times["outlinks"] = round(time.monotonic() - t0, 3)
+                    nxt = docs_pq.map_batches(
+                        ExplodeResolveOutlinks(seen), batch_format="pyarrow",
+                    ).map_batches(
+                        _block_writer(ckpt.table_dir(depth + 1, "frontier"),
+                                      tag=f"frontier{depth + 1}:"),
+                        batch_format="pyarrow",
+                    ).materialize()
+                    n_next = nxt.count()
+                    branch_times["outlinks"] = round(
+                        time.monotonic() - t0, 3)
                     if n_next:
-                        futures["frontier_next"] = pool.submit(
-                            _timed(branch_times, "frontier_next_write",
-                                   lambda m=nxt_mat, d=depth: _write_parquet(
-                                       m, ckpt.table_dir(d + 1, "frontier"))))
-                        next_frontier = (nxt_mat, n_next)
+                        next_frontier = (nxt, n_next)
 
             critical_sec = time.monotonic() - round_t0
 
             # ---- deferred round finalization --------------------------------
             def _finalize(depth=depth, futures=futures, n_frontier=n_frontier,
-                          n_docs=n_docs, n_imgs=n_imgs, n_next=n_next,
+                          n_docs=n_docs, n_next=n_next,
                           branch_times=branch_times, round_t0=round_t0,
                           critical_sec=critical_sec,
                           fetch_parse_sec=fetch_parse_sec,
-                          frontier_dir=frontier_dir,
-                          frontier_written=frontier_written):
-                if frontier_written is not None:
-                    frontier_written.result()
+                          frontier_dir=frontier_dir):
                 n_rendered, n_chunks = (
                     futures["render_chunks"].result()
                     if "render_chunks" in futures else (0, 0))
                 n_harvest = (futures["harvest"].result()
                              if "harvest" in futures else 0)
-                if "docs_ckpt" in futures:
-                    futures["docs_ckpt"].result()
-                if "frontier_next" in futures:
-                    futures["frontier_next"].result()
                 lineage = {
                     "depth": depth,
                     "inputs": [frontier_dir],
@@ -605,7 +555,8 @@ def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResu
                     "pages_failed": n_frontier - n_docs,
                     "rendered": n_rendered,
                     "chunks": n_chunks,
-                    "image_frontier": n_imgs,
+                    "image_frontier": _dir_rows(
+                        ckpt.table_dir(depth, "image_frontier")),
                     "harvest_rows": n_harvest,
                     "next_frontier": n_next,
                     "round_sec": round(time.monotonic() - round_t0, 3),
@@ -619,6 +570,12 @@ def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResu
                     result.metrics[f"round_{depth}"] = metrics
 
             finalizers.append(pool.submit(_finalize))
+
+            # bound the pipeline window to 2 rounds so materialized
+            # documents of unfinished rounds don't pile up in the
+            # object store on deep crawls
+            if len(finalizers) >= 2:
+                finalizers[-2].result()
 
             if next_frontier is None:
                 break  # frontier exhausted (or link-following off)
@@ -658,6 +615,7 @@ def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResu
         result.metrics["_seen_snapshot"] = seen.snapshot()
         return result
     finally:
+        bg_pool.shutdown(wait=True)
         pool.shutdown(wait=True)
         politeness.shutdown()
         seen.shutdown()

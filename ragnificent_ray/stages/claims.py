@@ -1,0 +1,190 @@
+"""Claim-attach stages: fold candidate extraction + seen-set claims into
+the fetch+parse execution.
+
+A Ray Data execution has a fixed dispatch cost (~1 s for ~128 tasks in
+this sandbox, measured) and concurrent executions serialize their
+dispatch, so a crawl round built from many small executions pays a
+serial floor that caps scaling. These stages collapse the round to
+four executions:
+
+1. fetch → parse → **AttachClaims** → block-write(documents) —
+   critical path. AttachClaims canonicalizes each page's image and
+   outlink candidates, *claims* image URLs on the sharded seen set
+   (``check_and_add``), *proposes* outlink (hash → min rank) to the
+   owning shard, and attaches both candidate lists as nested columns.
+   The execution's materialize is the phase-1 barrier of the min-rank
+   claim.
+2. **ExplodeResolveOutlinks** → block-write(frontier) — critical path.
+   Explodes the outlink candidate lists, per-block partial min-rank
+   dedup, then resolves winners on the shards (phase 2).
+3. render → block-write(rendered) → chunk (→ embed) → chunks sink —
+   background.
+4. **ExplodeClaimedImages** → block-write(image_frontier) → fetch →
+   decode → harvest sink — background.
+
+Determinism: image claims and outlink proposals happen inside the
+round's critical-path execution, so the seen set evolves in exact
+round order even though heavy sinks overlap later rounds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.urls import canonicalize
+from ..schema import FRONTIER
+from .extract import derive_rank
+
+CLAIMED_IMAGE_T = pa.struct([
+    ("url", pa.string()),
+    ("domain", pa.string()),
+    ("caption", pa.string()),
+    ("seed_rank", pa.int64()),
+    ("url_hash", pa.uint64()),
+])
+
+OUTLINK_CAND_T = pa.struct([
+    ("url", pa.string()),
+    ("domain", pa.string()),
+    ("depth", pa.int32()),
+    ("seed_rank", pa.int64()),
+    ("url_hash", pa.uint64()),
+])
+
+CLAIM_COLUMNS = ("claimed_images", "outlink_cands")
+
+
+class AttachClaims:
+    """Stage 1 add-on: candidate extraction + seen-set claims, attached
+    as nested columns so the documents stream stays one execution."""
+
+    def __init__(self, seen, rank_stride: int = 100_000,
+                 allowed_domains: set | None = None,
+                 harvest_images: bool = True, follow_links: bool = True):
+        self.seen = seen
+        self.rank_stride = rank_stride
+        self.allowed_domains = allowed_domains
+        self.harvest_images = harvest_images
+        self.follow_links = follow_links
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = [c for c in ("depth", "seed_rank", "images", "outlinks")
+                if c in batch.column_names]
+        rows = batch.select(cols).to_pylist() if n else []
+
+        img_flat: list[tuple[int, dict]] = []
+        link_per_doc: list[list[dict]] = []
+        for di, row in enumerate(rows):
+            if self.harvest_images:
+                for idx, im in enumerate(row.get("images") or []):
+                    got = canonicalize(im["src"]) if im.get("src") else None
+                    if got is None:
+                        continue
+                    u, dom, h = got
+                    img_flat.append((di, {
+                        "url": u, "domain": dom, "caption": im.get("alt", ""),
+                        "seed_rank": derive_rank(
+                            row.get("seed_rank", 0), idx, self.rank_stride),
+                        "url_hash": h,
+                    }))
+            ll: list[dict] = []
+            if self.follow_links:
+                for idx, link in enumerate(row.get("outlinks") or []):
+                    got = canonicalize(link) if link else None
+                    if got is None:
+                        continue
+                    u, dom, h = got
+                    if (self.allowed_domains is not None
+                            and dom not in self.allowed_domains):
+                        continue
+                    ll.append({
+                        "url": u, "domain": dom,
+                        "depth": int(row.get("depth", 0)) + 1,
+                        "seed_rank": derive_rank(
+                            row.get("seed_rank", 0), idx, self.rank_stride),
+                        "url_hash": h,
+                    })
+            link_per_doc.append(ll)
+
+        claimed: list[list[dict]] = [[] for _ in range(n)]
+        if img_flat:
+            hashes = np.array([s["url_hash"] for _, s in img_flat],
+                              dtype=np.uint64)
+            mask = self.seen.check_and_add(hashes)
+            for keep, (di, st) in zip(mask, img_flat):
+                if keep:
+                    claimed[di].append(st)
+
+        if self.follow_links:
+            # in-batch partial min per hash (combiner), then one propose
+            # fan-out per batch — phase 1 of the min-rank claim
+            best: dict[int, int] = {}
+            for ll in link_per_doc:
+                for st in ll:
+                    h, r = st["url_hash"], st["seed_rank"]
+                    if h not in best or r < best[h]:
+                        best[h] = r
+            if best:
+                self.seen.propose_min(
+                    np.fromiter(best.keys(), dtype=np.uint64, count=len(best)),
+                    np.fromiter(best.values(), dtype=np.int64, count=len(best)),
+                )
+
+        return batch.append_column(
+            "claimed_images", pa.array(claimed, type=pa.list_(CLAIMED_IMAGE_T))
+        ).append_column(
+            "outlink_cands",
+            pa.array(link_per_doc, type=pa.list_(OUTLINK_CAND_T)),
+        )
+
+
+class ExplodeResolveOutlinks:
+    """Stage 2: per-block partial min-rank dedup of the attached outlink
+    candidates, then phase-2 resolve on the shards → frontier rows."""
+
+    def __init__(self, seen):
+        self.seen = seen
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        best: dict[int, dict] = {}
+        if "outlink_cands" in batch.column_names:
+            for ll in batch.column("outlink_cands").to_pylist():
+                for st in ll or []:
+                    h, r = st["url_hash"], st["seed_rank"]
+                    cur = best.get(h)
+                    if cur is None or r < cur["seed_rank"]:
+                        best[h] = st
+        cand = list(best.values())
+        winners: list[dict] = []
+        if cand:
+            mask = self.seen.resolve_min(
+                np.array([c["url_hash"] for c in cand], dtype=np.uint64),
+                np.array([c["seed_rank"] for c in cand], dtype=np.int64),
+            )
+            winners = [c for c, m in zip(cand, mask) if m]
+        # frontier schema: sitemap-only fields (priority/lastmod/…) null
+        cols = {}
+        for f in FRONTIER:
+            cols[f.name] = pa.array(
+                [w.get(f.name) for w in winners], type=f.type)
+        return pa.table(cols)
+
+
+class ExplodeClaimedImages:
+    """Stage 4 head: claimed image lists → one row per image to fetch."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat: list[dict] = []
+        if "claimed_images" in batch.column_names:
+            for ll in batch.column("claimed_images").to_pylist():
+                flat.extend(ll or [])
+        return pa.table({
+            "url": pa.array([s["url"] for s in flat], type=pa.string()),
+            "domain": pa.array([s["domain"] for s in flat], type=pa.string()),
+            "caption": pa.array([s["caption"] for s in flat], type=pa.string()),
+            "seed_rank": pa.array([s["seed_rank"] for s in flat], type=pa.int64()),
+            "url_hash": pa.array(
+                np.array([s["url_hash"] for s in flat], dtype=np.uint64)),
+        })
