@@ -159,6 +159,52 @@ def _rag_embed_norms(sf_dir: str):
     return embed_documents(sf_dir)
 
 
+def _crawl_page_metadata(sf_dir: str):
+    """M16 metadata extractor over the crawl's round-0 frontier pages."""
+    import ray.data as rd
+
+    from ragnificent_ray.stages.extract import metadata_batch
+    from ragnificent_ray.stages.fetch import FetchWorker
+
+    res = _crawl(sf_dir)
+    frontier_dir = os.path.join(res.out_dir, "rounds", "round=0000",
+                                "frontier")
+    world = _world_for(sf_dir)
+    return (
+        rd.read_parquet(frontier_dir)
+        .map_batches(
+            FetchWorker(world_cfg=dict(world, seed=42), politeness=None),
+            batch_format="pyarrow", batch_size=128)
+        .map_batches(metadata_batch, batch_format="pyarrow")
+    )
+
+
+def _rag_chunks_sliding(sf_dir: str):
+    from ragnificent_ray.pipelines.rag import chunk_documents
+
+    return chunk_documents(sf_dir, strategy="sliding_window").map_batches(
+        lambda b: b.select(["id", "content", "source_url", "word_count",
+                            "char_count", "position", "is_continuation"]),
+        batch_format="pyarrow",
+    )
+
+
+def _rag_chunks_recursive(sf_dir: str):
+    from ragnificent_ray.pipelines.rag import chunk_documents
+
+    return chunk_documents(sf_dir, strategy="recursive").map_batches(
+        lambda b: b.select(["id", "content", "source_url", "word_count",
+                            "char_count", "position", "is_continuation"]),
+        batch_format="pyarrow",
+    )
+
+
+def _tfidf_embed(sf_dir: str):
+    from ragnificent_ray.pipelines.rag import tfidf_embed
+
+    return tfidf_embed(sf_dir)
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: documents → chunks → embeddings."""
     from ragnificent_ray.pipelines.rag import rag_flagship
@@ -174,7 +220,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.update(mod.QUERIES)
     out.update({
         "rag_chunks": _rag_chunks,
+        "rag_chunks_sliding": _rag_chunks_sliding,
+        "rag_chunks_recursive": _rag_chunks_recursive,
         "rag_embed_norms": _rag_embed_norms,
+        "tfidf_embed": _tfidf_embed,
+        "crawl_page_metadata": _crawl_page_metadata,
         "crawl_harvest": _crawl_harvest,
         "crawl_order": _crawl_order,
         "crawl_documents": _crawl_documents,

@@ -148,6 +148,102 @@ def ann_lsh_topk(sf_dir: str):
     )
 
 
+
+
+def search_rerank(sf_dir: str):
+    """Vector search + rerank (O3, ``rag/search.py:148-305``): over-fetch
+    2k candidates by cosine, rerank with the reference's exact formula
+    ``0.7·cos + 0.2·term_overlap + 0.1·min(1, 200/words)``, keep top k.
+
+    Distributed shape: block-matmul partial top-2k per batch (queries
+    broadcast), per-query merge, then the rerank touches ONLY the ≤ 2k·Q
+    candidate texts — at 10^10 rows the text lookup becomes a hash-join
+    of the candidate ids back to the documents table; at bench scale a
+    driver-side lookup of ~100 rows is the same access pattern."""
+    over_k = 2 * TOP_K
+    qids, qn = _query_matrix(sf_dir)
+    qref = ray.put((qids, qn))
+
+    ds = rd.read_parquet(_pq(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+
+    class PartialTopK:
+        def __init__(self, ref):
+            self.ref = ref
+            self._q = None
+
+        def __getstate__(self):
+            s = self.__dict__.copy()
+            s["_q"] = None
+            return s
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self._q is None:
+                self._q = ray.get(self.ref)
+            qids, qn = self._q
+            ids = np.asarray(batch.column("vec_id").to_pylist(),
+                             dtype=np.int64)
+            m = np.array(batch.column("embedding").to_pylist(),
+                         dtype=np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            sims = qn @ m.T
+            out_q, out_n, out_s = [], [], []
+            k = min(over_k, sims.shape[1])
+            for qi in range(len(qids)):
+                order = np.lexsort((ids, -sims[qi]))[:k]
+                out_q.extend([int(qids[qi])] * len(order))
+                out_n.extend(ids[order].tolist())
+                out_s.extend(sims[qi][order].tolist())
+            return pa.table({
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["sim", "neighbor_id"],
+                             ascending=[False, True]).head(over_k)
+
+    cands = (
+        ds.map_batches(PartialTopK(qref), batch_format="pyarrow",
+                       batch_size=4096)
+        .groupby("query_id")
+        .map_groups(merge, batch_format="pandas")
+    ).to_pandas()
+
+    # candidate-only text lookup (the small side)
+    need = sorted(set(cands["neighbor_id"]) | set(cands["query_id"]))
+    dt = pq.read_table(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+    texts = {d: t for d, t in zip(dt.column("doc_id").to_pylist(),
+                                  dt.column("text").to_pylist())
+             if d in set(need)}
+
+    rows = []
+    for qid, grp in cands.groupby("query_id"):
+        q_terms = set(texts[qid].lower().split())
+        scored = []
+        for _, r in grp.iterrows():
+            did = int(r["neighbor_id"])
+            content = texts[did]
+            content_terms = set(content.lower().split())
+            overlap = (len(q_terms & content_terms) / len(q_terms)
+                       if q_terms else 0.0)
+            words = len(content.split())
+            length_factor = min(1.0, 200.0 / max(words, 1))
+            adjusted = r["sim"] * 0.7 + overlap * 0.2 + length_factor * 0.1
+            scored.append((adjusted, did))
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        for rank, (adj, did) in enumerate(scored[:TOP_K], start=1):
+            rows.append((int(qid), did, rank,
+                         float(round_half_away(adj, 4))))
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "doc_id": pa.array([r[1] for r in rows], type=pa.int64()),
+        "rank": pa.array([r[2] for r in rows], type=pa.int64()),
+        "score": pa.array([r[3] for r in rows], type=pa.float64()),
+    })
+
+
 ORACLE_SQL = {
     "ann_topk": f"""
         WITH e AS (
@@ -170,9 +266,53 @@ ORACLE_SQL = {
         FROM scored
         QUALIFY rank <= {TOP_K}
     """,
+    "search_rerank": """
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id AS query_id, emb AS qemb FROM e
+            WHERE vec_id < 5
+        ), scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   list_cosine_similarity(q.qemb, e.emb) AS sim
+            FROM q CROSS JOIN e
+        ), cands AS (
+            SELECT query_id, neighbor_id, sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+                   ) AS rn
+            FROM scored QUALIFY rn <= 20
+        ), toks AS (
+            SELECT doc_id,
+                   list_distinct(regexp_split_to_array(lower(trim(text)),
+                                                       '\\s+')) AS terms,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS words
+            FROM documents
+        ), rer AS (
+            SELECT c.query_id, c.neighbor_id AS doc_id,
+                   c.sim * 0.7
+                   + 0.2 * CAST(len(list_intersect(qt.terms, dt.terms))
+                                AS DOUBLE) / len(qt.terms)
+                   + 0.1 * least(1.0, 200.0 / greatest(dt.words, 1))
+                       AS adjusted
+            FROM cands c
+            JOIN toks qt ON qt.doc_id = c.query_id
+            JOIN toks dt ON dt.doc_id = c.neighbor_id
+        )
+        SELECT query_id, doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY adjusted DESC, doc_id
+               ) AS BIGINT) AS rank,
+               ROUND(adjusted, 4) AS score
+        FROM rer
+        QUALIFY rank <= 10
+    """,
 }
 
 QUERIES = {
     "ann_topk": ann_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "search_rerank": search_rerank,
 }

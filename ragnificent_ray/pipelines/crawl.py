@@ -1,27 +1,37 @@
-"""The Ray-Data-native crawl: BFS frontier rounds over streaming stages.
+"""The Ray-Data-native crawl: BFS frontier rounds, four executions each.
 
-Shape per round (SURVEY §3.1-new)::
+Per round (SURVEY §3.1-new; stages/claims.py)::
 
-    frontier.parquet ──read──▶ fetch(actor pool, politeness-gated)
-        ──▶ parse (one DOM pass → Document + outlinks, html dropped)
-        ──▶ write documents.parquet                     [checkpoint]
-    documents.parquet ──▶ render (md/json/xml) ──▶ write rendered
-                      ──▶ chunk (C1)           ──▶ write chunks
-                      ──▶ image candidates ──▶ canonicalize ──▶ seen-filter
-                            ──▶ fetch images ──▶ decode+phash ──▶ harvest (Lance)
-                      ──▶ outlinks ──▶ canonicalize ──▶ domain filter
-                            ──▶ min-rank dedup (groupby) ──▶ seen-filter
-                            ──▶ write next round's frontier.parquet
+    exec 1 (critical)  frontier ──▶ fetch ──▶ parse ──▶ AttachClaims
+                         (image seen-claims + outlink min-rank proposals
+                          on the sharded seen set; candidates attached as
+                          nested columns) ──▶ block-write documents ──▶
+                         materialize            [= proposal barrier]
+    exec 2 (critical)  ExplodeResolveOutlinks (phase-2 resolve) ──▶
+                         block-write next frontier ──▶ materialize
+    exec 3 (background) render ──▶ block-write rendered ──▶ chunk
+                         (──▶ embed) ──▶ chunks sink
+    exec 4 (background) ExplodeClaimedImages ──▶ block-write
+                         image_frontier ──▶ fetch ──▶ decode+phash ──▶
+                         harvest sink (Lance adapter)
 
-Control crosses process boundaries only at dataset shuffles and the
-seen/politeness shard RPCs; per-domain politeness state never moves
-(SURVEY §3.1). Every round's outputs land in per-round parquet/Lance
-checkpoints with lineage+metrics, and the manifest makes the whole
-crawl resumable (state/checkpoint.py).
+Background sinks run on a bounded lane pool and overlap the next
+round's critical path; a round is marked complete only after all its
+writes land, so the crawl is resumable from per-round checkpoints with
+lineage+metrics (state/checkpoint.py). Checkpoint writes are fused
+into the map stages (content-addressed per-block files — a retried
+task overwrites, never duplicates).
+
+Control crosses process boundaries only at the seen/politeness shard
+RPCs; per-domain politeness state never moves (SURVEY §3.1). There is
+no all-to-all shuffle anywhere in the round: the outlink min-rank
+dedup is a two-phase claim on the hash-sharded seen actors.
 
 Ordering contract (SURVEY §7.4): Ray gives no execution order; the
 ``(depth, seed_rank)`` columns define the reference order, and parity
 with the sequential oracle is checked on the rank-sorted sequence.
+Every seen-set mutation happens inside a critical-path execution, so
+the URL-seen set evolves in exact round order despite the overlap.
 """
 
 from __future__ import annotations

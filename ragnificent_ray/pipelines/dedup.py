@@ -8,16 +8,23 @@ Ray Data shape:
                    broadcast (``ray.put`` once); exact, SQL-checkable
 * MinHash + LSH  — shingle → minhash → banded buckets → groupby →
                    candidate pairs → exact verify (the 100 TB path:
-                   only the banding shuffle touches all rows)
+                   only the narrow band rows touch the shuffle)
 * SimHash        — 64-bit sketch column (hamming-bucket dedup key)
 * embedding cos  — near-dup pairs by cosine over the embedding column,
                    block-broadcast matmul; SQL-checkable via
                    ``list_cosine_similarity``
 
+Groupby discipline: every ``groupby`` here keys on a BOUNDED bucket
+column (hash & mask), never on a high-cardinality value — Ray Data's
+``map_groups`` makes one Python call per group, so a million tiny
+groups is the canonical overhead/skew trap. Within a bucket the dedup /
+pair logic is vectorized pandas.
+
 Broadcast note: the "small side" here is the token/embedding matrix of
 the corpus being deduped — fine up to ~10M docs on a 128 GiB node; past
-that, the MinHash-LSH path is the intended route (documented pattern:
-banding shuffle instead of broadcast).
+that, the MinHash-LSH path is the intended route (banding shuffle
+instead of broadcast), with candidate shingle sets hash-joined back
+instead of collected.
 """
 
 from __future__ import annotations
@@ -39,6 +46,7 @@ COSINE_THRESHOLD = 0.4
 MINHASH_PERMS = 64
 LSH_BANDS = 16  # 16 bands × 4 rows
 _MERSENNE = (1 << 61) - 1
+_BUCKETS = 64  # bounded groupby key space
 
 
 def _pq(sf_dir: str, table: str) -> str:
@@ -49,23 +57,29 @@ def _pq(sf_dir: str, table: str) -> str:
 
 def exact_dedup(sf_dir: str):
     """Keep the lowest doc_id per md5(text): hash column in a vectorized
-    map, then hash-partitioned group-first (the D3 pattern)."""
+    map, then group-first over hash BUCKETS (bounded key space) with the
+    per-hash dedup vectorized inside each bucket (the D3 pattern)."""
     ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def add_hash(batch: pa.Table) -> pa.Table:
+        hashes = [md5_hex(t) for t in batch.column("text").to_pylist()]
         return batch.append_column(
-            "text_hash",
-            pa.array([md5_hex(t) for t in batch.column("text").to_pylist()]),
+            "text_hash", pa.array(hashes)
+        ).append_column(
+            "bucket",
+            pa.array([int(h[:2], 16) % _BUCKETS for h in hashes],
+                     type=pa.int32()),
         )
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        keep = g.nsmallest(1, "doc_id")
+    def bucket_first(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g.sort_values(["text_hash", "doc_id"]) \
+                .drop_duplicates("text_hash")
         return keep[["doc_id", "text_hash"]]
 
     return (
         ds.map_batches(add_hash, batch_format="pyarrow", batch_size=8192)
-        .groupby("text_hash")
-        .map_groups(first, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_first, batch_format="pandas")
     )
 
 
@@ -84,41 +98,54 @@ def _token_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     return doc_ids, m
 
 
+class _BlockJaccard:
+    """Task-based callable (no actor pool): the matrix ref resolves from
+    the object store once per worker process (plasma get is zero-copy)."""
+
+    def __init__(self, ref):
+        self.ref = ref
+        self._state = None
+
+    def _resolve(self):
+        if self._state is None:
+            doc_ids, matrix = ray.get(self.ref)
+            self._state = (doc_ids, matrix, matrix.sum(axis=1),
+                           {d: i for i, d in enumerate(doc_ids)})
+        return self._state
+
+    def __getstate__(self):
+        s = self.__dict__.copy()
+        s["_state"] = None
+        return s
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, matrix, sizes, index = self._resolve()
+        rows = [index[d] for d in batch.column("doc_id").to_pylist()]
+        block = matrix[rows]                            # (b, V)
+        inter = block @ matrix.T                        # (b, N)
+        union = sizes[rows][:, None] + sizes[None, :] - inter
+        jac = np.where(union > 0, inter / union, 0.0)
+        a_ids = doc_ids[rows][:, None]
+        mask = (jac >= JACCARD_THRESHOLD) & (a_ids < doc_ids[None, :])
+        ai, bi = np.nonzero(mask)
+        return pa.table({
+            "doc_a": pa.array(doc_ids[rows][ai], type=pa.int64()),
+            "doc_b": pa.array(doc_ids[bi], type=pa.int64()),
+            "jaccard": pa.array(round_half_away(jac[ai, bi], 4),
+                                type=pa.float64()),
+        })
+
+
 def ngram_jaccard_pairs(sf_dir: str):
     """Exact all-pairs unigram-set Jaccard ≥ threshold (a < b).
 
-    The full binary matrix is broadcast once; each batch computes its
-    block of the pair matrix with one matmul (vectorized intersections).
-    """
+    The full binary matrix is broadcast once (``ray.put``); each batch
+    computes its block of the pair matrix with one matmul."""
     doc_ids, matrix = _token_matrix(sf_dir)
     mref = ray.put((doc_ids, matrix))
     ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
-
-    class BlockJaccard:
-        def __init__(self, ref):
-            self.doc_ids, self.matrix = ray.get(ref)
-            self.sizes = self.matrix.sum(axis=1)
-            self.index = {d: i for i, d in enumerate(self.doc_ids)}
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            rows = [self.index[d] for d in batch.column("doc_id").to_pylist()]
-            block = self.matrix[rows]                       # (b, V)
-            inter = block @ self.matrix.T                   # (b, N)
-            union = self.sizes[rows][:, None] + self.sizes[None, :] - inter
-            jac = np.where(union > 0, inter / union, 0.0)
-            a_ids = self.doc_ids[rows][:, None]
-            mask = (jac >= JACCARD_THRESHOLD) & (a_ids < self.doc_ids[None, :])
-            ai, bi = np.nonzero(mask)
-            return pa.table({
-                "doc_a": pa.array(self.doc_ids[rows][ai], type=pa.int64()),
-                "doc_b": pa.array(self.doc_ids[bi], type=pa.int64()),
-                "jaccard": pa.array(round_half_away(jac[ai, bi], 4),
-                                    type=pa.float64()),
-            })
-
-    return ds.map_batches(BlockJaccard, fn_constructor_kwargs={"ref": mref},
-                          batch_format="pyarrow", batch_size=256,
-                          concurrency=2)
+    return ds.map_batches(_BlockJaccard(mref), batch_format="pyarrow",
+                          batch_size=256)
 
 
 # ------------------------------------------------------------- minhash+LSH
@@ -141,89 +168,135 @@ def _minhash(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return v.min(axis=1)
 
 
+class _VerifyPairs:
+    """Task-based exact-Jaccard verification over candidate pairs; the
+    doc→shingle map resolves from the object store per worker."""
+
+    def __init__(self, ref, threshold: float):
+        self.ref = ref
+        self.threshold = threshold
+        self._map = None
+
+    def __getstate__(self):
+        s = self.__dict__.copy()
+        s["_map"] = None
+        return s
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._map is None:
+            self._map = ray.get(self.ref)
+        oa, ob, oj = [], [], []
+        for x, y in zip(batch.column("doc_a").to_pylist(),
+                        batch.column("doc_b").to_pylist()):
+            sa, sb = self._map[x], self._map[y]
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            j = inter / union if union else 0.0
+            if j >= self.threshold:
+                oa.append(x)
+                ob.append(y)
+                oj.append(round_half_away(j, 4))
+        return pa.table({
+            "doc_a": pa.array(oa, type=pa.int64()),
+            "doc_b": pa.array(ob, type=pa.int64()),
+            "jaccard": pa.array(oj, type=pa.float64()),
+        })
+
+
 def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.4):
     """Near-dup pairs via MinHash banding (SURVEY §2.7 D-pattern).
 
-    shingle(word-3-gram) → 64 minhashes → 16 bands of 4 → explode to
-    (band_id, band_hash, doc_id) rows → groupby band bucket → candidate
-    pairs → exact shingle-Jaccard verification (shingle sets broadcast).
-    At 10^10 scale only the narrow band rows shuffle; verification
-    fetches just the candidate docs' shingle sets.
-    """
+    One distributed sketch pass computes shingles + 64 minhashes + 16
+    band hashes per doc; band rows explode to (doc_id, band_id,
+    band_hash, bucket) and candidate pairs form per BUCKET with a
+    vectorized self-merge; pairs dedup in bounded pair-buckets; exact
+    shingle-Jaccard verification runs with the shingle sets broadcast.
+    At 10^10 scale only the narrow band rows shuffle, and the shingle
+    broadcast becomes a hash-join of candidates back to the sketch
+    table (documented path, not needed at bench scale)."""
     rng = np.random.Generator(np.random.PCG64(42))
     a = rng.integers(1, _MERSENNE, size=MINHASH_PERMS, dtype=np.uint64)
     b = rng.integers(0, _MERSENNE, size=MINHASH_PERMS, dtype=np.uint64)
     rows_per_band = MINHASH_PERMS // LSH_BANDS
 
-    t = pq.read_table(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
-    shingle_map = {
-        d: _shingle_hashes(x)
-        for d, x in zip(t.column("doc_id").to_pylist(),
-                        t.column("text").to_pylist())
-    }
-    sref = ray.put(shingle_map)
-
     ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
 
-    def band_rows(batch: pa.Table) -> pa.Table:
-        out_doc, out_band, out_hash = [], [], []
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        ids, shing, bands = [], [], []
         for d, x in zip(batch.column("doc_id").to_pylist(),
                         batch.column("text").to_pylist()):
-            mh = _minhash(_shingle_hashes(x), a, b)
-            for band in range(LSH_BANDS):
-                sig = mh[band * rows_per_band:(band + 1) * rows_per_band]
-                out_doc.append(d)
-                out_band.append(band)
-                out_hash.append(int(stable_hash64(sig.tobytes().hex())))
+            s = _shingle_hashes(x)
+            mh = _minhash(s, a, b)
+            bh = [
+                int(stable_hash64(
+                    mh[i * rows_per_band:(i + 1) * rows_per_band]
+                    .tobytes().hex()))
+                for i in range(LSH_BANDS)
+            ]
+            ids.append(d)
+            shing.append(s)
+            bands.append(bh)
         return pa.table({
-            "doc_id": pa.array(out_doc, type=pa.int64()),
-            "band_id": pa.array(out_band, type=pa.int32()),
-            "band_hash": pa.array(np.array(out_hash, dtype=np.uint64)),
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "shingles": pa.array([s.tolist() for s in shing],
+                                 type=pa.list_(pa.uint64())),
+            "band_hashes": pa.array(bands, type=pa.list_(pa.uint64())),
+        })
+
+    sketches = ds.map_batches(
+        sketch_batch, batch_format="pyarrow", batch_size=1024
+    ).materialize()
+
+    # shingle broadcast for verification (scale path: hash-join instead)
+    shingle_map = {}
+    for batch in sketches.iter_batches(batch_size=8192,
+                                       batch_format="pyarrow"):
+        for d, s in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("shingles").to_pylist()):
+            shingle_map[d] = np.asarray(s, dtype=np.uint64)
+    sref = ray.put(shingle_map)
+
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        bands = batch.column("band_hashes").to_pylist()
+        n = len(ids)
+        doc = np.repeat(np.asarray(ids, dtype=np.int64), LSH_BANDS)
+        band_id = np.tile(np.arange(LSH_BANDS, dtype=np.int32), n)
+        band_hash = np.asarray([h for bh in bands for h in bh],
+                               dtype=np.uint64)
+        return pa.table({
+            "doc_id": pa.array(doc),
+            "band_id": pa.array(band_id),
+            "band_hash": pa.array(band_hash),
+            "bucket": pa.array((band_hash % _BUCKETS).astype(np.int32)),
         })
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].tolist())
-        pairs = [(x, y) for i, x in enumerate(ids) for y in ids[i + 1:]]
-        if not pairs:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        return pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+        m = g.merge(g, on=["band_id", "band_hash"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        out = m.rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"})
+        return out[["doc_a", "doc_b"]].drop_duplicates()
 
-    class Verify:
-        def __init__(self, ref):
-            self.shingles = ray.get(ref)
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        da = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        db = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        pb = ((da * np.int64(1000003) + db) % _BUCKETS).astype(np.int32)
+        return batch.append_column("pair_bucket", pa.array(pb))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            seen = set()
-            oa, ob, oj = [], [], []
-            for x, y in zip(batch.column("doc_a").to_pylist(),
-                            batch.column("doc_b").to_pylist()):
-                if (x, y) in seen:
-                    continue
-                seen.add((x, y))
-                sa, sb = self.shingles[x], self.shingles[y]
-                inter = len(np.intersect1d(sa, sb, assume_unique=True))
-                union = len(sa) + len(sb) - inter
-                j = inter / union if union else 0.0
-                if j >= jaccard_threshold:
-                    oa.append(x)
-                    ob.append(y)
-                    oj.append(round_half_away(j, 4))
-            return pa.table({
-                "doc_a": pa.array(oa, type=pa.int64()),
-                "doc_b": pa.array(ob, type=pa.int64()),
-                "jaccard": pa.array(oj, type=pa.float64()),
-            })
+    def pair_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]]
 
-    pairs = (
-        ds.map_batches(band_rows, batch_format="pyarrow", batch_size=2048)
-        .groupby(["band_id", "band_hash"])
+    return (
+        sketches
+        .map_batches(explode_bands, batch_format="pyarrow", batch_size=4096)
+        .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
-        .map_batches(Verify, fn_constructor_kwargs={"ref": sref},
-                     batch_format="pyarrow", concurrency=2)
+        .map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("pair_bucket")
+        .map_groups(pair_dedup, batch_format="pandas")
+        .map_batches(_VerifyPairs(sref, jaccard_threshold),
+                     batch_format="pyarrow")
     )
-    return pairs
 
 
 # ------------------------------------------------------------------ simhash
@@ -258,6 +331,36 @@ def simhash64(sf_dir: str):
 
 # ------------------------------------------------- embedding cosine near-dup
 
+class _BlockCosine:
+    """Task-based block-matmul cosine; matrix resolves per worker."""
+
+    def __init__(self, ref):
+        self.ref = ref
+        self._state = None
+
+    def __getstate__(self):
+        s = self.__dict__.copy()
+        s["_state"] = None
+        return s
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._state is None:
+            ids, mn = ray.get(self.ref)
+            self._state = (ids, mn, {d: i for i, d in enumerate(ids)})
+        ids, mn, index = self._state
+        rows = [index[d] for d in batch.column("vec_id").to_pylist()]
+        sims = mn[rows] @ mn.T
+        a_ids = ids[rows][:, None]
+        mask = (sims >= COSINE_THRESHOLD) & (a_ids < ids[None, :])
+        ai, bi = np.nonzero(mask)
+        return pa.table({
+            "vec_a": pa.array(ids[rows][ai], type=pa.int64()),
+            "vec_b": pa.array(ids[bi], type=pa.int64()),
+            "cos_sim": pa.array(round_half_away(sims[ai, bi], 4),
+                                type=pa.float64()),
+        })
+
+
 def embedding_neardup(sf_dir: str):
     """Near-duplicate pairs by embedding cosine ≥ threshold (a < b).
 
@@ -272,28 +375,8 @@ def embedding_neardup(sf_dir: str):
     ref = ray.put((ids, mn))
 
     ds = rd.read_parquet(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-
-    class BlockCosine:
-        def __init__(self, ref):
-            self.ids, self.mn = ray.get(ref)
-            self.index = {d: i for i, d in enumerate(self.ids)}
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            rows = [self.index[d] for d in batch.column("vec_id").to_pylist()]
-            sims = self.mn[rows] @ self.mn.T
-            a_ids = self.ids[rows][:, None]
-            mask = (sims >= COSINE_THRESHOLD) & (a_ids < self.ids[None, :])
-            ai, bi = np.nonzero(mask)
-            return pa.table({
-                "vec_a": pa.array(self.ids[rows][ai], type=pa.int64()),
-                "vec_b": pa.array(self.ids[bi], type=pa.int64()),
-                "cos_sim": pa.array(round_half_away(sims[ai, bi], 4),
-                                    type=pa.float64()),
-            })
-
-    return ds.map_batches(BlockCosine, fn_constructor_kwargs={"ref": ref},
-                          batch_format="pyarrow", batch_size=256,
-                          concurrency=2)
+    return ds.map_batches(_BlockCosine(ref), batch_format="pyarrow",
+                          batch_size=256)
 
 
 ORACLE_SQL = {

@@ -77,3 +77,79 @@ def rag_flagship(sf_dir: str):
         HashEmbedder, fn_constructor_kwargs={"dim": 384},
         batch_format="pyarrow", batch_size=256, concurrency=2, num_cpus=0.5,
     )
+
+
+def tfidf_embed(sf_dir: str, max_features: int = 256):
+    """TF-IDF vectorizer (A7, ``rag/embedding.py:416-483``) as an honest
+    two-pass fit→transform instead of the reference's fit-on-first-batch
+    (flagged in SURVEY §2.4 as a divergence risk — our fit sees the
+    whole corpus, deterministically).
+
+    Pass 1 (fit): per-batch document-frequency partials → native
+    ``groupby.sum`` (vectorized aggregate, no per-group Python) → small
+    vocabulary+idf table on the driver, broadcast with ``ray.put``.
+    Pass 2 (transform): block-sparse counts × idf. Output is proof
+    columns (nnz + the vector's l2 norm) — the full vector column
+    exists transiently and would be the thing written at scale."""
+    import numpy as np
+    import ray
+
+    from ..functions.numeric import round_half_away
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+    n_docs = ds.count()
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(set(t.lower().split()))
+        return pa.table({
+            "token": pa.array(list(c.keys()), type=pa.string()),
+            "df": pa.array(list(c.values()), type=pa.int64()),
+        })
+
+    df_tab = (
+        ds.map_batches(df_partial, batch_format="pyarrow", batch_size=4096)
+        .groupby("token")
+        .sum("df")
+    ).to_pandas()
+    df_tab = df_tab.sort_values(["sum(df)", "token"],
+                                ascending=[False, True]).head(max_features)
+    vocab = {t: i for i, t in enumerate(df_tab["token"])}
+    idf = np.log((1.0 + n_docs) / (1.0 + df_tab["sum(df)"].to_numpy())) + 1.0
+    ref = ray.put((vocab, idf))
+
+    class Transform:
+        def __init__(self, ref):
+            self.ref = ref
+            self._v = None
+
+        def __getstate__(self):
+            s = self.__dict__.copy()
+            s["_v"] = None
+            return s
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self._v is None:
+                self._v = ray.get(self.ref)
+            vocab, idf = self._v
+            texts = batch.column("text").to_pylist()
+            m = np.zeros((len(texts), len(vocab)), dtype=np.float64)
+            for r, t in enumerate(texts):
+                for w in t.lower().split():
+                    i = vocab.get(w)
+                    if i is not None:
+                        m[r, i] += 1.0
+            m *= idf[None, :]
+            norms = np.linalg.norm(m, axis=1)
+            return pa.table({
+                "doc_id": batch["doc_id"],
+                "nnz": pa.array((m > 0).sum(axis=1), type=pa.int64()),
+                "tfidf_norm": pa.array(round_half_away(norms, 4),
+                                       type=pa.float64()),
+            })
+
+    return ds.map_batches(Transform(ref), batch_format="pyarrow",
+                          batch_size=2048)
