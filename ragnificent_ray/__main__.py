@@ -1,0 +1,148 @@
+"""CLI entry point (`python -m ragnificent_ray …`).
+
+The ``ray job submit``-able surface of the engine (SURVEY §2.11's thin
+CLI). Commands mirror the reference's Typer CLI verbs where they make
+sense for a batch engine:
+
+* ``crawl``    — run the frontier crawl (sitemap seeds or links file)
+* ``pipeline`` — execute a reference-schema YAML pipeline
+* ``convert``  — one-shot HTML → markdown/json/xml (stdin or file)
+* ``chunk``    — one-shot markdown → chunk JSON lines (stdin or file)
+
+The CLI owns the Ray session (library code never calls ``ray.init``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False,
+                  "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_crawl(args) -> int:
+    _init_ray(args.num_cpus)
+    from .config import CrawlConfig, WorldConfig
+    from .pipelines.crawl import run_crawl
+
+    world = WorldConfig(**json.loads(args.world)) if args.world else WorldConfig()
+    cfg = CrawlConfig(
+        world=world,
+        seeds=args.seed or None,
+        links_file=args.links_file,
+        max_depth=args.max_depth,
+        follow_links=not args.no_follow,
+        default_rate=args.rate,
+        formats=tuple(args.format),
+        retry_delay=0.05,
+    )
+    res = run_crawl(cfg, args.out, resume=args.resume)
+    metrics = {k: v for k, v in res.metrics.items()
+               if not k.startswith("_")}
+    print(json.dumps(metrics, default=str))
+    return 0
+
+
+def cmd_pipeline(args) -> int:
+    _init_ray(args.num_cpus)
+    from .pipelines.yaml_pipeline import YamlPipeline
+
+    world = json.loads(args.world) if args.world else None
+    pipe = YamlPipeline(args.config, args.out, world_cfg=world)
+    ok = True
+    for step in pipe.execute():
+        print(json.dumps(step, default=str))
+        ok = ok and step["status"] == "success"
+    return 0 if ok else 1
+
+
+def _read_input(path: str | None) -> str:
+    if path and path != "-":
+        with open(path, encoding="utf-8") as f:
+            return f.read()
+    return sys.stdin.read()
+
+
+def cmd_convert(args) -> int:
+    from .compat import convert_html
+
+    print(convert_html(_read_input(args.input), args.url, args.format))
+    return 0
+
+
+def cmd_chunk(args) -> int:
+    from .compat import chunk_markdown
+
+    for c in chunk_markdown(_read_input(args.input), args.url,
+                            args.chunk_size, args.chunk_overlap):
+        print(json.dumps(c, default=str))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="ragnificent_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawl", help="run the frontier crawl")
+    c.add_argument("--out", required=True)
+    c.add_argument("--seed", action="append", help="seed URL (repeatable)")
+    c.add_argument("--links-file")
+    c.add_argument("--max-depth", type=int, default=2)
+    c.add_argument("--no-follow", action="store_true")
+    c.add_argument("--rate", type=float, default=100.0,
+                   help="politeness budget, requests/s/domain")
+    c.add_argument("--format", action="append",
+                   default=None, choices=["markdown", "json", "xml"])
+    c.add_argument("--world", help="synthetic-world JSON (sandbox backend)")
+    c.add_argument("--resume", action="store_true")
+    c.add_argument("--num-cpus", type=int, default=None)
+    c.set_defaults(fn=cmd_crawl)
+
+    y = sub.add_parser("pipeline", help="run a YAML pipeline")
+    y.add_argument("config")
+    y.add_argument("--out", required=True)
+    y.add_argument("--world", help="synthetic-world JSON (sandbox backend)")
+    y.add_argument("--num-cpus", type=int, default=None)
+    y.set_defaults(fn=cmd_pipeline)
+
+    v = sub.add_parser("convert", help="HTML → markdown/json/xml")
+    v.add_argument("--input", default="-")
+    v.add_argument("--url", default="")
+    v.add_argument("--format", default="markdown",
+                   choices=["markdown", "json", "xml"])
+    v.set_defaults(fn=cmd_convert)
+
+    k = sub.add_parser("chunk", help="markdown → chunk JSONL")
+    k.add_argument("--input", default="-")
+    k.add_argument("--url", default="")
+    k.add_argument("--chunk-size", type=int, default=1000)
+    k.add_argument("--chunk-overlap", type=int, default=200)
+    k.set_defaults(fn=cmd_chunk)
+
+    args = p.parse_args(argv)
+    if args.cmd == "crawl" and args.format is None:
+        args.format = ["markdown"]
+    rc = args.fn(args)
+    if "ray" in sys.modules:
+        import ray
+
+        if ray.is_initialized():
+            ray.shutdown()
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,124 @@
+"""Reference-API compatibility facade.
+
+The reference's public Python surface (SURVEY §2.11) re-expressed over
+this engine, so a RAGnificent user can switch imports and keep their
+call sites:
+
+* ``MarkdownScraper.scrape_website(url, output_format)`` →
+  fetch + parse + render one page (``core/scraper.py:103-180``)
+* ``MarkdownScraper.convert_to_markdown(html, url)`` →
+  parse + render (``core/scraper.py:380-446``; Rust-path semantics)
+* ``MarkdownScraper.create_chunks(markdown, source_url)`` →
+  semantic chunker C1 (``core/scraper.py:465-472``)
+* ``MarkdownScraper.scrape_by_sitemap(base_url, ...)`` →
+  sitemap-discovered depth-0 crawl (``core/scraper.py:713-…``)
+* ``MarkdownScraper.scrape_by_links_file(path)`` →
+  links-file depth-0 crawl (``core/scraper.py:1113-…``)
+* module-level ``convert_html`` / ``chunk_markdown`` →
+  the ``ragnificent_rs`` shim names (``RAGnificent/ragnificent_rs.py``)
+
+Single-page calls are plain Python (no Ray session needed); the
+``scrape_by_*`` batch calls run the Ray crawl and return Arrow tables.
+The fetch backend is pluggable exactly like the engine's: pass
+``world_cfg`` for the sandbox synthetic web, or a ``backend`` object
+with ``fetch(url) -> FetchResult`` for a real HTTP session.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from .functions.chunking import create_semantic_chunks, strategy_chunks
+from .functions.htmldom import parse_html_to_document
+from .functions.render import document_to_markdown, render_document
+from .stages.fetch import make_backend
+
+
+def convert_html(html: str, url: str = "", output_format: str = "markdown") -> str:
+    """``ragnificent_rs.convert_html`` shim — parse + render one page."""
+    doc = parse_html_to_document(html, url)
+    if output_format == "markdown":
+        return document_to_markdown(doc)
+    return render_document(doc, output_format)
+
+
+def chunk_markdown(markdown: str, source_url: str = "",
+                   chunk_size: int = 1000, chunk_overlap: int = 200) -> list[dict]:
+    """``ragnificent_rs.chunk_markdown`` shim — C1 semantic chunks."""
+    return create_semantic_chunks(markdown, source_url, chunk_size,
+                                  chunk_overlap)
+
+
+class MarkdownScraper:
+    """Drop-in shaped facade for ``RAGnificent.core.scraper.MarkdownScraper``."""
+
+    def __init__(self, world_cfg: dict | None = None, backend: Any = None,
+                 chunk_size: int = 1000, chunk_overlap: int = 200,
+                 requests_per_second: float = 100.0):
+        if backend is None:
+            backend = make_backend(world_cfg or {})
+        self.backend = backend
+        self.world_cfg = world_cfg
+        self.chunk_size = chunk_size
+        self.chunk_overlap = chunk_overlap
+        self.requests_per_second = requests_per_second
+
+    # ------------------------------------------------------- single page
+
+    def scrape_website(self, url: str, output_format: str = "markdown") -> str:
+        r = self.backend.fetch(url)
+        if r.status != 200:
+            raise RuntimeError(f"fetch failed with status {r.status}: {url}")
+        return convert_html(r.body.decode("utf-8", "replace"), url,
+                            output_format)
+
+    def convert_to_markdown(self, html_content: str, url: str = "") -> str:
+        return convert_html(html_content, url, "markdown")
+
+    def create_chunks(self, markdown_content: str, source_url: str,
+                      strategy: str = "semantic") -> list[dict]:
+        return strategy_chunks(markdown_content, source_url,
+                               strategy=strategy,
+                               chunk_size=self.chunk_size,
+                               chunk_overlap=self.chunk_overlap)
+
+    # ------------------------------------------------------- batch crawls
+
+    def _run_crawl(self, out_dir: str | None, **cfg_kwargs):
+        import tempfile
+
+        from .config import CrawlConfig, WorldConfig
+        from .pipelines.crawl import run_crawl
+
+        world = WorldConfig(**self.world_cfg) if self.world_cfg else WorldConfig()
+        cfg = CrawlConfig(world=world, default_rate=self.requests_per_second,
+                          chunk_size=self.chunk_size,
+                          chunk_overlap=self.chunk_overlap,
+                          follow_links=False, max_depth=0,
+                          retry_delay=0.05, **cfg_kwargs)
+        if out_dir is None:
+            out_dir = tempfile.mkdtemp(prefix="ragnificent_compat_")
+        return run_crawl(cfg, out_dir)
+
+    def scrape_by_sitemap(self, base_url: str, out_dir: str | None = None,
+                          min_priority: float | None = None,
+                          include_patterns: list[str] | None = None,
+                          exclude_patterns: list[str] | None = None,
+                          limit: int | None = None):
+        """Sitemap-discovered single-depth crawl → dict of Arrow tables
+        (documents / rendered / chunks / harvest), the engine's columnar
+        rendering of the reference's list-of-markdown return."""
+        res = self._run_crawl(
+            out_dir, seeds=[base_url], min_priority=min_priority,
+            include_patterns=include_patterns,
+            exclude_patterns=exclude_patterns, limit_per_domain=limit,
+        )
+        return {t: res.table(t)
+                for t in ("documents", "rendered", "chunks", "harvest")}
+
+    def scrape_by_links_file(self, links_file: str,
+                             out_dir: str | None = None):
+        """Links-file single-depth crawl → dict of Arrow tables."""
+        res = self._run_crawl(out_dir, links_file=links_file)
+        return {t: res.table(t)
+                for t in ("documents", "rendered", "chunks", "harvest")}

@@ -23,6 +23,9 @@ class CrawlConfig:
 
     # frontier / discovery (reference sitemap_utils semantics)
     seeds: list[str] | None = None  # default: every world domain base URL
+    # S1: URL-per-line file (skip blanks/#) used as the round-0 frontier
+    # INSTEAD of sitemap discovery when set
+    links_file: str | None = None
     respect_robots_txt: bool = True
     min_priority: float | None = None
     include_patterns: list[str] | None = None

@@ -353,11 +353,19 @@ def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResu
             "limit_per_domain": cfg.limit_per_domain,
         }
 
-        allowed_domains = (
-            None if cfg.allow_cross_domain
-            else {u.split("://", 1)[-1].split("/", 1)[0]
-                  for u in cfg.seed_urls()}
-        )
+        if cfg.allow_cross_domain:
+            allowed_domains = None
+        else:
+            if cfg.links_file:
+                from ..sources.links_file import links_table
+
+                seed_pool = links_table(cfg.links_file) \
+                    .column("url").to_pylist()
+            else:
+                seed_pool = cfg.seed_urls()
+            allowed_domains = {
+                u.split("://", 1)[-1].split("/", 1)[0] for u in seed_pool
+            }
 
         def _timed(times: dict, name: str, fn):
             def run(*a, **kw):
@@ -441,6 +449,20 @@ def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResu
             elif _dir_rows(frontier_dir) > 0:  # resume path
                 n_frontier = _dir_rows(frontier_dir)
                 frontier_mat = rd.read_parquet(frontier_dir).materialize()
+            elif depth == 0 and cfg.links_file:
+                # S1: links file is the round-0 frontier (no discovery)
+                from ..sources.links_file import links_table
+
+                frontier_mat = (
+                    rd.from_arrow(links_table(cfg.links_file, SEED_STRIDE))
+                    .map_batches(canonicalize_batch, batch_format="pyarrow")
+                    .map_batches(SeenFilter(seen), batch_format="pyarrow")
+                    .map_batches(
+                        _block_writer(frontier_dir, tag="frontier0:"),
+                        batch_format="pyarrow")
+                    .materialize()
+                )
+                n_frontier = frontier_mat.count()
             elif depth == 0:
                 seeds = cfg.seed_urls()
                 seeds_ds = rd.from_arrow(pa.table({

@@ -1,0 +1,197 @@
+"""YAML-configured pipeline runner (SURVEY §2.11).
+
+Accepts the reference's pipeline schema (``rag/pipeline.py:254-300``;
+``config/examples/pipeline_example.yaml``) — a ``steps`` list of
+``{name, type ∈ scrape|embed|index|search, config}`` with
+``continue_on_error`` — and compiles each step to this engine's Ray
+Data stages:
+
+* ``scrape``  → sitemap/links-file crawl (depth 0 unless
+  ``follow_links``) writing per-round parquet checkpoints
+* ``embed``   → chunk table → HashEmbedder actor-pool batches →
+  embedded-chunks parquet
+* ``index``   → embedded chunks → the Lance-adapter harvest-style
+  vector table (the Qdrant stand-in, S12→S13)
+* ``search``  → query → embed → cosine top-k over the loaded index
+  (+ the reference's 0.7/0.2/0.1 rerank when ``rerank: true``).
+  Serving-side lookup runs on the driver like the reference's Qdrant
+  client; the distributed search shape lives in ``pipelines/ann.py``
+
+``execute()`` yields per-step status dicts exactly like the reference
+(``status: success|error``, ``continue_on_error`` honored).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _load_config(source: str | dict) -> dict:
+    if isinstance(source, dict):
+        return source
+    import yaml
+
+    with open(source, encoding="utf-8") as f:
+        docs = [d for d in yaml.safe_load_all(f) if d]
+    return docs[0] if docs else {}
+
+
+class YamlPipeline:
+    def __init__(self, config: str | dict, work_dir: str,
+                 world_cfg: dict | None = None):
+        self.config = _load_config(config)
+        self.work_dir = work_dir
+        self.world_cfg = world_cfg or {}
+        os.makedirs(work_dir, exist_ok=True)
+        self.continue_on_error = bool(self.config.get("continue_on_error"))
+
+    # ------------------------------------------------------------- steps
+
+    def _execute_scrape(self, cfg: dict) -> dict:
+        from ..config import CrawlConfig, WorldConfig
+        from .crawl import run_crawl
+
+        crawl_cfg = CrawlConfig(
+            world=WorldConfig(**self.world_cfg),
+            seeds=cfg.get("urls"),
+            links_file=cfg.get("links_file"),
+            min_priority=cfg.get("min_priority"),
+            include_patterns=cfg.get("include_patterns"),
+            exclude_patterns=cfg.get("exclude_patterns"),
+            limit_per_domain=cfg.get("limit"),
+            follow_links=bool(cfg.get("follow_links", False)),
+            max_depth=int(cfg.get("max_depth", 0)),
+            formats=tuple(cfg.get("formats", (cfg.get("format", "markdown"),))),
+            default_rate=float(cfg.get("requests_per_second", 100.0)),
+            retry_delay=0.05,
+        )
+        out = os.path.join(self.work_dir, "crawl")
+        res = run_crawl(crawl_cfg, out)
+        return {"out_dir": out,
+                "pages": res.metrics.get("pages_parsed_total", 0)}
+
+    def _chunks_dirs(self) -> list[str]:
+        base = os.path.join(self.work_dir, "crawl", "rounds")
+        out = []
+        if os.path.isdir(base):
+            for r in sorted(os.listdir(base)):
+                d = os.path.join(base, r, "chunks")
+                if os.path.isdir(d):
+                    out.append(d)
+        return out
+
+    def _execute_embed(self, cfg: dict) -> dict:
+        import ray.data as rd
+
+        from ..stages.embed import HashEmbedder
+
+        dirs = self._chunks_dirs()
+        if not dirs:
+            raise RuntimeError("embed step: no chunks found (run scrape first)")
+        dim = int(cfg.get("dimension", 384))
+        out = os.path.join(self.work_dir, "embedded")
+        os.makedirs(out, exist_ok=True)
+        (
+            rd.read_parquet(dirs)
+            .map_batches(HashEmbedder, fn_constructor_kwargs={"dim": dim},
+                         batch_format="pyarrow",
+                         batch_size=int(cfg.get("batch_size", 256)),
+                         concurrency=2, num_cpus=0.5)
+            .write_parquet(out)
+        )
+        return {"out_dir": out, "dimension": dim}
+
+    def _execute_index(self, cfg: dict) -> dict:
+        import ray.data as rd
+
+        from ..io.lance import write_harvest
+
+        src = cfg.get("input_dir") or os.path.join(self.work_dir, "embedded")
+        uri = os.path.join(self.work_dir, "index")
+        write_harvest(rd.read_parquet(src), uri)
+        return {"index_uri": uri}
+
+    def _execute_search(self, cfg: dict) -> dict:
+        import ray.data as rd
+
+        from ..functions.numeric import round_half_away
+        from ..io.lance import read_harvest
+        from ..stages.embed import HashEmbedder
+
+        query = cfg["query"]
+        top_k = int(cfg.get("top_k", 10))
+        threshold = float(cfg.get("threshold", 0.0))
+        rerank = bool(cfg.get("rerank", False))
+
+        uri = os.path.join(self.work_dir, "index")
+        index = read_harvest(uri)
+        dim = index.schema.field("embedding").type.list_size
+        qv = HashEmbedder(dim=dim)._encode([query])[0].astype(np.float64)
+
+        over = top_k * 2 if rerank else top_k
+        m = np.array(index.column("embedding").to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        sims = (m / np.where(norms == 0, 1, norms)) @ qv
+        order = np.lexsort((np.arange(len(sims)), -sims))[:over]
+        rows = []
+        for i in order:
+            score = float(sims[i])
+            if score < threshold:
+                continue
+            content = index.column("content")[int(i)].as_py()
+            rows.append({
+                "id": index.column("id")[int(i)].as_py(),
+                "content": content,
+                "source_url": index.column("source_url")[int(i)].as_py(),
+                "score": score,
+            })
+        if rerank:
+            q_terms = set(query.lower().split())
+            for r in rows:
+                terms = set(r["content"].lower().split())
+                overlap = (len(q_terms & terms) / len(q_terms)
+                           if q_terms else 0.0)
+                words = len(r["content"].split())
+                lf = min(1.0, 200.0 / max(words, 1))
+                r["score"] = r["score"] * 0.7 + overlap * 0.2 + lf * 0.1
+            rows.sort(key=lambda r: (-r["score"], r["id"]))
+        rows = rows[:top_k]
+        for r in rows:
+            r["score"] = float(round_half_away(r["score"], 4))
+        return {"query": query, "results": rows}
+
+    # ----------------------------------------------------------- execute
+
+    def execute(self):
+        """Yield per-step result dicts, reference-shaped."""
+        steps = self.config.get("steps") or []
+        for i, step in enumerate(steps):
+            name = step.get("name", f"Step {i + 1}")
+            stype = step.get("type")
+            cfg = step.get("config", {}) or {}
+            try:
+                if stype == "scrape":
+                    result = self._execute_scrape(cfg)
+                elif stype == "embed":
+                    result = self._execute_embed(cfg)
+                elif stype == "index":
+                    result = self._execute_index(cfg)
+                elif stype == "search":
+                    result = self._execute_search(cfg)
+                else:
+                    raise ValueError(f"Unknown step type: {stype}")
+                yield {"step_name": name, "step_type": stype,
+                       "status": "success", "result": result}
+            except Exception as e:  # reference: continue_on_error gate
+                yield {"step_name": name, "step_type": stype,
+                       "status": "error", "error": str(e)}
+                if not self.continue_on_error:
+                    break
+
+    def run(self) -> list[dict]:
+        return list(self.execute())

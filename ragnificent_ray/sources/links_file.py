@@ -1,0 +1,51 @@
+"""Links-file frontier source (S1).
+
+Reference semantics (``core/scraper.py:1155-1183``; also
+``rag/pipeline.py:515-537``): one URL per line, strip whitespace, skip
+blank lines and ``#`` comments, preserve file order (the line index is
+the frontier rank).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def parse_links_lines(lines: list[str]) -> list[str]:
+    """Pure core shared by the Dataset reader and the oracle/tests."""
+    return [ln.strip() for ln in lines
+            if ln.strip() and not ln.strip().startswith("#")]
+
+
+def links_table(path: str, seed_stride: int = 1_000_000) -> pa.Table:
+    """Links file → FRONTIER-shaped candidate rows (depth 0, rank =
+    line order × stride, matching sitemap seed ranking)."""
+    from ..schema import FRONTIER
+
+    with open(path, encoding="utf-8") as f:
+        urls = parse_links_lines(f.readlines())
+    n = len(urls)
+    cols = {}
+    for fld in FRONTIER:
+        if fld.name == "url":
+            cols["url"] = pa.array(urls, type=pa.string())
+        elif fld.name == "domain":
+            cols["domain"] = pa.array([""] * n, type=pa.string())
+        elif fld.name == "depth":
+            cols["depth"] = pa.array([0] * n, type=fld.type)
+        elif fld.name == "seed_rank":
+            cols["seed_rank"] = pa.array(
+                [i * seed_stride for i in range(n)], type=fld.type)
+        elif fld.name == "url_hash":
+            cols["url_hash"] = pa.array([0] * n, type=fld.type)
+        else:
+            cols[fld.name] = pa.nulls(n, type=fld.type)
+    return pa.table(cols)
+
+
+def read_links_file(path: str):
+    """Dataset form; at scale this is ``ray.data.read_text`` + filter —
+    for frontier-seed files (small) the table form above suffices."""
+    import ray.data as rd
+
+    return rd.from_arrow(links_table(path))

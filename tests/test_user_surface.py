@@ -1,0 +1,159 @@
+"""Reference-API compat facade, links-file source, YAML pipeline, CLI."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+REPO = "/root/repo"
+
+
+# ------------------------------------------------------------ pure facade
+
+def test_convert_html_matches_engine_functions():
+    from ragnificent_ray.compat import convert_html
+    from ragnificent_ray.functions.htmldom import parse_html_to_document
+    from ragnificent_ray.functions.render import document_to_markdown
+    from ragnificent_ray.sources.synth_web import SynthWorld
+
+    w = SynthWorld(n_domains=2, pages_per_domain=4)
+    url = "https://site0.test/page/1"
+    html = w.fetch(url).body.decode()
+    assert convert_html(html, url) == document_to_markdown(
+        parse_html_to_document(html, url))
+    assert convert_html(html, url, "xml").startswith("<Document>")
+    assert convert_html(html, url, "json").startswith("{")
+
+
+def test_chunk_markdown_shim_matches_chunker():
+    from ragnificent_ray.compat import chunk_markdown
+    from ragnificent_ray.functions.chunking import create_semantic_chunks
+
+    md = "# T\n\n" + ("word " * 500)
+    got = chunk_markdown(md, "https://x.test/")
+    want = create_semantic_chunks(md, "https://x.test/")
+    assert [c["id"] for c in got] == [c["id"] for c in want]
+
+
+def test_markdown_scraper_single_page():
+    from ragnificent_ray.compat import MarkdownScraper
+
+    s = MarkdownScraper(world_cfg=dict(n_domains=2, pages_per_domain=4))
+    md = s.scrape_website("https://site0.test/page/1")
+    assert md.startswith("# Page 1 of site0.test")
+    chunks = s.create_chunks(md, "https://site0.test/page/1")
+    assert chunks and all("id" in c for c in chunks)
+    with pytest.raises(RuntimeError):
+        s.scrape_website("https://site0.test/page/99999")
+
+
+# ------------------------------------------------------------- links file
+
+def test_parse_links_lines_reference_semantics():
+    from ragnificent_ray.sources.links_file import parse_links_lines
+
+    lines = ["https://a.test/\n", "\n", "# comment\n", "  https://b.test/x \n"]
+    assert parse_links_lines(lines) == ["https://a.test/", "https://b.test/x"]
+
+
+def test_scrape_by_links_file(ray_session, tmp_path):
+    from ragnificent_ray.compat import MarkdownScraper
+
+    links = tmp_path / "links.txt"
+    links.write_text(
+        "# seeds\nhttps://site0.test/page/0\nhttps://site0.test/page/1\n"
+        "\nhttps://site1.test/page/0\n")
+    s = MarkdownScraper(world_cfg=dict(n_domains=2, pages_per_domain=4),
+                        requests_per_second=10000.0)
+    tables = s.scrape_by_links_file(str(links), out_dir=str(tmp_path / "out"))
+    docs = tables["documents"]
+    assert sorted(docs.column("url").to_pylist()) == [
+        "https://site0.test/page/0", "https://site0.test/page/1",
+        "https://site1.test/page/0",
+    ]
+    assert tables["chunks"].num_rows > 0
+    assert tables["harvest"].num_rows > 0
+
+
+# ----------------------------------------------------------- yaml pipeline
+
+def test_yaml_pipeline_end_to_end(ray_session, tmp_path):
+    from ragnificent_ray.pipelines.yaml_pipeline import YamlPipeline
+
+    cfg = {
+        "name": "test",
+        "continue_on_error": False,
+        "steps": [
+            {"name": "scrape", "type": "scrape",
+             "config": {"urls": ["https://site0.test"],
+                        "format": "markdown",
+                        "requests_per_second": 10000.0}},
+            {"name": "embed", "type": "embed",
+             "config": {"dimension": 64}},
+            {"name": "index", "type": "index", "config": {}},
+            {"name": "search", "type": "search",
+             "config": {"query": "page of site0", "top_k": 3,
+                        "rerank": True}},
+        ],
+    }
+    pipe = YamlPipeline(cfg, str(tmp_path / "wd"),
+                        world_cfg=dict(n_domains=2, pages_per_domain=4))
+    steps = pipe.run()
+    assert [s["status"] for s in steps] == ["success"] * 4
+    results = steps[-1]["result"]["results"]
+    assert 0 < len(results) <= 3
+    assert all(set(r) >= {"id", "content", "source_url", "score"}
+               for r in results)
+    # rerank ordering is by adjusted score desc
+    scores = [r["score"] for r in results]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_yaml_pipeline_unknown_step_stops():
+    from ragnificent_ray.pipelines.yaml_pipeline import YamlPipeline
+
+    pipe = YamlPipeline({"steps": [{"name": "x", "type": "nope"},
+                                   {"name": "y", "type": "scrape"}]},
+                        "/tmp/yaml_noop")
+    steps = pipe.run()
+    assert len(steps) == 1 and steps[0]["status"] == "error"
+
+
+# -------------------------------------------------------------------- CLI
+
+def test_cli_convert_and_chunk(tmp_path):
+    from ragnificent_ray.sources.synth_web import SynthWorld
+
+    html = SynthWorld(n_domains=1, pages_per_domain=2) \
+        .fetch("https://site0.test/page/0").body.decode()
+    f = tmp_path / "page.html"
+    f.write_text(html)
+    out = subprocess.run(
+        [sys.executable, "-m", "ragnificent_ray", "convert",
+         "--input", str(f), "--url", "https://site0.test/page/0"],
+        capture_output=True, text=True, cwd=REPO, check=True)
+    assert out.stdout.startswith("# Page 0 of site0.test")
+
+    md = tmp_path / "doc.md"
+    md.write_text("# T\n\n" + ("word " * 500))
+    out = subprocess.run(
+        [sys.executable, "-m", "ragnificent_ray", "chunk",
+         "--input", str(md), "--url", "https://x.test/"],
+        capture_output=True, text=True, cwd=REPO, check=True)
+    chunks = [json.loads(ln) for ln in out.stdout.splitlines()]
+    assert chunks and all("id" in c for c in chunks)
+
+
+def test_cli_crawl_smoke(tmp_path):
+    out = subprocess.run(
+        [sys.executable, "-m", "ragnificent_ray", "crawl",
+         "--out", str(tmp_path / "crawl"),
+         "--world", json.dumps(dict(n_domains=2, pages_per_domain=4)),
+         "--max-depth", "1", "--rate", "10000", "--num-cpus", "4"],
+        capture_output=True, text=True, cwd=REPO, check=True,
+        timeout=300)
+    metrics = json.loads(out.stdout.strip().splitlines()[-1])
+    assert metrics["pages_parsed_total"] > 0
