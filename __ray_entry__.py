@@ -205,6 +205,55 @@ def _tfidf_embed(sf_dir: str):
     return tfidf_embed(sf_dir)
 
 
+def _harvest_phash_neardup(sf_dir: str):
+    """D4: near-dup image pairs by phash hamming over the crawl harvest."""
+    from ragnificent_ray.pipelines.dedup import phash_neardup_pairs
+
+    harvest = _crawl_harvest(sf_dir)
+    return phash_neardup_pairs(harvest.select(["image_id", "phash"]))
+
+
+def _crawl_main_content(sf_dir: str):
+    """M13+M14: main-content selection + HTML cleaning over round-0 pages."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ragnificent_ray.functions.htmldom import (
+        clean_html_text,
+        extract_main_content,
+    )
+    from ragnificent_ray.stages.fetch import FetchWorker
+
+    res = _crawl(sf_dir)
+    frontier_dir = os.path.join(res.out_dir, "rounds", "round=0000",
+                                "frontier")
+    world = _world_for(sf_dir)
+
+    def project(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        mains, cleans = [], []
+        for h in htmls:
+            text = h.decode("utf-8", "replace") if h else ""
+            mains.append(extract_main_content(text))
+            cleans.append(clean_html_text(text))
+        return pa.table({
+            "url": pa.array(urls, type=pa.string()),
+            "main_content_chars": pa.array(
+                [len(m) for m in mains], type=pa.int64()),
+            "cleaned_chars": pa.array(
+                [len(c) for c in cleans], type=pa.int64()),
+        })
+
+    return (
+        rd.read_parquet(frontier_dir)
+        .map_batches(
+            FetchWorker(world_cfg=dict(world, seed=42), politeness=None),
+            batch_format="pyarrow", batch_size=128)
+        .map_batches(project, batch_format="pyarrow")
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: documents → chunks → embeddings."""
     from ragnificent_ray.pipelines.rag import rag_flagship
@@ -225,6 +274,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rag_embed_norms": _rag_embed_norms,
         "tfidf_embed": _tfidf_embed,
         "crawl_page_metadata": _crawl_page_metadata,
+        "crawl_main_content": _crawl_main_content,
+        "harvest_phash_neardup": _harvest_phash_neardup,
         "crawl_harvest": _crawl_harvest,
         "crawl_order": _crawl_order,
         "crawl_documents": _crawl_documents,

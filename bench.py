@@ -34,9 +34,12 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # several hundred seconds of single-core work)
 _DEFAULT_WORLD = (32, 1600, 3)
 
-# the sandbox VM shows bursts of hypervisor steal time (10-20%+); every
-# timed section runs BENCH_TRIALS times and reports the best
-TRIALS = int(os.environ.get("BENCH_TRIALS", "2"))
+# the sandbox VM shows bursts of hypervisor steal time (10-20%+): the
+# scaling comparison interleaves BENCH_TRIALS trials per level and keeps
+# the best; the plain headline run does a single pass (bounded runtime)
+# unless BENCH_TRIALS is raised explicitly
+TRIALS = int(os.environ.get("BENCH_TRIALS", "1"))
+SCALING_TRIALS = max(2, TRIALS)
 
 
 def _bench_world() -> tuple[int, int, int]:
@@ -175,7 +178,7 @@ def scaling() -> None:
     # linear region. Interleaved trials, best per level (steal bursts).
     lo, hi = 4, 16
     runs_lo, runs_hi = [], []
-    for _ in range(TRIALS):
+    for _ in range(SCALING_TRIALS):
         runs_hi.append(run(hi))
         runs_lo.append(run(lo))
     r_lo = min(runs_lo, key=lambda r: r["crawl_sec"])

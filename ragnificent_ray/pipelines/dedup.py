@@ -379,6 +379,92 @@ def embedding_neardup(sf_dir: str):
                           batch_size=256)
 
 
+# ------------------------------------------------- phash near-dup (images)
+
+def phash_neardup_pairs(ds, max_hamming: int = 8):
+    """D4: near-duplicate images by perceptual-hash hamming distance.
+
+    Banding: the 64-bit phash splits into 4×16-bit bands; two hashes
+    within hamming ≤ 3·16/… — precisely, any pair with hamming ≤ 48 that
+    agrees on ≥1 full band is a candidate (pigeonhole: hamming ≤ 15
+    guarantees a shared band with 4 bands; max_hamming ≤ 15 keeps exact
+    recall). Candidates form per band-bucket with a vectorized
+    self-merge; the XOR-popcount verify is exact.
+
+    ``ds``: Dataset or Arrow table with (image_id, phash) columns.
+    """
+    import ray.data as rd
+
+    if isinstance(ds, pa.Table):
+        ds = rd.from_arrow(ds)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_pylist()
+        ph = batch.column("phash").to_numpy(zero_copy_only=False) \
+            .astype(np.int64).view(np.uint64)
+        n = len(ids)
+        out_id, out_ph, out_band, out_val = [], [], [], []
+        for band in range(4):
+            vals = (ph >> np.uint64(band * 16)) & np.uint64(0xFFFF)
+            out_id.extend(ids)
+            out_ph.extend(ph.tolist())
+            out_band.extend([band] * n)
+            out_val.extend(vals.tolist())
+        val_arr = np.asarray(out_val, dtype=np.uint64)
+        return pa.table({
+            "image_id": pa.array(out_id, type=pa.string()),
+            "phash": pa.array(np.asarray(out_ph, dtype=np.uint64)),
+            "band_id": pa.array(out_band, type=pa.int32()),
+            "band_val": pa.array(val_arr),
+            "bucket": pa.array(
+                ((val_arr * np.uint64(0x9E3779B97F4A7C15))
+                 >> np.uint64(58)).astype(np.int32)),
+        })
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on=["band_id", "band_val"])
+        m = m[m["image_id_x"] < m["image_id_y"]]
+        if not len(m):
+            return pd.DataFrame({"image_id_a": pd.Series(dtype=str),
+                                 "image_id_b": pd.Series(dtype=str),
+                                 "hamming": pd.Series(dtype=np.int64)})
+        a = m["phash_x"].to_numpy(dtype=np.uint64)
+        b = m["phash_y"].to_numpy(dtype=np.uint64)
+        ham = np.array([int(x).bit_count() for x in (a ^ b)],
+                       dtype=np.int64)
+        m = m.assign(hamming=ham)
+        m = m[m["hamming"] <= max_hamming]
+        out = m.rename(columns={"image_id_x": "image_id_a",
+                                "image_id_y": "image_id_b"})
+        return out[["image_id_a", "image_id_b", "hamming"]] \
+            .drop_duplicates(["image_id_a", "image_id_b"])
+
+    def pair_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["image_id_a", "image_id_b"])
+
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(
+                "pair_bucket", pa.array([], type=pa.int32()))
+        pb = [hash((a, b)) % _BUCKETS
+              for a, b in zip(batch.column("image_id_a").to_pylist(),
+                              batch.column("image_id_b").to_pylist())]
+        return batch.append_column(
+            "pair_bucket", pa.array(pb, type=pa.int32()))
+
+    return (
+        ds.map_batches(band_rows, batch_format="pyarrow", batch_size=4096)
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("pair_bucket")
+        .map_groups(pair_dedup, batch_format="pandas")
+        .map_batches(lambda b: b.drop_columns(["pair_bucket"])
+                     if "pair_bucket" in b.column_names else b,
+                     batch_format="pyarrow")
+    )
+
+
 ORACLE_SQL = {
     "exact_dedup": """
         SELECT MIN(doc_id) AS doc_id, md5(text) AS text_hash

@@ -157,7 +157,45 @@ def fingerprints(sf_dir: str):
 
 _SQL_STOPS = ", ".join(f"'{w}'" for w in STOPWORDS)
 
+
+def _lang_hits_sql() -> tuple[str, str]:
+    """(hit-count SELECT fragments, argmax CASE) mirroring LangId's
+    first-in-sorted-order-wins-ties loop exactly."""
+    langs = [k for k in sorted(_LANG_PROFILES) if _LANG_PROFILES[k]]
+    hits = ",\n               ".join(
+        f"len(list_intersect(toks, [{', '.join(repr(w) for w in sorted(_LANG_PROFILES[k]))}]))"
+        f" AS hits_{k}" for k in langs
+    )
+    m = f"greatest({', '.join(f'hits_{k}' for k in langs)})"
+    case = [f"WHEN {m} = 0 THEN 'und'"]
+    for k in langs[:-1]:
+        case.append(f"WHEN hits_{k} = {m} THEN '{k}'")
+    case.append(f"ELSE '{langs[-1]}'")
+    return hits, "CASE " + " ".join(case) + " END"
+
+
+_LANG_HITS, _LANG_CASE = _lang_hits_sql()
+
 ORACLE_SQL = {
+    "token_count_bpeish": r"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '\w+|[^\w\s]'))
+                   AS n_bpeish_tokens
+        FROM documents
+    """,
+    "lang_id": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_distinct(regexp_split_to_array(lower(trim(text)),
+                                                       '\\s+')) AS toks
+            FROM documents
+        ), h AS (
+            SELECT doc_id,
+               {_LANG_HITS}
+            FROM t
+        )
+        SELECT doc_id, {_LANG_CASE} AS guessed_lang FROM h
+    """,
     "token_stats": """
         SELECT doc_id,
                len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,

@@ -1,0 +1,42 @@
+"""D4 phash near-dup operator: planted pairs, thresholds, emptiness."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def _pairs(ray_session, table, max_hamming):
+    from ragnificent_ray.pipelines.dedup import phash_neardup_pairs
+
+    df = phash_neardup_pairs(table, max_hamming=max_hamming).to_pandas()
+    if "image_id_a" not in df.columns:  # all pairs filtered → schemaless
+        assert df.empty
+        return set()
+    return set(map(tuple, df[["image_id_a", "image_id_b"]].values))
+
+
+def test_planted_near_dups_found(ray_session):
+    t = pa.table({
+        "image_id": ["a", "b", "c", "d"],
+        "phash": pa.array([0x0123456789ABCDEF, 0x0123456789ABCDEC,
+                           -0x7123456789ABCDF0, 0x0123456789ABCDEF],
+                          type=pa.int64()),
+    })
+    assert _pairs(ray_session, t, 8) == {("a", "b"), ("a", "d"), ("b", "d")}
+
+
+def test_threshold_zero_keeps_only_exact(ray_session):
+    t = pa.table({
+        "image_id": ["a", "b", "d"],
+        "phash": pa.array([0x0123456789ABCDEF, 0x0123456789ABCDEC,
+                           0x0123456789ABCDEF], type=pa.int64()),
+    })
+    assert _pairs(ray_session, t, 0) == {("a", "d")}
+
+
+def test_distant_hashes_yield_no_pairs(ray_session):
+    t = pa.table({
+        "image_id": ["a", "b"],
+        "phash": pa.array([0, -1], type=pa.int64()),  # hamming 64
+    })
+    assert _pairs(ray_session, t, 15) == set()
