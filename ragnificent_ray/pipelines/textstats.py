@@ -17,7 +17,6 @@ import ray.data as rd
 
 from ..functions.numeric import round_half_away
 
-from ..functions.hashing import stable_hash64
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
 
@@ -134,7 +133,11 @@ def token_count_bpeish(sf_dir: str):
 
 def fingerprints(sf_dir: str):
     """Document fingerprinting: min/max of rolling word-4-gram hashes
-    (winnowing-style sketch; stable 64-bit). Rows-only check."""
+    (winnowing-style sketch). The gram hash is the first 48 bits of
+    md5 — SQL-expressible, so the sketch is value-checked against the
+    DuckDB oracle, not just row-counted."""
+    from ..functions.hashing import md5_hex
+
     ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def fp(batch: pa.Table) -> pa.Table:
@@ -143,9 +146,9 @@ def fingerprints(sf_dir: str):
         for t in texts:
             toks = t.strip().split()
             grams = [" ".join(toks[i:i + 4]) for i in range(max(1, len(toks) - 3))]
-            hs = np.array([stable_hash64(g) for g in grams], dtype=np.uint64)
-            mins.append(int(hs.min().astype(np.int64)))
-            maxs.append(int(hs.max().astype(np.int64)))
+            hs = [int(md5_hex(g)[:12], 16) for g in grams]
+            mins.append(min(hs))
+            maxs.append(max(hs))
         return pa.table({
             "doc_id": batch["doc_id"],
             "fp_min": pa.array(mins, type=pa.int64()),
@@ -177,6 +180,23 @@ def _lang_hits_sql() -> tuple[str, str]:
 _LANG_HITS, _LANG_CASE = _lang_hits_sql()
 
 ORACLE_SQL = {
+    "fingerprints": r"""
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\s+') AS toks
+            FROM documents
+        ), g AS (
+            SELECT doc_id,
+                   list_transform(
+                       range(1, greatest(len(toks) - 3, 1) + 1),
+                       i -> CAST(('0x' || substr(
+                           md5(array_to_string(toks[i:i+3], ' ')),
+                           1, 12)) AS BIGINT)) AS hs
+            FROM t
+        )
+        SELECT doc_id, list_min(hs) AS fp_min, list_max(hs) AS fp_max
+        FROM g
+    """,
     "token_count_bpeish": r"""
         SELECT doc_id,
                len(regexp_extract_all(text, '\w+|[^\w\s]'))
