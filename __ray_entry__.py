@@ -76,20 +76,25 @@ def _crawl_order(sf_dir: str):
 
 def _crawl_documents(sf_dir: str):
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     dt = _crawl(sf_dir).table("documents")
-    rows = dt.to_pylist()
+
+    def _len(col: str):
+        return pc.cast(pc.list_value_length(
+            dt.column(col).combine_chunks()), pa.int64())
+
     return pa.table({
-        "url": pa.array([r["url"] for r in rows]),
-        "title": pa.array([r["title"] for r in rows]),
-        "depth": pa.array([r["depth"] for r in rows], type=pa.int32()),
-        "seed_rank": pa.array([r["seed_rank"] for r in rows], type=pa.int64()),
-        "n_headings": pa.array([len(r["headings"]) for r in rows], type=pa.int64()),
-        "n_paragraphs": pa.array([len(r["paragraphs"]) for r in rows], type=pa.int64()),
-        "n_links": pa.array([len(r["links"]) for r in rows], type=pa.int64()),
-        "n_images": pa.array([len(r["images"]) for r in rows], type=pa.int64()),
-        "n_code_blocks": pa.array([len(r["code_blocks"]) for r in rows], type=pa.int64()),
-        "n_outlinks": pa.array([len(r["outlinks"]) for r in rows], type=pa.int64()),
+        "url": dt.column("url"),
+        "title": dt.column("title"),
+        "depth": pc.cast(dt.column("depth"), pa.int32()),
+        "seed_rank": pc.cast(dt.column("seed_rank"), pa.int64()),
+        "n_headings": _len("headings"),
+        "n_paragraphs": _len("paragraphs"),
+        "n_links": _len("links"),
+        "n_images": _len("images"),
+        "n_code_blocks": _len("code_blocks"),
+        "n_outlinks": _len("outlinks"),
     })
 
 
