@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import pyarrow as pa
 
+from .sitemap import read_links_file
+
 
 def parse_links_lines(lines: list[str]) -> list[str]:
     """Pure core shared by the Dataset reader and the oracle/tests."""
@@ -19,11 +21,11 @@ def parse_links_lines(lines: list[str]) -> list[str]:
 
 def links_table(path: str, seed_stride: int = 1_000_000) -> pa.Table:
     """Links file → FRONTIER-shaped candidate rows (depth 0, rank =
-    line order × stride, matching sitemap seed ranking)."""
+    line order × stride, matching sitemap seed ranking). Line parsing
+    delegates to :func:`..sources.sitemap.read_links_file` (S1)."""
     from ..schema import FRONTIER
 
-    with open(path, encoding="utf-8") as f:
-        urls = parse_links_lines(f.readlines())
+    urls = read_links_file(path)
     n = len(urls)
     cols = {}
     for fld in FRONTIER:

@@ -86,3 +86,56 @@ def test_politeness_wildcard_domain_limits():
     assert core._configured_rate("sub.big.test") == 5.0
     assert core._configured_rate("exact.test") == 0.5
     assert core._configured_rate("other.test") == 1.0
+
+
+def test_min_rank_claim_two_phase(ray_session):
+    """Propose/resolve protocol: the minimum-rank proposal wins, already
+    -seen hashes never win, the owner drains pending win or lose, and
+    later rounds can re-propose the same hash."""
+    import numpy as np
+
+    from ragnificent_ray.state.seen import SeenSet
+
+    seen = SeenSet(n_shards=2)
+    try:
+        h = np.array([11, 11, 22, 33], dtype=np.uint64)
+        r = np.array([5, 3, 7, 1], dtype=np.int64)
+        seen.propose_min(h, r)
+        # resolve in a different order / split across calls
+        m1 = seen.resolve_min(np.array([11], dtype=np.uint64),
+                              np.array([5], dtype=np.int64))
+        assert list(m1) == [False]          # rank 5 lost to rank 3
+        m2 = seen.resolve_min(np.array([11, 22, 33], dtype=np.uint64),
+                              np.array([3, 7, 1], dtype=np.int64))
+        assert list(m2) == [True, True, True]
+        # all claimed now; a fresh propose/resolve round cannot re-win
+        seen.propose_min(np.array([22], dtype=np.uint64),
+                         np.array([2], dtype=np.int64))
+        m3 = seen.resolve_min(np.array([22], dtype=np.uint64),
+                              np.array([2], dtype=np.int64))
+        assert list(m3) == [False]          # owner, but already seen
+        assert seen.size() == 3
+    finally:
+        seen.shutdown()
+
+
+def test_min_rank_claim_vs_check_and_add_namespaces(ray_session):
+    """check_and_add claims interoperate with the min-rank claim: a hash
+    claimed by either path is seen for both."""
+    import numpy as np
+
+    from ragnificent_ray.state.seen import SeenSet
+
+    seen = SeenSet(n_shards=2)
+    try:
+        assert list(seen.check_and_add(
+            np.array([7], dtype=np.uint64))) == [True]
+        seen.propose_min(np.array([7], dtype=np.uint64),
+                         np.array([0], dtype=np.int64))
+        assert list(seen.resolve_min(
+            np.array([7], dtype=np.uint64),
+            np.array([0], dtype=np.int64))) == [False]
+        assert list(seen.check_and_add(
+            np.array([7], dtype=np.uint64))) == [False]
+    finally:
+        seen.shutdown()
