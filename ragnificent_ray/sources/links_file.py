@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from .sitemap import read_links_file
+from .sitemap import read_links_file as _read_links_lines
 
 
 def parse_links_lines(lines: list[str]) -> list[str]:
@@ -25,7 +25,7 @@ def links_table(path: str, seed_stride: int = 1_000_000) -> pa.Table:
     delegates to :func:`..sources.sitemap.read_links_file` (S1)."""
     from ..schema import FRONTIER
 
-    urls = read_links_file(path)
+    urls = _read_links_lines(path)
     n = len(urls)
     cols = {}
     for fld in FRONTIER:
