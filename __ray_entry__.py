@@ -136,6 +136,20 @@ def _image_resize(sf_dir: str):
     ).select_columns(["image_id", "fmt", "thumb", "thumb_h", "thumb_w"])
 
 
+def _audio_features(sf_dir: str):
+    """Audio feature-extract plumbing over the harvest payload column
+    (deterministic fake features — no audio codec in this container)."""
+    import ray.data as rd
+
+    from ragnificent_ray.stages.multimodal import AudioFeatureStage
+
+    harvest = _crawl_harvest(sf_dir)
+    return rd.from_arrow(harvest).map_batches(
+        AudioFeatureStage, batch_format="pyarrow", batch_size=64,
+        concurrency=2,
+    )
+
+
 def _video_frame_sample(sf_dir: str):
     import ray.data as rd
 
@@ -289,6 +303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_decode_stats": _image_decode_stats,
         "image_resize": _image_resize,
         "video_frame_sample": _video_frame_sample,
+        "audio_features": _audio_features,
     })
     return out
 

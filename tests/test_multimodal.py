@@ -1,0 +1,68 @@
+"""Multimodal stages: real decode/resize, stubbed audio/video plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ragnificent_ray.functions.imaging import encode_image
+from ragnificent_ray.stages.multimodal import (
+    AudioFeatureStage,
+    ImageDecodeStage,
+    ImageResizeStage,
+    VideoFrameSampleStage,
+)
+
+
+def _img_batch():
+    rng = np.random.Generator(np.random.PCG64(3))
+    pixels = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+    return pixels, pa.table({
+        "image_id": ["x"],
+        "bytes": pa.array([encode_image(pixels, "png")], type=pa.binary()),
+        "fmt": ["png"],
+    })
+
+
+def test_image_decode_stage_real():
+    pixels, batch = _img_batch()
+    out = ImageDecodeStage()(batch)
+    assert out.column("dec_h").to_pylist() == [24]
+    assert out.column("dec_w").to_pylist() == [32]
+    luma = out.column("mean_luma").to_pylist()[0]
+    want = float((pixels.astype(np.float64) @ [0.299, 0.587, 0.114]).mean())
+    assert abs(luma - want) < 1e-3
+    assert "bytes" not in out.column_names  # payload dropped after decode
+
+
+def test_image_resize_stage_real():
+    pixels, batch = _img_batch()
+    out = ImageResizeStage(out_h=8, out_w=8)(batch)
+    thumb = np.frombuffer(out.column("thumb").to_pylist()[0],
+                          dtype=np.uint8).reshape(8, 8, 3)
+    # nearest-neighbor: every thumb pixel exists in the source
+    assert thumb[0, 0].tolist() == pixels[0, 0].tolist()
+    assert out.column("thumb_h").to_pylist() == [8]
+
+
+def test_audio_stage_stub_contract():
+    batch = pa.table({"image_id": ["a", "b"],
+                      "bytes": pa.array([b"x", b"y"], type=pa.binary())})
+    out = AudioFeatureStage(dim=8, fake=True)(batch)
+    assert out.column("audio_features").type.list_size == 8
+    # deterministic per id
+    out2 = AudioFeatureStage(dim=8, fake=True)(batch)
+    assert out.column("audio_features").to_pylist() == \
+        out2.column("audio_features").to_pylist()
+    with pytest.raises(NotImplementedError):
+        AudioFeatureStage(dim=8, fake=False)(batch)
+
+
+def test_video_stage_stub_contract():
+    batch = pa.table({"image_id": ["a"],
+                      "bytes": pa.array([b"x"], type=pa.binary())})
+    out = VideoFrameSampleStage(n_frames=3, fake=True)(batch)
+    assert out.column("frame_idx").to_pylist() == [0, 1, 2]
+    with pytest.raises(NotImplementedError):
+        VideoFrameSampleStage(fake=False)(batch)
