@@ -25,6 +25,15 @@ four executions:
 Determinism: image claims and outlink proposals happen inside the
 round's critical-path execution, so the seen set evolves in exact
 round order even though heavy sinks overlap later rounds.
+
+Known limit: WITHIN a round, duplicate image URLs referenced by two
+different pages resolve by shard arrival order (first claim wins), so
+the winning row's ``seed_rank`` attribution is timing-dependent — the
+claimed SET and every harvested payload are still deterministic.
+Outlinks don't have this limit (they use the two-phase min-rank
+claim); extending it to images would require resolving image claims on
+the critical path before the next round's proposals, which is not
+worth it while no corpus carries cross-page duplicate image URLs.
 """
 
 from __future__ import annotations

@@ -135,3 +135,28 @@ def test_resume_skips_completed_rounds_and_redoes_missing(
     h1 = sorted(full_res.table("harvest").column("image_id").to_pylist())
     h2 = sorted(res2.table("harvest").column("image_id").to_pylist())
     assert h1 == h2
+
+
+def test_parity_holds_on_medium_world(ray_session, tmp_path):
+    """Ordering + seen-set + harvest parity on a world large enough to
+    exercise multi-block fan-out and pipelined rounds (8 domains × 20
+    pages × 2 images, depth 2)."""
+    from ragnificent_ray.oracle.reference import run_oracle
+    from ragnificent_ray.pipelines.crawl import run_crawl
+
+    cfg = CrawlConfig(
+        world=WorldConfig(n_domains=8, pages_per_domain=20,
+                          images_per_page=2),
+        default_rate=100000.0, adaptive_throttling=False, retry_delay=0.05,
+        n_seen_shards=4, n_politeness_shards=2, max_depth=2,
+    )
+    res = run_crawl(cfg, str(tmp_path / "medium"))
+    oracle = run_oracle(cfg)
+
+    assert set(res.metrics["_seen_snapshot"]) == oracle.seen_hashes
+    ft = res.table("frontier")
+    engine_order = sorted(zip(ft.column("depth").to_pylist(),
+                              ft.column("seed_rank").to_pylist(),
+                              ft.column("url").to_pylist()))
+    assert engine_order == sorted(oracle.order)
+    assert res.table("harvest").num_rows == len(oracle.harvest)

@@ -29,6 +29,11 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("int64")
         elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].astype("float64").round(6)
+        elif df[c].dtype == object and len(df) and isinstance(
+                df[c].iloc[0], (list, np.ndarray)):
+            # list-valued columns (embeddings/features) → sortable tuples
+            df[c] = df[c].map(lambda v: tuple(np.round(
+                np.asarray(v, dtype=np.float64), 6)))
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
