@@ -317,10 +317,11 @@ def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResu
     result = CrawlResult(out_dir=out_dir)
     t_start = time.monotonic()
     pool = ThreadPoolExecutor(max_workers=16)
-    # ONE background lane: concurrent Ray Data executions serialize
+    # BOUNDED background lanes: concurrent Ray Data executions serialize
     # their task dispatch (measured ~1 s fixed cost each, worse when
-    # overlapped), so the heavy sinks run one at a time, overlapping
-    # the next round's critical path — at most 2 executions in flight.
+    # overlapped), so the heavy sinks run on 2 lanes (one round's render
+    # + harvest in parallel), overlapping the next round's critical path
+    # — at most 3 executions in flight crawl-wide.
     bg_pool = ThreadPoolExecutor(max_workers=2)
     manifest_lock = threading.Lock()
     finalizers = []
