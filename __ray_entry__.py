@@ -334,6 +334,138 @@ _RAG_CHUNKS_SQL = """
 """
 
 
+# sliding-window chunker arithmetic (chunk_utils.py:302-334): window
+# length derived from the document's average word length. avg = L/n as
+# IEEE doubles in both engines, take = max(trunc(1000/avg), 1),
+# overlap = min(trunc(200/avg), take-1), step = take-overlap — the SQL
+# mirrors the Python op-for-op so truncation boundaries agree.
+_SLIDING_CORE = """
+    d AS (
+        SELECT doc_id,
+               'https://docs.test/' || doc_id AS url,
+               text,
+               regexp_split_to_array(trim(text), '\\s+') AS toks,
+               length(text) AS L
+        FROM documents
+    ), p AS (
+        SELECT doc_id, url, text, toks, L,
+               greatest(CAST(trunc(
+                   1000 / (CAST(L AS DOUBLE) / greatest(len(toks), 1))
+               ) AS BIGINT), 1) AS take_,
+               CAST(trunc(
+                   200 / (CAST(L AS DOUBLE) / greatest(len(toks), 1))
+               ) AS BIGINT) AS ov_raw
+        FROM d
+    ), q AS (
+        SELECT doc_id, url, text, toks, L, take_,
+               take_ - least(ov_raw, take_ - 1) AS step
+        FROM p
+    )
+"""
+
+_SLIDING_WINDOW_SELECT = """
+    SELECT url || '_' || CAST(i // step AS VARCHAR) AS id,
+           array_to_string(toks[i + 1 : i + take_], ' ') AS content,
+           url AS source_url,
+           CAST(len(toks[i + 1 : i + take_]) AS INT) AS word_count,
+           CAST(length(array_to_string(toks[i + 1 : i + take_], ' '))
+                AS INT) AS char_count,
+           CAST(i // step AS INT) AS position,
+           i > 0 AS is_continuation
+    FROM w
+    WHERE len(toks[i + 1 : i + take_]) > 0
+"""
+
+_RAG_CHUNKS_SLIDING_SQL = f"""
+    WITH {_SLIDING_CORE}, w AS (
+        SELECT url, toks, take_, step,
+               unnest(range(0, greatest(len(toks), 1), step)) AS i
+        FROM q
+    )
+    {_SLIDING_WINDOW_SELECT}
+"""
+
+# recursive chunker (chunk_utils.py:337-382): <=1000 chars → the whole
+# doc as one chunk; else paragraph grouping, falling back to the
+# sliding window for single-paragraph docs. The synthetic documents
+# contain no blank-line paragraphs (verified: zero newlines at every
+# sf tier), so the paragraph-grouping branch is unreachable here and
+# pinned by unit tests instead.
+_RAG_CHUNKS_RECURSIVE_SQL = f"""
+    WITH {_SLIDING_CORE}, w AS (
+        SELECT url, toks, take_, step,
+               unnest(range(0, greatest(len(toks), 1), step)) AS i
+        FROM q WHERE L > 1000
+    )
+    SELECT url || '_0' AS id,
+           text AS content,
+           url AS source_url,
+           CAST(len(toks) AS INT) AS word_count,
+           CAST(length(text) AS INT) AS char_count,
+           CAST(0 AS INT) AS position,
+           FALSE AS is_continuation
+    FROM q WHERE L <= 1000
+    UNION ALL
+    {_SLIDING_WINDOW_SELECT}
+"""
+
+# rag_embed_norms proof columns: the chunk ids follow the plain-text
+# chunk recipe (no markdown headings in the synthetic corpus) and the
+# hash embedder L2-normalizes, so l2_norm == 1.0 at 4 decimals and
+# dim == 384 by construction.
+_RAG_EMBED_NORMS_SQL = """
+    WITH d AS (
+        SELECT doc_id,
+               'https://docs.test/' || doc_id AS url,
+               regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    ), w AS (
+        SELECT url, toks,
+               unnest(range(0, greatest(len(toks), 1), 160)) AS i
+        FROM d
+    )
+    SELECT md5(url || ':text:' || i) AS id,
+           url AS source_url,
+           CAST(384 AS BIGINT) AS dim,
+           1.0 AS l2_norm
+    FROM w
+    WHERE len(toks[i + 1 : i + 200]) > 0
+"""
+
+# TF-IDF two-pass fit: vocabulary = top-256 tokens by document
+# frequency (ties broken by token asc), idf = ln((1+N)/(1+df))+1,
+# then per-doc tf×idf with nnz + l2 norm proof columns.
+_TFIDF_EMBED_SQL = """
+    WITH d AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+        FROM documents
+    ), tokrows AS (
+        SELECT doc_id, unnest(toks) AS tok FROM d
+    ), df AS (
+        SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tokrows GROUP BY tok
+    ), vocab AS (
+        SELECT tok,
+               ln((1.0 + (SELECT COUNT(*) FROM documents)) / (1.0 + df))
+                   + 1.0 AS idf
+        FROM df ORDER BY df DESC, tok ASC LIMIT 256
+    ), tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf FROM tokrows
+        GROUP BY doc_id, tok
+    ), w AS (
+        SELECT tf.doc_id, tf.tf * v.idf AS wt
+        FROM tf JOIN vocab v USING (tok)
+    ), agg AS (
+        SELECT doc_id, COUNT(*) AS cnt, sqrt(SUM(wt * wt)) AS nrm
+        FROM w GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(agg.cnt, 0) AS nnz,
+           ROUND(COALESCE(agg.nrm, 0.0), 4) AS tfidf_norm
+    FROM d LEFT JOIN agg USING (doc_id)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from ragnificent_ray.pipelines import ann, dedup, relational, textstats
 
@@ -341,4 +473,8 @@ def oracle_sql() -> dict[str, str]:
     for mod in (relational, textstats, dedup, ann):
         out.update(mod.ORACLE_SQL)
     out["rag_chunks"] = _RAG_CHUNKS_SQL
+    out["rag_chunks_sliding"] = _RAG_CHUNKS_SLIDING_SQL
+    out["rag_chunks_recursive"] = _RAG_CHUNKS_RECURSIVE_SQL
+    out["rag_embed_norms"] = _RAG_EMBED_NORMS_SQL
+    out["tfidf_embed"] = _TFIDF_EMBED_SQL
     return out

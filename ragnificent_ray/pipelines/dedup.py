@@ -302,25 +302,33 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.4):
 # ------------------------------------------------------------------ simhash
 
 def simhash64(sf_dir: str):
-    """64-bit SimHash sketch per document (token-hash sign aggregation)."""
+    """SimHash sketch per document (token-hash sign aggregation).
+
+    The token hash is the first 60 bits of md5 (like ``fingerprints``)
+    so the sketch is SQL-expressible and value-checked by the DuckDB
+    oracle; 60 bits keeps the signature inside a signed BIGINT on both
+    engines. Semantics match the classic 64-bit SimHash with the top
+    four bit positions constant-zero."""
+
     ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def sketch(batch: pa.Table) -> pa.Table:
         out = []
-        bit_cols = np.arange(64, dtype=np.uint64)
+        bit_cols = np.arange(60, dtype=np.uint64)
         for t in batch.column("text").to_pylist():
             toks = t.strip().split()
             if not toks:
                 out.append(0)
                 continue
-            hs = np.array([stable_hash64(w) for w in toks], dtype=np.uint64)
+            hs = np.array([int(md5_hex(w)[:15], 16) for w in toks],
+                          dtype=np.uint64)
             bits = ((hs[:, None] >> bit_cols[None, :]) & 1).astype(np.int32)
             acc = (2 * bits - 1).sum(axis=0)
-            sig = np.uint64(0)
-            for i in range(64):
+            sig = 0
+            for i in range(60):
                 if acc[i] > 0:
-                    sig |= np.uint64(1) << np.uint64(i)
-            out.append(int(sig.astype(np.int64)))
+                    sig |= 1 << i
+            out.append(sig)
         return pa.table({
             "doc_id": batch["doc_id"],
             "simhash": pa.array(out, type=pa.int64()),
@@ -484,6 +492,28 @@ ORACLE_SQL = {
         WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
               / len(list_distinct(list_concat(a.toks, b.toks)))
               >= {JACCARD_THRESHOLD}
+    """,
+    "simhash64": r"""
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\s+') AS toks
+            FROM documents
+        ), tk AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+            FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+        ), bits AS (
+            SELECT doc_id, r.range AS i,
+                   SUM((h >> r.range) & 1) AS ones,
+                   COUNT(*) AS n
+            FROM tk, range(60) r
+            GROUP BY doc_id, r.range
+        )
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN 2 * ones > n
+                             THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+                    AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id
     """,
     "embedding_neardup": f"""
         WITH e AS (
