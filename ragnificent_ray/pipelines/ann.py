@@ -33,14 +33,13 @@ def _pq(sf_dir: str, table: str) -> str:
 
 
 def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
-    t = pq.read_table(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
-    sel = ids < N_QUERIES
-    q = np.array(
-        [e for e, keep in zip(t.column("embedding").to_pylist(), sel) if keep],
-        dtype=np.float64,
-    )
-    qids = ids[sel]
+    """Query vectors via a FILTERED parquet read (row-group pruning —
+    only the query rows leave storage, never the full table)."""
+    t = pq.read_table(_pq(sf_dir, "embeddings"),
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", N_QUERIES)])
+    qids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    q = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
     qn = q / np.linalg.norm(q, axis=1, keepdims=True)
     return qids, qn
 
@@ -157,9 +156,8 @@ def search_rerank(sf_dir: str):
 
     Distributed shape: block-matmul partial top-2k per batch (queries
     broadcast), per-query merge, then the rerank touches ONLY the ≤ 2k·Q
-    candidate texts — at 10^10 rows the text lookup becomes a hash-join
-    of the candidate ids back to the documents table; at bench scale a
-    driver-side lookup of ~100 rows is the same access pattern."""
+    candidate texts via an id-filtered parquet read (the candidate→
+    documents semi-join pushed down to the scan)."""
     over_k = 2 * TOP_K
     qids, qn = _query_matrix(sf_dir)
     qref = ray.put((qids, qn))
@@ -211,12 +209,14 @@ def search_rerank(sf_dir: str):
         .map_groups(merge, batch_format="pandas")
     ).to_pandas()
 
-    # candidate-only text lookup (the small side)
+    # candidate-only text lookup: an `in`-filtered parquet read is the
+    # candidate-ids→documents semi-join pushed down to the scan — only
+    # row groups holding the ≤ 2k·Q+Q candidate ids are read.
     need = sorted(set(cands["neighbor_id"]) | set(cands["query_id"]))
-    dt = pq.read_table(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
-    texts = {d: t for d, t in zip(dt.column("doc_id").to_pylist(),
-                                  dt.column("text").to_pylist())
-             if d in set(need)}
+    dt = pq.read_table(_pq(sf_dir, "documents"), columns=["doc_id", "text"],
+                       filters=[("doc_id", "in", need)])
+    texts = dict(zip(dt.column("doc_id").to_pylist(),
+                     dt.column("text").to_pylist()))
 
     rows = []
     for qid, grp in cands.groupby("query_id"):

@@ -46,11 +46,28 @@ COSINE_THRESHOLD = 0.4
 MINHASH_PERMS = 64
 LSH_BANDS = 16  # 16 bands × 4 rows
 _MERSENNE = (1 << 61) - 1
-_BUCKETS = 64  # bounded groupby key space
+_BUCKETS = 64  # minimum bounded groupby key space
 
 
 def _pq(sf_dir: str, table: str) -> str:
     return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _bucket_count(sf_dir: str, table: str = "documents",
+                  target_bytes: int = 64 << 20) -> int:
+    """Bucket count scaled to the input: one bucket per ~64 MiB of
+    source parquet (min 64) so per-group pandas frames stay block-sized
+    at any corpus scale while the groupby key space remains bounded."""
+    try:
+        path = _pq(sf_dir, table)
+        if os.path.isdir(path):
+            sz = sum(os.path.getsize(os.path.join(path, f))
+                     for f in os.listdir(path))
+        else:
+            sz = os.path.getsize(path)
+    except OSError:
+        sz = 0
+    return max(_BUCKETS, int(sz // target_bytes) + 1)
 
 
 # -------------------------------------------------------------- exact dedup
@@ -60,6 +77,7 @@ def exact_dedup(sf_dir: str):
     map, then group-first over hash BUCKETS (bounded key space) with the
     per-hash dedup vectorized inside each bucket (the D3 pattern)."""
     ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+    n_buckets = _bucket_count(sf_dir)
 
     def add_hash(batch: pa.Table) -> pa.Table:
         hashes = [md5_hex(t) for t in batch.column("text").to_pylist()]
@@ -67,7 +85,7 @@ def exact_dedup(sf_dir: str):
             "text_hash", pa.array(hashes)
         ).append_column(
             "bucket",
-            pa.array([int(h[:2], 16) % _BUCKETS for h in hashes],
+            pa.array([int(h[:8], 16) % n_buckets for h in hashes],
                      type=pa.int32()),
         )
 
@@ -168,52 +186,54 @@ def _minhash(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return v.min(axis=1)
 
 
-class _VerifyPairs:
-    """Task-based exact-Jaccard verification over candidate pairs; the
-    doc→shingle map resolves from the object store per worker."""
-
-    def __init__(self, ref, threshold: float):
-        self.ref = ref
-        self.threshold = threshold
-        self._map = None
-
-    def __getstate__(self):
-        s = self.__dict__.copy()
-        s["_map"] = None
-        return s
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if self._map is None:
-            self._map = ray.get(self.ref)
-        oa, ob, oj = [], [], []
-        for x, y in zip(batch.column("doc_a").to_pylist(),
-                        batch.column("doc_b").to_pylist()):
-            sa, sb = self._map[x], self._map[y]
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            union = len(sa) + len(sb) - inter
-            j = inter / union if union else 0.0
-            if j >= self.threshold:
-                oa.append(x)
-                ob.append(y)
-                oj.append(round_half_away(j, 4))
-        return pa.table({
-            "doc_a": pa.array(oa, type=pa.int64()),
-            "doc_b": pa.array(ob, type=pa.int64()),
-            "jaccard": pa.array(oj, type=pa.float64()),
-        })
+def _verify_joined(batch: pa.Table, threshold: float) -> pa.Table:
+    """Exact shingle-Jaccard over candidate rows that already carry both
+    docs' shingle sets (attached by the hash join — no driver state)."""
+    oa, ob, oj = [], [], []
+    for x, y, sa, sb in zip(batch.column("doc_a").to_pylist(),
+                            batch.column("doc_b").to_pylist(),
+                            batch.column("shingles_a").to_pylist(),
+                            batch.column("shingles_b").to_pylist()):
+        sa = np.frombuffer(sa, dtype=np.uint64)
+        sb = np.frombuffer(sb, dtype=np.uint64)
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        j = inter / union if union else 0.0
+        if j >= threshold:
+            oa.append(x)
+            ob.append(y)
+            oj.append(round_half_away(j, 4))
+    return pa.table({
+        "doc_a": pa.array(oa, type=pa.int64()),
+        "doc_b": pa.array(ob, type=pa.int64()),
+        "jaccard": pa.array(oj, type=pa.float64()),
+    })
 
 
-def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.4):
+def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.4,
+                      join_partitions: int | None = None):
     """Near-dup pairs via MinHash banding (SURVEY §2.7 D-pattern).
 
     One distributed sketch pass computes shingles + 64 minhashes + 16
     band hashes per doc; band rows explode to (doc_id, band_id,
     band_hash, bucket) and candidate pairs form per BUCKET with a
     vectorized self-merge; pairs dedup in bounded pair-buckets; exact
-    shingle-Jaccard verification runs with the shingle sets broadcast.
-    At 10^10 scale only the narrow band rows shuffle, and the shingle
-    broadcast becomes a hash-join of candidates back to the sketch
-    table (documented path, not needed at bench scale)."""
+    shingle-Jaccard verification hash-joins the candidate pairs back
+    to the materialized sketch table (once per side) so only candidate
+    rows and their two shingle sets ever co-locate — no driver-side
+    materialization anywhere in the path. At 10^10 scale only the
+    narrow band rows and the (rare) candidates shuffle;
+    ``join_partitions`` sizes the join exchange."""
+    if join_partitions is None:
+        # each join spawns this many aggregator actors; two joins run in
+        # the pipeline, so size to the cluster (fractional-CPU actors
+        # below keep them schedulable even on tiny sessions).
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        join_partitions = max(2, min(64, cpus // 2))
+    _join_args = dict(num_partitions=join_partitions,
+                      aggregator_ray_remote_args={"num_cpus": 0.25})
+    n_buckets = _bucket_count(sf_dir)
+
     rng = np.random.Generator(np.random.PCG64(42))
     a = rng.integers(1, _MERSENNE, size=MINHASH_PERMS, dtype=np.uint64)
     b = rng.integers(0, _MERSENNE, size=MINHASH_PERMS, dtype=np.uint64)
@@ -247,15 +267,6 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.4):
         sketch_batch, batch_format="pyarrow", batch_size=1024
     ).materialize()
 
-    # shingle broadcast for verification (scale path: hash-join instead)
-    shingle_map = {}
-    for batch in sketches.iter_batches(batch_size=8192,
-                                       batch_format="pyarrow"):
-        for d, s in zip(batch.column("doc_id").to_pylist(),
-                        batch.column("shingles").to_pylist()):
-            shingle_map[d] = np.asarray(s, dtype=np.uint64)
-    sref = ray.put(shingle_map)
-
     def explode_bands(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         bands = batch.column("band_hashes").to_pylist()
@@ -268,7 +279,7 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.4):
             "doc_id": pa.array(doc),
             "band_id": pa.array(band_id),
             "band_hash": pa.array(band_hash),
-            "bucket": pa.array((band_hash % _BUCKETS).astype(np.int32)),
+            "bucket": pa.array((band_hash % n_buckets).astype(np.int32)),
         })
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -280,13 +291,13 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.4):
     def add_pair_bucket(batch: pa.Table) -> pa.Table:
         da = batch.column("doc_a").to_numpy(zero_copy_only=False)
         db = batch.column("doc_b").to_numpy(zero_copy_only=False)
-        pb = ((da * np.int64(1000003) + db) % _BUCKETS).astype(np.int32)
+        pb = ((da * np.int64(1000003) + db) % n_buckets).astype(np.int32)
         return batch.append_column("pair_bucket", pa.array(pb))
 
     def pair_dedup(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]]
 
-    return (
+    cands = (
         sketches
         .map_batches(explode_bands, batch_format="pyarrow", batch_size=4096)
         .groupby("bucket")
@@ -294,8 +305,30 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.4):
         .map_batches(add_pair_bucket, batch_format="pyarrow")
         .groupby("pair_bucket")
         .map_groups(pair_dedup, batch_format="pandas")
-        .map_batches(_VerifyPairs(sref, jaccard_threshold),
-                     batch_format="pyarrow")
+    )
+
+    def _keyed(key: str, col: str):
+        # Arrow's hash join takes no list payloads: pack each sorted
+        # shingle set into one binary cell (uint64 LE) for the exchange.
+        def pack(b: pa.Table, key=key, col=col) -> pa.Table:
+            packed = [np.asarray(s, dtype=np.uint64).tobytes()
+                      for s in b.column("shingles").to_pylist()]
+            return pa.table({
+                key: b.column("doc_id"),
+                col: pa.array(packed, type=pa.binary()),
+            })
+
+        return sketches.map_batches(pack, batch_format="pyarrow")
+
+    return (
+        cands
+        .join(_keyed("doc_a", "shingles_a"), "inner",
+              on=("doc_a",), **_join_args)
+        .join(_keyed("doc_b", "shingles_b"), "inner",
+              on=("doc_b",), **_join_args)
+        .map_batches(
+            lambda b: _verify_joined(b, jaccard_threshold),
+            batch_format="pyarrow")
     )
 
 
@@ -454,7 +487,9 @@ def phash_neardup_pairs(ds, max_hamming: int = 8):
         if batch.num_rows == 0:
             return batch.append_column(
                 "pair_bucket", pa.array([], type=pa.int32()))
-        pb = [hash((a, b)) % _BUCKETS
+        # stable hash — Python's hash() is per-process seeded, which
+        # would scatter duplicate pairs across different dedup buckets
+        pb = [stable_hash64(f"{a}|{b}") % _BUCKETS
               for a, b in zip(batch.column("image_id_a").to_pylist(),
                               batch.column("image_id_b").to_pylist())]
         return batch.append_column(

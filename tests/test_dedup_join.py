@@ -1,0 +1,52 @@
+"""MinHash-LSH verify path: the distributed hash-join verification must
+agree with an in-process brute-force exact shingle-Jaccard (the round-1
+broadcast path's semantics, kept as the test oracle)."""
+
+import numpy as np
+import pyarrow.parquet as pq
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _brute_force_pairs(threshold: float) -> dict[tuple[int, int], float]:
+    from ragnificent_ray.functions.numeric import round_half_away
+    from ragnificent_ray.pipelines.dedup import _shingle_hashes
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_pylist()
+    sh = {d: _shingle_hashes(x) for d, x in
+          zip(ids, t.column("text").to_pylist())}
+    out = {}
+    for i, x in enumerate(ids):
+        for y in ids[i + 1:]:
+            a, b = (x, y) if x < y else (y, x)
+            sa, sb = sh[a], sh[b]
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            j = inter / union if union else 0.0
+            if j >= threshold:
+                out[(a, b)] = round_half_away(j, 4)
+    return out
+
+
+def test_minhash_join_verify_matches_bruteforce(ray_session):
+    from ragnificent_ray.pipelines.dedup import minhash_lsh_pairs
+
+    got = minhash_lsh_pairs(SF_DIR).to_pandas()
+    want = _brute_force_pairs(0.4)
+
+    # every emitted pair must be a true near-dup with the exact jaccard
+    for row in got.itertuples(index=False):
+        key = (row.doc_a, row.doc_b)
+        assert key in want, f"false positive {key}"
+        assert abs(row.jaccard - want[key]) < 1e-9, key
+
+    # banding recall: every strong near-dup (j >= 0.9 clears 16 bands x
+    # 4 rows with overwhelming margin) must be caught
+    strong = {k for k, j in want.items() if j >= 0.9}
+    emitted = {(r.doc_a, r.doc_b) for r in got.itertuples(index=False)}
+    assert strong <= emitted, strong - emitted
+
+    # no duplicate pairs out of the pair-dedup stage
+    assert len(emitted) == len(got)
