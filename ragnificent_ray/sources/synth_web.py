@@ -103,9 +103,29 @@ class SynthWorld:
 
     # ------------------------------------------------------------ images
 
+    def neardup_base(self, d: int, pid: int, k: int) -> str | None:
+        """Planted perceptual near-duplicates: every 4th page's first
+        image is a lightly-perturbed copy of the previous page's first
+        image (same k ⇒ same dimensions), so phash-banding dedup (D4)
+        has real pairs to find at every sf tier."""
+        if k == 0 and pid >= 2 and pid % 4 == 2:
+            return self.image_id(d, pid - 1, 0)
+        return None
+
     def image_pixels(self, image_id: str) -> np.ndarray:
         parts = image_id.split("-")
-        k = int(parts[3])
+        d, pid, k = int(parts[1]), int(parts[2]), int(parts[3])
+        base = self.neardup_base(d, pid, k)
+        if base is not None:
+            px = self.image_pixels(base).copy()
+            rng = np.random.Generator(
+                np.random.PCG64(self.seed ^ stable_hash64(f"perturb:{image_id}"))
+            )
+            hh, ww = px.shape[:2]
+            ys = rng.integers(0, hh, size=4)
+            xs = rng.integers(0, ww, size=4)
+            px[ys, xs] = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+            return px
         w = _WIDTHS[k % len(_WIDTHS)]
         h = _HEIGHTS[(k + 1) % len(_HEIGHTS)]
         rng = np.random.Generator(
@@ -167,6 +187,16 @@ class SynthWorld:
             f'alt="{self.caption(self.image_id(d, pid, k))}">'
             for k in range(self.images_per_page)
         )
+        if 1 <= pid < P:
+            # cross-page duplicate image URL: sitemap pages also embed
+            # the previous page's first image (same alt text), so
+            # within-round duplicate image claims are exercised — the
+            # claimed set and payload stay deterministic (claims.py).
+            dup_id = self.image_id(d, pid - 1, 0)
+            imgs += (
+                f'<img src="/img/{dup_id}.{self.image_fmt(d, pid - 1, 0)}" '
+                f'alt="{self.caption(dup_id)}">'
+            )
         if pid < P:
             links = [
                 f'<a href="/page/{(pid + 1) % P}">next page</a>',

@@ -32,8 +32,11 @@ the winning row's ``seed_rank`` attribution is timing-dependent — the
 claimed SET and every harvested payload are still deterministic.
 Outlinks don't have this limit (they use the two-phase min-rank
 claim); extending it to images would require resolving image claims on
-the critical path before the next round's proposals, which is not
-worth it while no corpus carries cross-page duplicate image URLs.
+the critical path before the next round's proposals. The synthetic
+world plants cross-page duplicate image URLs (synth_web.py page_html)
+precisely to exercise this: the claimed set, captions and payloads are
+identical whichever page wins, only the internal seed_rank attribution
+is timing-dependent — and nothing downstream orders by it.
 """
 
 from __future__ import annotations

@@ -40,3 +40,31 @@ def test_distant_hashes_yield_no_pairs(ray_session):
         "phash": pa.array([0, -1], type=pa.int64()),  # hamming 64
     })
     assert _pairs(ray_session, t, 15) == set()
+
+
+def test_synth_world_planted_pairs_surface_end_to_end(ray_session):
+    """The synthetic world's planted near-dup images (every 4th page's
+    first image perturbs the previous page's) must produce non-trivial
+    pairs from the ground-truth harvest — the D4 end-to-end signal the
+    driver sees via harvest_phash_neardup."""
+    import pyarrow as pa
+
+    from ragnificent_ray.sources.synth_web import SynthWorld
+
+    w = SynthWorld(n_domains=4, pages_per_domain=8, images_per_page=2)
+    rows = w.harvest_truth()
+    t = pa.table({
+        "image_id": [r["image_id"] for r in rows],
+        "phash": pa.array([r["phash"] for r in rows], type=pa.int64()),
+    })
+    got = _pairs(ray_session, t, 8)
+
+    planted = set()
+    for d in range(w.n_domains):
+        for pid in range(w.n_pages(d)):
+            base = w.neardup_base(d, pid, 0)
+            if base is not None:
+                a, b = sorted((base, w.image_id(d, pid, 0)))
+                planted.add((a, b))
+    assert planted, "world must plant pairs"
+    assert planted <= got, planted - got

@@ -63,8 +63,10 @@ def test_page_html_parses_with_expected_structure():
     html = w.fetch(url).body.decode()
     doc = parse_html_to_document(html, url)
     assert doc["title"] == "Page 2 of site0.test"
-    assert len(doc["images"]) == 2
+    # 2 own images + the planted cross-page duplicate of page 1's first
+    assert len(doc["images"]) == 3
     assert doc["images"][0]["alt"].startswith("caption img-0000-0002-00")
+    assert "img-0000-0001-00" in doc["images"][2]["src"]
     links = extract_links(html, url)
     assert all(not u.startswith("javascript:") for u in links)
     assert links == sorted(set(links))
