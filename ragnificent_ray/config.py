@@ -67,6 +67,15 @@ class CrawlConfig:
     parse_batch_size: int = 64
     seen_capacity_per_shard: int = 1 << 16
 
+    def __post_init__(self):
+        # the reference accepts these unvalidated and then crashes in
+        # the chunker (step <= 0); fail fast at construction instead
+        if self.chunk_overlap >= self.chunk_size:
+            raise ValueError(
+                f"chunk_overlap ({self.chunk_overlap}) must be < "
+                f"chunk_size ({self.chunk_size})"
+            )
+
     def seed_urls(self) -> list[str]:
         if self.seeds is not None:
             return list(self.seeds)

@@ -121,7 +121,10 @@ def semantic_chunks(
             rows.append(row)
             continue
         words = content.split()
-        step = chunk_size // 5 - chunk_overlap // 5
+        # clamp: chunk_overlap >= chunk_size would give step <= 0
+        # (ValueError from range); the reference shares the flaw —
+        # CrawlConfig also validates at construction
+        step = max(1, chunk_size // 5 - chunk_overlap // 5)
         take = chunk_size // 5
         for i in range(0, len(words), step):
             window = words[i : i + take]
@@ -160,7 +163,7 @@ def text_chunks(
     windows, ids ``md5(f"{url}:text:{i}")``, chunk_type ``text_chunk``."""
     domain = urlparse(source_url).netloc
     words = content.split()
-    step = chunk_size // 5 - chunk_overlap // 5
+    step = max(1, chunk_size // 5 - chunk_overlap // 5)
     take = chunk_size // 5
     rows = []
     for i in range(0, len(words), step):

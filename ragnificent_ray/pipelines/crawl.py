@@ -250,10 +250,17 @@ def _block_writer(path: str, drop_columns: tuple = (), tag: str = ""):
         if drop:
             out = out.drop_columns(drop)
         if out.num_rows:
-            basis = (
-                "\n".join(out.column("url").to_pylist())
-                if "url" in out.column_names else repr(out.num_rows)
-            )
+            if "url" in out.column_names:
+                basis = "\n".join(out.column("url").to_pylist())
+            else:
+                # no natural key: digest the serialized block so two
+                # distinct same-sized blocks can't collide on one file
+                sink = pa.BufferOutputStream()
+                with pa.ipc.new_stream(sink, out.schema) as w:
+                    w.write_table(out)
+                basis = hashlib.blake2b(
+                    sink.getvalue().to_pybytes(), digest_size=10
+                ).hexdigest()
             key = hashlib.blake2b(
                 (tag + basis).encode(), digest_size=10).hexdigest()
             tmp = os.path.join(path, f".part-{key}.tmp")
@@ -492,6 +499,8 @@ def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResu
                 n_frontier = 0
 
             if n_frontier == 0:
+                for f in finalizers:  # keep manifest completion in order
+                    f.result()
                 with manifest_lock:
                     ckpt.complete_round(
                         depth, {"depth": depth, "inputs": [], "n_frontier": 0},
@@ -565,17 +574,26 @@ def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResu
             critical_sec = time.monotonic() - round_t0
 
             # ---- deferred round finalization --------------------------------
+            # each finalizer waits on the previous round's finalizer so
+            # manifest completion is IN ORDER: completed_rounds is always
+            # a contiguous prefix, and resume's `pending = max(done)+1`
+            # can never skip a round whose sinks were still in flight
+            prev_finalizer = finalizers[-1] if finalizers else None
+
             def _finalize(depth=depth, futures=futures, n_frontier=n_frontier,
                           n_docs=n_docs, n_next=n_next,
                           branch_times=branch_times, round_t0=round_t0,
                           critical_sec=critical_sec,
                           fetch_parse_sec=fetch_parse_sec,
-                          frontier_dir=frontier_dir):
+                          frontier_dir=frontier_dir,
+                          prev_finalizer=prev_finalizer):
                 n_rendered, n_chunks = (
                     futures["render_chunks"].result()
                     if "render_chunks" in futures else (0, 0))
                 n_harvest = (futures["harvest"].result()
                              if "harvest" in futures else 0)
+                if prev_finalizer is not None:
+                    prev_finalizer.result()
                 lineage = {
                     "depth": depth,
                     "inputs": [frontier_dir],

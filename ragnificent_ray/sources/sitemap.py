@@ -184,11 +184,9 @@ def filter_urls(
 
 def read_links_file(path: str) -> list[str]:
     """S1: URL-per-line text file; blanks and ``#`` comments skipped
-    (``core/scraper.py:1155-1183``)."""
-    urls = []
+    (``core/scraper.py:1155-1183`` — strip/skip only, no field
+    splitting). Shares the pure core with ``links_file.links_table``."""
+    from .links_file import parse_links_lines
+
     with open(path, encoding="utf-8") as f:
-        for line in f:
-            s = line.strip()
-            if s and not s.startswith("#"):
-                urls.append(s.split(",")[0].strip())
-    return urls
+        return parse_links_lines(f.readlines())
