@@ -38,6 +38,11 @@ class CrawlConfig:
     max_depth: int = 2
     allow_cross_domain: bool = False
 
+    # request cache (S8, core/cache.py): cache-before-fetch with TTL;
+    # None disables. The dir is shared across workers (atomic writes).
+    request_cache_dir: str | None = None
+    request_cache_ttl: float = 3600.0
+
     # politeness budget (reference core/throttle.py defaults are 1 rps;
     # the bench raises this — same budget is handed to the oracle)
     default_rate: float = 100.0

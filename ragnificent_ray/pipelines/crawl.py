@@ -3,12 +3,14 @@
 Per round (SURVEY §3.1-new; stages/claims.py)::
 
     exec 1 (critical)  frontier ──▶ fetch ──▶ parse ──▶ AttachClaims
-                         (image seen-claims + outlink min-rank proposals
-                          on the sharded seen set; candidates attached as
-                          nested columns) ──▶ block-write documents ──▶
-                         materialize            [= proposal barrier]
-    exec 2 (critical)  ExplodeResolveOutlinks (phase-2 resolve) ──▶
-                         block-write next frontier ──▶ materialize
+                         (image seen-claims + payload-carrying outlink
+                          min-rank proposals on the sharded seen set) ──▶
+                         block-write documents ──▶ materialize
+                                                [= proposal barrier]
+    RPC    (critical)  seen.take_winners_to_parquet — each shard claims
+                         its pending winners and writes its own next-
+                         frontier parquet part (phase-2 resolve without
+                         a dataset execution; read lazily next round)
     exec 3 (background) render ──▶ block-write rendered ──▶ chunk
                          (──▶ embed) ──▶ chunks sink
     exec 4 (background) ExplodeClaimedImages ──▶ block-write
@@ -58,7 +60,6 @@ from ..stages.claims import (
     CLAIM_COLUMNS,
     AttachClaims,
     ExplodeClaimedImages,
-    ExplodeResolveOutlinks,
 )
 from ..stages.extract import (
     harvest_decode_batch,
@@ -276,14 +277,16 @@ def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResu
     (driver contract); this function owns only its shard actors.
 
     Execution shape: a Ray Data execution has a fixed dispatch cost and
-    concurrent executions serialize their dispatch, so each round is
-    exactly FOUR executions (stages/claims.py):
+    concurrent executions serialize their dispatch, so each round's
+    critical path is ONE execution plus one RPC fan-out
+    (stages/claims.py):
 
     1. critical — fetch → parse → AttachClaims (image seen-claims +
-       outlink min-rank proposals on the sharded seen set) →
-       block-write(documents) → materialize (= the phase-1 barrier).
-    2. critical — ExplodeResolveOutlinks (phase-2 resolve) →
-       block-write(next frontier) → materialize.
+       payload-carrying outlink min-rank proposals on the sharded seen
+       set) → block-write(documents) → materialize (= phase-1 barrier).
+    2. critical RPC — seen.take_winners_to_parquet: each shard claims
+       its pending winners and writes its own next-frontier parquet
+       part (phase-2 resolve without a dataset execution).
     3. background — render → block-write(rendered) → chunk (→ embed)
        → chunks sink.
     4. background — ExplodeClaimedImages → block-write(image_frontier)
@@ -292,7 +295,7 @@ def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResu
     Background sinks overlap the next round's critical path; a round is
     marked complete in the manifest only after ALL its writes land, so
     resume semantics are unchanged. The seen set evolves in exact round
-    order because every claim happens inside a critical-path execution.
+    order because every claim happens inside the critical path.
     """
     import threading
     from concurrent.futures import ThreadPoolExecutor
@@ -319,6 +322,8 @@ def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResu
         politeness=politeness,
         max_retries=cfg.max_retries,
         retry_delay=cfg.retry_delay,
+        cache_dir=cfg.request_cache_dir,
+        cache_ttl=cfg.request_cache_ttl,
     )
 
     result = CrawlResult(out_dir=out_dir)
@@ -555,21 +560,16 @@ def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResu
                         _timed(branch_times, "harvest", _harvest),
                         docs_pq, depth)
 
-                # ---- execution 2: resolve → next frontier (critical) --------
+                # ---- phase-2 resolve: shard-side, no execution --------------
                 if follow:
                     t0 = time.monotonic()
-                    nxt = docs_pq.map_batches(
-                        ExplodeResolveOutlinks(seen), batch_format="pyarrow",
-                    ).map_batches(
-                        _block_writer(ckpt.table_dir(depth + 1, "frontier"),
-                                      tag=f"frontier{depth + 1}:"),
-                        batch_format="pyarrow",
-                    ).materialize()
-                    n_next = nxt.count()
+                    nxt_dir = ckpt.table_dir(depth + 1, "frontier")
+                    n_next = seen.take_winners_to_parquet(nxt_dir)
                     branch_times["outlinks"] = round(
                         time.monotonic() - t0, 3)
                     if n_next:
-                        next_frontier = (nxt, n_next)
+                        # lazy read — fused into next round's fetch exec
+                        next_frontier = (rd.read_parquet(nxt_dir), n_next)
 
             critical_sec = time.monotonic() - round_t0
 

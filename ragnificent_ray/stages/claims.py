@@ -4,19 +4,21 @@ the fetch+parse execution.
 A Ray Data execution has a fixed dispatch cost (~1 s for ~128 tasks in
 this sandbox, measured) and concurrent executions serialize their
 dispatch, so a crawl round built from many small executions pays a
-serial floor that caps scaling. These stages collapse the round to
-four executions:
+serial floor that caps scaling. These stages collapse the round's
+critical path to ONE execution plus one RPC round trip:
 
 1. fetch → parse → **AttachClaims** → block-write(documents) —
    critical path. AttachClaims canonicalizes each page's image and
    outlink candidates, *claims* image URLs on the sharded seen set
-   (``check_and_add``), *proposes* outlink (hash → min rank) to the
-   owning shard, and attaches both candidate lists as nested columns.
-   The execution's materialize is the phase-1 barrier of the min-rank
-   claim.
-2. **ExplodeResolveOutlinks** → block-write(frontier) — critical path.
-   Explodes the outlink candidate lists, per-block partial min-rank
-   dedup, then resolves winners on the shards (phase 2).
+   (``check_and_add``), and *proposes* each outlink's full frontier
+   payload (url, domain, depth, min rank) to the owning seen shard
+   (``propose_full``). The execution's materialize is the phase-1
+   barrier of the min-rank claim.
+2. **seen.take_winners_to_parquet** — critical path, NOT an execution:
+   each shard claims its pending winners and writes its own frontier
+   parquet part. The next round's fetch execution reads those parts
+   lazily, so resolve costs one actor RPC fan-out instead of a whole
+   dataset execution (explode → resolve → write) per round.
 3. render → block-write(rendered) → chunk (→ embed) → chunks sink —
    background.
 4. **ExplodeClaimedImages** → block-write(image_frontier) → fetch →
@@ -45,7 +47,6 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.urls import canonicalize
-from ..schema import FRONTIER
 from .extract import derive_rank
 
 CLAIMED_IMAGE_T = pa.struct([
@@ -56,15 +57,7 @@ CLAIMED_IMAGE_T = pa.struct([
     ("url_hash", pa.uint64()),
 ])
 
-OUTLINK_CAND_T = pa.struct([
-    ("url", pa.string()),
-    ("domain", pa.string()),
-    ("depth", pa.int32()),
-    ("seed_rank", pa.int64()),
-    ("url_hash", pa.uint64()),
-])
-
-CLAIM_COLUMNS = ("claimed_images", "outlink_cands")
+CLAIM_COLUMNS = ("claimed_images",)
 
 
 class AttachClaims:
@@ -130,58 +123,33 @@ class AttachClaims:
                     claimed[di].append(st)
 
         if self.follow_links:
-            # in-batch partial min per hash (combiner), then one propose
-            # fan-out per batch — phase 1 of the min-rank claim
-            best: dict[int, int] = {}
+            # in-batch partial min per hash (combiner), then one
+            # payload-carrying propose fan-out per batch — phase 1 of
+            # the min-rank claim. Phase 2 is shard-side
+            # (take_winners_to_parquet), so the candidates don't need
+            # to travel with the documents stream at all.
+            best: dict[int, dict] = {}
             for ll in link_per_doc:
                 for st in ll:
-                    h, r = st["url_hash"], st["seed_rank"]
-                    if h not in best or r < best[h]:
-                        best[h] = r
-            if best:
-                self.seen.propose_min(
-                    np.fromiter(best.keys(), dtype=np.uint64, count=len(best)),
-                    np.fromiter(best.values(), dtype=np.int64, count=len(best)),
-                )
-
-        return batch.append_column(
-            "claimed_images", pa.array(claimed, type=pa.list_(CLAIMED_IMAGE_T))
-        ).append_column(
-            "outlink_cands",
-            pa.array(link_per_doc, type=pa.list_(OUTLINK_CAND_T)),
-        )
-
-
-class ExplodeResolveOutlinks:
-    """Stage 2: per-block partial min-rank dedup of the attached outlink
-    candidates, then phase-2 resolve on the shards → frontier rows."""
-
-    def __init__(self, seen):
-        self.seen = seen
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        best: dict[int, dict] = {}
-        if "outlink_cands" in batch.column_names:
-            for ll in batch.column("outlink_cands").to_pylist():
-                for st in ll or []:
                     h, r = st["url_hash"], st["seed_rank"]
                     cur = best.get(h)
                     if cur is None or r < cur["seed_rank"]:
                         best[h] = st
-        cand = list(best.values())
-        winners: list[dict] = []
-        if cand:
-            mask = self.seen.resolve_min(
-                np.array([c["url_hash"] for c in cand], dtype=np.uint64),
-                np.array([c["seed_rank"] for c in cand], dtype=np.int64),
-            )
-            winners = [c for c, m in zip(cand, mask) if m]
-        # frontier schema: sitemap-only fields (priority/lastmod/…) null
-        cols = {}
-        for f in FRONTIER:
-            cols[f.name] = pa.array(
-                [w.get(f.name) for w in winners], type=f.type)
-        return pa.table(cols)
+            if best:
+                cands = list(best.values())
+                self.seen.propose_full(
+                    np.array([c["url_hash"] for c in cands],
+                             dtype=np.uint64),
+                    np.array([c["seed_rank"] for c in cands],
+                             dtype=np.int64),
+                    [c["url"] for c in cands],
+                    [c["domain"] for c in cands],
+                    [c["depth"] for c in cands],
+                )
+
+        return batch.append_column(
+            "claimed_images", pa.array(claimed, type=pa.list_(CLAIMED_IMAGE_T))
+        )
 
 
 class ExplodeClaimedImages:

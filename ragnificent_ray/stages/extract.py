@@ -15,7 +15,7 @@ from ..functions.imaging import decode_image, phash64
 from ..functions.render import document_to_markdown, render_document
 from ..schema import DOCUMENTS, HARVEST, RENDERED
 
-_CARRY = ("url", "domain", "depth", "seed_rank")
+_CARRY = ("url", "domain", "depth", "seed_rank", "from_cache")
 
 
 def derive_rank(parent_rank: int, idx: int, stride: int = 100_000) -> int:

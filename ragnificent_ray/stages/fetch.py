@@ -69,6 +69,8 @@ class FetchWorker:
         max_retries: int = 3,
         retry_delay: float = 2.0,
         out_col: str = "html",
+        cache_dir: str | None = None,
+        cache_ttl: float = 3600.0,
     ):
         self.world_cfg = world_cfg
         self._backend = None
@@ -76,6 +78,9 @@ class FetchWorker:
         self.max_retries = max_retries
         self.retry_delay = retry_delay
         self.out_col = out_col
+        self.cache_dir = cache_dir
+        self.cache_ttl = cache_ttl
+        self._cache = None
 
     @property
     def backend(self):
@@ -83,9 +88,22 @@ class FetchWorker:
             self._backend = cached_backend(self.world_cfg)
         return self._backend
 
+    @property
+    def cache(self):
+        """S8 request cache (per-process, shared disk tier); None when
+        no cache_dir is configured."""
+        if self.cache_dir is None:
+            return None
+        if self._cache is None:
+            from ..state.request_cache import cached_request_cache
+
+            self._cache = cached_request_cache(self.cache_dir, self.cache_ttl)
+        return self._cache
+
     def __getstate__(self):
         state = self.__dict__.copy()
         state["_backend"] = None  # resolved from the worker's cache
+        state["_cache"] = None
         return state
 
     def _fetch_once(self, url: str) -> tuple[FetchResult | None, float, Exception | None]:
@@ -124,10 +142,22 @@ class FetchWorker:
         ctypes = [""] * n
         rts = [0.0] * n
 
-        # group row indices by domain, preserving in-batch order
+        # cache-before-fetch (S8, scraper semantics): hits skip both the
+        # politeness reservation and the backend entirely
+        from_cache = [False] * n
+        cache = self.cache
+        if cache is not None:
+            for i, u in enumerate(urls):
+                hit = cache.get(u)
+                if hit is not None:
+                    statuses[i], ctypes[i], bodies[i] = hit
+                    from_cache[i] = True
+
+        # group MISS row indices by domain, preserving in-batch order
         by_domain: dict[str, list[int]] = {}
         for i, d in enumerate(domains):
-            by_domain.setdefault(d, []).append(i)
+            if not from_cache[i]:
+                by_domain.setdefault(d, []).append(i)
 
         delays_by_domain = (
             self.politeness.reserve_batch(
@@ -135,19 +165,28 @@ class FetchWorker:
             if self.politeness is not None
             else {d: [0.0] * len(idxs) for d, idxs in by_domain.items()}
         )
-        reports: dict[str, list] = {}
+        # interleave across domains: merge every (slot, row) pair into
+        # one schedule sorted by slot time from a single origin, so one
+        # domain's politeness wait overlaps another domain's fetches —
+        # sequential per-domain draining would serialize the waits and
+        # idle the CPU slot for sum-of-domains instead of max-of-domains
+        sched: list[tuple[float, str, int]] = []
         for domain, idxs in by_domain.items():
-            delays = delays_by_domain[domain]
-            t0 = time.monotonic()
-            outcomes = []
-            for slot, i in zip(delays, idxs):
-                wait = slot - (time.monotonic() - t0)
-                if wait > 0:
-                    time.sleep(wait)
-                status, body, ctype, rt = self._fetch_with_retries(urls[i])
-                statuses[i], bodies[i], ctypes[i], rts[i] = status, body, ctype, rt
-                outcomes.append((status, rt, status >= 400))
-            reports[domain] = outcomes
+            for slot, i in zip(delays_by_domain[domain], idxs):
+                sched.append((slot, domain, i))
+        sched.sort(key=lambda s: (s[0], s[2]))
+
+        t0 = time.monotonic()
+        reports: dict[str, list] = {d: [] for d in by_domain}
+        for slot, domain, i in sched:
+            wait = slot - (time.monotonic() - t0)
+            if wait > 0:
+                time.sleep(wait)
+            status, body, ctype, rt = self._fetch_with_retries(urls[i])
+            statuses[i], bodies[i], ctypes[i], rts[i] = status, body, ctype, rt
+            reports[domain].append((status, rt, status >= 400))
+            if cache is not None and status == 200:
+                cache.set(urls[i], status, ctype, body)
         if self.politeness is not None:
             self.politeness.report_batch(reports)
 
@@ -161,5 +200,5 @@ class FetchWorker:
         cols["content_len"] = pa.array([len(b) for b in bodies], type=pa.int64())
         cols["fetched_at"] = fetched_at
         cols["response_time"] = pa.array(rts, type=pa.float64())
-        cols["from_cache"] = pa.array([False] * n, type=pa.bool_())
+        cols["from_cache"] = pa.array(from_cache, type=pa.bool_())
         return pa.table(cols)

@@ -1,0 +1,150 @@
+"""Request cache (S8): TTL'd response cache consulted before fetching.
+
+Reference semantics (``RAGnificent/core/cache.py:41-649``): cache key =
+``blake2b(url, digest_size=16)`` (``:176-178``), gzip compression for
+payloads over 10 KiB (``:190-204``), TTL expiry with a default max age
+and per-URL regex overrides (``:129-174,211-236``), bounded in-memory
+LRU tier over a disk tier (``:445-498``), hit/miss/eviction stats.
+
+Ray rendering: one ``RequestCache`` per WORKER PROCESS (it lives inside
+the fetch stage's per-process cache, like the backend session), with
+the disk tier on a shared directory. Workers never coordinate: disk
+writes are atomic tmp+rename on the content-addressed key, so
+concurrent writers of the same URL converge on identical bytes, and a
+reader sees either a complete entry or none. At cluster scale the
+cache_dir is a shared filesystem path (or object-store mount) and the
+hot set lives in each worker's memory tier.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import re
+import time
+from collections import OrderedDict
+
+from ..functions.hashing import blake2b16_hex
+
+COMPRESSION_THRESHOLD = 10240  # gzip payloads over 10 KiB (cache.py:190)
+DEFAULT_TTL = 3600.0           # reference max_age default (cache.py:47)
+MAX_MEMORY_ITEMS = 100         # reference max_memory_items (cache.py:48)
+
+
+class RequestCache:
+    """Two-tier URL→(status, content_type, body) cache.
+
+    ``get`` returns None on miss or expiry; ``set`` writes both tiers.
+    Only successful (status 200) responses should be cached — the
+    caller decides, matching the reference scraper's use.
+    """
+
+    def __init__(self, cache_dir: str, ttl: float = DEFAULT_TTL,
+                 max_memory_items: int = MAX_MEMORY_ITEMS,
+                 ttl_patterns: list[tuple[str, float]] | None = None):
+        self.cache_dir = cache_dir
+        self.ttl = ttl
+        self.max_memory_items = max_memory_items
+        self.ttl_patterns = [
+            (re.compile(p), t) for p, t in (ttl_patterns or [])
+        ]
+        # url → (expiry_time, status, content_type, body)
+        self._mem: OrderedDict[str, tuple] = OrderedDict()
+        self.stats = {"hits": 0, "misses": 0, "memory_hits": 0,
+                      "disk_hits": 0, "sets": 0, "evictions": 0}
+        os.makedirs(cache_dir, exist_ok=True)
+
+    # ------------------------------------------------------------ keys/ttl
+
+    def _ttl_for(self, url: str) -> float:
+        for pat, t in self.ttl_patterns:
+            if pat.search(url):
+                return t
+        return self.ttl
+
+    def _paths(self, url: str) -> tuple[str, str]:
+        key = blake2b16_hex(url)
+        return (os.path.join(self.cache_dir, key),
+                os.path.join(self.cache_dir, key + ".meta"))
+
+    # ---------------------------------------------------------------- get
+
+    def get(self, url: str, now: float | None = None):
+        """→ (status, content_type, body) or None (miss/expired)."""
+        now = time.time() if now is None else now
+        hit = self._mem.get(url)
+        if hit is not None:
+            if now <= hit[0]:
+                self._mem.move_to_end(url)
+                self.stats["hits"] += 1
+                self.stats["memory_hits"] += 1
+                return hit[1:]
+            del self._mem[url]
+
+        body_path, meta_path = self._paths(url)
+        try:
+            with open(meta_path, encoding="utf-8") as f:
+                meta = json.load(f)
+            age = now - meta["timestamp"]
+            ttl = meta.get("ttl") or self._ttl_for(url)
+            if age > ttl:
+                self.stats["misses"] += 1
+                return None
+            with open(body_path, "rb") as f:
+                raw = f.read()
+            body = gzip.decompress(raw) if meta.get("compressed") else raw
+        except (OSError, ValueError, KeyError):
+            self.stats["misses"] += 1
+            return None
+        out = (int(meta["status"]), meta.get("content_type", ""), body)
+        self._remember(url, out, now, ttl)
+        self.stats["hits"] += 1
+        self.stats["disk_hits"] += 1
+        return out
+
+    # ---------------------------------------------------------------- set
+
+    def set(self, url: str, status: int, content_type: str, body: bytes,
+            ttl: float | None = None, now: float | None = None) -> None:
+        now = time.time() if now is None else now
+        ttl = self._ttl_for(url) if ttl is None else ttl
+        self.stats["sets"] += 1
+
+        compressed = len(body) > COMPRESSION_THRESHOLD
+        raw = gzip.compress(body) if compressed else body
+        body_path, meta_path = self._paths(url)
+        tmp = body_path + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(raw)
+        os.replace(tmp, body_path)
+        mtmp = meta_path + f".tmp{os.getpid()}"
+        with open(mtmp, "w", encoding="utf-8") as f:
+            json.dump({"url": url, "timestamp": now, "ttl": ttl,
+                       "compressed": compressed, "size": len(raw),
+                       "status": status, "content_type": content_type}, f)
+        os.replace(mtmp, meta_path)
+
+        self._remember(url, (status, content_type, body), now, ttl)
+
+    def _remember(self, url: str, entry: tuple, now: float,
+                  ttl: float) -> None:
+        self._mem[url] = (now + ttl, *entry)
+        self._mem.move_to_end(url)
+        while len(self._mem) > self.max_memory_items:
+            self._mem.popitem(last=False)  # LRU eviction
+            self.stats["evictions"] += 1
+
+
+_CACHE_CACHE: dict[tuple, RequestCache] = {}
+
+
+def cached_request_cache(cache_dir: str, ttl: float = DEFAULT_TTL,
+                         max_memory_items: int = MAX_MEMORY_ITEMS) -> RequestCache:
+    """Per-process instance keyed by config (the fetch-stage pattern:
+    built once per worker, shared across that worker's batches)."""
+    key = (cache_dir, ttl, max_memory_items)
+    c = _CACHE_CACHE.get(key)
+    if c is None:
+        c = _CACHE_CACHE[key] = RequestCache(cache_dir, ttl, max_memory_items)
+    return c

@@ -29,6 +29,8 @@ class _SeenShardState:
         self.exact: set[int] = set()
         # hash → min proposed rank, for the two-phase min-rank claim
         self.pending_min: dict[int, int] = {}
+        # hash → (rank, url, domain, depth): payload-carrying variant
+        self.pending_full: dict[int, tuple] = {}
 
     def check_and_add(self, hashes: list[int]) -> list[bool]:
         """True per input hash iff it was NOT seen before this call.
@@ -92,6 +94,71 @@ class _SeenShardState:
         if fresh and not self.filter.add_bulk(np.asarray(fresh, dtype=np.uint64)):
             self._rebuild()
         return out
+
+    def propose_full(self, hashes: list[int], ranks: list[int],
+                     urls: list[str], domains: list[str],
+                     depths: list[int]) -> None:
+        """Phase 1 of the min-rank claim, carrying the full frontier
+        payload: the shard keeps the lowest-rank candidate row per
+        hash, so phase 2 needs no second dataset execution — the shard
+        already holds the winning rows. Memory is bounded by the
+        round's unique URLs on this shard and cleared every round by
+        :meth:`take_winners`."""
+        pend = self.pending_full
+        for h, r, u, dom, dep in zip(hashes, ranks, urls, domains, depths):
+            cur = pend.get(h)
+            if cur is None or r < cur[0]:
+                pend[h] = (r, u, dom, dep)
+
+    def take_winners(self) -> dict:
+        """Phase 2, shard-side: claim every pending hash not yet seen
+        into the seen set and return the winners' frontier payload;
+        the pending table drains completely (exactly-once per round)."""
+        pend = self.pending_full
+        urls, domains, depths, ranks, hashes = [], [], [], [], []
+        fresh: list[int] = []
+        for h in sorted(pend):  # deterministic emit order
+            r, u, dom, dep = pend[h]
+            if h not in self.exact:
+                self.exact.add(h)
+                fresh.append(h)
+                urls.append(u)
+                domains.append(dom)
+                depths.append(dep)
+                ranks.append(r)
+                hashes.append(h)
+        pend.clear()
+        if fresh and not self.filter.add_bulk(np.asarray(fresh, dtype=np.uint64)):
+            self._rebuild()
+        return {"url": urls, "domain": domains, "depth": depths,
+                "seed_rank": ranks, "url_hash": hashes}
+
+    def take_winners_to_parquet(self, path: str, shard_id: int) -> int:
+        """Winners → one FRONTIER-schema parquet part written BY THE
+        SHARD (no driver materialization of the next frontier); returns
+        the row count. Atomic via tmp+rename like _block_writer."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ..schema import FRONTIER
+
+        w = self.take_winners()
+        n = len(w["url"])
+        if n == 0:
+            return 0
+        cols = {}
+        for f in FRONTIER:
+            if f.name in w:
+                cols[f.name] = pa.array(w[f.name], type=f.type)
+            else:
+                cols[f.name] = pa.nulls(n, type=f.type)
+        os.makedirs(path, exist_ok=True)
+        tmp = os.path.join(path, f".part-shard{shard_id:04d}.tmp")
+        pq.write_table(pa.table(cols), tmp)
+        os.replace(tmp, os.path.join(path, f"part-shard{shard_id:04d}.parquet"))
+        return n
 
     def snapshot(self) -> list[int]:
         """All seen hashes (for checkpoint manifests / parity checks)."""
@@ -174,6 +241,33 @@ class SeenSet:
         for idx, flags in zip(spans, ray.get(refs)):
             result[idx] = flags
         return result
+
+    def propose_full(self, hashes: np.ndarray, ranks: np.ndarray,
+                     urls: list[str], domains: list[str],
+                     depths: list[int]) -> None:
+        """Payload-carrying phase-1 fan-out (one RPC per touched shard);
+        blocks until acked — the phase barrier is the enclosing dataset
+        execution's materialize."""
+        refs = []
+        for s, idx in self._route(hashes):
+            refs.append(self.shards[s].propose_full.remote(
+                [int(h) for h in hashes[idx]],
+                [int(r) for r in ranks[idx]],
+                [urls[i] for i in idx],
+                [domains[i] for i in idx],
+                [depths[i] for i in idx]))
+        ray.get(refs)
+
+    def take_winners_to_parquet(self, path: str) -> int:
+        """Phase-2 fan-out: every shard claims + writes its own frontier
+        parquet part; returns the total next-frontier row count. Replaces
+        a whole dataset execution (explode → resolve → write) with one
+        RPC round trip — the winner rows never pass through the driver."""
+        counts = ray.get([
+            s.take_winners_to_parquet.remote(path, i)
+            for i, s in enumerate(self.shards)
+        ])
+        return int(sum(counts))
 
     def snapshot(self) -> list[int]:
         parts = ray.get([s.snapshot.remote() for s in self.shards])

@@ -1,0 +1,139 @@
+"""S8 request cache: TTL/gzip/LRU semantics and cache-before-fetch
+integration (reference ``core/cache.py`` parity points)."""
+
+import json
+import os
+
+import pyarrow as pa
+
+from ragnificent_ray.state.request_cache import (
+    COMPRESSION_THRESHOLD,
+    RequestCache,
+)
+
+
+def test_roundtrip_and_hit_stats(tmp_path):
+    c = RequestCache(str(tmp_path), ttl=100.0)
+    assert c.get("https://a.test/x") is None
+    c.set("https://a.test/x", 200, "text/html", b"<html>hi</html>")
+    assert c.get("https://a.test/x") == (200, "text/html", b"<html>hi</html>")
+    assert c.stats["hits"] == 1 and c.stats["misses"] == 1
+
+
+def test_disk_tier_shared_across_instances(tmp_path):
+    a = RequestCache(str(tmp_path), ttl=100.0)
+    a.set("https://a.test/x", 200, "text/html", b"body")
+    b = RequestCache(str(tmp_path), ttl=100.0)  # fresh memory tier
+    assert b.get("https://a.test/x") == (200, "text/html", b"body")
+    assert b.stats["disk_hits"] == 1
+
+
+def test_ttl_expiry(tmp_path):
+    c = RequestCache(str(tmp_path), ttl=10.0)
+    c.set("https://a.test/x", 200, "text/html", b"body", now=1000.0)
+    assert c.get("https://a.test/x", now=1009.0) is not None
+    # expired in both tiers
+    assert c.get("https://a.test/x", now=1011.0) is None
+    fresh = RequestCache(str(tmp_path), ttl=10.0)
+    assert fresh.get("https://a.test/x", now=1011.0) is None
+
+
+def test_ttl_pattern_override(tmp_path):
+    c = RequestCache(str(tmp_path), ttl=10.0,
+                     ttl_patterns=[(r"/static/", 10000.0)])
+    c.set("https://a.test/static/img", 200, "image/png", b"px", now=0.0)
+    assert c.get("https://a.test/static/img", now=5000.0) is not None
+
+
+def test_gzip_over_threshold(tmp_path):
+    c = RequestCache(str(tmp_path), ttl=100.0)
+    big = (b"abcd" * 4096)[: COMPRESSION_THRESHOLD + 1]
+    c.set("https://a.test/big", 200, "text/html", big)
+    key_files = [f for f in os.listdir(tmp_path) if f.endswith(".meta")]
+    meta = json.load(open(tmp_path / key_files[0]))
+    assert meta["compressed"] is True
+    assert meta["size"] < len(big)  # stored compressed
+    # fresh instance decompresses from disk
+    assert RequestCache(str(tmp_path))
+    assert RequestCache(str(tmp_path)).get("https://a.test/big")[2] == big
+
+    small = b"x" * 100
+    c.set("https://a.test/small", 200, "text/html", small)
+    metas = {json.load(open(tmp_path / f))["url"]: json.load(open(tmp_path / f))
+             for f in os.listdir(tmp_path) if f.endswith(".meta")}
+    assert metas["https://a.test/small"]["compressed"] is False
+
+
+def test_lru_eviction_bounded(tmp_path):
+    c = RequestCache(str(tmp_path), ttl=100.0, max_memory_items=3)
+    for i in range(5):
+        c.set(f"https://a.test/{i}", 200, "t", b"b")
+    assert len(c._mem) == 3
+    assert c.stats["evictions"] == 2
+    # evicted entries still hit from disk
+    assert c.get("https://a.test/0") == (200, "t", b"b")
+
+
+def _fetch_batch(worker, urls):
+    t = pa.table({
+        "url": pa.array(urls, type=pa.string()),
+        "domain": pa.array([u.split("://")[1].split("/")[0] for u in urls],
+                           type=pa.string()),
+    })
+    return worker(t)
+
+
+def test_fetch_worker_cache_before_fetch(tmp_path):
+    """Second pass over the same URLs fetches ZERO pages from the
+    backend: every row comes back from_cache=True with equal bytes."""
+    from ragnificent_ray.stages.fetch import FetchWorker
+
+    world = dict(n_domains=2, pages_per_domain=4, images_per_page=1, seed=42)
+    urls = [f"https://site0.test/page/{i}" for i in range(4)]
+
+    w1 = FetchWorker(world_cfg=world, cache_dir=str(tmp_path))
+    out1 = _fetch_batch(w1, urls)
+    assert out1.column("from_cache").to_pylist() == [False] * 4
+
+    w2 = FetchWorker(world_cfg=world, cache_dir=str(tmp_path))
+    w2._cache = None  # force a fresh per-process cache object
+
+    class Dead:
+        def fetch(self, url):  # backend must not be touched on a warm cache
+            raise AssertionError(f"backend fetched {url}")
+
+    w2._backend = Dead()
+    # fresh memory tier: warm from disk only
+    from ragnificent_ray.state.request_cache import RequestCache
+
+    w2._cache = RequestCache(str(tmp_path))
+    out2 = _fetch_batch(w2, urls)
+    assert out2.column("from_cache").to_pylist() == [True] * 4
+    assert out2.column("html").to_pylist() == out1.column("html").to_pylist()
+    assert out2.column("status").to_pylist() == [200] * 4
+
+
+def test_crawl_recrawl_hits_cache(ray_session, tmp_path):
+    """A re-crawl against a warm cache dir marks every page row
+    from_cache=True in the documents table and produces an identical
+    crawl (the S8 'changed config re-fetches nothing' property)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ragnificent_ray.config import CrawlConfig, WorldConfig
+    from ragnificent_ray.pipelines.crawl import run_crawl
+
+    cfg = CrawlConfig(
+        world=WorldConfig(n_domains=2, pages_per_domain=4, images_per_page=1),
+        default_rate=10000.0, adaptive_throttling=False, retry_delay=0.05,
+        request_cache_dir=str(tmp_path / "cache"),
+    )
+    r1 = run_crawl(cfg, str(tmp_path / "out1"))
+    d1 = r1.table("documents")
+    assert not pc.any(d1.column("from_cache")).as_py()
+
+    r2 = run_crawl(cfg, str(tmp_path / "out2"))
+    d2 = r2.table("documents")
+    assert pc.all(d2.column("from_cache")).as_py()
+    assert sorted(d2.column("url").to_pylist()) == \
+        sorted(d1.column("url").to_pylist())
