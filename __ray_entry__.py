@@ -218,6 +218,19 @@ def _rag_chunks_recursive(sf_dir: str):
     )
 
 
+def _rag_chunks_rust(sf_dir: str):
+    """C2 Rust chunker variant (src/chunker.rs:34-258) with its
+    semantic_density metadata column."""
+    from ragnificent_ray.pipelines.rag import chunk_documents
+
+    return chunk_documents(sf_dir, strategy="rust_semantic").map_batches(
+        lambda b: b.select(["id", "content", "source_url", "heading",
+                            "word_count", "char_count", "position",
+                            "semantic_density"]),
+        batch_format="pyarrow",
+    )
+
+
 def _tfidf_embed(sf_dir: str):
     from ragnificent_ray.pipelines.rag import tfidf_embed
 
@@ -290,6 +303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rag_chunks": _rag_chunks,
         "rag_chunks_sliding": _rag_chunks_sliding,
         "rag_chunks_recursive": _rag_chunks_recursive,
+        "rag_chunks_rust": _rag_chunks_rust,
         "rag_embed_norms": _rag_embed_norms,
         "tfidf_embed": _tfidf_embed,
         "crawl_page_metadata": _crawl_page_metadata,

@@ -160,6 +160,31 @@ def main() -> None:
     ray.shutdown()
 
 
+def _burn_worker(_):
+    x = 0
+    for i in range(40_000_000):
+        x += i
+    return x
+
+
+def _host_dilation(procs: int = 16) -> float:
+    """Per-task wall time of a pure-CPU burn at `procs` processes,
+    normalized to the single-process time — measures hypervisor steal /
+    SMT contention at the moment of the run. 1.0 = linear host; the
+    sandbox VM has shown bursts up to 1.7."""
+    import multiprocessing as mp
+
+    with mp.Pool(procs) as p:
+        p.map(_burn_worker, [0] * procs)  # warm the pool
+        t0 = time.monotonic()
+        p.map(_burn_worker, [0] * procs)
+        per_task = time.monotonic() - t0
+    t0 = time.monotonic()
+    _burn_worker(0)
+    solo = time.monotonic() - t0
+    return round(per_task / solo, 3)
+
+
 def scaling() -> None:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
@@ -183,9 +208,11 @@ def scaling() -> None:
     if "BENCH_WORLD" not in os.environ:
         d, p, i = _DEFAULT_WORLD
         os.environ["BENCH_WORLD"] = f"{d},{p * 2},{i}"
-    runs_lo, runs_hi = [], []
+    runs_lo, runs_hi, dilations = [], [], []
     for t in range(SCALING_TRIALS):
+        dilations.append(_host_dilation(hi))
         runs_hi.append(run(hi))
+        dilations.append(_host_dilation(hi))
         runs_lo.append(run(lo))
     r_lo = min(runs_lo, key=lambda r: r["crawl_sec"])
     r_hi = min(runs_hi, key=lambda r: r["crawl_sec"])
@@ -200,6 +227,7 @@ def scaling() -> None:
         "crawl_sec_lo": r_lo["crawl_sec"],
         "crawl_sec_hi": r_hi["crawl_sec"],
         "num_cpus": [lo, hi],
+        "host_dilation_at_hi": dilations,
     }
     print(json.dumps(result))
     _update_baseline_md(result)
@@ -220,8 +248,11 @@ def _update_baseline_md(result: dict) -> None:
         f"**{result['value']}** (target >= 0.8). Levels {lo}/{hi} are the\n"
         f"N / 4N stand-in: a pure-CPU burn on this VM scales linearly to\n"
         f"~16 procs but reaches only ~27 effective cores at 32 (SMT +\n"
-        f"hypervisor cap), and the host shows 10-20% steal-time bursts,\n"
-        f"so each level reports the best of interleaved trials.\n"
+        f"hypervisor cap), and the host shows steal bursts that dilate\n"
+        f"per-task wall time up to 1.7x for minutes at a time, so each\n"
+        f"level reports the best of interleaved trials. Host dilation at\n"
+        f"{hi} procs sampled before each leg (1.0 = linear host):\n"
+        f"{result.get('host_dilation_at_hi', [])}\n"
     )
     try:
         with open(path, encoding="utf-8") as f:

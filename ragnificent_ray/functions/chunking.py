@@ -13,6 +13,9 @@ columns, SURVEY §1.3):
 * sliding-window — ``chunk_utils.py:302-334`` + the pipeline wrapper
   ``rag/pipeline.py:723-761`` (ids ``{url}_{i}``).
 * recursive — ``chunk_utils.py:337-382`` + wrapper ``:763-801``.
+* rust_semantic (C2) — ``src/chunker.rs:34-258`` (greedy boundary-split
+  running chunk, split preference ``\\n\\n`` > ``\\n`` > sentence > word,
+  ``semantic_density`` scoring); binding ``src/lib.rs:111-119``.
 """
 
 from __future__ import annotations
@@ -252,6 +255,129 @@ def recursive_texts(
     return out
 
 
+_RS_HEADING = re.compile(r"^(#{1,6})\s+(.+)$")
+_RS_KEYWORDS = (
+    "function", "class", "method", "algorithm", "process",
+    "system", "data", "model", "analysis", "implementation",
+)
+
+
+def rust_find_split_point(text: str, approximate_position: int) -> int:
+    """Split-point preference ``src/chunker.rs:169-207``: paragraph break
+    (``\\n\\n``) > newline > sentence end (``.!?`` + trailing whitespace)
+    > word boundary > the approximate position itself. All searches look
+    FORWARD from ``approximate_position``, so a chunk may exceed
+    ``chunk_size`` when the next boundary is far — reference behavior.
+
+    The reference indexes bytes (``split_at``) while this indexes code
+    points; identical for ASCII, and the reference panics on non-ASCII
+    boundary splits where this stays well-defined.
+    """
+    if approximate_position >= len(text):
+        return len(text)
+    pos = text.find("\n\n", approximate_position)
+    if pos != -1:
+        return pos + 2
+    pos = text.find("\n", approximate_position)
+    if pos != -1:
+        return pos + 1
+    for i in range(approximate_position, len(text)):
+        if text[i] in ".!?":
+            end = i + 1
+            while end < len(text) and text[end].isspace():
+                end += 1
+            return end
+    for i in range(approximate_position, len(text)):
+        if text[i].isspace():
+            return i + 1
+    return approximate_position
+
+
+def rust_semantic_density(text: str) -> float:
+    """Density score ``src/chunker.rs:211-258``: +0.5 per word starting
+    uppercase, +0.3 per word containing a digit, +0.7 per word containing
+    a domain keyword; ratio capped at 1.0 plus a length bonus capped at
+    0.2 (word_count/100)."""
+    words = text.split()
+    wc = float(len(words))
+    if wc == 0.0:
+        return 0.0
+    ind = 0.0
+    for w in words:
+        if w[:1].isupper():
+            ind += 0.5
+        if any(c.isnumeric() for c in w):
+            ind += 0.3
+        lw = w.lower()
+        if any(k in lw for k in _RS_KEYWORDS):
+            ind += 0.7
+    return min(ind / wc, 1.0) + min(wc / 100.0, 0.2)
+
+
+def rust_semantic_chunk_objects(
+    markdown: str, chunk_size: int = 1000, chunk_overlap: int = 200
+) -> list[dict]:
+    """C2 — the Rust chunker variant (``src/chunker.rs:34-139``),
+    re-expressed as a pure function emitting metadata dicts.
+
+    Differs from the Python semantic chunker (C1) by design: a single
+    running chunk split greedily at good boundaries (not header-stack
+    sections with word windows), heading/level metadata carried from the
+    most recent heading line, and a ``semantic_density`` score per chunk.
+    """
+    if chunk_size <= 0:
+        raise ValueError("chunk_size must be greater than 0")
+    if chunk_overlap >= chunk_size:
+        raise ValueError("chunk_overlap must be less than chunk_size")
+    chunks: list[dict] = []
+    cur = ""
+    cur_heading: str | None = None
+    cur_level = 0
+    position = 0
+
+    def emit(content: str) -> None:
+        nonlocal position
+        chunks.append({
+            "content": content,
+            "heading": cur_heading,
+            "level": cur_level,
+            "position": position,
+            "word_count": len(content.split()),
+            "char_count": len(content),
+            "semantic_density": rust_semantic_density(content),
+        })
+        position += 1
+
+    for line in markdown.split("\n"):
+        m = _RS_HEADING.match(line)
+        if m:
+            if cur:
+                emit(cur)
+            cur_heading = m.group(2)
+            cur_level = len(m.group(1))
+            cur = line
+        else:
+            if cur:
+                cur += "\n"
+            cur += line
+            if len(cur) > chunk_size:
+                sp = rust_find_split_point(cur, chunk_size - chunk_overlap)
+                emit(cur[:sp])
+                cur = cur[sp:].strip()
+    if cur:
+        emit(cur)
+    return chunks
+
+
+def rust_semantic_texts(
+    markdown: str, chunk_size: int = 1000, chunk_overlap: int = 200
+) -> list[str]:
+    """The ``chunk_markdown`` binding surface (``src/lib.rs:111-119``):
+    content strings only."""
+    return [c["content"] for c in
+            rust_semantic_chunk_objects(markdown, chunk_size, chunk_overlap)]
+
+
 def strategy_chunks(
     content: str,
     source_url: str,
@@ -267,13 +393,39 @@ def strategy_chunks(
         return create_semantic_chunks(
             content, source_url, chunk_size, chunk_overlap, created_at
         )
+    domain = urlparse(source_url).netloc
+    if strategy == "rust_semantic":
+        # C2: carries the Rust chunker's per-chunk metadata (heading,
+        # level, semantic_density) instead of the header-stack path
+        return [
+            {
+                "id": f"{source_url}_{obj['position']}",
+                "content": obj["content"],
+                "source_url": source_url,
+                "domain": domain,
+                "heading": obj["heading"] or "",
+                "heading_level": obj["level"],
+                "heading_path": obj["heading"] or "",
+                "path_elements": [obj["heading"]] if obj["heading"] else [],
+                "parent_headers": [],
+                "nested_level": 0,
+                "chunk_type": "rust_semantic",
+                "word_count": obj["word_count"],
+                "char_count": obj["char_count"],
+                "position": obj["position"],
+                "is_continuation": obj["position"] > 0,
+                "created_at": created_at,
+                "semantic_density": obj["semantic_density"],
+            }
+            for obj in rust_semantic_chunk_objects(
+                content, chunk_size, chunk_overlap)
+        ]
     if strategy == "sliding_window":
         texts = sliding_window_texts(content, chunk_size, chunk_overlap)
     elif strategy == "recursive":
         texts = recursive_texts(content, chunk_size, chunk_overlap)
     else:
         raise ValueError(f"unknown chunking strategy: {strategy!r}")
-    domain = urlparse(source_url).netloc
     return [
         {
             "id": f"{source_url}_{i}",

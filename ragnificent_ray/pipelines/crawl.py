@@ -234,6 +234,43 @@ def _fetch_parallelism(n_rows: int) -> int:
     return max(1, min(n_rows, max(4 * cpus, n_rows // 2048)))
 
 
+def _frontier_from_refs(blocks: list) -> rd.Dataset:
+    """Next-round frontier Dataset from shard-returned table refs.
+
+    ``ray.data.from_arrow_refs`` schedules one remote metadata task per
+    ref; on a cluster saturated by the background sinks those tiny tasks
+    queue behind multi-second map tasks (~15 s stall measured at 16
+    CPUs). The shards already told us ``(rows, bytes)`` and the schema
+    is statically FRONTIER, so fabricate the block metadata driver-side
+    — zero tasks, zero driver data movement.
+    """
+    from ray.data._internal.logical.interfaces import LogicalPlan
+    from ray.data._internal.logical.operators.from_operators import FromArrow
+    from ray.data._internal.plan import ExecutionPlan
+    from ray.data._internal.stats import DatasetStats
+    from ray.data.block import BlockMetadata, BlockMetadataWithSchema
+    from ray.data.context import DataContext
+    from ray.data.dataset import MaterializedDataset
+
+    from ..schema import FRONTIER
+
+    metas = [
+        BlockMetadataWithSchema(
+            BlockMetadata(num_rows=n, size_bytes=sz,
+                          input_files=None, exec_stats=None),
+            schema=FRONTIER,
+        )
+        for n, sz, _ in blocks
+    ]
+    refs = [t for _, _, t in blocks]
+    plan = ExecutionPlan(
+        DatasetStats(metadata={"FromArrow": metas}, parent=None),
+        DataContext.get_current().copy(),
+    )
+    return MaterializedDataset(plan, LogicalPlan(FromArrow(refs, metas),
+                                                 plan._context))
+
+
 # ------------------------------------------------------------------- crawl
 
 def _block_writer(path: str, drop_columns: tuple = (), tag: str = ""):
@@ -329,12 +366,14 @@ def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResu
     result = CrawlResult(out_dir=out_dir)
     t_start = time.monotonic()
     pool = ThreadPoolExecutor(max_workers=16)
-    # BOUNDED background lanes: concurrent Ray Data executions serialize
-    # their task dispatch (measured ~1 s fixed cost each, worse when
-    # overlapped), so the heavy sinks run on 2 lanes (one round's render
-    # + harvest in parallel), overlapping the next round's critical path
-    # — at most 3 executions in flight crawl-wide.
-    bg_pool = ThreadPoolExecutor(max_workers=2)
+    # BOUNDED background lanes: the heavy sinks run on 4 lanes so both
+    # in-flight rounds' render + harvest can run concurrently (the
+    # 2-round finalizer window bounds it there). With 2 lanes the LAST
+    # round's harvest queued behind the previous round's harvest (the
+    # longest execution), adding a serial tail — A/B at 16 CPUs under
+    # matched host states: 4 lanes 42.8/53.1 s vs 2 lanes 55.7/67.5 s.
+    bg_pool = ThreadPoolExecutor(
+        max_workers=int(os.environ.get("RAGNIFICENT_BG_LANES", "4")))
     manifest_lock = threading.Lock()
     finalizers = []
     try:
@@ -544,8 +583,10 @@ def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResu
                               tag=f"docs{depth}:"),
                 batch_format="pyarrow",
             )
+            branch_times["plan"] = round(time.monotonic() - round_t0, 3)
             t_fetch0 = time.monotonic()
             docs_pq = docs.materialize()  # phase-1 barrier for proposals
+            branch_times["docs_mat"] = round(time.monotonic() - t_fetch0, 3)
             n_docs = docs_pq.count()
             fetch_parse_sec = time.monotonic() - t_fetch0
 
@@ -562,14 +603,21 @@ def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResu
 
                 # ---- phase-2 resolve: shard-side, no execution --------------
                 if follow:
+                    branch_times["pre_outlinks"] = round(
+                        time.monotonic() - round_t0, 3)
                     t0 = time.monotonic()
                     nxt_dir = ckpt.table_dir(depth + 1, "frontier")
-                    n_next = seen.take_winners_to_parquet(nxt_dir)
+                    n_next, winner_refs = seen.take_winners_to_parquet(
+                        nxt_dir)
                     branch_times["outlinks"] = round(
                         time.monotonic() - t0, 3)
                     if n_next:
-                        # lazy read — fused into next round's fetch exec
-                        next_frontier = (rd.read_parquet(nxt_dir), n_next)
+                        # shard-returned tables straight from the object
+                        # store — no parquet metadata fetch on the
+                        # critical path (the parquet parts exist only
+                        # for checkpoint/resume)
+                        next_frontier = (
+                            _frontier_from_refs(winner_refs), n_next)
 
             critical_sec = time.monotonic() - round_t0
 

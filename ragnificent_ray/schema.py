@@ -88,6 +88,10 @@ CHUNKS = pa.schema([
     ("created_at", pa.string()),
 ])
 
+# C2 rust_semantic carries the Rust chunker's extra density score
+# (src/chunker.rs:30 ChunkMetadata.semantic_density)
+CHUNKS_RUST = CHUNKS.append(pa.field("semantic_density", pa.float32()))
+
 HARVEST = pa.schema([
     ("image_id", pa.string()),
     ("bytes", pa.binary()),

@@ -16,7 +16,7 @@ from datetime import datetime
 import pyarrow as pa
 
 from ..functions.chunking import strategy_chunks
-from ..schema import CHUNKS
+from ..schema import CHUNKS, CHUNKS_RUST
 
 
 def chunk_batch(
@@ -42,7 +42,8 @@ def chunk_batch(
                 chunk_overlap=chunk_overlap, created_at=created_at,
             )
         )
+    schema = CHUNKS_RUST if strategy == "rust_semantic" else CHUNKS
     return pa.table({
-        name: pa.array([r[name] for r in rows], type=CHUNKS.field(name).type)
-        for name in CHUNKS.names
+        name: pa.array([r[name] for r in rows], type=schema.field(name).type)
+        for name in schema.names
     })

@@ -133,10 +133,16 @@ class _SeenShardState:
         return {"url": urls, "domain": domains, "depth": depths,
                 "seed_rank": ranks, "url_hash": hashes}
 
-    def take_winners_to_parquet(self, path: str, shard_id: int) -> int:
+    def take_winners_to_parquet(self, path: str, shard_id: int):
         """Winners → one FRONTIER-schema parquet part written BY THE
         SHARD (no driver materialization of the next frontier); returns
-        the row count. Atomic via tmp+rename like _block_writer."""
+        ``(row_count, frontier_table)``. The table return lands in the
+        object store, so the driver can assemble the next round's
+        frontier Dataset from the shard refs directly — re-reading the
+        parquet (metadata fetch) on the round critical path measured
+        ~15 s at 16 CPUs when overlapped with the background sinks.
+        Parquet stays the checkpoint/resume source of truth; atomic via
+        tmp+rename like _block_writer."""
         import os
 
         import pyarrow as pa
@@ -146,19 +152,20 @@ class _SeenShardState:
 
         w = self.take_winners()
         n = len(w["url"])
-        if n == 0:
-            return 0
         cols = {}
         for f in FRONTIER:
             if f.name in w:
                 cols[f.name] = pa.array(w[f.name], type=f.type)
             else:
                 cols[f.name] = pa.nulls(n, type=f.type)
+        table = pa.table(cols)
+        if n == 0:
+            return (0, 0), table
         os.makedirs(path, exist_ok=True)
         tmp = os.path.join(path, f".part-shard{shard_id:04d}.tmp")
-        pq.write_table(pa.table(cols), tmp)
+        pq.write_table(table, tmp)
         os.replace(tmp, os.path.join(path, f"part-shard{shard_id:04d}.parquet"))
-        return n
+        return (n, table.nbytes), table
 
     def snapshot(self) -> list[int]:
         """All seen hashes (for checkpoint manifests / parity checks)."""
@@ -258,16 +265,22 @@ class SeenSet:
                 [depths[i] for i in idx]))
         ray.get(refs)
 
-    def take_winners_to_parquet(self, path: str) -> int:
+    def take_winners_to_parquet(self, path: str):
         """Phase-2 fan-out: every shard claims + writes its own frontier
-        parquet part; returns the total next-frontier row count. Replaces
-        a whole dataset execution (explode → resolve → write) with one
-        RPC round trip — the winner rows never pass through the driver."""
-        counts = ray.get([
-            s.take_winners_to_parquet.remote(path, i)
+        parquet part; returns ``(total_rows, [(rows, bytes, table_ref)])``.
+        Replaces a whole dataset execution (explode → resolve → write)
+        with one RPC round trip — the winner rows never pass through the
+        driver: the per-shard frontier tables stay in the object store
+        and feed the next round's Dataset directly. Row/byte counts ride
+        the small first return so the driver can fabricate the block
+        metadata without scheduling metadata tasks on a busy cluster."""
+        pairs = [
+            s.take_winners_to_parquet.options(num_returns=2).remote(path, i)
             for i, s in enumerate(self.shards)
-        ])
-        return int(sum(counts))
+        ]
+        counts = ray.get([c for c, _ in pairs])
+        blocks = [(n, sz, t) for (n, sz), (_, t) in zip(counts, pairs) if n]
+        return int(sum(n for n, _ in counts)), blocks
 
     def snapshot(self) -> list[int]:
         parts = ray.get([s.snapshot.remote() for s in self.shards])

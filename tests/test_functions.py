@@ -240,3 +240,90 @@ def test_sliding_and_recursive_strategies():
     assert len(rc) > 1 and rc[0]["chunk_type"] == "recursive"
     with pytest.raises(ValueError):
         chunking.strategy_chunks(text, "u", strategy="nope")
+
+
+# --------------------------------------------------- C2 rust_semantic
+
+# the reference binding-test input (tests/rust/test_python_bindings.py:41-52)
+_RS_MD = """
+# title
+
+## Section 1
+
+This is a test paragraph.
+
+## Section 2
+
+* List item 1
+* List item 2
+    """
+
+
+def test_rust_semantic_binding_invariants():
+    """Ported from tests/rust/test_python_bindings.py:85-99: size bound
+    chunk_size+100, word-preservation ratio > 0.8, headers preserved."""
+    chunks = chunking.rust_semantic_texts(_RS_MD, 500, 50)
+    assert chunks and all(isinstance(c, str) and c.strip() for c in chunks)
+    combined = " ".join(chunks)
+    for frag in ("# title", "## Section 1", "## Section 2",
+                 "This is a test paragraph.", "List item 1", "List item 2"):
+        assert frag in combined
+    for c in chunks:
+        assert len(c) <= 500 + 100
+    original = set(_RS_MD.split())
+    preserved = original & set(combined.split())
+    assert len(preserved) / len(original) > 0.8
+
+
+def test_rust_semantic_split_preference_and_metadata():
+    # paragraph break wins over newline/sentence
+    text = "aaa. bbb\nccc\n\nddd"
+    assert chunking.rust_find_split_point(text, 2) == text.find("\n\n") + 2
+    # no paragraph break: newline wins
+    text2 = "aaa. bbb\nccc ddd"
+    assert chunking.rust_find_split_point(text2, 2) == text2.find("\n") + 1
+    # sentence break: includes trailing whitespace run
+    text3 = "aaa. bbb ccc"
+    assert chunking.rust_find_split_point(text3, 2) == 5
+    # word boundary fallback
+    assert chunking.rust_find_split_point("aaabbb ccc", 2) == 7
+    # last resort: approximate position
+    assert chunking.rust_find_split_point("aaabbbccc", 3) == 3
+    # past the end clamps
+    assert chunking.rust_find_split_point("abc", 10) == 3
+
+    long_md = "# Head\n\n" + ("Model data analysis sentence here. " * 40)
+    objs = chunking.rust_semantic_chunk_objects(long_md, 200, 40)
+    assert len(objs) > 1
+    assert objs[0]["heading"] == "Head" and objs[0]["level"] == 1
+    assert [o["position"] for o in objs] == list(range(len(objs)))
+    # validation parity with src/chunker.rs:40-50
+    with pytest.raises(ValueError):
+        chunking.rust_semantic_chunk_objects("x", 0, 0)
+    with pytest.raises(ValueError):
+        chunking.rust_semantic_chunk_objects("x", 100, 100)
+
+
+def test_rust_semantic_density_formula():
+    # src/chunker.rs:211-258: Capitalized +0.5, digit +0.3, keyword +0.7
+    assert chunking.rust_semantic_density("") == 0.0
+    d = chunking.rust_semantic_density("Word data 42")
+    # per-word: Word=0.5, data=0.7, 42=0.3 -> 1.5/3=0.5; bonus 3/100
+    assert abs(d - (0.5 + 0.03)) < 1e-6
+    # ratio caps at 1.0, bonus at 0.2
+    dense = " ".join(["Data1"] * 500)
+    assert abs(chunking.rust_semantic_density(dense) - 1.2) < 1e-6
+
+
+def test_rust_semantic_strategy_rows():
+    rows = chunking.strategy_chunks(
+        _RS_MD, "https://e.test/r", strategy="rust_semantic",
+        chunk_size=500, chunk_overlap=50)
+    assert rows and rows[0]["chunk_type"] == "rust_semantic"
+    assert rows[0]["id"] == "https://e.test/r_0"
+    assert all("semantic_density" in r for r in rows)
+    # deterministic across calls
+    again = chunking.strategy_chunks(
+        _RS_MD, "https://e.test/r", strategy="rust_semantic",
+        chunk_size=500, chunk_overlap=50)
+    assert rows == again
