@@ -198,6 +198,42 @@ def _crawl_page_metadata(sf_dir: str):
     )
 
 
+
+def _crawl_markdown_py(sf_dir: str):
+    """M11: the reference's Python-fallback converter (core/scraper.py:
+    380-446, document-order output) over round-0 pages."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ragnificent_ray.functions.htmldom import convert_to_markdown_py
+    from ragnificent_ray.stages.fetch import FetchWorker
+
+    res = _crawl(sf_dir)
+    frontier_dir = os.path.join(res.out_dir, "rounds", "round=0000",
+                                "frontier")
+    world = _world_for(sf_dir)
+
+    def project(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        mds = [convert_to_markdown_py(
+            h.decode("utf-8", "replace") if h else "", u)
+            for u, h in zip(urls, htmls)]
+        return pa.table({
+            "url": pa.array(urls, type=pa.string()),
+            "markdown": pa.array(mds, type=pa.large_string()),
+            "md_chars": pa.array([len(m) for m in mds], type=pa.int64()),
+        })
+
+    return (
+        rd.read_parquet(frontier_dir)
+        .map_batches(
+            FetchWorker(world_cfg=dict(world, seed=42), politeness=None),
+            batch_format="pyarrow", batch_size=128)
+        .map_batches(project, batch_format="pyarrow")
+    )
+
+
 def _rag_chunks_sliding(sf_dir: str):
     from ragnificent_ray.pipelines.rag import chunk_documents
 
@@ -219,16 +255,28 @@ def _rag_chunks_recursive(sf_dir: str):
 
 
 def _rag_chunks_rust(sf_dir: str):
-    """C2 Rust chunker variant (src/chunker.rs:34-258) with its
-    semantic_density metadata column."""
+    """C2 Rust chunker variant (src/chunker.rs:34-258). chunk_size=200
+    exercises the boundary-split path on every tier's documents (texts
+    run 48-577 chars); semantic_density is recomputed in float64 and
+    rounded to 4 so the DuckDB oracle can hash-match it (the stored
+    column is float32)."""
+    import pyarrow as pa
+
+    from ragnificent_ray.functions.chunking import rust_semantic_density
+    from ragnificent_ray.functions.numeric import round_half_away
     from ragnificent_ray.pipelines.rag import chunk_documents
 
-    return chunk_documents(sf_dir, strategy="rust_semantic").map_batches(
-        lambda b: b.select(["id", "content", "source_url", "heading",
-                            "word_count", "char_count", "position",
-                            "semantic_density"]),
-        batch_format="pyarrow",
-    )
+    def project(b: pa.Table) -> pa.Table:
+        dens = [round_half_away(rust_semantic_density(c), 4)
+                for c in b.column("content").to_pylist()]
+        return b.select(["id", "content", "source_url", "word_count",
+                         "char_count", "position", "is_continuation"]) \
+                .append_column("semantic_density",
+                               pa.array(dens, type=pa.float64()))
+
+    return chunk_documents(
+        sf_dir, strategy="rust_semantic", chunk_size=200, chunk_overlap=40,
+    ).map_batches(project, batch_format="pyarrow")
 
 
 def _tfidf_embed(sf_dir: str):
@@ -308,6 +356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_embed": _tfidf_embed,
         "crawl_page_metadata": _crawl_page_metadata,
         "crawl_main_content": _crawl_main_content,
+        "crawl_markdown_py": _crawl_markdown_py,
         "harvest_phash_neardup": _harvest_phash_neardup,
         "crawl_harvest": _crawl_harvest,
         "crawl_order": _crawl_order,
@@ -480,6 +529,67 @@ _TFIDF_EMBED_SQL = """
 """
 
 
+
+# C2 rust_semantic at chunk_size=200/overlap=40 over the single-line,
+# punctuation-free documents corpus: exactly one boundary split per doc
+# longer than 200 chars (src/chunker.rs:103-121 checks size once per
+# appended line; the corpus is one line), split point = first space at
+# 0-based index >= 160 (no \n\n / \n / sentence marks exist), else
+# the approximate position itself. semantic_density mirrors
+# src/chunker.rs:211-258 in float64.
+_RS_KW_SQL = " OR ".join(
+    f"lower(t) LIKE '%{k}%'"
+    for k in ("function", "class", "method", "algorithm", "process",
+              "system", "data", "model", "analysis", "implementation"))
+
+_RAG_CHUNKS_RUST_SQL = f"""
+    WITH d AS (
+        SELECT 'https://docs.test/' || doc_id AS url, text,
+               length(text) AS L,
+               instr(substr(text, 161), ' ') AS q
+        FROM documents
+    ), c AS (
+        SELECT url, 0 AS pos, text AS content FROM d WHERE L <= 200
+        UNION ALL
+        SELECT url, 0,
+               substr(text, 1, CASE WHEN q > 0 THEN 160 + q ELSE 160 END)
+        FROM d WHERE L > 200
+        UNION ALL
+        SELECT url, 1,
+               trim(substr(text,
+                           CASE WHEN q > 0 THEN 161 + q ELSE 161 END))
+        FROM d
+        WHERE L > 200 AND trim(substr(
+            text, CASE WHEN q > 0 THEN 161 + q ELSE 161 END)) <> ''
+    ), w AS (
+        SELECT url, pos, content,
+               regexp_split_to_array(trim(content), '\\s+') AS toks
+        FROM c
+    ), s AS (
+        SELECT url, pos, content, toks,
+               CAST(len(toks) AS DOUBLE) AS wc,
+               list_sum(list_transform(toks, t ->
+                   (CASE WHEN regexp_matches(t, '^[A-Z]')
+                         THEN 0.5 ELSE 0.0 END)
+                 + (CASE WHEN regexp_matches(t, '[0-9]')
+                         THEN 0.3 ELSE 0.0 END)
+                 + (CASE WHEN {_RS_KW_SQL} THEN 0.7 ELSE 0.0 END)
+               )) AS ind_sum
+        FROM w
+    )
+    SELECT url || '_' || CAST(pos AS VARCHAR) AS id,
+           content,
+           url AS source_url,
+           CAST(len(toks) AS INT) AS word_count,
+           CAST(length(content) AS INT) AS char_count,
+           CAST(pos AS INT) AS position,
+           pos > 0 AS is_continuation,
+           ROUND(LEAST(ind_sum / wc, 1.0) + LEAST(wc / 100.0, 0.2), 4)
+               AS semantic_density
+    FROM s
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from ragnificent_ray.pipelines import ann, dedup, relational, textstats
 
@@ -489,6 +599,7 @@ def oracle_sql() -> dict[str, str]:
     out["rag_chunks"] = _RAG_CHUNKS_SQL
     out["rag_chunks_sliding"] = _RAG_CHUNKS_SLIDING_SQL
     out["rag_chunks_recursive"] = _RAG_CHUNKS_RECURSIVE_SQL
+    out["rag_chunks_rust"] = _RAG_CHUNKS_RUST_SQL
     out["rag_embed_norms"] = _RAG_EMBED_NORMS_SQL
     out["tfidf_embed"] = _TFIDF_EMBED_SQL
     return out

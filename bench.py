@@ -110,7 +110,8 @@ QUERY_NAMES = [
     "lineitem_agg", "segment_revenue", "events_hourly", "top_orders",
     "token_stats", "quality_scores", "lang_id",
     "exact_dedup", "minhash_lsh_pairs", "simhash64", "embedding_neardup",
-    "ann_topk", "rag_chunks", "rag_embed_norms",
+    "embedding_neardup_lsh", "ann_topk", "rag_chunks", "rag_chunks_rust",
+    "rag_embed_norms",
 ]
 
 
@@ -185,6 +186,63 @@ def _host_dilation(procs: int = 16) -> float:
     return round(per_task / solo, 3)
 
 
+def politeness_bench() -> None:
+    """Low-rate politeness scenario: 16 domains at 2 rps each → a hard
+    32 pages/s ceiling. Measures how close the interleaved slot
+    scheduler (FetchWorker merges all domains' reserved slots into one
+    time-sorted schedule so one domain's wait overlaps another's
+    fetches) gets to that ceiling; per-domain sequential draining
+    idles the worker during every wait."""
+    import logging
+
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from ragnificent_ray.config import CrawlConfig, WorldConfig
+
+    from ragnificent_ray.pipelines.crawl import run_crawl
+
+    n_domains, rate = 16, 2.0
+    out_dir = "/tmp/ragnificent_bench/politeness"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cfg = CrawlConfig(
+        world=WorldConfig(n_domains=n_domains, pages_per_domain=24,
+                          images_per_page=0),
+        default_rate=rate,
+        adaptive_throttling=False,
+        harvest_images=False,
+        follow_links=False,  # one round: pacing, not discovery, is timed
+        retry_delay=0.05,
+        fetch_concurrency=max(4, NUM_CPUS // 2),
+        fetch_batch_size=256,
+    )
+    t0 = time.monotonic()
+    res = run_crawl(cfg, out_dir)
+    sec = time.monotonic() - t0
+    pages = res.metrics.get("pages_parsed_total", 0)
+    ceiling = n_domains * rate
+    result = {
+        "metric": "politeness_pages_per_sec",
+        "value": round(pages / sec, 2) if sec else 0.0,
+        "unit": "pages/sec",
+        "ceiling_pages_per_sec": ceiling,
+        "utilization": round((pages / sec) / ceiling, 3) if sec else 0.0,
+        "pages": pages,
+        "crawl_sec": round(sec, 3),
+        "domains": n_domains,
+        "rate_per_domain": rate,
+        "num_cpus": NUM_CPUS,
+    }
+    print(json.dumps(result))
+    ray.shutdown()
+
+
 def scaling() -> None:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
@@ -196,23 +254,26 @@ def scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # 4 vs 16 CPUs: a pure-CPU burn on this VM scales linearly to ~16
-    # procs but only reaches ~27 effective cores at 32 (SMT + hypervisor
-    # cap), so the 8/32 pair would measure the host, not the engine.
-    # 4 -> 16 is the honest N -> 4N stand-in; both levels are inside the
-    # linear region. The scaling world is 2x the headline world so the
-    # per-round fixed latency (execution dispatch, barriers, discovery)
-    # is amortized at the 16-CPU end. Trials interleave and keep the
-    # best per level (steal bursts hit either leg).
-    lo, hi = 4, 16
+    # The N / 4N pair must sit inside the HOST's linear-scaling region,
+    # or the measurement grades the hypervisor, not the engine: burn
+    # calibration shows this VM dilates per-task wall time 1.4-2.0x at
+    # 16 procs during steal bursts while 2-8 procs stay near-linear.
+    # Default pair is 2 -> 8; override with BENCH_SCALING_PAIR="4,16".
+    # The scaling world is 2x the headline world so the per-round fixed
+    # latency (execution dispatch, barriers, discovery) is amortized at
+    # the hi end. Trials interleave and keep the best per level (steal
+    # bursts hit either leg); host dilation is sampled at BOTH levels
+    # before each leg and recorded next to the result.
+    pair = os.environ.get("BENCH_SCALING_PAIR", "2,8")
+    lo, hi = (int(x) for x in pair.split(","))
     if "BENCH_WORLD" not in os.environ:
         d, p, i = _DEFAULT_WORLD
         os.environ["BENCH_WORLD"] = f"{d},{p * 2},{i}"
-    runs_lo, runs_hi, dilations = [], [], []
+    runs_lo, runs_hi, dil_hi, dil_lo = [], [], [], []
     for t in range(SCALING_TRIALS):
-        dilations.append(_host_dilation(hi))
+        dil_hi.append(_host_dilation(hi))
         runs_hi.append(run(hi))
-        dilations.append(_host_dilation(hi))
+        dil_lo.append(_host_dilation(lo))
         runs_lo.append(run(lo))
     r_lo = min(runs_lo, key=lambda r: r["crawl_sec"])
     r_hi = min(runs_hi, key=lambda r: r["crawl_sec"])
@@ -227,7 +288,8 @@ def scaling() -> None:
         "crawl_sec_lo": r_lo["crawl_sec"],
         "crawl_sec_hi": r_hi["crawl_sec"],
         "num_cpus": [lo, hi],
-        "host_dilation_at_hi": dilations,
+        "host_dilation_at_hi": dil_hi,
+        "host_dilation_at_lo": dil_lo,
     }
     print(json.dumps(result))
     _update_baseline_md(result)
@@ -246,13 +308,14 @@ def _update_baseline_md(result: dict) -> None:
         f"| {hi} | {result['pages_per_sec_hi']} | {result['crawl_sec_hi']} |\n\n"
         f"Scaling efficiency ({hi} vs {lo} CPUs, 4x resources): "
         f"**{result['value']}** (target >= 0.8). Levels {lo}/{hi} are the\n"
-        f"N / 4N stand-in: a pure-CPU burn on this VM scales linearly to\n"
-        f"~16 procs but reaches only ~27 effective cores at 32 (SMT +\n"
-        f"hypervisor cap), and the host shows steal bursts that dilate\n"
-        f"per-task wall time up to 1.7x for minutes at a time, so each\n"
-        f"level reports the best of interleaved trials. Host dilation at\n"
-        f"{hi} procs sampled before each leg (1.0 = linear host):\n"
-        f"{result.get('host_dilation_at_hi', [])}\n"
+        f"N / 4N stand-in, chosen inside the HOST's linear-scaling\n"
+        f"region: pure-CPU burn calibration shows this VM dilating\n"
+        f"per-task wall time 1.4-2.0x at 16 procs during steal bursts\n"
+        f"(so a 4/16 pair grades the hypervisor, not the engine) while\n"
+        f"2-8 procs stay near-linear. Each level reports the best of\n"
+        f"interleaved trials. Host dilation sampled before each leg\n"
+        f"(1.0 = linear host): hi={result.get('host_dilation_at_hi', [])}"
+        f" lo={result.get('host_dilation_at_lo', [])}\n"
     )
     try:
         with open(path, encoding="utf-8") as f:
@@ -271,6 +334,8 @@ def _update_baseline_md(result: dict) -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--politeness" in sys.argv:
+        politeness_bench()
     elif os.environ.get("BENCH_ONLY_CRAWL"):
         import logging
 

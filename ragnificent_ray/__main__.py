@@ -76,10 +76,38 @@ def _read_input(path: str | None) -> str:
     return sys.stdin.read()
 
 
+def cmd_export(args) -> int:
+    """Crawl checkpoint tables → per-page files (S9) / chunk files
+    (reference save_content / save_chunks parity)."""
+    import os
+
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from .io.files import export_chunks, export_rendered_files
+
+    base = os.path.join(args.crawl_out, "rounds")
+    dirs = [os.path.join(base, r, args.table)
+            for r in sorted(os.listdir(base))
+            if os.path.isdir(os.path.join(base, r, args.table))]
+    if not dirs:
+        print(json.dumps({"error": f"no {args.table} tables under {base}"}))
+        return 1
+    ds = rd.read_parquet(dirs)
+    if args.table == "rendered":
+        n = export_rendered_files(ds, args.out)
+    else:
+        n = export_chunks(ds, args.out, fmt=args.chunk_format)
+    print(json.dumps({"table": args.table, "out": args.out,
+                      "files_written": n}))
+    return 0
+
+
 def cmd_convert(args) -> int:
     from .compat import convert_html
 
-    print(convert_html(_read_input(args.input), args.url, args.format))
+    print(convert_html(_read_input(args.input), args.url, args.format,
+                       engine=args.engine))
     return 0
 
 
@@ -118,11 +146,25 @@ def main(argv: list[str] | None = None) -> int:
     y.add_argument("--num-cpus", type=int, default=None)
     y.set_defaults(fn=cmd_pipeline)
 
+    e = sub.add_parser("export", help="crawl tables → per-page files")
+    e.add_argument("--crawl-out", required=True,
+                   help="a crawl --out directory (reads its rounds/)")
+    e.add_argument("--out", required=True)
+    e.add_argument("--table", default="rendered",
+                   choices=["rendered", "chunks"])
+    e.add_argument("--chunk-format", default="jsonl",
+                   choices=["jsonl", "json"])
+    e.add_argument("--num-cpus", type=int, default=None)
+    e.set_defaults(fn=cmd_export)
+
     v = sub.add_parser("convert", help="HTML → markdown/json/xml")
     v.add_argument("--input", default="-")
     v.add_argument("--url", default="")
     v.add_argument("--format", default="markdown",
                    choices=["markdown", "json", "xml"])
+    v.add_argument("--engine", default="rust", choices=["rust", "py"],
+                   help="rust = grouped-by-type reference path; "
+                        "py = document-order fallback (M11/M12)")
     v.set_defaults(fn=cmd_convert)
 
     k = sub.add_parser("chunk", help="markdown → chunk JSONL")

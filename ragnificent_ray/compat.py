@@ -34,8 +34,20 @@ from .functions.render import document_to_markdown, render_document
 from .stages.fetch import make_backend
 
 
-def convert_html(html: str, url: str = "", output_format: str = "markdown") -> str:
-    """``ragnificent_rs.convert_html`` shim — parse + render one page."""
+def convert_html(html: str, url: str = "", output_format: str = "markdown",
+                 engine: str = "rust") -> str:
+    """``ragnificent_rs.convert_html`` shim — parse + render one page.
+
+    ``engine="rust"`` (default) uses the Rust-path semantics the
+    reference prefers when its wheel is importable
+    (``core/scraper.py:488-497``); ``engine="py"`` uses the
+    document-order Python fallback (M11/M12,
+    ``core/scraper.py:380-525``) — the two diverge by reference
+    design."""
+    if engine == "py":
+        from .functions.mdparse import convert_html_py
+
+        return convert_html_py(html, url, output_format)
     doc = parse_html_to_document(html, url)
     if output_format == "markdown":
         return document_to_markdown(doc)

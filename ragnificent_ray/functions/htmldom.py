@@ -318,3 +318,118 @@ def extract_metadata(html: str) -> dict:
         elif prop == "og:image":
             meta["og_image"] = content
     return meta
+
+
+# ------------------------------------------------- M11 Python fallback
+
+_WS_RE = None  # compiled lazily (module import stays light)
+
+_M11_BLOCKS = ("h1", "h2", "h3", "h4", "h5", "h6", "p", "ul", "ol",
+               "blockquote", "pre", "img")
+
+
+def _m11_text(el: Node | None) -> str:
+    """``_get_text_from_element`` (``core/scraper.py:289-294``):
+    get_text → strip → collapse ALL whitespace runs (incl. newlines)."""
+    global _WS_RE
+    if el is None:
+        return ""
+    if _WS_RE is None:
+        import re as _re
+
+        _WS_RE = _re.compile(r"\s+")
+    return _WS_RE.sub(" ", el.text())
+
+
+def _m11_resolve(val: str, base_url: str) -> str:
+    """``_extract_and_normalize_url`` (``core/scraper.py:339-351``):
+    urljoin unless the value already starts with http(s)://."""
+    if val and not val.startswith(("http://", "https://")):
+        return urljoin(base_url, val)
+    return val
+
+
+def _m11_element_markdown(el: Node, base_url: str) -> str:
+    """Per-element rules of ``_get_element_markdown``
+    (``core/scraper.py:296-334``)."""
+    t = el.tag
+    if t in ("h1", "h2", "h3", "h4", "h5", "h6"):
+        return f"{'#' * int(t[1])} {_m11_text(el)}"
+    if t == "p":
+        return _m11_text(el)
+    if t == "a" and el.attrs.get("href"):
+        href = _m11_resolve(el.attrs.get("href", ""), base_url)
+        return f"[{_m11_text(el)}]({href})"
+    if t == "img" and el.attrs.get("src"):
+        src = _m11_resolve(el.attrs.get("src", ""), base_url)
+        return f"![{el.attrs.get('alt', 'image')}]({src})"
+    if t == "ul":
+        return "\n".join(
+            f"- {_m11_text(li)}"
+            for li in el.children
+            if isinstance(li, Node) and li.tag == "li")
+    if t == "ol":
+        return "\n".join(
+            f"{i}. {_m11_text(li)}"
+            for i, li in enumerate(
+                (c for c in el.children
+                 if isinstance(c, Node) and c.tag == "li"), 1))
+    if t == "blockquote":
+        return "\n".join(f"> {line}"
+                         for line in _m11_text(el).split("\n"))
+    if t in ("pre", "code"):
+        lang = el.classes()[0] if el.classes() else ""
+        if lang.startswith("language-"):
+            lang = lang[9:]
+        return f"```{lang}\n{_m11_text(el)}\n```"
+    return _m11_text(el)
+
+
+def convert_to_markdown_py(html: str, url: str = "") -> str:
+    """M11 — the reference's **Python fallback** converter
+    (``core/scraper.py:380-446``), used when the Rust wheel is absent.
+
+    DIVERGES from the Rust path (M7–M10) by design, matching the
+    reference's own divergence: output is in **document order** (one
+    traversal over main-content block elements) rather than
+    grouped-by-type, the title becomes a leading ``# {title}`` line,
+    whitespace inside every element is collapsed to single spaces, and
+    main content is selected main > article > #content > .content >
+    body before conversion.
+    """
+    dom = parse_dom(html)
+
+    base_url = url
+    if not base_url:
+        for el in dom.iter_elements():
+            if el.tag == "base" and el.attrs.get("href"):
+                base_url = el.attrs["href"]
+                break
+
+    title_el = next(
+        (el for el in dom.iter_elements() if el.tag == "title"), None)
+    title = _m11_text(title_el) if title_el is not None else "No Title"
+
+    main = None
+    for sel in ("main", "article", ("id", "content"), ("class", "content"),
+                "body"):
+        for el in dom.iter_elements():
+            if isinstance(sel, str):
+                if el.tag == sel:
+                    main = el
+                    break
+            elif sel[0] == "id" and el.attrs.get("id") == sel[1]:
+                main = el
+                break
+            elif sel[0] == "class" and sel[1] in el.classes():
+                main = el
+                break
+        if main is not None:
+            break
+
+    out = f"# {title}\n\n"
+    if main is not None:
+        for el in main.find_all(*_M11_BLOCKS):
+            if md := _m11_element_markdown(el, base_url):
+                out += md + "\n\n"
+    return out.strip()

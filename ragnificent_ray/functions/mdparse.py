@@ -1,0 +1,187 @@
+"""M12 — markdown→Document re-parser (the Python JSON/XML fallback).
+
+Semantics-equal rewrite of ``core/scraper.py:527-645``
+(``_parse_markdown_to_document``) and ``:647-712`` (``_document_to_xml``),
+composed with the M11 fallback converter into ``convert_html_py`` —
+the reference's no-Rust ``_convert_content`` path
+(``core/scraper.py:498-525``): html → markdown → document → json/xml.
+
+Reference quirks reproduced on purpose:
+
+* every line equal to ``# {title}`` is skipped, not just the first;
+* a markdown image ``![alt](url)`` in a paragraph is ALSO captured as a
+  link (the link regex has no look-behind for ``!``);
+* a paragraph line immediately after a list terminates the list but is
+  itself dropped (the elif chain consumes it);
+* blockquote detection is un-stripped ``>`` at column 0.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+_LINK_RE = re.compile(r"\[([^\]]+)\]\(([^\)]+)\)")
+_IMG_RE = re.compile(r"!\[([^\]]*)\]\(([^\)]+)\)")
+
+
+def parse_markdown_to_document(markdown: str, base_url: str) -> dict:
+    """``core/scraper.py:527-645``."""
+    lines = markdown.split("\n")
+    document = {
+        "title": "No Title",
+        "base_url": base_url,
+        "headings": [],
+        "paragraphs": [],
+        "links": [],
+        "images": [],
+        "lists": [],
+        "code_blocks": [],
+        "blockquotes": [],
+    }
+
+    for line in lines:
+        if line.startswith("# "):
+            document["title"] = line[2:].strip()
+            break
+
+    current_block: list[str] = []
+    in_code_block = False
+    code_lang = ""
+    in_list = False
+    current_list: list[str] = []
+
+    for line in lines:
+        if line.strip() == f"# {document['title']}":
+            continue
+
+        if line.startswith("#") and not in_code_block:
+            level = 0
+            while level < len(line) and line[level] == "#":
+                level += 1
+            if level <= 6 and level < len(line) and line[level] == " ":
+                document["headings"].append(
+                    {"level": level, "text": line[level + 1:].strip()})
+
+        elif line.startswith("```") and not in_code_block:
+            in_code_block = True
+            code_lang = line[3:].strip()
+            current_block = []
+        elif line.startswith("```") and in_code_block:
+            in_code_block = False
+            document["code_blocks"].append(
+                {"language": code_lang, "code": "\n".join(current_block)})
+            current_block = []
+        elif in_code_block:
+            current_block.append(line)
+
+        elif (
+            line.strip().startswith("- ")
+            or line.strip().startswith("* ")
+            or (line.strip() and line.strip()[0].isdigit()
+                and ". " in line.strip()[:4])
+        ):
+            if not in_list:
+                in_list = True
+                current_list = []
+            if line.strip().startswith(("- ", "* ")):
+                current_list.append(line.strip()[2:])
+            else:
+                idx = line.strip().find(". ")
+                current_list.append(line.strip()[idx + 2:])
+        elif in_list and (
+            not line.strip()
+            or not line.strip().startswith(("- ", "* "))
+        ):
+            if current_list:
+                document["lists"].append(current_list)
+            in_list = False
+            current_list = []
+
+        elif line.startswith(">"):
+            document["blockquotes"].append(line[1:].strip())
+
+        elif line.strip() and not in_list:
+            for m in _LINK_RE.finditer(line):
+                document["links"].append(
+                    {"text": m.group(1), "url": m.group(2)})
+            for m in _IMG_RE.finditer(line):
+                document["images"].append(
+                    {"alt": m.group(1), "url": m.group(2)})
+            document["paragraphs"].append(line.strip())
+
+    if in_list and current_list:
+        document["lists"].append(current_list)
+
+    return document
+
+
+def document_to_xml_py(document: dict) -> str:
+    """``core/scraper.py:647-712``: ElementTree + minidom pretty print."""
+    import xml.etree.ElementTree as ET
+    from xml.dom import minidom
+
+    root = ET.Element("document")
+    ET.SubElement(root, "title").text = document["title"]
+    ET.SubElement(root, "base_url").text = document["base_url"]
+
+    if document["headings"]:
+        hs = ET.SubElement(root, "headings")
+        for h in document["headings"]:
+            el = ET.SubElement(hs, "heading")
+            el.set("level", str(h["level"]))
+            el.text = h["text"]
+    if document["paragraphs"]:
+        ps = ET.SubElement(root, "paragraphs")
+        for p in document["paragraphs"]:
+            ET.SubElement(ps, "paragraph").text = p
+    if document["links"]:
+        ls = ET.SubElement(root, "links")
+        for lk in document["links"]:
+            el = ET.SubElement(ls, "link")
+            el.set("href", lk["url"])
+            el.text = lk["text"]
+    if document["images"]:
+        ims = ET.SubElement(root, "images")
+        for img in document["images"]:
+            el = ET.SubElement(ims, "image")
+            el.set("src", img["url"])
+            el.set("alt", img["alt"])
+    if document["lists"]:
+        lss = ET.SubElement(root, "lists")
+        for lst in document["lists"]:
+            le = ET.SubElement(lss, "list")
+            for item in lst:
+                ET.SubElement(le, "item").text = item
+    if document["code_blocks"]:
+        cbs = ET.SubElement(root, "code_blocks")
+        for cb in document["code_blocks"]:
+            el = ET.SubElement(cbs, "code_block")
+            if cb["language"]:
+                el.set("language", cb["language"])
+            el.text = cb["code"]
+    if document["blockquotes"]:
+        bqs = ET.SubElement(root, "blockquotes")
+        for bq in document["blockquotes"]:
+            ET.SubElement(bqs, "blockquote").text = bq
+
+    rough = ET.tostring(root, encoding="utf-8")
+    return minidom.parseString(rough).toprettyxml(indent="  ")
+
+
+def convert_html_py(html: str, url: str = "",
+                    output_format: str = "markdown") -> str:
+    """The Python-fallback ``_convert_content`` composition
+    (``core/scraper.py:498-525``): M11 markdown, then M12 re-parse for
+    json/xml."""
+    from .htmldom import convert_to_markdown_py
+
+    md = convert_to_markdown_py(html, url)
+    if output_format == "markdown":
+        return md
+    document = parse_markdown_to_document(md, url)
+    if output_format == "json":
+        return json.dumps(document, indent=2)
+    if output_format == "xml":
+        return document_to_xml_py(document)
+    return md

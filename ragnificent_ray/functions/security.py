@@ -1,0 +1,123 @@
+"""M19/M20 — redaction + content sanitation/validation.
+
+Semantics-equal rewrite of the reference's security helpers:
+
+* ``redact_sensitive_data`` — ``core/security.py:132-171``: ordered
+  regex substitutions (api keys/tokens, emails, IPs, URL credentials,
+  cards, SSNs, AWS keys, passwords). Patterns are compiled once at
+  module import (the reference re-compiles per call).
+* ``validate_content_security`` — ``core/security.py:248-280``:
+  dangerous-pattern scan (script/iframe/object/embed tags, javascript:
+  URLs, event handlers, eval, document.cookie).
+* ``sanitize_content`` — ``core/security.py:282-301`` strips ALL HTML
+  via bleach; no bleach in this sandbox, so the strip-all-tags behavior
+  is reproduced on the stdlib DOM (all text nodes of non-script/style
+  elements, concatenated).
+* ``validate_html_content`` — ``core/validators.py:141-163``: html/body
+  presence + the >20 ``<script`` count heuristic.
+
+All pure ``str → str/bool``; ``sanitize_batch`` is the optional
+vectorized ``map_batches`` stage the SURVEY maps M20 to.
+"""
+
+from __future__ import annotations
+
+import re
+
+_REDACT_PATTERNS: list[tuple[re.Pattern, str]] = [
+    (re.compile(
+        r'(api[_-]?key|token)["\']?\s*[:=]\s*["\']?([a-zA-Z0-9]{20,})["\']?'),
+     r"\1: [REDACTED]"),
+    (re.compile(r"[\w\.-]+@[\w\.-]+\.\w+"), "[EMAIL REDACTED]"),
+    (re.compile(r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"), "[IP REDACTED]"),
+    (re.compile(r"(https?://)([^:@/]+):([^@/]+)@"),
+     r"\1[USER REDACTED]:[PASS REDACTED]@"),
+    (re.compile(r"\b(?:\d{4}[-\s]?){3}\d{4}\b"), "[CARD REDACTED]"),
+    (re.compile(r"\b\d{3}-\d{2}-\d{4}\b"), "[SSN REDACTED]"),
+    (re.compile(r"AKIA[0-9A-Z]{16}"), "[AWS KEY REDACTED]"),
+    (re.compile(
+        r'(password|passwd|pwd)["\']?\s*[:=]\s*["\']?([^"\'\s]{8,})["\']?'),
+     r"\1: [REDACTED]"),
+]
+
+_DANGEROUS = [
+    re.compile(p, re.IGNORECASE | re.DOTALL)
+    for p in (
+        r"<script.*?>.*?</script>", r"javascript:", r"onerror=", r"onload=",
+        r"eval\(", r"document\.cookie", r"<iframe", r"<object", r"<embed",
+    )
+]
+
+
+def redact_sensitive_data(text: str,
+                          patterns: list[tuple[str, str]] | None = None
+                          ) -> str:
+    """M19 (``core/security.py:132-171``)."""
+    if not text:
+        return ""
+    if patterns is not None:
+        result = text
+        for pattern, replacement in patterns:
+            result = re.sub(pattern, replacement, result)
+        return result
+    result = text
+    for pattern, replacement in _REDACT_PATTERNS:
+        result = pattern.sub(replacement, result)
+    return result
+
+
+def validate_content_security(content: str) -> bool:
+    """M20 scan (``core/security.py:248-280``): True = safe."""
+    if not content:
+        return True
+    return not any(p.search(content) for p in _DANGEROUS)
+
+
+def sanitize_content(content: str) -> str:
+    """M20 strip-all (``core/security.py:282-301``): all HTML removed,
+    text preserved. bleach-free: DOM walk skipping script/style."""
+    if not content:
+        return ""
+    from .htmldom import parse_dom
+
+    dom = parse_dom(content)
+    parts: list[str] = []
+
+    def walk(node) -> None:
+        for c in node.children:
+            if isinstance(c, str):
+                parts.append(c)
+            elif c.tag not in ("script", "style"):
+                walk(c)
+
+    walk(dom)
+    return "".join(parts)
+
+
+def validate_html_content(content: str) -> bool:
+    """``core/validators.py:141-163``."""
+    if not content:
+        return False
+    low = content.lower()
+    if "<html" not in low and "<body" not in low:
+        return False
+    return low.count("<script") <= 20
+
+
+def sanitize_batch(batch, content_col: str = "html"):
+    """Optional M20 ``map_batches`` stage: adds ``content_safe`` (scan)
+    and ``sanitized`` (strip-all) columns."""
+    import pyarrow as pa
+
+    vals = batch.column(content_col).to_pylist()
+    texts = [v.decode("utf-8", "replace") if isinstance(v, bytes) else (v or "")
+             for v in vals]
+    return batch.append_column(
+        "content_safe",
+        pa.array([validate_content_security(t) for t in texts],
+                 type=pa.bool_()),
+    ).append_column(
+        "sanitized",
+        pa.array([sanitize_content(t) for t in texts],
+                 type=pa.large_string()),
+    )

@@ -219,6 +219,20 @@ def _dir_rows(path: str) -> int:
     return total
 
 
+def _dir_cache_hits(path: str) -> int:
+    """G2: count from_cache=True rows in a documents checkpoint dir
+    (column-pruned read, runs on the background finalizer thread)."""
+    if not os.path.isdir(path):
+        return 0
+    total = 0
+    for name in os.listdir(path):
+        if name.endswith(".parquet"):
+            t = pq.read_table(os.path.join(path, name),
+                              columns=["from_cache"])
+            total += int(pc.sum(t.column("from_cache")).as_py() or 0)
+    return total
+
+
 def _write_parquet(ds: rd.Dataset, path: str) -> int:
     os.makedirs(path, exist_ok=True)
     ds.write_parquet(path)
@@ -232,6 +246,47 @@ def _fetch_parallelism(n_rows: int) -> int:
     CPU, capped so huge frontiers keep ~2k URLs per block."""
     cpus = int(ray.cluster_resources().get("CPU", 8))
     return max(1, min(n_rows, max(4 * cpus, n_rows // 2048)))
+
+
+def _failure_sampler(path: str, per_block: int = 5):
+    """O4 — failure-log sampling (``core/scraper.py:884-891``: log the
+    first 5 failed URLs + a count). Fused pass-through stage between
+    fetch and parse: writes ≤``per_block`` (url, status) failure rows
+    per block to ``path``; the finalize thread surfaces the first 5 and
+    the total rides ``pages_failed``. Bounded everywhere — no failure
+    list ever accumulates unbounded, unlike the reference's in-memory
+    ``failed_urls``."""
+    import hashlib
+
+    def sample(batch: pa.Table) -> pa.Table:
+        failed = batch.filter(pc.or_kleene(
+            pc.not_equal(batch.column("status"), 200),
+            pc.equal(pc.fill_null(
+                pc.binary_length(batch.column("html")), 0), 0),
+        ))
+        if failed.num_rows:
+            os.makedirs(path, exist_ok=True)
+            out = failed.select(["url", "status"]).slice(0, per_block)
+            key = hashlib.blake2b(
+                "\n".join(out.column("url").to_pylist()).encode(),
+                digest_size=10).hexdigest()
+            tmp = os.path.join(path, f".part-{key}.tmp")
+            pq.write_table(out, tmp)
+            os.replace(tmp, os.path.join(path, f"part-{key}.parquet"))
+        return batch
+
+    return sample
+
+
+def _failure_samples(path: str, limit: int = 5) -> list[dict]:
+    if not os.path.isdir(path):
+        return []
+    rows: list[dict] = []
+    for name in sorted(os.listdir(path)):
+        if name.endswith(".parquet") and len(rows) < limit:
+            rows.extend(
+                pq.read_table(os.path.join(path, name)).to_pylist())
+    return rows[:limit]
 
 
 def _frontier_from_refs(blocks: list) -> rd.Dataset:
@@ -391,7 +446,7 @@ def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResu
             import shutil
 
             for sub in ("documents", "rendered", "chunks", "harvest",
-                        "image_frontier"):
+                        "image_frontier", "failures"):
                 shutil.rmtree(ckpt.table_dir(pending, sub), ignore_errors=True)
             shutil.rmtree(ckpt.table_dir(pending + 1, "frontier"),
                           ignore_errors=True)
@@ -566,6 +621,9 @@ def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResu
                 batch_format="pyarrow",
                 batch_size=cfg.fetch_batch_size,
             ).map_batches(
+                _failure_sampler(ckpt.table_dir(depth, "failures")),
+                batch_format="pyarrow",
+            ).map_batches(
                 parse_documents_batch,
                 batch_format="pyarrow",
                 batch_size=cfg.parse_batch_size,
@@ -651,7 +709,11 @@ def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResu
                 metrics = {
                     "n_frontier": n_frontier,
                     "pages_parsed": n_docs,
+                    "pages_from_cache": _dir_cache_hits(
+                        ckpt.table_dir(depth, "documents")),
                     "pages_failed": n_frontier - n_docs,
+                    "failed_samples": _failure_samples(
+                        ckpt.table_dir(depth, "failures")),
                     "rendered": n_rendered,
                     "chunks": n_chunks,
                     "image_frontier": _dir_rows(
@@ -706,6 +768,13 @@ def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResu
             for r in result.rounds
         )
         result.metrics["pages_parsed_total"] = total_pages
+        hits = sum(
+            result.metrics.get(f"round_{r}", {}).get("pages_from_cache", 0)
+            for r in result.rounds
+        )
+        result.metrics["pages_from_cache_total"] = hits
+        result.metrics["cache_hit_rate"] = (
+            round(hits / total_pages, 4) if total_pages else 0.0)
         if result.metrics["total_sec"] > 0:
             result.metrics["pages_per_sec"] = (
                 total_pages / result.metrics["total_sec"]

@@ -420,6 +420,137 @@ def embedding_neardup(sf_dir: str):
                           batch_size=256)
 
 
+EMB_LSH_BANDS = 12
+EMB_LSH_BITS = 10
+
+
+def embedding_neardup_lsh(sf_dir: str, threshold: float = COSINE_THRESHOLD,
+                          bands: int = EMB_LSH_BANDS,
+                          bits: int = EMB_LSH_BITS,
+                          join_partitions: int | None = None):
+    """Embedding near-dup, the SCALE path (``embedding_neardup`` is the
+    exact all-pairs gate with a documented ~10M-vector broadcast
+    ceiling). Banded random-hyperplane LSH, fully distributed:
+
+    1. per batch: normalize, project onto ``bands × bits`` fixed seeded
+       hyperplanes, pack each band's sign bits into a band hash;
+    2. band rows groupby bounded bucket → vectorized self-merge →
+       candidate pairs; pair-dedup in bounded pair-buckets;
+    3. exact-cosine verify hash-joins each side's vector back by id
+       (packed float64 bytes) — no broadcast matrix anywhere.
+
+    Output ⊆ ``embedding_neardup``'s pairs (verification is exact);
+    recall < 1 by LSH design and rises with the pair's cosine. At real
+    scale ``bits`` grows with log2(n_vectors) to keep band buckets
+    block-sized (the ``bands``/``bits`` knobs are the tradeoff dial)."""
+    if join_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        join_partitions = max(2, min(64, cpus // 2))
+    _join_args = dict(num_partitions=join_partitions,
+                      aggregator_ray_remote_args={"num_cpus": 0.25})
+    n_buckets = _bucket_count(sf_dir, table="embeddings")
+
+    ds = rd.read_parquet(_pq(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+
+    _planes: dict[int, np.ndarray] = {}  # per-process (same seed → same planes)
+
+    def planes_for(dim: int) -> np.ndarray:
+        p = _planes.get(dim)
+        if p is None:
+            rng = np.random.Generator(np.random.PCG64(11))
+            p = rng.standard_normal((bands * bits, dim))
+            _planes[dim] = p
+        return p
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        mn = m / np.where(norms == 0, 1, norms)
+        sign = (mn @ planes_for(m.shape[1]).T) > 0          # n × bands*bits
+        w = (np.uint64(1) << np.arange(bits, dtype=np.uint64))
+        vals = sign.reshape(len(ids), bands, bits).astype(np.uint64) @ w
+        # fold band_id into the hash so distinct bands never collide
+        bh = (vals * np.uint64(bands)
+              + np.arange(bands, dtype=np.uint64)[None, :]).ravel()
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, bands)),
+            "band_id": pa.array(
+                np.tile(np.arange(bands, dtype=np.int32), len(ids))),
+            "band_hash": pa.array(bh),
+            "bucket": pa.array(
+                ((bh * np.uint64(0x9E3779B97F4A7C15)) %
+                 np.uint64(n_buckets)).astype(np.int32)),
+        })
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on=["band_id", "band_hash"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        out = m.rename(columns={"doc_id_x": "vec_a", "doc_id_y": "vec_b"})
+        return out[["vec_a", "vec_b"]].drop_duplicates()
+
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        da = batch.column("vec_a").to_numpy(zero_copy_only=False)
+        db = batch.column("vec_b").to_numpy(zero_copy_only=False)
+        pb = ((da * np.int64(1000003) + db) % n_buckets).astype(np.int32)
+        return batch.append_column("pair_bucket", pa.array(pb))
+
+    def pair_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["vec_a", "vec_b"])[["vec_a", "vec_b"]]
+
+    cands = (
+        ds.map_batches(band_rows, batch_format="pyarrow", batch_size=4096)
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("pair_bucket")
+        .map_groups(pair_dedup, batch_format="pandas")
+    )
+
+    def _keyed(key: str):
+        def pack(b: pa.Table, key=key) -> pa.Table:
+            m = np.array(b.column("embedding").to_pylist(), dtype=np.float64)
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            mn = m / np.where(norms == 0, 1, norms)
+            return pa.table({
+                key: b.column("vec_id"),
+                f"{key}_vec": pa.array([row.tobytes() for row in mn],
+                                       type=pa.binary()),
+            })
+
+        return ds.map_batches(pack, batch_format="pyarrow")
+
+    def verify(batch: pa.Table) -> pa.Table:
+        va = batch.column("vec_a").to_numpy(zero_copy_only=False)
+        vb = batch.column("vec_b").to_numpy(zero_copy_only=False)
+        a = np.array([np.frombuffer(x, dtype=np.float64)
+                      for x in batch.column("vec_a_vec").to_pylist()])
+        b = np.array([np.frombuffer(x, dtype=np.float64)
+                      for x in batch.column("vec_b_vec").to_pylist()])
+        if len(va) == 0:
+            return pa.table({
+                "vec_a": pa.array([], type=pa.int64()),
+                "vec_b": pa.array([], type=pa.int64()),
+                "cos_sim": pa.array([], type=pa.float64()),
+            })
+        sims = np.einsum("ij,ij->i", a, b)
+        keep = sims >= threshold
+        return pa.table({
+            "vec_a": pa.array(va[keep], type=pa.int64()),
+            "vec_b": pa.array(vb[keep], type=pa.int64()),
+            "cos_sim": pa.array(round_half_away(sims[keep], 4),
+                                type=pa.float64()),
+        })
+
+    return (
+        cands
+        .join(_keyed("vec_a"), "inner", on=("vec_a",), **_join_args)
+        .join(_keyed("vec_b"), "inner", on=("vec_b",), **_join_args)
+        .map_batches(verify, batch_format="pyarrow")
+    )
+
+
 # ------------------------------------------------- phash near-dup (images)
 
 def phash_neardup_pairs(ds, max_hamming: int = 8):
@@ -569,4 +700,5 @@ QUERIES = {
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "simhash64": simhash64,
     "embedding_neardup": embedding_neardup,
+    "embedding_neardup_lsh": embedding_neardup_lsh,
 }

@@ -45,15 +45,24 @@ def lineitem_agg(sf_dir: str):
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("l_quantity", "sum"),
-            sum_base_price=("l_extendedprice", "sum"),
-            sum_disc_price=("disc_price", "sum"),
-            count_order=("l_quantity", "size"),
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # pure-Arrow group-hash: no pandas copy on the hot path
+        disc = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        g = batch.append_column("disc_price", disc).group_by(
+            ["l_returnflag", "l_linestatus"]
+        ).aggregate([
+            ("l_quantity", "sum"), ("l_extendedprice", "sum"),
+            ("disc_price", "sum"), ("l_quantity", "count"),
+        ])
+        return pa.table({
+            "l_returnflag": g.column("l_returnflag"),
+            "l_linestatus": g.column("l_linestatus"),
+            "sum_qty": g.column("l_quantity_sum"),
+            "sum_base_price": g.column("l_extendedprice_sum"),
+            "sum_disc_price": g.column("disc_price_sum"),
+            "count_order": g.column("l_quantity_count"),
+        })
 
     from ray.data.aggregate import Sum
 
@@ -101,27 +110,36 @@ def segment_revenue(sf_dir: str):
     import pyarrow.parquet as pq
 
     cust = pq.read_table(_pq(sf_dir, "customer"),
-                         columns=["c_custkey", "c_mktsegment"])
-    lookup_ref = ray.put(dict(zip(
-        cust.column("c_custkey").to_pylist(),
-        cust.column("c_mktsegment").to_pylist(),
-    )))
+                         columns=["c_custkey", "c_mktsegment"]) \
+              .sort_by("c_custkey")
+    lookup_ref = ray.put((
+        cust.column("c_custkey").to_numpy(),
+        cust.column("c_mktsegment").to_numpy(zero_copy_only=False),
+    ))
 
     ds = rd.read_parquet(_pq(sf_dir, "orders"),
                          columns=["o_custkey", "o_totalprice"])
 
     class JoinAndPartial:
         def __init__(self, ref):
-            self.lookup = ray.get(ref)
+            self.keys, self.segs = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            df = batch.to_pandas()
-            df["c_mktsegment"] = df["o_custkey"].map(self.lookup)
-            g = df.groupby("c_mktsegment", as_index=False).agg(
-                revenue=("o_totalprice", "sum"),
-                n_orders=("o_totalprice", "size"),
-            )
-            return pa.Table.from_pandas(g, preserve_index=False)
+            # vectorized broadcast lookup (sorted keys + searchsorted;
+            # FK guarantees every o_custkey resolves) + Arrow group-hash
+            cust_keys = batch.column("o_custkey").to_numpy()
+            seg = self.segs[np.searchsorted(self.keys, cust_keys)]
+            g = pa.table({
+                "c_mktsegment": pa.array(seg, type=pa.string()),
+                "o_totalprice": batch.column("o_totalprice"),
+            }).group_by("c_mktsegment").aggregate([
+                ("o_totalprice", "sum"), ("o_totalprice", "count"),
+            ])
+            return pa.table({
+                "c_mktsegment": g.column("c_mktsegment"),
+                "revenue": g.column("o_totalprice_sum"),
+                "n_orders": g.column("o_totalprice_count"),
+            })
 
     from ray.data.aggregate import Sum
 
@@ -151,14 +169,25 @@ def events_hourly(sf_dir: str):
                          columns=["event_type", "ts", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["window_start"] = (
-            df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:%M:%S")
-        )
-        g = df.groupby(["event_type", "window_start"], as_index=False).agg(
-            n_events=("value", "size"), sum_value=("value", "sum"),
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # cast to second resolution: Arrow's %S emits fractional digits
+        # for sub-second units, DuckDB's does not
+        win = pc.strftime(
+            pc.cast(pc.floor_temporal(batch.column("ts"), unit="hour"),
+                    pa.timestamp("s")),
+            format="%Y-%m-%d %H:%M:%S")
+        g = pa.table({
+            "event_type": batch.column("event_type"),
+            "window_start": win,
+            "value": batch.column("value"),
+        }).group_by(["event_type", "window_start"]).aggregate([
+            ("value", "count"), ("value", "sum"),
+        ])
+        return pa.table({
+            "event_type": g.column("event_type"),
+            "window_start": g.column("window_start"),
+            "n_events": g.column("value_count"),
+            "sum_value": g.column("value_sum"),
+        })
 
     from ray.data.aggregate import Sum
 

@@ -10,8 +10,9 @@ Data stages:
   ``follow_links``) writing per-round parquet checkpoints
 * ``embed``   → chunk table → HashEmbedder actor-pool batches →
   embedded-chunks parquet
-* ``index``   → embedded chunks → the Lance-adapter harvest-style
-  vector table (the Qdrant stand-in, S12→S13)
+* ``index``   → embedded chunks → ``VectorSinkStage`` actor-pool
+  upsert writer (S12/A6: batch-100 upserts, retry/reconnect,
+  dim-mismatch recreate; Lance-adapter backend in sandbox)
 * ``search``  → query → embed → cosine top-k over the loaded index
   (+ the reference's 0.7/0.2/0.1 rerank when ``rerank: true``).
   Serving-side lookup runs on the driver like the reference's Qdrant
@@ -41,6 +42,50 @@ def _load_config(source: str | dict) -> dict:
     return docs[0] if docs else {}
 
 
+class SearchResultCache:
+    """A8 — search-result cache (``rag/search.py:100-147``): key
+    ``{query}:{limit}``, TTL expiry on read, expired-entry sweep once
+    the cache exceeds 100 entries. Driver-side state, like the
+    reference's per-``SemanticSearch`` dict — search serving is not a
+    distributed stage."""
+
+    MAX_ENTRIES = 100
+
+    def __init__(self, ttl: float = 3600.0, enabled: bool = True):
+        self.ttl = ttl
+        self.enabled = enabled
+        self._cache: dict[str, dict] = {}
+
+    def get(self, query: str, limit: int, now: float | None = None):
+        if not self.enabled:
+            return None
+        import time
+
+        now = time.time() if now is None else now
+        key = f"{query}:{limit}"
+        entry = self._cache.get(key)
+        if entry is not None:
+            if now - entry["timestamp"] < self.ttl:
+                return entry["results"]
+            del self._cache[key]
+        return None
+
+    def put(self, query: str, limit: int, results,
+            now: float | None = None) -> None:
+        if not self.enabled:
+            return
+        import time
+
+        now = time.time() if now is None else now
+        self._cache[f"{query}:{limit}"] = {
+            "results": results, "timestamp": now}
+        if len(self._cache) > self.MAX_ENTRIES:
+            self._cache = {
+                k: v for k, v in self._cache.items()
+                if now - v["timestamp"] < self.ttl
+            }
+
+
 class YamlPipeline:
     def __init__(self, config: str | dict, work_dir: str,
                  world_cfg: dict | None = None):
@@ -49,6 +94,7 @@ class YamlPipeline:
         self.world_cfg = world_cfg or {}
         os.makedirs(work_dir, exist_ok=True)
         self.continue_on_error = bool(self.config.get("continue_on_error"))
+        self.search_cache = SearchResultCache()
 
     # ------------------------------------------------------------- steps
 
@@ -109,18 +155,23 @@ class YamlPipeline:
     def _execute_index(self, cfg: dict) -> dict:
         import ray.data as rd
 
-        from ..io.lance import write_harvest
+        from ..io.vector_store import write_vectors
 
         src = cfg.get("input_dir") or os.path.join(self.work_dir, "embedded")
         uri = os.path.join(self.work_dir, "index")
-        write_harvest(rd.read_parquet(src), uri)
-        return {"index_uri": uri}
+        n = write_vectors(
+            rd.read_parquet(src), uri,
+            vector_size=int(cfg.get("dimension", 384)),
+            concurrency=int(cfg.get("concurrency", 2)),
+            upsert_batch_size=int(cfg.get("batch_size", 100)),
+        )
+        return {"index_uri": uri, "points": n}
 
     def _execute_search(self, cfg: dict) -> dict:
         import ray.data as rd
 
         from ..functions.numeric import round_half_away
-        from ..io.lance import read_harvest
+        from ..io.vector_store import load_points
         from ..stages.embed import HashEmbedder
 
         query = cfg["query"]
@@ -128,8 +179,16 @@ class YamlPipeline:
         threshold = float(cfg.get("threshold", 0.0))
         rerank = bool(cfg.get("rerank", False))
 
+        # A8: cache hit short-circuits the search (rag/search.py:171-174)
+        self.search_cache.enabled = bool(cfg.get("cache", True))
+        if "cache_ttl" in cfg:
+            self.search_cache.ttl = float(cfg["cache_ttl"])
+        cached = self.search_cache.get(query, top_k)
+        if cached is not None:
+            return {"query": query, "results": cached, "from_cache": True}
+
         uri = os.path.join(self.work_dir, "index")
-        index = read_harvest(uri)
+        index = load_points(uri)
         dim = index.schema.field("embedding").type.list_size
         qv = HashEmbedder(dim=dim)._encode([query])[0].astype(np.float64)
 
@@ -163,7 +222,8 @@ class YamlPipeline:
         rows = rows[:top_k]
         for r in rows:
             r["score"] = float(round_half_away(r["score"], 4))
-        return {"query": query, "results": rows}
+        self.search_cache.put(query, top_k, rows)
+        return {"query": query, "results": rows, "from_cache": False}
 
     # ----------------------------------------------------------- execute
 

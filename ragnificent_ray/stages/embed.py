@@ -1,30 +1,52 @@
-"""Embedding stage (A4): stateful actor pool over chunk batches.
+"""Embedding stage (A4) + embedding cache (A5): stateful actor pool.
 
 The reference loads a SentenceTransformer once per process and encodes
-in batches of 32 (``rag/embedding.py:115-203``, ``core/config.py:156-179``).
-The sandbox has no model downloads, so the default embedder is a
-deterministic hash-projection: blake2b(text) seeds a Gaussian vector,
-L2-normalized — dimension and normalization invariants (FIXTURES §6)
-hold, and the class is a drop-in slot for a real model (swap
-``_encode``; the Ray-side plumbing is identical).
+in batches of 32 (``rag/embedding.py:115-203``, ``core/config.py:156-179``),
+and caches per-text embeddings keyed by ``sha256(text)`` per model
+(``rag/embedding.py:44-112``: ``compute_text_hash``,
+``get_cached_embedding``, ``save_embedding_to_cache``). The sandbox has
+no model downloads, so the default embedder is a deterministic
+hash-projection: blake2b(text) seeds a Gaussian vector, L2-normalized —
+dimension and normalization invariants (FIXTURES §6) hold, and the
+class is a drop-in slot for a real model (swap ``_encode``; the
+Ray-side plumbing is identical).
+
+The cache is ACTOR-LOCAL (one per ``map_batches`` actor): a bounded
+LRU keyed by the reference's sha256 text hash. Unlike the reference's
+shared on-disk ``.npy``-per-text directory, there is no cross-worker
+coordination — at 100 TB a shared cache directory would be a metadata
+hotspot, while per-actor LRUs capture the real win (repeated boilerplate
+text inside a shard) with zero synchronization. Misses are encoded as
+ONE vectorized call, not per text.
 """
 
 from __future__ import annotations
 
 import hashlib
+from collections import OrderedDict
 
 import numpy as np
 import pyarrow as pa
 
 
 class HashEmbedder:
-    """``map_batches(HashEmbedder, concurrency=N, batch_size=32)``."""
+    """``map_batches(HashEmbedder, concurrency=N, batch_size=32)``.
+
+    ``cache_size`` > 0 enables the A5 LRU (entries, not bytes; a
+    384-dim float32 row is ~1.5 KB, so the default 65536 caps at
+    ~100 MB per actor). ``hits``/``misses`` counters feed cache-stats
+    reporting (G2).
+    """
 
     def __init__(self, dim: int = 384, normalize: bool = True,
-                 text_col: str = "content"):
+                 text_col: str = "content", cache_size: int = 65536):
         self.dim = dim
         self.normalize = normalize
         self.text_col = text_col
+        self.cache_size = cache_size
+        self._cache: OrderedDict[bytes, np.ndarray] = OrderedDict()
+        self.hits = 0
+        self.misses = 0
 
     def _encode(self, texts: list[str]) -> np.ndarray:
         out = np.empty((len(texts), self.dim), dtype=np.float32)
@@ -39,9 +61,42 @@ class HashEmbedder:
             out[i] = v
         return out
 
+    def _encode_cached(self, texts: list[str]) -> np.ndarray:
+        """Cache lookup split: hits are copied out of the LRU, the
+        misses (unique within the batch) go through one _encode call."""
+        digests = [hashlib.sha256(t.encode("utf-8")).digest()
+                   for t in texts]  # reference compute_text_hash
+        out = np.empty((len(texts), self.dim), dtype=np.float32)
+        miss_pos: dict[bytes, list[int]] = {}
+        miss_texts: list[str] = []
+        for i, (t, d) in enumerate(zip(texts, digests)):
+            row = self._cache.get(d)
+            if row is not None:
+                self._cache.move_to_end(d)
+                out[i] = row
+                self.hits += 1
+            else:
+                if d not in miss_pos:
+                    miss_texts.append(t)
+                    miss_pos[d] = []
+                miss_pos[d].append(i)
+                self.misses += 1
+        if miss_texts:
+            encoded = self._encode(miss_texts)
+            for row, d in zip(encoded, list(miss_pos)):
+                for i in miss_pos[d]:
+                    out[i] = row
+                self._cache[d] = row
+                if len(self._cache) > self.cache_size:
+                    self._cache.popitem(last=False)
+        return out
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
-        vecs = self._encode(texts)
+        if self.cache_size > 0:
+            vecs = self._encode_cached(texts)
+        else:
+            vecs = self._encode(texts)
         emb = pa.FixedSizeListArray.from_arrays(
             pa.array(vecs.ravel(), type=pa.float32()), self.dim
         )
@@ -56,9 +111,10 @@ def embed_batch(batch: pa.Table, dim: int = 384, normalize: bool = True,
     """Task-based embedding over a batch, fusable with upstream stages.
 
     The embedder instance is cached per worker process (the slot where a
-    real model load would amortize); the hash embedder itself is cheap,
-    so fusing it into the chunk stage beats a dedicated actor pool whose
-    spawn would dominate short rounds."""
+    real model load would amortize — and where the A5 LRU accumulates
+    across batches); the hash embedder itself is cheap, so fusing it
+    into the chunk stage beats a dedicated actor pool whose spawn would
+    dominate short rounds."""
     key = (dim, normalize, text_col)
     e = _EMBEDDER_CACHE.get(key)
     if e is None:

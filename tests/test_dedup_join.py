@@ -50,3 +50,30 @@ def test_minhash_join_verify_matches_bruteforce(ray_session):
 
     # no duplicate pairs out of the pair-dedup stage
     assert len(emitted) == len(got)
+
+
+def test_embedding_neardup_lsh_subset_of_exact(ray_session):
+    """The LSH scale path must emit a SUBSET of the exact all-pairs
+    result (verification is exact); recall > 0 on the test corpus and
+    output is deterministic across runs."""
+    from ragnificent_ray.pipelines.dedup import (
+        embedding_neardup,
+        embedding_neardup_lsh,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def pairs(ds):
+        out = set()
+        for b in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+            out |= set(zip(b.column("vec_a").to_pylist(),
+                           b.column("vec_b").to_pylist(),
+                           b.column("cos_sim").to_pylist()))
+        return out
+
+    exact = pairs(embedding_neardup(sf))
+    approx = pairs(embedding_neardup_lsh(sf))
+    assert approx, "LSH path found no pairs at sf0.001"
+    assert approx <= exact, f"non-subset: {sorted(approx - exact)[:3]}"
+    again = pairs(embedding_neardup_lsh(sf))
+    assert approx == again

@@ -137,3 +137,8 @@ def test_crawl_recrawl_hits_cache(ray_session, tmp_path):
     assert pc.all(d2.column("from_cache")).as_py()
     assert sorted(d2.column("url").to_pylist()) == \
         sorted(d1.column("url").to_pylist())
+    # G2 cache-stats metric rows
+    assert r1.metrics["cache_hit_rate"] == 0.0
+    assert r2.metrics["cache_hit_rate"] == 1.0
+    assert r2.metrics["pages_from_cache_total"] == \
+        r2.metrics["pages_parsed_total"]

@@ -157,3 +157,78 @@ def test_cli_crawl_smoke(tmp_path):
         timeout=300)
     metrics = json.loads(out.stdout.strip().splitlines()[-1])
     assert metrics["pages_parsed_total"] > 0
+
+
+# ------------------------------------------------ S9/M18 file export
+
+def test_filename_from_url_reference_semantics():
+    """M18 (core/scraper.py:944-968)."""
+    from ragnificent_ray.io.files import filename_from_url
+
+    assert filename_from_url("https://e.test/", "markdown") == "index.md"
+    assert filename_from_url("https://e.test/a/b/c", "markdown") == "a_b_c.md"
+    # invalid path chars replaced (query strings drop with .path, as in
+    # the reference)
+    assert filename_from_url("https://e.test/a:b|c", "json") == "a_b_c.json"
+    assert filename_from_url("https://e.test/a?x|y", "json") == "a.json"
+    # existing extension replaced with the format's
+    assert filename_from_url("https://e.test/doc.html", "xml") == "doc.xml"
+    assert filename_from_url("https://e.test/doc.md", "markdown") == "doc.md"
+
+
+def test_export_rendered_and_chunks(tmp_path):
+    import json
+
+    import pyarrow as pa
+
+    from ragnificent_ray.io.files import (
+        export_chunks,
+        export_rendered_files,
+    )
+
+    rendered = pa.table({
+        "url": pa.array(["https://e.test/p/1", "https://e.test/p/2"]),
+        "fmt": pa.array(["markdown", "json"]),
+        "content": pa.array(["# P1", '{"t": 2}']),
+    })
+    out = tmp_path / "files"
+    n = export_rendered_files(rendered, str(out))
+    assert n == 2
+    assert (out / "p_1.md").read_text() == "# P1"
+    assert (out / "p_2.json").read_text() == '{"t": 2}'
+
+    chunks = pa.table({
+        "id": pa.array(["c1", "c2"]),
+        "content": pa.array(["x", "y"]),
+    })
+    cdir = tmp_path / "chunks_json"
+    assert export_chunks(chunks, str(cdir), fmt="json") == 2
+    assert json.loads((cdir / "c1.json").read_text())["content"] == "x"
+    jdir = tmp_path / "chunks_jsonl"
+    assert export_chunks(chunks, str(jdir), fmt="jsonl") == 1
+    lines = [json.loads(line) for p in jdir.glob("chunks-*.jsonl")
+             for line in p.read_text().splitlines()]
+    assert {r["id"] for r in lines} == {"c1", "c2"}
+
+
+def test_search_result_cache_semantics():
+    """A8 (rag/search.py:100-147): key query:limit, TTL expiry,
+    expired-entry sweep past 100 entries."""
+    from ragnificent_ray.pipelines.yaml_pipeline import SearchResultCache
+
+    c = SearchResultCache(ttl=10.0)
+    assert c.get("q", 5, now=0.0) is None
+    c.put("q", 5, ["r1"], now=0.0)
+    assert c.get("q", 5, now=5.0) == ["r1"]
+    assert c.get("q", 3, now=5.0) is None  # limit is part of the key
+    assert c.get("q", 5, now=11.0) is None  # expired (and removed)
+    assert c.get("q", 5, now=5.0) is None
+    # sweep: >100 entries drops the expired ones
+    for i in range(101):
+        c.put(f"q{i}", 1, [i], now=0.0 if i < 50 else 100.0)
+    assert len(c._cache) <= 101
+    assert all(v["timestamp"] == 100.0 for v in c._cache.values())
+    # disabled cache is a no-op
+    off = SearchResultCache(enabled=False)
+    off.put("q", 1, ["x"])
+    assert off.get("q", 1) is None
