@@ -21,7 +21,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
-from ..functions.numeric import round_half_away
+from ..functions.numeric import list_column_matrix, round_half_away
 
 TOP_K = 10
 N_QUERIES = 5
@@ -39,7 +39,7 @@ def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
                       columns=["vec_id", "embedding"],
                       filters=[("vec_id", "<", N_QUERIES)])
     qids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
-    q = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    q = list_column_matrix(t.column("embedding"), dtype=np.float64)
     qn = q / np.linalg.norm(q, axis=1, keepdims=True)
     return qids, qn
 
@@ -57,7 +57,7 @@ def ann_topk(sf_dir: str):
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-            m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            m = list_column_matrix(batch.column("embedding"), dtype=np.float64)
             m /= np.linalg.norm(m, axis=1, keepdims=True)
             sims = self.qn @ m.T  # (Q, B)
             out_q, out_n, out_s = [], [], []
@@ -111,7 +111,7 @@ def ann_lsh_topk(sf_dir: str):
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-            m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            m = list_column_matrix(batch.column("embedding"), dtype=np.float64)
             m /= np.linalg.norm(m, axis=1, keepdims=True)
             buckets = (m @ self.planes.T > 0) @ (1 << np.arange(LSH_PLANES))
             out_q, out_n, out_s = [], [], []
@@ -181,8 +181,8 @@ def search_rerank(sf_dir: str):
             qids, qn = self._q
             ids = np.asarray(batch.column("vec_id").to_pylist(),
                              dtype=np.int64)
-            m = np.array(batch.column("embedding").to_pylist(),
-                         dtype=np.float64)
+            m = list_column_matrix(batch.column("embedding"),
+                                   dtype=np.float64)
             m /= np.linalg.norm(m, axis=1, keepdims=True)
             sims = qn @ m.T
             out_q, out_n, out_s = [], [], []

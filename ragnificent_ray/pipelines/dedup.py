@@ -39,7 +39,7 @@ import ray
 import ray.data as rd
 
 from ..functions.hashing import md5_hex, stable_hash64
-from ..functions.numeric import round_half_away
+from ..functions.numeric import list_column_matrix, round_half_away
 
 JACCARD_THRESHOLD = 0.6
 COSINE_THRESHOLD = 0.4
@@ -68,6 +68,26 @@ def _bucket_count(sf_dir: str, table: str = "documents",
     except OSError:
         sz = 0
     return max(_BUCKETS, int(sz // target_bytes) + 1)
+
+
+def _join_partition_count(sf_dir: str, table: str = "documents",
+                          target_bytes: int = 64 << 20) -> int:
+    """Hash-join exchange partitions scaled to the join's data volume:
+    one per ~64 MiB of source parquet, capped by cluster CPUs. Small
+    inputs get 2 partitions — each join spawns ``num_partitions``
+    aggregator actors, and at sf-test scale actor startup dominated the
+    verify stage's wall time (7 s for a 5k-vector table with 16)."""
+    try:
+        path = _pq(sf_dir, table)
+        if os.path.isdir(path):
+            sz = sum(os.path.getsize(os.path.join(path, f))
+                     for f in os.listdir(path))
+        else:
+            sz = os.path.getsize(path)
+    except OSError:
+        sz = 0
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return max(2, min(max(2, cpus // 2), int(sz // target_bytes) + 1))
 
 
 # -------------------------------------------------------------- exact dedup
@@ -225,11 +245,7 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.4,
     narrow band rows and the (rare) candidates shuffle;
     ``join_partitions`` sizes the join exchange."""
     if join_partitions is None:
-        # each join spawns this many aggregator actors; two joins run in
-        # the pipeline, so size to the cluster (fractional-CPU actors
-        # below keep them schedulable even on tiny sessions).
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-        join_partitions = max(2, min(64, cpus // 2))
+        join_partitions = _join_partition_count(sf_dir, "documents")
     _join_args = dict(num_partitions=join_partitions,
                       aggregator_ray_remote_args={"num_cpus": 0.25})
     n_buckets = _bucket_count(sf_dir)
@@ -410,7 +426,7 @@ def embedding_neardup(sf_dir: str):
     on identical inputs."""
     t = pq.read_table(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
-    m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    m = list_column_matrix(t.column("embedding"), dtype=np.float64)
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     mn = m / np.where(norms == 0, 1, norms)
     ref = ray.put((ids, mn))
@@ -444,8 +460,7 @@ def embedding_neardup_lsh(sf_dir: str, threshold: float = COSINE_THRESHOLD,
     scale ``bits`` grows with log2(n_vectors) to keep band buckets
     block-sized (the ``bands``/``bits`` knobs are the tradeoff dial)."""
     if join_partitions is None:
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-        join_partitions = max(2, min(64, cpus // 2))
+        join_partitions = _join_partition_count(sf_dir, "embeddings")
     _join_args = dict(num_partitions=join_partitions,
                       aggregator_ray_remote_args={"num_cpus": 0.25})
     n_buckets = _bucket_count(sf_dir, table="embeddings")
@@ -465,7 +480,7 @@ def embedding_neardup_lsh(sf_dir: str, threshold: float = COSINE_THRESHOLD,
 
     def band_rows(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        m = list_column_matrix(batch.column("embedding"), dtype=np.float64)
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         mn = m / np.where(norms == 0, 1, norms)
         sign = (mn @ planes_for(m.shape[1]).T) > 0          # n × bands*bits
@@ -510,7 +525,7 @@ def embedding_neardup_lsh(sf_dir: str, threshold: float = COSINE_THRESHOLD,
 
     def _keyed(key: str):
         def pack(b: pa.Table, key=key) -> pa.Table:
-            m = np.array(b.column("embedding").to_pylist(), dtype=np.float64)
+            m = list_column_matrix(b.column("embedding"), dtype=np.float64)
             norms = np.linalg.norm(m, axis=1, keepdims=True)
             mn = m / np.where(norms == 0, 1, norms)
             return pa.table({

@@ -193,7 +193,9 @@ class YamlPipeline:
         qv = HashEmbedder(dim=dim)._encode([query])[0].astype(np.float64)
 
         over = top_k * 2 if rerank else top_k
-        m = np.array(index.column("embedding").to_pylist(), dtype=np.float64)
+        from ..functions.numeric import list_column_matrix
+
+        m = list_column_matrix(index.column("embedding"), dtype=np.float64)
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         sims = (m / np.where(norms == 0, 1, norms)) @ qv
         order = np.lexsort((np.arange(len(sims)), -sims))[:over]
