@@ -120,3 +120,63 @@ def test_write_vectors_dataset(ray_session, tmp_path):
     n = vs.write_vectors(ds, uri, vector_size=4, concurrency=2)
     assert n == 300
     assert vs.load_points(uri).num_rows == 300
+
+
+class _CrashOnceSink(vs.VectorSinkStage):
+    """Writes half a batch, then kills its actor process — once."""
+
+    def __init__(self, uri, vector_size, crash_flag):
+        super().__init__(uri, vector_size)
+        self.crash_flag = crash_flag
+
+    def __call__(self, batch):
+        if not os.path.exists(self.crash_flag):
+            self._upsert_retry(batch.slice(0, max(1, batch.num_rows // 2)))
+            with open(self.crash_flag, "w") as f:
+                f.write("crashed")
+            os._exit(1)  # hard actor death mid-batch
+        return super().__call__(batch)
+
+
+def test_sink_survives_actor_death_without_duplicates(ray_session, tmp_path):
+    """Failure injection: the actor dies after writing half its batch;
+    Ray retries the task on a fresh actor, and the content-addressed
+    atomic parts make the replay idempotent — exactly 200 points, no
+    dupes, no torn files."""
+    import sys
+
+    from ray import cloudpickle  # Ray serializes with ITS vendored fork
+    import ray.data as rd
+
+    # the RESTARTED actor must deserialize _CrashOnceSink in a fresh
+    # worker that never ran pytest's conftest sys.path setup — ship the
+    # test module by value instead of by reference
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    try:
+        _run_crash_scenario(tmp_path)
+    finally:
+        cloudpickle.unregister_pickle_by_value(sys.modules[__name__])
+
+
+def _run_crash_scenario(tmp_path):
+    import ray.data as rd
+
+    uri = str(tmp_path / "col")
+    flag = str(tmp_path / "crashed.flag")
+    ds = rd.from_arrow(_points(range(200)))
+    counts = ds.repartition(1).map_batches(
+        _CrashOnceSink,
+        fn_constructor_kwargs={"uri": uri, "vector_size": 4,
+                               "crash_flag": flag},
+        batch_format="pyarrow", batch_size=512, concurrency=1,
+        num_cpus=0.5,
+    )
+    total = sum(
+        b.column("upserted")[0].as_py()
+        for b in counts.iter_batches(batch_size=512, batch_format="pyarrow"))
+    assert os.path.exists(flag), "crash never happened"
+    assert total == 200
+    t = vs.load_points(uri)
+    assert t.num_rows == 200
+    assert sorted(set(t.column("id").to_pylist())) == \
+        sorted({str(i) for i in range(200)})
