@@ -590,6 +590,166 @@ _RAG_CHUNKS_RUST_SQL = f"""
 """
 
 
+
+def _minhash_lsh_sql() -> str:
+    """Full-pipeline DuckDB oracle for minhash_lsh_pairs: md5-60 3-gram
+    shingles, the SAME 64 (a,b) permutation constants embedded as
+    literals, uint64-wraparound arithmetic mirrored via HUGEINT mod
+    2^64, band candidacy as 4-minhash slice equality (equivalent to the
+    engine's band-hash buckets), exact-Jaccard verify at 0.4."""
+    from ragnificent_ray.pipelines.dedup import (
+        LSH_BANDS,
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_PERMS,
+        _MERSENNE,
+    )
+
+    rows_per_band = MINHASH_PERMS // LSH_BANDS
+    perm_rows = ",".join(
+        f"({p},{int(MINHASH_A[p])},{int(MINHASH_B[p])})"
+        for p in range(MINHASH_PERMS))
+    w = 1 << 64
+    return f"""
+    WITH d AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                    ELSE [array_to_string(toks[i+1:i+3], ' ')
+                          FOR i IN range(0, len(toks) - 2)]
+               END AS gs
+        FROM d
+    ), sh AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS h
+        FROM (SELECT doc_id, unnest(gs) AS g FROM grams)
+        GROUP BY 1, 2
+    ), sets AS (
+        SELECT doc_id, list(h ORDER BY h) AS shingles, COUNT(*) AS n_sh
+        FROM sh GROUP BY doc_id
+    ), perms(p, a, b) AS (VALUES {perm_rows}),
+    sig AS (
+        SELECT s.doc_id, p.p,
+            MIN(CAST((((CAST(p.a AS HUGEINT) * s.h) % {w} + p.b) % {w})
+                     % {_MERSENNE} AS BIGINT)) AS mh
+        FROM sh s CROSS JOIN perms p
+        GROUP BY s.doc_id, p.p
+    ), bands AS (
+        SELECT doc_id, p // {rows_per_band} AS band_id,
+               list(mh ORDER BY p) AS bsig
+        FROM sig GROUP BY doc_id, p // {rows_per_band}
+    ), cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y
+          ON x.band_id = y.band_id AND x.bsig = y.bsig
+         AND x.doc_id < y.doc_id
+    ), jac AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+               / (sa.n_sh + sb.n_sh
+                  - len(list_intersect(sa.shingles, sb.shingles))) AS j
+        FROM cand c
+        JOIN sets sa ON sa.doc_id = c.doc_a
+        JOIN sets sb ON sb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, ROUND(j, 4) AS jaccard FROM jac WHERE j >= 0.4
+"""
+
+
+
+def _ann_lsh_sql() -> str:
+    """DuckDB oracle for ann_lsh_topk: the 8 seeded hyperplanes embedded
+    as float64 literals (repr round-trips exactly), bucket = packed sign
+    bits of emb . plane (normalization preserves sign), candidates =
+    same-bucket vectors, exact cosine rank within the bucket."""
+    import numpy as np
+
+    from ragnificent_ray.pipelines.ann import LSH_PLANES, N_QUERIES, TOP_K
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    planes = rng.standard_normal((LSH_PLANES, 64))  # dim fixed across tiers
+    plane_rows = ",".join(
+        "(%d, [%s])" % (p, ",".join(repr(float(x)) for x in planes[p]))
+        for p in range(LSH_PLANES))
+    return f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ), planes(p, v) AS (VALUES {plane_rows}),
+    bk AS (
+        SELECT e.vec_id,
+               CAST(SUM(CASE WHEN list_inner_product(e.emb, pl.v) > 0
+                             THEN (1 << pl.p) ELSE 0 END) AS BIGINT) AS bucket
+        FROM e CROSS JOIN planes pl
+        GROUP BY e.vec_id
+    ), q AS (
+        SELECT e.vec_id AS query_id, e.emb AS qemb, bk.bucket AS qb
+        FROM e JOIN bk USING (vec_id) WHERE e.vec_id < {N_QUERIES}
+    ), scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               list_cosine_similarity(q.qemb, e.emb) AS sim
+        FROM q JOIN bk ON bk.bucket = q.qb JOIN e ON e.vec_id = bk.vec_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+           ) AS BIGINT) AS rank,
+           ROUND(sim, 4) AS cos_sim
+    FROM scored
+    QUALIFY rank <= {TOP_K}
+"""
+
+
+
+def _emb_lsh_sql() -> str:
+    """DuckDB oracle for embedding_neardup_lsh: the 120 seeded band
+    hyperplanes embedded as float64 literals, candidacy = identical
+    10-bit sign pattern in any of 12 bands, exact-cosine verify at the
+    COSINE_THRESHOLD."""
+    import numpy as np
+
+    from ragnificent_ray.pipelines.dedup import (
+        COSINE_THRESHOLD,
+        EMB_LSH_BANDS,
+        EMB_LSH_BITS,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    planes = rng.standard_normal((EMB_LSH_BANDS * EMB_LSH_BITS, 64))
+    plane_rows = ",".join(
+        "(%d, [%s])" % (p, ",".join(repr(float(x)) for x in planes[p]))
+        for p in range(EMB_LSH_BANDS * EMB_LSH_BITS))
+    bits = EMB_LSH_BITS
+    return f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ), planes(p, v) AS (VALUES {plane_rows}),
+    bands AS (
+        SELECT e.vec_id, pl.p // {bits} AS band_id,
+               CAST(SUM(CASE WHEN list_inner_product(e.emb, pl.v) > 0
+                             THEN (1 << (pl.p % {bits})) ELSE 0 END)
+                    AS BIGINT) AS pattern
+        FROM e CROSS JOIN planes pl
+        GROUP BY e.vec_id, pl.p // {bits}
+    ), cand AS (
+        SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+        FROM bands x JOIN bands y
+          ON x.band_id = y.band_id AND x.pattern = y.pattern
+         AND x.vec_id < y.vec_id
+    ), scored AS (
+        SELECT c.vec_a, c.vec_b,
+               list_cosine_similarity(ea.emb, eb.emb) AS sim
+        FROM cand c JOIN e ea ON ea.vec_id = c.vec_a
+        JOIN e eb ON eb.vec_id = c.vec_b
+    )
+    SELECT vec_a, vec_b, ROUND(sim, 4) AS cos_sim
+    FROM scored WHERE sim >= {COSINE_THRESHOLD}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from ragnificent_ray.pipelines import ann, dedup, relational, textstats
 
@@ -600,6 +760,9 @@ def oracle_sql() -> dict[str, str]:
     out["rag_chunks_sliding"] = _RAG_CHUNKS_SLIDING_SQL
     out["rag_chunks_recursive"] = _RAG_CHUNKS_RECURSIVE_SQL
     out["rag_chunks_rust"] = _RAG_CHUNKS_RUST_SQL
+    out["minhash_lsh_pairs"] = _minhash_lsh_sql()
+    out["ann_lsh_topk"] = _ann_lsh_sql()
+    out["embedding_neardup_lsh"] = _emb_lsh_sql()
     out["rag_embed_norms"] = _RAG_EMBED_NORMS_SQL
     out["tfidf_embed"] = _TFIDF_EMBED_SQL
     return out

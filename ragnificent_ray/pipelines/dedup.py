@@ -188,13 +188,28 @@ def ngram_jaccard_pairs(sf_dir: str):
 
 # ------------------------------------------------------------- minhash+LSH
 
+def _minhash_perms(n: int = MINHASH_PERMS) -> tuple[np.ndarray, np.ndarray]:
+    """The (a, b) permutation constants — module-level so the DuckDB
+    oracle can embed the SAME values as SQL literals."""
+    rng = np.random.Generator(np.random.PCG64(42))
+    a = rng.integers(1, _MERSENNE, size=n, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=n, dtype=np.uint64)
+    return a, b
+
+
+MINHASH_A, MINHASH_B = _minhash_perms()
+
+
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """3-word-gram shingles hashed to the first 60 bits of md5 (the
+    ``simhash64``/``fingerprints`` idiom) so the whole MinHash pipeline
+    is expressible in DuckDB SQL; 60 bits < the Mersenne-61 modulus."""
     toks = text.strip().split()
     if len(toks) < k:
         grams = [" ".join(toks)] if toks else []
     else:
         grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
-    return np.unique(np.array([stable_hash64(g) & _MERSENNE for g in grams],
+    return np.unique(np.array([int(md5_hex(g)[:15], 16) for g in grams],
                               dtype=np.uint64))
 
 
@@ -250,9 +265,7 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.4,
                       aggregator_ray_remote_args={"num_cpus": 0.25})
     n_buckets = _bucket_count(sf_dir)
 
-    rng = np.random.Generator(np.random.PCG64(42))
-    a = rng.integers(1, _MERSENNE, size=MINHASH_PERMS, dtype=np.uint64)
-    b = rng.integers(0, _MERSENNE, size=MINHASH_PERMS, dtype=np.uint64)
+    a, b = MINHASH_A, MINHASH_B
     rows_per_band = MINHASH_PERMS // LSH_BANDS
 
     ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
