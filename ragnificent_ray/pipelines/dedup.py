@@ -22,9 +22,18 @@ pair logic is vectorized pandas.
 
 Broadcast note: the "small side" here is the token/embedding matrix of
 the corpus being deduped — fine up to ~10M docs on a 128 GiB node; past
-that, the MinHash-LSH path is the intended route (banding shuffle
-instead of broadcast), with candidate shingle sets hash-joined back
-instead of collected.
+that the paired LSH route takes over. Every exact all-pairs gate has an
+oracle-checked distributed companion with NO broadcast and NO driver
+state:
+
+* ``ngram_jaccard_pairs`` (exact gate) ↔ ``minhash_lsh_pairs``
+  (banding shuffle + hash-join shingle verify)
+* ``embedding_neardup`` (exact gate) ↔ ``embedding_neardup_lsh``
+  (hyperplane-band shuffle + hash-join cosine verify)
+
+Both companions are value-checked against full-pipeline DuckDB oracles
+(seeded constants embedded as SQL literals), so the scale path is held
+to the same correctness bar as the gates.
 """
 
 from __future__ import annotations
