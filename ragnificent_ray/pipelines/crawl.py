@@ -66,7 +66,7 @@ from ..stages.extract import (
     parse_documents_batch,
     render_batch,
 )
-from ..stages.fetch import FetchWorker, cached_backend, make_backend
+from ..stages.fetch import FetchWorker, cached_backend
 from ..state.checkpoint import CheckpointManager, config_hash
 from ..state.politeness import PolitenessService
 from ..state.seen import SeenSet

@@ -25,11 +25,7 @@ Data stages:
 from __future__ import annotations
 
 import os
-from typing import Any
-
 import numpy as np
-import pyarrow as pa
-import pyarrow.parquet as pq
 
 
 def _load_config(source: str | dict) -> dict:

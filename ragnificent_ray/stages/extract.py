@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from ..functions.htmldom import extract_links, parse_html_to_document, parse_page
+from ..functions.htmldom import parse_page
 from ..functions.imaging import decode_image, phash64
 from ..functions.render import document_to_markdown, render_document
 from ..schema import DOCUMENTS, HARVEST, RENDERED
