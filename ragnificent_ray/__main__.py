@@ -87,13 +87,17 @@ def cmd_export(args) -> int:
     from .io.files import export_chunks, export_rendered_files
 
     base = os.path.join(args.crawl_out, "rounds")
-    dirs = [os.path.join(base, r, args.table)
-            for r in sorted(os.listdir(base))
-            if os.path.isdir(os.path.join(base, r, args.table))]
-    if not dirs:
+    files = [
+        os.path.join(base, r, args.table, n)
+        for r in sorted(os.listdir(base))
+        if os.path.isdir(os.path.join(base, r, args.table))
+        for n in sorted(os.listdir(os.path.join(base, r, args.table)))
+        if n.endswith(".parquet")
+    ]
+    if not files:
         print(json.dumps({"error": f"no {args.table} tables under {base}"}))
         return 1
-    ds = rd.read_parquet(dirs)
+    ds = rd.read_parquet(files)
     if args.table == "rendered":
         n = export_rendered_files(ds, args.out)
     else:

@@ -147,7 +147,7 @@ def test_cli_convert_and_chunk(tmp_path):
     assert chunks and all("id" in c for c in chunks)
 
 
-def test_cli_crawl_smoke(tmp_path):
+def test_cli_crawl_smoke_and_export(tmp_path):
     out = subprocess.run(
         [sys.executable, "-m", "ragnificent_ray", "crawl",
          "--out", str(tmp_path / "crawl"),
@@ -157,6 +157,19 @@ def test_cli_crawl_smoke(tmp_path):
         timeout=300)
     metrics = json.loads(out.stdout.strip().splitlines()[-1])
     assert metrics["pages_parsed_total"] > 0
+
+    # S9: export the crawl's rendered tables to per-page files (M18 names)
+    out2 = subprocess.run(
+        [sys.executable, "-m", "ragnificent_ray", "export",
+         "--crawl-out", str(tmp_path / "crawl"),
+         "--out", str(tmp_path / "files"), "--num-cpus", "4"],
+        capture_output=True, text=True, cwd=REPO, check=True,
+        timeout=300)
+    rep = json.loads(out2.stdout.strip().splitlines()[-1])
+    assert rep["files_written"] == metrics["pages_parsed_total"]
+    names = sorted(p.name for p in (tmp_path / "files").iterdir())
+    assert names and all(n.endswith(".md") for n in names)
+    assert "page_0.md" in names  # URL-path-derived name (M18)
 
 
 # ------------------------------------------------ S9/M18 file export
