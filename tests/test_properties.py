@@ -1,0 +1,94 @@
+"""Property-based tests (hypothesis) over the pure-function core.
+
+Each property encodes an invariant the pipelines rely on, exercised on
+adversarial generated inputs rather than the synthetic corpus.
+"""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ragnificent_ray.functions import chunking, imaging, urls
+
+# keep CI fast: these run in the default suite
+_FAST = settings(max_examples=50, deadline=None)
+
+_words = st.lists(
+    st.text(alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+            min_size=1, max_size=12),
+    min_size=0, max_size=120)
+
+
+@_FAST
+@given(_words, st.integers(50, 400), st.integers(0, 49))
+def test_rust_semantic_preserves_and_orders(words, chunk_size, overlap):
+    """C2: concatenated chunk text loses no non-whitespace content, and
+    positions are a contiguous 0..n-1 sequence."""
+    text = " ".join(words)
+    objs = chunking.rust_semantic_chunk_objects(text, chunk_size, overlap)
+    assert [o["position"] for o in objs] == list(range(len(objs)))
+    # strip() at split points can only drop whitespace
+    assert "".join("".join(o["content"].split()) for o in objs) == \
+        "".join(text.split())
+    for o in objs:
+        assert o["word_count"] == len(o["content"].split())
+        assert o["char_count"] == len(o["content"])
+
+
+@_FAST
+@given(_words, st.integers(50, 400), st.integers(0, 49))
+def test_text_chunker_round_trip_words(words, chunk_size, overlap):
+    """C5: every input word appears in some chunk; ids are unique."""
+    text = " ".join(words)
+    rows = chunking.text_chunks(text, "https://p.test/x", chunk_size, overlap)
+    got = set()
+    for r in rows:
+        got.update(r["content"].split())
+    assert got == set(text.split())
+    ids = [r["id"] for r in rows]
+    assert len(ids) == len(set(ids))
+
+
+@_FAST
+@given(st.text(min_size=0, max_size=300), st.integers(0, 400))
+def test_rust_find_split_point_in_bounds(text, pos):
+    """Split point always lands in [0, len(text)] and never BEFORE the
+    approximate position unless it's the last-resort fallback."""
+    sp = chunking.rust_find_split_point(text, pos)
+    assert 0 <= sp <= len(text)
+    if pos < len(text):
+        assert sp >= min(pos, len(text))
+
+
+@_FAST
+@given(st.integers(2, 40), st.integers(2, 40), st.integers(0, 2**32 - 1))
+def test_png_roundtrip_property(h, w, seed):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(imaging.png_decode(imaging.png_encode(img)), img)
+
+
+@_FAST
+@given(st.integers(8, 48), st.integers(8, 48), st.integers(0, 2**32 - 1))
+def test_lossy_roundtrip_psnr_property(h, w, seed):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    back = imaging.lossy_decode(imaging.lossy_encode(img))
+    assert back.shape == img.shape
+    assert imaging.psnr(img, back) >= 40.0  # the north-rule bound
+
+
+@_FAST
+@given(st.text(alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+               min_size=1, max_size=40))
+def test_canonicalize_idempotent(path):
+    """M1-M3: canonicalizing a canonical URL is a fixed point."""
+    url = "https://prop.test/" + path
+    got = urls.canonicalize(url)
+    if got is None:
+        return
+    canon, domain, h = got
+    again = urls.canonicalize(canon)
+    assert again is not None
+    assert again[0] == canon
+    assert again[2] == urls.url_hash64(canon)
