@@ -171,8 +171,7 @@ def phash64(rgb: np.ndarray) -> int:
         gray = np.pad(gray, ((0, ph), (0, pw)), mode="edge")
     bh, bw = gray.shape[0] // 8, gray.shape[1] // 8
     small = gray.reshape(8, bh, 8, bw).mean(axis=(1, 3))
-    bits = (small > small.mean()).astype(np.uint64).ravel()
-    value = np.uint64(0)
-    for bit in bits:
-        value = (value << np.uint64(1)) | bit
-    return int(value.astype(np.int64))
+    bits = (small > small.mean()).ravel()
+    # big-endian bit-pack: bit 0 of the raster is the MSB of the hash
+    value = int(np.packbits(bits).view(">u8")[0])
+    return value - (1 << 64) if value >= (1 << 63) else value
