@@ -1,0 +1,263 @@
+"""Temporal operators Ray Data lacks natively: session windows + as-of join.
+
+Both are brief-listed custom operators ("as-of join, range join, windowed
+aggregate") built as compositions of ``map_batches`` + bounded-bucket
+``groupby().map_groups`` — the partitioning discipline documented in
+``pipelines/dedup.py``:
+
+* the groupby key is a **bounded bucket** of the entity key (one bucket
+  per ~64 MiB of input, min 64), never the raw key, so the shuffle key
+  space stays small while each pandas group stays block-sized;
+* all per-group work is vectorized pandas/numpy (``merge_asof``,
+  ``groupby().cumsum``) — no per-row or per-entity Python loops;
+* the as-of join co-partitions BOTH sides on the same bucket via a
+  tagged union, so it is one shuffle each and no broadcast — the shape
+  that survives when both sides are 100 TB.
+
+Partitioning assumption: one entity's history (one user's events/orders)
+fits in a worker's heap. That holds for behavioural data; a pathological
+hot key would need salting plus a second combine pass, which these exact
+per-entity semantics (cumulative counts, session numbering) do not admit.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..functions.numeric import round_half_away
+
+_SESSION_GAP_US = 1_800_000_000  # 30-minute session gap
+_MIN_BUCKETS = 64
+
+
+def _pq(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _bucket_count(sf_dir: str, tables: tuple[str, ...],
+                  target_bytes: int = 64 << 20) -> int:
+    """One bucket per ~64 MiB of combined input parquet (min 64)."""
+    sz = 0
+    for table in tables:
+        try:
+            path = _pq(sf_dir, table)
+            if os.path.isdir(path):
+                sz += sum(os.path.getsize(os.path.join(path, f))
+                          for f in os.listdir(path))
+            else:
+                sz += os.path.getsize(path)
+        except OSError:
+            pass
+    return max(_MIN_BUCKETS, int(sz // target_bytes) + 1)
+
+
+def _ts_us(series: pd.Series) -> np.ndarray:
+    return series.to_numpy().astype("datetime64[us]").astype("int64")
+
+
+# ----------------------------------------------------------- session windows
+
+def sessionize(sf_dir: str):
+    """Session-window aggregate over the events stream (30-min gap).
+
+    A new session starts when a user's inter-event gap exceeds 30
+    minutes; sessions are numbered 1..n per user in time order
+    (tiebreak: event_id). The reference has no session operator — this
+    is the streaming-window family the brief requires; the tumbling
+    variant is ``relational.events_hourly``.
+    """
+    n_buckets = _bucket_count(sf_dir, ("events",))
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_id", "value"])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        bucket = b.column("user_id").to_numpy() % n_buckets
+        return b.append_column(
+            "bucket", pa.array(bucket.astype(np.int32)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort", ignore_index=True)
+        ts_us = _ts_us(g["ts"])
+        uid = g["user_id"].to_numpy()
+        new_user = np.empty(len(g), dtype=bool)
+        new_user[0] = True
+        np.not_equal(uid[1:], uid[:-1], out=new_user[1:])
+        gap = np.empty(len(g), dtype=bool)
+        gap[0] = True
+        gap[1:] = (ts_us[1:] - ts_us[:-1]) > _SESSION_GAP_US
+        is_new = new_user | gap
+        # per-user session ordinal: global cumsum minus the user's offset
+        boundary = np.cumsum(is_new)
+        user_start = np.where(new_user)[0]
+        offset = np.repeat(boundary[user_start] - 1,
+                           np.diff(np.append(user_start, len(g))))
+        g["session_no"] = boundary - offset
+        out = g.groupby(["user_id", "session_no"], as_index=False).agg(
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            n_events=("ts", "size"),
+            sum_value=("value", "sum"),
+        )
+        out["session_start"] = out["session_start"].dt.strftime(
+            "%Y-%m-%d %H:%M:%S")
+        out["session_end"] = out["session_end"].dt.strftime(
+            "%Y-%m-%d %H:%M:%S")
+        out["n_events"] = out["n_events"].astype("int64")
+        out["sum_value"] = round_half_away(
+            out["sum_value"].to_numpy(), 4)
+        return out
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .map_batches(lambda b: b.drop_columns(["bucket"])
+                     if "bucket" in b.column_names else b,
+                     batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------- as-of join
+
+def user_order_asof(sf_dir: str):
+    """As-of join: each event picks up the user's order history to date.
+
+    For every event, the most recent order at-or-before the event time
+    plus cumulative order count and spend — the point-in-time feature
+    lookup a training pipeline uses to avoid label leakage. Events whose
+    user has no prior order are dropped (inner as-of semantics).
+
+    Shape: tag both sides, hash-co-partition on the user key into
+    bounded buckets (one shuffle each, no broadcast — the small-side
+    broadcast of ``relational.segment_revenue`` would not survive a
+    100 TB orders table), then one C-speed ``pd.merge_asof`` per bucket
+    against order rows pre-annotated with cumulative count/spend.
+    """
+    n_buckets = _bucket_count(sf_dir, ("events", "orders"))
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        key = b.column("o_custkey")
+        bucket = key.to_numpy() % n_buckets
+        return pa.table({
+            "bucket": pa.array(bucket.astype(np.int32)),
+            "side": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
+            "key": pc.cast(key, pa.int64()),
+            "ts_us": pc.cast(b.column("o_orderdate"), pa.int64()),
+            "event_id": pa.array(np.full(b.num_rows, -1, dtype=np.int64)),
+            "price": pc.cast(b.column("o_totalprice"), pa.float64()),
+        })
+
+    def tag_events(b: pa.Table) -> pa.Table:
+        key = b.column("user_id")
+        bucket = key.to_numpy() % n_buckets
+        return pa.table({
+            "bucket": pa.array(bucket.astype(np.int32)),
+            "side": pa.array(np.ones(b.num_rows, dtype=np.int8)),
+            "key": pc.cast(key, pa.int64()),
+            "ts_us": pc.cast(b.column("ts"), pa.int64()),
+            "event_id": pc.cast(b.column("event_id"), pa.int64()),
+            "price": pa.array(np.zeros(b.num_rows, dtype=np.float64)),
+        })
+
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"),
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    ).map_batches(tag_orders, batch_format="pyarrow", batch_size=65536)
+    events = rd.read_parquet(
+        _pq(sf_dir, "events"),
+        columns=["user_id", "ts", "event_id"],
+    ).map_batches(tag_events, batch_format="pyarrow", batch_size=65536)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0]
+        e = g[g["side"] == 1]
+        if not len(o) or not len(e):
+            return pd.DataFrame({
+                "event_id": pd.Series(dtype="int64"),
+                "user_id": pd.Series(dtype="int64"),
+                "last_order_date": pd.Series(dtype="object"),
+                "orders_to_date": pd.Series(dtype="int64"),
+                "spend_to_date": pd.Series(dtype="float64"),
+            })
+        o = o.sort_values(["key", "ts_us"], kind="mergesort",
+                          ignore_index=True)
+        o["orders_to_date"] = o.groupby("key").cumcount() + 1
+        o["spend_to_date"] = o.groupby("key")["price"].cumsum()
+        o["order_ts_us"] = o["ts_us"]
+        # merge_asof wants both frames globally sorted on the on-key;
+        # a stable resort keeps equal-ts cumulative rows in increasing
+        # order so "backward" picks the full count at that timestamp
+        o = o.sort_values("ts_us", kind="mergesort", ignore_index=True)
+        e = e.sort_values("ts_us", kind="mergesort", ignore_index=True)
+        m = pd.merge_asof(
+            e[["event_id", "key", "ts_us"]],
+            o[["key", "ts_us", "order_ts_us", "orders_to_date",
+               "spend_to_date"]],
+            on="ts_us", by="key", direction="backward",
+        ).dropna(subset=["orders_to_date"])
+        return pd.DataFrame({
+            "event_id": m["event_id"].astype("int64"),
+            "user_id": m["key"].astype("int64"),
+            "last_order_date": pd.to_datetime(
+                m["order_ts_us"].astype("int64"), unit="us"
+            ).dt.strftime("%Y-%m-%d %H:%M:%S"),
+            "orders_to_date": m["orders_to_date"].astype("int64"),
+            "spend_to_date": round_half_away(
+                m["spend_to_date"].to_numpy(dtype=np.float64), 4),
+        })
+
+    return (
+        orders.union(events)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .map_batches(lambda b: b.drop_columns(["bucket"])
+                     if "bucket" in b.column_names else b,
+                     batch_format="pyarrow")
+    )
+
+
+ORACLE_SQL = {
+    "sessionize": """
+        WITH lagged AS (
+          SELECT user_id, ts, event_id, value,
+                 CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                      OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+          SELECT user_id, ts, value,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_no
+          FROM lagged
+        )
+        SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM numbered GROUP BY user_id, session_no
+    """,
+    "user_order_asof": """
+        SELECT e.event_id, e.user_id,
+               strftime(MAX(o.o_orderdate), '%Y-%m-%d %H:%M:%S')
+                   AS last_order_date,
+               COUNT(*) AS orders_to_date,
+               ROUND(SUM(o.o_totalprice), 4) AS spend_to_date
+        FROM events e JOIN orders o
+          ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        GROUP BY e.event_id, e.user_id
+    """,
+}
+
+QUERIES = {
+    "sessionize": sessionize,
+    "user_order_asof": user_order_asof,
+}
