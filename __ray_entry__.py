@@ -342,11 +342,11 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from ragnificent_ray.pipelines import (ann, dedup, relational, temporal,
-                                           textstats)
+    from ragnificent_ray.pipelines import (ann, dedup, relational, sampling,
+                                           temporal, textstats)
 
     out: dict[str, Callable[[str], Any]] = {}
-    for mod in (relational, textstats, dedup, ann, temporal):
+    for mod in (relational, textstats, dedup, ann, temporal, sampling):
         out.update(mod.QUERIES)
     out.update({
         "rag_chunks": _rag_chunks,
@@ -752,11 +752,11 @@ def _emb_lsh_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    from ragnificent_ray.pipelines import (ann, dedup, relational, temporal,
-                                           textstats)
+    from ragnificent_ray.pipelines import (ann, dedup, relational, sampling,
+                                           temporal, textstats)
 
     out: dict[str, str] = {}
-    for mod in (relational, textstats, dedup, ann, temporal):
+    for mod in (relational, textstats, dedup, ann, temporal, sampling):
         out.update(mod.ORACLE_SQL)
     out["rag_chunks"] = _RAG_CHUNKS_SQL
     out["rag_chunks_sliding"] = _RAG_CHUNKS_SLIDING_SQL

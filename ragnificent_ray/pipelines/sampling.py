@@ -1,0 +1,78 @@
+"""Deterministic sampling operators for corpus curation.
+
+Training-data pipelines downsample overrepresented strata (by language,
+source, quality band) before mixing. Random sampling is not
+reproducible across retries or resumes; these operators key every keep
+decision on a content-stable hash of the row id, so the sample is a
+pure function of the input — identical across runs, workers, retries
+and cluster sizes, and exactly SQL-expressible for the driver oracle
+(same md5-prefix idiom as ``textstats.fingerprints``).
+
+Scale shape: a pure per-batch filter — no shuffle, no state, no
+driver-side pass. At 100 TB this streams block-by-block; the rates
+table is a tiny module constant, not a broadcast.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import ray.data as rd
+
+from ..functions.hashing import md5_hex
+
+# per-stratum keep rates in percent (default 100 = keep everything);
+# the canonical downsample-the-head curation move
+STRATA_RATES: dict[str, int] = {"en": 25, "de": 50}
+_DEFAULT_RATE = 100
+
+
+def _pq(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _keep_bucket(doc_id: int) -> int:
+    """0-99 bucket from the first 32 bits of md5(str(doc_id))."""
+    return int(md5_hex(str(doc_id))[:8], 16) % 100
+
+
+def stratified_sample(sf_dir: str):
+    """Hash-deterministic stratified Bernoulli sample of documents.
+
+    Keeps a document iff its md5-derived 0-99 bucket falls below the
+    stratum's keep rate (``STRATA_RATES`` by ``lang``, default 100)."""
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "lang"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        mask = [
+            _keep_bucket(d) < STRATA_RATES.get(lang, _DEFAULT_RATE)
+            for d, lang in zip(ids, langs)
+        ]
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow", batch_size=8192)
+
+
+def _rate_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {rate}"
+        for lang, rate in sorted(STRATA_RATES.items())
+    )
+    return f"CASE lang {whens} ELSE {_DEFAULT_RATE} END"
+
+
+ORACLE_SQL = {
+    "stratified_sample": f"""
+        SELECT doc_id, lang FROM documents
+        WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 100) < {_rate_case_sql()}
+    """,
+}
+
+QUERIES = {
+    "stratified_sample": stratified_sample,
+}

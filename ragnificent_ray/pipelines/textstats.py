@@ -157,6 +157,39 @@ def fingerprints(sf_dir: str):
     return ds.map_batches(fp, batch_format="pyarrow", batch_size=8192)
 
 
+def vocab_top(sf_dir: str):
+    """Vocabulary building: top-100 tokens by document frequency.
+
+    The combiner pattern at corpus scale: each batch emits one partial
+    (token, df) table built from per-doc DISTINCT tokens — so the
+    token-keyed shuffle moves one row per distinct token per block, not
+    one per occurrence — then a native groupby-sum, a sort and a limit.
+    Deterministic tiebreak on the token string keeps the LIMIT cutoff
+    stable on both sides of the oracle."""
+    from collections import Counter
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["text"])
+
+    def partial_df(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(set(t.strip().split()))
+        return pa.table({
+            "token": pa.array(list(c.keys()), type=pa.string()),
+            "df": pa.array(list(c.values()), type=pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial_df, batch_format="pyarrow", batch_size=8192)
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+        .sort(["df", "token"], descending=[True, False])
+        .limit(100)
+    )
+
+
 _SQL_STOPS = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 
@@ -224,6 +257,15 @@ ORACLE_SQL = {
                    AS avg_token_len
         FROM documents
     """,
+    "vocab_top": r"""
+        WITH toks AS (
+          SELECT DISTINCT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+          FROM documents
+        )
+        SELECT token, COUNT(*) AS df FROM toks WHERE token <> ''
+        GROUP BY token ORDER BY df DESC, token LIMIT 100
+    """,
     "quality_scores": f"""
         SELECT doc_id,
                ROUND(CAST(len(list_filter(
@@ -242,4 +284,5 @@ QUERIES = {
     "lang_id": lang_id,
     "token_count_bpeish": token_count_bpeish,
     "fingerprints": fingerprints,
+    "vocab_top": vocab_top,
 }
