@@ -342,11 +342,12 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from ragnificent_ray.pipelines import (ann, dedup, relational, sampling,
-                                           temporal, textstats)
+    from ragnificent_ray.pipelines import (ann, decontam, dedup, relational,
+                                           sampling, temporal, textstats)
 
     out: dict[str, Callable[[str], Any]] = {}
-    for mod in (relational, textstats, dedup, ann, temporal, sampling):
+    for mod in (relational, textstats, dedup, ann, temporal, sampling,
+                decontam):
         out.update(mod.QUERIES)
     out.update({
         "rag_chunks": _rag_chunks,
@@ -752,11 +753,12 @@ def _emb_lsh_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    from ragnificent_ray.pipelines import (ann, dedup, relational, sampling,
-                                           temporal, textstats)
+    from ragnificent_ray.pipelines import (ann, decontam, dedup, relational,
+                                           sampling, temporal, textstats)
 
     out: dict[str, str] = {}
-    for mod in (relational, textstats, dedup, ann, temporal, sampling):
+    for mod in (relational, textstats, dedup, ann, temporal, sampling,
+                decontam):
         out.update(mod.ORACLE_SQL)
     out["rag_chunks"] = _RAG_CHUNKS_SQL
     out["rag_chunks_sliding"] = _RAG_CHUNKS_SLIDING_SQL

@@ -111,6 +111,8 @@ QUERY_NAMES = [
     "exact_dedup", "minhash_lsh_pairs", "simhash64", "embedding_neardup",
     "embedding_neardup_lsh", "ann_topk", "rag_chunks", "rag_chunks_rust",
     "rag_embed_norms",
+    "sessionize", "user_order_asof", "vocab_top", "stratified_sample",
+    "decontaminate",
 ]
 
 

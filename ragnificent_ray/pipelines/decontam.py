@@ -1,0 +1,113 @@
+"""Benchmark decontamination: flag train docs overlapping an eval set.
+
+Before training, every corpus pipeline must drop documents that share
+long n-grams with evaluation benchmarks (otherwise eval scores leak).
+The structural shape is a **broadcast anti-join**: the benchmark side
+is always tiny (thousands of eval documents) while the train side is
+the full corpus — so the benchmark's distinct 8-gram set is built once
+from a row-filter-pushdown parquet read, ``ray.put`` once, and probed
+per batch inside ``map_batches``. No shuffle touches the 100 TB side.
+
+Here the stand-in benchmark is ``doc_id < _BENCH_MAX_ID`` of the same
+documents table (the sandbox has no external eval set); swapping in a
+real benchmark table changes only ``_bench_grams``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+_BENCH_MAX_ID = 20  # stand-in eval set: first 20 documents
+_NGRAM = 8
+
+
+def _pq(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _doc_grams(text: str) -> set[str]:
+    """Distinct word-8-grams, same truncated-tail semantics as
+    ``textstats.fingerprints`` (docs shorter than n yield one partial
+    gram)."""
+    toks = text.strip().split()
+    return {
+        " ".join(toks[i:i + _NGRAM])
+        for i in range(max(1, len(toks) - (_NGRAM - 1)))
+    }
+
+
+def _bench_grams(sf_dir: str) -> set[str]:
+    import pyarrow.parquet as pq
+
+    bench = pq.read_table(
+        _pq(sf_dir, "documents"), columns=["text"],
+        filters=[("doc_id", "<", _BENCH_MAX_ID)],
+    )
+    grams: set[str] = set()
+    for text in bench.column("text").to_pylist():
+        grams |= _doc_grams(text)
+    return grams
+
+
+def decontaminate(sf_dir: str):
+    """Per train-doc count of distinct 8-grams shared with the eval set.
+
+    Downstream curation drops ``n_hits > 0`` rows; the count is kept so
+    thresholded policies (and the DuckDB oracle) can value-check it.
+    """
+    grams_ref = ray.put(_bench_grams(sf_dir))
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    class Probe:
+        def __init__(self, ref):
+            self.bench = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            batch = batch.filter(
+                pc.greater_equal(batch.column("doc_id"), _BENCH_MAX_ID))
+            hits = [
+                len(_doc_grams(t) & self.bench)
+                for t in batch.column("text").to_pylist()
+            ]
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "n_hits": pa.array(hits, type=pa.int64()),
+            })
+
+    return ds.map_batches(Probe, fn_constructor_kwargs={"ref": grams_ref},
+                          batch_format="pyarrow", batch_size=8192,
+                          concurrency=2)
+
+
+ORACLE_SQL = {
+    "decontaminate": rf"""
+        WITH grams AS (
+          SELECT doc_id, list_transform(
+              range(1, greatest(len(toks) - {_NGRAM - 1}, 1) + 1),
+              i -> array_to_string(toks[i:i+{_NGRAM - 1}], ' ')) AS gs
+          FROM (SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents)
+        ), bench AS (
+          SELECT DISTINCT unnest(gs) AS g FROM grams
+          WHERE doc_id < {_BENCH_MAX_ID}
+        ), train AS (
+          SELECT doc_id, unnest(list_distinct(gs)) AS g FROM grams
+          WHERE doc_id >= {_BENCH_MAX_ID}
+        )
+        SELECT t.doc_id, COUNT(b.g) AS n_hits
+        FROM train t LEFT JOIN bench b USING (g)
+        GROUP BY t.doc_id
+    """,
+}
+
+QUERIES = {
+    "decontaminate": decontaminate,
+}
