@@ -1,0 +1,95 @@
+"""Edge-case semantics of the temporal operators (sessionize, as-of join).
+
+The DuckDB parity test covers the bulk distribution at sf0.001; these
+pin the boundary rules on handcrafted rows: the 30-minute gap is
+exclusive (gap == 30 min continues the session), timestamp ties break
+on event_id, the as-of join is at-or-before inclusive, same-date orders
+both count, and users without prior orders drop out.
+"""
+
+import datetime as dt
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from ragnificent_ray.pipelines.temporal import sessionize, user_order_asof
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _m(minutes: float) -> dt.datetime:
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+@pytest.fixture()
+def sf_dir(tmp_path):
+    events = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+        "ts": pa.array(
+            [_m(0), _m(30), _m(60.0001), _m(60.0001), _m(0), _m(100)],
+            type=pa.timestamp("us")),
+        "user_id": pa.array([7, 7, 7, 7, 8, 9], type=pa.int64()),
+        "event_type": pa.array(["click"] * 6),
+        "value": pa.array([1.0, 2.0, 4.0, 8.0, 16.0, 32.0]),
+    })
+    orders = pa.table({
+        "o_orderkey": pa.array([100, 101, 102, 103], type=pa.int64()),
+        "o_custkey": pa.array([7, 7, 7, 8], type=pa.int64()),
+        "o_orderdate": pa.array(
+            [_m(-60), _m(-60), _m(30), _m(50)], type=pa.timestamp("us")),
+        "o_totalprice": pa.array([10.0, 20.0, 40.0, 80.0]),
+    })
+    pq.write_table(events, tmp_path / "events.parquet")
+    pq.write_table(orders, tmp_path / "orders.parquet")
+    return str(tmp_path)
+
+
+def test_sessionize_gap_and_tie_rules(ray_session, sf_dir):
+    got = sessionize(sf_dir).to_pandas().sort_values(
+        ["user_id", "session_no"]).reset_index(drop=True)
+    # user 7: gap of exactly 30 min does NOT split (rule is > 30 min);
+    # the 30.0001+ min gap before events 3/4 does; 3 and 4 share a ts
+    # (tiebreak event_id) and land in the same session
+    u7 = got[got.user_id == 7]
+    assert list(u7.session_no) == [1, 2]
+    assert list(u7.n_events) == [2, 2]
+    assert list(u7.sum_value) == [3.0, 12.0]
+    assert u7.iloc[0].session_start == "2024-01-01 12:00:00"
+    assert u7.iloc[0].session_end == "2024-01-01 12:30:00"
+    # single-event users get exactly one session each
+    assert len(got[got.user_id == 8]) == 1
+    assert len(got[got.user_id == 9]) == 1
+    assert got[got.user_id == 8].iloc[0].n_events == 1
+
+
+def test_user_order_asof_inclusivity_and_cumulation(ray_session, sf_dir):
+    got = user_order_asof(sf_dir).to_pandas().set_index("event_id")
+    # event 1 (user 7, t=0): both t=-60 orders count, later ones don't
+    assert got.loc[1].orders_to_date == 2
+    assert got.loc[1].spend_to_date == 30.0
+    # event 2 (t=30): the order AT the event timestamp is included
+    assert got.loc[2].orders_to_date == 3
+    assert got.loc[2].spend_to_date == 70.0
+    assert got.loc[2].last_order_date == "2024-01-01 12:30:00"
+    # events 3/4 (t=60.0001): full history of user 7
+    assert got.loc[3].orders_to_date == 3 and got.loc[4].orders_to_date == 3
+    # event 5 (user 8, t=0): the t=50 order is in the future -> no match
+    assert 5 not in got.index
+    # event 6 (user 9): no orders at all -> dropped
+    assert 6 not in got.index
+    assert len(got) == 4
+
+
+def test_sessionize_matches_pandas_reference(ray_session, sf_dir):
+    """Independent pandas recomputation of the session numbering."""
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"], ignore_index=True)
+    new = (ev.user_id.ne(ev.user_id.shift())
+           | ev.ts.diff().gt(pd.Timedelta(minutes=30)))
+    ev["session_no"] = new.groupby(ev.user_id).cumsum()
+    want = ev.groupby(["user_id", "session_no"]).size()
+    got = sessionize(sf_dir).to_pandas().set_index(
+        ["user_id", "session_no"]).n_events
+    assert got.sort_index().tolist() == want.sort_index().tolist()
