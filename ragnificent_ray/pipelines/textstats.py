@@ -157,6 +157,34 @@ def fingerprints(sf_dir: str):
     return ds.map_batches(fp, batch_format="pyarrow", batch_size=8192)
 
 
+def repetition_scores(sf_dir: str):
+    """Repetition-based quality signals (Gopher/C4-style filters):
+    duplicate-token fraction and most-frequent-bigram fraction. High
+    values mark boilerplate/spam for corpus filtering. Pure per-batch
+    map, no shuffle."""
+    from collections import Counter
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        dup_fracs, top_fracs = [], []
+        for t in batch.column("text").to_pylist():
+            toks = t.strip().split()
+            n = len(toks)
+            dup_fracs.append(
+                round_half_away(1.0 - len(set(toks)) / n, 4) if n else 0.0)
+            bgs = [" ".join(toks[i:i + 2]) for i in range(max(1, n - 1))]
+            top_fracs.append(
+                round_half_away(max(Counter(bgs).values()) / len(bgs), 4))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "dup_token_frac": pa.array(dup_fracs, type=pa.float64()),
+            "top_bigram_frac": pa.array(top_fracs, type=pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=8192)
+
+
 def vocab_top(sf_dir: str):
     """Vocabulary building: top-100 tokens by document frequency.
 
@@ -257,6 +285,29 @@ ORACLE_SQL = {
                    AS avg_token_len
         FROM documents
     """,
+    "repetition_scores": r"""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents
+        ), b AS (
+          SELECT doc_id, toks, list_transform(
+              range(1, greatest(len(toks) - 1, 1) + 1),
+              i -> array_to_string(toks[i:i+1], ' ')) AS bgs
+          FROM t
+        ), ub AS (
+          SELECT doc_id, unnest(bgs) AS bg FROM b
+        ), mx AS (
+          SELECT doc_id, MAX(cnt) AS max_bg FROM (
+            SELECT doc_id, bg, COUNT(*) AS cnt FROM ub GROUP BY doc_id, bg
+          ) GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               ROUND(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                     / len(toks), 4) AS dup_token_frac,
+               ROUND(CAST(mx.max_bg AS DOUBLE) / len(bgs), 4)
+                   AS top_bigram_frac
+        FROM b JOIN mx USING (doc_id)
+    """,
     "vocab_top": r"""
         WITH toks AS (
           SELECT DISTINCT doc_id,
@@ -285,4 +336,5 @@ QUERIES = {
     "token_count_bpeish": token_count_bpeish,
     "fingerprints": fingerprints,
     "vocab_top": vocab_top,
+    "repetition_scores": repetition_scores,
 }
