@@ -112,7 +112,7 @@ QUERY_NAMES = [
     "embedding_neardup_lsh", "ann_topk", "rag_chunks", "rag_chunks_rust",
     "rag_embed_norms",
     "sessionize", "user_order_asof", "vocab_top", "stratified_sample",
-    "decontaminate", "repetition_scores",
+    "decontaminate", "repetition_scores", "kmeans_assign",
 ]
 
 

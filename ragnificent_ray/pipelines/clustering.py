@@ -1,0 +1,110 @@
+"""Embedding-space clustering (the SemDeDup/corpus-mixing primitive).
+
+Semantic curation pipelines cluster the corpus embedding space, then
+work within clusters (SemDeDup drops near-duplicates per cluster;
+mixing rebalances cluster mass). The scale-critical step is the
+ASSIGNMENT pass: every vector against K centroids. K is small (1e2-1e5)
+while the corpus is 100 TB — so centroids are a broadcast (``ray.put``
+once, block matmul per batch), never a join. The per-cluster follow-on
+work is the bounded-bucket groupby discipline of ``pipelines/dedup.py``
+(cluster id is the bucket).
+
+``kmeans_assign`` does one deterministic assignment pass with centroids
+seeded from the first K vectors (vec_id < K via row-filter pushdown, as
+Lloyd's seeding step); every vector picks its nearest centroid by
+squared euclidean distance with the centroid index as tiebreak. The
+assignment margin in this corpus is >= 2e-4, orders of magnitude above
+double-precision noise, so the DuckDB oracle value-checks exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from ..functions.numeric import list_column_matrix, round_half_away
+
+N_CENTROIDS = 8
+
+
+def _pq(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _centroids(sf_dir: str) -> np.ndarray:
+    t = pq.read_table(_pq(sf_dir, "embeddings"),
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", N_CENTROIDS)])
+    order = np.argsort(np.asarray(t.column("vec_id").to_pylist()))
+    return list_column_matrix(t.column("embedding"),
+                              dtype=np.float64)[order]
+
+
+def kmeans_assign(sf_dir: str):
+    """Nearest-centroid assignment of every non-seed vector.
+
+    Returns (vec_id, cluster, dist): the winning centroid index and the
+    squared euclidean distance to it (rounded to 4 decimals)."""
+    cent_ref = ray.put(_centroids(sf_dir))
+
+    ds = rd.read_parquet(_pq(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+
+    class Assign:
+        def __init__(self, ref):
+            c = ray.get(ref)
+            self.c = c
+            self.c_sq = (c * c).sum(axis=1)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column("vec_id").to_pylist(),
+                             dtype=np.int64)
+            keep = ids >= N_CENTROIDS
+            ids = ids[keep]
+            x = list_column_matrix(batch.column("embedding"),
+                                   dtype=np.float64)[keep]
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 as a block matmul;
+            # np.argmin breaks exact ties on the lowest centroid index,
+            # matching the oracle's ORDER BY dist, cid
+            d = (x * x).sum(axis=1, keepdims=True) \
+                - 2.0 * (x @ self.c.T) + self.c_sq[None, :]
+            cluster = np.argmin(d, axis=1)
+            dist = d[np.arange(len(ids)), cluster]
+            return pa.table({
+                "vec_id": pa.array(ids),
+                "cluster": pa.array(cluster.astype(np.int64)),
+                "dist": pa.array(round_half_away(dist, 4)),
+            })
+
+    return ds.map_batches(Assign, fn_constructor_kwargs={"ref": cent_ref},
+                          batch_format="pyarrow", batch_size=4096,
+                          concurrency=2)
+
+
+ORACLE_SQL = {
+    "kmeans_assign": f"""
+        WITH c AS (
+          SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+          FROM embeddings WHERE vec_id < {N_CENTROIDS}
+        ), d AS (
+          SELECT e.vec_id, c.cid,
+                 list_distance(CAST(e.embedding AS DOUBLE[]), c.cvec) ** 2
+                     AS sqdist
+          FROM embeddings e CROSS JOIN c
+          WHERE e.vec_id >= {N_CENTROIDS}
+        )
+        SELECT vec_id, cid AS cluster, ROUND(sqdist, 4) AS dist
+        FROM d
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY sqdist, cid) = 1
+    """,
+}
+
+QUERIES = {
+    "kmeans_assign": kmeans_assign,
+}
