@@ -208,6 +208,62 @@ def events_hourly(sf_dir: str):
     )
 
 
+def events_hopping(sf_dir: str):
+    """Hopping-window aggregate: 1-hour windows every 30 minutes, so
+    each event lands in exactly two windows. The third window flavour
+    next to tumbling (``events_hourly``) and session
+    (``temporal.sessionize``): a per-batch flat-map expansion into the
+    member windows, then the same partial-agg + small-groupby combiner
+    — the expansion factor (2×) happens inside the batch, never as a
+    shuffle."""
+    grid_us = 30 * 60 * 1_000_000
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts_us = batch.column("ts").cast(pa.int64()).to_numpy()
+        w0 = ts_us - ts_us % grid_us
+        windows = np.concatenate([w0, w0 - grid_us])
+        # window starts are exact 30-min marks; cast to seconds so
+        # Arrow's %S matches DuckDB's (no fractional digits)
+        win = pc.strftime(
+            pa.array(windows // 1_000_000, type=pa.timestamp("s")),
+            format="%Y-%m-%d %H:%M:%S")
+        etype = pa.concat_arrays(
+            [batch.column("event_type").combine_chunks()] * 2)
+        value = pa.concat_arrays(
+            [batch.column("value").combine_chunks()] * 2)
+        g = pa.table({
+            "event_type": etype, "window_start": win, "value": value,
+        }).group_by(["event_type", "window_start"]).aggregate([
+            ("value", "count"), ("value", "sum"),
+        ])
+        return pa.table({
+            "event_type": g.column("event_type"),
+            "window_start": g.column("window_start"),
+            "n_events": g.column("value_count"),
+            "sum_value": g.column("value_sum"),
+        })
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("sum_value", alias_name="sum_value"))
+    )
+    return out.map_batches(
+        lambda b: pa.table({
+            "event_type": b["event_type"],
+            "window_start": b["window_start"],
+            "n_events": b["n_events"],
+            "sum_value": pc_round4(b["sum_value"]),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 # -------------------------------------------------------- per-key profiling
 
 def user_activity(sf_dir: str):
@@ -286,6 +342,25 @@ ORACLE_SQL = {
                ROUND(SUM(value), 4) AS sum_value
         FROM events GROUP BY 1, 2
     """,
+    "events_hopping": """
+        WITH expanded AS (
+          SELECT event_type, value,
+                 date_trunc('minute', ts)
+                   - INTERVAL (EXTRACT(minute FROM ts)::INT % 30) MINUTE AS w
+          FROM events
+          UNION ALL
+          SELECT event_type, value,
+                 date_trunc('minute', ts)
+                   - INTERVAL (EXTRACT(minute FROM ts)::INT % 30) MINUTE
+                   - INTERVAL 30 MINUTE AS w
+          FROM events
+        )
+        SELECT event_type,
+               strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM expanded GROUP BY 1, 2
+    """,
     "user_activity": """
         SELECT user_id, COUNT(*) AS n_events,
                COUNT(DISTINCT event_type) AS n_types,
@@ -303,6 +378,7 @@ QUERIES = {
     "top_orders": top_orders,
     "segment_revenue": segment_revenue,
     "events_hourly": events_hourly,
+    "events_hopping": events_hopping,
     "user_activity": user_activity,
     "click_events": click_events,
 }
