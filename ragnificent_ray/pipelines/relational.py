@@ -300,6 +300,129 @@ def user_activity(sf_dir: str):
     )
 
 
+# ------------------------------------------------- group-wise top-k (window)
+
+def priority_top_orders(sf_dir: str):
+    """Group-wise top-k — the distributed form of
+    ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY ...) <= k`` without a
+    global sort: every block keeps its local per-key top-k (the
+    combiner — the shuffle then moves at most k rows per key per
+    block), and the per-key ``map_groups`` merge re-ranks the
+    ≤ k·n_blocks survivors. Ties break on ``o_orderkey`` so the rank
+    column is deterministic on both sides of the oracle."""
+    k = 3
+    ds = rd.read_parquet(_pq(sf_dir, "orders"),
+                         columns=["o_orderkey", "o_orderpriority",
+                                  "o_totalprice"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.sort_values(["o_totalprice", "o_orderkey"],
+                                  ascending=[False, True])
+        return batch.groupby("o_orderpriority", sort=False).head(k)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rk"] = g.index + 1
+        return g[["o_orderpriority", "rk", "o_orderkey", "o_totalprice"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=16384)
+        .groupby("o_orderpriority")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+# ----------------------------------------------- distributed exact quantiles
+
+def price_quantiles(sf_dir: str):
+    """Distributed EXACT quantiles (``quantile_cont`` linear
+    interpolation) of ``o_totalprice`` by histogram selection — no
+    global sort, no full materialization:
+
+    1. one streaming pass for min/max (native aggregates);
+    2. one streaming pass of per-block histogram partials (≤2048
+       nonzero (bucket, cnt) rows per block) merged by a tiny groupby —
+       the cumulative counts locate the bucket holding each needed
+       order statistic;
+    3. one filtered pass that ships ONLY the values inside those few
+       buckets to the driver (≈ n/2048 values per needed bucket; at
+       skew, re-bucketing the hot bucket is the documented recursion —
+       not needed at these scales).
+
+    This is the selection-by-histogram algorithm (Munro-Paterson
+    style); the approximate path at 100 TB is the same histogram with
+    the final interpolation read off the buckets directly."""
+    qs = (0.25, 0.5, 0.75, 0.9, 0.99)
+    nbuckets = 2048
+    col = "o_totalprice"
+    from ray.data.aggregate import Max, Min
+
+    ds = rd.read_parquet(_pq(sf_dir, "orders"), columns=[col])
+    mm = ds.aggregate(Min(col), Max(col))
+    lo, hi = float(mm[f"min({col})"]), float(mm[f"max({col})"])
+    width = (hi - lo) / nbuckets or 1.0
+
+    def bucket_of(v: np.ndarray) -> np.ndarray:
+        return np.clip(((v - lo) / width).astype(np.int64), 0, nbuckets - 1)
+
+    def hist(batch: pa.Table) -> pa.Table:
+        counts = np.bincount(
+            bucket_of(batch.column(col).to_numpy(zero_copy_only=False)),
+            minlength=nbuckets)
+        nz = np.nonzero(counts)[0]
+        return pa.table({"bucket": pa.array(nz, type=pa.int64()),
+                         "cnt": pa.array(counts[nz], type=pa.int64())})
+
+    rows = (ds.map_batches(hist, batch_format="pyarrow", batch_size=65536)
+            .groupby("bucket").sum("cnt").take_all())
+    counts = np.zeros(nbuckets, dtype=np.int64)
+    for r in rows:
+        counts[r["bucket"]] = r["sum(cnt)"]
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+
+    ks: dict[float, tuple[int, int, float]] = {}
+    need: set[int] = set()
+    for q in qs:
+        pos = (n - 1) * q
+        k0 = int(pos)
+        k1 = min(k0 + 1, n - 1)
+        ks[q] = (k0, k1, pos - k0)
+        need.update((k0, k1))
+    # order statistic j lives in the first bucket with cum > j
+    needed_buckets = np.array(
+        sorted({int(np.searchsorted(cum, j, side="right")) for j in need}))
+    below = {int(b): int(cum[b - 1]) if b else 0 for b in needed_buckets}
+
+    def in_needed(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        idx = bucket_of(v)
+        mask = np.isin(idx, needed_buckets)
+        return pa.table({col: pa.array(v[mask], type=pa.float64()),
+                         "bucket": pa.array(idx[mask], type=pa.int64())})
+
+    by_bucket: dict[int, list[float]] = {int(b): [] for b in needed_buckets}
+    for r in (ds.map_batches(in_needed, batch_format="pyarrow",
+                             batch_size=65536).take_all()):
+        by_bucket[r["bucket"]].append(r[col])
+    for vals in by_bucket.values():
+        vals.sort()
+
+    def order_stat(j: int) -> float:
+        b = int(np.searchsorted(cum, j, side="right"))
+        return by_bucket[b][j - below[b]]
+
+    out_v = []
+    for q in qs:
+        k0, k1, frac = ks[q]
+        v0 = order_stat(k0)
+        out_v.append(round_half_away(v0 + frac * (order_stat(k1) - v0), 4))
+    return pa.table({"q": pa.array(qs, type=pa.float64()),
+                     "value": pa.array(out_v, type=pa.float64())})
+
+
 # ------------------------------------------------------------ filter/project
 
 def click_events(sf_dir: str):
@@ -361,6 +484,19 @@ ORACLE_SQL = {
                ROUND(SUM(value), 4) AS sum_value
         FROM expanded GROUP BY 1, 2
     """,
+    "priority_top_orders": """
+        SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+          SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (
+                     PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice DESC, o_orderkey) AS rk
+          FROM orders) WHERE rk <= 3
+    """,
+    "price_quantiles": " UNION ALL ".join(
+        f"SELECT {q} AS q, ROUND(quantile_cont(o_totalprice, {q}), 4)"
+        f" AS value FROM orders"
+        for q in (0.25, 0.5, 0.75, 0.9, 0.99)
+    ),
     "user_activity": """
         SELECT user_id, COUNT(*) AS n_events,
                COUNT(DISTINCT event_type) AS n_types,
@@ -379,6 +515,8 @@ QUERIES = {
     "segment_revenue": segment_revenue,
     "events_hourly": events_hourly,
     "events_hopping": events_hopping,
+    "priority_top_orders": priority_top_orders,
+    "price_quantiles": price_quantiles,
     "user_activity": user_activity,
     "click_events": click_events,
 }
