@@ -113,6 +113,7 @@ QUERY_NAMES = [
     "rag_embed_norms",
     "sessionize", "user_order_asof", "vocab_top", "stratified_sample",
     "decontaminate", "repetition_scores", "kmeans_assign",
+    "events_hopping", "priority_top_orders", "price_quantiles", "bm25_topk",
 ]
 
 

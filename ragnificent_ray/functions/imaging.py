@@ -157,6 +157,28 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return 20.0 * np.log10(255.0) - 10.0 * np.log10(mse)
 
 
+def phash64_batch(stack: np.ndarray) -> np.ndarray:
+    """:func:`phash64` over an (N, H, W, 3) uint8 stack in one shot.
+
+    Bit-identical to the scalar path (same op order per image; the
+    leading batch axis is outermost, so numpy's reductions run in the
+    same per-image order) but amortizes the ~20 numpy-call overheads
+    that dominate on small images — the harvest sink groups a batch's
+    decoded images by shape and hashes each group with one call.
+    Returns signed int64s (two's complement), N values.
+    """
+    gray = stack.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    n, h, w = gray.shape
+    ph, pw = -h % 8, -w % 8
+    if ph or pw:
+        gray = np.pad(gray, ((0, 0), (0, ph), (0, pw)), mode="edge")
+    bh, bw = gray.shape[1] // 8, gray.shape[2] // 8
+    small = gray.reshape(n, 8, bh, 8, bw).mean(axis=(2, 4))
+    bits = small > small.mean(axis=(1, 2), keepdims=True)
+    value = np.packbits(bits.reshape(n, 64), axis=1).view(">u8")[:, 0]
+    return value.astype(np.uint64).view(np.int64)
+
+
 def phash64(rgb: np.ndarray) -> int:
     """64-bit average-hash: 8×8 block-mean grayscale vs. its mean.
 

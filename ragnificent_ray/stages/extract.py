@@ -8,10 +8,11 @@ parser) — everything around it stays columnar.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 from ..functions.htmldom import parse_page
-from ..functions.imaging import decode_image, phash64
+from ..functions.imaging import decode_image, phash64, phash64_batch
 from ..functions.render import document_to_markdown, render_document
 from ..schema import DOCUMENTS, HARVEST, RENDERED
 
@@ -154,6 +155,7 @@ def harvest_decode_batch(batch: pa.Table) -> pa.Table:
         else batch.column("body").to_pylist()
     captions = batch.column("caption").to_pylist()
     out = {name: [] for name in HARVEST.names}
+    pixel_rows: list = []
     for url, status, body, caption in zip(urls, statuses, bodies, captions):
         if status != 200 or not body:
             continue
@@ -170,7 +172,20 @@ def harvest_decode_batch(batch: pa.Table) -> pa.Table:
         out["h"].append(h)
         out["fmt"].append(ext)
         out["caption"].append(caption)
-        out["phash"].append(phash64(pixels))
+        pixel_rows.append(pixels)
+    # phash in one vectorized call per distinct shape (images are small,
+    # so per-image numpy-call overhead dominates the scalar path)
+    phashes = np.zeros(len(pixel_rows), dtype=np.int64)
+    by_shape: dict[tuple, list[int]] = {}
+    for i, p in enumerate(pixel_rows):
+        by_shape.setdefault(p.shape, []).append(i)
+    for idxs in by_shape.values():
+        if len(idxs) == 1:
+            phashes[idxs[0]] = phash64(pixel_rows[idxs[0]])
+        else:
+            phashes[idxs] = phash64_batch(
+                np.stack([pixel_rows[i] for i in idxs]))
+    out["phash"] = phashes.tolist()
     return pa.table(
         {name: pa.array(out[name], type=HARVEST.field(name).type)
          for name in HARVEST.names}
