@@ -139,25 +139,50 @@ def parse_html_to_document(html: str, base_url: str) -> dict:
     return document_from_dom(parse_dom(html), base_url)
 
 
-def document_from_dom(dom: Node, base_url: str) -> dict:
+def _collect_buckets(dom: Node) -> tuple[dict[str, list[Node]], list[Node]]:
+    """ONE iterative pre-order walk → per-tag element lists (each in
+    document order, i.e. exactly ``find_all`` order) plus the merged
+    document-order pre/code list. The extraction hot path previously
+    re-walked the tree once per tag of interest (~10×/page) through the
+    recursive ``iter_elements`` generator; this collapses all of it into
+    a single loop with no generator frames."""
+    by_tag: dict[str, list[Node]] = {}
+    precode: list[Node] = []
+    stack = [c for c in reversed(dom.children) if isinstance(c, Node)]
+    while stack:
+        el = stack.pop()
+        lst = by_tag.get(el.tag)
+        if lst is None:
+            by_tag[el.tag] = lst = []
+        lst.append(el)
+        if el.tag in ("pre", "code"):
+            precode.append(el)
+        stack.extend(
+            c for c in reversed(el.children) if isinstance(c, Node))
+    return by_tag, precode
 
-    titles = dom.find_all("title")
+
+def document_from_dom(dom: Node, base_url: str) -> dict:
+    by_tag, precode = _collect_buckets(dom)
+    return _document_from_buckets(by_tag, precode, base_url)
+
+
+def _document_from_buckets(by_tag: dict[str, list[Node]],
+                           precode: list[Node], base_url: str) -> dict:
+
+    titles = by_tag.get("title", ())
     title = titles[0].text() if titles else "No Title"
 
     headings = []
-    by_level: dict[int, list] = {i: [] for i in range(1, 7)}
-    for el in dom.iter_elements():
-        if len(el.tag) == 2 and el.tag[0] == "h" and el.tag[1] in "123456":
-            t = el.text()
-            if t:
-                by_level[int(el.tag[1])].append(t)
     for lvl in range(1, 7):
-        headings.extend({"level": lvl, "text": t} for t in by_level[lvl])
+        headings.extend(
+            {"level": lvl, "text": t}
+            for el in by_tag.get(f"h{lvl}", ()) if (t := el.text()))
 
-    paragraphs = [t for el in dom.find_all("p") if (t := el.text())]
+    paragraphs = [t for el in by_tag.get("p", ()) if (t := el.text())]
 
     links = []
-    for el in dom.find_all("a"):
+    for el in by_tag.get("a", ()):
         href = el.attrs.get("href")
         if href is not None:
             t = el.text()
@@ -165,7 +190,7 @@ def document_from_dom(dom: Node, base_url: str) -> dict:
                 links.append({"text": t, "url": resolve_url(href, base_url)})
 
     images = []
-    for el in dom.find_all("img"):
+    for el in by_tag.get("img", ()):
         src = el.attrs.get("src")
         if src is not None:
             alt = el.attrs.get("alt", "image") or "image"
@@ -173,24 +198,23 @@ def document_from_dom(dom: Node, base_url: str) -> dict:
 
     lists = []
     for ordered in (False, True):
-        for el in dom.find_all("ol" if ordered else "ul"):
+        for el in by_tag.get("ol" if ordered else "ul", ()):
             items = [t for li in el.find_all("li") if (t := li.text())]
             if items:
                 lists.append({"ordered": ordered, "items": items})
 
     code_blocks = []
-    for el in dom.iter_elements():
-        if el.tag in ("pre", "code"):
-            t = el.text()
-            if t:
-                lang = next(
-                    (c[len("language-"):] for c in el.classes()
-                     if c.startswith("language-")),
-                    "",
-                )
-                code_blocks.append({"language": lang, "code": t})
+    for el in precode:
+        t = el.text()
+        if t:
+            lang = next(
+                (c[len("language-"):] for c in el.classes()
+                 if c.startswith("language-")),
+                "",
+            )
+            code_blocks.append({"language": lang, "code": t})
 
-    blockquotes = [t for el in dom.find_all("blockquote") if (t := el.text())]
+    blockquotes = [t for el in by_tag.get("blockquote", ()) if (t := el.text())]
 
     return {
         "title": title.strip() if titles else "No Title",
@@ -213,8 +237,12 @@ def extract_links(html: str, base_url: str) -> list[str]:
 
 
 def outlinks_from_dom(dom: Node, base_url: str) -> list[str]:
+    return _outlinks_from_anchors(dom.find_all("a"), base_url)
+
+
+def _outlinks_from_anchors(anchors, base_url: str) -> list[str]:
     links: list[str] = []
-    for el in dom.find_all("a"):
+    for el in anchors:
         href = el.attrs.get("href")
         if not href or href.startswith("javascript:") or href.startswith("#"):
             continue
@@ -234,7 +262,9 @@ def parse_page(html: str, base_url: str) -> tuple[dict, list[str]]:
     The crawl's hot path: document extraction (M7) and outlink harvest
     (M15) share a single parse instead of re-parsing the HTML."""
     dom = parse_dom(html)
-    return document_from_dom(dom, base_url), outlinks_from_dom(dom, base_url)
+    by_tag, precode = _collect_buckets(dom)
+    return (_document_from_buckets(by_tag, precode, base_url),
+            _outlinks_from_anchors(by_tag.get("a", ()), base_url))
 
 
 # ------------------------------------------------------------ main content
