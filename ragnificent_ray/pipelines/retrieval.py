@@ -34,6 +34,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from ..functions.hashing import stable_hash64
 from ..functions.numeric import round_half_away
 
 # fixed benchmark queries (terms exist in the synthetic corpus vocabulary)
@@ -187,6 +188,72 @@ def _bm25_sql() -> str:
     """
 
 
-ORACLE_SQL = {"bm25_topk": _bm25_sql()}
+def inverted_index(sf_dir: str):
+    """Inverted-index build: token → (document frequency, md5 digest of
+    the sorted posting list). Each block emits its DISTINCT
+    (token, doc_id) pairs — the inherent shuffle volume of index
+    construction — keyed by a BOUNDED bucket of the token hash, and
+    each bucket assembles its tokens' postings with vectorized pandas
+    (sort + groupby-agg), never one Python call per token. The digest
+    stands in for the posting list itself so the result is
+    value-hashable against the SQL oracle; at scale the same bucketing
+    writes the raw postings as hash-partitioned parquet."""
+    import hashlib
 
-QUERIES = {"bm25_topk": bm25_topk}
+    n_buckets = 64
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        out_t, out_d, out_b = [], [], []
+        for did, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            for tok in set(text.strip().split()):
+                if tok:
+                    out_t.append(tok)
+                    out_d.append(did)
+        # stable across workers (builtin hash() is per-process salted)
+        for t in out_t:
+            out_b.append(stable_hash64(t) % n_buckets)
+        return pa.table({
+            "token": pa.array(out_t, type=pa.string()),
+            "doc_id": pa.array(out_d, type=pa.int64()),
+            "bucket": pa.array(out_b, type=pa.int32()),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["token", "doc_id"], ignore_index=True)
+        agg = g.groupby("token", sort=False).agg(
+            df=("doc_id", "size"),
+            postings=("doc_id", lambda s: ",".join(map(str, s))),
+        ).reset_index()
+        agg["postings_md5"] = [
+            hashlib.md5(p.encode()).hexdigest() for p in agg["postings"]]
+        agg["df"] = agg["df"].astype("int64")
+        return agg[["token", "df", "postings_md5"]]
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow", batch_size=8192)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .map_batches(lambda b: b.drop_columns(["bucket"])
+                     if "bucket" in b.column_names else b,
+                     batch_format="pyarrow")
+    )
+
+
+_INVERTED_SQL = r"""
+    WITH pairs AS (
+      SELECT DISTINCT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      FROM documents
+    )
+    SELECT token, COUNT(*) AS df,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                          ORDER BY doc_id)) AS postings_md5
+    FROM pairs WHERE token <> ''
+    GROUP BY token
+"""
+
+ORACLE_SQL = {"bm25_topk": _bm25_sql(), "inverted_index": _INVERTED_SQL}
+
+QUERIES = {"bm25_topk": bm25_topk, "inverted_index": inverted_index}

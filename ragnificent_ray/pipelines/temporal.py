@@ -223,7 +223,55 @@ def user_order_asof(sf_dir: str):
     )
 
 
+# ------------------------------------------------------- rolling window
+
+def user_rolling_avg(sf_dir: str):
+    """Per-key rolling-window aggregate: the 3-event moving average of
+    ``value`` per user in (ts, event_id) order — the distributed form
+    of ``AVG(...) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN
+    2 PRECEDING AND CURRENT ROW)``. Same bounded-bucket co-partition
+    as :func:`sessionize`; the per-bucket rolling mean is one
+    vectorized pandas kernel, never per-user Python."""
+    n_buckets = _bucket_count(sf_dir, ("events",))
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_id", "value"])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        bucket = b.column("user_id").to_numpy() % n_buckets
+        return b.append_column(
+            "bucket", pa.array(bucket.astype(np.int32)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort", ignore_index=True)
+        r = (g.groupby("user_id", sort=False)["value"]
+             .rolling(3, min_periods=1).mean())
+        return pd.DataFrame({
+            "event_id": g["event_id"].astype("int64"),
+            "user_id": g["user_id"].astype("int64"),
+            "rolling_avg": round_half_away(
+                r.reset_index(drop=True).to_numpy(), 4),
+        })
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .map_batches(lambda b: b.drop_columns(["bucket"])
+                     if "bucket" in b.column_names else b,
+                     batch_format="pyarrow")
+    )
+
+
 ORACLE_SQL = {
+    "user_rolling_avg": """
+        SELECT event_id, user_id,
+               ROUND(AVG(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+                   AS rolling_avg
+        FROM events
+    """,
     "sessionize": """
         WITH lagged AS (
           SELECT user_id, ts, event_id, value,
@@ -260,4 +308,5 @@ ORACLE_SQL = {
 QUERIES = {
     "sessionize": sessionize,
     "user_order_asof": user_order_asof,
+    "user_rolling_avg": user_rolling_avg,
 }
