@@ -136,6 +136,85 @@ def _image_resize(sf_dir: str):
     ).select_columns(["image_id", "fmt", "thumb", "thumb_h", "thumb_w"])
 
 
+def _image_feature_ann(sf_dir: str):
+    """Image-to-image similarity search over the crawl harvest: exact
+    cosine top-5 of every query image against the whole image corpus.
+
+    The image-axis twin of ``ann_topk``: an actor-pool decode +
+    feature-extract stage (``ImageFeatureStage``, 64-d block-mean-gray
+    vectors — a CLIP-class model would slot into the same stage), a
+    broadcast query matrix (the lexicographically first 3 image_ids,
+    decoded driver-side from the same table), per-block partial top-k,
+    and a tiny per-query merge. Deterministic; rows-only check
+    (binary-payload input — no SQL view)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from ragnificent_ray.functions.imaging import decode_image
+    from ragnificent_ray.functions.numeric import (list_column_matrix,
+                                                   round_half_away)
+    from ragnificent_ray.stages.multimodal import ImageFeatureStage
+
+    top_k = 5
+    harvest = _crawl_harvest(sf_dir)
+    order = pc.array_sort_indices(harvest.column("image_id"))[:3]
+    qrows = harvest.take(order)
+    qids = qrows.column("image_id").to_pylist()
+    qm = np.stack([
+        ImageFeatureStage._features(decode_image(b, f))
+        for b, f in zip(qrows.column("bytes").to_pylist(),
+                        qrows.column("fmt").to_pylist())
+    ]).astype(np.float64)
+    qref = ray.put((qids, qm))
+
+    feats = rd.from_arrow(harvest.select(["image_id", "bytes", "fmt"])) \
+        .map_batches(ImageFeatureStage, batch_format="pyarrow",
+                     batch_size=64, concurrency=2)
+
+    class PartialTopK:
+        def __init__(self, ref):
+            self.qids, self.qm = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("image_id").to_pylist()
+            m = list_column_matrix(batch.column("features"),
+                                   dtype=np.float64)
+            sims = self.qm @ m.T
+            out_q, out_n, out_s = [], [], []
+            k = min(top_k, len(ids))
+            ids_arr = np.asarray(ids, dtype=object)
+            for qi, qid in enumerate(self.qids):
+                order = np.lexsort((ids_arr, -sims[qi]))[:k]
+                out_q.extend([qid] * len(order))
+                out_n.extend(ids_arr[order].tolist())
+                out_s.extend(sims[qi][order].tolist())
+            return pa.table({
+                "query_id": pa.array(out_q, type=pa.string()),
+                "neighbor_id": pa.array(out_n, type=pa.string()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            })
+
+    def merge(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["sim", "neighbor_id"],
+                          ascending=[False, True]).head(top_k)
+        g = g.reset_index(drop=True)
+        g["rank"] = g.index + 1
+        g["cos_sim"] = round_half_away(g["sim"].to_numpy(), 4)
+        return g[["query_id", "neighbor_id", "rank", "cos_sim"]]
+
+    return (
+        feats.map_batches(PartialTopK, fn_constructor_kwargs={"ref": qref},
+                          batch_format="pyarrow", batch_size=4096,
+                          concurrency=2)
+        .groupby("query_id")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 def _audio_features(sf_dir: str):
     """Audio feature-extract plumbing over the harvest payload column
     (deterministic fake features — no audio codec in this container)."""
@@ -368,6 +447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_domain_stats": _crawl_domain_stats,
         "image_decode_stats": _image_decode_stats,
         "image_resize": _image_resize,
+        "image_feature_ann": _image_feature_ann,
         "video_frame_sample": _video_frame_sample,
         "audio_features": _audio_features,
     })

@@ -85,6 +85,45 @@ class ImageResizeStage:
         return pa.table(out)
 
 
+class ImageFeatureStage:
+    """binary+fmt → 64-d feature vector (REAL decode + extraction).
+
+    The feature is the 8×8 block-mean grayscale raster, L2-normalized —
+    the continuous counterpart of ``phash64`` (which thresholds the
+    same raster). A model-based extractor (CLIP-class) would replace
+    ``_features`` and keep the identical actor-pool plumbing; this
+    deterministic one makes image-side similarity search testable in
+    the sandbox."""
+
+    def __init__(self, bytes_col: str = "bytes", fmt_col: str = "fmt",
+                 id_col: str = "image_id"):
+        self.bytes_col, self.fmt_col, self.id_col = bytes_col, fmt_col, id_col
+
+    @staticmethod
+    def _features(img: np.ndarray) -> np.ndarray:
+        gray = img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+        h, w = gray.shape
+        ph, pw = -h % 8, -w % 8
+        if ph or pw:
+            gray = np.pad(gray, ((0, ph), (0, pw)), mode="edge")
+        bh, bw = gray.shape[0] // 8, gray.shape[1] // 8
+        small = gray.reshape(8, bh, 8, bw).mean(axis=(1, 3)).ravel()
+        norm = np.linalg.norm(small)
+        return (small / norm if norm else small).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        datas = batch.column(self.bytes_col).to_pylist()
+        fmts = batch.column(self.fmt_col).to_pylist()
+        feats = np.empty((len(datas), 64), dtype=np.float32)
+        for i, (data, fmt) in enumerate(zip(datas, fmts)):
+            feats[i] = self._features(decode_image(data, fmt))
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "features": pa.FixedSizeListArray.from_arrays(
+                pa.array(feats.ravel(), type=pa.float32()), 64),
+        })
+
+
 class AudioFeatureStage:
     """binary audio → fixed-dim feature vector.
 

@@ -66,3 +66,29 @@ def test_video_stage_stub_contract():
     assert out.column("frame_idx").to_pylist() == [0, 1, 2]
     with pytest.raises(NotImplementedError):
         VideoFrameSampleStage(fake=False)(batch)
+
+
+def test_image_feature_stage_unit_norm_and_neardup_order():
+    from ragnificent_ray.stages.multimodal import ImageFeatureStage
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    base = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+    near = base.copy()
+    near[:2, :2] ^= 1  # tiny perturbation
+    far = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+    batch = pa.table({
+        "image_id": ["base", "near", "far"],
+        "bytes": pa.array([encode_image(p, "png")
+                           for p in (base, near, far)], type=pa.binary()),
+        "fmt": ["png"] * 3,
+    })
+    out = ImageFeatureStage()(batch)
+    feats = np.array(out.column("features").to_pylist(), dtype=np.float64)
+    assert feats.shape == (3, 64)
+    assert np.allclose(np.linalg.norm(feats, axis=1), 1.0, atol=1e-5)
+    sims = feats @ feats[0]
+    assert sims[1] > sims[2]  # near-dup ranks above unrelated image
+    # deterministic
+    again = ImageFeatureStage()(batch)
+    assert out.column("features").to_pylist() == \
+        again.column("features").to_pylist()
