@@ -129,7 +129,9 @@ def lossy_decode(data: bytes) -> np.ndarray:
         raise ValueError("not a lossy-codec payload")
     w, h = struct.unpack(">II", data[4:12])
     q = np.frombuffer(zlib.decompress(data[12:]), dtype=np.uint8).reshape(h, w, 3)
-    return ((q.astype(np.uint16) << 2) | 2).astype(np.uint8)
+    # quantized values are ≤ 63, so (q << 2) | 2 stays in uint8 — one pass,
+    # no uint16 round-trip
+    return (q << 2) | np.uint8(2)
 
 
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
@@ -157,24 +159,28 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return 20.0 * np.log10(255.0) - 10.0 * np.log10(mse)
 
 
+_GRAY32 = np.array([0.299, 0.587, 0.114], dtype=np.float32)
+
+
 def phash64_batch(stack: np.ndarray) -> np.ndarray:
     """:func:`phash64` over an (N, H, W, 3) uint8 stack in one shot.
 
-    Bit-identical to the scalar path (same op order per image; the
-    leading batch axis is outermost, so numpy's reductions run in the
-    same per-image order) but amortizes the ~20 numpy-call overheads
-    that dominate on small images — the harvest sink groups a batch's
-    decoded images by shape and hashes each group with one call.
+    The gray conversion runs as one (N·H·W, 3) float32 GEMM — a single
+    BLAS call over half the memory traffic of a float64 path — and the
+    harvest sink groups a batch's decoded images by shape so the ~10
+    remaining numpy-call overheads amortize over the whole group.
     Returns signed int64s (two's complement), N values.
     """
-    gray = stack.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
-    n, h, w = gray.shape
+    n, h, w = stack.shape[:3]
     ph, pw = -h % 8, -w % 8
     if ph or pw:
-        gray = np.pad(gray, ((0, 0), (0, ph), (0, pw)), mode="edge")
-    bh, bw = gray.shape[1] // 8, gray.shape[2] // 8
-    small = gray.reshape(n, 8, bh, 8, bw).mean(axis=(2, 4))
+        stack = np.pad(stack, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+        h, w = stack.shape[1:3]
+    gray = (stack.reshape(-1, 3).astype(np.float32) @ _GRAY32).reshape(n, h, w)
+    bh, bw = h // 8, w // 8
+    small = gray.reshape(n, 8, bh, 8, bw).mean(axis=(2, 4), dtype=np.float32)
     bits = small > small.mean(axis=(1, 2), keepdims=True)
+    # big-endian bit-pack: bit 0 of the raster is the MSB of the hash
     value = np.packbits(bits.reshape(n, 64), axis=1).view(">u8")[:, 0]
     return value.astype(np.uint64).view(np.int64)
 
@@ -182,18 +188,10 @@ def phash64_batch(stack: np.ndarray) -> np.ndarray:
 def phash64(rgb: np.ndarray) -> int:
     """64-bit average-hash: 8×8 block-mean grayscale vs. its mean.
 
+    Delegates to :func:`phash64_batch` with a singleton batch axis so the
+    scalar and batch paths are the same code — bit-parity by construction
+    (the synth-world oracle hashes scalar, the harvest sink in batches).
     Returned as a *signed* int64 (two's complement) so it stores directly
     in the harvest table's ``phash: int64`` column.
     """
-    gray = rgb.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
-    h, w = gray.shape
-    # pad to multiples of 8 then block-mean down to 8×8
-    ph, pw = -h % 8, -w % 8
-    if ph or pw:
-        gray = np.pad(gray, ((0, ph), (0, pw)), mode="edge")
-    bh, bw = gray.shape[0] // 8, gray.shape[1] // 8
-    small = gray.reshape(8, bh, 8, bw).mean(axis=(1, 3))
-    bits = (small > small.mean()).ravel()
-    # big-endian bit-pack: bit 0 of the raster is the MSB of the hash
-    value = int(np.packbits(bits).view(">u8")[0])
-    return value - (1 << 64) if value >= (1 << 63) else value
+    return int(phash64_batch(rgb[None])[0])

@@ -149,14 +149,16 @@ def harvest_decode_batch(batch: pa.Table) -> pa.Table:
     (non-200) are dropped. Decoded pixels are only used transiently for
     w/h/phash — the stored ``bytes`` stay the encoded payload
     (input_hint schema)."""
+    body_name = "html" if "html" in batch.column_names else "body"
     urls = batch.column("url").to_pylist()
     statuses = batch.column("status").to_pylist()
-    bodies = batch.column("html").to_pylist() if "html" in batch.column_names \
-        else batch.column("body").to_pylist()
-    captions = batch.column("caption").to_pylist()
-    out = {name: [] for name in HARVEST.names}
+    bodies = batch.column(body_name).to_pylist()
+    keep: list[int] = []
+    image_ids: list[str] = []
+    fmts: list[str] = []
+    dims: list[tuple[int, int]] = []
     pixel_rows: list = []
-    for url, status, body, caption in zip(urls, statuses, bodies, captions):
+    for i, (url, status, body) in enumerate(zip(urls, statuses, bodies)):
         if status != 200 or not body:
             continue
         name = url.rsplit("/", 1)[-1]
@@ -165,13 +167,10 @@ def harvest_decode_batch(batch: pa.Table) -> pa.Table:
             pixels = decode_image(body, ext)
         except Exception:
             continue
-        h, w = pixels.shape[:2]
-        out["image_id"].append(stem)
-        out["bytes"].append(body)
-        out["w"].append(w)
-        out["h"].append(h)
-        out["fmt"].append(ext)
-        out["caption"].append(caption)
+        keep.append(i)
+        image_ids.append(stem)
+        fmts.append(ext)
+        dims.append(pixels.shape[:2])
         pixel_rows.append(pixels)
     # phash in one vectorized call per distinct shape (images are small,
     # so per-image numpy-call overhead dominates the scalar path)
@@ -185,10 +184,22 @@ def harvest_decode_batch(batch: pa.Table) -> pa.Table:
         else:
             phashes[idxs] = phash64_batch(
                 np.stack([pixel_rows[i] for i in idxs]))
-    out["phash"] = phashes.tolist()
+    # bytes / caption come straight from the input table via take — the
+    # encoded payloads are the big column; never round-trip them through
+    # Python lists
+    take = pa.array(keep, type=pa.int64())
+    hw = np.asarray(dims, dtype=np.int32).reshape(len(keep), 2)
     return pa.table(
-        {name: pa.array(out[name], type=HARVEST.field(name).type)
-         for name in HARVEST.names}
+        {
+            "image_id": pa.array(image_ids, type=pa.string()),
+            "bytes": batch.column(body_name).take(take).cast(pa.binary()),
+            "w": pa.array(hw[:, 1]),
+            "h": pa.array(hw[:, 0]),
+            "fmt": pa.array(fmts, type=pa.string()),
+            "caption": batch.column("caption").take(take),
+            "phash": pa.array(phashes),
+        },
+        schema=HARVEST,
     )
 
 
