@@ -22,6 +22,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
@@ -86,6 +87,161 @@ def kmeans_assign(sf_dir: str):
                           concurrency=2)
 
 
+N_PROBE = 2
+TOP_K = 10
+N_QUERIES = 5
+SEMDEDUP_TAU = 0.4
+
+
+def ann_ivf_topk(sf_dir: str):
+    """IVF approximate top-k: probe the ``N_PROBE`` nearest centroid
+    cells per query, exact cosine rank within the probed cells.
+
+    The scale path the brief names next to LSH bucketing: the K
+    centroids are a broadcast (tiny), every batch assigns its vectors to
+    cells with one block matmul and searches only the vectors whose cell
+    one of the queries probes — per-batch work drops by ~N_PROBE/K
+    versus brute force and nothing shuffles except the tiny per-query
+    top-k merge. Assignment metric is squared euclidean on the raw
+    vectors with centroid-index tiebreak (same as ``kmeans_assign``);
+    ranking is cosine with neighbor-id tiebreak (same as ``ann_topk``).
+    Approximate by design, yet fully deterministic, so the DuckDB oracle
+    value-checks exactly.
+    """
+    cent = _centroids(sf_dir)
+    c_sq = (cent * cent).sum(axis=1)
+
+    t = pq.read_table(_pq(sf_dir, "embeddings"),
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", N_QUERIES)])
+    qids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    q = list_column_matrix(t.column("embedding"), dtype=np.float64)
+    order = np.argsort(qids)
+    qids, q = qids[order], q[order]
+    qd = (q * q).sum(axis=1, keepdims=True) - 2.0 * (q @ cent.T) + c_sq[None, :]
+    # N_PROBE nearest cells, (dist, cid) order — argsort is stable, so
+    # equal distances resolve to the lower centroid index
+    q_cells = np.argsort(qd, axis=1, kind="stable")[:, :N_PROBE]
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    ref = ray.put((qids, qn, q_cells, cent, c_sq))
+
+    ds = rd.read_parquet(_pq(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+
+    class ProbeSearch:
+        def __init__(self, ref):
+            self.qids, self.qn, self.q_cells, self.c, self.c_sq = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column("vec_id").to_pylist(),
+                             dtype=np.int64)
+            x = list_column_matrix(batch.column("embedding"),
+                                   dtype=np.float64)
+            d = (x * x).sum(axis=1, keepdims=True) \
+                - 2.0 * (x @ self.c.T) + self.c_sq[None, :]
+            cell = np.argmin(d, axis=1)
+            xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(self.qids)):
+                mask = np.isin(cell, self.q_cells[qi])
+                if not mask.any():
+                    continue
+                sims = self.qn[qi] @ xn[mask].T
+                sub_ids = ids[mask]
+                order = np.lexsort((sub_ids, -sims))[:TOP_K]
+                out_q.extend([int(self.qids[qi])] * len(order))
+                out_n.extend(sub_ids[order].tolist())
+                out_s.extend(sims[order].tolist())
+            return pa.table({
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            })
+
+    def merge(g):
+        g = g.sort_values(["sim", "neighbor_id"],
+                          ascending=[False, True]).head(TOP_K)
+        g = g.reset_index(drop=True)
+        g["rank"] = g.index + 1
+        g["cos_sim"] = round_half_away(g["sim"].to_numpy(), 4)
+        return g[["query_id", "neighbor_id", "rank", "cos_sim"]]
+
+    return (
+        ds.map_batches(ProbeSearch, fn_constructor_kwargs={"ref": ref},
+                       batch_format="pyarrow", batch_size=4096,
+                       concurrency=2)
+        .groupby("query_id")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def semantic_dedup(sf_dir: str):
+    """SemDeDup: within each k-means cell, drop vectors that duplicate an
+    earlier (lower-id) vector at cosine ≥ τ.
+
+    The second SemDeDup half over :func:`kmeans_assign`: cluster id is
+    the bounded bucket, the all-pairs cosine runs per cell (cell size is
+    the knob — at 100 TB, K grows with the corpus so cells stay
+    block-sized; ``dedup.py``'s bounded-bucket discipline). Output: one
+    row per DROPPED vector with its keeper = the lowest-id same-cell
+    vector at sim ≥ τ.
+    """
+    cent_ref = ray.put(_centroids(sf_dir))
+
+    ds = rd.read_parquet(_pq(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+
+    class Assign:
+        def __init__(self, ref):
+            c = ray.get(ref)
+            self.c = c
+            self.c_sq = (c * c).sum(axis=1)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column("vec_id").to_pylist(),
+                             dtype=np.int64)
+            keep = ids >= N_CENTROIDS
+            ids = ids[keep]
+            x = list_column_matrix(batch.column("embedding"),
+                                   dtype=np.float64)[keep]
+            d = (x * x).sum(axis=1, keepdims=True) \
+                - 2.0 * (x @ self.c.T) + self.c_sq[None, :]
+            cluster = np.argmin(d, axis=1).astype(np.int64)
+            xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+            return pa.table({
+                "vec_id": pa.array(ids),
+                "cluster": pa.array(cluster),
+                "nemb": pa.array(list(xn)),
+            })
+
+    def prune(g):
+        ids = g["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.stack(g["nemb"].to_numpy()[order])
+        sims = m @ m.T
+        # qualifying keepers are strictly earlier ids at sim >= tau;
+        # argmax over the boolean row picks the FIRST (lowest-id) one
+        qual = sims >= SEMDEDUP_TAU
+        qual[np.triu_indices(len(ids))] = False
+        has = qual.any(axis=1)
+        first = qual.argmax(axis=1)
+        return pd.DataFrame({
+            "vec_id": ids[has],
+            "keeper": ids[first[has]],
+            "cos_sim": round_half_away(
+                sims[np.arange(len(ids))[has], first[has]], 4),
+        })
+
+    return (
+        ds.map_batches(Assign, fn_constructor_kwargs={"ref": cent_ref},
+                       batch_format="pyarrow", batch_size=4096,
+                       concurrency=2)
+        .groupby("cluster")
+        .map_groups(prune, batch_format="pandas")
+    )
+
+
 ORACLE_SQL = {
     "kmeans_assign": f"""
         WITH c AS (
@@ -103,8 +259,77 @@ ORACLE_SQL = {
         QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
                                    ORDER BY sqdist, cid) = 1
     """,
+    "ann_ivf_topk": f"""
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings
+        ), c AS (
+          SELECT vec_id AS cid, emb AS cvec FROM e
+          WHERE vec_id < {N_CENTROIDS}
+        ), asg AS (
+          SELECT e.vec_id, c.cid,
+                 list_distance(e.emb, c.cvec) ** 2 AS sqdist
+          FROM e CROSS JOIN c
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                     ORDER BY sqdist, cid) = 1
+        ), qp AS (
+          SELECT e.vec_id AS query_id, c.cid
+          FROM e CROSS JOIN c
+          WHERE e.vec_id < {N_QUERIES}
+          QUALIFY ROW_NUMBER() OVER (
+              PARTITION BY e.vec_id
+              ORDER BY list_distance(e.emb, c.cvec) ** 2, cid
+          ) <= {N_PROBE}
+        ), scored AS (
+          SELECT qp.query_id, a.vec_id AS neighbor_id,
+                 list_cosine_similarity(qe.emb, ne.emb) AS sim
+          FROM qp
+          JOIN asg a ON a.cid = qp.cid
+          JOIN e qe ON qe.vec_id = qp.query_id
+          JOIN e ne ON ne.vec_id = a.vec_id
+        )
+        SELECT query_id, neighbor_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+               ) AS BIGINT) AS rank,
+               ROUND(sim, 4) AS cos_sim
+        FROM scored
+        QUALIFY rank <= {TOP_K}
+    """,
+    "semantic_dedup": f"""
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings
+        ), c AS (
+          SELECT vec_id AS cid, emb AS cvec FROM e
+          WHERE vec_id < {N_CENTROIDS}
+        ), asg AS (
+          SELECT e.vec_id, c.cid,
+                 list_distance(e.emb, c.cvec) ** 2 AS sqdist
+          FROM e CROSS JOIN c
+          WHERE e.vec_id >= {N_CENTROIDS}
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                     ORDER BY sqdist, cid) = 1
+        ), pairs AS (
+          SELECT x.vec_id, y.vec_id AS keeper,
+                 list_cosine_similarity(xe.emb, ye.emb) AS sim
+          FROM asg x
+          JOIN asg y ON y.cid = x.cid AND y.vec_id < x.vec_id
+          JOIN e xe ON xe.vec_id = x.vec_id
+          JOIN e ye ON ye.vec_id = y.vec_id
+        )
+        SELECT vec_id, keeper, ROUND(sim, 4) AS cos_sim
+        FROM pairs
+        WHERE sim >= {SEMDEDUP_TAU}
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY keeper) = 1
+    """,
 }
 
 QUERIES = {
     "kmeans_assign": kmeans_assign,
+    "ann_ivf_topk": ann_ivf_topk,
+    "semantic_dedup": semantic_dedup,
 }
