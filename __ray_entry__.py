@@ -742,6 +742,27 @@ def _minhash_lsh_sql() -> str:
 
 
 
+def _dedup_clusters_sql() -> str:
+    """DuckDB oracle for dedup_clusters: the generated minhash pair SQL
+    as the edge set, then transitive closure via WITH RECURSIVE and
+    component = MIN(reachable doc_id)."""
+    return f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({_minhash_lsh_sql()})
+    ), und AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ), reach(node, m) AS (
+        SELECT a, a FROM und GROUP BY a
+        UNION
+        SELECT u.b, r.m FROM reach r JOIN und u ON u.a = r.node
+    )
+    SELECT node AS doc_id, MIN(m) AS component
+    FROM reach GROUP BY node
+    """
+
+
 def _ann_lsh_sql() -> str:
     """DuckDB oracle for ann_lsh_topk: the 8 seeded hyperplanes embedded
     as float64 literals (repr round-trips exactly), bucket = packed sign
@@ -847,6 +868,7 @@ def oracle_sql() -> dict[str, str]:
     out["rag_chunks_recursive"] = _RAG_CHUNKS_RECURSIVE_SQL
     out["rag_chunks_rust"] = _RAG_CHUNKS_RUST_SQL
     out["minhash_lsh_pairs"] = _minhash_lsh_sql()
+    out["dedup_clusters"] = _dedup_clusters_sql()
     out["ann_lsh_topk"] = _ann_lsh_sql()
     out["embedding_neardup_lsh"] = _emb_lsh_sql()
     out["rag_embed_norms"] = _RAG_EMBED_NORMS_SQL

@@ -588,6 +588,88 @@ def embedding_neardup_lsh(sf_dir: str, threshold: float = COSINE_THRESHOLD,
     )
 
 
+# ------------------------------------------- dup components (CC over pairs)
+
+def dedup_clusters(sf_dir: str, max_iters: int = 16,
+                   join_partitions: int | None = None):
+    """Duplicate-document components over the MinHash-LSH pair set:
+    every doc touching a near-dup edge labeled with the minimum doc_id
+    reachable through such edges (the canonical keep-one-per-cluster
+    step after pair generation).
+
+    Iterative min-label propagation, fully distributed: the edge set is
+    derived-small (near-dup pairs ≪ corpus) but NOT driver-small by
+    contract, so each round hash-joins the label table to the
+    undirected adjacency (both edge-sized — the corpus never moves),
+    sends every node's label to its neighbors, and folds candidates
+    with a groupby-min. Labels are monotone non-increasing, so the
+    global label sum is a convergence certificate: the driver only ever
+    sees that one scalar per round. Rounds ≤ component diameter, and
+    the init already folds each node's direct neighborhood.
+    """
+    if join_partitions is None:
+        join_partitions = _join_partition_count(sf_dir, "documents")
+    join_args = dict(num_partitions=join_partitions,
+                     aggregator_ray_remote_args={"num_cpus": 0.25})
+
+    pairs = minhash_lsh_pairs(sf_dir).select_columns(["doc_a", "doc_b"])
+
+    def undirect(b: pa.Table) -> pa.Table:
+        x = b.column("doc_a").to_numpy(zero_copy_only=False)
+        y = b.column("doc_b").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": pa.array(np.concatenate([x, y]), type=pa.int64()),
+            "nbr": pa.array(np.concatenate([y, x]), type=pa.int64()),
+        })
+
+    und = pairs.map_batches(undirect, batch_format="pyarrow").materialize()
+
+    def _fold_init(t: pa.Table) -> pa.Table:
+        node = t.column("node").to_numpy(zero_copy_only=False)
+        mn = t.column("min(nbr)").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": pa.array(node, type=pa.int64()),
+            "label": pa.array(np.minimum(node, mn), type=pa.int64()),
+        })
+
+    # label[v] = min(v, direct neighbors) — init plus one free round
+    labels = (und.groupby("node").min("nbr")
+              .map_batches(_fold_init, batch_format="pyarrow")
+              .materialize())
+
+    def _as_cand(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("node"),
+                         "cand": t.column("label")})
+
+    def _nbr_cand(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("nbr"),
+                         "cand": t.column("label")})
+
+    def _fold_min(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("node"),
+                         "label": t.column("min(cand)")})
+
+    prev = labels.sum("label")
+    for _ in range(max_iters):
+        msgs = (und.join(labels, "inner", on=("node",), **join_args)
+                .map_batches(_nbr_cand, batch_format="pyarrow"))
+        labels = (msgs.union(labels.map_batches(_as_cand,
+                                                batch_format="pyarrow"))
+                  .groupby("node").min("cand")
+                  .map_batches(_fold_min, batch_format="pyarrow")
+                  .materialize())
+        cur = labels.sum("label")
+        if cur == prev:
+            break
+        prev = cur
+
+    def _rename(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("node"),
+                         "component": t.column("label")})
+
+    return labels.map_batches(_rename, batch_format="pyarrow")
+
+
 # ------------------------------------------------- phash near-dup (images)
 
 def phash_neardup_pairs(ds, max_hamming: int = 8):
@@ -735,6 +817,7 @@ QUERIES = {
     "exact_dedup": exact_dedup,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_lsh_pairs": minhash_lsh_pairs,
+    "dedup_clusters": dedup_clusters,
     "simhash64": simhash64,
     "embedding_neardup": embedding_neardup,
     "embedding_neardup_lsh": embedding_neardup_lsh,
