@@ -185,6 +185,57 @@ def repetition_scores(sf_dir: str):
     return ds.map_batches(score, batch_format="pyarrow", batch_size=8192)
 
 
+_ALPHA = re.compile(r"[A-Za-z]")
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MIN_ALPHA = 0.8
+GOPHER_MIN_STOPS = 2
+
+
+def gopher_quality_filter(sf_dir: str):
+    """Gopher-style rule filter (Rae et al. 2021, appendix A heuristics,
+    public paper): word-count bounds, mean-word-length bounds,
+    alphabetic-word ratio, distinct-stopword floor. Emits the per-rule
+    signals plus the combined verdict (as 0/1) for every document —
+    non-destructive, so the filter decision is auditable downstream.
+    Pure per-batch map, no shuffle; thresholds compare the ROUNDED
+    signals so the oracle's arithmetic is byte-identical."""
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+    stops = frozenset(STOPWORDS)
+
+    def score(batch: pa.Table) -> pa.Table:
+        n_words, mean_len, alpha, stop_hits, passes = [], [], [], [], []
+        for t in batch.column("text").to_pylist():
+            toks = t.strip().split()
+            n = len(toks)
+            ml = round_half_away(sum(map(len, toks)) / n, 4) if n else 0.0
+            ar = round_half_away(
+                sum(1 for w in toks if _ALPHA.search(w)) / n, 4) if n else 0.0
+            sh = len({w.lower() for w in toks} & stops)
+            ok = (GOPHER_MIN_WORDS <= n <= GOPHER_MAX_WORDS
+                  and GOPHER_MIN_MEAN_LEN <= ml <= GOPHER_MAX_MEAN_LEN
+                  and ar >= GOPHER_MIN_ALPHA
+                  and sh >= GOPHER_MIN_STOPS)
+            n_words.append(n)
+            mean_len.append(ml)
+            alpha.append(ar)
+            stop_hits.append(sh)
+            passes.append(int(ok))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(n_words, type=pa.int64()),
+            "mean_word_len": pa.array(mean_len, type=pa.float64()),
+            "alpha_ratio": pa.array(alpha, type=pa.float64()),
+            "stop_hits": pa.array(stop_hits, type=pa.int64()),
+            "passes": pa.array(passes, type=pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=8192)
+
+
 def vocab_top(sf_dir: str):
     """Vocabulary building: top-100 tokens by document frequency.
 
@@ -285,6 +336,34 @@ ORACLE_SQL = {
                    AS avg_token_len
         FROM documents
     """,
+    "gopher_quality_filter": rf"""
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents
+        ), s AS (
+          SELECT doc_id,
+                 len(toks) AS n_words,
+                 ROUND(CAST(length(array_to_string(toks, '')) AS DOUBLE)
+                       / len(toks), 4) AS mean_word_len,
+                 ROUND(CAST(len(list_filter(toks,
+                       w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+                       / len(toks), 4) AS alpha_ratio,
+                 len(list_intersect(
+                     list_distinct(list_transform(toks, w -> lower(w))),
+                     [{_SQL_STOPS}])) AS stop_hits
+          FROM t
+        )
+        SELECT doc_id, n_words, mean_word_len, alpha_ratio, stop_hits,
+               CAST(CASE WHEN n_words BETWEEN {GOPHER_MIN_WORDS}
+                                          AND {GOPHER_MAX_WORDS}
+                          AND mean_word_len BETWEEN {GOPHER_MIN_MEAN_LEN}
+                                                AND {GOPHER_MAX_MEAN_LEN}
+                          AND alpha_ratio >= {GOPHER_MIN_ALPHA}
+                          AND stop_hits >= {GOPHER_MIN_STOPS}
+                    THEN 1 ELSE 0 END AS BIGINT) AS passes
+        FROM s
+    """,
     "repetition_scores": r"""
         WITH t AS (
           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
@@ -337,4 +416,5 @@ QUERIES = {
     "fingerprints": fingerprints,
     "vocab_top": vocab_top,
     "repetition_scores": repetition_scores,
+    "gopher_quality_filter": gopher_quality_filter,
 }
