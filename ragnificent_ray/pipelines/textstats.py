@@ -269,6 +269,78 @@ def vocab_top(sf_dir: str):
     )
 
 
+def unigram_logprob(sf_dir: str):
+    """CCNet-style LM quality score: per-doc mean log-probability under
+    an add-one-smoothed unigram model fit on the corpus itself (the
+    public perplexity-filtering recipe, with the 5-gram KenLM swapped
+    for a unigram model the oracle can express).
+
+    Two-pass like :func:`tfidf_embed`: per-batch token-count partials
+    (one row per distinct token per block) → native groupby-sum → the
+    bounded vocabulary broadcast with ``ray.put``; scoring is a pure
+    per-batch map. Low scores mark out-of-distribution / junk docs."""
+    import math
+
+    import numpy as np
+    import ray
+
+    from collections import Counter
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def cnt_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(t.strip().split())
+        return pa.table({
+            "token": pa.array(list(c.keys()), type=pa.string()),
+            "n": pa.array(list(c.values()), type=pa.int64()),
+        })
+
+    counts = (
+        ds.map_batches(cnt_partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("token").sum("n")
+    ).to_pandas()
+    total = int(counts["sum(n)"].sum())
+    vsize = len(counts)
+    logp = np.log((counts["sum(n)"].to_numpy(dtype=np.float64) + 1.0)
+                  / (total + vsize))
+    model = dict(zip(counts["token"], logp))
+    oov = math.log(1.0 / (total + vsize))
+    ref = ray.put((model, oov))
+
+    class Score:
+        def __init__(self, ref):
+            self.ref = ref
+            self._m = None
+
+        def __getstate__(self):
+            s = self.__dict__.copy()
+            s["_m"] = None
+            return s
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self._m is None:
+                self._m = ray.get(self.ref)
+            model, oov = self._m
+            n_toks, means = [], []
+            for t in batch.column("text").to_pylist():
+                toks = t.strip().split()
+                n = len(toks)
+                lp = sum(model.get(w, oov) for w in toks)
+                n_toks.append(n)
+                means.append(round_half_away(lp / n, 4) if n else 0.0)
+            return pa.table({
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_toks, type=pa.int64()),
+                "mean_logprob": pa.array(means, type=pa.float64()),
+            })
+
+    return ds.map_batches(Score, fn_constructor_kwargs={"ref": ref},
+                          batch_format="pyarrow", batch_size=8192,
+                          concurrency=2)
+
+
 _SQL_STOPS = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 
@@ -335,6 +407,25 @@ ORACLE_SQL = {
                      / len(regexp_split_to_array(trim(text), '\\s+')), 4)
                    AS avg_token_len
         FROM documents
+    """,
+    "unigram_logprob": r"""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents
+        ), u AS (
+          SELECT doc_id, unnest(toks) AS w FROM t
+        ), cnt AS (
+          SELECT w, COUNT(*) AS c FROM u GROUP BY w
+        ), tot AS (
+          SELECT SUM(c) AS n, COUNT(*) AS v FROM cnt
+        ), sc AS (
+          SELECT u.doc_id, COUNT(*) AS n_tokens,
+                 SUM(ln((cnt.c + 1.0) / (tot.n + tot.v))) AS lp
+          FROM u JOIN cnt ON cnt.w = u.w CROSS JOIN tot
+          GROUP BY u.doc_id
+        )
+        SELECT doc_id, n_tokens, ROUND(lp / n_tokens, 4) AS mean_logprob
+        FROM sc
     """,
     "gopher_quality_filter": rf"""
         WITH t AS (
@@ -417,4 +508,5 @@ QUERIES = {
     "vocab_top": vocab_top,
     "repetition_scores": repetition_scores,
     "gopher_quality_filter": gopher_quality_filter,
+    "unigram_logprob": unigram_logprob,
 }
