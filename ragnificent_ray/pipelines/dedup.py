@@ -588,6 +588,101 @@ def embedding_neardup_lsh(sf_dir: str, threshold: float = COSINE_THRESHOLD,
     )
 
 
+# --------------------------------------- duplicate n-gram spans (Lee et al.)
+
+NGRAM_SPAN_K = 8
+
+
+def duplicate_ngram_fraction(sf_dir: str, k: int = NGRAM_SPAN_K,
+                             join_partitions: int | None = None):
+    """Exact-substring contamination signal (the public Lee et al. 2021
+    "Deduplicating Training Data" recipe, suffix-array spans re-expressed
+    as fixed-k token grams): for every document, the fraction of its
+    k-gram positions whose gram also occurs in ≥1 OTHER document.
+
+    Scale shape: the gram table is corpus-sized, so the dup-gram set is
+    never broadcast — one gram-keyed groupby counts distinct docs per
+    gram (combiner: one row per distinct gram per doc), and the dup
+    marks flow back via a gram-keyed LEFT OUTER hash-join before a
+    doc-keyed sum. Gram identity is the first 48 bits of md5 on both
+    sides, so the oracle hashes identically (collisions included)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import md5_hex
+
+    if join_partitions is None:
+        join_partitions = _join_partition_count(sf_dir, "documents")
+    join_args = dict(num_partitions=join_partitions,
+                     aggregator_ray_remote_args={"num_cpus": 0.25})
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def grams(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        ids, ghs, occ = [], [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            toks = t.strip().split()
+            if len(toks) < k:
+                continue
+            c = Counter(
+                int(md5_hex(" ".join(toks[i:i + k]))[:12], 16)
+                for i in range(len(toks) - k + 1))
+            ids.extend([d] * len(c))
+            ghs.extend(c.keys())
+            occ.extend(c.values())
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "gram": pa.array(ghs, type=pa.int64()),
+            "occ": pa.array(occ, type=pa.int64()),
+        })
+
+    go = ds.map_batches(grams, batch_format="pyarrow",
+                        batch_size=2048).materialize()
+
+    def _dup_marks(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        f = t.filter(pc.greater_equal(t.column("count()"), 2))
+        return pa.table({
+            "gram": f.column("gram"),
+            "is_dup": pa.array(np.ones(f.num_rows, dtype=np.int64)),
+        })
+
+    # distinct docs per gram (rows in go are (doc, gram)-distinct)
+    dup = (go.groupby("gram").count()
+           .map_batches(_dup_marks, batch_format="pyarrow"))
+
+    def mark(t: pa.Table) -> pa.Table:
+        occ = t.column("occ").to_numpy(zero_copy_only=False)
+        isd = t.column("is_dup").to_pandas().fillna(0).to_numpy(dtype=np.int64)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "occ": t.column("occ"),
+            "dup_occ": pa.array(occ * isd, type=pa.int64()),
+        })
+
+    per_doc = (
+        go.join(dup, "left_outer", on=("gram",), **join_args)
+        .map_batches(mark, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("occ", alias_name="total_grams"),
+                   Sum("dup_occ", alias_name="dup_grams"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        tot = t.column("total_grams").to_numpy(zero_copy_only=False)
+        dupg = t.column("dup_grams").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "total_grams": t.column("total_grams"),
+            "dup_grams": t.column("dup_grams"),
+            "dup_frac": pa.array(
+                round_half_away(dupg / tot, 4), type=pa.float64()),
+        })
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")
+
+
 # ------------------------------------------- dup components (CC over pairs)
 
 def dedup_clusters(sf_dir: str, max_iters: int = 16,
@@ -759,6 +854,32 @@ def phash_neardup_pairs(ds, max_hamming: int = 8):
 
 
 ORACLE_SQL = {
+    "duplicate_ngram_fraction": rf"""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                     range(1, len(toks) - {NGRAM_SPAN_K} + 2),
+                     i -> CAST(('0x' || substr(md5(array_to_string(
+                         toks[i:i+{NGRAM_SPAN_K}-1], ' ')), 1, 12))
+                         AS BIGINT))) AS gram
+          FROM t WHERE len(toks) >= {NGRAM_SPAN_K}
+        ), go AS (
+          SELECT doc_id, gram, COUNT(*) AS occ FROM g GROUP BY doc_id, gram
+        ), nd AS (
+          SELECT gram, COUNT(*) AS ndocs FROM go GROUP BY gram
+        ), per AS (
+          SELECT go.doc_id, SUM(go.occ) AS total_grams,
+                 SUM(CASE WHEN nd.ndocs >= 2 THEN go.occ ELSE 0 END)
+                     AS dup_grams
+          FROM go JOIN nd USING (gram) GROUP BY go.doc_id
+        )
+        SELECT doc_id, total_grams, dup_grams,
+               ROUND(CAST(dup_grams AS DOUBLE) / total_grams, 4) AS dup_frac
+        FROM per
+    """,
     "exact_dedup": """
         SELECT MIN(doc_id) AS doc_id, md5(text) AS text_hash
         FROM documents GROUP BY md5(text)
@@ -818,6 +939,7 @@ QUERIES = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "dedup_clusters": dedup_clusters,
+    "duplicate_ngram_fraction": duplicate_ngram_fraction,
     "simhash64": simhash64,
     "embedding_neardup": embedding_neardup,
     "embedding_neardup_lsh": embedding_neardup_lsh,
