@@ -242,6 +242,54 @@ def semantic_dedup(sf_dir: str):
     )
 
 
+def cluster_purity(sf_dir: str):
+    """K-means evaluation against the embeddings ground-truth ``label``:
+    the (cluster, label) count matrix. Assignment is the broadcast
+    matmul pass; each batch emits one partial row per (cluster, label)
+    so the final two-key groupby moves a bounded handful of rows per
+    block."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    cent_ref = ray.put(_centroids(sf_dir))
+
+    ds = rd.read_parquet(_pq(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding", "label"])
+
+    class AssignCount:
+        def __init__(self, ref):
+            c = ray.get(ref)
+            self.c = c
+            self.c_sq = (c * c).sum(axis=1)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column("vec_id").to_pylist(),
+                             dtype=np.int64)
+            keep = ids >= N_CENTROIDS
+            labels = np.asarray(batch.column("label").to_pylist(),
+                                dtype=np.int64)[keep]
+            x = list_column_matrix(batch.column("embedding"),
+                                   dtype=np.float64)[keep]
+            d = (x * x).sum(axis=1, keepdims=True) \
+                - 2.0 * (x @ self.c.T) + self.c_sq[None, :]
+            cluster = np.argmin(d, axis=1).astype(np.int64)
+            c: Counter = Counter(zip(cluster.tolist(), labels.tolist()))
+            keys = sorted(c)
+            return pa.table({
+                "cluster": pa.array([k[0] for k in keys], type=pa.int64()),
+                "label": pa.array([k[1] for k in keys], type=pa.int64()),
+                "n": pa.array([c[k] for k in keys], type=pa.int64()),
+            })
+
+    return (ds.map_batches(AssignCount,
+                           fn_constructor_kwargs={"ref": cent_ref},
+                           batch_format="pyarrow", batch_size=4096,
+                           concurrency=2)
+            .groupby(["cluster", "label"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
 ORACLE_SQL = {
     "kmeans_assign": f"""
         WITH c AS (
@@ -297,6 +345,24 @@ ORACLE_SQL = {
         FROM scored
         QUALIFY rank <= {TOP_K}
     """,
+    "cluster_purity": f"""
+        WITH c AS (
+          SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+          FROM embeddings WHERE vec_id < {N_CENTROIDS}
+        ), asg AS (
+          SELECT e.vec_id, c.cid,
+                 list_distance(CAST(e.embedding AS DOUBLE[]), c.cvec) ** 2
+                     AS sqdist
+          FROM embeddings e CROSS JOIN c
+          WHERE e.vec_id >= {N_CENTROIDS}
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                     ORDER BY sqdist, cid) = 1
+        )
+        SELECT asg.cid AS cluster, CAST(e.label AS BIGINT) AS label,
+               COUNT(*) AS n
+        FROM asg JOIN embeddings e USING (vec_id)
+        GROUP BY asg.cid, e.label
+    """,
     "semantic_dedup": f"""
         WITH e AS (
           SELECT vec_id,
@@ -332,4 +398,5 @@ QUERIES = {
     "kmeans_assign": kmeans_assign,
     "ann_ivf_topk": ann_ivf_topk,
     "semantic_dedup": semantic_dedup,
+    "cluster_purity": cluster_purity,
 }

@@ -269,6 +269,87 @@ def vocab_top(sf_dir: str):
     )
 
 
+def source_mixture(sf_dir: str):
+    """Corpus-mixing report: per-source document and token mass plus the
+    token fraction — the table a training-mixture rebalancer consumes.
+    Combiner discipline: each batch emits ONE partial row per source, so
+    the groupby moves a handful of rows per block regardless of corpus
+    size."""
+    from collections import defaultdict
+
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        docs: dict = defaultdict(int)
+        toks: dict = defaultdict(int)
+        for s, t in zip(batch.column("source").to_pylist(),
+                        batch.column("text").to_pylist()):
+            docs[s] += 1
+            toks[s] += len(t.strip().split())
+        keys = sorted(docs)
+        return pa.table({
+            "source": pa.array(keys, type=pa.string()),
+            "n_docs": pa.array([docs[k] for k in keys], type=pa.int64()),
+            "n_tokens": pa.array([toks[k] for k in keys], type=pa.int64()),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+           .groupby("source")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("n_tokens", alias_name="n_tokens"))
+           ).materialize()
+    total = agg.sum("n_tokens")
+
+    def frac(t: pa.Table) -> pa.Table:
+        n = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "token_frac",
+            pa.array(round_half_away(n / total, 4), type=pa.float64()))
+
+    return agg.map_batches(frac, batch_format="pyarrow")
+
+
+def lang_confusion(sf_dir: str):
+    """Language-ID evaluation against the corpus ground truth: the
+    (actual lang, guessed lang) count matrix. The heuristic scorer runs
+    per batch with the ground-truth column carried through, then one
+    tiny two-key groupby folds the partial counts."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "text", "lang"])
+    profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+
+    def guess_and_count(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t, actual in zip(batch.column("text").to_pylist(),
+                             batch.column("lang").to_pylist()):
+            toks = set(t.lower().split())
+            best, best_hits = "und", 0
+            for lang in sorted(profiles):
+                hits = len(toks & profiles[lang])
+                if hits > best_hits:
+                    best, best_hits = lang, hits
+            c[(actual, best)] += 1
+        keys = sorted(c)
+        return pa.table({
+            "lang": pa.array([k[0] for k in keys], type=pa.string()),
+            "guessed_lang": pa.array([k[1] for k in keys],
+                                     type=pa.string()),
+            "n": pa.array([c[k] for k in keys], type=pa.int64()),
+        })
+
+    return (ds.map_batches(guess_and_count, batch_format="pyarrow",
+                           batch_size=8192)
+            .groupby(["lang", "guessed_lang"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
 def unigram_logprob(sf_dir: str):
     """CCNet-style LM quality score: per-doc mean log-probability under
     an add-one-smoothed unigram model fit on the corpus itself (the
@@ -399,6 +480,22 @@ ORACLE_SQL = {
         )
         SELECT doc_id, {_LANG_CASE} AS guessed_lang FROM h
     """,
+    "lang_confusion": f"""
+        WITH t AS (
+            SELECT lang,
+                   list_distinct(regexp_split_to_array(lower(trim(text)),
+                                                       '\\s+')) AS toks
+            FROM documents
+        ), h AS (
+            SELECT lang,
+               {_LANG_HITS}
+            FROM t
+        ), g AS (
+            SELECT lang, {_LANG_CASE} AS guessed_lang FROM h
+        )
+        SELECT lang, guessed_lang, COUNT(*) AS n
+        FROM g GROUP BY lang, guessed_lang
+    """,
     "token_stats": """
         SELECT doc_id,
                len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
@@ -407,6 +504,17 @@ ORACLE_SQL = {
                      / len(regexp_split_to_array(trim(text), '\\s+')), 4)
                    AS avg_token_len
         FROM documents
+    """,
+    "source_mixture": r"""
+        WITH s AS (
+          SELECT source, COUNT(*) AS n_docs,
+                 SUM(len(regexp_split_to_array(trim(text), '\s+')))
+                     AS n_tokens
+          FROM documents GROUP BY source
+        ), tot AS (SELECT SUM(n_tokens) AS t FROM s)
+        SELECT source, n_docs, n_tokens,
+               ROUND(CAST(n_tokens AS DOUBLE) / tot.t, 4) AS token_frac
+        FROM s CROSS JOIN tot
     """,
     "unigram_logprob": r"""
         WITH t AS (
@@ -509,4 +617,6 @@ QUERIES = {
     "repetition_scores": repetition_scores,
     "gopher_quality_filter": gopher_quality_filter,
     "unigram_logprob": unigram_logprob,
+    "source_mixture": source_mixture,
+    "lang_confusion": lang_confusion,
 }
