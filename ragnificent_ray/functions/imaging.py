@@ -159,16 +159,14 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return 20.0 * np.log10(255.0) - 10.0 * np.log10(mse)
 
 
-_GRAY32 = np.array([0.299, 0.587, 0.114], dtype=np.float32)
-
-
 def phash64_batch(stack: np.ndarray) -> np.ndarray:
     """:func:`phash64` over an (N, H, W, 3) uint8 stack in one shot.
 
-    The gray conversion runs as one (N·H·W, 3) float32 GEMM — a single
-    BLAS call over half the memory traffic of a float64 path — and the
-    harvest sink groups a batch's decoded images by shape so the ~10
-    remaining numpy-call overheads amortize over the whole group.
+    All-integer: BT.601 luma in uint16, uint32 block sums, and an exact
+    integer mean comparison (see inline comment) — no float rounding, so
+    hashes are bit-identical across platforms, BLAS builds, and batch
+    groupings. The harvest sink groups a batch's decoded images by shape
+    so the few remaining numpy-call overheads amortize over the group.
     Returns signed int64s (two's complement), N values.
     """
     n, h, w = stack.shape[:3]
@@ -176,10 +174,17 @@ def phash64_batch(stack: np.ndarray) -> np.ndarray:
     if ph or pw:
         stack = np.pad(stack, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
         h, w = stack.shape[1:3]
-    gray = (stack.reshape(-1, 3).astype(np.float32) @ _GRAY32).reshape(n, h, w)
     bh, bw = h // 8, w // 8
-    small = gray.reshape(n, 8, bh, 8, bw).mean(axis=(2, 4), dtype=np.float32)
-    bits = small > small.mean(axis=(1, 2), keepdims=True)
+    # integer-exact path (~2x the float32 GEMM formulation): BT.601
+    # integer luma (77, 150, 29)/256, uint32 block sums, and the
+    # "block mean > global mean" test rewritten as
+    # 64 * block_sum > total_sum so no division or float ever happens —
+    # bit-deterministic across platforms and batch groupings.
+    u = stack.astype(np.uint16)
+    g = 77 * u[..., 0] + 150 * u[..., 1] + 29 * u[..., 2]
+    sums = g.reshape(n, 8, bh, 8, bw).sum(axis=(2, 4), dtype=np.uint32)
+    total = sums.sum(axis=(1, 2), dtype=np.int64)
+    bits = 64 * sums.astype(np.int64) > total[:, None, None]
     # big-endian bit-pack: bit 0 of the raster is the MSB of the hash
     value = np.packbits(bits.reshape(n, 64), axis=1).view(">u8")[:, 0]
     return value.astype(np.uint64).view(np.int64)

@@ -51,10 +51,29 @@ class FetchResult:
     body: bytes
 
 
+_SM_GAMMA = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 increment
+
+
+def _splitmix(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over a uint64 array (wrapping)."""
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _stream(key: str, seed: int, n: int, offset: int = 0) -> np.ndarray:
+    """n deterministic uint64s for (key, seed) — a counter-mode splitmix64
+    stream. Replaces per-call ``np.random.Generator`` construction, which
+    dominated synthetic fetch cost (~90 µs/call vs ~4 µs here); the world's
+    content changes with this scheme but stays deterministic and seeded."""
+    h = np.uint64((seed ^ stable_hash64(key)) & 0xFFFFFFFFFFFFFFFF)
+    ctr = np.arange(offset, offset + n, dtype=np.uint64)
+    return _splitmix(h + ctr * _SM_GAMMA)
+
+
 def _words(key: str, lo: int, hi: int, seed: int) -> list[str]:
-    rng = np.random.Generator(np.random.PCG64(seed ^ stable_hash64(key)))
-    n = int(rng.integers(lo, hi + 1))
-    idx = rng.integers(0, len(_WORDS), size=n)
+    n = lo + int(_stream(key, seed, 1)[0] % np.uint64(hi - lo + 1))
+    idx = _stream(key, seed, n, offset=1) % np.uint64(len(_WORDS))
     return [_WORDS[i] for i in idx]
 
 
@@ -118,20 +137,18 @@ class SynthWorld:
         base = self.neardup_base(d, pid, k)
         if base is not None:
             px = self.image_pixels(base).copy()
-            rng = np.random.Generator(
-                np.random.PCG64(self.seed ^ stable_hash64(f"perturb:{image_id}"))
-            )
             hh, ww = px.shape[:2]
-            ys = rng.integers(0, hh, size=4)
-            xs = rng.integers(0, ww, size=4)
-            px[ys, xs] = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+            draws = _stream(f"perturb:{image_id}", self.seed, 20)
+            ys = (draws[:4] % np.uint64(hh)).astype(np.int64)
+            xs = (draws[4:8] % np.uint64(ww)).astype(np.int64)
+            px[ys, xs] = (draws[8:20] % np.uint64(256)) \
+                .astype(np.uint8).reshape(4, 3)
             return px
         w = _WIDTHS[k % len(_WIDTHS)]
         h = _HEIGHTS[(k + 1) % len(_HEIGHTS)]
-        rng = np.random.Generator(
-            np.random.PCG64(self.seed ^ stable_hash64(image_id))
-        )
-        return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        nbytes = h * w * 3
+        raw = _stream(image_id, self.seed, -(-nbytes // 8)).view(np.uint8)
+        return raw[:nbytes].reshape(h, w, 3).copy()
 
     def caption(self, image_id: str) -> str:
         words = _words(f"caption:{image_id}", 3, 8, self.seed)
