@@ -421,13 +421,14 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from ragnificent_ray.pipelines import (ann, clustering, decontam, dedup,
-                                           relational, retrieval, sampling,
-                                           temporal, textstats)
+    from ragnificent_ray.pipelines import (ann, clustering, curation,
+                                           decontam, dedup, relational,
+                                           retrieval, sampling, temporal,
+                                           textstats)
 
     out: dict[str, Callable[[str], Any]] = {}
     for mod in (relational, textstats, dedup, ann, temporal, sampling,
-                decontam, clustering, retrieval):
+                decontam, clustering, retrieval, curation):
         out.update(mod.QUERIES)
     out.update({
         "rag_chunks": _rag_chunks,
@@ -855,13 +856,14 @@ def _emb_lsh_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    from ragnificent_ray.pipelines import (ann, clustering, decontam, dedup,
-                                           relational, retrieval, sampling,
-                                           temporal, textstats)
+    from ragnificent_ray.pipelines import (ann, clustering, curation,
+                                           decontam, dedup, relational,
+                                           retrieval, sampling, temporal,
+                                           textstats)
 
     out: dict[str, str] = {}
     for mod in (relational, textstats, dedup, ann, temporal, sampling,
-                decontam, clustering, retrieval):
+                decontam, clustering, retrieval, curation):
         out.update(mod.ORACLE_SQL)
     out["rag_chunks"] = _RAG_CHUNKS_SQL
     out["rag_chunks_sliding"] = _RAG_CHUNKS_SLIDING_SQL

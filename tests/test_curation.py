@@ -1,0 +1,82 @@
+"""Composite curation pipeline: planted-document semantics.
+
+The sf testdata contains no exact duplicates, so the dedup gate and the
+verdict precedence (quality > duplicate > contaminated) are exercised
+here on a hand-built documents table, with the DuckDB oracle run over
+the same table as a second check.
+"""
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+GOOD_WORDS = ("the cat and the dog ran over to the old stone house "
+              "and sat near the warm fire while rain fell on the roof "
+              "for hours as wind blew past the tall oak trees outside "
+              "and the quiet town slept under low grey clouds all night "
+              "until dawn came with pale light over the eastern hills")
+
+# an 8-gram of words that appear nowhere in GOOD_WORDS, so only the doc
+# that explicitly appends it shares a gram with the bench side
+CONTAM_TAIL = "zebra quilt meadow lantern copper violet harbor ember"
+
+
+def _mk_docs(tmp_path):
+    rows = [
+        # bench side (doc_id < 20): carries the 8-gram planted in doc 23
+        (5, CONTAM_TAIL + " plus unrelated filler words here", "en", "bench"),
+        # 20: clean keeper
+        (20, GOOD_WORDS, "en", "web"),
+        # 21: exact duplicate of 20 -> dropped_duplicate
+        (21, GOOD_WORDS, "en", "web"),
+        # 24/25: identical AND too short -> both dropped_quality, and 25
+        # is also non-canonical (precedence: quality wins)
+        (24, "too short to pass", "en", "web"),
+        (25, "too short to pass", "en", "web"),
+        # 23: passes quality, unique, but shares an 8-gram with bench
+        (23, GOOD_WORDS + " " + CONTAM_TAIL, "en", "web"),
+    ]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "text": pa.array([r[1] for r in rows], type=pa.string()),
+        "lang": pa.array([r[2] for r in rows], type=pa.string()),
+        "source": pa.array([r[3] for r in rows], type=pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], type=pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_curate_corpus_planted_verdicts(ray_session, tmp_path):
+    from ragnificent_ray.pipelines.curation import curate_corpus
+
+    sf_dir = _mk_docs(tmp_path)
+    got = curate_corpus(sf_dir).to_pandas().set_index("doc_id")
+
+    assert 5 not in got.index  # bench rows are not corpus candidates
+    assert got.loc[20, "kept"] == 1
+    assert got.loc[21, "is_canonical"] == 0 and got.loc[21, "kept"] == 0
+    assert got.loc[23, "n_contam_hits"] > 0 and got.loc[23, "kept"] == 0
+    assert got.loc[23, "passes_quality"] == 1  # dropped ONLY for contamination
+    assert got.loc[24, "passes_quality"] == 0
+    assert got.loc[25, "passes_quality"] == 0
+    assert got.loc[25, "is_canonical"] == 0  # duplicate of 24 as well
+
+
+def test_curation_report_precedence_and_oracle(ray_session, tmp_path):
+    from ragnificent_ray.pipelines.curation import ORACLE_SQL, curation_report
+
+    sf_dir = _mk_docs(tmp_path)
+    got = (curation_report(sf_dir).to_pandas()
+           .set_index("verdict")["n_docs"].to_dict())
+    # 20 kept; 21 duplicate; 23 contaminated; 24+25 quality (25 is ALSO
+    # a duplicate -- precedence assigns it to quality)
+    assert got == {"kept": 1, "dropped_duplicate": 1,
+                   "dropped_contaminated": 1, "dropped_quality": 2}
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    oracle = (con.execute(ORACLE_SQL["curation_report"]).df()
+              .set_index("verdict")["n_docs"].to_dict())
+    assert oracle == got
