@@ -147,6 +147,11 @@ def main() -> None:
     total = time.monotonic() - t0
     queries["crawl_harvest"] = crawl["sec"]
 
+    # sampled AFTER the timed sections: hypervisor-steal context for the
+    # numbers above (1.0 = linear host; BASELINE.md documents bursts to
+    # 2.3x at 32 procs that dilate every wall-clock fig proportionally)
+    dilation = _host_dilation(min(NUM_CPUS, 32))
+
     sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
     print(json.dumps({
         "metric": "pages_fetched_extracted_per_sec",
@@ -159,6 +164,7 @@ def main() -> None:
         "crawl_harvest_rows": crawl["harvest_rows"],
         "crawl_sec": crawl["sec"],
         "total_sec": round(total, 3),
+        "host_dilation": dilation,
     }))
     ray.shutdown()
 
