@@ -236,6 +236,43 @@ def gopher_quality_filter(sf_dir: str):
     return ds.map_batches(score, batch_format="pyarrow", batch_size=8192)
 
 
+# PII classes countable with RE2-compatible regexes (the subset of
+# functions/security.py:_REDACT_PATTERNS whose counts the DuckDB oracle
+# can mirror; \w is ASCII in RE2 vs unicode in Python — the corpus and
+# the planted-PII tests stay ASCII, divergence documented here).
+_PII_PATTERNS = {
+    "n_emails": re.compile(r"[\w\.-]+@[\w\.-]+\.\w+"),
+    "n_ips": re.compile(r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    "n_cards": re.compile(r"\b(?:\d{4}[-\s]?){3}\d{4}\b"),
+    "n_ssns": re.compile(r"\b\d{3}-\d{2}-\d{4}\b"),
+    "n_aws_keys": re.compile(r"AKIA[0-9A-Z]{16}"),
+}
+
+
+def pii_scan(sf_dir: str):
+    """Per-document PII exposure counts (emails, IPs, cards, SSNs, AWS
+    keys — the countable classes of M19's redaction patterns) plus the
+    combined ``any_pii`` flag. The audit pass a curation pipeline runs
+    BEFORE redaction: count first so drop-vs-redact policies (and the
+    oracle) can value-check, then ``redact_sensitive_data`` scrubs.
+    Pure per-batch map with module-compiled regexes, no shuffle."""
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def scan(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        cols: dict = {"doc_id": batch["doc_id"]}
+        counts = {k: [len(p.findall(t)) for t in texts]
+                  for k, p in _PII_PATTERNS.items()}
+        for k, v in counts.items():
+            cols[k] = pa.array(v, type=pa.int64())
+        cols["any_pii"] = pa.array(
+            [int(any(counts[k][i] for k in _PII_PATTERNS))
+             for i in range(len(texts))], type=pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(scan, batch_format="pyarrow", batch_size=8192)
+
+
 def vocab_top(sf_dir: str):
     """Vocabulary building: top-100 tokens by document frequency.
 
@@ -595,6 +632,27 @@ ORACLE_SQL = {
         SELECT token, COUNT(*) AS df FROM toks WHERE token <> ''
         GROUP BY token ORDER BY df DESC, token LIMIT 100
     """,
+    "pii_scan": r"""
+        WITH c AS (
+          SELECT doc_id,
+            len(regexp_extract_all(text, '[\w\.-]+@[\w\.-]+\.\w+'))
+                AS n_emails,
+            len(regexp_extract_all(text,
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+            len(regexp_extract_all(text,
+                '\b(?:\d{4}[-\s]?){3}\d{4}\b')) AS n_cards,
+            len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b'))
+                AS n_ssns,
+            len(regexp_extract_all(text, 'AKIA[0-9A-Z]{16}'))
+                AS n_aws_keys
+          FROM documents
+        )
+        SELECT doc_id, n_emails, n_ips, n_cards, n_ssns, n_aws_keys,
+               CAST(CASE WHEN n_emails + n_ips + n_cards + n_ssns
+                              + n_aws_keys > 0
+                    THEN 1 ELSE 0 END AS BIGINT) AS any_pii
+        FROM c
+    """,
     "quality_scores": f"""
         SELECT doc_id,
                ROUND(CAST(len(list_filter(
@@ -616,6 +674,7 @@ QUERIES = {
     "vocab_top": vocab_top,
     "repetition_scores": repetition_scores,
     "gopher_quality_filter": gopher_quality_filter,
+    "pii_scan": pii_scan,
     "unigram_logprob": unigram_logprob,
     "source_mixture": source_mixture,
     "lang_confusion": lang_confusion,
