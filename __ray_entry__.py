@@ -372,6 +372,15 @@ def _harvest_phash_neardup(sf_dir: str):
     return phash_neardup_pairs(harvest.select(["image_id", "phash"]))
 
 
+def _harvest_dedup_exact(sf_dir: str):
+    """Exact image dedup (payload blake2b) over the crawl harvest —
+    the planted cross-page duplicate images give n_copies > 1 rows."""
+    from ragnificent_ray.pipelines.dedup import image_dedup_exact
+
+    harvest = _crawl_harvest(sf_dir)
+    return image_dedup_exact(harvest.select(["image_id", "bytes"]))
+
+
 def _crawl_main_content(sf_dir: str):
     """M13+M14: main-content selection + HTML cleaning over round-0 pages."""
     import pyarrow as pa
@@ -441,6 +450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_main_content": _crawl_main_content,
         "crawl_markdown_py": _crawl_markdown_py,
         "harvest_phash_neardup": _harvest_phash_neardup,
+        "harvest_dedup_exact": _harvest_dedup_exact,
         "crawl_harvest": _crawl_harvest,
         "crawl_order": _crawl_order,
         "crawl_documents": _crawl_documents,

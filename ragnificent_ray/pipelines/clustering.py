@@ -394,9 +394,85 @@ ORACLE_SQL = {
     """,
 }
 
+def int8_quantize(sf_dir: str):
+    """Symmetric per-dimension int8 scalar quantization of the
+    embedding column — the compression step a 100 TB vector store runs
+    before indexing (4x smaller than float32; PQ's scalar baseline).
+
+    Two-pass combiner discipline like ``rag.tfidf_embed``: pass 1
+    reduces each batch to one (dim, max_abs) partial row per dimension
+    (the shuffle moves ``dim`` rows per block, nothing else), a tiny
+    ``groupby(d).max`` folds them, and the resulting scale vector is a
+    broadcast into the pass-2 quantizing map. Emits integer-exact
+    ``q_l1`` (sum of |int8 code|) per vector — a bit-strength oracle
+    check — plus the reconstruction ``mse``."""
+    from ray.data.aggregate import Max
+
+    ds = rd.read_parquet(_pq(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+
+    def maxabs_partial(batch: pa.Table) -> pa.Table:
+        m = np.abs(list_column_matrix(batch.column("embedding"),
+                                      dtype=np.float64)).max(axis=0)
+        return pa.table({
+            "d": pa.array(np.arange(len(m), dtype=np.int32)),
+            "m": pa.array(m, type=pa.float64()),
+        })
+
+    parts = (ds.map_batches(maxabs_partial, batch_format="pyarrow",
+                            batch_size=4096)
+             .groupby("d").aggregate(Max("m", alias_name="m"))
+             .to_pandas())
+    scale = np.zeros(len(parts), dtype=np.float64)
+    scale[parts["d"].to_numpy()] = parts["m"].to_numpy()
+    scale = np.where(scale == 0.0, 1.0, scale)  # all-zero dim guard
+    scale_ref = ray.put(scale)
+
+    class Quant:
+        def __init__(self, ref):
+            self.scale = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            x = list_column_matrix(batch.column("embedding"),
+                                   dtype=np.float64)
+            q = round_half_away(x / self.scale * 127.0, 0)
+            rec = q * self.scale / 127.0
+            return pa.table({
+                "vec_id": batch["vec_id"],
+                "q_l1": pa.array(np.abs(q).sum(axis=1).astype(np.int64)),
+                "mse": pa.array(
+                    round_half_away(((x - rec) ** 2).mean(axis=1), 8),
+                    type=pa.float64()),
+            })
+
+    return ds.map_batches(Quant, fn_constructor_kwargs={"ref": scale_ref},
+                          batch_format="pyarrow", batch_size=4096,
+                          concurrency=2)
+
+
+ORACLE_SQL["int8_quantize"] = r"""
+    WITH u AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             unnest(range(1, len(embedding) + 1)) AS d
+      FROM embeddings
+    ), s AS (
+      SELECT d, CASE WHEN MAX(abs(x)) = 0 THEN 1
+                     ELSE MAX(abs(x)) END AS m
+      FROM u GROUP BY d
+    ), q AS (
+      SELECT u.vec_id, u.x, s.m, ROUND(u.x / s.m * 127, 0) AS qv
+      FROM u JOIN s USING (d)
+    )
+    SELECT vec_id,
+           CAST(SUM(ABS(qv)) AS BIGINT) AS q_l1,
+           ROUND(AVG(POW(x - qv * m / 127, 2)), 8) AS mse
+    FROM q GROUP BY vec_id
+"""
+
 QUERIES = {
     "kmeans_assign": kmeans_assign,
     "ann_ivf_topk": ann_ivf_topk,
     "semantic_dedup": semantic_dedup,
     "cluster_purity": cluster_purity,
+    "int8_quantize": int8_quantize,
 }

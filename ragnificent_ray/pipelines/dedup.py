@@ -934,6 +934,57 @@ ORACLE_SQL = {
     """,
 }
 
+def image_dedup_exact(ds, n_buckets: int = _BUCKETS):
+    """Exact image dedup over a harvest-shaped table: blake2b-16 of the
+    ENCODED payload (no decode needed — byte-identical fetches are the
+    exact-dup class; near-dups are :func:`phash_neardup_pairs`'s job).
+
+    The payload bytes are hashed straight off the Arrow buffers
+    (offsets + one memoryview — no per-row Python bytes copies), the
+    heavy column is dropped immediately, and the bounded-bucket
+    group-first keeps the lexicographic-min image_id per hash with its
+    copy count. Same D3 discipline as :func:`exact_dedup`; the shuffle
+    moves (hash, id) rows only.
+
+    ``ds``: Dataset or Arrow table with (image_id, bytes) columns.
+    """
+    import hashlib
+
+    import ray.data as rd
+
+    if isinstance(ds, pa.Table):
+        ds = rd.from_arrow(ds.select(["image_id", "bytes"]))
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        arr = batch.column("bytes").combine_chunks()
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+            arr.offset: arr.offset + len(arr) + 1]
+        data = memoryview(arr.buffers()[2])
+        hs = [hashlib.blake2b(data[offs[i]:offs[i + 1]],
+                              digest_size=16).hexdigest()
+              for i in range(len(arr))]
+        return pa.table({
+            "image_id": batch["image_id"],
+            "content_hash": pa.array(hs, type=pa.string()),
+            "bucket": pa.array([int(h[:8], 16) % n_buckets for h in hs],
+                               type=pa.int32()),
+        })
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["content_hash", "image_id"])
+        agg = (g.groupby("content_hash", sort=True)
+               .agg(keeper=("image_id", "first"),
+                    n_copies=("image_id", "size"))
+               .reset_index())
+        return agg[["content_hash", "keeper", "n_copies"]]
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow", batch_size=2048)
+        .groupby("bucket")
+        .map_groups(bucket_fold, batch_format="pandas")
+    )
+
+
 QUERIES = {
     "exact_dedup": exact_dedup,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,

@@ -68,3 +68,26 @@ def test_synth_world_planted_pairs_surface_end_to_end(ray_session):
                 planted.add((a, b))
     assert planted, "world must plant pairs"
     assert planted <= got, planted - got
+
+
+def test_image_dedup_exact_kernel(ray_session):
+    """Planted byte-identical payloads collapse to one keeper with the
+    right copy count; the Arrow-buffer hash path must honor array
+    offsets (exercised via a sliced table)."""
+    import pyarrow as pa
+
+    from ragnificent_ray.pipelines.dedup import image_dedup_exact
+
+    payload_a, payload_b = b"\x89PNGfake-a" * 40, b"\x89PNGfake-b" * 40
+    t = pa.table({
+        "image_id": pa.array(["skip", "img1", "img2", "img3", "img4"]),
+        "bytes": pa.array(
+            [b"sliced-away", payload_a, payload_b, payload_a, payload_a],
+            type=pa.binary()),
+    }).slice(1)  # non-zero offset into the offsets/data buffers
+
+    got = image_dedup_exact(t).to_pandas().set_index("keeper")
+    assert len(got) == 2
+    assert got.loc["img1", "n_copies"] == 3  # img1+img3+img4 identical
+    assert got.loc["img2", "n_copies"] == 1
+    assert got["n_copies"].sum() == 4
