@@ -431,13 +431,13 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from ragnificent_ray.pipelines import (ann, clustering, curation,
-                                           decontam, dedup, relational,
-                                           retrieval, sampling, temporal,
-                                           textstats)
+                                           decontam, dedup, packing,
+                                           relational, retrieval, sampling,
+                                           temporal, textstats)
 
     out: dict[str, Callable[[str], Any]] = {}
     for mod in (relational, textstats, dedup, ann, temporal, sampling,
-                decontam, clustering, retrieval, curation):
+                decontam, clustering, retrieval, curation, packing):
         out.update(mod.QUERIES)
     out.update({
         "rag_chunks": _rag_chunks,
@@ -818,6 +818,29 @@ def _ann_lsh_sql() -> str:
 
 
 
+def _ann_lsh_recall_sql() -> str:
+    """Recall@k oracle: compose the exact-top-k SQL and the
+    literal-hyperplane LSH SQL as CTEs, overlap per query."""
+    from ragnificent_ray.pipelines import ann
+
+    return f"""
+    WITH ex AS ({ann.ORACLE_SQL["ann_topk"]}),
+    ap AS ({_ann_lsh_sql()}),
+    hits AS (
+        SELECT ex.query_id, COUNT(ap.neighbor_id) AS n_hit
+        FROM ex LEFT JOIN ap
+          ON ap.query_id = ex.query_id
+         AND ap.neighbor_id = ex.neighbor_id
+        GROUP BY ex.query_id
+    ),
+    ne AS (SELECT query_id, COUNT(*) AS n_exact FROM ex GROUP BY query_id),
+    nl AS (SELECT query_id, COUNT(*) AS n_lsh FROM ap GROUP BY query_id)
+    SELECT ne.query_id, ne.n_exact, COALESCE(nl.n_lsh, 0) AS n_lsh,
+           ROUND(CAST(hits.n_hit AS DOUBLE) / ne.n_exact, 4) AS recall
+    FROM ne JOIN hits USING (query_id) LEFT JOIN nl USING (query_id)
+"""
+
+
 def _emb_lsh_sql() -> str:
     """DuckDB oracle for embedding_neardup_lsh: the 120 seeded band
     hyperplanes embedded as float64 literals, candidacy = identical
@@ -867,13 +890,13 @@ def _emb_lsh_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from ragnificent_ray.pipelines import (ann, clustering, curation,
-                                           decontam, dedup, relational,
-                                           retrieval, sampling, temporal,
-                                           textstats)
+                                           decontam, dedup, packing,
+                                           relational, retrieval, sampling,
+                                           temporal, textstats)
 
     out: dict[str, str] = {}
     for mod in (relational, textstats, dedup, ann, temporal, sampling,
-                decontam, clustering, retrieval, curation):
+                decontam, clustering, retrieval, curation, packing):
         out.update(mod.ORACLE_SQL)
     out["rag_chunks"] = _RAG_CHUNKS_SQL
     out["rag_chunks_sliding"] = _RAG_CHUNKS_SLIDING_SQL
@@ -882,6 +905,7 @@ def oracle_sql() -> dict[str, str]:
     out["minhash_lsh_pairs"] = _minhash_lsh_sql()
     out["dedup_clusters"] = _dedup_clusters_sql()
     out["ann_lsh_topk"] = _ann_lsh_sql()
+    out["ann_lsh_recall"] = _ann_lsh_recall_sql()
     out["embedding_neardup_lsh"] = _emb_lsh_sql()
     out["rag_embed_norms"] = _RAG_EMBED_NORMS_SQL
     out["tfidf_embed"] = _TFIDF_EMBED_SQL

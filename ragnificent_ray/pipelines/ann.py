@@ -149,6 +149,49 @@ def ann_lsh_topk(sf_dir: str):
 
 
 
+def ann_lsh_recall(sf_dir: str):
+    """Recall@k of the LSH probe against the exact top-k, per query —
+    the accuracy gauge every approximate-index deployment reports
+    alongside its speedup.
+
+    Both result sets are tiny (≤ Q·k rows), so the comparison is a
+    tagged union + per-query set overlap; the heavy work is the two
+    searches themselves, which keep their own scale shapes."""
+
+    def tag(name):
+        def add(batch: pa.Table, name=name) -> pa.Table:
+            return pa.table({
+                "query_id": batch["query_id"],
+                "neighbor_id": batch["neighbor_id"],
+                "src": pa.array([name] * len(batch), type=pa.string()),
+            })
+        return add
+
+    # Each branch materializes before the union: results are ≤ Q·k rows
+    # (bounded by construction, not by input size), and running both
+    # actor-pool searches concurrently would demand 2× the pool CPUs at
+    # once — sequencing them keeps the op runnable at any cluster size.
+    exact = ann_topk(sf_dir).map_batches(
+        tag("exact"), batch_format="pyarrow").materialize()
+    approx = ann_lsh_topk(sf_dir).map_batches(
+        tag("lsh"), batch_format="pyarrow").materialize()
+    both = exact.union(approx)
+
+    def recall(g: pd.DataFrame) -> pd.DataFrame:
+        e = set(g.loc[g["src"] == "exact", "neighbor_id"])
+        l = set(g.loc[g["src"] == "lsh", "neighbor_id"])
+        return pd.DataFrame({
+            "query_id": pd.array([int(g["query_id"].iloc[0])],
+                                 dtype="int64"),
+            "n_exact": pd.array([len(e)], dtype="int64"),
+            "n_lsh": pd.array([len(l)], dtype="int64"),
+            "recall": [round_half_away(len(e & l) / len(e), 4)
+                       if e else 0.0],
+        })
+
+    return both.groupby("query_id").map_groups(recall, batch_format="pandas")
+
+
 def search_rerank(sf_dir: str):
     """Vector search + rerank (O3, ``rag/search.py:148-305``): over-fetch
     2k candidates by cosine, rerank with the reference's exact formula
@@ -315,4 +358,5 @@ QUERIES = {
     "ann_topk": ann_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "search_rerank": search_rerank,
+    "ann_lsh_recall": ann_lsh_recall,
 }

@@ -408,6 +408,96 @@ def simhash64(sf_dir: str):
     return ds.map_batches(sketch, batch_format="pyarrow", batch_size=4096)
 
 
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 15  # 60 sketch bits / 4 bands
+SIMHASH_HAMMING_K = 3  # pigeonhole: ≤3 differing bits ⇒ ≥1 equal band
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (numpy<2 has no bitwise_count)."""
+    x = np.ascontiguousarray(x, dtype=np.uint64)
+    return _POP8[x.view(np.uint8).reshape(len(x), 8)].sum(
+        axis=1).astype(np.int64)
+
+
+def simhash_neardup_pairs(sf_dir: str, k: int = SIMHASH_HAMMING_K):
+    """Near-duplicate pairs by SimHash hamming distance ≤ ``k`` via
+    banded bucketing (the classic sketch-side LSH for hamming space).
+
+    The 60-bit sketch splits into 4 disjoint 15-bit bands; any pair
+    within hamming 3 differs in at most 3 bands, so at least one band
+    matches exactly (pigeonhole) — candidate generation by band-equality
+    buckets is therefore COMPLETE for k=3, and the emitted set equals
+    the brute-force hamming self-join the DuckDB oracle computes.
+
+    Scale shape: no all-pairs anywhere. The sketch rides along with the
+    band rows (8 bytes — unlike MinHash there is no join-back), pairs
+    form per bounded bucket with a vectorized self-merge, the hamming
+    filter applies in the same group call, and duplicates collapse in
+    bounded pair-buckets. Only narrow (doc_id, band, sketch) rows ever
+    shuffle; at 10^10 docs the exchange is ~32 bytes/doc·band."""
+    n_buckets = _bucket_count(sf_dir)
+    mask = np.uint64((1 << SIMHASH_BAND_BITS) - 1)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sh = batch.column("simhash").to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        n = len(ids)
+        doc = np.repeat(ids.astype(np.int64), SIMHASH_BANDS)
+        sig = np.repeat(sh, SIMHASH_BANDS)
+        band_id = np.tile(np.arange(SIMHASH_BANDS, dtype=np.int64), n)
+        shift = (band_id * SIMHASH_BAND_BITS).astype(np.uint64)
+        band_val = (sig >> shift) & mask
+        bucket = ((band_val * np.uint64(2654435761)
+                   + band_id.astype(np.uint64)) % np.uint64(n_buckets))
+        return pa.table({
+            "doc_id": pa.array(doc),
+            "simhash": pa.array(sig.astype(np.int64)),
+            "band_id": pa.array(band_id.astype(np.int32)),
+            "band_val": pa.array(band_val.astype(np.int64)),
+            "bucket": pa.array(bucket.astype(np.int32)),
+        })
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on=["band_id", "band_val"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        if not len(m):
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                 "doc_b": pd.Series(dtype="int64"),
+                                 "hamming": pd.Series(dtype="int64")})
+        ham = _popcount64(
+            m["simhash_x"].to_numpy().astype(np.uint64)
+            ^ m["simhash_y"].to_numpy().astype(np.uint64))
+        m = m.assign(hamming=ham)
+        m = m[m["hamming"] <= k]
+        out = m.rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"})
+        return out[["doc_a", "doc_b", "hamming"]].drop_duplicates(
+            ["doc_a", "doc_b"])
+
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        da = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        db = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        pb = ((da * np.int64(1000003) + db) % n_buckets).astype(np.int32)
+        return batch.append_column("pair_bucket", pa.array(pb))
+
+    def pair_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["doc_a", "doc_b"])[
+            ["doc_a", "doc_b", "hamming"]]
+
+    return (
+        simhash64(sf_dir)
+        .map_batches(explode, batch_format="pyarrow", batch_size=8192)
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("pair_bucket")
+        .map_groups(pair_dedup, batch_format="pandas")
+    )
+
+
 # ------------------------------------------------- embedding cosine near-dup
 
 class _BlockCosine:
@@ -853,6 +943,30 @@ def phash_neardup_pairs(ds, max_hamming: int = 8):
     )
 
 
+# SimHash sketch as a reusable CTE (60-bit md5-token sign aggregation);
+# ``sh`` is (doc_id, simhash) — shared by the sketch and the pair oracle.
+_SIMHASH_SQL_CTE = r"""t AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\s+') AS toks
+            FROM documents
+        ), tk AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+            FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+        ), bits AS (
+            SELECT doc_id, r.range AS i,
+                   SUM((h >> r.range) & 1) AS ones,
+                   COUNT(*) AS n
+            FROM tk, range(60) r
+            GROUP BY doc_id, r.range
+        ), sh AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN 2 * ones > n
+                             THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+                    AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id
+        )"""
+
 ORACLE_SQL = {
     "duplicate_ngram_fraction": rf"""
         WITH t AS (
@@ -899,27 +1013,17 @@ ORACLE_SQL = {
               / len(list_distinct(list_concat(a.toks, b.toks)))
               >= {JACCARD_THRESHOLD}
     """,
-    "simhash64": r"""
-        WITH t AS (
-            SELECT doc_id,
-                   regexp_split_to_array(trim(text), '\s+') AS toks
-            FROM documents
-        ), tk AS (
-            SELECT doc_id,
-                   CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
-            FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
-        ), bits AS (
-            SELECT doc_id, r.range AS i,
-                   SUM((h >> r.range) & 1) AS ones,
-                   COUNT(*) AS n
-            FROM tk, range(60) r
-            GROUP BY doc_id, r.range
-        )
-        SELECT doc_id,
-               CAST(SUM(CASE WHEN 2 * ones > n
-                             THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
-                    AS BIGINT) AS simhash
-        FROM bits GROUP BY doc_id
+    "simhash64": f"""
+        WITH {_SIMHASH_SQL_CTE}
+        SELECT doc_id, simhash FROM sh
+    """,
+    "simhash_neardup_pairs": f"""
+        WITH {_SIMHASH_SQL_CTE}
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                   AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_K}
     """,
     "embedding_neardup": f"""
         WITH e AS (
@@ -992,6 +1096,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "duplicate_ngram_fraction": duplicate_ngram_fraction,
     "simhash64": simhash64,
+    "simhash_neardup_pairs": simhash_neardup_pairs,
     "embedding_neardup": embedding_neardup,
     "embedding_neardup_lsh": embedding_neardup_lsh,
 }

@@ -1,0 +1,122 @@
+"""Sequence packing — assign documents to fixed-length training
+sequences (the GPT-style pack-and-split step every LLM pretraining
+pipeline runs between curation and tokenized-shard writing).
+
+Semantics: documents concatenate in ``doc_id`` order into one token
+stream (whitespace tokens, same count as ``textstats.token_stats``);
+the stream splits into sequences of ``SEQ_LEN`` tokens, documents
+spanning boundaries. Output is the per-document placement: global
+start offset, first/last sequence id, offset within the first
+sequence, and how many sequences the doc touches — exactly what a
+shard writer needs to emit packed examples, and fully SQL-expressible
+(a running-sum window) for the driver oracle.
+
+Scale shape — distributed prefix sum, no driver materialization:
+
+1. one streaming pass computes (doc_id, n_tokens, bucket) where
+   ``bucket = doc_id // RANGE`` (contiguous id ranges, so bucket order
+   IS stream order);
+2. per-bucket token subtotals reduce via a native ``groupby().sum()``
+   — ONE ROW PER BUCKET reaches the driver (bounded: ~n_docs/8192),
+   which computes the exclusive prefix over buckets and broadcasts it
+   with ``ray.put`` (read once per task, never re-shipped per batch);
+3. a bounded-bucket ``map_groups`` sorts each id-range locally and
+   adds bucket_start + local exclusive cumsum.
+
+At 10^10 docs the only shuffle moves 24-byte rows and the broadcast
+table is ~1.2M int pairs — both bounded; the text column never moves.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+SEQ_LEN = 512  # tokens per packed training sequence
+_BUCKET_RANGE = 8192  # doc_ids per contiguous prefix bucket
+
+
+def _pq(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def sequence_pack(sf_dir: str, seq_len: int = SEQ_LEN):
+    """Per-document placement in the packed fixed-length token stream."""
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n_tok = np.fromiter(
+            (len(t.split()) for t in
+             (s.strip() for s in batch.column("text").to_pylist())),
+            dtype=np.int64, count=len(ids))
+        return pa.table({
+            "doc_id": pa.array(ids.astype(np.int64)),
+            "n_tokens": pa.array(n_tok),
+            "bucket": pa.array((ids // _BUCKET_RANGE).astype(np.int64)),
+        })
+
+    narrow = ds.map_batches(
+        counts, batch_format="pyarrow", batch_size=8192).materialize()
+
+    # bounded reduction: one row per id-range bucket
+    subtotals = narrow.groupby("bucket").sum("n_tokens").to_pandas()
+    subtotals = subtotals.sort_values("bucket").reset_index(drop=True)
+    tot = subtotals["sum(n_tokens)"].to_numpy(dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(tot)[:-1]))
+    bucket_start_ref = ray.put(dict(zip(
+        subtotals["bucket"].astype(np.int64).tolist(), starts.tolist())))
+
+    def place(g: pd.DataFrame) -> pd.DataFrame:
+        base = ray.get(bucket_start_ref)[int(g["bucket"].iloc[0])]
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        n = g["n_tokens"].to_numpy(dtype=np.int64)
+        start = base + np.concatenate(([0], np.cumsum(n)[:-1]))
+        seq_id = start // seq_len
+        last = np.maximum(start, start + n - 1)  # n=0 stays in its slot
+        end_seq = last // seq_len
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype("int64"),
+            "n_tokens": n,
+            "start_tok": start,
+            "seq_id": seq_id.astype(np.int64),
+            "seq_offset": (start % seq_len).astype(np.int64),
+            "n_seqs": np.where(n == 0, 0, end_seq - seq_id + 1)
+            .astype(np.int64),
+        })
+
+    return narrow.groupby("bucket").map_groups(place, batch_format="pandas")
+
+
+ORACLE_SQL = {
+    "sequence_pack": f"""
+        WITH c AS (
+          SELECT doc_id,
+                 len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+          FROM documents
+        ), p AS (
+          SELECT doc_id, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (
+                     ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS start_tok
+          FROM c
+        )
+        SELECT doc_id, n_tokens, start_tok,
+               start_tok // {SEQ_LEN} AS seq_id,
+               start_tok % {SEQ_LEN} AS seq_offset,
+               CASE WHEN n_tokens = 0 THEN 0
+                    ELSE (start_tok + n_tokens - 1) // {SEQ_LEN}
+                         - start_tok // {SEQ_LEN} + 1 END AS n_seqs
+        FROM p
+    """,
+}
+
+QUERIES = {
+    "sequence_pack": sequence_pack,
+}
