@@ -774,6 +774,19 @@ def _dedup_clusters_sql() -> str:
     """
 
 
+def _dedup_keep_sql() -> str:
+    """Oracle for dedup_keep: documents minus non-representative
+    cluster members, representatives flagged."""
+    return f"""
+    WITH lab AS ({_dedup_clusters_sql()})
+    SELECT d.doc_id,
+           CAST(CASE WHEN lab.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                AS BIGINT) AS in_cluster
+    FROM documents d LEFT JOIN lab ON lab.doc_id = d.doc_id
+    WHERE lab.doc_id IS NULL OR lab.component = d.doc_id
+    """
+
+
 def _ann_lsh_sql() -> str:
     """DuckDB oracle for ann_lsh_topk: the 8 seeded hyperplanes embedded
     as float64 literals (repr round-trips exactly), bucket = packed sign
@@ -904,6 +917,7 @@ def oracle_sql() -> dict[str, str]:
     out["rag_chunks_rust"] = _RAG_CHUNKS_RUST_SQL
     out["minhash_lsh_pairs"] = _minhash_lsh_sql()
     out["dedup_clusters"] = _dedup_clusters_sql()
+    out["dedup_keep"] = _dedup_keep_sql()
     out["ann_lsh_topk"] = _ann_lsh_sql()
     out["ann_lsh_recall"] = _ann_lsh_recall_sql()
     out["embedding_neardup_lsh"] = _emb_lsh_sql()

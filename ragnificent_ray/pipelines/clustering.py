@@ -290,7 +290,92 @@ def cluster_purity(sf_dir: str):
             .aggregate(Sum("n", alias_name="n")))
 
 
+KNN_K = 10
+
+
+def knn_label_accuracy(sf_dir: str):
+    """Leave-one-out kNN label prediction over the embedding column —
+    the standard embedding-quality eval (does cosine neighborhood
+    structure recover the ground-truth ``label``?).
+
+    Per vector: top-``KNN_K`` cosine neighbors excluding itself,
+    majority vote with deterministic tie-break (higher count first,
+    smaller label wins ties). Exact gate: the corpus matrix broadcasts
+    once (``ray.put``) and each batch block-matmuls against it — same
+    documented ~10M-vector ceiling as ``embedding_neardup``, with
+    ``ann_ivf_topk`` as the bucketed scale route."""
+    t = pq.read_table(_pq(sf_dir, "embeddings"),
+                      columns=["vec_id", "embedding", "label"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    labels = np.asarray(t.column("label").to_pylist(), dtype=np.int64)
+    m = list_column_matrix(t.column("embedding"), dtype=np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    ref = ray.put((ids, labels, m))
+
+    ds = rd.read_parquet(_pq(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding", "label"])
+
+    class Vote:
+        def __init__(self, ref):
+            self.ids, self.labels, self.m = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            q_ids = np.asarray(batch.column("vec_id").to_pylist(),
+                               dtype=np.int64)
+            q_lab = np.asarray(batch.column("label").to_pylist(),
+                               dtype=np.int64)
+            x = list_column_matrix(batch.column("embedding"),
+                                   dtype=np.float64)
+            x /= np.linalg.norm(x, axis=1, keepdims=True)
+            sims = x @ self.m.T  # (B, N)
+            pred = np.empty(len(q_ids), dtype=np.int64)
+            for i in range(len(q_ids)):
+                row = sims[i].copy()
+                row[self.ids == q_ids[i]] = -np.inf  # leave-one-out
+                top = np.lexsort((self.ids, -row))[:KNN_K]
+                votes: dict[int, int] = {}
+                for lb in self.labels[top]:
+                    votes[int(lb)] = votes.get(int(lb), 0) + 1
+                pred[i] = min(votes, key=lambda lb: (-votes[lb], lb))
+            return pa.table({
+                "vec_id": pa.array(q_ids),
+                "true_label": pa.array(q_lab),
+                "pred_label": pa.array(pred),
+                "correct": pa.array((pred == q_lab).astype(np.int64)),
+            })
+
+    return ds.map_batches(Vote, fn_constructor_kwargs={"ref": ref},
+                          batch_format="pyarrow", batch_size=2048,
+                          concurrency=2)
+
+
 ORACLE_SQL = {
+    "knn_label_accuracy": f"""
+        WITH e AS (
+          SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings
+        ), scored AS (
+          SELECT a.vec_id AS q, b.vec_id AS n, b.label,
+                 list_cosine_similarity(a.emb, b.emb) AS sim
+          FROM e a JOIN e b ON a.vec_id <> b.vec_id
+        ), topk AS (
+          SELECT q, label FROM scored
+          QUALIFY ROW_NUMBER() OVER (
+              PARTITION BY q ORDER BY sim DESC, n) <= {KNN_K}
+        ), votes AS (
+          SELECT q, label, COUNT(*) AS c FROM topk GROUP BY q, label
+        ), pred AS (
+          SELECT q AS vec_id, label AS pred_label FROM votes
+          QUALIFY ROW_NUMBER() OVER (
+              PARTITION BY q ORDER BY c DESC, label) = 1
+        )
+        SELECT e.vec_id, CAST(e.label AS BIGINT) AS true_label,
+               CAST(p.pred_label AS BIGINT) AS pred_label,
+               CAST(CASE WHEN e.label = p.pred_label
+                         THEN 1 ELSE 0 END AS BIGINT) AS correct
+        FROM e JOIN pred p USING (vec_id)
+    """,
     "kmeans_assign": f"""
         WITH c AS (
           SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
@@ -475,4 +560,5 @@ QUERIES = {
     "semantic_dedup": semantic_dedup,
     "cluster_purity": cluster_purity,
     "int8_quantize": int8_quantize,
+    "knn_label_accuracy": knn_label_accuracy,
 }

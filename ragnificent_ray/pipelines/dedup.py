@@ -855,6 +855,58 @@ def dedup_clusters(sf_dir: str, max_iters: int = 16,
     return labels.map_batches(_rename, batch_format="pyarrow")
 
 
+def dedup_keep(sf_dir: str):
+    """The kept corpus after MinHash near-dedup: every document except
+    non-representative cluster members (the actual "write the deduped
+    dataset" step downstream of :func:`dedup_clusters`).
+
+    A document is dropped iff its cluster component label is smaller
+    than its own id; kept docs carry ``in_cluster`` (1 = it is the
+    representative of a multi-doc cluster, 0 = untouched singleton).
+
+    Scale shape: the removal set is edge-derived, NOT assumed
+    driver-small — corpus ids and cluster labels meet in a bounded-
+    bucket groupby (narrow int rows only; no broadcast of the removed
+    set, no join of the corpus)."""
+    n_buckets = _bucket_count(sf_dir)
+    labels = dedup_clusters(sf_dir)
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids.astype(np.int64)),
+            "marker": pa.array(np.zeros(len(ids), dtype=np.int8)),
+            "bucket": pa.array((ids % n_buckets).astype(np.int32)),
+        })
+
+    def label_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        comp = batch.column("component").to_numpy(zero_copy_only=False)
+        # 1 = removed (label beats id), 2 = cluster representative
+        marker = np.where(comp < ids, 1, 2).astype(np.int8)
+        return pa.table({
+            "doc_id": pa.array(ids.astype(np.int64)),
+            "marker": pa.array(marker),
+            "bucket": pa.array((ids % n_buckets).astype(np.int32)),
+        })
+
+    docs = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id"]) \
+        .map_batches(doc_rows, batch_format="pyarrow", batch_size=8192)
+    marks = labels.map_batches(label_rows, batch_format="pyarrow")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("doc_id")["marker"].max()
+        keep = m[m != 1]
+        return pd.DataFrame({
+            "doc_id": keep.index.to_numpy(dtype=np.int64),
+            "in_cluster": (keep.to_numpy() == 2).astype(np.int64),
+        })
+
+    return (docs.union(marks)
+            .groupby("bucket")
+            .map_groups(fold, batch_format="pandas"))
+
+
 # ------------------------------------------------- phash near-dup (images)
 
 def phash_neardup_pairs(ds, max_hamming: int = 8):
@@ -1094,6 +1146,7 @@ QUERIES = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "dedup_clusters": dedup_clusters,
+    "dedup_keep": dedup_keep,
     "duplicate_ngram_fraction": duplicate_ngram_fraction,
     "simhash64": simhash64,
     "simhash_neardup_pairs": simhash_neardup_pairs,

@@ -57,6 +57,55 @@ def stratified_sample(sf_dir: str):
     return ds.map_batches(keep, batch_format="pyarrow", batch_size=8192)
 
 
+# target mix weights by source for mix_sample (unlisted sources weight 1);
+# the output composition is proportional to these, water-filled so the
+# scarcest stratum caps the total (no stratum can be over-drawn)
+MIX_WEIGHTS: dict[str, int] = {"src0": 4, "src1": 2, "src2": 2}
+_MIX_SCALE = 1_000_000
+
+
+def mix_sample(sf_dir: str):
+    """Deterministic corpus mixing to a target source composition.
+
+    Given integer weights per ``source``, the achievable total is
+    water-filled: T = min_s floor(count_s / w_s) docs per weight unit,
+    and stratum s keeps at rate w_s·T / count_s. The keep decision is
+    the same md5-bucket Bernoulli as :func:`stratified_sample`, but the
+    threshold compare is INTEGER (bucket·count_s < w_s·T·1e6) so the
+    Ray side and the SQL oracle agree bit-for-bit with no float
+    boundary risk.
+
+    Scale shape: stratum counts reduce via a native groupby to one row
+    per source (bounded — sources are a catalog, not a corpus), the
+    driver computes T from that tiny frame, and the keep pass is a
+    pure per-batch filter. Nothing corpus-sized leaves the stream."""
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "source"])
+
+    counts = ds.groupby("source").count().to_pandas()
+    cmap = dict(zip(counts["source"], counts["count()"].astype(int)))
+    total_units = min(int(c) // MIX_WEIGHTS.get(s, 1)
+                      for s, c in cmap.items())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        mask = []
+        for d, s in zip(ids, srcs):
+            b = int(md5_hex(str(d))[:8], 16) % _MIX_SCALE
+            mask.append(b * cmap[s]
+                        < MIX_WEIGHTS.get(s, 1) * total_units * _MIX_SCALE)
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow", batch_size=8192)
+
+
+def _mix_weight_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{s}' THEN {w}" for s, w in sorted(MIX_WEIGHTS.items()))
+    return f"CASE source {whens} ELSE 1 END"
+
+
 def _rate_case_sql() -> str:
     whens = " ".join(
         f"WHEN '{lang}' THEN {rate}"
@@ -66,6 +115,20 @@ def _rate_case_sql() -> str:
 
 
 ORACLE_SQL = {
+    "mix_sample": f"""
+        WITH c AS (
+          SELECT source, COUNT(*) AS cnt,
+                 {_mix_weight_case_sql()} AS wt
+          FROM documents GROUP BY source
+        ), t AS (
+          SELECT MIN(cnt // wt) AS total_units FROM c
+        )
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN c ON c.source = d.source CROSS JOIN t
+        WHERE (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % {_MIX_SCALE}) * c.cnt
+              < c.wt * t.total_units * {_MIX_SCALE}
+    """,
     "stratified_sample": f"""
         SELECT doc_id, lang FROM documents
         WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
@@ -75,4 +138,5 @@ ORACLE_SQL = {
 
 QUERIES = {
     "stratified_sample": stratified_sample,
+    "mix_sample": mix_sample,
 }
