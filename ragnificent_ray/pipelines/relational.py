@@ -160,6 +160,109 @@ def segment_revenue(sf_dir: str):
     )
 
 
+def _fact_join_partitions(sf_dir: str, table: str = "lineitem",
+                          target_bytes: int = 64 << 20) -> int:
+    """Hash-join exchange partitions sized to the fact table (~64 MiB
+    each), capped by cluster CPUs; 2 at test scale so aggregator-actor
+    startup doesn't dominate."""
+    try:
+        sz = os.path.getsize(_pq(sf_dir, table))
+    except OSError:
+        sz = 0
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return max(2, min(max(2, cpus // 2), int(sz // target_bytes) + 1))
+
+
+def nation_revenue(sf_dir: str):
+    """Revenue by customer nation (TPC-H Q5 flavor) — the BIG ⋈ BIG
+    join shape: lineitem ⋈ orders and then ⋈ customer run as
+    distributed hash joins (both sides corpus-scale by contract — no
+    broadcast), while the 25-row nation dim IS a broadcast lookup.
+
+    Row width is cut before every exchange: lineitem collapses to
+    (orderkey, revenue) with a batch-local Arrow group-sum combiner
+    (~4 lineitems/order fold early), orders to (orderkey, custkey),
+    customer to (custkey, nationkey); the final groupby moves one row
+    per nation per block."""
+    P = _fact_join_partitions(sf_dir)
+    join_args = dict(num_partitions=P,
+                     aggregator_ray_remote_args={"num_cpus": 0.25})
+
+    li = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        g = pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "rev": rev,
+        }).group_by("l_orderkey").aggregate([("rev", "sum")])
+        return pa.table({
+            "l_orderkey": g.column("l_orderkey"),
+            "rev": g.column("rev_sum"),
+        })
+
+    orders = rd.read_parquet(_pq(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey"])
+    cust = rd.read_parquet(_pq(sf_dir, "customer"),
+                           columns=["c_custkey", "c_nationkey"])
+
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(_pq(sf_dir, "nation"),
+                        columns=["n_nationkey", "n_name"]) \
+            .sort_by("n_nationkey")
+    nat_ref = ray.put((nat.column("n_nationkey").to_numpy(),
+                       nat.column("n_name").to_numpy(zero_copy_only=False)))
+
+    joined = (
+        li.map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
+        .join(orders, "inner", on=("l_orderkey",),
+              right_on=("o_orderkey",), **join_args)
+        .join(cust, "inner", on=("o_custkey",),
+              right_on=("c_custkey",), **join_args)
+    )
+
+    class NationPartial:
+        def __init__(self, ref):
+            self.keys, self.names = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            nk = batch.column("c_nationkey").to_numpy()
+            names = self.names[np.searchsorted(self.keys, nk)]
+            g = pa.table({
+                "n_name": pa.array(names, type=pa.string()),
+                "rev": batch.column("rev"),
+            }).group_by("n_name").aggregate([("rev", "sum")])
+            return pa.table({
+                "n_name": g.column("n_name"),
+                "revenue": g.column("rev_sum"),
+            })
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        joined.map_batches(NationPartial,
+                           fn_constructor_kwargs={"ref": nat_ref},
+                           batch_format="pyarrow", batch_size=65536,
+                           concurrency=2)
+        .groupby("n_name")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+    return out.map_batches(
+        lambda b: pa.table({
+            "n_name": b["n_name"],
+            "revenue": pa.array(
+                round_half_away(b.column("revenue").to_numpy(
+                    zero_copy_only=False), 2), type=pa.float64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 # --------------------------------------------------------- windowed aggregate
 
 def events_hourly(sf_dir: str):
@@ -439,6 +542,15 @@ def click_events(sf_dir: str):
 
 
 ORACLE_SQL = {
+    "nation_revenue": """
+        SELECT n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation   ON n_nationkey = c_nationkey
+        GROUP BY n_name
+    """,
     "lineitem_agg": """
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_quantity), 4) AS sum_qty,
@@ -518,5 +630,6 @@ QUERIES = {
     "priority_top_orders": priority_top_orders,
     "price_quantiles": price_quantiles,
     "user_activity": user_activity,
+    "nation_revenue": nation_revenue,
     "click_events": click_events,
 }

@@ -480,6 +480,89 @@ def _lang_hits_sql() -> tuple[str, str]:
 
 _LANG_HITS, _LANG_CASE = _lang_hits_sql()
 
+QUALITY_KEEP_NUM, QUALITY_KEEP_DEN = 3, 4  # keep the top 3/4 by LM score
+
+
+def quality_percentile_filter(sf_dir: str):
+    """Perplexity-percentile curation: keep the best ``3/4`` of the
+    corpus by unigram-LM mean log-probability (the CCNet move — filter
+    on the score's rank, not an absolute threshold, so the cut adapts
+    to the corpus).
+
+    Rank rule: ``ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)`` ≤
+    ``floor(3n/4)``. The distributed side finds the cut pair (the K-th
+    (score, doc_id)) by histogram selection — same Munro-Paterson shape
+    as ``relational.price_quantiles``: one bounded histogram reduce,
+    then only the single boundary bucket's rows reach the driver. The
+    keep pass is a pure per-batch filter against that broadcast pair.
+    Scores compare at their 4-decimal rounding on BOTH engines, so the
+    rank rule is float-boundary-safe."""
+    nbuckets = 2048
+    scores = unigram_logprob(sf_dir).select_columns(
+        ["doc_id", "mean_logprob"]).materialize()
+    n = scores.count()
+    k = (QUALITY_KEEP_NUM * n) // QUALITY_KEEP_DEN
+    if k <= 0:
+        return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "mean_logprob": pa.array([], type=pa.float64())})
+
+    from ray.data.aggregate import Max, Min
+
+    import numpy as np
+
+    mm = scores.aggregate(Min("mean_logprob"), Max("mean_logprob"))
+    lo, hi = float(mm["min(mean_logprob)"]), float(mm["max(mean_logprob)"])
+    width = (hi - lo) / nbuckets or 1.0
+
+    def bucket_of(v: np.ndarray) -> np.ndarray:
+        # bucket 0 = best scores (descending rank order)
+        return np.clip(((hi - v) / width).astype(np.int64), 0, nbuckets - 1)
+
+    def hist(batch: pa.Table) -> pa.Table:
+        counts = np.bincount(
+            bucket_of(batch.column("mean_logprob").to_numpy(
+                zero_copy_only=False)), minlength=nbuckets)
+        nz = np.nonzero(counts)[0]
+        return pa.table({"bucket": pa.array(nz, type=pa.int64()),
+                         "cnt": pa.array(counts[nz], type=pa.int64())})
+
+    rows = (scores.map_batches(hist, batch_format="pyarrow",
+                               batch_size=65536)
+            .groupby("bucket").sum("cnt").take_all())
+    counts = np.zeros(nbuckets, dtype=np.int64)
+    for r in rows:
+        counts[r["bucket"]] = r["sum(cnt)"]
+    cum = np.cumsum(counts)
+
+    j = k - 1  # 0-based rank of the cut pair
+    b = int(np.searchsorted(cum, j, side="right"))
+    below = int(cum[b - 1]) if b else 0
+
+    def in_boundary(batch: pa.Table) -> pa.Table:
+        v = batch.column("mean_logprob").to_numpy(zero_copy_only=False)
+        mask = bucket_of(v) == b
+        return pa.table({
+            "doc_id": pa.array(batch.column("doc_id").to_numpy(
+                zero_copy_only=False)[mask], type=pa.int64()),
+            "mean_logprob": pa.array(v[mask], type=pa.float64()),
+        })
+
+    boundary = (scores.map_batches(in_boundary, batch_format="pyarrow",
+                                   batch_size=65536).take_all())
+    boundary.sort(key=lambda r: (-r["mean_logprob"], r["doc_id"]))
+    cut = boundary[j - below]
+    thr_s, thr_d = float(cut["mean_logprob"]), int(cut["doc_id"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        v = batch.column("mean_logprob").to_numpy(zero_copy_only=False)
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        mask = (v > thr_s) | ((v == thr_s) & (d <= thr_d))
+        return batch.filter(pa.array(mask))
+
+    return scores.map_batches(keep, batch_format="pyarrow",
+                              batch_size=65536)
+
+
 ORACLE_SQL = {
     "fingerprints": r"""
         WITH t AS (
@@ -665,6 +748,19 @@ ORACLE_SQL = {
     """,
 }
 
+# percentile filter composes the LM-score SQL: same rank rule, same
+# 4-decimal rounded scores, so the cut is bit-identical on both engines
+ORACLE_SQL["quality_percentile_filter"] = f"""
+    WITH u AS ({ORACLE_SQL["unigram_logprob"]}), r AS (
+      SELECT doc_id, mean_logprob,
+             ROW_NUMBER() OVER (ORDER BY mean_logprob DESC, doc_id) AS rk,
+             COUNT(*) OVER () AS n
+      FROM u
+    )
+    SELECT doc_id, mean_logprob FROM r
+    WHERE rk <= ({QUALITY_KEEP_NUM} * n) // {QUALITY_KEEP_DEN}
+"""
+
 QUERIES = {
     "token_stats": token_stats,
     "quality_scores": quality_scores,
@@ -676,6 +772,7 @@ QUERIES = {
     "gopher_quality_filter": gopher_quality_filter,
     "pii_scan": pii_scan,
     "unigram_logprob": unigram_logprob,
+    "quality_percentile_filter": quality_percentile_filter,
     "source_mixture": source_mixture,
     "lang_confusion": lang_confusion,
 }
