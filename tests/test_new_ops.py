@@ -1,0 +1,121 @@
+"""Unit/property pins for the round-2 additions beyond the DuckDB
+parity suite: simhash banding completeness, sequence-pack arithmetic,
+mix_sample composition, and the percentile-filter cut rule."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_FAST = settings(max_examples=50, deadline=None)
+
+
+def test_popcount64_matches_python():
+    from ragnificent_ray.pipelines.dedup import _popcount64
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    xs = rng.integers(0, 1 << 63, size=257, dtype=np.int64).astype(np.uint64)
+    got = _popcount64(xs)
+    want = [bin(int(x)).count("1") for x in xs]
+    assert got.tolist() == want
+
+
+@_FAST
+@given(st.lists(st.integers(0, (1 << 60) - 1), min_size=2, max_size=40,
+                unique=True))
+def test_simhash_banding_pigeonhole_complete(sigs):
+    """Any pair within hamming<=3 shares at least one of the 4 15-bit
+    bands — the completeness guarantee simhash_neardup_pairs builds on."""
+    from ragnificent_ray.pipelines.dedup import (SIMHASH_BAND_BITS,
+                                                 SIMHASH_BANDS,
+                                                 SIMHASH_HAMMING_K)
+
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    for i, a in enumerate(sigs):
+        for b in sigs[i + 1:]:
+            if bin(a ^ b).count("1") <= SIMHASH_HAMMING_K:
+                shared = any(
+                    (a >> (j * SIMHASH_BAND_BITS)) & mask
+                    == (b >> (j * SIMHASH_BAND_BITS)) & mask
+                    for j in range(SIMHASH_BANDS))
+                assert shared
+
+
+def test_sequence_pack_invariants(ray_session):
+    """Offsets are an exact prefix sum in doc_id order; seq bookkeeping
+    is consistent with SEQ_LEN."""
+    from ragnificent_ray.pipelines.packing import SEQ_LEN, sequence_pack
+
+    df = sequence_pack(SF_DIR).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    n = df["n_tokens"].to_numpy()
+    start = df["start_tok"].to_numpy()
+    assert start[0] == 0
+    assert (start[1:] == (start[:-1] + n[:-1])).all()
+    assert (df["seq_id"].to_numpy() == start // SEQ_LEN).all()
+    assert (df["seq_offset"].to_numpy() == start % SEQ_LEN).all()
+    nz = n > 0
+    end_seq = (start[nz] + n[nz] - 1) // SEQ_LEN
+    assert (df["n_seqs"].to_numpy()[nz]
+            == end_seq - start[nz] // SEQ_LEN + 1).all()
+    # spot-check against a direct tokenization
+    t = pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas()
+    t = t.sort_values("doc_id").reset_index(drop=True)
+    want = t["text"].map(lambda s: len(s.strip().split())).to_numpy()
+    assert (n == want).all()
+
+
+def test_mix_sample_composition(ray_session):
+    """Output composition tracks the target weights: weighted strata
+    keep proportionally more, and no stratum exceeds its availability."""
+    from ragnificent_ray.pipelines.sampling import MIX_WEIGHTS, mix_sample
+
+    df = mix_sample(SF_DIR).to_pandas()
+    total = pq.read_table(f"{SF_DIR}/documents.parquet",
+                          columns=["source"]).to_pandas()
+    avail = total["source"].value_counts()
+    kept = df["source"].value_counts()
+    # every kept stratum within availability
+    for s, k in kept.items():
+        assert k <= avail[s]
+    # the heaviest stratum keeps a strictly higher fraction than an
+    # unweighted one (Bernoulli noise is bounded well below the 4x gap)
+    heavy = max(MIX_WEIGHTS, key=MIX_WEIGHTS.get)
+    light = next(s for s in avail.index if s not in MIX_WEIGHTS)
+    assert kept.get(heavy, 0) / avail[heavy] \
+        > kept.get(light, 0) / avail[light]
+
+
+def test_quality_percentile_filter_cut(ray_session):
+    """Kept set is exactly the top floor(3n/4) by (score desc, doc_id)."""
+    from ragnificent_ray.pipelines.textstats import (
+        QUALITY_KEEP_DEN, QUALITY_KEEP_NUM,
+        quality_percentile_filter, unigram_logprob)
+
+    scores = unigram_logprob(SF_DIR).to_pandas()
+    kept = quality_percentile_filter(SF_DIR).to_pandas()
+    k = (QUALITY_KEEP_NUM * len(scores)) // QUALITY_KEEP_DEN
+    assert len(kept) == k
+    ranked = scores.sort_values(
+        ["mean_logprob", "doc_id"], ascending=[False, True]).head(k)
+    assert set(kept["doc_id"]) == set(ranked["doc_id"])
+
+
+def test_dedup_keep_is_corpus_minus_nonreps(ray_session):
+    from ragnificent_ray.pipelines.dedup import dedup_clusters, dedup_keep
+
+    labels = dedup_clusters(SF_DIR).to_pandas()
+    kept = dedup_keep(SF_DIR).to_pandas()
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet",
+                         columns=["doc_id"]).to_pandas()
+    removed = set(labels.loc[labels["component"] < labels["doc_id"],
+                             "doc_id"])
+    reps = set(labels.loc[labels["component"] == labels["doc_id"],
+                          "doc_id"])
+    assert set(kept["doc_id"]) == set(docs["doc_id"]) - removed
+    flagged = set(kept.loc[kept["in_cluster"] == 1, "doc_id"])
+    assert flagged == reps
