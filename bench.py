@@ -114,6 +114,9 @@ QUERY_NAMES = [
     "sessionize", "user_order_asof", "vocab_top", "stratified_sample",
     "decontaminate", "repetition_scores", "kmeans_assign",
     "events_hopping", "priority_top_orders", "price_quantiles", "bm25_topk",
+    "simhash_neardup_pairs", "sequence_pack", "nation_revenue",
+    "quality_percentile_filter", "mix_sample", "knn_label_accuracy",
+    "dedup_keep",
 ]
 
 

@@ -175,6 +175,46 @@ def ann_ivf_topk(sf_dir: str):
     )
 
 
+def ann_ivf_recall(sf_dir: str):
+    """Recall@k of the IVF probe against the exact top-k, per query —
+    the tuning gauge for ``N_PROBE`` (probe more cells → higher recall,
+    more compute). Same bounded-result comparison shape as
+    ``ann.ann_lsh_recall``: both branches materialize (≤ Q·k rows by
+    construction) so the two actor-pool searches never contend for the
+    same CPU slots."""
+    from .ann import ann_topk
+    from ..functions.numeric import round_half_away as _r4
+
+    def tag(name):
+        def add(batch: pa.Table, name=name) -> pa.Table:
+            return pa.table({
+                "query_id": batch["query_id"],
+                "neighbor_id": batch["neighbor_id"],
+                "src": pa.array([name] * len(batch), type=pa.string()),
+            })
+        return add
+
+    exact = ann_topk(sf_dir).map_batches(
+        tag("exact"), batch_format="pyarrow").materialize()
+    approx = ann_ivf_topk(sf_dir).map_batches(
+        tag("ivf"), batch_format="pyarrow").materialize()
+
+    def recall(g: pd.DataFrame) -> pd.DataFrame:
+        e = set(g.loc[g["src"] == "exact", "neighbor_id"])
+        a = set(g.loc[g["src"] == "ivf", "neighbor_id"])
+        return pd.DataFrame({
+            "query_id": pd.array([int(g["query_id"].iloc[0])],
+                                 dtype="int64"),
+            "n_exact": pd.array([len(e)], dtype="int64"),
+            "n_ivf": pd.array([len(a)], dtype="int64"),
+            "recall": [_r4(len(e & a) / len(e), 4) if e else 0.0],
+        })
+
+    return (exact.union(approx)
+            .groupby("query_id")
+            .map_groups(recall, batch_format="pandas"))
+
+
 def semantic_dedup(sf_dir: str):
     """SemDeDup: within each k-means cell, drop vectors that duplicate an
     earlier (lower-id) vector at cosine ≥ τ.
@@ -554,9 +594,35 @@ ORACLE_SQL["int8_quantize"] = r"""
     FROM q GROUP BY vec_id
 """
 
+def _ivf_recall_sql() -> str:
+    """Composed oracle: exact top-k CTE (from the ann module) vs the
+    IVF probe CTE, per-query overlap."""
+    from .ann import ORACLE_SQL as ANN_SQL
+
+    return f"""
+    WITH ex AS ({ANN_SQL["ann_topk"]}),
+    ap AS ({ORACLE_SQL["ann_ivf_topk"]}),
+    hits AS (
+        SELECT ex.query_id, COUNT(ap.neighbor_id) AS n_hit
+        FROM ex LEFT JOIN ap
+          ON ap.query_id = ex.query_id
+         AND ap.neighbor_id = ex.neighbor_id
+        GROUP BY ex.query_id
+    ),
+    ne AS (SELECT query_id, COUNT(*) AS n_exact FROM ex GROUP BY query_id),
+    na AS (SELECT query_id, COUNT(*) AS n_ivf FROM ap GROUP BY query_id)
+    SELECT ne.query_id, ne.n_exact, COALESCE(na.n_ivf, 0) AS n_ivf,
+           ROUND(CAST(hits.n_hit AS DOUBLE) / ne.n_exact, 4) AS recall
+    FROM ne JOIN hits USING (query_id) LEFT JOIN na USING (query_id)
+"""
+
+
+ORACLE_SQL["ann_ivf_recall"] = _ivf_recall_sql()
+
 QUERIES = {
     "kmeans_assign": kmeans_assign,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_recall": ann_ivf_recall,
     "semantic_dedup": semantic_dedup,
     "cluster_purity": cluster_purity,
     "int8_quantize": int8_quantize,

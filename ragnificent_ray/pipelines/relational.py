@@ -526,6 +526,69 @@ def price_quantiles(sf_dir: str):
                      "value": pa.array(out_v, type=pa.float64())})
 
 
+def events_zscore(sf_dir: str):
+    """Per-event z-score of ``value`` against its event_type's
+    distribution — the standardization / outlier-scoring pass (two-pass
+    moments: the first pass is a per-batch (n, Σv, Σv²) combiner so the
+    groupby moves one row per type per block; the tiny moments table
+    broadcasts for the scoring map). Population variance, computed from
+    the same algebraic expression on both engines."""
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "event_type", "value"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        g = pa.table({
+            "event_type": batch.column("event_type"),
+            "v": batch.column("value"),
+            "vv": pc.multiply(batch.column("value"),
+                              batch.column("value")),
+        }).group_by("event_type").aggregate([
+            ("v", "count"), ("v", "sum"), ("vv", "sum"),
+        ])
+        return pa.table({
+            "event_type": g.column("event_type"),
+            "n": g.column("v_count"),
+            "s": g.column("v_sum"),
+            "ss": g.column("vv_sum"),
+        })
+
+    from ray.data.aggregate import Sum
+
+    mom = (ds.map_batches(moments, batch_format="pyarrow",
+                          batch_size=65536)
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("s", alias_name="s"),
+                      Sum("ss", alias_name="ss"))).to_pandas()
+    stats = {r.event_type: (float(r.s) / int(r.n),
+                            float(r.ss) / int(r.n)
+                            - (float(r.s) / int(r.n)) ** 2)
+             for r in mom.itertuples(index=False)}
+    ref = ray.put(stats)
+
+    class Z:
+        def __init__(self, ref):
+            self.stats = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            v = batch.column("value").to_numpy(zero_copy_only=False)
+            types = batch.column("event_type").to_pylist()
+            mean = np.fromiter((self.stats[t][0] for t in types),
+                               dtype=np.float64, count=len(types))
+            var = np.fromiter((self.stats[t][1] for t in types),
+                              dtype=np.float64, count=len(types))
+            z = round_half_away((v - mean) / np.sqrt(var), 4)
+            return pa.table({
+                "event_id": batch.column("event_id"),
+                "event_type": batch.column("event_type"),
+                "z": pa.array(z, type=pa.float64()),
+            })
+
+    return ds.map_batches(Z, fn_constructor_kwargs={"ref": ref},
+                          batch_format="pyarrow", batch_size=65536,
+                          concurrency=2)
+
+
 # ------------------------------------------------------------ filter/project
 
 def click_events(sf_dir: str):
@@ -542,6 +605,18 @@ def click_events(sf_dir: str):
 
 
 ORACLE_SQL = {
+    "events_zscore": """
+        WITH m AS (
+          SELECT event_type, COUNT(*) AS n, SUM(value) AS s,
+                 SUM(value * value) AS ss
+          FROM events GROUP BY event_type
+        )
+        SELECT e.event_id, e.event_type,
+               ROUND((e.value - m.s / m.n)
+                     / sqrt(m.ss / m.n - (m.s / m.n) * (m.s / m.n)), 4)
+                   AS z
+        FROM events e JOIN m USING (event_type)
+    """,
     "nation_revenue": """
         SELECT n_name,
                ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -631,5 +706,6 @@ QUERIES = {
     "price_quantiles": price_quantiles,
     "user_activity": user_activity,
     "nation_revenue": nation_revenue,
+    "events_zscore": events_zscore,
     "click_events": click_events,
 }

@@ -306,6 +306,37 @@ def vocab_top(sf_dir: str):
     )
 
 
+def bigram_top(sf_dir: str):
+    """Top-100 token bigrams by occurrence count (the collocation /
+    boilerplate-detection companion to :func:`vocab_top`). Same combiner
+    discipline: one (bigram, n) partial row per distinct bigram per
+    block, native groupby-sum, deterministic (count desc, bigram)
+    cutoff."""
+    from collections import Counter
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            toks = t.strip().split()
+            c.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+        return pa.table({
+            "bigram": pa.array(list(c.keys()), type=pa.string()),
+            "n": pa.array(list(c.values()), type=pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "bigram"], descending=[True, False])
+        .limit(100)
+    )
+
+
 def source_mixture(sf_dir: str):
     """Corpus-mixing report: per-source document and token mass plus the
     token fraction — the table a training-mixture rebalancer consumes.
@@ -715,6 +746,20 @@ ORACLE_SQL = {
         SELECT token, COUNT(*) AS df FROM toks WHERE token <> ''
         GROUP BY token ORDER BY df DESC, token LIMIT 100
     """,
+    "bigram_top": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents
+        ), bg AS (
+          SELECT unnest(list_transform(
+              range(1, len(toks)),
+              i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+          FROM t WHERE len(toks) >= 2
+        )
+        SELECT bigram, COUNT(*) AS n FROM bg
+        GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100
+    """,
     "pii_scan": r"""
         WITH c AS (
           SELECT doc_id,
@@ -768,6 +813,7 @@ QUERIES = {
     "token_count_bpeish": token_count_bpeish,
     "fingerprints": fingerprints,
     "vocab_top": vocab_top,
+    "bigram_top": bigram_top,
     "repetition_scores": repetition_scores,
     "gopher_quality_filter": gopher_quality_filter,
     "pii_scan": pii_scan,
