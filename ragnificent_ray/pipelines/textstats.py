@@ -594,6 +594,79 @@ def quality_percentile_filter(sf_dir: str):
                               batch_size=65536)
 
 
+def quality_rank(sf_dir: str):
+    """Global quality rank for EVERY document (1 = best) by unigram-LM
+    score — the full-output companion to the percentile filter's
+    selection: distributed ranking via histogram-prefix offsets.
+
+    Shape: one bounded histogram reduce gives each score-bucket its
+    exclusive prefix count (buckets scale with corpus size, the prefix
+    table is ints — broadcast once); a bounded-bucket ``map_groups``
+    then sorts each bucket locally by (score desc, doc_id) and adds its
+    offset. Equal scores always share a bucket, so the global order is
+    exact; no corpus-wide sort ever runs."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    scores = unigram_logprob(sf_dir).select_columns(
+        ["doc_id", "mean_logprob"]).materialize()
+
+    # bucket count scaled to input (bounded groups at any corpus size)
+    try:
+        sz = os.path.getsize(_pq(sf_dir, "documents"))
+    except OSError:
+        sz = 0
+    nbuckets = max(2048, int(sz // (64 << 20)) + 1)
+
+    from ray.data.aggregate import Max, Min
+
+    mm = scores.aggregate(Min("mean_logprob"), Max("mean_logprob"))
+    lo, hi = float(mm["min(mean_logprob)"]), float(mm["max(mean_logprob)"])
+    width = (hi - lo) / nbuckets or 1.0
+
+    def bucket_of(v: np.ndarray) -> np.ndarray:
+        # bucket 0 = best scores, so prefix counts are rank offsets
+        return np.clip(((hi - v) / width).astype(np.int64), 0, nbuckets - 1)
+
+    def hist(batch: pa.Table) -> pa.Table:
+        counts = np.bincount(
+            bucket_of(batch.column("mean_logprob").to_numpy(
+                zero_copy_only=False)), minlength=nbuckets)
+        nz = np.nonzero(counts)[0]
+        return pa.table({"bucket": pa.array(nz, type=pa.int64()),
+                         "cnt": pa.array(counts[nz], type=pa.int64())})
+
+    rows = (scores.map_batches(hist, batch_format="pyarrow",
+                               batch_size=65536)
+            .groupby("bucket").sum("cnt").take_all())
+    counts = np.zeros(nbuckets, dtype=np.int64)
+    for r in rows:
+        counts[r["bucket"]] = r["sum(cnt)"]
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    off_ref = ray.put(offsets)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        v = batch.column("mean_logprob").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array(bucket_of(v), type=pa.int64()))
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)[int(g["bucket"].iloc[0])]
+        g = g.sort_values(["mean_logprob", "doc_id"],
+                          ascending=[False, True]).reset_index(drop=True)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype("int64"),
+            "mean_logprob": g["mean_logprob"],
+            "rank": (off + g.index.to_numpy() + 1).astype("int64"),
+        })
+
+    return (scores.map_batches(add_bucket, batch_format="pyarrow",
+                               batch_size=65536)
+            .groupby("bucket")
+            .map_groups(rank_group, batch_format="pandas"))
+
+
 ORACLE_SQL = {
     "fingerprints": r"""
         WITH t AS (
@@ -795,6 +868,13 @@ ORACLE_SQL = {
 
 # percentile filter composes the LM-score SQL: same rank rule, same
 # 4-decimal rounded scores, so the cut is bit-identical on both engines
+ORACLE_SQL["quality_rank"] = f"""
+    WITH u AS ({ORACLE_SQL["unigram_logprob"]})
+    SELECT doc_id, mean_logprob,
+           ROW_NUMBER() OVER (ORDER BY mean_logprob DESC, doc_id) AS rank
+    FROM u
+"""
+
 ORACLE_SQL["quality_percentile_filter"] = f"""
     WITH u AS ({ORACLE_SQL["unigram_logprob"]}), r AS (
       SELECT doc_id, mean_logprob,
@@ -819,6 +899,7 @@ QUERIES = {
     "pii_scan": pii_scan,
     "unigram_logprob": unigram_logprob,
     "quality_percentile_filter": quality_percentile_filter,
+    "quality_rank": quality_rank,
     "source_mixture": source_mixture,
     "lang_confusion": lang_confusion,
 }
