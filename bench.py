@@ -116,7 +116,8 @@ QUERY_NAMES = [
     "events_hopping", "priority_top_orders", "price_quantiles", "bm25_topk",
     "simhash_neardup_pairs", "sequence_pack", "nation_revenue",
     "quality_percentile_filter", "mix_sample", "knn_label_accuracy",
-    "dedup_keep",
+    "dedup_keep", "quality_rank", "bigram_top", "events_zscore",
+    "approx_distinct_pairs", "ann_lsh_recall",
 ]
 
 

@@ -589,6 +589,63 @@ def events_zscore(sf_dir: str):
                           concurrency=2)
 
 
+KMV_K = 256
+
+
+def approx_distinct_pairs(sf_dir: str):
+    """KMV (k-minimum-values) distinct-count sketch over the
+    (user_id, props) pair stream, reported next to the exact count.
+
+    The sketch is the 100 TB path for COUNT(DISTINCT): each batch
+    contributes its k smallest distinct 60-bit hashes (bounded rows per
+    block — constant, not cardinality-sized), a single tiny merge takes
+    the global k minima, and the estimator is (k−1)·2^60 / h_k.
+    Deterministic (md5 hashing, no randomness), so the DuckDB oracle
+    value-checks the estimate itself, not just a tolerance. The exact
+    count runs alongside as the verification gate (a distinct-hash
+    shuffle — exactly the cost the sketch avoids at scale)."""
+    from ..functions.hashing import md5_hex
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "props"])
+
+    def distinct_hashes(batch: pa.Table) -> pa.Table:
+        keys = {f"{u}|{p}" for u, p in
+                zip(batch.column("user_id").to_pylist(),
+                    batch.column("props").to_pylist())}
+        hs = np.fromiter((int(md5_hex(k)[:15], 16) for k in keys),
+                         dtype=np.int64, count=len(keys))
+        return pa.table({"h": pa.array(np.unique(hs))})
+
+    parts = ds.map_batches(distinct_hashes, batch_format="pyarrow",
+                           batch_size=65536).materialize()
+
+    # exact: one row per distinct hash after the groupby
+    n_exact = parts.groupby("h").count().count()
+
+    def kmin_partial(batch: pa.Table) -> pa.Table:
+        hs = np.unique(batch.column("h").to_numpy(zero_copy_only=False))
+        return pa.table({"h": pa.array(hs[:KMV_K]),
+                         "g": pa.array(np.zeros(min(len(hs), KMV_K),
+                                                dtype=np.int32))})
+
+    def kmin_merge(g: pd.DataFrame) -> pd.DataFrame:
+        hs = np.unique(g["h"].to_numpy())[:KMV_K]
+        kth = int(hs[-1])
+        est = round_half_away((KMV_K - 1) * float(1 << 60) / kth, 4)
+        return pd.DataFrame({
+            "k": pd.array([KMV_K], dtype="int64"),
+            "kth_hash": pd.array([kth], dtype="int64"),
+            "est_distinct": [est],
+            "n_exact": pd.array([n_exact], dtype="int64"),
+        })
+
+    return (parts.map_batches(kmin_partial, batch_format="pyarrow")
+            .groupby("g")
+            .map_groups(kmin_merge, batch_format="pandas")
+            .select_columns(["k", "kth_hash", "est_distinct", "n_exact"]))
+
+
 # ------------------------------------------------------------ filter/project
 
 def click_events(sf_dir: str):
@@ -605,6 +662,22 @@ def click_events(sf_dir: str):
 
 
 ORACLE_SQL = {
+    "approx_distinct_pairs": f"""
+        WITH h AS (
+          SELECT DISTINCT CAST(('0x' || substr(md5(
+              CAST(user_id AS VARCHAR) || '|' || props), 1, 15))
+              AS BIGINT) AS h
+          FROM events
+        ), km AS (
+          SELECT h FROM h ORDER BY h LIMIT {KMV_K}
+        )
+        SELECT CAST({KMV_K} AS BIGINT) AS k,
+               MAX(km.h) AS kth_hash,
+               ROUND(({KMV_K} - 1) * POW(2, 60) / MAX(km.h), 4)
+                   AS est_distinct,
+               (SELECT COUNT(*) FROM h) AS n_exact
+        FROM km
+    """,
     "events_zscore": """
         WITH m AS (
           SELECT event_type, COUNT(*) AS n, SUM(value) AS s,
@@ -707,5 +780,6 @@ QUERIES = {
     "user_activity": user_activity,
     "nation_revenue": nation_revenue,
     "events_zscore": events_zscore,
+    "approx_distinct_pairs": approx_distinct_pairs,
     "click_events": click_events,
 }
