@@ -45,32 +45,46 @@ def _pq(sf_dir: str, table: str) -> str:
     return os.path.join(sf_dir, f"{table}.parquet")
 
 
-def sequence_pack(sf_dir: str, seq_len: int = SEQ_LEN):
-    """Per-document placement in the packed fixed-length token stream."""
-    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
-
+def _counts_fn(with_text: bool):
+    """Per-batch (doc_id, n_tokens, bucket) rows; optionally carries the
+    text column through for segment assembly."""
     def counts(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         n_tok = np.fromiter(
             (len(t.split()) for t in
              (s.strip() for s in batch.column("text").to_pylist())),
             dtype=np.int64, count=len(ids))
-        return pa.table({
+        cols = {
             "doc_id": pa.array(ids.astype(np.int64)),
             "n_tokens": pa.array(n_tok),
             "bucket": pa.array((ids // _BUCKET_RANGE).astype(np.int64)),
-        })
+        }
+        if with_text:
+            cols["text"] = batch.column("text")
+        return pa.table(cols)
 
-    narrow = ds.map_batches(
-        counts, batch_format="pyarrow", batch_size=8192).materialize()
+    return counts
 
-    # bounded reduction: one row per id-range bucket
+
+def _bucket_offsets(narrow) -> "ray.ObjectRef":
+    """Exclusive prefix of per-id-range-bucket token subtotals: one row
+    per bucket reaches the driver, the offsets map broadcasts once."""
     subtotals = narrow.groupby("bucket").sum("n_tokens").to_pandas()
     subtotals = subtotals.sort_values("bucket").reset_index(drop=True)
     tot = subtotals["sum(n_tokens)"].to_numpy(dtype=np.int64)
     starts = np.concatenate(([0], np.cumsum(tot)[:-1]))
-    bucket_start_ref = ray.put(dict(zip(
+    return ray.put(dict(zip(
         subtotals["bucket"].astype(np.int64).tolist(), starts.tolist())))
+
+
+def sequence_pack(sf_dir: str, seq_len: int = SEQ_LEN):
+    """Per-document placement in the packed fixed-length token stream."""
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    narrow = ds.map_batches(
+        _counts_fn(False), batch_format="pyarrow",
+        batch_size=8192).materialize()
+    bucket_start_ref = _bucket_offsets(narrow)
 
     def place(g: pd.DataFrame) -> pd.DataFrame:
         base = ray.get(bucket_start_ref)[int(g["bucket"].iloc[0])]
@@ -93,7 +107,112 @@ def sequence_pack(sf_dir: str, seq_len: int = SEQ_LEN):
     return narrow.groupby("bucket").map_groups(place, batch_format="pandas")
 
 
+_SEQ_BUCKETS = 4096  # bounded key space for the sequence assembly groupby
+
+
+def packed_sequences(sf_dir: str, seq_len: int = SEQ_LEN):
+    """Assemble the ACTUAL packed training sequences — including the
+    ones that span document boundaries (the part shard writers get
+    wrong first): per sequence, the concatenated token window plus doc
+    count and token count.
+
+    Two-stage distributed assembly, no corpus-wide sort:
+
+    1. doc-id-range groups (text carried, bounded by ``_BUCKET_RANGE``)
+       compute their exclusive token offsets from the broadcast bucket
+       prefix and FLAT-MAP each document into per-sequence segments —
+       (seq_id, seg_start, seg_text) rows, one per sequence the doc
+       touches;
+    2. segments shuffle by ``seq_id % _SEQ_BUCKETS`` (bounded key
+       space) and each group stitches its sequences back together with
+       a vectorized sort + per-seq join.
+
+    Only segment text moves in the exchange — each token ships exactly
+    once, like the shard files it would feed."""
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    with_text = ds.map_batches(
+        _counts_fn(True), batch_format="pyarrow",
+        batch_size=8192).materialize()
+    bucket_start_ref = _bucket_offsets(
+        with_text.select_columns(["doc_id", "n_tokens", "bucket"]))
+
+    def segments(g: pd.DataFrame) -> pd.DataFrame:
+        base = ray.get(bucket_start_ref)[int(g["bucket"].iloc[0])]
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        n = g["n_tokens"].to_numpy(dtype=np.int64)
+        start = base + np.concatenate(([0], np.cumsum(n)[:-1]))
+        out_seq, out_start, out_text, out_len = [], [], [], []
+        for i, text in enumerate(g["text"]):
+            if n[i] == 0:
+                continue
+            toks = text.strip().split()
+            s0, s1 = start[i] // seq_len, (start[i] + n[i] - 1) // seq_len
+            for s in range(s0, s1 + 1):
+                a = max(s * seq_len, start[i])
+                b = min((s + 1) * seq_len, start[i] + n[i])
+                out_seq.append(s)
+                out_start.append(a)
+                out_text.append(" ".join(toks[a - start[i]:b - start[i]]))
+                out_len.append(b - a)
+        return pd.DataFrame({
+            "seq_id": pd.array(out_seq, dtype="int64"),
+            "seg_start": pd.array(out_start, dtype="int64"),
+            "seg_len": pd.array(out_len, dtype="int64"),
+            "seg_text": out_text,
+            "seq_bucket": pd.array(
+                [s % _SEQ_BUCKETS for s in out_seq], dtype="int64"),
+        })
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["seq_id", "seg_start"]).reset_index(drop=True)
+        agg = g.groupby("seq_id", sort=True).agg(
+            n_docs=("seg_start", "size"),
+            n_tokens=("seg_len", "sum"),
+            text=("seg_text", " ".join),
+        ).reset_index()
+        return agg[["seq_id", "n_docs", "n_tokens", "text"]]
+
+    return (with_text.groupby("bucket")
+            .map_groups(segments, batch_format="pandas")
+            .groupby("seq_bucket")
+            .map_groups(assemble, batch_format="pandas"))
+
+
 ORACLE_SQL = {
+    "packed_sequences": f"""
+        WITH c AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents
+        ), p AS (
+          SELECT doc_id, toks, len(toks) AS n,
+                 COALESCE(SUM(len(toks)) OVER (
+                     ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS s
+          FROM c
+        ), seg AS (
+          SELECT p.doc_id, gs.g AS seq_id,
+                 GREATEST(gs.g * {SEQ_LEN}, p.s) AS seg_start,
+                 LEAST((gs.g + 1) * {SEQ_LEN}, p.s + p.n) AS seg_end,
+                 array_to_string(p.toks[
+                     CAST(GREATEST(gs.g * {SEQ_LEN}, p.s) - p.s + 1
+                          AS BIGINT) :
+                     CAST(LEAST((gs.g + 1) * {SEQ_LEN}, p.s + p.n) - p.s
+                          AS BIGINT)], ' ') AS seg_text
+          FROM p, LATERAL (
+              SELECT unnest(range(
+                  CAST(p.s // {SEQ_LEN} AS BIGINT),
+                  CAST((p.s + p.n - 1) // {SEQ_LEN} + 1 AS BIGINT))) AS g
+          ) gs
+          WHERE p.n > 0
+        )
+        SELECT seq_id, COUNT(*) AS n_docs,
+               CAST(SUM(seg_end - seg_start) AS BIGINT) AS n_tokens,
+               string_agg(seg_text, ' ' ORDER BY seg_start) AS text
+        FROM seg GROUP BY seq_id
+    """,
     "sequence_pack": f"""
         WITH c AS (
           SELECT doc_id,
@@ -119,4 +238,5 @@ ORACLE_SQL = {
 
 QUERIES = {
     "sequence_pack": sequence_pack,
+    "packed_sequences": packed_sequences,
 }
