@@ -215,6 +215,54 @@ def _image_feature_ann(sf_dir: str):
     )
 
 
+def _caption_image_align(sf_dir: str):
+    """Caption↔image alignment score per harvested image — the
+    CLIP-alignment slot of a multimodal curation pipeline (drop pairs
+    whose caption doesn't match the image). Both towers are the
+    sandbox's deterministic stand-ins: the image tower is the 64-d
+    block-mean feature (``ImageFeatureStage``), the text tower a 64-d
+    ``HashEmbedder``; a real two-tower model slots into the same two
+    actor-pool stages.
+
+    Shape: ONE fused actor-pool pass computes both embeddings per row
+    and their cosine — the pair is already co-located in the harvest
+    row, so alignment needs no join at any scale. Rows-only check
+    (binary payloads — no SQL view)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ragnificent_ray.functions.imaging import decode_image
+    from ragnificent_ray.functions.numeric import round_half_away
+    from ragnificent_ray.stages.embed import HashEmbedder
+    from ragnificent_ray.stages.multimodal import ImageFeatureStage
+
+    harvest = _crawl_harvest(sf_dir)
+
+    class Align:
+        def __init__(self):
+            self.text_tower = HashEmbedder(dim=64, text_col="caption")
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            caps = batch.column("caption").to_pylist()
+            tm = self.text_tower._encode(caps).astype(np.float64)
+            im = np.stack([
+                ImageFeatureStage._features(decode_image(b, f))
+                for b, f in zip(batch.column("bytes").to_pylist(),
+                                batch.column("fmt").to_pylist())
+            ]).astype(np.float64)
+            align = round_half_away((tm * im).sum(axis=1), 4)
+            return pa.table({
+                "image_id": batch["image_id"],
+                "align_cos": pa.array(align, type=pa.float64()),
+            })
+
+    return rd.from_arrow(harvest.select(["image_id", "bytes", "fmt",
+                                         "caption"])) \
+        .map_batches(Align, batch_format="pyarrow", batch_size=64,
+                     concurrency=2)
+
+
 def _audio_features(sf_dir: str):
     """Audio feature-extract plumbing over the harvest payload column
     (deterministic fake features — no audio codec in this container)."""
@@ -459,6 +507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_decode_stats": _image_decode_stats,
         "image_resize": _image_resize,
         "image_feature_ann": _image_feature_ann,
+        "caption_image_align": _caption_image_align,
         "video_frame_sample": _video_frame_sample,
         "audio_features": _audio_features,
     })

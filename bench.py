@@ -117,7 +117,8 @@ QUERY_NAMES = [
     "simhash_neardup_pairs", "sequence_pack", "nation_revenue",
     "quality_percentile_filter", "mix_sample", "knn_label_accuracy",
     "dedup_keep", "quality_rank", "bigram_top", "events_zscore",
-    "approx_distinct_pairs", "ann_lsh_recall",
+    "approx_distinct_pairs", "ann_lsh_recall", "packed_sequences",
+    "orders_monthly_growth",
 ]
 
 

@@ -589,6 +589,47 @@ def events_zscore(sf_dir: str):
                           concurrency=2)
 
 
+def orders_monthly_growth(sf_dir: str):
+    """Month-over-month revenue growth — the reporting-style window
+    (LAG) query. The heavy part is the per-batch (month, Σ, n) combiner;
+    the month rollup is calendar-bounded (one row per month, never
+    corpus-sized), so the LAG runs as one vectorized step on the tiny
+    aggregate."""
+    ds = rd.read_parquet(_pq(sf_dir, "orders"),
+                         columns=["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        months = pc.strftime(batch.column("o_orderdate"), format="%Y-%m")
+        g = pa.table({
+            "month": months,
+            "v": batch.column("o_totalprice"),
+        }).group_by("month").aggregate([("v", "sum"), ("v", "count")])
+        return pa.table({
+            "month": g.column("month"),
+            "revenue": g.column("v_sum"),
+            "n_orders": g.column("v_count"),
+        })
+
+    from ray.data.aggregate import Sum
+
+    monthly = (ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=65536)
+               .groupby("month")
+               .aggregate(Sum("revenue", alias_name="revenue"),
+                          Sum("n_orders", alias_name="n_orders"))
+               ).to_pandas().sort_values("month").reset_index(drop=True)
+    rev = monthly["revenue"].to_numpy(dtype=np.float64)
+    growth = np.full(len(rev), np.nan)
+    if len(rev) > 1:
+        growth[1:] = round_half_away((rev[1:] - rev[:-1]) / rev[:-1], 4)
+    return pa.table({
+        "month": pa.array(monthly["month"], type=pa.string()),
+        "revenue": pa.array(round_half_away(rev, 2), type=pa.float64()),
+        "n_orders": pa.array(monthly["n_orders"].to_numpy(dtype=np.int64)),
+        "growth": pa.array(growth, type=pa.float64()),
+    })
+
+
 KMV_K = 256
 
 
@@ -662,6 +703,18 @@ def click_events(sf_dir: str):
 
 
 ORACLE_SQL = {
+    "orders_monthly_growth": """
+        WITH m AS (
+          SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                 SUM(o_totalprice) AS rev,
+                 COUNT(*) AS n_orders
+          FROM orders GROUP BY month
+        )
+        SELECT month, ROUND(rev, 2) AS revenue, n_orders,
+               ROUND((rev - LAG(rev) OVER (ORDER BY month))
+                     / LAG(rev) OVER (ORDER BY month), 4) AS growth
+        FROM m
+    """,
     "approx_distinct_pairs": f"""
         WITH h AS (
           SELECT DISTINCT CAST(('0x' || substr(md5(
@@ -781,5 +834,6 @@ QUERIES = {
     "nation_revenue": nation_revenue,
     "events_zscore": events_zscore,
     "approx_distinct_pairs": approx_distinct_pairs,
+    "orders_monthly_growth": orders_monthly_growth,
     "click_events": click_events,
 }
