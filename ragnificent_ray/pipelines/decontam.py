@@ -86,7 +86,124 @@ def decontaminate(sf_dir: str):
                           concurrency=2)
 
 
+_BLOOM_M = 1 << 18  # bits
+_BLOOM_K = 4  # hash functions (double hashing off two md5 slices)
+
+
+def _bloom_positions(h1: int, h2: int) -> list[int]:
+    return [(h1 + j * h2) % _BLOOM_M for j in range(_BLOOM_K)]
+
+
+def _gram_hashes(g: str) -> tuple[int, int]:
+    from ..functions.hashing import md5_hex
+
+    hx = md5_hex(g)
+    return int(hx[:8], 16), int(hx[8:16], 16)
+
+
+def decontaminate_bloom(sf_dir: str):
+    """Bloom-filter decontamination probe — the memory-bounded variant
+    of :func:`decontaminate` for when the eval-set gram inventory no
+    longer fits a broadcast set (the filter is ``_BLOOM_M`` BITS
+    regardless of benchmark size; the exact set grows with it).
+
+    Deterministic double hashing (two md5 slices), so the DuckDB oracle
+    value-checks the sketch's answers — including its false positives:
+    the output carries ``n_maybe`` (bloom hits), ``n_hits`` (exact),
+    and ``n_fp`` per train doc, making the precision/recall trade
+    auditable. Recall is 1 by construction (no false negatives)."""
+    import numpy as np
+
+    bench = _bench_grams(sf_dir)
+    bits = np.zeros(_BLOOM_M, dtype=bool)
+    for g in bench:
+        h1, h2 = _gram_hashes(g)
+        bits[_bloom_positions(h1, h2)] = True
+    bloom_ref = ray.put(bits)
+    exact_ref = ray.put(bench)
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    class Probe:
+        def __init__(self, bloom, exact):
+            self.bits = ray.get(bloom)
+            self.bench = ray.get(exact)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            batch = batch.filter(
+                pc.greater_equal(batch.column("doc_id"), _BENCH_MAX_ID))
+            n_maybe, n_hits = [], []
+            for t in batch.column("text").to_pylist():
+                grams = _doc_grams(t)
+                maybe = 0
+                for g in grams:
+                    h1, h2 = _gram_hashes(g)
+                    if all(self.bits[p]
+                           for p in _bloom_positions(h1, h2)):
+                        maybe += 1
+                n_maybe.append(maybe)
+                n_hits.append(len(grams & self.bench))
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "n_maybe": pa.array(n_maybe, type=pa.int64()),
+                "n_hits": pa.array(n_hits, type=pa.int64()),
+                "n_fp": pa.array(
+                    [m - h for m, h in zip(n_maybe, n_hits)],
+                    type=pa.int64()),
+            })
+
+    return ds.map_batches(
+        Probe, fn_constructor_kwargs={"bloom": bloom_ref,
+                                      "exact": exact_ref},
+        batch_format="pyarrow", batch_size=8192, concurrency=2)
+
+
+_GRAMS_CTE = rf"""grams AS (
+          SELECT doc_id, list_transform(
+              range(1, greatest(len(toks) - {_NGRAM - 1}, 1) + 1),
+              i -> array_to_string(toks[i:i+{_NGRAM - 1}], ' ')) AS gs
+          FROM (SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents)
+        )"""
+
 ORACLE_SQL = {
+    "decontaminate_bloom": rf"""
+        WITH {_GRAMS_CTE}, bench AS (
+          SELECT DISTINCT unnest(gs) AS g FROM grams
+          WHERE doc_id < {_BENCH_MAX_ID}
+        ), bench_pos AS (
+          SELECT DISTINCT
+              (CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT)
+               + j.range * CAST(('0x' || substr(md5(g), 9, 8)) AS BIGINT))
+              % {_BLOOM_M} AS pos
+          FROM bench, range({_BLOOM_K}) j
+        ), train AS (
+          SELECT doc_id, unnest(list_distinct(gs)) AS g FROM grams
+          WHERE doc_id >= {_BENCH_MAX_ID}
+        ), probes AS (
+          SELECT t.doc_id, t.g,
+                 (CAST(('0x' || substr(md5(t.g), 1, 8)) AS BIGINT)
+                  + j.range * CAST(('0x' || substr(md5(t.g), 9, 8))
+                                   AS BIGINT)) % {_BLOOM_M} AS pos
+          FROM train t, range({_BLOOM_K}) j
+        ), maybe AS (
+          SELECT p.doc_id, p.g
+          FROM probes p LEFT JOIN bench_pos b USING (pos)
+          GROUP BY p.doc_id, p.g
+          HAVING COUNT(b.pos) = {_BLOOM_K}
+        ), mcnt AS (
+          SELECT doc_id, COUNT(*) AS n_maybe FROM maybe GROUP BY doc_id
+        ), hcnt AS (
+          SELECT t.doc_id, COUNT(be.g) AS n_hits
+          FROM train t LEFT JOIN bench be USING (g)
+          GROUP BY t.doc_id
+        )
+        SELECT h.doc_id, COALESCE(m.n_maybe, 0) AS n_maybe, h.n_hits,
+               COALESCE(m.n_maybe, 0) - h.n_hits AS n_fp
+        FROM hcnt h LEFT JOIN mcnt m USING (doc_id)
+    """,
     "decontaminate": rf"""
         WITH grams AS (
           SELECT doc_id, list_transform(
@@ -110,4 +227,5 @@ ORACLE_SQL = {
 
 QUERIES = {
     "decontaminate": decontaminate,
+    "decontaminate_bloom": decontaminate_bloom,
 }

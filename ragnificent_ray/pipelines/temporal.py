@@ -263,7 +263,93 @@ def user_rolling_avg(sf_dir: str):
     )
 
 
+_FUNNEL = ("view", "click", "purchase")
+
+
+def events_funnel(sf_dir: str):
+    """Ordered conversion funnel view → click → purchase: a user reaches
+    stage k iff a stage-k event occurs at or after their first
+    stage-(k−1) reach time (min-chaining — the standard first-touch
+    funnel).
+
+    Scale shape: per-user chaining happens inside bounded user-buckets
+    (vectorized conditional mins, one pandas pass per stage), each
+    bucket emits ONE partial count row, and the driver only ever sees
+    the per-bucket partials. Output is three rows: stage, users
+    reaching it, conversion from the previous stage."""
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "event_type", "ts"])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(b["user_id"], 63),
+                              pa.int32()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        nu = g["user_id"].nunique()
+        t = {}
+        prev = None
+        for stage in _FUNNEL:
+            sub = g[g["event_type"] == stage]
+            if prev is not None:
+                sub = sub.merge(prev.rename("tprev"), left_on="user_id",
+                                right_index=True)
+                sub = sub[sub["ts"] >= sub["tprev"]]
+            t[stage] = sub.groupby("user_id")["ts"].min()
+            prev = t[stage]
+        return pd.DataFrame({
+            "n_users": pd.array([nu], dtype="int64"),
+            **{f"n_{s}": pd.array([len(t[s])], dtype="int64")
+               for s in _FUNNEL},
+        })
+
+    parts = (ds.map_batches(add_bucket, batch_format="pyarrow",
+                            batch_size=65536)
+             .groupby("bucket")
+             .map_groups(per_bucket, batch_format="pandas")).to_pandas()
+    tot = parts.sum()
+    nu = int(tot["n_users"])
+    ns = [int(tot[f"n_{s}"]) for s in _FUNNEL]
+    prev_counts = [nu] + ns[:-1]
+    conv = [round_half_away(n / p, 4) if p else 0.0
+            for n, p in zip(ns, prev_counts)]
+    return pa.table({
+        "stage": pa.array(list(_FUNNEL), type=pa.string()),
+        "n_users": pa.array(ns, type=pa.int64()),
+        "conversion": pa.array(conv, type=pa.float64()),
+    })
+
+
 ORACLE_SQL = {
+    "events_funnel": """
+        WITH u AS (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+          FROM events GROUP BY user_id
+        ), u2 AS (
+          SELECT u.user_id, u.t1,
+                 MIN(CASE WHEN e.event_type = 'click' AND e.ts >= u.t1
+                          THEN e.ts END) AS t2
+          FROM u LEFT JOIN events e USING (user_id)
+          GROUP BY u.user_id, u.t1
+        ), u3 AS (
+          SELECT u2.user_id, u2.t1, u2.t2,
+                 MIN(CASE WHEN e.event_type = 'purchase'
+                          AND e.ts >= u2.t2 THEN e.ts END) AS t3
+          FROM u2 LEFT JOIN events e USING (user_id)
+          GROUP BY u2.user_id, u2.t1, u2.t2
+        ), agg AS (
+          SELECT COUNT(*) AS nu, COUNT(t1) AS n1, COUNT(t2) AS n2,
+                 COUNT(t3) AS n3
+          FROM u3
+        )
+        SELECT 'view' AS stage, n1 AS n_users,
+               ROUND(CAST(n1 AS DOUBLE) / nu, 4) AS conversion FROM agg
+        UNION ALL
+        SELECT 'click', n2, ROUND(CAST(n2 AS DOUBLE) / n1, 4) FROM agg
+        UNION ALL
+        SELECT 'purchase', n3, ROUND(CAST(n3 AS DOUBLE) / n2, 4) FROM agg
+    """,
     "user_rolling_avg": """
         SELECT event_id, user_id,
                ROUND(AVG(value) OVER (
@@ -309,4 +395,5 @@ QUERIES = {
     "sessionize": sessionize,
     "user_order_asof": user_order_asof,
     "user_rolling_avg": user_rolling_avg,
+    "events_funnel": events_funnel,
 }
