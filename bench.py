@@ -118,7 +118,8 @@ QUERY_NAMES = [
     "quality_percentile_filter", "mix_sample", "knn_label_accuracy",
     "dedup_keep", "quality_rank", "bigram_top", "events_zscore",
     "approx_distinct_pairs", "ann_lsh_recall", "packed_sequences",
-    "orders_monthly_growth",
+    "orders_monthly_growth", "events_funnel", "decontaminate_bloom",
+    "group_quantiles",
 ]
 
 

@@ -589,6 +589,113 @@ def events_zscore(sf_dir: str):
                           concurrency=2)
 
 
+def group_quantiles(sf_dir: str):
+    """Exact per-group quantiles (lineitem price by return flag) — the
+    grouped variant of :func:`price_quantiles`, same histogram-selection
+    algorithm run once over (group, bucket) cells: the histogram
+    reduce is |groups|·nbuckets rows (bounded — the group key is a
+    catalog value), and the refinement pass ships only each group's
+    boundary-bucket values. No per-group full sort anywhere."""
+    qs = (0.25, 0.5, 0.75, 0.9)
+    nbuckets = 2048
+    col, key = "l_extendedprice", "l_returnflag"
+    from ray.data.aggregate import Max, Min
+
+    ds = rd.read_parquet(_pq(sf_dir, "lineitem"), columns=[key, col])
+    mm = ds.aggregate(Min(col), Max(col))
+    lo, hi = float(mm[f"min({col})"]), float(mm[f"max({col})"])
+    width = (hi - lo) / nbuckets or 1.0
+
+    def bucket_of(v: np.ndarray) -> np.ndarray:
+        return np.clip(((v - lo) / width).astype(np.int64), 0, nbuckets - 1)
+
+    def hist(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({
+            "grp": batch.column(key).to_pylist(),
+            "bucket": bucket_of(v),
+        }).groupby(["grp", "bucket"], sort=True).size().reset_index(
+            name="cnt")
+        return pa.table({
+            "grp": pa.array(g["grp"], type=pa.string()),
+            "bucket": pa.array(g["bucket"].to_numpy(dtype=np.int64)),
+            "cnt": pa.array(g["cnt"].to_numpy(dtype=np.int64)),
+        })
+
+    from ray.data.aggregate import Sum
+
+    rows = (ds.map_batches(hist, batch_format="pyarrow", batch_size=65536)
+            .groupby(["grp", "bucket"])
+            .aggregate(Sum("cnt", alias_name="cnt"))).to_pandas()
+
+    per_group: dict[str, np.ndarray] = {}
+    for grp, sub in rows.groupby("grp"):
+        counts = np.zeros(nbuckets, dtype=np.int64)
+        counts[sub["bucket"].to_numpy()] = sub["cnt"].to_numpy()
+        per_group[grp] = np.cumsum(counts)
+
+    # per group: locate the buckets holding each needed order statistic
+    need_buckets: dict[str, set] = {}
+    ks: dict[str, dict[float, tuple[int, int, float]]] = {}
+    for grp, cum in per_group.items():
+        n = int(cum[-1])
+        ks[grp] = {}
+        need: set[int] = set()
+        for q in qs:
+            pos = (n - 1) * q
+            k0 = int(pos)
+            k1 = min(k0 + 1, n - 1)
+            ks[grp][q] = (k0, k1, pos - k0)
+            need.update((k0, k1))
+        need_buckets[grp] = {
+            int(np.searchsorted(cum, j, side="right")) for j in need}
+
+    nb_flat = {(g, b) for g, bs in need_buckets.items() for b in bs}
+
+    def in_needed(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        grps = batch.column(key).to_pylist()
+        idx = bucket_of(v)
+        mask = np.fromiter(((g, int(b)) in nb_flat
+                            for g, b in zip(grps, idx)),
+                           dtype=bool, count=len(v))
+        return pa.table({
+            "grp": pa.array(np.asarray(grps, dtype=object)[mask],
+                            type=pa.string()),
+            "bucket": pa.array(idx[mask]),
+            col: pa.array(v[mask], type=pa.float64()),
+        })
+
+    by_gb: dict[tuple, list[float]] = {k: [] for k in nb_flat}
+    for r in (ds.map_batches(in_needed, batch_format="pyarrow",
+                             batch_size=65536).take_all()):
+        by_gb[(r["grp"], r["bucket"])].append(r[col])
+    for vals in by_gb.values():
+        vals.sort()
+
+    out_g, out_q, out_v = [], [], []
+    for grp in sorted(per_group):
+        cum = per_group[grp]
+
+        def order_stat(j: int, grp=grp, cum=cum) -> float:
+            b = int(np.searchsorted(cum, j, side="right"))
+            below = int(cum[b - 1]) if b else 0
+            return by_gb[(grp, b)][j - below]
+
+        for q in qs:
+            k0, k1, frac = ks[grp][q]
+            v0 = order_stat(k0)
+            out_g.append(grp)
+            out_q.append(q)
+            out_v.append(round_half_away(
+                v0 + frac * (order_stat(k1) - v0), 4))
+    return pa.table({
+        "l_returnflag": pa.array(out_g, type=pa.string()),
+        "q": pa.array(out_q, type=pa.float64()),
+        "value": pa.array(out_v, type=pa.float64()),
+    })
+
+
 def orders_monthly_growth(sf_dir: str):
     """Month-over-month revenue growth — the reporting-style window
     (LAG) query. The heavy part is the per-batch (month, Σ, n) combiner;
@@ -805,6 +912,12 @@ ORACLE_SQL = {
                      ORDER BY o_totalprice DESC, o_orderkey) AS rk
           FROM orders) WHERE rk <= 3
     """,
+    "group_quantiles": " UNION ALL ".join(
+        f"SELECT l_returnflag, {q} AS q,"
+        f" ROUND(quantile_cont(l_extendedprice, {q}), 4) AS value"
+        f" FROM lineitem GROUP BY l_returnflag"
+        for q in (0.25, 0.5, 0.75, 0.9)
+    ),
     "price_quantiles": " UNION ALL ".join(
         f"SELECT {q} AS q, ROUND(quantile_cont(o_totalprice, {q}), 4)"
         f" AS value FROM orders"
@@ -830,6 +943,7 @@ QUERIES = {
     "events_hopping": events_hopping,
     "priority_top_orders": priority_top_orders,
     "price_quantiles": price_quantiles,
+    "group_quantiles": group_quantiles,
     "user_activity": user_activity,
     "nation_revenue": nation_revenue,
     "events_zscore": events_zscore,

@@ -105,6 +105,61 @@ def test_quality_percentile_filter_cut(ray_session):
     assert set(kept["doc_id"]) == set(ranked["doc_id"])
 
 
+def test_bloom_probe_never_misses(ray_session):
+    """Bloom decontamination has recall 1: every exact hit is a bloom
+    hit (n_maybe >= n_hits), and false positives are non-negative."""
+    from ragnificent_ray.pipelines.decontam import decontaminate_bloom
+
+    df = decontaminate_bloom(SF_DIR).to_pandas()
+    assert (df["n_maybe"] >= df["n_hits"]).all()
+    assert (df["n_fp"] == df["n_maybe"] - df["n_hits"]).all()
+    assert (df["n_fp"] >= 0).all()
+
+
+def test_events_funnel_monotone(ray_session):
+    """Funnel stage counts can only shrink stage to stage."""
+    from ragnificent_ray.pipelines.temporal import events_funnel
+
+    df = events_funnel(SF_DIR).to_pandas()
+    ns = df.set_index("stage")["n_users"]
+    assert ns["view"] >= ns["click"] >= ns["purchase"]
+    assert ((df["conversion"] >= 0) & (df["conversion"] <= 1)).all()
+
+
+def test_packed_sequences_reconstruct_stream(ray_session):
+    """Concatenating the packed sequences in seq order reproduces the
+    doc-id-ordered token stream exactly."""
+    from ragnificent_ray.pipelines.packing import packed_sequences
+
+    df = packed_sequences(SF_DIR).to_pandas().sort_values(
+        "seq_id").reset_index(drop=True)
+    got = " ".join(df["text"]).split()
+    t = pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas()
+    t = t.sort_values("doc_id")
+    want = " ".join(t["text"].map(str.strip)).split()
+    assert got == want
+    full = df[df["seq_id"] < df["seq_id"].max()]
+    assert (full["n_tokens"] == 512).all()
+
+
+def test_caption_image_align_bounded(ray_session):
+    from ragnificent_ray.stages.embed import HashEmbedder
+    from ragnificent_ray.stages.multimodal import ImageFeatureStage
+    from ragnificent_ray.functions.imaging import png_encode
+
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    img = rng.integers(0, 255, size=(32, 32, 3), dtype=np.uint8)
+    feat = ImageFeatureStage._features(img)
+    emb = HashEmbedder(dim=64)._encode(["a caption"])[0]
+    cos = float(np.dot(feat.astype(np.float64), emb.astype(np.float64)))
+    assert -1.0 <= cos <= 1.0
+    # deterministic across calls
+    assert np.array_equal(emb, HashEmbedder(dim=64)._encode(["a caption"])[0])
+
+
 def test_dedup_keep_is_corpus_minus_nonreps(ray_session):
     from ragnificent_ray.pipelines.dedup import dedup_clusters, dedup_keep
 
