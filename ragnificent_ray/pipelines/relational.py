@@ -654,14 +654,15 @@ def group_quantiles(sf_dir: str):
 
     def in_needed(batch: pa.Table) -> pa.Table:
         v = batch.column(col).to_numpy(zero_copy_only=False)
-        grps = batch.column(key).to_pylist()
+        grps = np.asarray(batch.column(key).to_pylist(), dtype=object)
         idx = bucket_of(v)
-        mask = np.fromiter(((g, int(b)) in nb_flat
-                            for g, b in zip(grps, idx)),
-                           dtype=bool, count=len(v))
+        # vectorized per group (groups are a bounded catalog)
+        mask = np.zeros(len(v), dtype=bool)
+        for g, bs in need_buckets.items():
+            mask |= (grps == g) & np.isin(idx, np.fromiter(
+                bs, dtype=np.int64, count=len(bs)))
         return pa.table({
-            "grp": pa.array(np.asarray(grps, dtype=object)[mask],
-                            type=pa.string()),
+            "grp": pa.array(grps[mask], type=pa.string()),
             "bucket": pa.array(idx[mask]),
             col: pa.array(v[mask], type=pa.float64()),
         })
