@@ -773,6 +773,128 @@ def duplicate_ngram_fraction(sf_dir: str, k: int = NGRAM_SPAN_K,
     return per_doc.map_batches(finish, batch_format="pyarrow")
 
 
+def dup_spans(sf_dir: str, k: int = NGRAM_SPAN_K,
+              join_partitions: int | None = None):
+    """Maximal duplicated-span coverage per document — the step past
+    :func:`duplicate_ngram_fraction` toward actual exact-substring
+    dedup (Lee et al. 2021): merge every duplicated k-gram's token
+    window into maximal spans and report, per doc, how many spans and
+    how many tokens exact-substring dedup would cut.
+
+    Scale shape mirrors the fraction op: gram-position rows (narrow
+    ints) → gram-keyed distinct-doc count → dup marks hash-join back
+    (inner — only duplicated positions survive), then interval merging
+    runs vectorized inside bounded doc-buckets, with token totals
+    riding the same union so zero-dup docs still report."""
+    from ..functions.hashing import md5_hex
+
+    if join_partitions is None:
+        join_partitions = _join_partition_count(sf_dir, "documents")
+    join_args = dict(num_partitions=join_partitions,
+                     aggregator_ray_remote_args={"num_cpus": 0.25})
+    n_buckets = _bucket_count(sf_dir)
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def gram_pos(batch: pa.Table) -> pa.Table:
+        ids, pos, ghs = [], [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            toks = t.strip().split()
+            for i in range(len(toks) - k + 1):
+                ids.append(d)
+                pos.append(i)
+                ghs.append(int(md5_hex(" ".join(toks[i:i + k]))[:12], 16))
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "pos": pa.array(pos, type=pa.int64()),
+            "gram": pa.array(ghs, type=pa.int64()),
+        })
+
+    occ = ds.map_batches(gram_pos, batch_format="pyarrow",
+                         batch_size=2048).materialize()
+
+    def distinct_doc_gram(batch: pa.Table) -> pa.Table:
+        df = pa.table({"doc_id": batch["doc_id"],
+                       "gram": batch["gram"]}).to_pandas()
+        df = df.drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _dup_marks(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        f = t.filter(pc.greater_equal(t.column("count()"), 2))
+        return pa.table({
+            "gram": f.column("gram"),
+            "is_dup": pa.array(np.ones(f.num_rows, dtype=np.int64)),
+        })
+
+    dup = (occ.map_batches(distinct_doc_gram, batch_format="pyarrow")
+           .groupby("gram").count()
+           .map_batches(_dup_marks, batch_format="pyarrow"))
+
+    def cov_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "pos": t.column("pos"),
+            "bucket": pa.array((ids % n_buckets).astype(np.int32)),
+        })
+
+    covered = (occ.join(dup, "inner", on=("gram",), **join_args)
+               .map_batches(cov_rows, batch_format="pyarrow"))
+
+    def tok_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n_tok = np.fromiter(
+            (len(t.strip().split())
+             for t in batch.column("text").to_pylist()),
+            dtype=np.int64, count=len(ids))
+        return pa.table({
+            "doc_id": pa.array(ids.astype(np.int64)),
+            "pos": pa.array(-1 - n_tok),  # token count rides as -(n+1)
+            "bucket": pa.array((ids % n_buckets).astype(np.int32)),
+        })
+
+    totals = ds.map_batches(tok_rows, batch_format="pyarrow",
+                            batch_size=8192)
+
+    def merge_spans(g: pd.DataFrame) -> pd.DataFrame:
+        out_d, out_n, out_s, out_c = [], [], [], []
+        for d, sub in g.groupby("doc_id", sort=True):
+            p = sub["pos"].to_numpy()
+            n_tokens = int(-(p[p < 0][0]) - 1)
+            starts = np.unique(p[p >= 0])
+            if len(starts):
+                # merge [s, s+k) windows: a new span begins where the
+                # gap since the previous start exceeds the window
+                breaks = np.nonzero(np.diff(starts) > k)[0]
+                span_starts = np.concatenate(([0], breaks + 1))
+                span_ends = np.concatenate((breaks, [len(starts) - 1]))
+                n_spans = len(span_starts)
+                n_dup = int(sum(
+                    starts[e] + k - starts[s]
+                    for s, e in zip(span_starts, span_ends)))
+            else:
+                n_spans, n_dup = 0, 0
+            out_d.append(d)
+            out_n.append(n_tokens)
+            out_s.append(n_spans)
+            out_c.append(n_dup)
+        frac = [round_half_away(c / n, 4) if n else 0.0
+                for c, n in zip(out_c, out_n)]
+        return pd.DataFrame({
+            "doc_id": pd.array(out_d, dtype="int64"),
+            "n_tokens": pd.array(out_n, dtype="int64"),
+            "n_spans": pd.array(out_s, dtype="int64"),
+            "n_dup_tokens": pd.array(out_c, dtype="int64"),
+            "dup_token_frac": frac,
+        })
+
+    return (covered.union(totals)
+            .groupby("bucket")
+            .map_groups(merge_spans, batch_format="pandas"))
+
+
 # ------------------------------------------- dup components (CC over pairs)
 
 def dedup_clusters(sf_dir: str, max_iters: int = 16,
@@ -1046,6 +1168,51 @@ ORACLE_SQL = {
                ROUND(CAST(dup_grams AS DOUBLE) / total_grams, 4) AS dup_frac
         FROM per
     """,
+    "dup_spans": rf"""
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents
+        ), g AS (
+          SELECT t.doc_id, gs.i,
+                 CAST(('0x' || substr(md5(array_to_string(
+                     t.toks[gs.i : gs.i + {NGRAM_SPAN_K} - 1], ' ')),
+                     1, 12)) AS BIGINT) AS gram
+          FROM t, LATERAL (
+              SELECT unnest(range(1,
+                  len(t.toks) - {NGRAM_SPAN_K} + 2)) AS i
+          ) gs
+          WHERE len(t.toks) >= {NGRAM_SPAN_K}
+        ), nd AS (
+          SELECT gram, COUNT(DISTINCT doc_id) AS ndocs
+          FROM g GROUP BY gram
+        ), dupp AS (
+          SELECT g.doc_id, g.i FROM g JOIN nd USING (gram)
+          WHERE nd.ndocs >= 2
+        ), cov AS (
+          SELECT DISTINCT doc_id, i + r.range AS p
+          FROM dupp, range({NGRAM_SPAN_K}) r
+        ), isl AS (
+          SELECT doc_id, p,
+                 p - ROW_NUMBER() OVER (
+                     PARTITION BY doc_id ORDER BY p) AS grp
+          FROM cov
+        ), per AS (
+          SELECT doc_id, COUNT(*) AS n_dup_tokens,
+                 COUNT(DISTINCT grp) AS n_spans
+          FROM isl GROUP BY doc_id
+        ), tc AS (
+          SELECT doc_id,
+                 len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+          FROM documents
+        )
+        SELECT tc.doc_id, tc.n_tokens,
+               COALESCE(per.n_spans, 0) AS n_spans,
+               COALESCE(per.n_dup_tokens, 0) AS n_dup_tokens,
+               ROUND(CAST(COALESCE(per.n_dup_tokens, 0) AS DOUBLE)
+                     / tc.n_tokens, 4) AS dup_token_frac
+        FROM tc LEFT JOIN per USING (doc_id)
+    """,
     "exact_dedup": """
         SELECT MIN(doc_id) AS doc_id, md5(text) AS text_hash
         FROM documents GROUP BY md5(text)
@@ -1148,6 +1315,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_keep": dedup_keep,
     "duplicate_ngram_fraction": duplicate_ngram_fraction,
+    "dup_spans": dup_spans,
     "simhash64": simhash64,
     "simhash_neardup_pairs": simhash_neardup_pairs,
     "embedding_neardup": embedding_neardup,
