@@ -223,10 +223,12 @@ def politeness_bench() -> None:
     from ragnificent_ray.pipelines.crawl import run_crawl
 
     n_domains, rate = 16, 2.0
+    ceiling = n_domains * rate
+
     out_dir = "/tmp/ragnificent_bench/politeness"
     shutil.rmtree(out_dir, ignore_errors=True)
     cfg = CrawlConfig(
-        world=WorldConfig(n_domains=n_domains, pages_per_domain=24,
+        world=WorldConfig(n_domains=n_domains, pages_per_domain=72,
                           images_per_page=0),
         default_rate=rate,
         adaptive_throttling=False,
@@ -240,15 +242,23 @@ def politeness_bench() -> None:
     res = run_crawl(cfg, out_dir)
     sec = time.monotonic() - t0
     pages = res.metrics.get("pages_parsed_total", 0)
-    ceiling = n_domains * rate
+    # pacing utilization excludes session startup + discovery: the
+    # round's fetch+parse execution is exactly the window the slot
+    # scheduler paces
+    fetch_sec = res.metrics.get("round_0", {}).get("fetch_parse_sec", sec)
     result = {
         "metric": "politeness_pages_per_sec",
         "value": round(pages / sec, 2) if sec else 0.0,
         "unit": "pages/sec",
         "ceiling_pages_per_sec": ceiling,
         "utilization": round((pages / sec) / ceiling, 3) if sec else 0.0,
+        "pacing_pages_per_sec": round(pages / fetch_sec, 2)
+        if fetch_sec else 0.0,
+        "pacing_utilization": round((pages / fetch_sec) / ceiling, 3)
+        if fetch_sec else 0.0,
         "pages": pages,
         "crawl_sec": round(sec, 3),
+        "fetch_parse_sec": round(fetch_sec, 3),
         "domains": n_domains,
         "rate_per_domain": rate,
         "num_cpus": NUM_CPUS,
