@@ -102,7 +102,9 @@ def test_yaml_pipeline_end_to_end(ray_session, tmp_path):
     pipe = YamlPipeline(cfg, str(tmp_path / "wd"),
                         world_cfg=dict(n_domains=2, pages_per_domain=4))
     steps = pipe.run()
-    assert [s["status"] for s in steps] == ["success"] * 4
+    assert [s["status"] for s in steps] == ["success"] * 4, [
+        {k: s.get(k) for k in ("step_name", "status", "error")}
+        for s in steps]
     results = steps[-1]["result"]["results"]
     assert 0 < len(results) <= 3
     assert all(set(r) >= {"id", "content", "source_url", "score"}
