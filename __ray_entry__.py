@@ -420,6 +420,32 @@ def _harvest_phash_neardup(sf_dir: str):
     return phash_neardup_pairs(harvest.select(["image_id", "phash"]))
 
 
+def _image_phash_clusters(sf_dir: str):
+    """Near-dup image clusters: connected components over the banded
+    phash-hamming pair set (the keep-one-per-cluster step for image
+    dedup, mirroring ``dedup_clusters`` on the text side). String image
+    ids propagate lexicographic-min labels through the generic
+    distributed min-label machinery; the changed-count certificate
+    replaces the int label sum. Rows-only (binary-payload input)."""
+    from ragnificent_ray.pipelines.dedup import (min_label_components,
+                                                 phash_neardup_pairs)
+
+    harvest = _crawl_harvest(sf_dir)
+    pairs = phash_neardup_pairs(
+        harvest.select(["image_id", "phash"])
+    ).select_columns(["image_id_a", "image_id_b"])
+    labels = min_label_components(pairs, "image_id_a", "image_id_b",
+                                  join_partitions=2,
+                                  convergence="changed")
+
+    import pyarrow as pa
+
+    return labels.map_batches(
+        lambda t: pa.table({"image_id": t.column("node"),
+                            "component": t.column("label")}),
+        batch_format="pyarrow")
+
+
 def _harvest_dedup_exact(sf_dir: str):
     """Exact image dedup (payload blake2b) over the crawl harvest —
     the planted cross-page duplicate images give n_copies > 1 rows."""
@@ -499,6 +525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_markdown_py": _crawl_markdown_py,
         "harvest_phash_neardup": _harvest_phash_neardup,
         "harvest_dedup_exact": _harvest_dedup_exact,
+        "image_phash_clusters": _image_phash_clusters,
         "crawl_harvest": _crawl_harvest,
         "crawl_order": _crawl_order,
         "crawl_documents": _crawl_documents,

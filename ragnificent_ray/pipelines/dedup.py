@@ -897,46 +897,38 @@ def dup_spans(sf_dir: str, k: int = NGRAM_SPAN_K,
 
 # ------------------------------------------- dup components (CC over pairs)
 
-def dedup_clusters(sf_dir: str, max_iters: int = 16,
-                   join_partitions: int | None = None):
-    """Duplicate-document components over the MinHash-LSH pair set:
-    every doc touching a near-dup edge labeled with the minimum doc_id
-    reachable through such edges (the canonical keep-one-per-cluster
-    step after pair generation).
+def min_label_components(pairs, col_a: str, col_b: str,
+                         join_partitions: int, max_iters: int = 16,
+                         convergence: str = "sum"):
+    """Connected components over an undirected edge Dataset by
+    iterative min-label propagation — the generic core behind
+    :func:`dedup_clusters` (int64 doc ids) and
+    :func:`image_phash_clusters` (string image ids).
 
-    Iterative min-label propagation, fully distributed: the edge set is
-    derived-small (near-dup pairs ≪ corpus) but NOT driver-small by
-    contract, so each round hash-joins the label table to the
-    undirected adjacency (both edge-sized — the corpus never moves),
-    sends every node's label to its neighbors, and folds candidates
-    with a groupby-min. Labels are monotone non-increasing, so the
-    global label sum is a convergence certificate: the driver only ever
-    sees that one scalar per round. Rounds ≤ component diameter, and
-    the init already folds each node's direct neighborhood.
-    """
-    if join_partitions is None:
-        join_partitions = _join_partition_count(sf_dir, "documents")
+    Fully distributed: each round hash-joins the label table to the
+    edge-sized adjacency, sends every node's label to its neighbors,
+    and folds candidates with a groupby-min. Labels are monotone
+    non-increasing, so a per-round scalar certificate (label sum for
+    ints, changed-count otherwise) is all the driver sees. Returns a
+    Dataset of (node, label)."""
     join_args = dict(num_partitions=join_partitions,
                      aggregator_ray_remote_args={"num_cpus": 0.25})
 
-    pairs = minhash_lsh_pairs(sf_dir).select_columns(["doc_a", "doc_b"])
-
     def undirect(b: pa.Table) -> pa.Table:
-        x = b.column("doc_a").to_numpy(zero_copy_only=False)
-        y = b.column("doc_b").to_numpy(zero_copy_only=False)
-        return pa.table({
-            "node": pa.array(np.concatenate([x, y]), type=pa.int64()),
-            "nbr": pa.array(np.concatenate([y, x]), type=pa.int64()),
-        })
+        return pa.concat_tables([
+            pa.table({"node": b.column(col_a), "nbr": b.column(col_b)}),
+            pa.table({"node": b.column(col_b), "nbr": b.column(col_a)}),
+        ])
 
     und = pairs.map_batches(undirect, batch_format="pyarrow").materialize()
 
     def _fold_init(t: pa.Table) -> pa.Table:
         node = t.column("node").to_numpy(zero_copy_only=False)
         mn = t.column("min(nbr)").to_numpy(zero_copy_only=False)
+        # np.minimum is elementwise min for int64 AND object/str arrays
         return pa.table({
-            "node": pa.array(node, type=pa.int64()),
-            "label": pa.array(np.minimum(node, mn), type=pa.int64()),
+            "node": pa.array(node),
+            "label": pa.array(np.minimum(node, mn)),
         })
 
     # label[v] = min(v, direct neighbors) — init plus one free round
@@ -956,19 +948,61 @@ def dedup_clusters(sf_dir: str, max_iters: int = 16,
         return pa.table({"node": t.column("node"),
                          "label": t.column("min(cand)")})
 
-    prev = labels.sum("label")
+    def _old(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("node"),
+                         "old": t.column("label")})
+
+    def _count_changed(t: pa.Table) -> pa.Table:
+        a = t.column("label").to_numpy(zero_copy_only=False)
+        b = t.column("old").to_numpy(zero_copy_only=False)
+        return pa.table({"c": pa.array([int((a != b).sum())],
+                                       type=pa.int64())})
+
+    prev = labels.sum("label") if convergence == "sum" else None
     for _ in range(max_iters):
         msgs = (und.join(labels, "inner", on=("node",), **join_args)
                 .map_batches(_nbr_cand, batch_format="pyarrow"))
-        labels = (msgs.union(labels.map_batches(_as_cand,
-                                                batch_format="pyarrow"))
-                  .groupby("node").min("cand")
-                  .map_batches(_fold_min, batch_format="pyarrow")
-                  .materialize())
-        cur = labels.sum("label")
-        if cur == prev:
-            break
-        prev = cur
+        new_labels = (msgs.union(labels.map_batches(
+                          _as_cand, batch_format="pyarrow"))
+                      .groupby("node").min("cand")
+                      .map_batches(_fold_min, batch_format="pyarrow")
+                      .materialize())
+        if convergence == "sum":
+            cur = new_labels.sum("label")
+            labels = new_labels
+            if cur == prev:
+                break
+            prev = cur
+        else:
+            changed = (new_labels
+                       .join(labels.map_batches(_old,
+                                                batch_format="pyarrow"),
+                             "inner", on=("node",), **join_args)
+                       .map_batches(_count_changed,
+                                    batch_format="pyarrow")
+                       .sum("c"))
+            labels = new_labels
+            if not changed:
+                break
+
+    return labels
+
+
+def dedup_clusters(sf_dir: str, max_iters: int = 16,
+                   join_partitions: int | None = None):
+    """Duplicate-document components over the MinHash-LSH pair set:
+    every doc touching a near-dup edge labeled with the minimum doc_id
+    reachable through such edges (the canonical keep-one-per-cluster
+    step after pair generation). See :func:`min_label_components` for
+    the distributed propagation; the int64 label sum is the
+    convergence certificate."""
+    if join_partitions is None:
+        join_partitions = _join_partition_count(sf_dir, "documents")
+
+    pairs = minhash_lsh_pairs(sf_dir).select_columns(["doc_a", "doc_b"])
+    labels = min_label_components(pairs, "doc_a", "doc_b",
+                                  join_partitions, max_iters,
+                                  convergence="sum")
 
     def _rename(t: pa.Table) -> pa.Table:
         return pa.table({"doc_id": t.column("node"),

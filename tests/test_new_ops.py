@@ -160,6 +160,26 @@ def test_caption_image_align_bounded(ray_session):
     assert np.array_equal(emb, HashEmbedder(dim=64)._encode(["a caption"])[0])
 
 
+def test_min_label_components_string_ids(ray_session):
+    """The generic CC propagation handles string node ids with
+    lexicographic-min labels and the changed-count certificate."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ragnificent_ray.pipelines.dedup import min_label_components
+
+    # two components: {a,b,c,d} chained, {x,y}
+    pairs = rd.from_arrow(pa.table({
+        "ia": ["b", "c", "a", "x"],
+        "ib": ["c", "d", "b", "y"],
+    }))
+    got = min_label_components(pairs, "ia", "ib", join_partitions=2,
+                               convergence="changed").to_pandas()
+    lab = dict(zip(got["node"], got["label"]))
+    assert lab == {"a": "a", "b": "a", "c": "a", "d": "a",
+                   "x": "x", "y": "x"}
+
+
 def test_dedup_keep_is_corpus_minus_nonreps(ray_session):
     from ragnificent_ray.pipelines.dedup import dedup_clusters, dedup_keep
 
