@@ -100,6 +100,45 @@ def mix_sample(sf_dir: str):
     return ds.map_batches(keep, batch_format="pyarrow", batch_size=8192)
 
 
+_SOURCE_CAP = 50  # max docs kept per source
+
+
+def per_source_cap(sf_dir: str):
+    """Per-source document cap: keep at most ``_SOURCE_CAP`` docs per
+    source, chosen by deterministic md5 order (tiebreak doc_id) — the
+    per-domain cap every crawl-curation pipeline applies so one giant
+    host cannot dominate the corpus.
+
+    Scale shape: group-wise top-k with a combiner — every batch reduces
+    to at most K rows per source BEFORE the shuffle, so the groupby
+    moves O(K·sources·blocks) tiny rows no matter the corpus size, then
+    each (bounded) source group takes its final K. No global sort."""
+    import pandas as pd
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "source"])
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["rank_md5"] = [md5_hex(str(d)) for d in df["doc_id"]]
+        df = df.sort_values(["source", "rank_md5", "doc_id"],
+                            kind="mergesort")
+        return pa.Table.from_pandas(
+            df.groupby("source", sort=False).head(_SOURCE_CAP),
+            preserve_index=False)
+
+    def final_topk(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["rank_md5", "doc_id"], kind="mergesort")
+        return g.head(_SOURCE_CAP)[["doc_id", "source"]]
+
+    return (
+        ds.map_batches(partial_topk, batch_format="pyarrow",
+                       batch_size=8192)
+        .groupby("source")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
 def _mix_weight_case_sql() -> str:
     whens = " ".join(
         f"WHEN '{s}' THEN {w}" for s, w in sorted(MIX_WEIGHTS.items()))
@@ -134,9 +173,17 @@ ORACLE_SQL = {
         WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                     AS BIGINT) % 100) < {_rate_case_sql()}
     """,
+    "per_source_cap": f"""
+        SELECT doc_id, source FROM documents
+        QUALIFY row_number() OVER (
+            PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        ) <= {_SOURCE_CAP}
+    """,
 }
 
 QUERIES = {
     "stratified_sample": stratified_sample,
     "mix_sample": mix_sample,
+    "per_source_cap": per_source_cap,
 }

@@ -263,6 +263,99 @@ def user_rolling_avg(sf_dir: str):
     )
 
 
+# ------------------------------------------------------------- range join
+
+_ATTR_WINDOW_US = 24 * 3600 * 1_000_000  # 24-hour attribution window
+
+
+def purchase_attribution(sf_dir: str):
+    """Range join: each purchase event picks up the same user's events
+    in the preceding 24 hours — ``e.ts ∈ [p.ts − 24h, p.ts)`` — the
+    classic marketing-attribution window.
+
+    The brief-listed "range join" custom operator (the as-of sibling is
+    :func:`user_order_asof`). Ray Data has no join primitive with an
+    interval predicate, so anchors (purchases) and candidates (all
+    events) are tagged in ONE pass over the events table and
+    hash-co-partitioned on the user key into bounded buckets (one
+    shuffle, no broadcast), then each bucket does one C-speed pandas
+    equi-merge on the key followed by a vectorized interval filter and
+    a grouped count — never a per-row or per-entity Python loop.
+
+    Partitioning assumption (same as the module header): one user's
+    event history fits in a worker's heap; the transient merge frame
+    per key is |purchases_u| x |events_u| before the interval cut.
+    Inner semantics: purchases with no prior event in-window drop out.
+    """
+    n_buckets = _bucket_count(sf_dir, ("events",))
+    ds = rd.read_parquet(
+        _pq(sf_dir, "events"),
+        columns=["user_id", "ts", "event_id", "event_type", "value"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        key = b.column("user_id").to_numpy()
+        ts = b.column("ts").cast(pa.int64()).to_numpy()
+        eid = b.column("event_id").to_numpy()
+        val = b.column("value").to_numpy()
+        is_p = pc.equal(b.column("event_type"),
+                        pa.scalar("purchase")).to_numpy(
+                            zero_copy_only=False)
+        # side 1 = candidate rows (every event); side 0 = anchor copies
+        # of the purchase rows only
+        pk, pts, pid = key[is_p], ts[is_p], eid[is_p]
+        n_c, n_a = len(key), len(pk)
+        return pa.table({
+            "bucket": pa.array(np.concatenate(
+                [pk % n_buckets, key % n_buckets]).astype(np.int32)),
+            "side": pa.array(np.concatenate(
+                [np.zeros(n_a, dtype=np.int8),
+                 np.ones(n_c, dtype=np.int8)])),
+            "key": pa.array(np.concatenate([pk, key]).astype(np.int64)),
+            "ts_us": pa.array(np.concatenate([pts, ts]).astype(np.int64)),
+            "event_id": pa.array(np.concatenate(
+                [pid, eid]).astype(np.int64)),
+            "value": pa.array(np.concatenate(
+                [np.zeros(n_a, dtype=np.float64), val]).astype(np.float64)),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["side"] == 0]
+        e = g[g["side"] == 1]
+        if not len(a) or not len(e):
+            return pd.DataFrame({
+                "event_id": pd.Series(dtype="int64"),
+                "user_id": pd.Series(dtype="int64"),
+                "n_events_24h": pd.Series(dtype="int64"),
+                "sum_value_24h": pd.Series(dtype="float64"),
+            })
+        m = a[["key", "ts_us", "event_id"]].merge(
+            e[["key", "ts_us", "value"]], on="key", how="inner",
+            suffixes=("_a", "_e"))
+        ets = m["ts_us_e"].to_numpy()
+        ats = m["ts_us_a"].to_numpy()
+        m = m[(ets < ats) & (ets >= ats - _ATTR_WINDOW_US)]
+        out = m.groupby(["event_id", "key"], as_index=False).agg(
+            n_events_24h=("value", "size"),
+            sum_value_24h=("value", "sum"),
+        )
+        return pd.DataFrame({
+            "event_id": out["event_id"].astype("int64"),
+            "user_id": out["key"].astype("int64"),
+            "n_events_24h": out["n_events_24h"].astype("int64"),
+            "sum_value_24h": round_half_away(
+                out["sum_value_24h"].to_numpy(dtype=np.float64), 4),
+        })
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .map_batches(lambda b: b.drop_columns(["bucket"])
+                     if "bucket" in b.column_names else b,
+                     batch_format="pyarrow")
+    )
+
+
 _FUNNEL = ("view", "click", "purchase")
 
 
@@ -379,6 +472,17 @@ ORACLE_SQL = {
                ROUND(SUM(value), 4) AS sum_value
         FROM numbered GROUP BY user_id, session_no
     """,
+    "purchase_attribution": """
+        SELECT p.event_id, p.user_id,
+               COUNT(*) AS n_events_24h,
+               ROUND(SUM(e.value), 4) AS sum_value_24h
+        FROM events p JOIN events e
+          ON e.user_id = p.user_id
+         AND e.ts < p.ts
+         AND e.ts >= p.ts - INTERVAL 24 HOUR
+        WHERE p.event_type = 'purchase'
+        GROUP BY p.event_id, p.user_id
+    """,
     "user_order_asof": """
         SELECT e.event_id, e.user_id,
                strftime(MAX(o.o_orderdate), '%Y-%m-%d %H:%M:%S')
@@ -394,6 +498,7 @@ ORACLE_SQL = {
 QUERIES = {
     "sessionize": sessionize,
     "user_order_asof": user_order_asof,
+    "purchase_attribution": purchase_attribution,
     "user_rolling_avg": user_rolling_avg,
     "events_funnel": events_funnel,
 }

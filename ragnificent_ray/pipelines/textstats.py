@@ -12,6 +12,7 @@ import os
 import re
 
 import pyarrow as pa
+import ray
 import ray.data as rd
 
 from ..functions.numeric import round_half_away
@@ -334,6 +335,71 @@ def bigram_top(sf_dir: str):
         .aggregate(Sum("n", alias_name="n"))
         .sort(["n", "bigram"], descending=[True, False])
         .limit(100)
+    )
+
+
+_MG_CAPACITY = 8192  # heavy-hitter candidate threshold: freq > n/_MG_CAPACITY
+_HH_TOP = 50
+
+
+def heavy_hitter_tokens(sf_dir: str):
+    """Top-50 tokens by TERM frequency via Misra-Gries candidates plus
+    an exact recount — the bounded-memory alternative to
+    :func:`vocab_top`'s full token-keyed shuffle.
+
+    Pass 1 emits, per block, only tokens whose in-block count exceeds
+    ``n_block/C`` (C = 8192). Any token with global frequency > N/C must
+    clear that bar in at least one block (else its total would be
+    ≤ Σ n_b/C = N/C), so the candidate union provably contains the true
+    top-k whenever the k-th count exceeds N/C — which Zipfian token
+    distributions satisfy by orders of magnitude. Pass 2 broadcasts the
+    (small) candidate set with ``ray.put`` and recounts exactly, so the
+    result is EXACT, not an estimate: no token-cardinality shuffle ever
+    happens — the only groupby is over candidates.
+
+    Scale note: candidate-set size is bounded by C tokens per block
+    pre-dedup and in practice by the corpus's heavy tail; pass 2 ships
+    one (token, n) row per candidate per block.
+    """
+    from collections import Counter
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["text"])
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(t.strip().split())
+        n_block = sum(c.values())
+        bar = n_block // _MG_CAPACITY
+        keep = [tok for tok, n in c.items() if n > bar]
+        return pa.table({"token": pa.array(keep, type=pa.string())})
+
+    cand = set()
+    for b in (ds.map_batches(mg_partial, batch_format="pyarrow",
+                             batch_size=8192)
+              .groupby("token").count()
+              .iter_batches(batch_format="pyarrow")):
+        cand.update(b.column("token").to_pylist())
+    cand_ref = ray.put(frozenset(cand))
+
+    def recount(batch: pa.Table) -> pa.Table:
+        cset = ray.get(cand_ref)
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(tok for tok in t.strip().split() if tok in cset)
+        return pa.table({
+            "token": pa.array(list(c.keys()), type=pa.string()),
+            "n": pa.array(list(c.values()), type=pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(recount, batch_format="pyarrow", batch_size=8192)
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "token"], descending=[True, False])
+        .limit(_HH_TOP)
     )
 
 
@@ -819,6 +885,14 @@ ORACLE_SQL = {
         SELECT token, COUNT(*) AS df FROM toks WHERE token <> ''
         GROUP BY token ORDER BY df DESC, token LIMIT 100
     """,
+    "heavy_hitter_tokens": r"""
+        WITH toks AS (
+          SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+          FROM documents
+        )
+        SELECT token, COUNT(*) AS n FROM toks WHERE token <> ''
+        GROUP BY token ORDER BY n DESC, token LIMIT 50
+    """,
     "bigram_top": r"""
         WITH t AS (
           SELECT doc_id,
@@ -893,6 +967,7 @@ QUERIES = {
     "token_count_bpeish": token_count_bpeish,
     "fingerprints": fingerprints,
     "vocab_top": vocab_top,
+    "heavy_hitter_tokens": heavy_hitter_tokens,
     "bigram_top": bigram_top,
     "repetition_scores": repetition_scores,
     "gopher_quality_filter": gopher_quality_filter,
