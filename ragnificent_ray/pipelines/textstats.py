@@ -158,6 +158,41 @@ def fingerprints(sf_dir: str):
     return ds.map_batches(fp, batch_format="pyarrow", batch_size=8192)
 
 
+def normalize_text(sf_dir: str):
+    """Text normalization pass: whitespace squeeze + consecutive
+    duplicate-token removal (the classic "word word word" cleanup that
+    every crawl-curation pipeline applies before training), plus an md5
+    content hash of the normalized text so downstream exact-dedup runs
+    on the cleaned form.
+
+    Pure per-batch map — no shuffle, no state; the normalized corpus
+    streams straight into :func:`exact_dedup`-shaped consumers at any
+    scale. The md5 makes the op value-checkable end-to-end: the DuckDB
+    oracle recomputes the identical dedup + hash with an indexed
+    list_filter lambda."""
+    import hashlib
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n_tok, n_norm, md5s = [], [], []
+        for t in texts:
+            toks = t.strip().split()
+            kept = toks[:1] + [b for a, b in zip(toks, toks[1:]) if b != a]
+            n_tok.append(len(toks))
+            n_norm.append(len(kept))
+            md5s.append(hashlib.md5(" ".join(kept).encode()).hexdigest())
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tok, type=pa.int64()),
+            "n_tokens_norm": pa.array(n_norm, type=pa.int64()),
+            "norm_md5": pa.array(md5s, type=pa.string()),
+        })
+
+    return ds.map_batches(norm, batch_format="pyarrow", batch_size=8192)
+
+
 def repetition_scores(sf_dir: str):
     """Repetition-based quality signals (Gopher/C4-style filters):
     duplicate-token fraction and most-frequent-bigram fraction. High
@@ -885,6 +920,19 @@ ORACLE_SQL = {
         SELECT token, COUNT(*) AS df FROM toks WHERE token <> ''
         GROUP BY token ORDER BY df DESC, token LIMIT 100
     """,
+    "normalize_text": r"""
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               len(dedup) AS n_tokens_norm,
+               md5(array_to_string(dedup, ' ')) AS norm_md5
+        FROM (
+          SELECT doc_id, toks,
+                 list_filter(toks, (x, i) -> i = 1 OR x <> toks[i-1]) AS dedup
+          FROM (SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents)
+        )
+    """,
     "heavy_hitter_tokens": r"""
         WITH toks AS (
           SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
@@ -968,6 +1016,7 @@ QUERIES = {
     "fingerprints": fingerprints,
     "vocab_top": vocab_top,
     "heavy_hitter_tokens": heavy_hitter_tokens,
+    "normalize_text": normalize_text,
     "bigram_top": bigram_top,
     "repetition_scores": repetition_scores,
     "gopher_quality_filter": gopher_quality_filter,
