@@ -215,6 +215,22 @@ def _image_feature_ann(sf_dir: str):
     )
 
 
+def _image_quality_scores(sf_dir: str):
+    """LAION/DataComp-style image quality pre-filter over the harvest:
+    sharpness (Laplacian variance), RMS contrast, brightness, gray
+    entropy, min-dim/aspect gates → per-image signals + keep flag.
+    Actor-pool decode stage, no shuffle. Rows-only check (binary
+    payloads — no SQL view)."""
+    import ray.data as rd
+
+    from ragnificent_ray.stages.multimodal import ImageQualityStage
+
+    harvest = _crawl_harvest(sf_dir)
+    return rd.from_arrow(harvest.select(["image_id", "bytes", "fmt"])) \
+        .map_batches(ImageQualityStage, batch_format="pyarrow",
+                     batch_size=64, concurrency=2)
+
+
 def _caption_image_align(sf_dir: str):
     """Caption↔image alignment score per harvested image — the
     CLIP-alignment slot of a multimodal curation pipeline (drop pairs
@@ -534,6 +550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_decode_stats": _image_decode_stats,
         "image_resize": _image_resize,
         "image_feature_ann": _image_feature_ann,
+        "image_quality_scores": _image_quality_scores,
         "caption_image_align": _caption_image_align,
         "video_frame_sample": _video_frame_sample,
         "audio_features": _audio_features,

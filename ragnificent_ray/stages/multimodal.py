@@ -124,6 +124,78 @@ class ImageFeatureStage:
         })
 
 
+class ImageQualityStage:
+    """binary+fmt → per-image quality signals + keep flag (REAL decode).
+
+    The LAION/DataComp-style image pre-filter: sharpness (variance of
+    the 4-neighbor Laplacian on gray), RMS contrast, mean brightness,
+    8-bit gray-histogram entropy, min dimension and aspect ratio — with
+    a ``keep`` gate (min_dim / aspect / brightness-extremes / contrast /
+    sharpness thresholds). Pure per-row numpy on decoded pixels; no
+    shuffle, streams at any scale. A learned aesthetic scorer would
+    replace ``_signals`` and keep the identical actor-pool plumbing.
+    (Quality-gate role mirrors the reference's content validation at
+    RAGnificent/core/validators.py:141-163, applied to the image axis.)
+    """
+
+    def __init__(self, bytes_col: str = "bytes", fmt_col: str = "fmt",
+                 min_dim: int = 8, max_aspect: float = 4.0,
+                 min_sharpness: float = 10.0, min_contrast: float = 5.0,
+                 luma_lo: float = 8.0, luma_hi: float = 247.0):
+        self.bytes_col, self.fmt_col = bytes_col, fmt_col
+        self.min_dim, self.max_aspect = min_dim, max_aspect
+        self.min_sharpness, self.min_contrast = min_sharpness, min_contrast
+        self.luma_lo, self.luma_hi = luma_lo, luma_hi
+
+    @staticmethod
+    def _signals(img: np.ndarray) -> tuple:
+        gray = img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+        h, w = gray.shape
+        lap = (4.0 * gray[1:-1, 1:-1]
+               - gray[:-2, 1:-1] - gray[2:, 1:-1]
+               - gray[1:-1, :-2] - gray[1:-1, 2:]) \
+            if h >= 3 and w >= 3 else np.zeros((1, 1))
+        sharpness = float(lap.var())
+        contrast = float(gray.std())
+        brightness = float(gray.mean())
+        hist = np.bincount(
+            np.clip(gray, 0, 255).astype(np.uint8).ravel(), minlength=256)
+        p = hist[hist > 0] / gray.size
+        entropy = float(-(p * np.log2(p)).sum())
+        return sharpness, contrast, brightness, entropy, h, w
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        datas = batch.column(self.bytes_col).to_pylist()
+        fmts = batch.column(self.fmt_col).to_pylist()
+        n = len(datas)
+        sharp = np.empty(n); con = np.empty(n); bri = np.empty(n)
+        ent = np.empty(n); mind = np.empty(n, dtype=np.int32)
+        asp = np.empty(n)
+        for i, (data, fmt) in enumerate(zip(datas, fmts)):
+            s, c, b, e, h, w = self._signals(decode_image(data, fmt))
+            sharp[i], con[i], bri[i], ent[i] = s, c, b, e
+            mind[i] = min(h, w)
+            asp[i] = max(h, w) / min(h, w)
+        keep = ((mind >= self.min_dim) & (asp <= self.max_aspect)
+                & (sharp >= self.min_sharpness) & (con >= self.min_contrast)
+                & (bri >= self.luma_lo) & (bri <= self.luma_hi))
+        out = {name: batch.column(name) for name in batch.column_names
+               if name not in (self.bytes_col, self.fmt_col)}
+        out["sharpness"] = pa.array(round_half_away(sharp, 4),
+                                    type=pa.float64())
+        out["contrast"] = pa.array(round_half_away(con, 4),
+                                   type=pa.float64())
+        out["brightness"] = pa.array(round_half_away(bri, 4),
+                                     type=pa.float64())
+        out["entropy"] = pa.array(round_half_away(ent, 4),
+                                  type=pa.float64())
+        out["min_dim"] = pa.array(mind, type=pa.int32())
+        out["aspect"] = pa.array(round_half_away(asp, 4),
+                                 type=pa.float64())
+        out["keep"] = pa.array(keep.tolist(), type=pa.bool_())
+        return pa.table(out)
+
+
 class AudioFeatureStage:
     """binary audio → fixed-dim feature vector.
 

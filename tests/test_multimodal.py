@@ -92,3 +92,46 @@ def test_image_feature_stage_unit_norm_and_neardup_order():
     again = ImageFeatureStage()(batch)
     assert out.column("features").to_pylist() == \
         again.column("features").to_pylist()
+
+
+def test_image_quality_stage_signals_and_gate():
+    from ragnificent_ray.stages.multimodal import ImageQualityStage
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    sharp = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    # 5x5 box blur of the same image: same brightness, less sharpness
+    f = sharp.astype(np.float64)
+    pad = np.pad(f, ((2, 2), (2, 2), (0, 0)), mode="edge")
+    blur = np.zeros_like(f)
+    for dy in range(5):
+        for dx in range(5):
+            blur += pad[dy:dy + 32, dx:dx + 32]
+    blur = (blur / 25).astype(np.uint8)
+    flat = np.full((32, 32, 3), 128, dtype=np.uint8)   # zero contrast
+    tiny = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    banner = rng.integers(0, 256, size=(8, 64, 3), dtype=np.uint8)
+    dark = np.zeros((32, 32, 3), dtype=np.uint8)       # brightness ~0
+    ids = ["sharp", "blur", "flat", "tiny", "banner", "dark"]
+    imgs = [sharp, blur, flat, tiny, banner, dark]
+    batch = pa.table({
+        "image_id": ids,
+        "bytes": pa.array([encode_image(p, "png") for p in imgs],
+                          type=pa.binary()),
+        "fmt": ["png"] * len(ids),
+    })
+    out = ImageQualityStage()(batch)
+    row = {i: {c: out.column(c)[k].as_py() for c in out.column_names}
+           for k, i in enumerate(ids)}
+    assert row["sharp"]["sharpness"] > row["blur"]["sharpness"] > 0
+    assert abs(row["sharp"]["brightness"] - row["blur"]["brightness"]) < 3
+    assert row["flat"]["contrast"] == 0.0 and row["flat"]["entropy"] == 0.0
+    assert row["sharp"]["keep"] and row["blur"]["keep"]
+    assert not row["flat"]["keep"]                      # no contrast/detail
+    assert not row["tiny"]["keep"]                      # min_dim gate
+    assert row["tiny"]["min_dim"] == 4
+    assert not row["banner"]["keep"]                    # aspect gate (8.0)
+    assert row["banner"]["aspect"] == 8.0
+    assert not row["dark"]["keep"]                      # brightness floor
+    assert "bytes" not in out.column_names
+    again = ImageQualityStage()(batch)
+    assert out.equals(again)                            # deterministic
