@@ -1,0 +1,244 @@
+"""Graph operators: distributed PageRank over a behaviour-derived graph.
+
+PageRank is the brief's "iterative algorithm" class — a loop of
+(join rank to edges → scatter contributions → gather by destination)
+that the Dataset API expresses as ``join`` + ``map_batches`` combiner +
+``groupby().sum`` per iteration. The reference has no graph operator;
+this is brief-driven (web-scale link analysis is the canonical crawl
+follow-on — the same shape ranks the crawl's own link graph).
+
+Scale notes (the part the sandbox can't show):
+
+* **Integer mass.** Ranks are int64 "mass" (start 1_000_000/node,
+  teleport base 150_000, damping 85/100 via floor division), not
+  floats. Distributed float summation is order-nondeterministic; the
+  integer recurrence is bit-exact on any cluster AND in the DuckDB
+  oracle, so the driver value-checks an iterative algorithm — normally
+  the weakest-checked class.
+* **Edges ship once per iteration, ranks are the small moving side.**
+  The edge table (src, dst, outdeg) is materialized once; each
+  iteration hash-joins the (node, mass) table to it — the classic
+  Pregel/GraphX scatter — then pre-sums contributions per destination
+  inside each batch (combiner) before the per-destination groupby, so
+  the shuffle carries one row per (batch, dst), not per edge.
+* **Bounded keys everywhere.** Edge distinct-ing groups on a hash
+  bucket of (src, dst) (one bucket per ~64 MiB input, min 64), never
+  the raw pair, so the dedup shuffle's key space stays small while
+  groups stay block-sized — the discipline documented in
+  ``pipelines/dedup.py``.
+* Dangling nodes (no out-edges) simply contribute nothing; nodes with
+  no in-edges are kept alive by unioning a zero-contribution row per
+  node before the gather, so every node appears in every iteration.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+_MIN_BUCKETS = 64
+_INIT_MASS = 1_000_000
+_BASE_MASS = 150_000  # 0.15 teleport share of the initial mass
+_DAMP_NUM, _DAMP_DEN = 85, 100
+_ITERS = 3
+
+
+def _pq(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _bucket_count(sf_dir: str, tables: tuple[str, ...],
+                  target_bytes: int = 64 << 20) -> int:
+    sz = 0
+    for table in tables:
+        try:
+            path = _pq(sf_dir, table)
+            if os.path.isdir(path):
+                sz += sum(os.path.getsize(os.path.join(path, f))
+                          for f in os.listdir(path))
+            else:
+                sz += os.path.getsize(path)
+        except OSError:
+            pass
+    return max(_MIN_BUCKETS, int(sz // target_bytes) + 1)
+
+
+def _props_k(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Vectorized extract of the integer ``k`` from the props JSON."""
+    ext = pc.extract_regex(col, pattern=r'"k":\s*(?P<k>\d+)')
+    return pc.cast(pc.struct_field(ext, "k"), pa.int64())
+
+
+def pagerank_mass(edges, nodes, *, iters: int = _ITERS,
+                  join_partitions: int = 8):
+    """Integer-mass PageRank core over Datasets ``edges`` (src, dst —
+    distinct, no self-loops) and ``nodes`` (node — distinct). Returns a
+    Dataset of (node, pagerank_mass), both int64."""
+    join_args = dict(num_partitions=join_partitions,
+                     aggregator_ray_remote_args={"num_cpus": 0.25})
+
+    deg = edges.groupby("src").count()
+
+    def _with_deg(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("src"),
+                         "dst": t.column("dst"),
+                         "d": pc.cast(t.column("count()"), pa.int64())})
+
+    ed = (edges.join(deg, "inner", on=("src",), **join_args)
+          .map_batches(_with_deg, batch_format="pyarrow")
+          .materialize())
+
+    def _init(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t.column("node"),
+            "mass": pa.array([_INIT_MASS] * t.num_rows, type=pa.int64()),
+        })
+
+    def _zero(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "dst": t.column("node"),
+            "share": pa.array([0] * t.num_rows, type=pa.int64()),
+        })
+
+    def _scatter(t: pa.Table) -> pa.Table:
+        # combiner: per-batch partial sum of contributions by dst
+        mass = t.column("mass").to_numpy()
+        d = t.column("d").to_numpy()
+        share = (mass * _DAMP_NUM) // (_DAMP_DEN * d)
+        dst = t.column("dst").to_numpy()
+        uniq, inv = np.unique(dst, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, share)
+        return pa.table({"dst": pa.array(uniq, type=pa.int64()),
+                         "share": pa.array(sums, type=pa.int64())})
+
+    def _gather(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t.column("dst"),
+            "mass": pc.add(pc.cast(t.column("sum(share)"), pa.int64()),
+                           pa.scalar(_BASE_MASS, type=pa.int64())),
+        })
+
+    zeros = nodes.map_batches(_zero, batch_format="pyarrow").materialize()
+    mass = nodes.map_batches(_init, batch_format="pyarrow").materialize()
+    for _ in range(iters):
+        contrib = (ed.join(mass, "inner", on=("node",), **join_args)
+                   .map_batches(_scatter, batch_format="pyarrow"))
+        mass = (contrib.union(zeros)
+                .groupby("dst").sum("share")
+                .map_batches(_gather, batch_format="pyarrow")
+                .materialize())
+
+    def _final(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("node"),
+                         "pagerank_mass": t.column("mass")})
+
+    return mass.map_batches(_final, batch_format="pyarrow")
+
+
+def pagerank_clicks(sf_dir: str, iters: int = _ITERS):
+    """PageRank over the page-transition graph implied by the events
+    stream: each user's consecutive events (ordered by ts, event_id)
+    form a directed edge between their ``props.k`` pages; distinct
+    edges, self-loops dropped. 3 integer-mass iterations (see module
+    docstring) — bit-exact against the unrolled-CTE DuckDB oracle."""
+    n_buckets = _bucket_count(sf_dir, ("events",))
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_id", "props"])
+
+    def add_k_bucket(b: pa.Table) -> pa.Table:
+        k = _props_k(b.column("props"))
+        bucket = pc.cast(
+            b.column("user_id").to_numpy() % n_buckets, pa.int32())
+        return pa.table({"user_id": b.column("user_id"),
+                         "ts": b.column("ts"),
+                         "event_id": b.column("event_id"),
+                         "k": k, "bucket": bucket})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort", ignore_index=True)
+        uid = g["user_id"].to_numpy()
+        k = g["k"].to_numpy()
+        same = uid[1:] == uid[:-1]
+        src, dst = k[:-1][same], k[1:][same]
+        keep = src != dst
+        out = pd.DataFrame({"src": src[keep], "dst": dst[keep]})
+        out = out.drop_duplicates(ignore_index=True)
+        # bounded-bucket key for the global distinct pass
+        out["ebucket"] = ((out["src"].to_numpy() * np.int64(2654435761)
+                           + out["dst"].to_numpy()) % n_buckets
+                          ).astype(np.int32)
+        return out
+
+    def edge_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["src", "dst"],
+                                 ignore_index=True)[["src", "dst"]]
+
+    edges = (ds.map_batches(add_k_bucket, batch_format="pyarrow")
+             .groupby("bucket").map_groups(pairs, batch_format="pandas")
+             .groupby("ebucket").map_groups(edge_distinct,
+                                            batch_format="pandas")
+             .materialize())
+
+    def node_partial(b: pa.Table) -> pa.Table:
+        k = _props_k(b.column("props"))
+        return pa.table({"node": pc.unique(k)})
+
+    def node_fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(ignore_index=True)
+
+    nodes = (rd.read_parquet(_pq(sf_dir, "events"), columns=["props"])
+             .map_batches(node_partial, batch_format="pyarrow")
+             .groupby("node").map_groups(node_fold, batch_format="pandas")
+             .materialize())
+
+    return pagerank_mass(edges, nodes, iters=iters,
+                         join_partitions=max(8, n_buckets // 8))
+
+
+def _pagerank_sql(iters: int = _ITERS) -> str:
+    rounds = []
+    for i in range(1, iters + 1):
+        rounds.append(f"""r{i} AS (
+  SELECT n.node,
+         CAST({_BASE_MASS} + COALESCE(
+             SUM((m.mass * {_DAMP_NUM}) // ({_DAMP_DEN} * e.d)), 0)
+           AS BIGINT) AS mass
+  FROM nodes n
+  LEFT JOIN ed e ON e.dst = n.node
+  LEFT JOIN r{i - 1} m ON m.node = e.src
+  GROUP BY n.node
+)""")
+    return f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k
+  FROM events
+), pr AS (
+  SELECT k AS src,
+         LEAD(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM ev
+), edges AS (
+  SELECT DISTINCT src, dst FROM pr WHERE dst IS NOT NULL AND src <> dst
+), nodes AS (
+  SELECT DISTINCT k AS node FROM ev
+), deg AS (
+  SELECT src, COUNT(*) AS d FROM edges GROUP BY src
+), ed AS (
+  SELECT e.src, e.dst, dg.d FROM edges e JOIN deg dg ON dg.src = e.src
+), r0 AS (
+  SELECT node, CAST({_INIT_MASS} AS BIGINT) AS mass FROM nodes
+), {', '.join(rounds)}
+SELECT node, mass AS pagerank_mass FROM r{iters}
+"""
+
+
+ORACLE_SQL = {"pagerank_clicks": _pagerank_sql()}
+
+QUERIES = {"pagerank_clicks": pagerank_clicks}

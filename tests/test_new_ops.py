@@ -194,3 +194,39 @@ def test_dedup_keep_is_corpus_minus_nonreps(ray_session):
     assert set(kept["doc_id"]) == set(docs["doc_id"]) - removed
     flagged = set(kept.loc[kept["in_cluster"] == 1, "doc_id"])
     assert flagged == reps
+
+
+def test_pagerank_mass_matches_reference_recurrence(ray_session):
+    """Integer-mass PageRank core vs a direct python recurrence on a
+    hand graph (hub 1 <- 2,3,4; 1 -> 2; 5 dangling-in, no out)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ragnificent_ray.pipelines.graph import (_BASE_MASS, _DAMP_DEN,
+                                                 _DAMP_NUM, _INIT_MASS,
+                                                 pagerank_mass)
+
+    edge_list = [(2, 1), (3, 1), (4, 1), (1, 2), (2, 5)]
+    nodes_list = [1, 2, 3, 4, 5]
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([s for s, _ in edge_list], type=pa.int64()),
+        "dst": pa.array([d for _, d in edge_list], type=pa.int64()),
+    }))
+    nodes = rd.from_arrow(pa.table({
+        "node": pa.array(nodes_list, type=pa.int64())}))
+    got = pagerank_mass(edges, nodes, iters=3,
+                        join_partitions=2).to_pandas()
+    got = dict(zip(got["node"], got["pagerank_mass"]))
+
+    outdeg = {}
+    for s, _ in edge_list:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    mass = {v: _INIT_MASS for v in nodes_list}
+    for _ in range(3):
+        nxt = {v: _BASE_MASS for v in nodes_list}
+        for s, d in edge_list:
+            nxt[d] += (mass[s] * _DAMP_NUM) // (_DAMP_DEN * outdeg[s])
+        mass = nxt
+    assert got == mass
+    # the hub out-ranks leaf contributors; dangling node keeps base+in
+    assert got[1] > got[3] == got[4]
