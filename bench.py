@@ -119,7 +119,7 @@ QUERY_NAMES = [
     "dedup_keep", "quality_rank", "bigram_top", "events_zscore",
     "approx_distinct_pairs", "ann_lsh_recall", "packed_sequences",
     "orders_monthly_growth", "events_funnel", "decontaminate_bloom",
-    "group_quantiles", "dup_spans",
+    "group_quantiles", "dup_spans", "normalize_text", "pagerank_clicks",
 ]
 
 

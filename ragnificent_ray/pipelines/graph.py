@@ -2,10 +2,10 @@
 
 PageRank is the brief's "iterative algorithm" class — a loop of
 (join rank to edges → scatter contributions → gather by destination)
-that the Dataset API expresses as ``join`` + ``map_batches`` combiner +
-``groupby().sum`` per iteration. The reference has no graph operator;
-this is brief-driven (web-scale link analysis is the canonical crawl
-follow-on — the same shape ranks the crawl's own link graph).
+that the Dataset API expresses as tagged-union ``groupby().map_groups``
+exchanges. The reference has no graph operator; this is brief-driven
+(web-scale link analysis is the canonical crawl follow-on — the same
+shape ranks the crawl's own link graph).
 
 Scale notes (the part the sandbox can't show):
 
@@ -15,20 +15,26 @@ Scale notes (the part the sandbox can't show):
   integer recurrence is bit-exact on any cluster AND in the DuckDB
   oracle, so the driver value-checks an iterative algorithm — normally
   the weakest-checked class.
-* **Edges ship once per iteration, ranks are the small moving side.**
-  The edge table (src, dst, outdeg) is materialized once; each
-  iteration hash-joins the (node, mass) table to it — the classic
-  Pregel/GraphX scatter — then pre-sums contributions per destination
-  inside each batch (combiner) before the per-destination groupby, so
-  the shuffle carries one row per (batch, dst), not per edge.
-* **Bounded keys everywhere.** Edge distinct-ing groups on a hash
-  bucket of (src, dst) (one bucket per ~64 MiB input, min 64), never
-  the raw pair, so the dedup shuffle's key space stays small while
-  groups stay block-sized — the discipline documented in
-  ``pipelines/dedup.py``.
-* Dangling nodes (no out-edges) simply contribute nothing; nodes with
-  no in-edges are kept alive by unioning a zero-contribution row per
-  node before the gather, so every node appears in every iteration.
+* **One exchange per iteration.** The gather of iteration *i* groups
+  by ``dst % B`` and the scatter of iteration *i+1* groups by
+  ``src % B`` — the SAME key space — so they fuse into one
+  ``groupby(bucket)`` step: each group sums the incoming contribution
+  rows into this round's mass, then immediately re-scatters along its
+  co-located edge rows (the whole src group lives in the bucket, so
+  outdeg is computed in-group — no degree join). Contributions are
+  pre-summed per destination inside the group before they ship, so
+  the exchange carries one row per (bucket, dst), not per edge.
+* **Edges are bucketed once, ranks are the small moving side.** The
+  edge table is materialized keyed by ``src % B`` and unioned into
+  every fused step; only the (bucket, dst, share) rows move between
+  iterations. The fixed-iteration loop is ONE lazy DAG — no
+  per-iteration materialize, driver round-trip, or hash-join actor
+  pool; only sort exchanges on a bounded key space (one bucket per
+  ~64 MiB input, min 64 — the discipline documented in
+  ``pipelines/dedup.py``).
+* Dangling nodes (no out-edges) simply contribute nothing; every node
+  stays alive because each fused step re-emits a zero-contribution row
+  per node it owns, so mass is defined for all nodes every round.
 """
 
 from __future__ import annotations
@@ -75,70 +81,79 @@ def _props_k(col: pa.ChunkedArray | pa.Array) -> pa.Array:
 
 
 def pagerank_mass(edges, nodes, *, iters: int = _ITERS,
-                  join_partitions: int = 8):
+                  buckets: int = _MIN_BUCKETS):
     """Integer-mass PageRank core over Datasets ``edges`` (src, dst —
     distinct, no self-loops) and ``nodes`` (node — distinct). Returns a
-    Dataset of (node, pagerank_mass), both int64."""
-    join_args = dict(num_partitions=join_partitions,
-                     aggregator_ray_remote_args={"num_cpus": 0.25})
+    Dataset of (node, pagerank_mass), both int64. See the module
+    docstring for the fused gather+scatter exchange shape."""
 
-    deg = edges.groupby("src").count()
+    def _edge_rows(t: pa.Table) -> pa.Table:
+        src = t.column("src")
+        n = t.num_rows
+        return pa.table({
+            "b": pa.array(src.to_numpy() % buckets, type=pa.int32()),
+            "dst": pa.nulls(n, type=pa.int64()),
+            "share": pa.nulls(n, type=pa.int64()),
+            "src": src,
+            "edst": t.column("dst"),
+        })
 
-    def _with_deg(t: pa.Table) -> pa.Table:
-        return pa.table({"node": t.column("src"),
-                         "dst": t.column("dst"),
-                         "d": pc.cast(t.column("count()"), pa.int64())})
-
-    ed = (edges.join(deg, "inner", on=("src",), **join_args)
-          .map_batches(_with_deg, batch_format="pyarrow")
-          .materialize())
-
+    # initial mass expressed in pre-gather share form: the first fused
+    # step reconstitutes mass[v] = BASE + (INIT - BASE) = INIT
     def _init(t: pa.Table) -> pa.Table:
+        node = t.column("node")
+        n = t.num_rows
         return pa.table({
-            "node": t.column("node"),
-            "mass": pa.array([_INIT_MASS] * t.num_rows, type=pa.int64()),
+            "b": pa.array(node.to_numpy() % buckets, type=pa.int32()),
+            "dst": node,
+            "share": pa.array([_INIT_MASS - _BASE_MASS] * n,
+                              type=pa.int64()),
+            "src": pa.nulls(n, type=pa.int64()),
+            "edst": pa.nulls(n, type=pa.int64()),
         })
 
-    def _zero(t: pa.Table) -> pa.Table:
+    ed = edges.map_batches(_edge_rows, batch_format="pyarrow").materialize()
+
+    def _step(g: pd.DataFrame) -> pa.Table:
+        is_share = g["src"].isna()
+        mass = (g.loc[is_share].groupby("dst")["share"].sum()
+                + _BASE_MASS)                     # gather: this round's mass
+        node = mass.index.to_numpy().astype(np.int64)
+        out_dst = [node]                          # keep every node alive
+        out_share = [np.zeros(len(node), dtype=np.int64)]
+        e = g.loc[~is_share, ["src", "edst"]]
+        if len(e):
+            deg = e.groupby("src")["edst"].transform("size").to_numpy()
+            src_mass = e["src"].map(mass).to_numpy().astype(np.int64)
+            share = (src_mass * _DAMP_NUM) // (_DAMP_DEN * deg)
+            dst = e["edst"].to_numpy().astype(np.int64)
+            uniq, inv = np.unique(dst, return_inverse=True)
+            sums = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(sums, inv, share)           # combiner: pre-sum per dst
+            out_dst.append(uniq)
+            out_share.append(sums)
+        dst_all = np.concatenate(out_dst).astype(np.int64)
+        n = len(dst_all)
         return pa.table({
-            "dst": t.column("node"),
-            "share": pa.array([0] * t.num_rows, type=pa.int64()),
+            "b": pa.array((dst_all % buckets).astype(np.int32)),
+            "dst": pa.array(dst_all),
+            "share": pa.array(np.concatenate(out_share)),
+            "src": pa.nulls(n, type=pa.int64()),
+            "edst": pa.nulls(n, type=pa.int64()),
         })
 
-    def _scatter(t: pa.Table) -> pa.Table:
-        # combiner: per-batch partial sum of contributions by dst
-        mass = t.column("mass").to_numpy()
-        d = t.column("d").to_numpy()
-        share = (mass * _DAMP_NUM) // (_DAMP_DEN * d)
-        dst = t.column("dst").to_numpy()
-        uniq, inv = np.unique(dst, return_inverse=True)
-        sums = np.zeros(len(uniq), dtype=np.int64)
-        np.add.at(sums, inv, share)
-        return pa.table({"dst": pa.array(uniq, type=pa.int64()),
-                         "share": pa.array(sums, type=pa.int64())})
-
-    def _gather(t: pa.Table) -> pa.Table:
+    def _final(g: pd.DataFrame) -> pa.Table:
+        mass = g.groupby("dst")["share"].sum() + _BASE_MASS
         return pa.table({
-            "node": t.column("dst"),
-            "mass": pc.add(pc.cast(t.column("sum(share)"), pa.int64()),
-                           pa.scalar(_BASE_MASS, type=pa.int64())),
+            "node": pa.array(mass.index.to_numpy().astype(np.int64)),
+            "pagerank_mass": pa.array(mass.to_numpy().astype(np.int64)),
         })
 
-    zeros = nodes.map_batches(_zero, batch_format="pyarrow").materialize()
-    mass = nodes.map_batches(_init, batch_format="pyarrow").materialize()
+    shares = nodes.map_batches(_init, batch_format="pyarrow")
     for _ in range(iters):
-        contrib = (ed.join(mass, "inner", on=("node",), **join_args)
-                   .map_batches(_scatter, batch_format="pyarrow"))
-        mass = (contrib.union(zeros)
-                .groupby("dst").sum("share")
-                .map_batches(_gather, batch_format="pyarrow")
-                .materialize())
-
-    def _final(t: pa.Table) -> pa.Table:
-        return pa.table({"node": t.column("node"),
-                         "pagerank_mass": t.column("mass")})
-
-    return mass.map_batches(_final, batch_format="pyarrow")
+        shares = (ed.union(shares)
+                  .groupby("b").map_groups(_step, batch_format="pandas"))
+    return shares.groupby("b").map_groups(_final, batch_format="pandas")
 
 
 def pagerank_clicks(sf_dir: str, iters: int = _ITERS):
@@ -146,7 +161,12 @@ def pagerank_clicks(sf_dir: str, iters: int = _ITERS):
     stream: each user's consecutive events (ordered by ts, event_id)
     form a directed edge between their ``props.k`` pages; distinct
     edges, self-loops dropped. 3 integer-mass iterations (see module
-    docstring) — bit-exact against the unrolled-CTE DuckDB oracle."""
+    docstring) — bit-exact against the unrolled-CTE DuckDB oracle.
+
+    Graph construction is two bounded-key exchanges over one read:
+    per-user buckets emit consecutive-pair edge rows AND the node ids
+    they saw (tagged), then a hash-bucket distinct pass dedupes both
+    kinds in one groupby."""
     n_buckets = _bucket_count(sf_dir, ("events",))
     ds = rd.read_parquet(_pq(sf_dir, "events"),
                          columns=["user_id", "ts", "event_id", "props"])
@@ -160,7 +180,7 @@ def pagerank_clicks(sf_dir: str, iters: int = _ITERS):
                          "event_id": b.column("event_id"),
                          "k": k, "bucket": bucket})
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs_and_nodes(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"],
                           kind="mergesort", ignore_index=True)
         uid = g["user_id"].to_numpy()
@@ -168,38 +188,39 @@ def pagerank_clicks(sf_dir: str, iters: int = _ITERS):
         same = uid[1:] == uid[:-1]
         src, dst = k[:-1][same], k[1:][same]
         keep = src != dst
-        out = pd.DataFrame({"src": src[keep], "dst": dst[keep]})
-        out = out.drop_duplicates(ignore_index=True)
-        # bounded-bucket key for the global distinct pass
+        edges = pd.DataFrame({"src": src[keep], "dst": dst[keep],
+                              "tag": np.int8(1)}).drop_duplicates(
+                                  ignore_index=True)
+        nodes = pd.DataFrame({"src": np.unique(k), "dst": np.int64(-1),
+                              "tag": np.int8(0)})
+        out = pd.concat([edges, nodes], ignore_index=True)
         out["ebucket"] = ((out["src"].to_numpy() * np.int64(2654435761)
                            + out["dst"].to_numpy()) % n_buckets
                           ).astype(np.int32)
         return out
 
-    def edge_distinct(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["src", "dst"],
-                                 ignore_index=True)[["src", "dst"]]
+    def distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["src", "dst", "tag"],
+                                 ignore_index=True)[["src", "dst", "tag"]]
 
-    edges = (ds.map_batches(add_k_bucket, batch_format="pyarrow")
-             .groupby("bucket").map_groups(pairs, batch_format="pandas")
-             .groupby("ebucket").map_groups(edge_distinct,
+    tagged = (ds.map_batches(add_k_bucket, batch_format="pyarrow")
+              .groupby("bucket").map_groups(pairs_and_nodes,
                                             batch_format="pandas")
-             .materialize())
+              .groupby("ebucket").map_groups(distinct,
+                                             batch_format="pandas")
+              .materialize())
 
-    def node_partial(b: pa.Table) -> pa.Table:
-        k = _props_k(b.column("props"))
-        return pa.table({"node": pc.unique(k)})
+    def _as_edges(t: pa.Table) -> pa.Table:
+        m = t.filter(pc.equal(t.column("tag"), 1))
+        return pa.table({"src": m.column("src"), "dst": m.column("dst")})
 
-    def node_fold(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(ignore_index=True)
+    def _as_nodes(t: pa.Table) -> pa.Table:
+        m = t.filter(pc.equal(t.column("tag"), 0))
+        return pa.table({"node": m.column("src")})
 
-    nodes = (rd.read_parquet(_pq(sf_dir, "events"), columns=["props"])
-             .map_batches(node_partial, batch_format="pyarrow")
-             .groupby("node").map_groups(node_fold, batch_format="pandas")
-             .materialize())
-
-    return pagerank_mass(edges, nodes, iters=iters,
-                         join_partitions=max(8, n_buckets // 8))
+    edges = tagged.map_batches(_as_edges, batch_format="pyarrow")
+    nodes = tagged.map_batches(_as_nodes, batch_format="pyarrow")
+    return pagerank_mass(edges, nodes, iters=iters, buckets=n_buckets)
 
 
 def _pagerank_sql(iters: int = _ITERS) -> str:

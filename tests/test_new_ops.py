@@ -214,8 +214,7 @@ def test_pagerank_mass_matches_reference_recurrence(ray_session):
     }))
     nodes = rd.from_arrow(pa.table({
         "node": pa.array(nodes_list, type=pa.int64())}))
-    got = pagerank_mass(edges, nodes, iters=3,
-                        join_partitions=2).to_pandas()
+    got = pagerank_mass(edges, nodes, iters=3, buckets=2).to_pandas()
     got = dict(zip(got["node"], got["pagerank_mass"]))
 
     outdeg = {}
