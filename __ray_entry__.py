@@ -215,6 +215,18 @@ def _image_feature_ann(sf_dir: str):
     )
 
 
+def _crawl_pagerank(sf_dir: str):
+    """PageRank over the crawl's own link graph (nodes = crawled pages,
+    edges = outlinks to other crawled pages) — integer-mass core shared
+    with ``pagerank_clicks``. Rows-only (graph comes from the crawl
+    world, not a SQL view); semantics pinned by the string-id
+    recurrence unit test."""
+    from ragnificent_ray.pipelines.graph import pagerank_links
+
+    docs = _crawl(sf_dir).table("documents").select(["url", "links"])
+    return pagerank_links(docs)
+
+
 def _image_quality_scores(sf_dir: str):
     """LAION/DataComp-style image quality pre-filter over the harvest:
     sharpness (Laplacian variance), RMS contrast, brightness, gray
@@ -547,6 +559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_documents": _crawl_documents,
         "crawl_chunks": _crawl_chunks,
         "crawl_domain_stats": _crawl_domain_stats,
+        "crawl_pagerank": _crawl_pagerank,
         "image_decode_stats": _image_decode_stats,
         "image_resize": _image_resize,
         "image_feature_ann": _image_feature_ann,

@@ -80,22 +80,45 @@ def _props_k(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     return pc.cast(pc.struct_field(ext, "k"), pa.int64())
 
 
+def _int_bucket_of(buckets: int):
+    def f(arr: np.ndarray) -> np.ndarray:
+        return (arr.astype(np.int64) % buckets).astype(np.int32)
+    return f
+
+
+def _str_bucket_of(buckets: int):
+    from ..functions.hashing import stable_hash64
+
+    def f(arr: np.ndarray) -> np.ndarray:
+        return np.fromiter((stable_hash64(s) % buckets for s in arr),
+                           dtype=np.int32, count=len(arr))
+    return f
+
+
 def pagerank_mass(edges, nodes, *, iters: int = _ITERS,
-                  buckets: int = _MIN_BUCKETS):
+                  buckets: int = _MIN_BUCKETS,
+                  node_type: pa.DataType = None):
     """Integer-mass PageRank core over Datasets ``edges`` (src, dst —
-    distinct, no self-loops) and ``nodes`` (node — distinct). Returns a
-    Dataset of (node, pagerank_mass), both int64. See the module
-    docstring for the fused gather+scatter exchange shape."""
+    distinct, no self-loops) and ``nodes`` (node — distinct). Node ids
+    are int64 by default; pass ``node_type=pa.string()`` for string ids
+    (e.g. urls). Returns a Dataset of (node, pagerank_mass). See the
+    module docstring for the fused gather+scatter exchange shape."""
+    node_type = node_type or pa.int64()
+    bucket_of = (_str_bucket_of(buckets) if pa.types.is_string(node_type)
+                 else _int_bucket_of(buckets))
+
+    def _np(col) -> np.ndarray:
+        return col.to_numpy(zero_copy_only=False)
 
     def _edge_rows(t: pa.Table) -> pa.Table:
         src = t.column("src")
         n = t.num_rows
         return pa.table({
-            "b": pa.array(src.to_numpy() % buckets, type=pa.int32()),
-            "dst": pa.nulls(n, type=pa.int64()),
+            "b": pa.array(bucket_of(_np(src))),
+            "dst": pa.nulls(n, type=node_type),
             "share": pa.nulls(n, type=pa.int64()),
-            "src": src,
-            "edst": t.column("dst"),
+            "src": src.cast(node_type),
+            "edst": t.column("dst").cast(node_type),
         })
 
     # initial mass expressed in pre-gather share form: the first fused
@@ -104,12 +127,12 @@ def pagerank_mass(edges, nodes, *, iters: int = _ITERS,
         node = t.column("node")
         n = t.num_rows
         return pa.table({
-            "b": pa.array(node.to_numpy() % buckets, type=pa.int32()),
-            "dst": node,
+            "b": pa.array(bucket_of(_np(node))),
+            "dst": node.cast(node_type),
             "share": pa.array([_INIT_MASS - _BASE_MASS] * n,
                               type=pa.int64()),
-            "src": pa.nulls(n, type=pa.int64()),
-            "edst": pa.nulls(n, type=pa.int64()),
+            "src": pa.nulls(n, type=node_type),
+            "edst": pa.nulls(n, type=node_type),
         })
 
     ed = edges.map_batches(_edge_rows, batch_format="pyarrow").materialize()
@@ -118,7 +141,7 @@ def pagerank_mass(edges, nodes, *, iters: int = _ITERS,
         is_share = g["src"].isna()
         mass = (g.loc[is_share].groupby("dst")["share"].sum()
                 + _BASE_MASS)                     # gather: this round's mass
-        node = mass.index.to_numpy().astype(np.int64)
+        node = mass.index.to_numpy()
         out_dst = [node]                          # keep every node alive
         out_share = [np.zeros(len(node), dtype=np.int64)]
         e = g.loc[~is_share, ["src", "edst"]]
@@ -126,26 +149,26 @@ def pagerank_mass(edges, nodes, *, iters: int = _ITERS,
             deg = e.groupby("src")["edst"].transform("size").to_numpy()
             src_mass = e["src"].map(mass).to_numpy().astype(np.int64)
             share = (src_mass * _DAMP_NUM) // (_DAMP_DEN * deg)
-            dst = e["edst"].to_numpy().astype(np.int64)
+            dst = e["edst"].to_numpy()
             uniq, inv = np.unique(dst, return_inverse=True)
             sums = np.zeros(len(uniq), dtype=np.int64)
             np.add.at(sums, inv, share)           # combiner: pre-sum per dst
             out_dst.append(uniq)
             out_share.append(sums)
-        dst_all = np.concatenate(out_dst).astype(np.int64)
+        dst_all = np.concatenate(out_dst)
         n = len(dst_all)
         return pa.table({
-            "b": pa.array((dst_all % buckets).astype(np.int32)),
-            "dst": pa.array(dst_all),
+            "b": pa.array(bucket_of(dst_all)),
+            "dst": pa.array(dst_all, type=node_type),
             "share": pa.array(np.concatenate(out_share)),
-            "src": pa.nulls(n, type=pa.int64()),
-            "edst": pa.nulls(n, type=pa.int64()),
+            "src": pa.nulls(n, type=node_type),
+            "edst": pa.nulls(n, type=node_type),
         })
 
     def _final(g: pd.DataFrame) -> pa.Table:
         mass = g.groupby("dst")["share"].sum() + _BASE_MASS
         return pa.table({
-            "node": pa.array(mass.index.to_numpy().astype(np.int64)),
+            "node": pa.array(mass.index.to_numpy(), type=node_type),
             "pagerank_mass": pa.array(mass.to_numpy().astype(np.int64)),
         })
 
@@ -221,6 +244,72 @@ def pagerank_clicks(sf_dir: str, iters: int = _ITERS):
     edges = tagged.map_batches(_as_edges, batch_format="pyarrow")
     nodes = tagged.map_batches(_as_nodes, batch_format="pyarrow")
     return pagerank_mass(edges, nodes, iters=iters, buckets=n_buckets)
+
+
+def pagerank_links(documents, *, buckets: int = _MIN_BUCKETS,
+                   iters: int = _ITERS):
+    """PageRank over a crawl's OWN link graph: ``documents`` is a
+    Dataset or Arrow table with ``url`` + ``links`` (list<string>, the
+    per-page outlinks M15 extracts). Nodes are the crawled pages;
+    edges are outlinks whose target was also crawled (self-loops
+    dropped). The link-analysis step a tier-crawl pipeline runs right
+    after harvest — prioritizing recrawl and weighting training data
+    by centrality.
+
+    One exchange builds the graph: edge candidates and page-membership
+    rows are tagged and bucketed by ``hash(dst)`` — the same (src, dst)
+    pair always lands in one bucket, so membership semi-join AND
+    pair-distinct happen in a single in-group pass. String node ids go
+    through the generic integer-mass core (rows-only check: the graph
+    comes from the crawl world, not a SQL view; semantics pinned by the
+    string-id unit test against the python recurrence)."""
+    ds = (rd.from_arrow(documents) if isinstance(documents, pa.Table)
+          else documents)
+
+    def tag_rows(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        urls = t.column("url").chunk(0) if t.num_rows else \
+            pa.array([], type=pa.string())
+        lv = t.column("links").chunk(0) if t.num_rows else \
+            pa.array([], type=pa.list_(pa.string()))
+        par = pc.list_parent_indices(lv)
+        src = pc.take(urls, par)
+        dst = pc.list_flatten(lv)
+        if pa.types.is_struct(dst.type):     # M15 emits {text, url} structs
+            dst = pc.struct_field(dst, "url")
+        keep = pc.invert(pc.equal(src, dst))
+        src, dst = src.filter(keep), dst.filter(keep)
+        edges = pa.table({
+            "src": src, "dst": dst,
+            "tag": pa.array(np.full(len(src), 1, dtype=np.int8)),
+        })
+        members = pa.table({
+            "src": pa.nulls(t.num_rows, type=pa.string()),
+            "dst": urls,
+            "tag": pa.array(np.full(t.num_rows, 0, dtype=np.int8)),
+        })
+        out = pa.concat_tables([edges, members])
+        hb = _str_bucket_of(buckets)(
+            out.column("dst").to_numpy(zero_copy_only=False))
+        return out.append_column("hb", pa.array(hb))
+
+    def member_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        crawled = set(g.loc[g["tag"] == 0, "dst"])
+        e = g.loc[g["tag"] == 1]
+        e = e[e["dst"].isin(crawled)]
+        return e.drop_duplicates(["src", "dst"],
+                                 ignore_index=True)[["src", "dst"]]
+
+    tagged = ds.map_batches(tag_rows, batch_format="pyarrow")
+    edges = tagged.groupby("hb").map_groups(member_distinct,
+                                            batch_format="pandas")
+
+    def as_nodes(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("url")})
+
+    nodes = ds.map_batches(as_nodes, batch_format="pyarrow")
+    return pagerank_mass(edges, nodes, iters=iters, buckets=buckets,
+                         node_type=pa.string())
 
 
 def _pagerank_sql(iters: int = _ITERS) -> str:

@@ -229,3 +229,36 @@ def test_pagerank_mass_matches_reference_recurrence(ray_session):
     assert got == mass
     # the hub out-ranks leaf contributors; dangling node keeps base+in
     assert got[1] > got[3] == got[4]
+
+
+def test_pagerank_string_ids_and_links_graph(ray_session):
+    """The generic core handles string node ids; pagerank_links builds
+    the member-filtered distinct edge set from (url, links) rows."""
+    import pyarrow as pa
+
+    from ragnificent_ray.pipelines.graph import (_BASE_MASS, _DAMP_DEN,
+                                                 _DAMP_NUM, _INIT_MASS,
+                                                 pagerank_links)
+
+    # hub <- a, b, c; hub -> a; links to an uncrawled page are dropped;
+    # duplicate outlinks collapse to one edge
+    docs = pa.table({
+        "url": ["hub", "a", "b", "c"],
+        "links": [["a", "gone"], ["hub", "hub"], ["hub"], ["hub", "c"]],
+    })
+    got = pagerank_links(docs, buckets=2).to_pandas()
+    got = dict(zip(got["node"], got["pagerank_mass"]))
+
+    edge_list = [("hub", "a"), ("a", "hub"), ("b", "hub"), ("c", "hub")]
+    nodes_list = ["hub", "a", "b", "c"]
+    outdeg = {}
+    for s, _ in edge_list:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    mass = {v: _INIT_MASS for v in nodes_list}
+    for _ in range(3):
+        nxt = {v: _BASE_MASS for v in nodes_list}
+        for s, d in edge_list:
+            nxt[d] += (mass[s] * _DAMP_NUM) // (_DAMP_DEN * outdeg[s])
+        mass = nxt
+    assert got == mass
+    assert got["hub"] > got["a"] > got["b"] == got["c"]
