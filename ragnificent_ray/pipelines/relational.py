@@ -795,6 +795,128 @@ def approx_distinct_pairs(sf_dir: str):
             .select_columns(["k", "kth_hash", "est_distinct", "n_exact"]))
 
 
+HLL_M = 64          # registers (p = 6 index bits out of the 60-bit hash)
+HLL_RHO_MAX = 55    # 54 payload bits → rho ∈ [1, 55]
+
+
+def hll_users_by_type(sf_dir: str):
+    """Grouped HyperLogLog: approximate distinct users per event_type,
+    next to the exact count (the verification gate).
+
+    The per-group mergeable-sketch shape for COUNT(DISTINCT x) GROUP BY
+    g at 100 TB: every batch folds its rows into (group, register, max
+    rho) partials — at most |groups|·64 rows per block regardless of
+    cardinality — and a tiny per-group merge takes register maxima and
+    evaluates the estimator. Nothing cardinality-sized ever shuffles on
+    the sketch path. Deterministic md5 hashing and an INTEGER register
+    sum S = Σ 2^(55−M_j) (each term a dyadic exactly representable —
+    the float division happens once, on identical operands in both
+    engines), so the DuckDB oracle value-checks the estimate itself.
+    No small-range linear-counting correction (it would need ln(), a
+    libm call the two engines may round differently); v_zero is
+    reported so a consumer can apply it."""
+    from ..functions.hashing import md5_hex
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_type", "user_id"])
+
+    def reg_partial(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        uid = batch.column("user_id").to_pylist()
+        h = np.fromiter((int(md5_hex(str(u))[:15], 16) for u in uid),
+                        dtype=np.int64, count=len(uid))
+        idx = h % HLL_M
+        w = h // HLL_M
+        # bit_length via frexp: w < 2^54 is exactly representable
+        e = np.frexp(w.astype(np.float64))[1]
+        rho = np.where(w > 0, HLL_RHO_MAX - e, HLL_RHO_MAX).astype(np.int64)
+        df = pd.DataFrame({"event_type": et, "idx": idx, "rho": rho})
+        part = df.groupby(["event_type", "idx"], as_index=False)["rho"].max()
+        return pa.table({
+            "event_type": pa.array(part["event_type"], type=pa.string()),
+            "idx": pa.array(part["idx"].to_numpy(), type=pa.int64()),
+            "rho": pa.array(part["rho"].to_numpy(), type=pa.int64()),
+        })
+
+    def hll_merge(g: pd.DataFrame) -> pd.DataFrame:
+        regs = g.groupby("idx")["rho"].max()
+        n_present = len(regs)
+        s_int = int((np.int64(1) << (HLL_RHO_MAX
+                                     - regs.to_numpy())).sum()) \
+            + (HLL_M - n_present) * (1 << HLL_RHO_MAX)
+        alpha = 0.7213 / (1 + 1.079 / HLL_M)
+        est = round_half_away(
+            alpha * HLL_M * HLL_M * float(1 << HLL_RHO_MAX) / s_int, 4)
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "m": pd.array([HLL_M], dtype="int64"),
+            "v_zero": pd.array([HLL_M - n_present], dtype="int64"),
+            "s_int": pd.array([s_int], dtype="int64"),
+            "est_distinct": [est],
+        })
+
+    est = (ds.map_batches(reg_partial, batch_format="pyarrow",
+                          batch_size=65536)
+           .groupby("event_type")
+           .map_groups(hll_merge, batch_format="pandas"))
+
+    # exact distinct per type: bounded-bucket hash dedup, then a native
+    # streaming count — the all-to-all the sketch path avoids
+    def key_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pylist(),
+            "user_id": batch.column("user_id").to_pylist(),
+        }).drop_duplicates()
+        hb = (df["user_id"].to_numpy() % 64).astype(np.int32)
+        return pa.table({
+            "event_type": pa.array(df["event_type"], type=pa.string()),
+            "user_id": pa.array(df["user_id"].to_numpy(), type=pa.int64()),
+            "hb": pa.array(hb),
+        })
+
+    def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["event_type", "user_id"],
+                                 ignore_index=True)[["event_type"]]
+
+    exact = (ds.map_batches(key_partial, batch_format="pyarrow",
+                            batch_size=65536)
+             .groupby("hb").map_groups(bucket_distinct,
+                                       batch_format="pandas")
+             .groupby("event_type").count())
+
+    def _tag_est(t: pa.Table) -> pa.Table:
+        return t.append_column("n_exact", pa.nulls(t.num_rows,
+                                                   type=pa.int64()))
+
+    def _tag_exact(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "m": pa.nulls(n, type=pa.int64()),
+            "v_zero": pa.nulls(n, type=pa.int64()),
+            "s_int": pa.nulls(n, type=pa.int64()),
+            "est_distinct": pa.nulls(n, type=pa.float64()),
+            "n_exact": pc.cast(t.column("count()"), pa.int64()),
+        })
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["m"].notna()].iloc[0]
+        b = g[g["m"].isna()].iloc[0]
+        return pd.DataFrame({
+            "event_type": [a["event_type"]],
+            "m": pd.array([int(a["m"])], dtype="int64"),
+            "v_zero": pd.array([int(a["v_zero"])], dtype="int64"),
+            "s_int": pd.array([int(a["s_int"])], dtype="int64"),
+            "est_distinct": [float(a["est_distinct"])],
+            "n_exact": pd.array([int(b["n_exact"])], dtype="int64"),
+        })
+
+    return (est.map_batches(_tag_est, batch_format="pyarrow")
+            .union(exact.map_batches(_tag_exact, batch_format="pyarrow"))
+            .groupby("event_type")
+            .map_groups(_merge, batch_format="pandas"))
+
+
 # ------------------------------------------------------------ filter/project
 
 def click_events(sf_dir: str):
@@ -838,6 +960,46 @@ ORACLE_SQL = {
                    AS est_distinct,
                (SELECT COUNT(*) FROM h) AS n_exact
         FROM km
+    """,
+    "hll_users_by_type": f"""
+        WITH h AS (
+          SELECT DISTINCT event_type,
+                 CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                     AS BIGINT) AS h
+          FROM events
+        ), r AS (
+          SELECT event_type, h % {HLL_M} AS idx,
+                 CASE WHEN h // {HLL_M} > 0
+                      THEN {HLL_RHO_MAX}
+                           - length(format('{{:b}}', h // {HLL_M}))
+                      ELSE {HLL_RHO_MAX} END AS rho
+          FROM h
+        ), regs AS (
+          SELECT event_type, idx, MAX(rho) AS r
+          FROM r GROUP BY event_type, idx
+        ), agg AS (
+          SELECT event_type, COUNT(*) AS n_present,
+                 CAST(SUM(CAST(1 AS BIGINT) << ({HLL_RHO_MAX} - r))
+                     AS BIGINT) AS s_present
+          FROM regs GROUP BY event_type
+        ), ex AS (
+          SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+          FROM events GROUP BY event_type
+        )
+        SELECT a.event_type,
+               CAST({HLL_M} AS BIGINT) AS m,
+               CAST({HLL_M} - n_present AS BIGINT) AS v_zero,
+               CAST(s_present + ({HLL_M} - n_present)
+                    * (CAST(1 AS BIGINT) << {HLL_RHO_MAX}) AS BIGINT)
+                   AS s_int,
+               ROUND((0.7213 / (1 + 1.079 / {HLL_M}))
+                     * {HLL_M} * {HLL_M}
+                     * (CAST(1 AS BIGINT) << {HLL_RHO_MAX})
+                     / (s_present + ({HLL_M} - n_present)
+                        * (CAST(1 AS BIGINT) << {HLL_RHO_MAX})), 4)
+                   AS est_distinct,
+               ex.n_exact
+        FROM agg a JOIN ex ON ex.event_type = a.event_type
     """,
     "events_zscore": """
         WITH m AS (
@@ -949,6 +1111,7 @@ QUERIES = {
     "nation_revenue": nation_revenue,
     "events_zscore": events_zscore,
     "approx_distinct_pairs": approx_distinct_pairs,
+    "hll_users_by_type": hll_users_by_type,
     "orders_monthly_growth": orders_monthly_growth,
     "click_events": click_events,
 }
