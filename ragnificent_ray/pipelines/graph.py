@@ -312,6 +312,103 @@ def pagerank_links(documents, *, buckets: int = _MIN_BUCKETS,
                          node_type=pa.string())
 
 
+COVIS_CAP = 256     # skip items hotter than this (pair blow-up guard)
+COVIS_MIN_SHARED = 3
+
+
+def covisitation_pairs(sf_dir: str):
+    """User co-visitation graph off the events stream: pairs of users
+    who interacted with >= COVIS_MIN_SHARED common ``props.k`` items —
+    the co-occurrence construction behind item-item / user-user
+    collaborative filtering and session-graph mining.
+
+    Scale shape: distinct (user, item) via a bounded item-hash bucket
+    groupby; pair generation runs per-item inside the bucket group
+    (the whole item co-locates) with an explicit hot-item cap —
+    an item with more than COVIS_CAP distinct users is SKIPPED, because
+    its pair set grows quadratically and a hot item (a nav page every
+    user touches) carries no collaborative signal; the cap is in the
+    oracle too, so the semantics are exact, not approximate. Pair
+    counts then combine per (pair-hash bucket) — one bounded exchange,
+    pre-summed inside each group."""
+    n_buckets = _bucket_count(sf_dir, ("events",))
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "props"])
+
+    def ui_partial(b: pa.Table) -> pa.Table:
+        item = _props_k(b.column("props")).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "u": b.column("user_id").to_numpy(),
+            "item": item,
+        }).drop_duplicates()
+        df["ib"] = (df["item"].to_numpy() % n_buckets).astype(np.int32)
+        return pa.table({
+            "u": pa.array(df["u"].to_numpy(), type=pa.int64()),
+            "item": pa.array(df["item"].to_numpy(), type=pa.int64()),
+            "ib": pa.array(df["ib"].to_numpy()),
+        })
+
+    def item_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["u", "item"])
+        out_a, out_b = [], []
+        for _, sub in g.groupby("item"):
+            users = np.sort(sub["u"].to_numpy())
+            if len(users) < 2 or len(users) > COVIS_CAP:
+                continue
+            ia, ib_ = np.triu_indices(len(users), k=1)
+            out_a.append(users[ia])
+            out_b.append(users[ib_])
+        if not out_a:
+            return pd.DataFrame({"pb": pd.array([], dtype="int32"),
+                                 "user_a": pd.array([], dtype="int64"),
+                                 "user_b": pd.array([], dtype="int64"),
+                                 "n": pd.array([], dtype="int64")})
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        part = pd.DataFrame({"user_a": a, "user_b": b})
+        part = part.groupby(["user_a", "user_b"], as_index=False).size() \
+                   .rename(columns={"size": "n"})
+        part["pb"] = ((part["user_a"].to_numpy() * np.int64(2654435761)
+                       + part["user_b"].to_numpy()) % n_buckets
+                      ).astype(np.int32)
+        return part[["pb", "user_a", "user_b", "n"]]
+
+    def pair_merge(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["user_a", "user_b"], as_index=False)["n"].sum()
+        agg = agg[agg["n"] >= COVIS_MIN_SHARED]
+        return pd.DataFrame({
+            "user_a": agg["user_a"].to_numpy().astype(np.int64),
+            "user_b": agg["user_b"].to_numpy().astype(np.int64),
+            "n_items": agg["n"].to_numpy().astype(np.int64),
+        })
+
+    return (ds.map_batches(ui_partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("ib").map_groups(item_pairs, batch_format="pandas")
+            .groupby("pb").map_groups(pair_merge, batch_format="pandas"))
+
+
+def _covis_sql() -> str:
+    return f"""
+WITH ui AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS item
+  FROM events
+), ok AS (
+  SELECT item FROM ui GROUP BY item
+  HAVING COUNT(*) BETWEEN 2 AND {COVIS_CAP}
+), p AS (
+  SELECT a.u AS user_a, b.u AS user_b
+  FROM ui a
+  JOIN ui b ON a.item = b.item AND a.u < b.u
+  JOIN ok ON ok.item = a.item
+)
+SELECT user_a, user_b, COUNT(*) AS n_items
+FROM p GROUP BY user_a, user_b
+HAVING COUNT(*) >= {COVIS_MIN_SHARED}
+"""
+
+
 def _pagerank_sql(iters: int = _ITERS) -> str:
     rounds = []
     for i in range(1, iters + 1):
@@ -349,6 +446,12 @@ SELECT node, mass AS pagerank_mass FROM r{iters}
 """
 
 
-ORACLE_SQL = {"pagerank_clicks": _pagerank_sql()}
+ORACLE_SQL = {
+    "pagerank_clicks": _pagerank_sql(),
+    "covisitation_pairs": _covis_sql(),
+}
 
-QUERIES = {"pagerank_clicks": pagerank_clicks}
+QUERIES = {
+    "pagerank_clicks": pagerank_clicks,
+    "covisitation_pairs": covisitation_pairs,
+}
