@@ -474,6 +474,69 @@ def _image_phash_clusters(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _image_dedup_keep(sf_dir: str):
+    """The kept image set after phash near-dedup: every harvested image
+    except non-representative cluster members — the image-side twin of
+    the text ``dedup_keep`` (write-the-deduped-dataset step downstream
+    of ``image_phash_clusters``). An image is dropped iff its component
+    label sorts before its own id; kept rows carry ``in_cluster`` (1 =
+    representative of a multi-image cluster, 0 = untouched singleton).
+
+    Scale shape mirrors ``pipelines/dedup.py:dedup_keep``: corpus ids
+    and cluster labels meet in a bounded hash-bucket groupby (narrow
+    string rows only; no broadcast of the removed set). Rows-only
+    (binary-payload input)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ragnificent_ray.functions.hashing import stable_hash64
+
+    _B = 64
+
+    def _hb(ids) -> pa.Array:
+        return pa.array(
+            np.fromiter((stable_hash64(s) % _B for s in ids),
+                        dtype=np.int32, count=len(ids)))
+
+    harvest = _crawl_harvest(sf_dir)
+    ids = harvest.column("image_id").to_pylist()
+    corpus = rd.from_arrow(pa.table({
+        "image_id": pa.array(ids, type=pa.string()),
+        "marker": pa.array(np.zeros(len(ids), dtype=np.int8)),
+        "hb": _hb(ids),
+    }))
+
+    def label_rows(t: pa.Table) -> pa.Table:
+        node = t.column("image_id").to_pylist()
+        comp = t.column("component").to_pylist()
+        marker = np.where(np.array(comp, dtype=object)
+                          < np.array(node, dtype=object), 1, 2) \
+            .astype(np.int8)
+        return pa.table({
+            "image_id": pa.array(node, type=pa.string()),
+            "marker": pa.array(marker),
+            "hb": _hb(node),
+        })
+
+    labels = _image_phash_clusters(sf_dir).map_batches(
+        label_rows, batch_format="pyarrow")
+
+    def keep(g: pd.DataFrame) -> pd.DataFrame:
+        mx = g.groupby("image_id")["marker"].max()
+        dropped = mx[mx == 1].index
+        kept = g[(g["marker"] == 0)
+                 & ~g["image_id"].isin(dropped)][["image_id"]]
+        reps = set(mx[mx == 2].index)
+        kept = kept.copy()
+        kept["in_cluster"] = kept["image_id"].isin(reps).astype(np.int8)
+        return kept
+
+    return corpus.union(labels).groupby("hb").map_groups(
+        keep, batch_format="pandas")
+
+
 def _harvest_dedup_exact(sf_dir: str):
     """Exact image dedup (payload blake2b) over the crawl harvest —
     the planted cross-page duplicate images give n_copies > 1 rows."""
@@ -554,6 +617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "harvest_phash_neardup": _harvest_phash_neardup,
         "harvest_dedup_exact": _harvest_dedup_exact,
         "image_phash_clusters": _image_phash_clusters,
+        "image_dedup_keep": _image_dedup_keep,
         "crawl_harvest": _crawl_harvest,
         "crawl_order": _crawl_order,
         "crawl_documents": _crawl_documents,

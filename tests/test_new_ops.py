@@ -285,3 +285,19 @@ def test_hll_estimate_tracks_exact(ray_session):
     assert ((df["v_zero"] >= 0) & (df["v_zero"] <= HLL_M)).all()
     assert (df["s_int"] <= HLL_M * (1 << HLL_RHO_MAX)).all()
     assert (df["s_int"] >= HLL_M).all()
+
+
+def test_image_dedup_keep_invariants(ray_session):
+    """Kept set = harvest minus non-representative phash-cluster
+    members; representatives flagged in_cluster=1, singletons 0."""
+    import __ray_entry__ as entrymod
+
+    harvest = entrymod._crawl_harvest(SF_DIR)
+    lab = entrymod._image_phash_clusters(SF_DIR).to_pandas()
+    kept = entrymod._image_dedup_keep(SF_DIR).to_pandas()
+    dropped = set(lab.loc[lab["component"] < lab["image_id"], "image_id"])
+    reps = set(lab.loc[lab["component"] == lab["image_id"], "image_id"])
+    assert len(dropped) > 0                     # planted dupes exercise it
+    assert len(kept) == harvest.num_rows - len(dropped)
+    assert not dropped & set(kept["image_id"])
+    assert set(kept.loc[kept["in_cluster"] == 1, "image_id"]) == reps
