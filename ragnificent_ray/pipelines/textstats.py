@@ -11,7 +11,9 @@ from __future__ import annotations
 import os
 import re
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -436,6 +438,74 @@ def heavy_hitter_tokens(sf_dir: str):
         .sort(["n", "token"], descending=[True, False])
         .limit(_HH_TOP)
     )
+
+
+CM_D, CM_W = 4, 1024     # count-min sketch: 4 hash rows x 1024 counters
+CM_TOPK = 20             # point-query the exact top-k tokens
+
+
+def countmin_tokens(sf_dir: str):
+    """Count-Min sketch over the corpus token stream, point-queried at
+    the exact top-%d tokens — the O(1)-memory frequency oracle a
+    streaming curation pipeline keeps where exact token counts are a
+    corpus-sized shuffle.
+
+    Sketch path: each block folds its token counts into a local
+    %d×%d counter array (deterministic md5 row-hashes) and emits only
+    non-zero cells — at most D·W rows per block regardless of
+    vocabulary size; a native groupby-sum merges cells (the key space
+    is the FIXED 4096 cells, not the vocabulary). The merged sketch is
+    O(1)-sized by construction, so holding it driver-side for the
+    point queries is scale-safe. Estimates use the classic min-over-
+    rows rule; all arithmetic is integer, so the DuckDB oracle
+    value-checks the estimates themselves. The exact counts ride along
+    (CM overestimates: est >= exact always — asserted in pytest).
+    """ % (CM_TOPK, CM_D, CM_W)
+    from collections import Counter
+
+    from ..functions.hashing import md5_hex
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["text"])
+
+    def _h(d: int, tok: str) -> int:
+        return int(md5_hex(f"{d}|{tok}")[:15], 16) % CM_W
+
+    def cm_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(t.strip().split())
+        c.pop("", None)
+        arr = np.zeros((CM_D, CM_W), dtype=np.int64)
+        for tok, n in c.items():
+            for d in range(CM_D):
+                arr[d, _h(d, tok)] += n
+        d_idx, h_idx = arr.nonzero()
+        return pa.table({
+            "cell": pa.array(d_idx.astype(np.int64) * CM_W + h_idx),
+            "c": pa.array(arr[d_idx, h_idx]),
+        })
+
+    from ray.data.aggregate import Sum
+
+    cm_rows = (ds.map_batches(cm_partial, batch_format="pyarrow",
+                              batch_size=8192)
+               .groupby("cell").aggregate(Sum("c", alias_name="c")))
+    cm = np.zeros(CM_D * CM_W, dtype=np.int64)
+    for b in cm_rows.iter_batches(batch_format="pyarrow"):
+        cm[b.column("cell").to_numpy()] = b.column("c").to_numpy()
+
+    def add_est(batch: pa.Table) -> pa.Table:
+        toks = batch.column("token").to_pylist()
+        est = np.array([min(cm[d * CM_W + _h(d, t)] for d in range(CM_D))
+                        for t in toks], dtype=np.int64)
+        return pa.table({
+            "token": batch.column("token"),
+            "est_count": pa.array(est),
+            "exact_count": pc.cast(batch.column("n"), pa.int64()),
+        })
+
+    return (heavy_hitter_tokens(sf_dir).limit(CM_TOPK)
+            .map_batches(add_est, batch_format="pyarrow"))
 
 
 def source_mixture(sf_dir: str):
@@ -941,6 +1011,35 @@ ORACLE_SQL = {
         SELECT token, COUNT(*) AS n FROM toks WHERE token <> ''
         GROUP BY token ORDER BY n DESC, token LIMIT 50
     """,
+    "countmin_tokens": rf"""
+        WITH toks AS (
+          SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+          FROM documents
+        ), tk AS (
+          SELECT token FROM toks WHERE token <> ''
+        ), exact AS (
+          SELECT token, COUNT(*) AS exact_count FROM tk
+          GROUP BY token ORDER BY exact_count DESC, token LIMIT {CM_TOPK}
+        ), hrows AS (
+          SELECT unnest([0, 1, 2, 3]) AS d
+        ), cm AS (
+          SELECT d,
+                 CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || '|'
+                     || token), 1, 15)) AS BIGINT) % {CM_W} AS h,
+                 COUNT(*) AS c
+          FROM tk CROSS JOIN hrows
+          GROUP BY d, h
+        ), q AS (
+          SELECT e.token, e.exact_count, hrows.d,
+                 CAST(('0x' || substr(md5(CAST(hrows.d AS VARCHAR) || '|'
+                     || e.token), 1, 15)) AS BIGINT) % {CM_W} AS h
+          FROM exact e CROSS JOIN hrows
+        )
+        SELECT q.token, CAST(MIN(cm.c) AS BIGINT) AS est_count,
+               q.exact_count
+        FROM q JOIN cm ON cm.d = q.d AND cm.h = q.h
+        GROUP BY q.token, q.exact_count
+    """,
     "bigram_top": r"""
         WITH t AS (
           SELECT doc_id,
@@ -1016,6 +1115,7 @@ QUERIES = {
     "fingerprints": fingerprints,
     "vocab_top": vocab_top,
     "heavy_hitter_tokens": heavy_hitter_tokens,
+    "countmin_tokens": countmin_tokens,
     "normalize_text": normalize_text,
     "bigram_top": bigram_top,
     "repetition_scores": repetition_scores,

@@ -301,3 +301,17 @@ def test_image_dedup_keep_invariants(ray_session):
     assert len(kept) == harvest.num_rows - len(dropped)
     assert not dropped & set(kept["image_id"])
     assert set(kept.loc[kept["in_cluster"] == 1, "image_id"]) == reps
+
+
+def test_countmin_overestimates_only(ray_session):
+    """Count-Min point estimates are >= exact (one-sided error), and
+    the heavy head is estimated exactly when no hash collisions bite."""
+    from ragnificent_ray.pipelines.textstats import CM_TOPK, countmin_tokens
+
+    df = countmin_tokens(SF_DIR).to_pandas()
+    assert len(df) == CM_TOPK
+    assert (df["est_count"] >= df["exact_count"]).all()
+    # min-over-4-rows of 1024 counters: the top token's estimate is
+    # within the classic eps*N bound (eps = e/W) with huge margin
+    n_total = df["exact_count"].sum() * 50  # loose upper proxy for N
+    assert ((df["est_count"] - df["exact_count"]) < n_total).all()
