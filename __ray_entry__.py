@@ -291,6 +291,87 @@ def _caption_image_align(sf_dir: str):
                      concurrency=2)
 
 
+def _caption_to_image_recall(sf_dir: str):
+    """Cross-modal retrieval eval: for each query caption, does its OWN
+    image land in the text→image top-k? The CLIP-retrieval recall@k
+    gauge a multimodal curation pipeline tracks (both towers are the
+    sandbox's deterministic stand-ins — HashEmbedder text tower, 64-d
+    block-mean image tower; a trained two-tower model slots into the
+    same stages, at which point this number becomes meaningful rather
+    than chance-level).
+
+    Shape mirrors ``ann_topk``: a FIXED query panel (first 16 image_ids
+    lexicographically — query count is the broadcast bound, not corpus
+    size), per-block partial top-k over the actor-pool image features,
+    tiny per-query merge. Rows-only (binary payloads)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from ragnificent_ray.functions.numeric import list_column_matrix
+    from ragnificent_ray.stages.embed import HashEmbedder
+    from ragnificent_ray.stages.multimodal import ImageFeatureStage
+
+    top_k, n_q = 5, 16
+    harvest = _crawl_harvest(sf_dir)
+    order = pc.array_sort_indices(harvest.column("image_id"))[:n_q]
+    qrows = harvest.select(["image_id", "caption"]).take(order)
+    qids = qrows.column("image_id").to_pylist()
+    qm = HashEmbedder(dim=64)._encode(
+        qrows.column("caption").to_pylist()).astype(np.float64)
+    qref = ray.put((qids, qm))
+
+    feats = rd.from_arrow(harvest.select(["image_id", "bytes", "fmt"])) \
+        .map_batches(ImageFeatureStage, batch_format="pyarrow",
+                     batch_size=64, concurrency=2)
+
+    class PartialTopK:
+        def __init__(self, ref):
+            self.qids, self.qm = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column("image_id").to_pylist(),
+                             dtype=object)
+            m = list_column_matrix(batch.column("features"),
+                                   dtype=np.float64)
+            sims = self.qm @ m.T
+            k = min(top_k, len(ids))
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(self.qids):
+                sel = np.lexsort((ids, -sims[qi]))[:k]
+                out_q.extend([qid] * len(sel))
+                out_n.extend(ids[sel].tolist())
+                out_s.extend(sims[qi][sel].tolist())
+            return pa.table({
+                "query_id": pa.array(out_q, type=pa.string()),
+                "neighbor_id": pa.array(out_n, type=pa.string()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            })
+
+    def merge(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["sim", "neighbor_id"],
+                          ascending=[False, True]).head(top_k)
+        qid = g["query_id"].iloc[0]
+        ranks = g["neighbor_id"].reset_index(drop=True)
+        own = ranks[ranks == qid]
+        return pd.DataFrame({
+            "query_id": [qid],
+            "hit_at_k": pd.array([len(own) > 0], dtype="bool"),
+            "own_rank": pd.array([own.index[0] + 1 if len(own) else 0],
+                                 dtype="int64"),
+        })
+
+    return (feats.map_batches(PartialTopK,
+                              fn_constructor_kwargs={"ref": qref},
+                              batch_format="pyarrow", batch_size=4096,
+                              concurrency=2)
+            .groupby("query_id")
+            .map_groups(merge, batch_format="pandas"))
+
+
 def _audio_features(sf_dir: str):
     """Audio feature-extract plumbing over the harvest payload column
     (deterministic fake features — no audio codec in this container)."""
@@ -629,6 +710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_feature_ann": _image_feature_ann,
         "image_quality_scores": _image_quality_scores,
         "caption_image_align": _caption_image_align,
+        "caption_to_image_recall": _caption_to_image_recall,
         "video_frame_sample": _video_frame_sample,
         "audio_features": _audio_features,
     })

@@ -120,6 +120,8 @@ QUERY_NAMES = [
     "approx_distinct_pairs", "ann_lsh_recall", "packed_sequences",
     "orders_monthly_growth", "events_funnel", "decontaminate_bloom",
     "group_quantiles", "dup_spans", "normalize_text", "pagerank_clicks",
+    "hll_users_by_type", "countmin_tokens", "covisitation_pairs",
+    "trending_items",
 ]
 
 

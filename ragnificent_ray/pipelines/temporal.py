@@ -413,7 +413,82 @@ def events_funnel(sf_dir: str):
     })
 
 
+TRENDING_K = 3
+
+
+def trending_items(sf_dir: str):
+    """Per-hour trending items: top-%d ``props.k`` items by event count
+    in each tumbling 1-hour window (ties break on item id) — the
+    windowed group-wise top-k every streaming analytics stack ships.
+
+    Combiner discipline: each batch pre-counts (window, item) cells
+    with an Arrow group_by, windows co-locate via a bounded hash bucket
+    of the window string, and the per-window rank runs vectorized in
+    the bucket group — the shuffle moves one row per (block, window,
+    item), never per event.""" % TRENDING_K
+    n_buckets = _bucket_count(sf_dir, ("events",))
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["ts", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        win = pc.strftime(
+            pc.cast(pc.floor_temporal(batch.column("ts"), unit="hour"),
+                    pa.timestamp("s")),
+            format="%Y-%m-%d %H:%M:%S")
+        ext = pc.extract_regex(batch.column("props"),
+                               pattern=r'"k":\s*(?P<k>\d+)')
+        item = pc.cast(pc.struct_field(ext, "k"), pa.int64())
+        g = pa.table({"window_start": win, "item": item}) \
+            .group_by(["window_start", "item"]).aggregate([([], "count_all")])
+        from ..functions.hashing import stable_hash64
+        wins = g.column("window_start").to_pylist()
+        wb = np.fromiter((stable_hash64(w) % n_buckets for w in wins),
+                         dtype=np.int32, count=len(wins))
+        return pa.table({
+            "window_start": g.column("window_start"),
+            "item": g.column("item"),
+            "n": pc.cast(g.column("count_all"), pa.int64()),
+            "wb": pa.array(wb),
+        })
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["window_start", "item"], as_index=False)["n"].sum()
+        agg = agg.sort_values(["window_start", "n", "item"],
+                              ascending=[True, False, True],
+                              kind="mergesort", ignore_index=True)
+        agg["rank"] = agg.groupby("window_start").cumcount() + 1
+        agg = agg[agg["rank"] <= TRENDING_K]
+        return pd.DataFrame({
+            "window_start": agg["window_start"],
+            "item": agg["item"].to_numpy().astype(np.int64),
+            "n": agg["n"].to_numpy().astype(np.int64),
+            "rank": agg["rank"].to_numpy().astype(np.int64),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("wb").map_groups(topk, batch_format="pandas"))
+
+
 ORACLE_SQL = {
+    "trending_items": f"""
+        WITH e AS (
+          SELECT strftime(date_trunc('hour', ts),
+                          '%Y-%m-%d %H:%M:%S') AS window_start,
+                 CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS item
+          FROM events
+        ), c AS (
+          SELECT window_start, item, COUNT(*) AS n
+          FROM e GROUP BY window_start, item
+        ), r AS (
+          SELECT window_start, item, n,
+                 CAST(ROW_NUMBER() OVER (
+                     PARTITION BY window_start
+                     ORDER BY n DESC, item) AS BIGINT) AS rank
+          FROM c
+        )
+        SELECT window_start, item, n, rank FROM r
+        WHERE rank <= {TRENDING_K}
+    """,
     "events_funnel": """
         WITH u AS (
           SELECT user_id,
@@ -501,4 +576,5 @@ QUERIES = {
     "purchase_attribution": purchase_attribution,
     "user_rolling_avg": user_rolling_avg,
     "events_funnel": events_funnel,
+    "trending_items": trending_items,
 }
