@@ -217,12 +217,18 @@ class VectorSinkStage:
         if self.embedding_field not in batch.column_names:
             return pa.table({"upserted": pa.array([0], type=pa.int64())})
         emb = batch.column(self.embedding_field)
-        # dim mismatch discovered on the data path → recreate once, like
-        # the reference's first-embedding probe
+        # dim mismatch discovered on the data path → recreate, like the
+        # reference's first-embedding probe (vector_store.py:272-286).
+        # Re-check the STORED dim right before wiping: with an actor pool,
+        # a peer may already have recreated at the data dim and written
+        # points — recreating again here would rmtree its parts.
         first = next((v for v in emb if v.is_valid), None)
         if first is not None and len(first) != self.vector_size:
             self.vector_size = len(first)
-            self.client.ensure_collection(self.vector_size, recreate=True)
+            stored = self.client.collection_dim()
+            self.client.ensure_collection(
+                self.vector_size,
+                recreate=(stored is not None and stored != self.vector_size))
         ids = pc.cast(batch.column(self.id_field), pa.string())
         points = batch.drop_columns([self.id_field]) \
                       .add_column(0, "id", ids)
@@ -233,10 +239,33 @@ class VectorSinkStage:
         return pa.table({"upserted": pa.array([total], type=pa.int64())})
 
 
-def write_vectors(ds, uri: str, vector_size: int,
+def _infer_vector_size(ds, embedding_field: str = "embedding") -> int:
+    """Resolve the embedding dimension from the Dataset itself: the
+    schema when the column is a fixed-size list, else a 1-row probe.
+    Resolving BEFORE the actor pool launches means no actor ever sees a
+    dim mismatch, so the recreate (which wipes points) never races."""
+    try:
+        field = ds.schema().base_schema.field(embedding_field)
+        if pa.types.is_fixed_size_list(field.type):
+            return int(field.type.list_size)
+    except (KeyError, AttributeError):
+        pass
+    probe = ds.limit(1).take_batch(1, batch_format="pyarrow")
+    val = probe.column(embedding_field)[0].as_py()
+    if val is None:
+        raise VectorOperationError(
+            "cannot infer vector dimension: first embedding is null")
+    return len(val)
+
+
+def write_vectors(ds, uri: str, vector_size: int | None = None,
                   concurrency: int = 2, **stage_kwargs) -> int:
     """Stream a Dataset into the vector store via the actor pool;
-    returns total upserted points."""
+    returns total upserted points. ``vector_size=None`` infers the
+    dimension from the data before the pool starts."""
+    if vector_size is None:
+        vector_size = _infer_vector_size(
+            ds, stage_kwargs.get("embedding_field", "embedding"))
     counts = ds.map_batches(
         VectorSinkStage,
         fn_constructor_kwargs={"uri": uri, "vector_size": vector_size,

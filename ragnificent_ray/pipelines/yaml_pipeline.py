@@ -146,6 +146,10 @@ class YamlPipeline:
                          concurrency=2, num_cpus=0.5)
             .write_parquet(out)
         )
+        # remembered so a dimension-less `index` step indexes at the dim
+        # actually embedded instead of the 384 default (a per-actor
+        # recreate on mismatch could otherwise race under concurrency)
+        self._last_embed_dim = dim
         return {"out_dir": out, "dimension": dim}
 
     def _execute_index(self, cfg: dict) -> dict:
@@ -155,9 +159,10 @@ class YamlPipeline:
 
         src = cfg.get("input_dir") or os.path.join(self.work_dir, "embedded")
         uri = os.path.join(self.work_dir, "index")
+        dim = cfg.get("dimension") or getattr(self, "_last_embed_dim", None)
         n = write_vectors(
             rd.read_parquet(src), uri,
-            vector_size=int(cfg.get("dimension", 384)),
+            vector_size=int(dim) if dim else None,
             concurrency=int(cfg.get("concurrency", 2)),
             upsert_batch_size=int(cfg.get("batch_size", 100)),
         )

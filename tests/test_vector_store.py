@@ -122,6 +122,34 @@ def test_write_vectors_dataset(ray_session, tmp_path):
     assert vs.load_points(uri).num_rows == 300
 
 
+def test_write_vectors_infers_dimension(ray_session, tmp_path):
+    """vector_size=None resolves the dim from the data BEFORE the actor
+    pool starts, so no actor ever hits the mismatch-recreate path (which
+    wipes points and raced under concurrency when the configured default
+    disagreed with the embedded dim)."""
+    import ray.data as rd
+
+    uri = str(tmp_path / "col")
+    ds = rd.from_arrow(_points(range(120), dim=6))
+    n = vs.write_vectors(ds, uri, vector_size=None, concurrency=2)
+    assert n == 120
+    t = vs.load_points(uri)
+    assert t.num_rows == 120
+    assert vs.LanceAdapterClient(uri).collection_dim() == 6
+
+
+def test_infer_vector_size_variable_list(ray_session):
+    """Non-fixed list<float> column falls back to the 1-row probe."""
+    import ray.data as rd
+
+    t = pa.table({
+        "id": pa.array(["a", "b"]),
+        "embedding": pa.array([[1.0] * 5, [2.0] * 5],
+                              type=pa.list_(pa.float32())),
+    })
+    assert vs._infer_vector_size(rd.from_arrow(t)) == 5
+
+
 class _CrashOnceSink(vs.VectorSinkStage):
     """Writes half a batch, then kills its actor process — once."""
 
