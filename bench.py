@@ -121,7 +121,8 @@ QUERY_NAMES = [
     "orders_monthly_growth", "events_funnel", "decontaminate_bloom",
     "group_quantiles", "dup_spans", "normalize_text", "pagerank_clicks",
     "hll_users_by_type", "countmin_tokens", "covisitation_pairs",
-    "trending_items",
+    "trending_items", "inactive_customers", "shipping_priority",
+    "price_quantity_corr",
 ]
 
 

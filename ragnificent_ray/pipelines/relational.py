@@ -932,7 +932,211 @@ def click_events(sf_dir: str):
     )
 
 
+# ------------------------------------------------------- anti / semi joins
+
+_INACTIVE_CUTOFF = "2000-01-01"
+
+
+def inactive_customers(sf_dir: str):
+    """Customers with NO order since a cutoff date — the distributed
+    ANTI-JOIN shape (NOT EXISTS). The orders side is shrunk to unique
+    active custkeys inside ``map_batches`` (combiner) before the
+    hash-partitioned ``left_anti`` join, so the exchange moves at most
+    one row per (batch, custkey) instead of every order row. At 100 TB
+    both sides co-partition by custkey; nothing is broadcast."""
+    import datetime as _dt
+
+    P = _fact_join_partitions(sf_dir, table="orders")
+    cutoff = pa.scalar(_dt.datetime(2000, 1, 1), type=pa.timestamp("us"))
+
+    cust = rd.read_parquet(
+        _pq(sf_dir, "customer"),
+        columns=["c_custkey", "c_name", "c_acctbal"])
+    orders = rd.read_parquet(_pq(sf_dir, "orders"),
+                             columns=["o_custkey", "o_orderdate"])
+
+    def active_keys(batch: pa.Table) -> pa.Table:
+        recent = batch.filter(
+            pc.greater_equal(batch.column("o_orderdate"), cutoff))
+        return pa.table({"o_custkey": pc.unique(recent.column("o_custkey"))})
+
+    act = orders.map_batches(active_keys, batch_format="pyarrow",
+                             batch_size=65536)
+    out = cust.join(act, "left_anti", num_partitions=P,
+                    on=("c_custkey",), right_on=("o_custkey",),
+                    aggregator_ray_remote_args={"num_cpus": 0.25})
+    return out.map_batches(
+        lambda b: b.select(["c_custkey", "c_name", "c_acctbal"]),
+        batch_format="pyarrow")
+
+
+def shipping_priority(sf_dir: str):
+    """TPC-H-Q3-shaped 3-table join + grouped top-k: lineitem ⋈ orders
+    run as a hash-partitioned BIG ⋈ BIG join, the filtered customer
+    side applied as a ``left_semi`` join (existence check — no column
+    carry, half the exchange width of an inner join). Revenue is summed
+    in exact integer 1e-4 currency units (cents × discount basis
+    points), so the per-order totals are bit-identical to the SQL
+    oracle regardless of summation order."""
+    import datetime as _dt
+
+    P = _fact_join_partitions(sf_dir)
+    join_args = dict(num_partitions=P,
+                     aggregator_ray_remote_args={"num_cpus": 0.25})
+    cutoff = pa.scalar(_dt.datetime(1998, 1, 1), type=pa.timestamp("us"))
+
+    li = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        shipped = batch.filter(
+            pc.greater(batch.column("l_shipdate"), cutoff))
+        cents = np.rint(
+            shipped.column("l_extendedprice").to_numpy() * 100.0
+        ).astype(np.int64)
+        disc_bp = np.rint(
+            shipped.column("l_discount").to_numpy() * 100.0
+        ).astype(np.int64)
+        g = pa.table({
+            "l_orderkey": shipped.column("l_orderkey"),
+            "rev_e4": pa.array(cents * (100 - disc_bp), type=pa.int64()),
+        }).group_by("l_orderkey").aggregate([("rev_e4", "sum")])
+        return pa.table({"l_orderkey": g.column("l_orderkey"),
+                         "rev_e4": g.column("rev_e4_sum")})
+
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"],
+    ).map_batches(
+        lambda b: b.filter(pc.less(b.column("o_orderdate"), cutoff)),
+        batch_format="pyarrow", batch_size=65536)
+
+    bld = rd.read_parquet(
+        _pq(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.equal(b.column("c_mktsegment"), pa.scalar("BUILDING"))
+        ).select(["c_custkey"]),
+        batch_format="pyarrow", batch_size=65536)
+
+    from ray.data.aggregate import Sum
+
+    joined = (
+        li.map_batches(li_partial, batch_format="pyarrow",
+                       batch_size=65536)
+        .join(orders, "inner", on=("l_orderkey",),
+              right_on=("o_orderkey",), **join_args)
+        .join(bld, "left_semi", on=("o_custkey",),
+              right_on=("c_custkey",), **join_args)
+        .groupby(["l_orderkey", "o_orderdate", "o_orderpriority"])
+        .aggregate(Sum("rev_e4", alias_name="rev_e4"))
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        rev = round_half_away(
+            batch.column("rev_e4").to_numpy() / 10000.0, 2)
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "revenue": pa.array(np.atleast_1d(rev), type=pa.float64()),
+            "o_orderdate": pc.cast(batch.column("o_orderdate"),
+                                   pa.timestamp("us")),
+            "o_orderpriority": batch.column("o_orderpriority"),
+        })
+
+    return (joined.map_batches(final, batch_format="pyarrow")
+            .sort(["revenue", "l_orderkey"], descending=[True, False])
+            .limit(10))
+
+
+# ------------------------------------------------------ distributed moments
+
+def price_quantity_corr(sf_dir: str):
+    """Pearson correlation of (l_quantity, l_extendedprice) from
+    distributed moment partials: each batch folds to ONE row of
+    (n, Σq, Σp, Σq², Σp², Σqp), a global Sum combines them, and the
+    closed-form estimate is assembled from the six scalars — no
+    shuffle, one tiny reduce, same shape at 100 TB."""
+    ds = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                         columns=["l_quantity", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = batch.column("l_quantity").to_numpy()
+        p = batch.column("l_extendedprice").to_numpy()
+        return pa.table({
+            "n": pa.array([len(q)], type=pa.int64()),
+            "sq": pa.array([float(q.sum())]),
+            "sp": pa.array([float(p.sum())]),
+            "sqq": pa.array([float((q * q).sum())]),
+            "spp": pa.array([float((p * p).sum())]),
+            "sqp": pa.array([float((q * p).sum())]),
+        })
+
+    from ray.data.aggregate import Sum
+
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         batch_size=65536).aggregate(
+        Sum("n", alias_name="n"), Sum("sq", alias_name="sq"),
+        Sum("sp", alias_name="sp"), Sum("sqq", alias_name="sqq"),
+        Sum("spp", alias_name="spp"), Sum("sqp", alias_name="sqp"))
+    n = float(agg["n"])
+    cov = n * agg["sqp"] - agg["sq"] * agg["sp"]
+    var_q = n * agg["sqq"] - agg["sq"] ** 2
+    var_p = n * agg["spp"] - agg["sp"] ** 2
+    return pa.table({
+        "n": pa.array([int(agg["n"])], type=pa.int64()),
+        "corr": pa.array([round_half_away(
+            cov / np.sqrt(var_q * var_p), 4)], type=pa.float64()),
+        "mean_qty": pa.array([round_half_away(agg["sq"] / n, 4)],
+                             type=pa.float64()),
+        "mean_price": pa.array([round_half_away(agg["sp"] / n, 4)],
+                               type=pa.float64()),
+    })
+
+
 ORACLE_SQL = {
+    "inactive_customers": """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    """,
+    "shipping_priority": """
+        SELECT l_orderkey,
+               ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                     / 10000.0, 2) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING'
+          AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    "price_quantity_corr": """
+        WITH m AS (
+          SELECT COUNT(*) AS n,
+                 SUM(l_quantity) AS sq, SUM(l_extendedprice) AS sp,
+                 SUM(l_quantity * l_quantity) AS sqq,
+                 SUM(l_extendedprice * l_extendedprice) AS spp,
+                 SUM(l_quantity * l_extendedprice) AS sqp
+          FROM lineitem
+        )
+        SELECT n,
+               ROUND((n * sqp - sq * sp)
+                     / sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)),
+                     4) AS corr,
+               ROUND(sq / n, 4) AS mean_qty,
+               ROUND(sp / n, 4) AS mean_price
+        FROM m
+    """,
     "orders_monthly_growth": """
         WITH m AS (
           SELECT strftime(o_orderdate, '%Y-%m') AS month,
@@ -1114,4 +1318,7 @@ QUERIES = {
     "hll_users_by_type": hll_users_by_type,
     "orders_monthly_growth": orders_monthly_growth,
     "click_events": click_events,
+    "inactive_customers": inactive_customers,
+    "shipping_priority": shipping_priority,
+    "price_quantity_corr": price_quantity_corr,
 }
