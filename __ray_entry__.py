@@ -618,6 +618,48 @@ def _image_dedup_keep(sf_dir: str):
         keep, batch_format="pandas")
 
 
+def _image_dhash_neardup(sf_dir: str):
+    """Near-dup image pairs by DIFFERENCE-hash hamming — the dHash
+    companion to ``harvest_phash_neardup``. An actor-pool decode stage
+    (``ImageDHashStage``) emits narrow (image_id, dhash) rows, then the
+    SAME banded-hamming pair machinery runs over the new sketch
+    (``hash_col="dhash"``): 4×16-bit bands, bounded band-bucket
+    self-merge, exact XOR-popcount verify. Gradient-threshold hashes
+    catch brightness-shifted near-dups the global-mean phash misses.
+    Rows-only (binary-payload input); planted-dup recall pinned in
+    ``tests/test_phash_neardup.py``."""
+    import ray.data as rd
+
+    from ragnificent_ray.pipelines.dedup import phash_neardup_pairs
+    from ragnificent_ray.stages.multimodal import ImageDHashStage
+
+    harvest = _crawl_harvest(sf_dir)
+    sketches = rd.from_arrow(
+        harvest.select(["image_id", "bytes", "fmt"])
+    ).map_batches(ImageDHashStage, batch_format="pyarrow", batch_size=64,
+                  concurrency=2)
+    return phash_neardup_pairs(sketches, hash_col="dhash")
+
+
+def _image_patchify(sf_dir: str):
+    """ViT-style patch extraction over the crawl harvest: each image
+    edge-pads to a multiple of 16 and flat-maps to one row per 16×16
+    RGB patch with grid position and integer mean-luma — the
+    training-data prep step for patch-token vision models. Actor-pool
+    decode; bytes column dropped on output (patch payloads replace it).
+    Rows-only (binary-payload input); roundtrip reassembly pinned in
+    ``tests/test_multimodal.py``."""
+    import ray.data as rd
+
+    from ragnificent_ray.stages.multimodal import ImagePatchifyStage
+
+    harvest = _crawl_harvest(sf_dir)
+    return rd.from_arrow(
+        harvest.select(["image_id", "bytes", "fmt"])
+    ).map_batches(ImagePatchifyStage, batch_format="pyarrow",
+                  batch_size=32, concurrency=2)
+
+
 def _harvest_dedup_exact(sf_dir: str):
     """Exact image dedup (payload blake2b) over the crawl harvest —
     the planted cross-page duplicate images give n_copies > 1 rows."""
@@ -699,6 +741,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "harvest_dedup_exact": _harvest_dedup_exact,
         "image_phash_clusters": _image_phash_clusters,
         "image_dedup_keep": _image_dedup_keep,
+        "image_dhash_neardup": _image_dhash_neardup,
+        "image_patchify": _image_patchify,
         "crawl_harvest": _crawl_harvest,
         "crawl_order": _crawl_order,
         "crawl_documents": _crawl_documents,

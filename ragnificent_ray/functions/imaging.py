@@ -190,6 +190,41 @@ def phash64_batch(stack: np.ndarray) -> np.ndarray:
     return value.astype(np.uint64).view(np.int64)
 
 
+def dhash64_batch(stack: np.ndarray) -> np.ndarray:
+    """64-bit difference-hash over an (N, H, W, 3) uint8 stack.
+
+    dHash: block-mean-downsample the grayscale to an 8×9 grid and set
+    bit (r, c) iff cell (r, c) is brighter than its right neighbor
+    (r, c+1) — gradient structure instead of :func:`phash64_batch`'s
+    global-mean threshold, so the two hashes fail differently (phash is
+    robust to global brightness shifts, dhash to local mean shifts); a
+    near-dup pass can band on either. All-integer like phash: uint16
+    BT.601 luma, uint32 block sums; after edge-padding every block in a
+    row has the same pixel count, so comparing block SUMS equals
+    comparing block means with no division — bit-deterministic across
+    platforms and batch groupings. Returns signed int64s.
+    """
+    n, h, w = stack.shape[:3]
+    ph, pw = -h % 8, -w % 9
+    if ph or pw:
+        stack = np.pad(stack, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                       mode="edge")
+        h, w = stack.shape[1:3]
+    bh, bw = h // 8, w // 9
+    u = stack.astype(np.uint16)
+    g = 77 * u[..., 0] + 150 * u[..., 1] + 29 * u[..., 2]
+    sums = g.reshape(n, 8, bh, 9, bw).sum(axis=(2, 4), dtype=np.uint32)
+    bits = sums[:, :, :-1] > sums[:, :, 1:]
+    value = np.packbits(bits.reshape(n, 64), axis=1).view(">u8")[:, 0]
+    return value.astype(np.uint64).view(np.int64)
+
+
+def dhash64(rgb: np.ndarray) -> int:
+    """Scalar :func:`dhash64_batch` (singleton batch axis — bit-parity
+    with the batched path by construction)."""
+    return int(dhash64_batch(rgb[None])[0])
+
+
 def phash64(rgb: np.ndarray) -> int:
     """64-bit average-hash: 8×8 block-mean grayscale vs. its mean.
 

@@ -1065,7 +1065,8 @@ def dedup_keep(sf_dir: str):
 
 # ------------------------------------------------- phash near-dup (images)
 
-def phash_neardup_pairs(ds, max_hamming: int = 8):
+def phash_neardup_pairs(ds, max_hamming: int = 8,
+                        hash_col: str = "phash"):
     """D4: near-duplicate images by perceptual-hash hamming distance.
 
     Banding: the 64-bit phash splits into 4×16-bit bands; two hashes
@@ -1075,12 +1076,16 @@ def phash_neardup_pairs(ds, max_hamming: int = 8):
     recall). Candidates form per band-bucket with a vectorized
     self-merge; the XOR-popcount verify is exact.
 
-    ``ds``: Dataset or Arrow table with (image_id, phash) columns.
+    ``ds``: Dataset or Arrow table with (image_id, <hash_col>) columns —
+    any 64-bit perceptual hash bands the same way (``hash_col="dhash"``
+    runs the identical machinery over difference hashes).
     """
     import ray.data as rd
 
     if isinstance(ds, pa.Table):
         ds = rd.from_arrow(ds)
+    if hash_col != "phash":
+        ds = ds.rename_columns({hash_col: "phash"})
 
     def band_rows(batch: pa.Table) -> pa.Table:
         ids = batch.column("image_id").to_pylist()

@@ -124,6 +124,89 @@ class ImageFeatureStage:
         })
 
 
+class ImageDHashStage:
+    """binary+fmt → 64-bit difference hash (REAL decode).
+
+    Companion sketch to the harvest sink's ``phash`` column: dHash
+    thresholds horizontal gradients instead of the global mean, so
+    banding on it catches near-dups a brightness-shifted phash misses
+    (and vice versa). Emits narrow (id, dhash) rows — the bytes column
+    never leaves this stage."""
+
+    def __init__(self, bytes_col: str = "bytes", fmt_col: str = "fmt",
+                 id_col: str = "image_id"):
+        self.bytes_col, self.fmt_col, self.id_col = bytes_col, fmt_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.imaging import dhash64
+
+        datas = batch.column(self.bytes_col).to_pylist()
+        fmts = batch.column(self.fmt_col).to_pylist()
+        hashes = np.fromiter(
+            (dhash64(decode_image(d, f)) for d, f in zip(datas, fmts)),
+            dtype=np.int64, count=len(datas))
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "dhash": pa.array(hashes),
+        })
+
+
+class ImagePatchifyStage:
+    """binary+fmt → ViT-style non-overlapping P×P patch rows (REAL
+    decode + slice).
+
+    The training-data prep step for patch-token vision models: each
+    image edge-pads to a multiple of ``patch`` and flat-maps to one row
+    per patch with its grid position and raw RGB payload, so downstream
+    stages (tokenizers, patch-level filters, masked-patch sampling)
+    stream patch rows without re-decoding. Emitting rows-per-patch keeps
+    blocks splittable — at 100 TB the patch table repartitions freely
+    where whole-image rows would not."""
+
+    def __init__(self, patch: int = 16, bytes_col: str = "bytes",
+                 fmt_col: str = "fmt", id_col: str = "image_id"):
+        self.patch = int(patch)
+        self.bytes_col, self.fmt_col, self.id_col = bytes_col, fmt_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        P = self.patch
+        ids = batch.column(self.id_col).to_pylist()
+        datas = batch.column(self.bytes_col).to_pylist()
+        fmts = batch.column(self.fmt_col).to_pylist()
+        out_id, out_py, out_px = [], [], []
+        out_bytes, out_h, out_w, out_luma = [], [], [], []
+        for iid, data, fmt in zip(ids, datas, fmts):
+            img = decode_image(data, fmt)
+            h, w = img.shape[:2]
+            ph, pw = -h % P, -w % P
+            if ph or pw:
+                img = np.pad(img, ((0, ph), (0, pw), (0, 0)), mode="edge")
+            gh, gw = img.shape[0] // P, img.shape[1] // P
+            # (gh, gw, P, P, 3) patch grid in one strided reshape
+            grid = img.reshape(gh, P, gw, P, 3).swapaxes(1, 2)
+            lum = (grid.astype(np.uint32) @ np.array([77, 150, 29],
+                                                     dtype=np.uint32))
+            lum = lum.sum(axis=(2, 3), dtype=np.uint64) // (256 * P * P)
+            for py in range(gh):
+                for px in range(gw):
+                    out_id.append(iid)
+                    out_py.append(py)
+                    out_px.append(px)
+                    out_bytes.append(grid[py, px].tobytes())
+                    out_luma.append(int(lum[py, px]))
+            out_h.extend([h] * (gh * gw))
+            out_w.extend([w] * (gh * gw))
+        return pa.table({
+            self.id_col: pa.array(out_id, type=pa.string()),
+            "patch_y": pa.array(out_py, type=pa.int32()),
+            "patch_x": pa.array(out_px, type=pa.int32()),
+            "patch": pa.array(out_bytes, type=pa.binary()),
+            "src_h": pa.array(out_h, type=pa.int32()),
+            "src_w": pa.array(out_w, type=pa.int32()),
+            "mean_luma_int": pa.array(out_luma, type=pa.int64()),
+        })
+
+
 class ImageQualityStage:
     """binary+fmt → per-image quality signals + keep flag (REAL decode).
 

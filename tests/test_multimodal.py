@@ -135,3 +135,78 @@ def test_image_quality_stage_signals_and_gate():
     assert "bytes" not in out.column_names
     again = ImageQualityStage()(batch)
     assert out.equals(again)                            # deterministic
+
+
+def test_image_patchify_roundtrip_and_grid():
+    """Patches reassemble to the edge-padded original; grid count is
+    ceil(h/P) * ceil(w/P); luma is the integer patch mean."""
+    from ragnificent_ray.stages.multimodal import ImagePatchifyStage
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    pixels = rng.integers(0, 256, size=(30, 41, 3), dtype=np.uint8)
+    batch = pa.table({
+        "image_id": ["p"],
+        "bytes": pa.array([encode_image(pixels, "png")], type=pa.binary()),
+        "fmt": ["png"],
+    })
+    P = 16
+    out = ImagePatchifyStage(patch=P)(batch)
+    gh, gw = -(-30 // P), -(-41 // P)
+    assert out.num_rows == gh * gw
+    assert set(out.column_names) == {
+        "image_id", "patch_y", "patch_x", "patch", "src_h", "src_w",
+        "mean_luma_int"}
+    assert out.column("src_h").to_pylist() == [30] * out.num_rows
+    assert out.column("src_w").to_pylist() == [41] * out.num_rows
+
+    padded = np.pad(pixels, ((0, gh * P - 30), (0, gw * P - 41), (0, 0)),
+                    mode="edge")
+    rebuilt = np.zeros_like(padded)
+    for y, x, blob in zip(out.column("patch_y").to_pylist(),
+                          out.column("patch_x").to_pylist(),
+                          out.column("patch").to_pylist()):
+        rebuilt[y * P:(y + 1) * P, x * P:(x + 1) * P] = \
+            np.frombuffer(blob, dtype=np.uint8).reshape(P, P, 3)
+    assert np.array_equal(rebuilt, padded)
+
+    # integer mean-luma of patch (0,0) matches an independent computation
+    g = (padded[:P, :P].astype(np.uint32) @ np.array([77, 150, 29],
+                                                     dtype=np.uint32))
+    expect = int(g.sum(dtype=np.uint64) // (256 * P * P))
+    assert out.column("mean_luma_int").to_pylist()[0] == expect
+
+
+def test_image_dhash_stage_and_gradient_invariance():
+    """dHash: scalar/batch bit-parity, invariance to a global brightness
+    shift (gradients unchanged), sensitivity to a horizontal flip."""
+    from ragnificent_ray.functions.imaging import dhash64, dhash64_batch
+    from ragnificent_ray.stages.multimodal import ImageDHashStage
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    pixels = rng.integers(0, 200, size=(24, 36, 3), dtype=np.uint8)
+
+    # scalar == batch
+    assert dhash64(pixels) == int(dhash64_batch(pixels[None])[0])
+
+    # +40 global brightness: every gradient sign is preserved
+    brighter = (pixels.astype(np.int32) + 40).clip(0, 255).astype(np.uint8)
+    assert dhash64(pixels) == dhash64(brighter)
+
+    # horizontal flip reverses gradients → far hash
+    flipped = pixels[:, ::-1]
+    ham = bin(
+        (dhash64(pixels) ^ dhash64(flipped)) & ((1 << 64) - 1)
+    ).count("1")
+    assert ham > 16
+
+    batch = pa.table({
+        "image_id": ["a", "b"],
+        "bytes": pa.array([encode_image(pixels, "png"),
+                           encode_image(brighter, "png")],
+                          type=pa.binary()),
+        "fmt": ["png", "png"],
+    })
+    out = ImageDHashStage()(batch)
+    assert out.column_names == ["image_id", "dhash"]
+    a, b = out.column("dhash").to_pylist()
+    assert a == b == dhash64(pixels)

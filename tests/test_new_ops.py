@@ -315,3 +315,34 @@ def test_countmin_overestimates_only(ray_session):
     # within the classic eps*N bound (eps = e/W) with huge margin
     n_total = df["exact_count"].sum() * 50  # loose upper proxy for N
     assert ((df["est_count"] - df["exact_count"]) < n_total).all()
+
+
+def test_image_dhash_neardup_finds_planted_pairs(ray_session):
+    """dHash near-dup pass over the crawl harvest surfaces the planted
+    duplicate/near-dup images (exact copies hash identically under ANY
+    perceptual hash; hamming 0 pairs must appear), and every pair is
+    within the banding threshold."""
+    import __ray_entry__ as entrymod
+
+    df = entrymod._image_dhash_neardup(SF_DIR).to_pandas()
+    assert len(df) > 0
+    assert (df["hamming"] <= 8).all()
+    assert (df["image_id_a"] < df["image_id_b"]).all()
+    # the exact planted copies are hamming-0 under dhash too
+    assert (df["hamming"] == 0).any()
+
+
+def test_image_patchify_streams_patch_rows(ray_session):
+    """Patchify over the harvest: every image contributes
+    ceil(h/16)*ceil(w/16) rows and payloads are 16*16*3 bytes."""
+    import __ray_entry__ as entrymod
+
+    harvest = entrymod._crawl_harvest(SF_DIR)
+    df = entrymod._image_patchify(SF_DIR).to_pandas()
+    per_img = df.groupby("image_id").size()
+    assert set(per_img.index) == set(harvest.column("image_id").to_pylist())
+    df["expect"] = (-(-df["src_h"] // 16)) * (-(-df["src_w"] // 16))
+    per = df.groupby("image_id").agg(n=("patch", "size"),
+                                     expect=("expect", "first"))
+    assert (per["n"] == per["expect"]).all()
+    assert (df["patch"].str.len() == 16 * 16 * 3).all()
