@@ -122,7 +122,7 @@ QUERY_NAMES = [
     "group_quantiles", "dup_spans", "normalize_text", "pagerank_clicks",
     "hll_users_by_type", "countmin_tokens", "covisitation_pairs",
     "trending_items", "inactive_customers", "shipping_priority",
-    "price_quantity_corr",
+    "price_quantity_corr", "promo_revenue", "region_supplier_revenue",
 ]
 
 

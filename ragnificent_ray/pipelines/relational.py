@@ -1051,6 +1051,153 @@ def shipping_priority(sf_dir: str):
             .limit(10))
 
 
+# ---------------------------------------------------------- part / supplier
+
+def promo_revenue(sf_dir: str):
+    """TPC-H-Q14-shaped promo share per ship month: lineitem ⋈ part as
+    a hash-partitioned join (part scales with the corpus — not
+    broadcast), with lineitem pre-collapsed per batch to one row per
+    (partkey, month) before the exchange. Revenue in exact integer 1e-4
+    units; the share is a ratio of two integer sums, so the oracle
+    matches bit-for-bit."""
+    P = _fact_join_partitions(sf_dir)
+
+    li = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        cents = np.rint(
+            batch.column("l_extendedprice").to_numpy() * 100.0
+        ).astype(np.int64)
+        disc_bp = np.rint(
+            batch.column("l_discount").to_numpy() * 100.0
+        ).astype(np.int64)
+        month = pc.strftime(batch.column("l_shipdate"), format="%Y-%m")
+        g = pa.table({
+            "l_partkey": batch.column("l_partkey"),
+            "month": month,
+            "rev_e4": pa.array(cents * (100 - disc_bp), type=pa.int64()),
+        }).group_by(["l_partkey", "month"]).aggregate([("rev_e4", "sum")])
+        return pa.table({"l_partkey": g.column("l_partkey"),
+                         "month": g.column("month"),
+                         "rev_e4": g.column("rev_e4_sum")})
+
+    part = rd.read_parquet(_pq(sf_dir, "part"),
+                           columns=["p_partkey", "p_type"])
+
+    from ray.data.aggregate import Sum
+
+    def split_promo(batch: pa.Table) -> pa.Table:
+        promo = pc.equal(batch.column("p_type"), pa.scalar("PROMO"))
+        rev = batch.column("rev_e4").to_numpy()
+        isp = promo.to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "month": batch.column("month"),
+            "promo_e4": pa.array(rev * isp, type=pa.int64()),
+            "total_e4": batch.column("rev_e4"),
+        })
+
+    agg = (
+        li.map_batches(li_partial, batch_format="pyarrow",
+                       batch_size=65536)
+        .join(part, "inner", num_partitions=P,
+              on=("l_partkey",), right_on=("p_partkey",),
+              aggregator_ray_remote_args={"num_cpus": 0.25})
+        .map_batches(split_promo, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(Sum("promo_e4", alias_name="promo_e4"),
+                   Sum("total_e4", alias_name="total_e4"))
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        share = round_half_away(
+            100.0 * batch.column("promo_e4").to_numpy()
+            / batch.column("total_e4").to_numpy(), 4)
+        return pa.table({
+            "month": batch.column("month"),
+            "promo_share": pa.array(np.atleast_1d(share),
+                                    type=pa.float64()),
+            "revenue": pa.array(round_half_away(
+                batch.column("total_e4").to_numpy() / 10000.0, 2),
+                type=pa.float64()),
+        })
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+def region_supplier_revenue(sf_dir: str):
+    """Revenue by (region, supplier nation) — the snowflake
+    dimension-chain lookup: supplier→nation→region resolve into ONE
+    composed (suppkey → names) broadcast array driver-side (the dims
+    are bounded reference tables by contract), so the fact scan does a
+    single searchsorted per batch and pre-aggregates to at most
+    |nation| rows before the tiny final groupby. Integer 1e-4 revenue
+    units — oracle matches bit-for-bit."""
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(_pq(sf_dir, "supplier"),
+                        columns=["s_suppkey", "s_nationkey"]) \
+            .sort_by("s_suppkey")
+    nat = pq.read_table(_pq(sf_dir, "nation")).sort_by("n_nationkey")
+    reg = pq.read_table(_pq(sf_dir, "region")).sort_by("r_regionkey")
+
+    n_name = nat.column("n_name").to_numpy(zero_copy_only=False)
+    r_name = reg.column("r_name").to_numpy(zero_copy_only=False)[
+        nat.column("n_regionkey").to_numpy()]
+    s_keys = sup.column("s_suppkey").to_numpy()
+    s_nat = sup.column("s_nationkey").to_numpy()
+    lookup_ref = ray.put((s_keys, n_name[s_nat], r_name[s_nat]))
+
+    ds = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_suppkey", "l_extendedprice", "l_discount"])
+
+    class JoinAndPartial:
+        def __init__(self, ref):
+            self.keys, self.nations, self.regions = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            idx = np.searchsorted(self.keys,
+                                  batch.column("l_suppkey").to_numpy())
+            cents = np.rint(
+                batch.column("l_extendedprice").to_numpy() * 100.0
+            ).astype(np.int64)
+            disc_bp = np.rint(
+                batch.column("l_discount").to_numpy() * 100.0
+            ).astype(np.int64)
+            g = pa.table({
+                "r_name": pa.array(self.regions[idx], type=pa.string()),
+                "n_name": pa.array(self.nations[idx], type=pa.string()),
+                "rev_e4": pa.array(cents * (100 - disc_bp),
+                                   type=pa.int64()),
+            }).group_by(["r_name", "n_name"]).aggregate([("rev_e4", "sum")])
+            return pa.table({"r_name": g.column("r_name"),
+                             "n_name": g.column("n_name"),
+                             "rev_e4": g.column("rev_e4_sum")})
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(JoinAndPartial,
+                       fn_constructor_kwargs={"ref": lookup_ref},
+                       batch_format="pyarrow", batch_size=65536,
+                       concurrency=2)
+        .groupby(["r_name", "n_name"])
+        .aggregate(Sum("rev_e4", alias_name="rev_e4"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table({
+            "r_name": b["r_name"],
+            "n_name": b["n_name"],
+            "revenue": pa.array(round_half_away(
+                b.column("rev_e4").to_numpy() / 10000.0, 2),
+                type=pa.float64()),
+        }),
+        batch_format="pyarrow")
+
+
 # ------------------------------------------------------ distributed moments
 
 def price_quantity_corr(sf_dir: str):
@@ -1119,6 +1266,33 @@ ORACLE_SQL = {
         GROUP BY l_orderkey, o_orderdate, o_orderpriority
         ORDER BY revenue DESC, l_orderkey
         LIMIT 10
+    """,
+    "promo_revenue": """
+        WITH e AS (
+          SELECT strftime(l_shipdate, '%Y-%m') AS month,
+                 CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                     AS rev_e4,
+                 p_type
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+        )
+        SELECT month,
+               ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                      THEN rev_e4 ELSE 0 END)
+                     / SUM(rev_e4), 4) AS promo_share,
+               ROUND(SUM(rev_e4) / 10000.0, 2) AS revenue
+        FROM e GROUP BY month
+    """,
+    "region_supplier_revenue": """
+        SELECT r_name, n_name,
+               ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                     / 10000.0, 2) AS revenue
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        GROUP BY r_name, n_name
     """,
     "price_quantity_corr": """
         WITH m AS (
@@ -1321,4 +1495,6 @@ QUERIES = {
     "inactive_customers": inactive_customers,
     "shipping_priority": shipping_priority,
     "price_quantity_corr": price_quantity_corr,
+    "promo_revenue": promo_revenue,
+    "region_supplier_revenue": region_supplier_revenue,
 }
