@@ -619,8 +619,184 @@ def _ivf_recall_sql() -> str:
 
 ORACLE_SQL["ann_ivf_recall"] = _ivf_recall_sql()
 
+# ------------------------------------------------------------- k-means fit
+
+KM_SCALE = 1_000_000
+KM_ITERS = 2
+
+
+def kmeans_fit(sf_dir: str, k: int = N_CENTROIDS, iters: int = KM_ITERS):
+    """Distributed Lloyd's k-means FIT — the iterative-algorithm class
+    (like ``pagerank_clicks``), made value-checkable by quantizing to
+    integers: embeddings scale to 1e6 ints, centroid updates are
+    elementwise FLOOR means (exact integer division), and assignment
+    distances are exact int64 sums — so every iteration is
+    bit-deterministic on any cluster and the DuckDB oracle unrolls the
+    recurrence as CTEs.
+
+    Scale shape is canonical distributed k-means: centroids broadcast
+    (``ray.put``, K×D ints), each batch folds to K×(D+1) partial rows
+    (per-cluster dim sums + counts) — the per-iteration exchange is
+    K·D rows per block regardless of corpus size — and the driver
+    updates the tiny centroid matrix. ``iters`` passes + one final
+    labeled-assignment pass; the quantized input is materialized once
+    and reused across passes (at 100 TB you'd re-read the column-pruned
+    parquet instead and let the object store spill).
+
+    Empty clusters keep their previous centroid (mirrored by the
+    oracle's COALESCE). Ties break toward the lower cluster id."""
+    from ..functions.numeric import round_half_away
+
+    seed = pq.read_table(_pq(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "<", k)])
+    order = np.argsort(np.asarray(seed.column("vec_id").to_pylist()))
+    C = round_half_away(
+        list_column_matrix(seed.column("embedding"),
+                           dtype=np.float64)[order] * KM_SCALE, 0
+    ).astype(np.int64)
+    D = C.shape[1]
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        m = round_half_away(
+            list_column_matrix(batch.column("embedding"),
+                               dtype=np.float64) * KM_SCALE, 0
+        ).astype(np.int64)
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "x": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.ravel(), type=pa.int64()), D),
+        })
+
+    ints = rd.read_parquet(
+        _pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    ).map_batches(to_int, batch_format="pyarrow",
+                  batch_size=4096).materialize()
+
+    def _dists(m: np.ndarray, cent: np.ndarray) -> np.ndarray:
+        # exact int64 expansion: ||x||^2 - 2 x.c + ||c||^2 per pair
+        return ((m * m).sum(axis=1, dtype=np.int64)[:, None]
+                - 2 * (m @ cent.T)
+                + (cent * cent).sum(axis=1, dtype=np.int64)[None, :])
+
+    class Partial:
+        def __init__(self, ref):
+            self.C = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = list_column_matrix(batch.column("x"), dtype=np.int64)
+            assign = np.argmin(_dists(m, self.C), axis=1)
+            kk, dd = self.C.shape
+            sums = np.zeros((kk, dd), dtype=np.int64)
+            counts = np.zeros(kk, dtype=np.int64)
+            for c in range(kk):
+                members = m[assign == c]
+                counts[c] = len(members)
+                if len(members):
+                    sums[c] = members.sum(axis=0, dtype=np.int64)
+            # flatten to (cluster, dim, s); dim = -1 carries the count
+            cluster = np.repeat(np.arange(kk, dtype=np.int32), dd + 1)
+            dim = np.tile(np.arange(-1, dd, dtype=np.int32), kk)
+            s = np.concatenate(
+                [np.concatenate(([counts[c]], sums[c])) for c in range(kk)])
+            return pa.table({
+                "cluster": pa.array(cluster),
+                "dim": pa.array(dim),
+                "s": pa.array(s, type=pa.int64()),
+            })
+
+    for _ in range(iters):
+        ref = ray.put(C)
+        small = (
+            ints.map_batches(Partial, fn_constructor_kwargs={"ref": ref},
+                             batch_format="pyarrow", batch_size=4096,
+                             concurrency=2)
+            .groupby(["cluster", "dim"]).sum("s")
+        ).to_pandas()
+        piv = small.pivot(index="cluster", columns="dim",
+                          values="sum(s)").sort_index()
+        counts = piv[-1].to_numpy()
+        sums = piv[[d for d in range(D)]].to_numpy()
+        newC = np.where(counts[:, None] > 0,
+                        np.floor_divide(sums, np.maximum(counts, 1)[:, None]),
+                        C).astype(np.int64)
+        C = newC
+
+    ref = ray.put(C)
+
+    class FinalAssign:
+        def __init__(self, ref):
+            self.C = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = list_column_matrix(batch.column("x"), dtype=np.int64)
+            d2 = _dists(m, self.C)
+            assign = np.argmin(d2, axis=1)
+            return pa.table({
+                "vec_id": batch.column("vec_id"),
+                "cluster": pa.array(assign.astype(np.int32)),
+                "sq_dist": pa.array(
+                    d2[np.arange(len(assign)), assign], type=pa.int64()),
+            })
+
+    return ints.map_batches(FinalAssign, fn_constructor_kwargs={"ref": ref},
+                            batch_format="pyarrow", batch_size=4096,
+                            concurrency=2)
+
+
+def _kmeans_fit_sql(k: int = N_CENTROIDS, iters: int = KM_ITERS) -> str:
+    assign = """a{i} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cluster) AS rn
+    FROM (SELECT e.vec_id, c.cluster,
+                 SUM((e.x - c.c) * (e.x - c.c)) AS dist
+          FROM e JOIN cf{p} c ON c.d = e.d
+          GROUP BY e.vec_id, c.cluster))
+  WHERE rn = 1
+)"""
+    update = """c{i} AS (
+  SELECT a.cluster, e.d,
+         CAST(FLOOR(CAST(SUM(e.x) AS DOUBLE) / COUNT(DISTINCT a.vec_id))
+              AS BIGINT) AS c
+  FROM a{i} a JOIN e ON e.vec_id = a.vec_id
+  GROUP BY a.cluster, e.d
+), cf{i} AS (
+  SELECT p.cluster, p.d, COALESCE(c.c, p.c) AS c
+  FROM cf{p} p LEFT JOIN c{i} c
+    ON c.cluster = p.cluster AND c.d = p.d
+)"""
+    rounds = []
+    for i in range(1, iters + 1):
+        rounds.append(assign.format(i=i, p=i - 1))
+        rounds.append(update.format(i=i, p=i - 1))
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         CAST(unnest(range(len(embedding))) AS INTEGER) AS d,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * {KM_SCALE})
+              AS BIGINT) AS x
+  FROM embeddings
+), cf0 AS (
+  SELECT CAST(vec_id AS INTEGER) AS cluster, d, x AS c
+  FROM e WHERE vec_id < {k}
+), {', '.join(rounds)}
+SELECT vec_id, cluster, CAST(dist AS BIGINT) AS sq_dist FROM (
+  SELECT vec_id, cluster, dist,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY dist, cluster) AS rn
+  FROM (SELECT e.vec_id, c.cluster,
+               SUM((e.x - c.c) * (e.x - c.c)) AS dist
+        FROM e JOIN cf{iters} c ON c.d = e.d
+        GROUP BY e.vec_id, c.cluster))
+WHERE rn = 1
+"""
+
+
 QUERIES = {
     "kmeans_assign": kmeans_assign,
+    "kmeans_fit": kmeans_fit,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_recall": ann_ivf_recall,
     "semantic_dedup": semantic_dedup,
@@ -628,3 +804,5 @@ QUERIES = {
     "int8_quantize": int8_quantize,
     "knn_label_accuracy": knn_label_accuracy,
 }
+
+ORACLE_SQL["kmeans_fit"] = _kmeans_fit_sql()

@@ -346,3 +346,46 @@ def test_image_patchify_streams_patch_rows(ray_session):
                                      expect=("expect", "first"))
     assert (per["n"] == per["expect"]).all()
     assert (df["patch"].str.len() == 16 * 16 * 3).all()
+
+
+def test_kmeans_fit_empty_cluster_keeps_seed_and_matches_oracle(
+        ray_session, tmp_path):
+    """A duplicated seed makes one cluster structurally empty (ties
+    break to the lower id); its centroid must stay at the seed, and the
+    crafted corner must still match the unrolled-CTE oracle."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ragnificent_ray.pipelines.clustering import (QUERIES,
+                                                      _kmeans_fit_sql)
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    vecs = rng.normal(0, 0.2, size=(40, 64)).astype(np.float32)
+    vecs[3] = vecs[2]          # seed 3 duplicates seed 2 → cluster 3 empty
+    t = pa.table({
+        "vec_id": pa.array(range(40), type=pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs.ravel(), type=pa.float32()), 64),
+    })
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+
+    df = QUERIES["kmeans_fit"](str(tmp_path)).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/embeddings.parquet')")
+    ora = con.execute(_kmeans_fit_sql()).fetchdf() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert (df["cluster"].to_numpy() == ora["cluster"].to_numpy()).all()
+    assert (df["sq_dist"].to_numpy().astype(np.int64)
+            == ora["sq_dist"].to_numpy().astype(np.int64)).all()
+    # cluster 3 goes empty in iteration 1 (tie breaks to 2) and must
+    # KEEP its seed centroid; with cluster 2's centroid pulled to its
+    # members' mean, the preserved seed wins vec 2 back in the final
+    # assignment — evidence the empty-cluster fallback actually ran
+    # (a zeroed/NULL centroid would put vec 2 elsewhere on both sides
+    # only if the oracle made the same mistake, which COALESCE pins).
+    assert df.loc[df["vec_id"] == 2, "cluster"].item() == 3
+    assert df.loc[df["vec_id"] == 3, "cluster"].item() == 3
