@@ -660,6 +660,56 @@ def _image_patchify(sf_dir: str):
                   batch_size=32, concurrency=2)
 
 
+def _image_patch_dedup(sf_dir: str):
+    """Patch-level exact dedup across the image corpus: which 16×16
+    tiles repeat, and across how many images — the sub-image twin of
+    ``harvest_dedup_exact`` (catches shared banners/logos/borders that
+    whole-image hashing misses). Composes ``image_patchify`` → blake2b
+    tile hash → bounded hash-bucket groupby: each batch pre-collapses
+    to one row per (tile, image), so the exchange moves tile-count
+    rows, never pixel payloads. Rows-only (binary input); planted
+    duplicate images guarantee n_images ≥ 2 tiles (pinned in pytest)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    _B = 64
+
+    def hash_partial(batch: pa.Table) -> pa.Table:
+        hs = [hashlib.blake2b(b, digest_size=8).hexdigest()
+              for b in batch.column("patch").to_pylist()]
+        df = pd.DataFrame({
+            "patch_hash": hs,
+            "image_id": batch.column("image_id").to_pylist(),
+        })
+        g = df.groupby(["patch_hash", "image_id"], as_index=False) \
+              .size().rename(columns={"size": "n"})
+        hb = np.fromiter(
+            ((int(h[:8], 16)) % _B for h in g["patch_hash"]),
+            dtype=np.int32, count=len(g))
+        return pa.table({
+            "patch_hash": pa.array(g["patch_hash"], type=pa.string()),
+            "image_id": pa.array(g["image_id"], type=pa.string()),
+            "n": pa.array(g["n"].to_numpy(), type=pa.int64()),
+            "hb": pa.array(hb),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("patch_hash").agg(
+            n_occurrences=("n", "sum"),
+            n_images=("image_id", "nunique")).reset_index()
+        return agg[agg["n_occurrences"] >= 2]
+
+    return (
+        _image_patchify(sf_dir)
+        .map_batches(hash_partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("hb")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
 def _harvest_dedup_exact(sf_dir: str):
     """Exact image dedup (payload blake2b) over the crawl harvest —
     the planted cross-page duplicate images give n_copies > 1 rows."""
@@ -743,6 +793,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dedup_keep": _image_dedup_keep,
         "image_dhash_neardup": _image_dhash_neardup,
         "image_patchify": _image_patchify,
+        "image_patch_dedup": _image_patch_dedup,
         "crawl_harvest": _crawl_harvest,
         "crawl_order": _crawl_order,
         "crawl_documents": _crawl_documents,

@@ -1198,6 +1198,88 @@ def region_supplier_revenue(sf_dir: str):
         batch_format="pyarrow")
 
 
+# -------------------------------------------------------------- rollup
+
+def revenue_rollup(sf_dir: str):
+    """ROLLUP levels (nation, month) → (nation) → () computed by
+    re-aggregating the SMALL base aggregate — the fact table is scanned
+    exactly once; the coarser levels fold the ~|nation|×|month| base
+    rows, never the corpus. Customer nation resolves via the broadcast
+    dim-lookup (segment_revenue pattern); o_totalprice sums in integer
+    cents so every level is bit-exact. NULL group keys are encoded as
+    'ALL' on both sides (driver-stable compare)."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(_pq(sf_dir, "customer"),
+                         columns=["c_custkey", "c_nationkey"]) \
+             .sort_by("c_custkey")
+    nat = pq.read_table(_pq(sf_dir, "nation"),
+                        columns=["n_nationkey", "n_name"]) \
+            .sort_by("n_nationkey")
+    names = nat.column("n_name").to_numpy(zero_copy_only=False)
+    lookup_ref = ray.put((
+        cust.column("c_custkey").to_numpy(),
+        names[cust.column("c_nationkey").to_numpy()],
+    ))
+
+    ds = rd.read_parquet(_pq(sf_dir, "orders"),
+                         columns=["o_custkey", "o_orderdate",
+                                  "o_totalprice"])
+
+    class BasePartial:
+        def __init__(self, ref):
+            self.keys, self.nations = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            nn = self.nations[np.searchsorted(
+                self.keys, batch.column("o_custkey").to_numpy())]
+            cents = np.rint(
+                batch.column("o_totalprice").to_numpy() * 100.0
+            ).astype(np.int64)
+            g = pa.table({
+                "n_name": pa.array(nn, type=pa.string()),
+                "month": pc.strftime(batch.column("o_orderdate"),
+                                     format="%Y-%m"),
+                "rev_c": pa.array(cents, type=pa.int64()),
+                "n_orders": pa.array(np.ones(len(cents), dtype=np.int64)),
+            }).group_by(["n_name", "month"]).aggregate([
+                ("rev_c", "sum"), ("n_orders", "sum")])
+            return pa.table({
+                "n_name": g.column("n_name"),
+                "month": g.column("month"),
+                "rev_c": g.column("rev_c_sum"),
+                "n_orders": g.column("n_orders_sum"),
+            })
+
+    from ray.data.aggregate import Sum
+
+    base = (
+        ds.map_batches(BasePartial, fn_constructor_kwargs={"ref": lookup_ref},
+                       batch_format="pyarrow", batch_size=65536,
+                       concurrency=2)
+        .groupby(["n_name", "month"])
+        .aggregate(Sum("rev_c", alias_name="rev_c"),
+                   Sum("n_orders", alias_name="n_orders"))
+    ).to_arrow_refs()
+    base_tab = pa.concat_tables([ray.get(r) for r in base])
+
+    # roll the tiny base up driver-side (bounded: |nation| x |month|)
+    df = base_tab.to_pandas()
+    lvl1 = df.groupby("n_name", as_index=False)[["rev_c", "n_orders"]] \
+        .sum().assign(month="ALL")
+    lvl2 = pd.DataFrame({"n_name": ["ALL"], "month": ["ALL"],
+                         "rev_c": [df["rev_c"].sum()],
+                         "n_orders": [df["n_orders"].sum()]})
+    out = pd.concat([df, lvl1, lvl2], ignore_index=True)
+    return pa.table({
+        "n_name": pa.array(out["n_name"], type=pa.string()),
+        "month": pa.array(out["month"], type=pa.string()),
+        "revenue": pa.array(round_half_away(
+            out["rev_c"].to_numpy() / 100.0, 2), type=pa.float64()),
+        "n_orders": pa.array(out["n_orders"].to_numpy(), type=pa.int64()),
+    })
+
+
 # ------------------------------------------------------ distributed moments
 
 def price_quantity_corr(sf_dir: str):
@@ -1282,6 +1364,20 @@ ORACLE_SQL = {
                      / SUM(rev_e4), 4) AS promo_share,
                ROUND(SUM(rev_e4) / 10000.0, 2) AS revenue
         FROM e GROUP BY month
+    """,
+    "revenue_rollup": """
+        SELECT COALESCE(n_name, 'ALL') AS n_name,
+               COALESCE(month, 'ALL') AS month,
+               ROUND(SUM(rev_c) / 100.0, 2) AS revenue,
+               COUNT(*) AS n_orders
+        FROM (
+          SELECT n_name, strftime(o_orderdate, '%Y-%m') AS month,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS rev_c
+          FROM orders
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation ON n_nationkey = c_nationkey
+        )
+        GROUP BY ROLLUP (n_name, month)
     """,
     "region_supplier_revenue": """
         SELECT r_name, n_name,
@@ -1497,4 +1593,5 @@ QUERIES = {
     "price_quantity_corr": price_quantity_corr,
     "promo_revenue": promo_revenue,
     "region_supplier_revenue": region_supplier_revenue,
+    "revenue_rollup": revenue_rollup,
 }

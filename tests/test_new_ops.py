@@ -389,3 +389,17 @@ def test_kmeans_fit_empty_cluster_keeps_seed_and_matches_oracle(
     # only if the oracle made the same mistake, which COALESCE pins).
     assert df.loc[df["vec_id"] == 2, "cluster"].item() == 3
     assert df.loc[df["vec_id"] == 3, "cluster"].item() == 3
+
+
+def test_image_patch_dedup_finds_shared_tiles(ray_session):
+    """Planted duplicate images share ALL their 16x16 tiles, so tile
+    hashes with n_images >= 2 must exist; per-tile bookkeeping is
+    consistent (occurrences >= images >= 1, duplicates only)."""
+    import __ray_entry__ as entrymod
+
+    df = entrymod._image_patch_dedup(SF_DIR).to_pandas()
+    assert len(df) > 0
+    assert (df["n_occurrences"] >= 2).all()
+    assert (df["n_occurrences"] >= df["n_images"]).all()
+    assert (df["n_images"] >= 1).all()
+    assert (df["n_images"] >= 2).any()   # cross-image shared tiles
