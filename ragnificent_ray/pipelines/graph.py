@@ -446,12 +446,103 @@ SELECT node, mass AS pagerank_mass FROM r{iters}
 """
 
 
+# ------------------------------------------------------ set similarity
+
+def event_type_jaccard(sf_dir: str):
+    """Jaccard similarity between event types' USER SETS — the
+    audience-overlap / set-similarity shape (|A∩B| / |A∪B| over group
+    membership sets).
+
+    Scale shape: the user-set intersection is computed WITHOUT
+    materializing any set — distinct (user, type) rows co-locate per
+    user inside bounded user-hash bucket groups, each user emits its
+    ≤T(T−1)/2 type pairs (T = type vocabulary, small by contract) plus
+    one membership row per type, and everything folds through one
+    pre-summed groupby. The final assembly touches T² rows on the
+    driver. Counts are exact integers; only the jaccard ratio is
+    rounded — bit-stable vs the oracle."""
+    n_buckets = _bucket_count(sf_dir, ("events",))
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "event_type"])
+
+    def distinct_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "u": b.column("user_id").to_numpy(),
+            "t": b.column("event_type").to_pylist(),
+        }).drop_duplicates()
+        return pa.table({
+            "u": pa.array(df["u"].to_numpy(), type=pa.int64()),
+            "t": pa.array(df["t"], type=pa.string()),
+            "ub": pa.array((df["u"].to_numpy() % n_buckets)
+                           .astype(np.int32)),
+        })
+
+    def user_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["u", "t"])
+        rows_a, rows_b, rows_n = [], [], []
+        for _, sub in g.groupby("u"):
+            ts = sorted(sub["t"])
+            for i in range(len(ts)):
+                # membership row: (t, "") counts the user toward |A|
+                rows_a.append(ts[i])
+                rows_b.append("")
+                rows_n.append(1)
+                for j in range(i + 1, len(ts)):
+                    rows_a.append(ts[i])
+                    rows_b.append(ts[j])
+                    rows_n.append(1)
+        out = pd.DataFrame({"ta": rows_a, "tb": rows_b, "n": rows_n})
+        return out.groupby(["ta", "tb"], as_index=False)["n"].sum()
+
+    folded = (
+        ds.map_batches(distinct_partial, batch_format="pyarrow",
+                       batch_size=65536)
+        .groupby("ub")
+        .map_groups(user_pairs, batch_format="pandas")
+        .groupby(["ta", "tb"]).sum("n")
+    ).to_pandas()
+
+    sizes = folded[folded["tb"] == ""].set_index("ta")["sum(n)"]
+    pairs = folded[folded["tb"] != ""]
+    na = pairs["ta"].map(sizes).to_numpy(dtype=np.int64)
+    nb = pairs["tb"].map(sizes).to_numpy(dtype=np.int64)
+    inter = pairs["sum(n)"].to_numpy(dtype=np.int64)
+    from ..functions.numeric import round_half_away
+    return pa.table({
+        "ta": pa.array(pairs["ta"], type=pa.string()),
+        "tb": pa.array(pairs["tb"], type=pa.string()),
+        "n_common": pa.array(inter, type=pa.int64()),
+        "n_a": pa.array(na, type=pa.int64()),
+        "n_b": pa.array(nb, type=pa.int64()),
+        "jaccard": pa.array(round_half_away(
+            inter / (na + nb - inter), 4), type=pa.float64()),
+    })
+
+
+_JACCARD_SQL = """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    cnt AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY event_type),
+    inter AS (
+      SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS i
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY ta, tb)
+    SELECT ta, tb, i AS n_common, ca.n AS n_a, cb.n AS n_b,
+           ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) AS jaccard
+    FROM inter
+    JOIN cnt ca ON ca.event_type = ta
+    JOIN cnt cb ON cb.event_type = tb
+"""
+
+
 ORACLE_SQL = {
     "pagerank_clicks": _pagerank_sql(),
     "covisitation_pairs": _covis_sql(),
+    "event_type_jaccard": _JACCARD_SQL,
 }
 
 QUERIES = {
     "pagerank_clicks": pagerank_clicks,
     "covisitation_pairs": covisitation_pairs,
+    "event_type_jaccard": event_type_jaccard,
 }
