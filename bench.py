@@ -359,8 +359,40 @@ def _update_baseline_md(result: dict) -> None:
         f.write(text)
 
 
+def query_stats(name: str) -> None:
+    """``--stats <query>``: run one queries() entry and print Ray Data's
+    per-stage execution stats (wall time, CPU, rows, memory per
+    operator) — the iterate-until-compute-dominates loop's feedback."""
+    import logging
+
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    import __ray_entry__ as entrymod
+
+    res = entrymod.queries()[name](SF_DIR)
+    t0 = time.monotonic()
+    n = _consume(res)
+    wall = time.monotonic() - t0
+    print(f"# {name}: {n} rows in {wall:.3f}s at num_cpus={NUM_CPUS}, "
+          f"sf_dir={SF_DIR}")
+    if isinstance(res, rd.Dataset):
+        print(res.stats())
+    else:
+        print("(driver-assembled result — stats are in the per-stage "
+              "datasets it consumed)")
+    ray.shutdown()
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--stats" in sys.argv:
+        query_stats(sys.argv[sys.argv.index("--stats") + 1])
+    elif "--scaling" in sys.argv:
         scaling()
     elif "--politeness" in sys.argv:
         politeness_bench()
