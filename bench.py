@@ -123,7 +123,7 @@ QUERY_NAMES = [
     "hll_users_by_type", "countmin_tokens", "covisitation_pairs",
     "trending_items", "inactive_customers", "shipping_priority",
     "price_quantity_corr", "promo_revenue", "region_supplier_revenue",
-    "kmeans_fit", "event_type_jaccard",
+    "kmeans_fit", "event_type_jaccard", "customer_order_counts",
 ]
 
 

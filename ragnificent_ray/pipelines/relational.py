@@ -1198,6 +1198,70 @@ def region_supplier_revenue(sf_dir: str):
         batch_format="pyarrow")
 
 
+def customer_order_counts(sf_dir: str):
+    """Per-customer order count in a date window INCLUDING zeros — the
+    LEFT OUTER JOIN shape, which Ray Data's hash join doesn't offer
+    natively (inner/semi/anti only), expressed as the union-tag
+    pattern: customer rows and pre-aggregated per-customer counts union
+    into one narrow stream, co-locate in bounded custkey-hash buckets,
+    and each bucket emits customer rows with their count or 0. Both
+    sides stay corpus-scale (nothing broadcast); the orders side folds
+    to one row per (batch, custkey) before the exchange."""
+    import datetime as _dt
+
+    cutoff = pa.scalar(_dt.datetime(2000, 1, 1), type=pa.timestamp("us"))
+    n_buckets = 64
+
+    cust = rd.read_parquet(_pq(sf_dir, "customer"),
+                           columns=["c_custkey", "c_name"])
+
+    def cust_rows(b: pa.Table) -> pa.Table:
+        key = b.column("c_custkey").to_numpy()
+        return pa.table({
+            "c_custkey": b.column("c_custkey"),
+            "c_name": b.column("c_name"),
+            "n": pa.array(np.zeros(len(key), dtype=np.int64)),
+            "tag": pa.array(np.zeros(len(key), dtype=np.int8)),
+            "kb": pa.array((key % n_buckets).astype(np.int32)),
+        })
+
+    orders = rd.read_parquet(_pq(sf_dir, "orders"),
+                             columns=["o_custkey", "o_orderdate"])
+
+    def count_rows(b: pa.Table) -> pa.Table:
+        recent = b.filter(
+            pc.greater_equal(b.column("o_orderdate"), cutoff))
+        g = pa.table({
+            "c_custkey": recent.column("o_custkey"),
+            "one": pa.array(
+                np.ones(recent.num_rows, dtype=np.int64)),
+        }).group_by("c_custkey").aggregate([("one", "sum")])
+        key = g.column("c_custkey").to_numpy()
+        return pa.table({
+            "c_custkey": g.column("c_custkey"),
+            "c_name": pa.array([""] * len(key), type=pa.string()),
+            "n": g.column("one_sum"),
+            "tag": pa.array(np.ones(len(key), dtype=np.int8)),
+            "kb": pa.array((key % n_buckets).astype(np.int32)),
+        })
+
+    def outer(g: pd.DataFrame) -> pd.DataFrame:
+        counts = g[g["tag"] == 1].groupby("c_custkey")["n"].sum()
+        left = g[g["tag"] == 0][["c_custkey", "c_name"]].copy()
+        left["n_orders"] = left["c_custkey"].map(counts) \
+                               .fillna(0).astype(np.int64)
+        return left
+
+    return (
+        cust.map_batches(cust_rows, batch_format="pyarrow",
+                         batch_size=65536)
+        .union(orders.map_batches(count_rows, batch_format="pyarrow",
+                                  batch_size=65536))
+        .groupby("kb")
+        .map_groups(outer, batch_format="pandas")
+    )
+
+
 # -------------------------------------------------------------- rollup
 
 def revenue_rollup(sf_dir: str):
@@ -1364,6 +1428,16 @@ ORACLE_SQL = {
                      / SUM(rev_e4), 4) AS promo_share,
                ROUND(SUM(rev_e4) / 10000.0, 2) AS revenue
         FROM e GROUP BY month
+    """,
+    "customer_order_counts": """
+        SELECT c.c_custkey, c.c_name,
+               COALESCE(o.n, 0) AS n_orders
+        FROM customer c
+        LEFT JOIN (
+          SELECT o_custkey, COUNT(*) AS n FROM orders
+          WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+          GROUP BY o_custkey
+        ) o ON o.o_custkey = c.c_custkey
     """,
     "revenue_rollup": """
         SELECT COALESCE(n_name, 'ALL') AS n_name,
@@ -1594,4 +1668,5 @@ QUERIES = {
     "promo_revenue": promo_revenue,
     "region_supplier_revenue": region_supplier_revenue,
     "revenue_rollup": revenue_rollup,
+    "customer_order_counts": customer_order_counts,
 }
