@@ -1203,7 +1203,8 @@ ORACLE_SQL = {
                      AS dup_grams
           FROM go JOIN nd USING (gram) GROUP BY go.doc_id
         )
-        SELECT doc_id, total_grams, dup_grams,
+        SELECT doc_id, CAST(total_grams AS BIGINT) AS total_grams,
+               CAST(dup_grams AS BIGINT) AS dup_grams,
                ROUND(CAST(dup_grams AS DOUBLE) / total_grams, 4) AS dup_frac
         FROM per
     """,

@@ -220,10 +220,10 @@ ORACLE_SQL = {
           FROM documents
         ), p AS (
           SELECT doc_id, n_tokens,
-                 COALESCE(SUM(n_tokens) OVER (
+                 CAST(COALESCE(SUM(n_tokens) OVER (
                      ORDER BY doc_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                 ), 0) AS start_tok
+                 ), 0) AS BIGINT) AS start_tok
           FROM c
         )
         SELECT doc_id, n_tokens, start_tok,

@@ -907,7 +907,7 @@ ORACLE_SQL = {
                      AS n_tokens
           FROM documents GROUP BY source
         ), tot AS (SELECT SUM(n_tokens) AS t FROM s)
-        SELECT source, n_docs, n_tokens,
+        SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
                ROUND(CAST(n_tokens AS DOUBLE) / tot.t, 4) AS token_frac
         FROM s CROSS JOIN tot
     """,

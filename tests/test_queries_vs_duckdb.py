@@ -78,5 +78,9 @@ def test_query_matches_oracle(ray_session, name, fn, sql):
         f"{name}: columns {list(got.columns)} vs oracle {list(want.columns)}"
     )
     assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
-    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+    # dtype-STRICT: a DuckDB HUGEINT (un-CAST SUM of BIGINT) comes back
+    # as float64 while the Ray side emits int64 — values equal, dtypes
+    # not. The driver's value-hash may distinguish 5 from 5.0, so the
+    # oracle SQL must CAST integer aggregates to BIGINT; this catches it.
+    pd.testing.assert_frame_equal(got, want, check_dtype=True,
                                   check_exact=False, atol=1e-6)
