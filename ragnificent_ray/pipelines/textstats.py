@@ -508,6 +508,102 @@ def countmin_tokens(sf_dir: str):
             .map_batches(add_est, batch_format="pyarrow"))
 
 
+def bigram_logprob(sf_dir: str):
+    """Per-doc mean log-probability under an add-one-smoothed BIGRAM
+    model fit on the corpus itself — the next LM-scoring rung above
+    :func:`unigram_logprob` (closer to the KenLM-perplexity filters of
+    CCNet/Gopher; still oracle-expressible).
+
+    Three aggregates, all the two-pass broadcast pattern: unigram
+    counts (the smoothing denominator + vocab size V), bigram counts
+    (one row per distinct in-block bigram — the combiner), then a pure
+    per-batch scoring map over the broadcast tables. The bigram table
+    is the broadcast ceiling at 100 TB (unigram's ceiling squared); the
+    scale route is hash-joining bigram rows to their counts, or a
+    Count-Min estimate — both documented trade-offs, this op is the
+    exact gate. No OOV term: the model is fit on the scored corpus, so
+    every scored bigram has count ≥ 1."""
+    import math
+
+    import numpy as np
+    import ray
+
+    from collections import Counter
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(t.strip().split())
+        return pa.table({
+            "token": pa.array(list(c.keys()), type=pa.string()),
+            "n": pa.array(list(c.values()), type=pa.int64()),
+        })
+
+    def bi_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            toks = t.strip().split()
+            c.update(zip(toks, toks[1:]))
+        return pa.table({
+            "w1": pa.array([k[0] for k in c], type=pa.string()),
+            "w2": pa.array([k[1] for k in c], type=pa.string()),
+            "n": pa.array(list(c.values()), type=pa.int64()),
+        })
+
+    uni = (
+        ds.map_batches(uni_partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("token").sum("n")
+    ).to_pandas()
+    vsize = len(uni)
+    ucount = dict(zip(uni["token"], uni["sum(n)"].astype(np.int64)))
+
+    bi = (
+        ds.map_batches(bi_partial, batch_format="pyarrow", batch_size=8192)
+        .groupby(["w1", "w2"]).sum("n")
+    ).to_pandas()
+    bcount = dict(zip(zip(bi["w1"], bi["w2"]),
+                      bi["sum(n)"].astype(np.int64)))
+    ref = ray.put((ucount, bcount, vsize))
+
+    class Score:
+        def __init__(self, ref):
+            self.ref = ref
+            self._m = None
+
+        def __getstate__(self):
+            s = self.__dict__.copy()
+            s["_m"] = None
+            return s
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self._m is None:
+                self._m = ray.get(self.ref)
+            uc, bc, v = self._m
+            ns, means = [], []
+            for t in batch.column("text").to_pylist():
+                toks = t.strip().split()
+                n = max(len(toks) - 1, 0)
+                ns.append(n)
+                if not n:
+                    means.append(0.0)
+                    continue
+                lp = sum(
+                    math.log((bc[(a, b)] + 1.0) / (uc[a] + v))
+                    for a, b in zip(toks, toks[1:]))
+                means.append(round_half_away(lp / n, 4))
+            return pa.table({
+                "doc_id": batch["doc_id"],
+                "n_bigrams": pa.array(ns, type=pa.int64()),
+                "mean_logprob": pa.array(means, type=pa.float64()),
+            })
+
+    return ds.map_batches(Score, fn_constructor_kwargs={"ref": ref},
+                          batch_format="pyarrow", batch_size=4096,
+                          concurrency=2)
+
+
 def source_mixture(sf_dir: str):
     """Corpus-mixing report: per-source document and token mass plus the
     token fraction — the table a training-mixture rebalancer consumes.
@@ -911,6 +1007,38 @@ ORACLE_SQL = {
                ROUND(CAST(n_tokens AS DOUBLE) / tot.t, 4) AS token_frac
         FROM s CROSS JOIN tot
     """,
+    "bigram_logprob": r"""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents
+        ), u AS (
+          SELECT doc_id, unnest(toks) AS w,
+                 CAST(unnest(range(len(toks))) AS BIGINT) AS i
+          FROM t
+        ), uc AS (
+          SELECT w, COUNT(*) AS c FROM u GROUP BY w
+        ), v AS (
+          SELECT COUNT(*) AS v FROM uc
+        ), bg AS (
+          SELECT a.doc_id, a.w AS w1, b.w AS w2
+          FROM u a JOIN u b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        ), bc AS (
+          SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2
+        ), sc AS (
+          SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+                 SUM(ln((bc.c + 1.0) / (uc.c + v.v))) AS lp
+          FROM bg
+          JOIN bc ON bc.w1 = bg.w1 AND bc.w2 = bg.w2
+          JOIN uc ON uc.w = bg.w1
+          CROSS JOIN v
+          GROUP BY bg.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               ROUND(COALESCE(sc.lp / sc.n_bigrams, 0.0), 4)
+                   AS mean_logprob
+        FROM documents d LEFT JOIN sc USING (doc_id)
+    """,
     "unigram_logprob": r"""
         WITH t AS (
           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
@@ -1122,6 +1250,7 @@ QUERIES = {
     "gopher_quality_filter": gopher_quality_filter,
     "pii_scan": pii_scan,
     "unigram_logprob": unigram_logprob,
+    "bigram_logprob": bigram_logprob,
     "quality_percentile_filter": quality_percentile_filter,
     "quality_rank": quality_rank,
     "source_mixture": source_mixture,
