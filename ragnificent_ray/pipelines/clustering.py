@@ -794,9 +794,108 @@ WHERE rn = 1
 """
 
 
+# --------------------------------------------------- product quantization
+
+PQ_SUBSPACES = 8
+PQ_CODES = 16
+
+
+def pq_encode(sf_dir: str, m: int = PQ_SUBSPACES, k: int = PQ_CODES):
+    """Product-quantization encoding — the vector-compression step
+    behind IVF-PQ ANN indexes: the 64-d embedding splits into ``m``
+    subvectors, each assigned to its nearest of ``k`` per-subspace
+    centroids (seeded from the first ``k`` vectors' subvectors, the
+    deterministic codebook), emitting one (vec_id, sub, code, sq_dist)
+    row per subspace. Same integer discipline as :func:`kmeans_fit`
+    (1e6-quantized ints, exact int64 distances, ties to the lower
+    code), so the oracle value-checks every code and residual.
+
+    Scale shape: the codebook is a broadcast (k×D ints); encoding is a
+    pure per-batch map with one argmin per (row, subspace) — no
+    shuffle. A trained codebook would come from running
+    :func:`kmeans_fit` per subspace; the encode pass is identical."""
+    from ..functions.numeric import round_half_away
+
+    seed = pq.read_table(_pq(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "<", k)])
+    order = np.argsort(np.asarray(seed.column("vec_id").to_pylist()))
+    C = round_half_away(
+        list_column_matrix(seed.column("embedding"),
+                           dtype=np.float64)[order] * KM_SCALE, 0
+    ).astype(np.int64)
+    D = C.shape[1]
+    sd = D // m
+    cent = C.reshape(k, m, sd)          # (k, m, sd)
+    ref = ray.put(cent)
+
+    class Encode:
+        def __init__(self, ref):
+            self.cent = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            kk, mm, ss = self.cent.shape
+            mtx = round_half_away(
+                list_column_matrix(batch.column("embedding"),
+                                   dtype=np.float64) * KM_SCALE, 0
+            ).astype(np.int64).reshape(-1, mm, ss)      # (n, m, sd)
+            # exact int64 distances per (row, sub, code)
+            diff = mtx[:, None, :, :] - self.cent[None, :, :, :]
+            d2 = (diff * diff).sum(axis=3)               # (n, k, m)
+            codes = np.argmin(d2, axis=1)                # (n, m)
+            n = mtx.shape[0]
+            rows = np.arange(n)[:, None]
+            subs = np.arange(mm)[None, :]
+            best = d2[rows, codes, subs]                 # (n, m)
+            vec = np.repeat(
+                batch.column("vec_id").to_numpy(), mm)
+            return pa.table({
+                "vec_id": pa.array(vec, type=pa.int64()),
+                "sub": pa.array(np.tile(np.arange(mm, dtype=np.int32), n)),
+                "code": pa.array(codes.ravel().astype(np.int32)),
+                "sq_dist": pa.array(best.ravel(), type=pa.int64()),
+            })
+
+    ds = rd.read_parquet(_pq(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    return ds.map_batches(Encode, fn_constructor_kwargs={"ref": ref},
+                          batch_format="pyarrow", batch_size=4096,
+                          concurrency=2)
+
+
+_PQ_ENCODE_SQL = f"""
+    WITH e AS (
+      SELECT vec_id,
+             CAST(unnest(range(len(embedding))) AS INTEGER) AS d,
+             CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * {KM_SCALE})
+                  AS BIGINT) AS x
+      FROM embeddings
+    ), ee AS (
+      SELECT vec_id, CAST(d // {64 // PQ_SUBSPACES} AS INTEGER) AS sub,
+             d % {64 // PQ_SUBSPACES} AS sd, x
+      FROM e
+    ), c AS (
+      SELECT CAST(vec_id AS INTEGER) AS code, sub, sd, x AS cx
+      FROM ee WHERE vec_id < {PQ_CODES}
+    ), dist AS (
+      SELECT ee.vec_id, ee.sub, c.code,
+             SUM((ee.x - c.cx) * (ee.x - c.cx)) AS dist
+      FROM ee JOIN c ON c.sub = ee.sub AND c.sd = ee.sd
+      GROUP BY ee.vec_id, ee.sub, c.code
+    )
+    SELECT vec_id, sub, code, CAST(dist AS BIGINT) AS sq_dist FROM (
+      SELECT vec_id, sub, code, dist,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                ORDER BY dist, code) AS rn
+      FROM dist)
+    WHERE rn = 1
+"""
+
+
 QUERIES = {
     "kmeans_assign": kmeans_assign,
     "kmeans_fit": kmeans_fit,
+    "pq_encode": pq_encode,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_recall": ann_ivf_recall,
     "semantic_dedup": semantic_dedup,
@@ -806,3 +905,4 @@ QUERIES = {
 }
 
 ORACLE_SQL["kmeans_fit"] = _kmeans_fit_sql()
+ORACLE_SQL["pq_encode"] = _PQ_ENCODE_SQL
