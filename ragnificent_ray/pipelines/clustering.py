@@ -892,10 +892,126 @@ _PQ_ENCODE_SQL = f"""
 """
 
 
+def ann_pq_topk(sf_dir: str, m: int = PQ_SUBSPACES, k: int = PQ_CODES):
+    """PQ-ADC approximate nearest-neighbor search — how an IVF-PQ index
+    actually answers queries: each corpus vector is represented only by
+    its ``m`` codes; the query precomputes a (subspace × code) distance
+    LUT against the codebook, and the estimated distance is m LUT adds
+    per row (the Asymmetric Distance Computation of Jégou et al.).
+
+    Integer-exact throughout (quantized query, int64 LUT), so the
+    DuckDB oracle value-checks every estimated distance. Scale shape:
+    LUT + codebook broadcast, per-block partial top-k per query, tiny
+    per-query merge — identical exchange profile to ``ann_topk`` but
+    each row costs m adds instead of a D-dim dot product."""
+    from .ann import N_QUERIES, TOP_K
+    from ..functions.numeric import round_half_away
+
+    seed = pq.read_table(_pq(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "<", max(k, N_QUERIES))])
+    order = np.argsort(np.asarray(seed.column("vec_id").to_pylist()))
+    ints = round_half_away(
+        list_column_matrix(seed.column("embedding"),
+                           dtype=np.float64)[order] * KM_SCALE, 0
+    ).astype(np.int64)
+    D = ints.shape[1]
+    sd = D // m
+    cent = ints[:k].reshape(k, m, sd)                    # codebook
+    qv = ints[:N_QUERIES].reshape(N_QUERIES, m, sd)      # queries (exact)
+    # LUT[q, sub, code] = ||q_sub - cent[code, sub]||^2, exact int64
+    diff = qv[:, None, :, :] - cent[None, :, :, :]       # (Q, k, m, sd)
+    lut = (diff * diff).sum(axis=3).transpose(0, 2, 1)   # (Q, m, k)
+    ref = ray.put((cent, lut))
+
+    class PartialTopK:
+        def __init__(self, ref):
+            self.cent, self.lut = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            kk, mm, ss = self.cent.shape
+            ids = batch.column("vec_id").to_numpy()
+            mtx = round_half_away(
+                list_column_matrix(batch.column("embedding"),
+                                   dtype=np.float64) * KM_SCALE, 0
+            ).astype(np.int64).reshape(-1, mm, ss)
+            d2 = ((mtx[:, None, :, :] - self.cent[None, :, :, :]) ** 2) \
+                .sum(axis=3)                              # (n, k, m)
+            codes = np.argmin(d2, axis=1)                 # (n, m)
+            n = len(ids)
+            subs = np.arange(mm)[None, :]
+            out_q, out_n, out_d = [], [], []
+            kq = min(TOP_K, n)
+            for qi in range(self.lut.shape[0]):
+                adc = self.lut[qi][subs, codes].sum(axis=1)   # (n,)
+                order = np.lexsort((ids, adc))[:kq]
+                out_q.extend([qi] * len(order))
+                out_n.extend(ids[order].tolist())
+                out_d.extend(adc[order].tolist())
+            return pa.table({
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "adc": pa.array(out_d, type=pa.int64()),
+            })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["adc", "neighbor_id"]).head(TOP_K)
+        g = g.reset_index(drop=True)
+        g["rank"] = (g.index + 1).astype(np.int64)
+        return g[["query_id", "neighbor_id", "rank", "adc"]]
+
+    ds = rd.read_parquet(_pq(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    return (ds.map_batches(PartialTopK, fn_constructor_kwargs={"ref": ref},
+                           batch_format="pyarrow", batch_size=4096,
+                           concurrency=2)
+            .groupby("query_id")
+            .map_groups(merge, batch_format="pandas"))
+
+
+def ann_pq_recall(sf_dir: str):
+    """Recall@k of the PQ-ADC search vs the exact top-k — the
+    compression-loss gauge (more codes / subspaces → higher recall,
+    bigger index). Same bounded comparison shape as ``ann_ivf_recall``."""
+    from .ann import ann_topk
+    from ..functions.numeric import round_half_away as _r4
+
+    def tag(name):
+        def add(batch: pa.Table, name=name) -> pa.Table:
+            return pa.table({
+                "query_id": batch["query_id"],
+                "neighbor_id": batch["neighbor_id"],
+                "src": pa.array([name] * len(batch), type=pa.string()),
+            })
+        return add
+
+    exact = ann_topk(sf_dir).map_batches(
+        tag("exact"), batch_format="pyarrow").materialize()
+    approx = ann_pq_topk(sf_dir).map_batches(
+        tag("pq"), batch_format="pyarrow").materialize()
+
+    def recall(g: pd.DataFrame) -> pd.DataFrame:
+        e = set(g.loc[g["src"] == "exact", "neighbor_id"])
+        a = set(g.loc[g["src"] == "pq", "neighbor_id"])
+        return pd.DataFrame({
+            "query_id": pd.array([int(g["query_id"].iloc[0])],
+                                 dtype="int64"),
+            "n_exact": pd.array([len(e)], dtype="int64"),
+            "n_pq": pd.array([len(a)], dtype="int64"),
+            "recall": [_r4(len(e & a) / len(e), 4) if e else 0.0],
+        })
+
+    return (exact.union(approx)
+            .groupby("query_id")
+            .map_groups(recall, batch_format="pandas"))
+
+
 QUERIES = {
     "kmeans_assign": kmeans_assign,
     "kmeans_fit": kmeans_fit,
     "pq_encode": pq_encode,
+    "ann_pq_topk": ann_pq_topk,
+    "ann_pq_recall": ann_pq_recall,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_recall": ann_ivf_recall,
     "semantic_dedup": semantic_dedup,
@@ -906,3 +1022,79 @@ QUERIES = {
 
 ORACLE_SQL["kmeans_fit"] = _kmeans_fit_sql()
 ORACLE_SQL["pq_encode"] = _PQ_ENCODE_SQL
+
+from .ann import N_QUERIES  # noqa: E402  (query panel shared with ann_topk)
+
+_PQ_TOPK_SQL = f"""
+    WITH e AS (
+      SELECT vec_id,
+             CAST(unnest(range(len(embedding))) AS INTEGER) AS d,
+             CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * {KM_SCALE})
+                  AS BIGINT) AS x
+      FROM embeddings
+    ), ee AS (
+      SELECT vec_id, CAST(d // {64 // PQ_SUBSPACES} AS INTEGER) AS sub,
+             d % {64 // PQ_SUBSPACES} AS sd, x
+      FROM e
+    ), c AS (
+      SELECT CAST(vec_id AS INTEGER) AS code, sub, sd, x AS cx
+      FROM ee WHERE vec_id < {PQ_CODES}
+    ), dist AS (
+      SELECT ee.vec_id, ee.sub, c.code,
+             SUM((ee.x - c.cx) * (ee.x - c.cx)) AS dd
+      FROM ee JOIN c ON c.sub = ee.sub AND c.sd = ee.sd
+      GROUP BY ee.vec_id, ee.sub, c.code
+    ), codes AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dd, code) AS rn
+        FROM dist)
+      WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS qid, sub, sd, x FROM ee WHERE vec_id < {N_QUERIES}
+    ), lut AS (
+      SELECT q.qid, q.sub, c.code,
+             SUM((q.x - c.cx) * (q.x - c.cx)) AS d
+      FROM q JOIN c ON c.sub = q.sub AND c.sd = q.sd
+      GROUP BY q.qid, q.sub, c.code
+    ), adc AS (
+      SELECT l.qid, codes.vec_id, SUM(l.d) AS adc
+      FROM codes JOIN lut l
+        ON l.sub = codes.sub AND l.code = codes.code
+      GROUP BY l.qid, codes.vec_id
+    )
+    SELECT qid AS query_id, vec_id AS neighbor_id, rank,
+           CAST(adc AS BIGINT) AS adc
+    FROM (SELECT qid, vec_id, adc,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY adc, vec_id) AS rank
+          FROM adc)
+    WHERE rank <= 10
+"""
+
+ORACLE_SQL["ann_pq_topk"] = _PQ_TOPK_SQL
+
+
+def _pq_recall_sql() -> str:
+    from .ann import ORACLE_SQL as ANN_SQL
+
+    return f"""
+    WITH ex AS ({ANN_SQL["ann_topk"]}),
+    ap AS ({_PQ_TOPK_SQL}),
+    hits AS (
+        SELECT ex.query_id, COUNT(ap.neighbor_id) AS n_hit
+        FROM ex LEFT JOIN ap
+          ON ap.query_id = ex.query_id
+         AND ap.neighbor_id = ex.neighbor_id
+        GROUP BY ex.query_id
+    ),
+    ne AS (SELECT query_id, COUNT(*) AS n_exact FROM ex GROUP BY query_id),
+    na AS (SELECT query_id, COUNT(*) AS n_pq FROM ap GROUP BY query_id)
+    SELECT ne.query_id, ne.n_exact, COALESCE(na.n_pq, 0) AS n_pq,
+           ROUND(CAST(hits.n_hit AS DOUBLE) / ne.n_exact, 4) AS recall
+    FROM ne JOIN hits USING (query_id) LEFT JOIN na USING (query_id)
+"""
+
+
+ORACLE_SQL["ann_pq_recall"] = _pq_recall_sql()
