@@ -1198,6 +1198,48 @@ def region_supplier_revenue(sf_dir: str):
         batch_format="pyarrow")
 
 
+def distinct_users_salted(sf_dir: str, n_salts: int = 16):
+    """Exact distinct users per event type via SALTED two-stage
+    aggregation — the hot-key discipline for HOLISTIC aggregates.
+    ``event_type`` has a tiny vocabulary, so every key is hot: a naive
+    groupby ships every (type, user) row to one reducer. Salting by
+    ``user_id % n_salts`` splits each hot key into ``n_salts`` bounded
+    groups; because the salt is a function of the DISTINCT key, the
+    per-salt distinct sets are disjoint and stage 2 just SUMS the
+    per-salt counts — exact, no set ever crosses the wire twice.
+    (Algebraic aggregates get the combiner treatment elsewhere; this is
+    the pattern for the aggregates combiners can't fold.)"""
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": b.column("event_type").to_pylist(),
+            "user_id": b.column("user_id").to_numpy(),
+        }).drop_duplicates()
+        return pa.table({
+            "event_type": pa.array(df["event_type"], type=pa.string()),
+            "user_id": pa.array(df["user_id"].to_numpy(), type=pa.int64()),
+            "salt": pa.array(
+                (df["user_id"].to_numpy() % n_salts).astype(np.int32)),
+        })
+
+    def salt_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("event_type", as_index=False)["user_id"] \
+               .nunique().rename(columns={"user_id": "nd"})
+        return out
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["event_type", "salt"])
+        .map_groups(salt_distinct, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("nd", alias_name="n_users"))
+    )
+
+
 def customer_order_counts(sf_dir: str):
     """Per-customer order count in a date window INCLUDING zeros — the
     LEFT OUTER JOIN shape, which Ray Data's hash join doesn't offer
@@ -1428,6 +1470,11 @@ ORACLE_SQL = {
                      / SUM(rev_e4), 4) AS promo_share,
                ROUND(SUM(rev_e4) / 10000.0, 2) AS revenue
         FROM e GROUP BY month
+    """,
+    "distinct_users_salted": """
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type
     """,
     "customer_order_counts": """
         SELECT c.c_custkey, c.c_name,
@@ -1669,4 +1716,5 @@ QUERIES = {
     "region_supplier_revenue": region_supplier_revenue,
     "revenue_rollup": revenue_rollup,
     "customer_order_counts": customer_order_counts,
+    "distinct_users_salted": distinct_users_salted,
 }
