@@ -470,6 +470,25 @@ def trending_items(sf_dir: str):
 
 
 ORACLE_SQL = {
+    "cohort_retention": """
+        WITH uw AS (
+          SELECT DISTINCT user_id,
+                 CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week
+          FROM events
+        ), f AS (
+          SELECT user_id, MIN(week) AS cw FROM uw GROUP BY user_id
+        ), r AS (
+          SELECT f.cw AS cohort_week, uw.week - f.cw AS k,
+                 COUNT(*) AS n_users
+          FROM uw JOIN f USING (user_id)
+          GROUP BY cohort_week, k
+        ), c0 AS (
+          SELECT cohort_week, n_users AS n0 FROM r WHERE k = 0
+        )
+        SELECT r.cohort_week, r.k, r.n_users,
+               ROUND(CAST(r.n_users AS DOUBLE) / c0.n0, 4) AS retention
+        FROM r JOIN c0 USING (cohort_week)
+    """,
     "trending_items": f"""
         WITH e AS (
           SELECT strftime(date_trunc('hour', ts),
@@ -570,7 +589,68 @@ ORACLE_SQL = {
     """,
 }
 
+def cohort_retention(sf_dir: str):
+    """Weekly cohort retention matrix — the product-analytics staple:
+    users cohort by their FIRST active epoch-week, and cell (cohort, k)
+    counts how many are active again k weeks later, as a fraction of
+    the cohort.
+
+    Scale shape: distinct (user, week) rows co-locate per user in ONE
+    groupby (each group is that user's week set — bounded by the
+    calendar), emit (cohort, k) rows per user, then a pre-counted
+    (cohort, k) fold. The final matrix is |weeks|² cells — bounded by
+    time, not corpus — so the retention ratio assembles driver-side
+    from exact integer counts."""
+    _WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        week = (_ts_us(b.column("ts").to_pandas()) // _WEEK_US)
+        df = pd.DataFrame({
+            "user_id": b.column("user_id").to_numpy(),
+            "week": week.astype(np.int64),
+        }).drop_duplicates()
+        return pa.table({
+            "user_id": pa.array(df["user_id"].to_numpy(), type=pa.int64()),
+            "week": pa.array(df["week"].to_numpy(), type=pa.int64()),
+        })
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        weeks = np.unique(g["week"].to_numpy())
+        cw = int(weeks.min())
+        return pd.DataFrame({
+            "cohort_week": np.full(len(weeks), cw, dtype=np.int64),
+            "k": weeks - cw,
+            "n": np.ones(len(weeks), dtype=np.int64),
+        })
+
+    from ray.data.aggregate import Sum
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .groupby(["cohort_week", "k"])
+        .aggregate(Sum("n", alias_name="n_users"))
+    ).to_pandas()
+
+    base = cells.loc[cells["k"] == 0] \
+        .set_index("cohort_week")["n_users"]
+    n0 = cells["cohort_week"].map(base).to_numpy(dtype=np.int64)
+    return pa.table({
+        "cohort_week": pa.array(cells["cohort_week"].to_numpy(),
+                                type=pa.int64()),
+        "k": pa.array(cells["k"].to_numpy(), type=pa.int64()),
+        "n_users": pa.array(cells["n_users"].to_numpy(), type=pa.int64()),
+        "retention": pa.array(round_half_away(
+            cells["n_users"].to_numpy() / n0, 4), type=pa.float64()),
+    })
+
+
 QUERIES = {
+    "cohort_retention": cohort_retention,
     "sessionize": sessionize,
     "user_order_asof": user_order_asof,
     "purchase_attribution": purchase_attribution,
