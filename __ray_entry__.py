@@ -660,6 +660,24 @@ def _image_patchify(sf_dir: str):
                   batch_size=32, concurrency=2)
 
 
+def _image_augment(sf_dir: str):
+    """Deterministic augmentation variants (hflip / hash-placed crop /
+    brightness shift) per harvested image — pre-materialized
+    vision-training augmentation as an actor-pool decode+transform
+    stage; one row per (image, variant), payload re-encoded PNG.
+    Rows-only (binary input); pixel-level variant semantics pinned in
+    ``tests/test_multimodal.py``."""
+    import ray.data as rd
+
+    from ragnificent_ray.stages.multimodal import ImageAugmentStage
+
+    harvest = _crawl_harvest(sf_dir)
+    return rd.from_arrow(
+        harvest.select(["image_id", "bytes", "fmt"])
+    ).map_batches(ImageAugmentStage, batch_format="pyarrow",
+                  batch_size=32, concurrency=2)
+
+
 def _image_patch_dedup(sf_dir: str):
     """Patch-level exact dedup across the image corpus: which 16×16
     tiles repeat, and across how many images — the sub-image twin of
@@ -794,6 +812,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dhash_neardup": _image_dhash_neardup,
         "image_patchify": _image_patchify,
         "image_patch_dedup": _image_patch_dedup,
+        "image_augment": _image_augment,
         "crawl_harvest": _crawl_harvest,
         "crawl_order": _crawl_order,
         "crawl_documents": _crawl_documents,

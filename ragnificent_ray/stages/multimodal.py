@@ -207,6 +207,66 @@ class ImagePatchifyStage:
         })
 
 
+class ImageAugmentStage:
+    """binary+fmt → deterministic augmented variants (REAL decode +
+    numpy transforms) — the vision-training data-prep stage that
+    pre-materializes augmentations so epochs stream instead of
+    recompute.
+
+    Three variants per image, parameterized by a hash of the image id
+    (so the 'randomness' is reproducible across runs and cluster
+    layouts): horizontal flip, a hash-placed crop of 3/4 side re-scaled
+    back, and an integer brightness shift in ±[16, 48). Emits one row
+    per (image, variant) with the re-encoded payload — rows stay
+    splittable downstream like the patch table."""
+
+    _VARIANTS = ("hflip", "crop", "brightness")
+
+    def __init__(self, bytes_col: str = "bytes", fmt_col: str = "fmt",
+                 id_col: str = "image_id"):
+        self.bytes_col, self.fmt_col, self.id_col = bytes_col, fmt_col, id_col
+
+    @staticmethod
+    def _augment(img: np.ndarray, variant: str, h64: int) -> np.ndarray:
+        if variant == "hflip":
+            return img[:, ::-1]
+        h, w = img.shape[:2]
+        if variant == "crop":
+            ch, cw = max(1, h * 3 // 4), max(1, w * 3 // 4)
+            oy = (h64 >> 8) % (h - ch + 1)
+            ox = (h64 >> 24) % (w - cw + 1)
+            return _block_resize(img[oy:oy + ch, ox:ox + cw], h, w)
+        delta = 16 + (h64 % 32)
+        if h64 & 1:
+            delta = -delta
+        return (img.astype(np.int16) + delta).clip(0, 255).astype(np.uint8)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.imaging import encode_image
+
+        ids = batch.column(self.id_col).to_pylist()
+        datas = batch.column(self.bytes_col).to_pylist()
+        fmts = batch.column(self.fmt_col).to_pylist()
+        out_id, out_var, out_bytes, out_h, out_w = [], [], [], [], []
+        for iid, data, fmt in zip(ids, datas, fmts):
+            img = decode_image(data, fmt)
+            h64 = stable_hash64(iid)
+            for var in self._VARIANTS:
+                aug = self._augment(img, var, h64)
+                out_id.append(iid)
+                out_var.append(var)
+                out_bytes.append(encode_image(aug, "png"))
+                out_h.append(aug.shape[0])
+                out_w.append(aug.shape[1])
+        return pa.table({
+            self.id_col: pa.array(out_id, type=pa.string()),
+            "variant": pa.array(out_var, type=pa.string()),
+            "bytes": pa.array(out_bytes, type=pa.binary()),
+            "h": pa.array(out_h, type=pa.int32()),
+            "w": pa.array(out_w, type=pa.int32()),
+        })
+
+
 class ImageQualityStage:
     """binary+fmt → per-image quality signals + keep flag (REAL decode).
 

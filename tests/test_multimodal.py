@@ -210,3 +210,34 @@ def test_image_dhash_stage_and_gradient_invariance():
     assert out.column_names == ["image_id", "dhash"]
     a, b = out.column("dhash").to_pylist()
     assert a == b == dhash64(pixels)
+
+
+def test_image_augment_stage_variants():
+    """Three deterministic variants per image: hflip is an exact pixel
+    mirror, crop keeps the original dims, brightness is a uniform
+    integer shift; params derive from the id hash (reproducible)."""
+    from ragnificent_ray.functions.imaging import decode_image
+    from ragnificent_ray.stages.multimodal import ImageAugmentStage
+
+    pixels, batch = _img_batch()
+    out = ImageAugmentStage()(batch)
+    assert out.num_rows == 3
+    rows = {v: (b, h, w) for v, b, h, w in zip(
+        out.column("variant").to_pylist(), out.column("bytes").to_pylist(),
+        out.column("h").to_pylist(), out.column("w").to_pylist())}
+
+    flip = decode_image(rows["hflip"][0], "png")
+    assert np.array_equal(flip, pixels[:, ::-1])
+
+    crop = decode_image(rows["crop"][0], "png")
+    assert crop.shape == pixels.shape            # rescaled back
+
+    bright = decode_image(rows["brightness"][0], "png")
+    delta = bright.astype(np.int16) - pixels.astype(np.int16)
+    inner = delta[(pixels > 48) & (pixels < 200)]  # unclipped samples
+    assert len(np.unique(inner)) == 1              # uniform shift
+    assert 16 <= abs(int(inner[0])) < 48
+
+    # deterministic across calls
+    out2 = ImageAugmentStage()(batch)
+    assert out.column("bytes").to_pylist() == out2.column("bytes").to_pylist()
