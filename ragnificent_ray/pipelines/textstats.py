@@ -508,6 +508,116 @@ def countmin_tokens(sf_dir: str):
             .map_batches(add_est, batch_format="pyarrow"))
 
 
+def _edit1(a: str, b: str) -> bool:
+    """Exact check: levenshtein(a, b) <= 1 (one pass, no DP table)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # b is a with one insertion
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def fuzzy_name_pairs(sf_dir: str):
+    """Entity names within edit distance 1 — the fuzzy-string-join /
+    entity-resolution shape (SymSpell's trick, scaled out). An
+    all-pairs levenshtein is O(V²); instead every name emits its
+    DELETION NEIGHBORHOOD (itself + each one-char-deleted variant),
+    candidates co-locate per variant in bounded hash buckets (any pair
+    at distance ≤1 provably shares a deletion variant — substitution:
+    delete the differing char from both; indel: delete the inserted
+    char), and the exact one-pass edit check verifies in-group. The
+    oracle IS the O(V²) levenshtein join, so completeness — not just
+    precision — is value-checked. Name universe: part brands ∪
+    supplier names (single-digit variants abound — the dirty-catalog
+    case this op exists for)."""
+    import pandas as pd
+
+    from ..functions.hashing import stable_hash64
+
+    _B = 64
+
+    brands = rd.read_parquet(_pq(sf_dir, "part"), columns=["p_brand"])
+    snames = rd.read_parquet(_pq(sf_dir, "supplier"), columns=["s_name"])
+
+    def vocab_partial(col):
+        def inner(batch: pa.Table) -> pa.Table:
+            toks = set(batch.column(col).to_pylist())
+            return pa.table({
+                "token": pa.array(sorted(toks), type=pa.string())})
+        return inner
+
+    ds = brands.map_batches(vocab_partial("p_brand"),
+                            batch_format="pyarrow", batch_size=65536) \
+        .union(snames.map_batches(vocab_partial("s_name"),
+                                  batch_format="pyarrow",
+                                  batch_size=65536))
+
+    def variants(batch: pa.Table) -> pa.Table:
+        # batch is (token) — may still hold cross-block duplicates;
+        # the variant groupby dedups pairs downstream
+        out_t, out_v = [], []
+        for tok in set(batch.column("token").to_pylist()):
+            seen = {tok}
+            out_t.append(tok)
+            out_v.append(tok)
+            for i in range(len(tok)):
+                v = tok[:i] + tok[i + 1:]
+                if v not in seen:
+                    seen.add(v)
+                    out_t.append(tok)
+                    out_v.append(v)
+        vb = np.fromiter((stable_hash64(v) % _B for v in out_v),
+                         dtype=np.int32, count=len(out_v))
+        return pa.table({
+            "token": pa.array(out_t, type=pa.string()),
+            "variant": pa.array(out_v, type=pa.string()),
+            "vb": pa.array(vb),
+        })
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["token", "variant"])
+        m = g.merge(g, on="variant")
+        m = m[m["token_x"] < m["token_y"]]
+        if not len(m):
+            return pd.DataFrame({"tok_a": pd.Series(dtype=str),
+                                 "tok_b": pd.Series(dtype=str)})
+        m = m.drop_duplicates(["token_x", "token_y"])
+        keep = [_edit1(a, b) for a, b in zip(m["token_x"], m["token_y"])]
+        m = m[np.asarray(keep, dtype=bool)]
+        return m.rename(columns={"token_x": "tok_a", "token_y": "tok_b"}) \
+                [["tok_a", "tok_b"]]
+
+    def pair_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["tok_a", "tok_b"])
+
+    def add_pb(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("pb", pa.array([], type=pa.int32()))
+        pb = [stable_hash64(f"{a}|{b}") % _B
+              for a, b in zip(batch.column("tok_a").to_pylist(),
+                              batch.column("tok_b").to_pylist())]
+        return batch.append_column("pb", pa.array(pb, type=pa.int32()))
+
+    return (
+        ds.map_batches(variants, batch_format="pyarrow")
+        .groupby("vb")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_batches(add_pb, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(pair_dedup, batch_format="pandas")
+        .map_batches(lambda b: b.drop_columns(["pb"])
+                     if "pb" in b.column_names else b,
+                     batch_format="pyarrow")
+    )
+
+
 def bigram_logprob(sf_dir: str):
     """Per-doc mean log-probability under an add-one-smoothed BIGRAM
     model fit on the corpus itself — the next LM-scoring rung above
@@ -1007,6 +1117,17 @@ ORACLE_SQL = {
                ROUND(CAST(n_tokens AS DOUBLE) / tot.t, 4) AS token_frac
         FROM s CROSS JOIN tot
     """,
+    "fuzzy_name_pairs": r"""
+        WITH v AS (
+          SELECT DISTINCT p_brand AS token FROM part
+          UNION
+          SELECT DISTINCT s_name FROM supplier
+        )
+        SELECT a.token AS tok_a, b.token AS tok_b
+        FROM v a JOIN v b
+          ON a.token < b.token
+         AND levenshtein(a.token, b.token) <= 1
+    """,
     "bigram_logprob": r"""
         WITH t AS (
           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
@@ -1251,6 +1372,7 @@ QUERIES = {
     "pii_scan": pii_scan,
     "unigram_logprob": unigram_logprob,
     "bigram_logprob": bigram_logprob,
+    "fuzzy_name_pairs": fuzzy_name_pairs,
     "quality_percentile_filter": quality_percentile_filter,
     "quality_rank": quality_rank,
     "source_mixture": source_mixture,
