@@ -352,8 +352,13 @@ def _update_baseline_md(result: dict) -> None:
     except FileNotFoundError:
         text = ""
     if marker in text:
-        head = text.split(marker)[0]
-        text = head + block
+        # replace ONLY this section: from the marker to the next
+        # "<!-- bench-" marker (or EOF) — earlier versions truncated
+        # everything after the marker, eating following sections
+        head, rest = text.split(marker, 1)
+        nxt = rest.find("<!-- bench-")
+        tail = rest[nxt:] if nxt != -1 else ""
+        text = head + block + ("\n" + tail if tail else "")
     else:
         text = text.rstrip() + "\n\n" + block
     with open(path, "w", encoding="utf-8") as f:
