@@ -124,7 +124,9 @@ QUERY_NAMES = [
     "trending_items", "inactive_customers", "shipping_priority",
     "price_quantity_corr", "promo_revenue", "region_supplier_revenue",
     "kmeans_fit", "event_type_jaccard", "customer_order_counts",
-    "bigram_logprob", "pq_encode", "ann_pq_recall", "distinct_users_salted", "cohort_retention", "fuzzy_name_pairs",
+    "bigram_logprob", "pq_encode", "ann_pq_recall",
+    "distinct_users_salted", "cohort_retention", "fuzzy_name_pairs",
+    "pq_train_encode",
 ]
 
 

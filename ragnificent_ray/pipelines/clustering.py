@@ -892,6 +892,189 @@ _PQ_ENCODE_SQL = f"""
 """
 
 
+def pq_train_encode(sf_dir: str, m: int = PQ_SUBSPACES, k: int = PQ_CODES,
+                    iters: int = KM_ITERS):
+    """TRAIN the product-quantization codebook (per-subspace Lloyd's
+    k-means, :func:`kmeans_fit`'s integer discipline) and encode with
+    it — the full IVF-PQ codebook pipeline rather than the seed
+    codebook of :func:`pq_encode`. All ``m`` subspace k-means run
+    together: each batch folds to k·m·(sd+1) partial rows (per
+    (code, sub) dim sums + counts) and the driver floor-means the tiny
+    codebook tensor; the oracle runs the same recurrence as ONE
+    unrolled CTE chain with ``sub`` carried as a grouping key. Training
+    demonstrably helps: the summed residual is pinned below the
+    untrained encoder's in pytest."""
+    from ..functions.numeric import round_half_away
+
+    seed = pq.read_table(_pq(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "<", k)])
+    order = np.argsort(np.asarray(seed.column("vec_id").to_pylist()))
+    ints0 = round_half_away(
+        list_column_matrix(seed.column("embedding"),
+                           dtype=np.float64)[order] * KM_SCALE, 0
+    ).astype(np.int64)
+    D = ints0.shape[1]
+    sd = D // m
+    cent = ints0.reshape(k, m, sd).copy()       # (k, m, sd)
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        mtx = round_half_away(
+            list_column_matrix(batch.column("embedding"),
+                               dtype=np.float64) * KM_SCALE, 0
+        ).astype(np.int64)
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "x": pa.FixedSizeListArray.from_arrays(
+                pa.array(mtx.ravel(), type=pa.int64()), D),
+        })
+
+    ints = rd.read_parquet(
+        _pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    ).map_batches(to_int, batch_format="pyarrow",
+                  batch_size=4096).materialize()
+
+    def _codes(mtx3, cent):
+        d2 = ((mtx3[:, None, :, :] - cent[None, :, :, :]) ** 2).sum(axis=3)
+        return d2, np.argmin(d2, axis=1)        # (n,k,m), (n,m)
+
+    class Partial:
+        def __init__(self, ref):
+            self.cent = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            kk, mm, ss = self.cent.shape
+            mtx = list_column_matrix(batch.column("x"), dtype=np.int64) \
+                .reshape(-1, mm, ss)
+            _, codes = _codes(mtx, self.cent)
+            sums = np.zeros((kk, mm, ss), dtype=np.int64)
+            counts = np.zeros((kk, mm), dtype=np.int64)
+            for c in range(kk):
+                for s in range(mm):
+                    members = mtx[codes[:, s] == c, s, :]
+                    counts[c, s] = len(members)
+                    if len(members):
+                        sums[c, s] = members.sum(axis=0, dtype=np.int64)
+            # flatten: (code, sub, dim, v); dim = -1 carries the count
+            code_col = np.repeat(np.arange(kk, dtype=np.int32),
+                                 mm * (ss + 1))
+            sub_col = np.tile(np.repeat(np.arange(mm, dtype=np.int32),
+                                        ss + 1), kk)
+            dim_col = np.tile(np.arange(-1, ss, dtype=np.int32), kk * mm)
+            v = np.concatenate([
+                np.concatenate(([counts[c, s]], sums[c, s]))
+                for c in range(kk) for s in range(mm)])
+            return pa.table({
+                "code": pa.array(code_col),
+                "sub": pa.array(sub_col),
+                "dim": pa.array(dim_col),
+                "v": pa.array(v, type=pa.int64()),
+            })
+
+    for _ in range(iters):
+        ref = ray.put(cent)
+        small = (
+            ints.map_batches(Partial, fn_constructor_kwargs={"ref": ref},
+                             batch_format="pyarrow", batch_size=4096,
+                             concurrency=2)
+            .groupby(["code", "sub", "dim"]).sum("v")
+        ).to_pandas()
+        piv = small.pivot(index=["code", "sub"], columns="dim",
+                          values="sum(v)").sort_index()
+        counts = piv[-1].to_numpy().reshape(k, m)
+        sums = piv[[d for d in range(sd)]].to_numpy().reshape(k, m, sd)
+        newc = np.where(counts[:, :, None] > 0,
+                        np.floor_divide(
+                            sums, np.maximum(counts, 1)[:, :, None]),
+                        cent).astype(np.int64)
+        cent = newc
+
+    ref = ray.put(cent)
+
+    class Encode:
+        def __init__(self, ref):
+            self.cent = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            kk, mm, ss = self.cent.shape
+            mtx = list_column_matrix(batch.column("x"), dtype=np.int64) \
+                .reshape(-1, mm, ss)
+            d2, codes = _codes(mtx, self.cent)
+            n = mtx.shape[0]
+            rows = np.arange(n)[:, None]
+            subs = np.arange(mm)[None, :]
+            best = d2[rows, codes, subs]
+            return pa.table({
+                "vec_id": pa.array(
+                    np.repeat(batch.column("vec_id").to_numpy(), mm),
+                    type=pa.int64()),
+                "sub": pa.array(np.tile(np.arange(mm, dtype=np.int32), n)),
+                "code": pa.array(codes.ravel().astype(np.int32)),
+                "sq_dist": pa.array(best.ravel(), type=pa.int64()),
+            })
+
+    return ints.map_batches(Encode, fn_constructor_kwargs={"ref": ref},
+                            batch_format="pyarrow", batch_size=4096,
+                            concurrency=2)
+
+
+def _pq_train_sql(m: int = PQ_SUBSPACES, k: int = PQ_CODES,
+                  iters: int = KM_ITERS) -> str:
+    """Unrolled per-subspace Lloyd recurrence: the kmeans_fit CTE chain
+    with ``sub`` carried through every GROUP BY / JOIN."""
+    sd = 64 // m
+    assign = """a{i} AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                              ORDER BY dist, code) AS rn
+    FROM (SELECT e.vec_id, e.sub, c.code,
+                 SUM((e.x - c.cx) * (e.x - c.cx)) AS dist
+          FROM ee e JOIN cf{p} c ON c.sub = e.sub AND c.sd = e.sd
+          GROUP BY e.vec_id, e.sub, c.code))
+  WHERE rn = 1
+)"""
+    update = """c{i} AS (
+  SELECT a.code, a.sub, e.sd,
+         CAST(FLOOR(CAST(SUM(e.x) AS DOUBLE)
+                    / COUNT(DISTINCT a.vec_id)) AS BIGINT) AS cx
+  FROM a{i} a JOIN ee e ON e.vec_id = a.vec_id AND e.sub = a.sub
+  GROUP BY a.code, a.sub, e.sd
+), cf{i} AS (
+  SELECT p.code, p.sub, p.sd, COALESCE(c.cx, p.cx) AS cx
+  FROM cf{p} p LEFT JOIN c{i} c
+    ON c.code = p.code AND c.sub = p.sub AND c.sd = p.sd
+)"""
+    rounds = []
+    for i in range(1, iters + 1):
+        rounds.append(assign.format(i=i, p=i - 1))
+        rounds.append(update.format(i=i, p=i - 1))
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         CAST(unnest(range(len(embedding))) AS INTEGER) AS d,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * {KM_SCALE})
+              AS BIGINT) AS x
+  FROM embeddings
+), ee AS (
+  SELECT vec_id, CAST(d // {sd} AS INTEGER) AS sub, d % {sd} AS sd, x
+  FROM e
+), cf0 AS (
+  SELECT CAST(vec_id AS INTEGER) AS code, sub, sd, x AS cx
+  FROM ee WHERE vec_id < {k}
+), {', '.join(rounds)}
+SELECT vec_id, sub, code, CAST(dist AS BIGINT) AS sq_dist FROM (
+  SELECT vec_id, sub, code, dist,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                            ORDER BY dist, code) AS rn
+  FROM (SELECT e.vec_id, e.sub, c.code,
+               SUM((e.x - c.cx) * (e.x - c.cx)) AS dist
+        FROM ee e JOIN cf{iters} c ON c.sub = e.sub AND c.sd = e.sd
+        GROUP BY e.vec_id, e.sub, c.code))
+WHERE rn = 1
+"""
+
+
 def ann_pq_topk(sf_dir: str, m: int = PQ_SUBSPACES, k: int = PQ_CODES):
     """PQ-ADC approximate nearest-neighbor search — how an IVF-PQ index
     actually answers queries: each corpus vector is represented only by
@@ -1010,6 +1193,7 @@ QUERIES = {
     "kmeans_assign": kmeans_assign,
     "kmeans_fit": kmeans_fit,
     "pq_encode": pq_encode,
+    "pq_train_encode": pq_train_encode,
     "ann_pq_topk": ann_pq_topk,
     "ann_pq_recall": ann_pq_recall,
     "ann_ivf_topk": ann_ivf_topk,
@@ -1074,6 +1258,7 @@ _PQ_TOPK_SQL = f"""
 """
 
 ORACLE_SQL["ann_pq_topk"] = _PQ_TOPK_SQL
+ORACLE_SQL["pq_train_encode"] = _pq_train_sql()
 
 
 def _pq_recall_sql() -> str:

@@ -403,3 +403,18 @@ def test_image_patch_dedup_finds_shared_tiles(ray_session):
     assert (df["n_occurrences"] >= df["n_images"]).all()
     assert (df["n_images"] >= 1).all()
     assert (df["n_images"] >= 2).any()   # cross-image shared tiles
+
+
+def test_pq_training_reduces_residual(ray_session):
+    """The trained PQ codebook must beat the seed codebook on summed
+    quantization residual (Lloyd iterations can only help here), and
+    every vector gets exactly one code per subspace."""
+    from ragnificent_ray.pipelines.clustering import (PQ_SUBSPACES,
+                                                      pq_encode,
+                                                      pq_train_encode)
+
+    trained = pq_train_encode(SF_DIR).to_pandas()
+    seeded = pq_encode(SF_DIR).to_pandas()
+    assert trained["sq_dist"].sum() < seeded["sq_dist"].sum()
+    per_vec = trained.groupby("vec_id").size()
+    assert (per_vec == PQ_SUBSPACES).all()
