@@ -382,10 +382,17 @@ def covisitation_pairs(sf_dir: str):
             "n_items": agg["n"].to_numpy().astype(np.int64),
         })
 
-    return (ds.map_batches(ui_partial, batch_format="pyarrow",
-                           batch_size=65536)
-            .groupby("ib").map_groups(item_pairs, batch_format="pandas")
-            .groupby("pb").map_groups(pair_merge, batch_format="pandas"))
+    out = (ds.map_batches(ui_partial, batch_format="pyarrow",
+                          batch_size=65536)
+           .groupby("ib").map_groups(item_pairs, batch_format="pandas")
+           .groupby("pb").map_groups(pair_merge, batch_format="pandas"))
+    # a corpus where every item trips the hot-item cap yields ZERO
+    # blocks — union a typed empty block so the result always carries
+    # its schema (an empty frame with no columns fails any comparison)
+    empty = pa.table({"user_a": pa.array([], type=pa.int64()),
+                      "user_b": pa.array([], type=pa.int64()),
+                      "n_items": pa.array([], type=pa.int64())})
+    return out.union(rd.from_arrow(empty))
 
 
 def _covis_sql() -> str:

@@ -45,23 +45,33 @@ def lineitem_agg(sf_dir: str):
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        # pure-Arrow group-hash: no pandas copy on the hot path
-        disc = pc.multiply(
-            batch.column("l_extendedprice"),
-            pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
-        g = batch.append_column("disc_price", disc).group_by(
-            ["l_returnflag", "l_linestatus"]
-        ).aggregate([
-            ("l_quantity", "sum"), ("l_extendedprice", "sum"),
-            ("disc_price", "sum"), ("l_quantity", "count"),
+        # integer currency units (cents / 1e-4 units): float sums of
+        # ~5e9 drift in the 4th decimal across summation orders at
+        # sf >= 0.1, flipping the rounded value vs the oracle —
+        # exact int64 sums are order-independent
+        cents = np.rint(
+            batch.column("l_extendedprice").to_numpy() * 100.0
+        ).astype(np.int64)
+        disc_bp = np.rint(
+            batch.column("l_discount").to_numpy() * 100.0
+        ).astype(np.int64)
+        g = pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "sum_qty": batch.column("l_quantity"),
+            "base_c": pa.array(cents, type=pa.int64()),
+            "disc_e4": pa.array(cents * (100 - disc_bp), type=pa.int64()),
+        }).group_by(["l_returnflag", "l_linestatus"]).aggregate([
+            ("sum_qty", "sum"), ("base_c", "sum"),
+            ("disc_e4", "sum"), ("sum_qty", "count"),
         ])
         return pa.table({
             "l_returnflag": g.column("l_returnflag"),
             "l_linestatus": g.column("l_linestatus"),
-            "sum_qty": g.column("l_quantity_sum"),
-            "sum_base_price": g.column("l_extendedprice_sum"),
-            "sum_disc_price": g.column("disc_price_sum"),
-            "count_order": g.column("l_quantity_count"),
+            "sum_qty": g.column("sum_qty_sum"),
+            "base_c": g.column("base_c_sum"),
+            "disc_e4": g.column("disc_e4_sum"),
+            "count_order": g.column("sum_qty_count"),
         })
 
     from ray.data.aggregate import Sum
@@ -71,8 +81,8 @@ def lineitem_agg(sf_dir: str):
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("sum_qty", alias_name="sum_qty"),
-            Sum("sum_base_price", alias_name="sum_base_price"),
-            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("base_c", alias_name="base_c"),
+            Sum("disc_e4", alias_name="disc_e4"),
             Sum("count_order", alias_name="count_order"),
         )
     )
@@ -82,8 +92,12 @@ def lineitem_agg(sf_dir: str):
             "l_returnflag": batch["l_returnflag"],
             "l_linestatus": batch["l_linestatus"],
             "sum_qty": pc_round4(batch["sum_qty"]),
-            "sum_base_price": pc_round4(batch["sum_base_price"]),
-            "sum_disc_price": pc_round4(batch["sum_disc_price"]),
+            "sum_base_price": pa.array(round_half_away(
+                batch.column("base_c").to_numpy() / 100.0, 2),
+                type=pa.float64()),
+            "sum_disc_price": pa.array(round_half_away(
+                batch.column("disc_e4").to_numpy() / 10000.0, 2),
+                type=pa.float64()),
             "count_order": batch["count_order"],
         })
 
@@ -1620,8 +1634,11 @@ ORACLE_SQL = {
     "lineitem_agg": """
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_quantity), 4) AS sum_qty,
-               ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+               ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                     / 100.0, 2) AS sum_base_price,
+               ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                     / 10000.0, 2) AS sum_disc_price,
                COUNT(*) AS count_order
         FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,
