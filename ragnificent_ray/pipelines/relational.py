@@ -141,18 +141,22 @@ def segment_revenue(sf_dir: str):
         def __call__(self, batch: pa.Table) -> pa.Table:
             # vectorized broadcast lookup (sorted keys + searchsorted;
             # FK guarantees every o_custkey resolves) + Arrow group-hash
+            # over integer cents (order-independent exact sums)
             cust_keys = batch.column("o_custkey").to_numpy()
             seg = self.segs[np.searchsorted(self.keys, cust_keys)]
+            cents = np.rint(
+                batch.column("o_totalprice").to_numpy() * 100.0
+            ).astype(np.int64)
             g = pa.table({
                 "c_mktsegment": pa.array(seg, type=pa.string()),
-                "o_totalprice": batch.column("o_totalprice"),
+                "rev_c": pa.array(cents, type=pa.int64()),
             }).group_by("c_mktsegment").aggregate([
-                ("o_totalprice", "sum"), ("o_totalprice", "count"),
+                ("rev_c", "sum"), ("rev_c", "count"),
             ])
             return pa.table({
                 "c_mktsegment": g.column("c_mktsegment"),
-                "revenue": g.column("o_totalprice_sum"),
-                "n_orders": g.column("o_totalprice_count"),
+                "revenue": g.column("rev_c_sum"),
+                "n_orders": g.column("rev_c_count"),
             })
 
     from ray.data.aggregate import Sum
@@ -167,7 +171,9 @@ def segment_revenue(sf_dir: str):
     return out.map_batches(
         lambda b: pa.table({
             "c_mktsegment": b["c_mktsegment"],
-            "revenue": pc_round4(b["revenue"]),
+            "revenue": pa.array(round_half_away(
+                b.column("revenue").to_numpy() / 100.0, 2),
+                type=pa.float64()),
             "n_orders": b["n_orders"],
         }),
         batch_format="pyarrow",
@@ -207,12 +213,16 @@ def nation_revenue(sf_dir: str):
         columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     def li_partial(batch: pa.Table) -> pa.Table:
-        rev = pc.multiply(
-            batch.column("l_extendedprice"),
-            pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        # integer 1e-4 currency units: order-independent exact sums
+        cents = np.rint(
+            batch.column("l_extendedprice").to_numpy() * 100.0
+        ).astype(np.int64)
+        disc_bp = np.rint(
+            batch.column("l_discount").to_numpy() * 100.0
+        ).astype(np.int64)
         g = pa.table({
             "l_orderkey": batch.column("l_orderkey"),
-            "rev": rev,
+            "rev": pa.array(cents * (100 - disc_bp), type=pa.int64()),
         }).group_by("l_orderkey").aggregate([("rev", "sum")])
         return pa.table({
             "l_orderkey": g.column("l_orderkey"),
@@ -269,9 +279,9 @@ def nation_revenue(sf_dir: str):
     return out.map_batches(
         lambda b: pa.table({
             "n_name": b["n_name"],
-            "revenue": pa.array(
-                round_half_away(b.column("revenue").to_numpy(
-                    zero_copy_only=False), 2), type=pa.float64()),
+            "revenue": pa.array(round_half_away(
+                b.column("revenue").to_numpy(zero_copy_only=False)
+                / 10000.0, 2), type=pa.float64()),
         }),
         batch_format="pyarrow",
     )
@@ -292,10 +302,13 @@ def events_hourly(sf_dir: str):
             pc.cast(pc.floor_temporal(batch.column("ts"), unit="hour"),
                     pa.timestamp("s")),
             format="%Y-%m-%d %H:%M:%S")
+        # integer 1e-4 value units (2-decimal source): exact sums
+        v_e4 = np.rint(
+            batch.column("value").to_numpy() * 10000.0).astype(np.int64)
         g = pa.table({
             "event_type": batch.column("event_type"),
             "window_start": win,
-            "value": batch.column("value"),
+            "value": pa.array(v_e4, type=pa.int64()),
         }).group_by(["event_type", "window_start"]).aggregate([
             ("value", "count"), ("value", "sum"),
         ])
@@ -319,7 +332,9 @@ def events_hourly(sf_dir: str):
             "event_type": b["event_type"],
             "window_start": b["window_start"],
             "n_events": b["n_events"],
-            "sum_value": pc_round4(b["sum_value"]),
+            "sum_value": pa.array(round_half_away(
+                b.column("sum_value").to_numpy() / 10000.0, 4),
+                type=pa.float64()),
         }),
         batch_format="pyarrow",
     )
@@ -1624,7 +1639,9 @@ ORACLE_SQL = {
     """,
     "nation_revenue": """
         SELECT n_name,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                     / 10000.0, 2) AS revenue
         FROM lineitem
         JOIN orders   ON o_orderkey = l_orderkey
         JOIN customer ON c_custkey = o_custkey
@@ -1648,7 +1665,8 @@ ORACLE_SQL = {
     """,
     "segment_revenue": """
         SELECT c_mktsegment,
-               ROUND(SUM(o_totalprice), 4) AS revenue,
+               ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                     / 100.0, 2) AS revenue,
                COUNT(*) AS n_orders
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
@@ -1657,7 +1675,8 @@ ORACLE_SQL = {
         SELECT event_type,
                strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                COUNT(*) AS n_events,
-               ROUND(SUM(value), 4) AS sum_value
+               ROUND(SUM(CAST(ROUND(value * 10000) AS BIGINT))
+                     / 10000.0, 4) AS sum_value
         FROM events GROUP BY 1, 2
     """,
     "events_hopping": """
