@@ -5,11 +5,12 @@ per second on the synthetic frontier, per BASELINE.json's metric) plus a
 representative slice of the queries() surface over $GRAFT_SF_DIR, then
 prints ONE JSON line.
 
-``--scaling``: runs the headline crawl in fresh processes at num_cpus=4
-and num_cpus=16 on the same input (the sandbox stand-in for N / 4N node
-clusters — both levels sit in the host's linear-scaling region, see
-BASELINE.md) and reports both throughputs + scaling efficiency; also
-refreshes the scaling section in BASELINE.md.
+``--scaling``: runs the headline crawl in fresh processes at the
+BENCH_SCALING_PAIR cpu levels (default 2 and 8 — the sandbox stand-in
+for N / 4N node clusters; both levels sit in the host's linear-scaling
+region, see BASELINE.md) and reports both throughputs + scaling
+efficiency; also refreshes the scaling section in BASELINE.md.
+``--stats <query>``: per-stage execution stats for one queries() entry.
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
      RAY_GRAFT_CPUS (default 32),
