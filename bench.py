@@ -127,7 +127,7 @@ QUERY_NAMES = [
     "kmeans_fit", "event_type_jaccard", "customer_order_counts",
     "bigram_logprob", "pq_encode", "ann_pq_recall",
     "distinct_users_salted", "cohort_retention", "fuzzy_name_pairs",
-    "pq_train_encode",
+    "pq_train_encode", "decayed_item_scores",
 ]
 
 

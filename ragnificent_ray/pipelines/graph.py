@@ -453,6 +453,84 @@ SELECT node, mass AS pagerank_mass FROM r{iters}
 """
 
 
+# --------------------------------------------------------- decayed scores
+
+DECAY_MAX_EXP = 31  # weight = 2^(31 - age_days), floored at age 31d
+
+
+def decayed_item_scores(sf_dir: str):
+    """Recency-weighted item popularity with an EXACT exponential
+    decay: weight = 2^(MAX_EXP − age_days) relative to the corpus's
+    newest event (half-life = 1 day), floored at age 31 — powers of two
+    keep every weight an integer, so the decayed score is an exact
+    int64 sum (order-independent, oracle-checkable) instead of the
+    usual float `exp(−λ·age)` that no two summation orders agree on.
+
+    Two passes: a tiny column-pruned max-ts reduce (the anchor), then
+    per-batch (item, weight) partials folding through one groupby —
+    the trending/"hotness" ranking shape at exact-arithmetic rigor."""
+    ts_ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["ts"])
+
+    def ts_max(b: pa.Table) -> pa.Table:
+        return pa.table({"m": pa.array(
+            [pc.max(b.column("ts")).as_py()], type=pa.timestamp("us"))})
+
+    anchor = None
+    for b in ts_ds.map_batches(ts_max, batch_format="pyarrow",
+                               batch_size=131072) \
+                  .iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for v in b.column("m").to_pylist():
+            if anchor is None or v > anchor:
+                anchor = v
+    anchor_us = int(np.datetime64(anchor, "us").astype("int64"))
+
+    _DAY_US = 86_400_000_000
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["ts", "props"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        item = _props_k(b.column("props")).to_numpy(zero_copy_only=False)
+        ts_us = b.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        age = np.minimum((anchor_us - ts_us) // _DAY_US, DECAY_MAX_EXP)
+        w = np.int64(1) << (DECAY_MAX_EXP - age)
+        g = pa.table({
+            "item": pa.array(item, type=pa.int64()),
+            "decayed_score": pa.array(w, type=pa.int64()),
+            "n_events": pa.array(np.ones(len(w), dtype=np.int64)),
+        }).group_by("item").aggregate([
+            ("decayed_score", "sum"), ("n_events", "sum")])
+        return pa.table({
+            "item": g.column("item"),
+            "decayed_score": g.column("decayed_score_sum"),
+            "n_events": g.column("n_events_sum"),
+        })
+
+    from ray.data.aggregate import Sum
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("item")
+            .aggregate(Sum("decayed_score", alias_name="decayed_score"),
+                       Sum("n_events", alias_name="n_events")))
+
+
+_DECAY_SQL = f"""
+    WITH mx AS (SELECT MAX(ts) AS m FROM events),
+    e AS (
+      SELECT CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS item,
+             LEAST((epoch_us(mx.m) - epoch_us(ts)) // 86400000000,
+                   {DECAY_MAX_EXP}) AS age
+      FROM events CROSS JOIN mx
+    )
+    SELECT item,
+           CAST(SUM(CAST(1 AS BIGINT) << ({DECAY_MAX_EXP} - age))
+                AS BIGINT) AS decayed_score,
+           COUNT(*) AS n_events
+    FROM e GROUP BY item
+"""
+
+
 # ------------------------------------------------------ set similarity
 
 def event_type_jaccard(sf_dir: str):
@@ -546,10 +624,12 @@ ORACLE_SQL = {
     "pagerank_clicks": _pagerank_sql(),
     "covisitation_pairs": _covis_sql(),
     "event_type_jaccard": _JACCARD_SQL,
+    "decayed_item_scores": _DECAY_SQL,
 }
 
 QUERIES = {
     "pagerank_clicks": pagerank_clicks,
     "covisitation_pairs": covisitation_pairs,
     "event_type_jaccard": event_type_jaccard,
+    "decayed_item_scores": decayed_item_scores,
 }
