@@ -30,7 +30,8 @@ Scale notes (the part the sandbox can't show):
   iterations. The fixed-iteration loop is ONE lazy DAG — no
   per-iteration materialize, driver round-trip, or hash-join actor
   pool; only sort exchanges on a bounded key space (one bucket per
-  ~64 MiB input, min 64 — the discipline documented in
+  ~64 MiB input, min 4 so a kilobyte-scale test graph doesn't pay
+  64 groups of dispatch overhead — the discipline documented in
   ``pipelines/dedup.py``).
 * Dangling nodes (no out-edges) simply contribute nothing; every node
   stays alive because each fused step re-emits a zero-contribution row
@@ -47,7 +48,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-_MIN_BUCKETS = 64
+_MIN_BUCKETS = 4
 _INIT_MASS = 1_000_000
 _BASE_MASS = 150_000  # 0.15 teleport share of the initial mass
 _DAMP_NUM, _DAMP_DEN = 85, 100
@@ -72,6 +73,16 @@ def _bucket_count(sf_dir: str, tables: tuple[str, ...],
         except OSError:
             pass
     return max(_MIN_BUCKETS, int(sz // target_bytes) + 1)
+
+
+def _read_blocks(sf_dir: str, table: str) -> int:
+    """Size-scaled block count for the driving read. Ray's default
+    read parallelism (~2× CPUs) splits a kilobyte-scale table into
+    dozens of near-empty blocks, and every downstream sort exchange
+    inherits that width — hundreds of empty-task dispatches per
+    iteration. One block per ~32 MiB keeps the exchange width
+    proportional to the data at every scale."""
+    return _bucket_count(sf_dir, (table,), target_bytes=32 << 20)
 
 
 def _props_k(col: pa.ChunkedArray | pa.Array) -> pa.Array:
@@ -137,22 +148,37 @@ def pagerank_mass(edges, nodes, *, iters: int = _ITERS,
 
     ed = edges.map_batches(_edge_rows, batch_format="pyarrow").materialize()
 
-    def _step(g: pd.DataFrame) -> pa.Table:
-        is_share = g["src"].isna()
-        mass = (g.loc[is_share].groupby("dst")["share"].sum()
-                + _BASE_MASS)                     # gather: this round's mass
-        node = mass.index.to_numpy()
+    def _gather(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        """Sum this bucket's share rows per dst + teleport base.
+        Arrow ``group_by`` (hash aggregation, no pandas index build);
+        every node owned by the bucket appears — each step re-emits a
+        zero-share row per node, so the gather is total."""
+        sh = t.filter(pc.is_null(t.column("src")))
+        g = (pa.table({"dst": sh.column("dst"), "share": sh.column("share")})
+             .group_by("dst").aggregate([("share", "sum")]))
+        node = g.column("dst").to_numpy(zero_copy_only=False)
+        mass = (g.column("share_sum").to_numpy(zero_copy_only=False)
+                .astype(np.int64) + _BASE_MASS)
+        return node, mass
+
+    def _step(t: pa.Table) -> pa.Table:
+        node, mass = _gather(t)                   # this round's mass
         out_dst = [node]                          # keep every node alive
         out_share = [np.zeros(len(node), dtype=np.int64)]
-        e = g.loc[~is_share, ["src", "edst"]]
-        if len(e):
-            deg = e.groupby("src")["edst"].transform("size").to_numpy()
-            src_mass = e["src"].map(mass).to_numpy().astype(np.int64)
-            share = (src_mass * _DAMP_NUM) // (_DAMP_DEN * deg)
-            dst = e["edst"].to_numpy()
-            uniq, inv = np.unique(dst, return_inverse=True)
+        e = t.filter(pc.is_valid(t.column("src")))
+        if e.num_rows:
+            src = e.column("src").to_numpy(zero_copy_only=False)
+            edst = e.column("edst").to_numpy(zero_copy_only=False)
+            # outdeg + mass lookup via one sort of the bucket's nodes
+            order = np.argsort(node, kind="stable")
+            node_s, mass_s = node[order], mass[order]
+            pos = np.searchsorted(node_s, src)    # every src has a mass row
+            _, inv, cnt = np.unique(src, return_inverse=True,
+                                    return_counts=True)
+            share = (mass_s[pos] * _DAMP_NUM) // (_DAMP_DEN * cnt[inv])
+            uniq, inv_d = np.unique(edst, return_inverse=True)
             sums = np.zeros(len(uniq), dtype=np.int64)
-            np.add.at(sums, inv, share)           # combiner: pre-sum per dst
+            np.add.at(sums, inv_d, share)         # combiner: pre-sum per dst
             out_dst.append(uniq)
             out_share.append(sums)
         dst_all = np.concatenate(out_dst)
@@ -165,18 +191,18 @@ def pagerank_mass(edges, nodes, *, iters: int = _ITERS,
             "edst": pa.nulls(n, type=node_type),
         })
 
-    def _final(g: pd.DataFrame) -> pa.Table:
-        mass = g.groupby("dst")["share"].sum() + _BASE_MASS
+    def _final(t: pa.Table) -> pa.Table:
+        node, mass = _gather(t)
         return pa.table({
-            "node": pa.array(mass.index.to_numpy(), type=node_type),
-            "pagerank_mass": pa.array(mass.to_numpy().astype(np.int64)),
+            "node": pa.array(node, type=node_type),
+            "pagerank_mass": pa.array(mass, type=pa.int64()),
         })
 
     shares = nodes.map_batches(_init, batch_format="pyarrow")
     for _ in range(iters):
         shares = (ed.union(shares)
-                  .groupby("b").map_groups(_step, batch_format="pandas"))
-    return shares.groupby("b").map_groups(_final, batch_format="pandas")
+                  .groupby("b").map_groups(_step, batch_format="pyarrow"))
+    return shares.groupby("b").map_groups(_final, batch_format="pyarrow")
 
 
 def pagerank_clicks(sf_dir: str, iters: int = _ITERS):
@@ -192,7 +218,8 @@ def pagerank_clicks(sf_dir: str, iters: int = _ITERS):
     kinds in one groupby."""
     n_buckets = _bucket_count(sf_dir, ("events",))
     ds = rd.read_parquet(_pq(sf_dir, "events"),
-                         columns=["user_id", "ts", "event_id", "props"])
+                         columns=["user_id", "ts", "event_id", "props"],
+                         override_num_blocks=_read_blocks(sf_dir, "events"))
 
     def add_k_bucket(b: pa.Table) -> pa.Table:
         k = _props_k(b.column("props"))
@@ -333,7 +360,8 @@ def covisitation_pairs(sf_dir: str):
     pre-summed inside each group."""
     n_buckets = _bucket_count(sf_dir, ("events",))
     ds = rd.read_parquet(_pq(sf_dir, "events"),
-                         columns=["user_id", "props"])
+                         columns=["user_id", "props"],
+                         override_num_blocks=_read_blocks(sf_dir, "events"))
 
     def ui_partial(b: pa.Table) -> pa.Table:
         item = _props_k(b.column("props")).to_numpy(zero_copy_only=False)
@@ -349,25 +377,22 @@ def covisitation_pairs(sf_dir: str):
         })
 
     def item_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized self-merge per bucket (the minhash bucket_pairs
+        # shape): items outside [2, COVIS_CAP] users are dropped FIRST,
+        # so the merge blow-up is bounded by CAP × bucket rows
         g = g.drop_duplicates(["u", "item"])
-        out_a, out_b = [], []
-        for _, sub in g.groupby("item"):
-            users = np.sort(sub["u"].to_numpy())
-            if len(users) < 2 or len(users) > COVIS_CAP:
-                continue
-            ia, ib_ = np.triu_indices(len(users), k=1)
-            out_a.append(users[ia])
-            out_b.append(users[ib_])
-        if not out_a:
+        cnt = g.groupby("item")["u"].transform("size").to_numpy()
+        g = g.loc[(cnt >= 2) & (cnt <= COVIS_CAP), ["u", "item"]]
+        if not len(g):
             return pd.DataFrame({"pb": pd.array([], dtype="int32"),
                                  "user_a": pd.array([], dtype="int64"),
                                  "user_b": pd.array([], dtype="int64"),
                                  "n": pd.array([], dtype="int64")})
-        a = np.concatenate(out_a)
-        b = np.concatenate(out_b)
-        part = pd.DataFrame({"user_a": a, "user_b": b})
-        part = part.groupby(["user_a", "user_b"], as_index=False).size() \
-                   .rename(columns={"size": "n"})
+        m = g.merge(g, on="item", suffixes=("_a", "_b"))
+        m = m.loc[m["u_a"].to_numpy() < m["u_b"].to_numpy()]
+        part = m.groupby(["u_a", "u_b"], as_index=False).size() \
+                .rename(columns={"size": "n", "u_a": "user_a",
+                                 "u_b": "user_b"})
         part["pb"] = ((part["user_a"].to_numpy() * np.int64(2654435761)
                        + part["user_b"].to_numpy()) % n_buckets
                       ).astype(np.int32)
@@ -469,7 +494,8 @@ def decayed_item_scores(sf_dir: str):
     Two passes: a tiny column-pruned max-ts reduce (the anchor), then
     per-batch (item, weight) partials folding through one groupby —
     the trending/"hotness" ranking shape at exact-arithmetic rigor."""
-    ts_ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["ts"])
+    ts_ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["ts"],
+                            override_num_blocks=_read_blocks(sf_dir, "events"))
 
     def ts_max(b: pa.Table) -> pa.Table:
         return pa.table({"m": pa.array(
@@ -486,7 +512,8 @@ def decayed_item_scores(sf_dir: str):
 
     _DAY_US = 86_400_000_000
 
-    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["ts", "props"])
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["ts", "props"],
+                         override_num_blocks=_read_blocks(sf_dir, "events"))
 
     def partial(b: pa.Table) -> pa.Table:
         item = _props_k(b.column("props")).to_numpy(zero_copy_only=False)
@@ -548,7 +575,8 @@ def event_type_jaccard(sf_dir: str):
     rounded — bit-stable vs the oracle."""
     n_buckets = _bucket_count(sf_dir, ("events",))
     ds = rd.read_parquet(_pq(sf_dir, "events"),
-                         columns=["user_id", "event_type"])
+                         columns=["user_id", "event_type"],
+                         override_num_blocks=_read_blocks(sf_dir, "events"))
 
     def distinct_partial(b: pa.Table) -> pa.Table:
         df = pd.DataFrame({
@@ -563,21 +591,20 @@ def event_type_jaccard(sf_dir: str):
         })
 
     def user_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(["u", "t"])
-        rows_a, rows_b, rows_n = [], [], []
-        for _, sub in g.groupby("u"):
-            ts = sorted(sub["t"])
-            for i in range(len(ts)):
-                # membership row: (t, "") counts the user toward |A|
-                rows_a.append(ts[i])
-                rows_b.append("")
-                rows_n.append(1)
-                for j in range(i + 1, len(ts)):
-                    rows_a.append(ts[i])
-                    rows_b.append(ts[j])
-                    rows_n.append(1)
-        out = pd.DataFrame({"ta": rows_a, "tb": rows_b, "n": rows_n})
-        return out.groupby(["ta", "tb"], as_index=False)["n"].sum()
+        # vectorized self-merge on user (the minhash bucket_pairs
+        # shape): pair rows where ta < tb, plus one membership row
+        # (t, "") per (user, type) counting the user toward |A| —
+        # blow-up bounded by T(T-1)/2 per user, T = type vocabulary
+        g = g.drop_duplicates(["u", "t"])[["u", "t"]]
+        m = g.merge(g, on="u", suffixes=("_a", "_b"))
+        m = m.loc[m["t_a"].to_numpy() < m["t_b"].to_numpy()]
+        pairs = m.groupby(["t_a", "t_b"], as_index=False).size() \
+                 .rename(columns={"size": "n", "t_a": "ta", "t_b": "tb"})
+        member = g.groupby("t", as_index=False).size() \
+                  .rename(columns={"size": "n", "t": "ta"})
+        member["tb"] = ""
+        return pd.concat([pairs, member[["ta", "tb", "n"]]],
+                         ignore_index=True)
 
     folded = (
         ds.map_batches(distinct_partial, batch_format="pyarrow",
