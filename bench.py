@@ -11,6 +11,8 @@ for N / 4N node clusters; both levels sit in the host's linear-scaling
 region, see BASELINE.md) and reports both throughputs + scaling
 efficiency; also refreshes the scaling section in BASELINE.md.
 ``--stats <query>``: per-stage execution stats for one queries() entry.
+``--latency``: fetch pipelining at simulated 100 ms RTT (sequential vs
+fetch_threads=16); refreshes BASELINE.md's latency section.
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
      RAY_GRAFT_CPUS (default 32),
@@ -275,6 +277,76 @@ def politeness_bench() -> None:
     ray.shutdown()
 
 
+def latency_bench() -> None:
+    """``--latency``: fetch-stage throughput at a simulated 100 ms RTT,
+    sequential (fetch_threads=1) vs pipelined (fetch_threads=16) —
+    the S6 async-scraper shape. The synthetic backend has zero latency,
+    so SynthWorld injects a per-request sleep; the pipelined worker
+    must clear >=4x the sequential throughput (it dispatches at the
+    politeness slots and overlaps only the in-flight network wait)."""
+    import logging
+
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    import pyarrow as pa
+
+    from ragnificent_ray.stages.fetch import FetchWorker
+
+    rtt = 0.1
+    n_domains, n_urls, batch_size = 32, 2048, 256
+    world = dict(n_domains=n_domains, pages_per_domain=64,
+                 fetch_latency=rtt)
+    urls = [f"https://site{d}.test/page/{p}"
+            for d in range(n_domains) for p in range(n_urls // n_domains)]
+    doms = [u.split("/")[2] for u in urls]
+
+    def run(threads: int) -> float:
+        ds = rd.from_arrow(pa.table({"url": urls, "domain": doms})) \
+            .repartition(n_urls // batch_size)
+        w = FetchWorker(world_cfg=world, fetch_concurrency=threads)
+        t0 = time.monotonic()
+        n = _consume(ds.map_batches(w, batch_format="pyarrow",
+                                    batch_size=batch_size))
+        sec = time.monotonic() - t0
+        assert n == n_urls
+        return round(n / sec, 2)
+
+    tp_seq = run(1)
+    tp_pip = run(16)
+    result = {
+        "metric": "latency_fetch_pages_per_sec",
+        "value": tp_pip,
+        "unit": "pages/sec",
+        "rtt_sec": rtt,
+        "urls": n_urls,
+        "pages_per_sec_sequential": tp_seq,
+        "pages_per_sec_pipelined": tp_pip,
+        "speedup": round(tp_pip / tp_seq, 2) if tp_seq else 0.0,
+        "fetch_threads": [1, 16],
+        "num_cpus": NUM_CPUS,
+    }
+    print(json.dumps(result))
+    _update_baseline_section(
+        "<!-- bench-latency -->",
+        "## Fetch pipelining at simulated RTT (bench.py --latency)\n\n"
+        f"| fetch_threads | pages/s at {int(rtt * 1000)} ms RTT |\n"
+        f"|---|---|\n| 1 (sequential) | {tp_seq} |\n"
+        f"| 16 (pipelined) | {tp_pip} |\n\n"
+        f"Speedup **{result['speedup']}x** (target >= 4x): the S6 fix — "
+        "FetchWorker dispatches each fetch at its politeness slot but "
+        "runs the network wait on a per-worker thread pool, so in-batch "
+        "RTTs overlap instead of serializing at ~1/RTT per task "
+        f"({n_urls} URLs, {n_domains} domains, batch {batch_size}, "
+        f"num_cpus={NUM_CPUS}).\n")
+    ray.shutdown()
+
+
 def scaling() -> None:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
@@ -327,13 +399,32 @@ def scaling() -> None:
     _update_baseline_md(result)
 
 
-def _update_baseline_md(result: dict) -> None:
+def _update_baseline_section(marker: str, body: str) -> None:
+    """Replace (or append) the BASELINE.md section delimited by
+    ``marker`` .. the next ``<!-- bench-`` marker."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BASELINE.md")
+    block = f"{marker}\n{body}"
+    try:
+        with open(path, encoding="utf-8") as f:
+            text = f.read()
+    except FileNotFoundError:
+        text = ""
+    if marker in text:
+        head, rest = text.split(marker, 1)
+        nxt = rest.find("<!-- bench-")
+        tail = rest[nxt:] if nxt != -1 else ""
+        text = head + block + ("\n" + tail if tail else "")
+    else:
+        text = text.rstrip() + "\n\n" + block
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(text)
+
+
+def _update_baseline_md(result: dict) -> None:
     marker = "<!-- bench-scaling -->"
     lo, hi = result["num_cpus"]
     block = (
-        f"{marker}\n"
         f"## Measured scaling (bench.py --scaling, synthetic crawl)\n\n"
         f"| num_cpus | pages/s | crawl sec |\n|---|---|---|\n"
         f"| {lo} | {result['pages_per_sec_lo']} | {result['crawl_sec_lo']} |\n"
@@ -349,23 +440,7 @@ def _update_baseline_md(result: dict) -> None:
         f"(1.0 = linear host): hi={result.get('host_dilation_at_hi', [])}"
         f" lo={result.get('host_dilation_at_lo', [])}\n"
     )
-    try:
-        with open(path, encoding="utf-8") as f:
-            text = f.read()
-    except FileNotFoundError:
-        text = ""
-    if marker in text:
-        # replace ONLY this section: from the marker to the next
-        # "<!-- bench-" marker (or EOF) — earlier versions truncated
-        # everything after the marker, eating following sections
-        head, rest = text.split(marker, 1)
-        nxt = rest.find("<!-- bench-")
-        tail = rest[nxt:] if nxt != -1 else ""
-        text = head + block + ("\n" + tail if tail else "")
-    else:
-        text = text.rstrip() + "\n\n" + block
-    with open(path, "w", encoding="utf-8") as f:
-        f.write(text)
+    _update_baseline_section(marker, block)
 
 
 def query_stats(name: str) -> None:
@@ -405,6 +480,8 @@ if __name__ == "__main__":
         scaling()
     elif "--politeness" in sys.argv:
         politeness_bench()
+    elif "--latency" in sys.argv:
+        latency_bench()
     elif os.environ.get("BENCH_ONLY_CRAWL"):
         import logging
 

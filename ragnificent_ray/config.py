@@ -15,6 +15,8 @@ class WorldConfig:
     images_per_page: int = 2
     seed: int = 42
     deep_pages_per_domain: int | None = None
+    # simulated per-request RTT (seconds); exercises fetch pipelining
+    fetch_latency: float = 0.0
 
 
 @dataclass
@@ -51,6 +53,13 @@ class CrawlConfig:
     adaptive_max_rate: float = 10.0
     retry_delay: float = 2.0
     max_retries: int = 3
+    # S6 fetch pipelining: >1 overlaps in-flight fetch latency within a
+    # batch on a per-worker thread pool (dispatch still fires at each
+    # politeness slot). Set to ~RTT×rate for real HTTP backends; the
+    # zero-latency synthetic backend gains nothing, so default 1.
+    # Distinct from fetch_concurrency below, which caps concurrent
+    # fetch TASKS across the cluster.
+    fetch_threads: int = 1
 
     # extraction / chunking
     formats: tuple = ("markdown",)

@@ -416,6 +416,7 @@ def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResu
         retry_delay=cfg.retry_delay,
         cache_dir=cfg.request_cache_dir,
         cache_ttl=cfg.request_cache_ttl,
+        fetch_concurrency=cfg.fetch_threads,
     )
 
     result = CrawlResult(out_dir=out_dir)

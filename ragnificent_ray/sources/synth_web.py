@@ -24,6 +24,7 @@ outlink-extraction semantics of ``html_parser.rs:80-111``.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass
 
 import numpy as np
@@ -85,6 +86,7 @@ class SynthWorld:
         images_per_page: int = 2,
         seed: int = 42,
         deep_pages_per_domain: int | None = None,
+        fetch_latency: float = 0.0,
     ):
         self.n_domains = n_domains
         self.pages_per_domain = pages_per_domain
@@ -95,6 +97,11 @@ class SynthWorld:
             if deep_pages_per_domain is not None
             else max(1, pages_per_domain // 2)
         )
+        # simulated network RTT per request (seconds): the sandbox's
+        # only way to exercise fetch-latency overlap — a real backend
+        # at 100-300 ms RTT serializes per-actor throughput to ~1/RTT
+        # unless fetches within a batch are pipelined
+        self.fetch_latency = fetch_latency
 
     # ------------------------------------------------------------ naming
 
@@ -322,6 +329,8 @@ class SynthWorld:
     def fetch(self, url: str) -> FetchResult:
         from urllib.parse import urlparse
 
+        if self.fetch_latency > 0.0:
+            time.sleep(self.fetch_latency)
         p = urlparse(url)
         d = self.domain_index(p.netloc)
         if d is None:
