@@ -298,32 +298,42 @@ def _frontier_from_refs(blocks: list) -> rd.Dataset:
     CPUs). The shards already told us ``(rows, bytes)`` and the schema
     is statically FRONTIER, so fabricate the block metadata driver-side
     — zero tasks, zero driver data movement.
+
+    Uses ``ray.data._internal`` plan constructors (verified against Ray
+    2.49; pinned by a unit test that simulates their absence): a Ray
+    upgrade that moves them degrades gracefully to the public
+    ``from_arrow_refs`` — correct, just re-paying the metadata tasks.
     """
-    from ray.data._internal.logical.interfaces import LogicalPlan
-    from ray.data._internal.logical.operators.from_operators import FromArrow
-    from ray.data._internal.plan import ExecutionPlan
-    from ray.data._internal.stats import DatasetStats
-    from ray.data.block import BlockMetadata, BlockMetadataWithSchema
-    from ray.data.context import DataContext
-    from ray.data.dataset import MaterializedDataset
-
-    from ..schema import FRONTIER
-
-    metas = [
-        BlockMetadataWithSchema(
-            BlockMetadata(num_rows=n, size_bytes=sz,
-                          input_files=None, exec_stats=None),
-            schema=FRONTIER,
-        )
-        for n, sz, _ in blocks
-    ]
     refs = [t for _, _, t in blocks]
-    plan = ExecutionPlan(
-        DatasetStats(metadata={"FromArrow": metas}, parent=None),
-        DataContext.get_current().copy(),
-    )
-    return MaterializedDataset(plan, LogicalPlan(FromArrow(refs, metas),
-                                                 plan._context))
+    try:
+        from ray.data._internal.logical.interfaces import LogicalPlan
+        from ray.data._internal.logical.operators.from_operators import (
+            FromArrow,
+        )
+        from ray.data._internal.plan import ExecutionPlan
+        from ray.data._internal.stats import DatasetStats
+        from ray.data.block import BlockMetadata, BlockMetadataWithSchema
+        from ray.data.context import DataContext
+        from ray.data.dataset import MaterializedDataset
+
+        from ..schema import FRONTIER
+
+        metas = [
+            BlockMetadataWithSchema(
+                BlockMetadata(num_rows=n, size_bytes=sz,
+                              input_files=None, exec_stats=None),
+                schema=FRONTIER,
+            )
+            for n, sz, _ in blocks
+        ]
+        plan = ExecutionPlan(
+            DatasetStats(metadata={"FromArrow": metas}, parent=None),
+            DataContext.get_current().copy(),
+        )
+        return MaterializedDataset(
+            plan, LogicalPlan(FromArrow(refs, metas), plan._context))
+    except (ImportError, AttributeError, TypeError):
+        return rd.from_arrow_refs(refs)
 
 
 # ------------------------------------------------------------------- crawl

@@ -183,11 +183,40 @@ class _BlockJaccard:
         })
 
 
+EXACT_ALLPAIRS_MAX_ROWS = 1_000_000
+
+
+def _guard_exact_allpairs(sf_dir: str, table: str, companion: str) -> None:
+    """The exact all-pairs gates broadcast the whole corpus matrix to
+    every worker — fine as exactness gates at test scale, a silent
+    128 GiB-node OOM past ~10^6 rows. Refuse loudly and point at the
+    oracle-green LSH companion instead of letting the broadcast wedge
+    the cluster. Row count comes from parquet footer metadata (no data
+    read)."""
+    path = _pq(sf_dir, table)
+    try:
+        if os.path.isdir(path):
+            n = sum(pq.read_metadata(os.path.join(path, f)).num_rows
+                    for f in os.listdir(path) if f.endswith(".parquet"))
+        else:
+            n = pq.read_metadata(path).num_rows
+    except OSError:
+        return
+    if n > EXACT_ALLPAIRS_MAX_ROWS:
+        raise ValueError(
+            f"{table} has {n} rows > EXACT_ALLPAIRS_MAX_ROWS="
+            f"{EXACT_ALLPAIRS_MAX_ROWS}: the exact all-pairs gate "
+            f"broadcasts the full corpus matrix; use the distributed "
+            f"LSH companion `{companion}` at this scale.")
+
+
 def ngram_jaccard_pairs(sf_dir: str):
     """Exact all-pairs unigram-set Jaccard ≥ threshold (a < b).
 
     The full binary matrix is broadcast once (``ray.put``); each batch
-    computes its block of the pair matrix with one matmul."""
+    computes its block of the pair matrix with one matmul. Guarded to
+    ≤ EXACT_ALLPAIRS_MAX_ROWS — `minhash_lsh_pairs` is the scale path."""
+    _guard_exact_allpairs(sf_dir, "documents", "minhash_lsh_pairs")
     doc_ids, matrix = _token_matrix(sf_dir)
     mref = ray.put((doc_ids, matrix))
     ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
@@ -535,7 +564,9 @@ def embedding_neardup(sf_dir: str):
 
     Normalized float64 matrix broadcast once; per-batch block matmul.
     SQL oracle casts the float32 lists to DOUBLE so both engines work
-    on identical inputs."""
+    on identical inputs. Guarded to ≤ EXACT_ALLPAIRS_MAX_ROWS —
+    `embedding_neardup_lsh` is the scale path."""
+    _guard_exact_allpairs(sf_dir, "embeddings", "embedding_neardup_lsh")
     t = pq.read_table(_pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
     m = list_column_matrix(t.column("embedding"), dtype=np.float64)

@@ -160,3 +160,29 @@ def test_parity_holds_on_medium_world(ray_session, tmp_path):
                               ft.column("url").to_pylist()))
     assert engine_order == sorted(oracle.order)
     assert res.table("harvest").num_rows == len(oracle.harvest)
+
+
+def test_frontier_from_refs_falls_back_without_private_api(ray_session):
+    """The fabricated-metadata fast path leans on ray.data._internal
+    (pinned at Ray 2.49); when those modules vanish on an upgrade the
+    helper must degrade to public from_arrow_refs, not crash."""
+    import sys
+    from unittest import mock
+
+    import pyarrow as pa
+    import ray
+
+    from ragnificent_ray.pipelines.crawl import _frontier_from_refs
+    from ragnificent_ray.schema import FRONTIER
+
+    t = pa.table({f.name: pa.nulls(2, type=f.type) for f in FRONTIER})
+    blocks = [(2, t.nbytes, ray.put(t))]
+
+    # fast path works
+    assert _frontier_from_refs(blocks).count() == 2
+
+    # private API absent -> ImportError inside the try -> public fallback
+    with mock.patch.dict(sys.modules,
+                         {"ray.data._internal.plan": None}):
+        ds = _frontier_from_refs([(2, t.nbytes, ray.put(t))])
+        assert ds.count() == 2

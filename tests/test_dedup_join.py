@@ -77,3 +77,19 @@ def test_embedding_neardup_lsh_subset_of_exact(ray_session):
     assert approx <= exact, f"non-subset: {sorted(approx - exact)[:3]}"
     again = pairs(embedding_neardup_lsh(sf))
     assert approx == again
+
+
+def test_exact_allpairs_guard_routes_to_lsh(monkeypatch, tmp_path):
+    """Past EXACT_ALLPAIRS_MAX_ROWS the exact gates must refuse with a
+    message naming the LSH companion instead of broadcasting the
+    corpus; below it they run unchanged (oracle parity covers that)."""
+    import pytest
+
+    from ragnificent_ray.pipelines import dedup
+
+    monkeypatch.setattr(dedup, "EXACT_ALLPAIRS_MAX_ROWS", 10)
+    sf = "/root/testdata/sf0.001"
+    with pytest.raises(ValueError, match="minhash_lsh_pairs"):
+        dedup.ngram_jaccard_pairs(sf)
+    with pytest.raises(ValueError, match="embedding_neardup_lsh"):
+        dedup.embedding_neardup(sf)
