@@ -162,7 +162,9 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 def phash64_batch(stack: np.ndarray) -> np.ndarray:
     """:func:`phash64` over an (N, H, W, 3) uint8 stack in one shot.
 
-    All-integer: BT.601 luma in uint16, uint32 block sums, and an exact
+    All-integer: BT.601 luma in uint16, uint64 block sums (uint32
+    wrapped silently past ~65 k pixels per block — sources larger than
+    roughly 2048×2300), and an exact
     integer mean comparison (see inline comment) — no float rounding, so
     hashes are bit-identical across platforms, BLAS builds, and batch
     groupings. The harvest sink groups a batch's decoded images by shape
@@ -176,13 +178,13 @@ def phash64_batch(stack: np.ndarray) -> np.ndarray:
         h, w = stack.shape[1:3]
     bh, bw = h // 8, w // 8
     # integer-exact path (~2x the float32 GEMM formulation): BT.601
-    # integer luma (77, 150, 29)/256, uint32 block sums, and the
+    # integer luma (77, 150, 29)/256, uint64 block sums, and the
     # "block mean > global mean" test rewritten as
     # 64 * block_sum > total_sum so no division or float ever happens —
     # bit-deterministic across platforms and batch groupings.
     u = stack.astype(np.uint16)
     g = 77 * u[..., 0] + 150 * u[..., 1] + 29 * u[..., 2]
-    sums = g.reshape(n, 8, bh, 8, bw).sum(axis=(2, 4), dtype=np.uint32)
+    sums = g.reshape(n, 8, bh, 8, bw).sum(axis=(2, 4), dtype=np.uint64)
     total = sums.sum(axis=(1, 2), dtype=np.int64)
     bits = 64 * sums.astype(np.int64) > total[:, None, None]
     # big-endian bit-pack: bit 0 of the raster is the MSB of the hash
@@ -199,7 +201,9 @@ def dhash64_batch(stack: np.ndarray) -> np.ndarray:
     global-mean threshold, so the two hashes fail differently (phash is
     robust to global brightness shifts, dhash to local mean shifts); a
     near-dup pass can band on either. All-integer like phash: uint16
-    BT.601 luma, uint32 block sums; after edge-padding every block in a
+    BT.601 luma, uint64 block sums (uint32 wrapped silently once a
+    block exceeded ~65 k pixels, i.e. sources larger than roughly
+    2048×2300); after edge-padding every block in a
     row has the same pixel count, so comparing block SUMS equals
     comparing block means with no division — bit-deterministic across
     platforms and batch groupings. Returns signed int64s.
@@ -213,7 +217,7 @@ def dhash64_batch(stack: np.ndarray) -> np.ndarray:
     bh, bw = h // 8, w // 9
     u = stack.astype(np.uint16)
     g = 77 * u[..., 0] + 150 * u[..., 1] + 29 * u[..., 2]
-    sums = g.reshape(n, 8, bh, 9, bw).sum(axis=(2, 4), dtype=np.uint32)
+    sums = g.reshape(n, 8, bh, 9, bw).sum(axis=(2, 4), dtype=np.uint64)
     bits = sums[:, :, :-1] > sums[:, :, 1:]
     value = np.packbits(bits.reshape(n, 64), axis=1).view(">u8")[:, 0]
     return value.astype(np.uint64).view(np.int64)

@@ -221,7 +221,12 @@ class VectorSinkStage:
         # reference's first-embedding probe (vector_store.py:272-286).
         # Re-check the STORED dim right before wiping: with an actor pool,
         # a peer may already have recreated at the data dim and written
-        # points — recreating again here would rmtree its parts.
+        # points — recreating again here would rmtree its parts. The
+        # re-check NARROWS but does not close that window (two actors
+        # can both read the stale dim and both pass recreate=True); it
+        # is defense-in-depth only — the race is truly prevented by
+        # write_vectors inferring the dim BEFORE the pool starts, so
+        # in-pool recreates never fire on the normal path.
         first = next((v for v in emb if v.is_valid), None)
         if first is not None and len(first) != self.vector_size:
             self.vector_size = len(first)

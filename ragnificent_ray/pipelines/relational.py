@@ -1419,44 +1419,54 @@ def revenue_rollup(sf_dir: str):
 
 def price_quantity_corr(sf_dir: str):
     """Pearson correlation of (l_quantity, l_extendedprice) from
-    distributed moment partials: each batch folds to ONE row of
-    (n, Σq, Σp, Σq², Σp², Σqp), a global Sum combines them, and the
-    closed-form estimate is assembled from the six scalars — no
-    shuffle, one tiny reduce, same shape at 100 TB."""
+    EXACT integer moment partials: quantities are integral and prices
+    integral in cents, so each batch folds to ONE row of int64
+    (n, Σq, Σpc, Σq², Σpc², Σq·pc) — pc² ≈ 10¹⁴/row keeps a 65 536-row
+    batch inside int64 — and the per-batch rows (one per ~64 MiB block,
+    KBs even at 100 TB) stream to the driver where Python's unbounded
+    ints combine them order-independently. No float partial ever rides
+    a nondeterministic Ray Sum; the closed form converts the exact
+    moments to float ONCE, mirroring the oracle's HUGEINT arithmetic."""
+    import math
+
     ds = rd.read_parquet(_pq(sf_dir, "lineitem"),
                          columns=["l_quantity", "l_extendedprice"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        q = batch.column("l_quantity").to_numpy()
-        p = batch.column("l_extendedprice").to_numpy()
+        q = np.round(batch.column("l_quantity").to_numpy()) \
+            .astype(np.int64)
+        pc_ = np.round(batch.column("l_extendedprice").to_numpy() * 100) \
+            .astype(np.int64)
         return pa.table({
             "n": pa.array([len(q)], type=pa.int64()),
-            "sq": pa.array([float(q.sum())]),
-            "sp": pa.array([float(p.sum())]),
-            "sqq": pa.array([float((q * q).sum())]),
-            "spp": pa.array([float((p * p).sum())]),
-            "sqp": pa.array([float((q * p).sum())]),
+            "sq": pa.array([int(q.sum())], type=pa.int64()),
+            "sp": pa.array([int(pc_.sum())], type=pa.int64()),
+            "sqq": pa.array([int((q * q).sum())], type=pa.int64()),
+            "spp": pa.array([int((pc_ * pc_).sum())], type=pa.int64()),
+            "sqp": pa.array([int((q * pc_).sum())], type=pa.int64()),
         })
 
-    from ray.data.aggregate import Sum
+    tot = {k: 0 for k in ("n", "sq", "sp", "sqq", "spp", "sqp")}
+    for b in ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=65536) \
+               .iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for k in tot:
+            tot[k] += sum(b.column(k).to_pylist())   # exact Python ints
 
-    agg = ds.map_batches(partial, batch_format="pyarrow",
-                         batch_size=65536).aggregate(
-        Sum("n", alias_name="n"), Sum("sq", alias_name="sq"),
-        Sum("sp", alias_name="sp"), Sum("sqq", alias_name="sqq"),
-        Sum("spp", alias_name="spp"), Sum("sqp", alias_name="sqp"))
-    n = float(agg["n"])
-    cov = n * agg["sqp"] - agg["sq"] * agg["sp"]
-    var_q = n * agg["sqq"] - agg["sq"] ** 2
-    var_p = n * agg["spp"] - agg["sp"] ** 2
+    n = tot["n"]
+    cov = n * tot["sqp"] - tot["sq"] * tot["sp"]
+    var_q = n * tot["sqq"] - tot["sq"] ** 2
+    var_p = n * tot["spp"] - tot["sp"] ** 2
+    den = math.sqrt(float(var_q) * float(var_p))
     return pa.table({
-        "n": pa.array([int(agg["n"])], type=pa.int64()),
-        "corr": pa.array([round_half_away(
-            cov / np.sqrt(var_q * var_p), 4)], type=pa.float64()),
-        "mean_qty": pa.array([round_half_away(agg["sq"] / n, 4)],
+        "n": pa.array([n], type=pa.int64()),
+        "corr": pa.array([round_half_away(float(cov) / den, 4)],
+                         type=pa.float64()),
+        "mean_qty": pa.array([round_half_away(float(tot["sq"]) / n, 4)],
                              type=pa.float64()),
-        "mean_price": pa.array([round_half_away(agg["sp"] / n, 4)],
-                               type=pa.float64()),
+        "mean_price": pa.array(
+            [round_half_away(float(tot["sp"]) / 100.0 / n, 4)],
+            type=pa.float64()),
     })
 
 
@@ -1541,20 +1551,25 @@ ORACLE_SQL = {
         GROUP BY r_name, n_name
     """,
     "price_quantity_corr": """
-        WITH m AS (
-          SELECT COUNT(*) AS n,
-                 SUM(l_quantity) AS sq, SUM(l_extendedprice) AS sp,
-                 SUM(l_quantity * l_quantity) AS sqq,
-                 SUM(l_extendedprice * l_extendedprice) AS spp,
-                 SUM(l_quantity * l_extendedprice) AS sqp
+        -- exact integer moments (cents), HUGEINT sums: mirrors the
+        -- Ray side's Python-int combine bit-for-bit
+        WITH b AS (
+          SELECT CAST(ROUND(l_quantity) AS BIGINT) AS q,
+                 CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS pc
           FROM lineitem
+        ), m AS (
+          SELECT COUNT(*) AS n, SUM(q) AS sq, SUM(pc) AS sp,
+                 SUM(q * q) AS sqq, SUM(pc * pc) AS spp,
+                 SUM(q * pc) AS sqp
+          FROM b
         )
-        SELECT n,
-               ROUND((n * sqp - sq * sp)
-                     / sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)),
+        SELECT CAST(n AS BIGINT) AS n,
+               ROUND(CAST(n * sqp - sq * sp AS DOUBLE)
+                     / sqrt(CAST(n * sqq - sq * sq AS DOUBLE)
+                            * CAST(n * spp - sp * sp AS DOUBLE)),
                      4) AS corr,
-               ROUND(sq / n, 4) AS mean_qty,
-               ROUND(sp / n, 4) AS mean_price
+               ROUND(CAST(sq AS DOUBLE) / n, 4) AS mean_qty,
+               ROUND(CAST(sp AS DOUBLE) / 100 / n, 4) AS mean_price
         FROM m
     """,
     "orders_monthly_growth": """

@@ -1240,15 +1240,21 @@ ORACLE_SQL = {
         GROUP BY token ORDER BY df DESC, token LIMIT 100
     """,
     "normalize_text": r"""
+        -- blank-doc guard: Python str.split() yields 0 tokens for
+        -- empty/whitespace-only text, while regexp_split_to_array
+        -- yields [''] — the CASE collapses that to [] on both counts
+        -- and the hash (md5('') = hash of zero kept tokens)
         SELECT doc_id,
                len(toks) AS n_tokens,
                len(dedup) AS n_tokens_norm,
-               md5(array_to_string(dedup, ' ')) AS norm_md5
+               md5(COALESCE(array_to_string(dedup, ' '), '')) AS norm_md5
         FROM (
           SELECT doc_id, toks,
                  list_filter(toks, (x, i) -> i = 1 OR x <> toks[i-1]) AS dedup
           FROM (SELECT doc_id,
-                       regexp_split_to_array(trim(text), '\s+') AS toks
+                       CASE WHEN trim(text) = '' THEN []
+                            ELSE regexp_split_to_array(trim(text), '\s+')
+                       END AS toks
                 FROM documents)
         )
     """,
