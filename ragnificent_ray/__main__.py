@@ -35,20 +35,34 @@ def _init_ray(num_cpus: int | None):
 
 def cmd_crawl(args) -> int:
     _init_ray(args.num_cpus)
+    import dataclasses
+
     from .config import CrawlConfig, WorldConfig
     from .pipelines.crawl import run_crawl
 
-    world = WorldConfig(**json.loads(args.world)) if args.world else WorldConfig()
-    cfg = CrawlConfig(
-        world=world,
-        seeds=args.seed or None,
-        links_file=args.links_file,
-        max_depth=args.max_depth,
-        follow_links=not args.no_follow,
-        default_rate=args.rate,
-        formats=tuple(args.format),
-        retry_delay=0.05,
-    )
+    if args.config:
+        # layered sources (file or directory; env < .env < yaml/json);
+        # explicit CLI flags below still win over file values
+        cfg = CrawlConfig.from_sources(*args.config)
+    else:
+        cfg = CrawlConfig(retry_delay=0.05)
+    over = {}
+    if args.world:
+        over["world"] = WorldConfig(**json.loads(args.world))
+    if args.seed:
+        over["seeds"] = args.seed
+    if args.links_file:
+        over["links_file"] = args.links_file
+    if args.max_depth is not None:
+        over["max_depth"] = args.max_depth
+    if args.no_follow:
+        over["follow_links"] = False
+    if args.rate is not None:
+        over["default_rate"] = args.rate
+    if args.format:
+        over["formats"] = tuple(args.format)
+    if over:
+        cfg = dataclasses.replace(cfg, **over)
     res = run_crawl(cfg, args.out, resume=args.resume)
     metrics = {k: v for k, v in res.metrics.items()
                if not k.startswith("_")}
@@ -130,11 +144,15 @@ def main(argv: list[str] | None = None) -> int:
 
     c = sub.add_parser("crawl", help="run the frontier crawl")
     c.add_argument("--out", required=True)
+    c.add_argument("--config", action="append",
+                   help="config file or directory (repeatable; layered "
+                        "env < .env < yaml/json, dir files merged "
+                        "alphabetically)")
     c.add_argument("--seed", action="append", help="seed URL (repeatable)")
     c.add_argument("--links-file")
-    c.add_argument("--max-depth", type=int, default=2)
+    c.add_argument("--max-depth", type=int, default=None)
     c.add_argument("--no-follow", action="store_true")
-    c.add_argument("--rate", type=float, default=100.0,
+    c.add_argument("--rate", type=float, default=None,
                    help="politeness budget, requests/s/domain")
     c.add_argument("--format", action="append",
                    default=None, choices=["markdown", "json", "xml"])
@@ -179,8 +197,6 @@ def main(argv: list[str] | None = None) -> int:
     k.set_defaults(fn=cmd_chunk)
 
     args = p.parse_args(argv)
-    if args.cmd == "crawl" and args.format is None:
-        args.format = ["markdown"]
     rc = args.fn(args)
     if "ray" in sys.modules:
         import ray

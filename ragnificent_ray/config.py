@@ -1,9 +1,19 @@
 """Engine configuration (mirrors the reference's layered config surface,
-``core/config.py``, reduced to the knobs our Ray Data engine uses)."""
+``core/config.py``, reduced to the knobs our Ray Data engine uses).
+
+Layered loading (reference ``core/config.py:359-631``): defaults <
+``RAGNIFICENT_*`` environment variables < ``.env`` files < yaml/json
+files, with directories expanded to their config files merged in
+alphabetical order (later files override earlier — the reference's
+``load_configs_from_directory`` contract). Unknown keys are ignored
+(the reference's pydantic models use ``extra="ignore"``)."""
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+import json
+import os
+import typing
+from dataclasses import dataclass, field, replace
 
 
 @dataclass(frozen=True)
@@ -96,3 +106,199 @@ class CrawlConfig:
         return [
             f"https://site{d}.test" for d in range(self.world.n_domains)
         ]
+
+    @classmethod
+    def from_sources(
+        cls,
+        *sources: str,
+        env: typing.Mapping[str, str] | None = None,
+    ) -> "CrawlConfig":
+        """Layered loader (reference ``core/config.py:359-631``).
+
+        Each source is a config file (``.json``/``.yaml``/``.yml``/
+        ``.env``) or a directory of them; directories expand to their
+        config files sorted alphabetically, later files overriding
+        earlier ones. Precedence, weakest first: dataclass defaults,
+        ``RAGNIFICENT_*`` process env vars, then the sources in order
+        (``.env`` files contribute ``RAGNIFICENT_*`` keys; json/yaml
+        contribute field dicts, with ``world:`` handled as a nested
+        section). Values from env/.env are strings and coerced to the
+        field's type; json/yaml values are validated/converted.
+        ``__post_init__`` validation runs on the merged result."""
+        envmap = dict(os.environ if env is None else env)
+        over: dict[str, typing.Any] = {}
+        world_over: dict[str, typing.Any] = {}
+
+        def apply_env(pairs: typing.Mapping[str, str]) -> None:
+            for key, raw in pairs.items():
+                if not key.startswith(_ENV_PREFIX):
+                    continue
+                name = key[len(_ENV_PREFIX):].lower()
+                if name.startswith("world_"):
+                    wname = name[len("world_"):]
+                    if wname in _WORLD_HINTS:
+                        world_over[wname] = _coerce(
+                            raw, _WORLD_HINTS[wname], key)
+                elif name in _FIELD_HINTS and name != "world":
+                    over[name] = _coerce(raw, _FIELD_HINTS[name], key)
+
+        def apply_dict(d: dict) -> None:
+            if not isinstance(d, dict):
+                raise ValueError(
+                    f"config file must hold a mapping, got {type(d)}")
+            for key, val in d.items():
+                name = str(key).lower()
+                if name == "world":
+                    if not isinstance(val, dict):
+                        raise ValueError("'world' must be a mapping")
+                    for wk, wv in val.items():
+                        wk = str(wk).lower()
+                        if wk in _WORLD_HINTS:
+                            world_over[wk] = _convert(
+                                wv, _WORLD_HINTS[wk], wk)
+                elif name in _FIELD_HINTS:
+                    over[name] = _convert(val, _FIELD_HINTS[name], name)
+                # unknown keys ignored (reference extra="ignore")
+
+        apply_env(envmap)
+        for path in _expand_sources(sources):
+            ext = os.path.splitext(path)[1].lower()
+            if ext == ".env":
+                apply_env(_parse_dotenv(path))
+            elif ext == ".json":
+                with open(path, encoding="utf-8") as f:
+                    apply_dict(json.load(f))
+            elif ext in (".yaml", ".yml"):
+                import yaml
+
+                with open(path, encoding="utf-8") as f:
+                    apply_dict(yaml.safe_load(f) or {})
+            else:
+                raise ValueError(
+                    f"Unsupported config file format: {ext or path}. "
+                    "Supported formats: .env, .json, .yaml, .yml")
+
+        cfg = cls(**over)
+        if world_over:
+            cfg = replace(cfg, world=replace(cfg.world, **world_over))
+        return cfg
+
+
+_ENV_PREFIX = "RAGNIFICENT_"
+
+
+def _expand_sources(sources: typing.Iterable[str]) -> list[str]:
+    out: list[str] = []
+    for src in sources:
+        if os.path.isdir(src):
+            found = sorted(
+                n for n in os.listdir(src)
+                if os.path.splitext(n)[1].lower()
+                in (".json", ".yaml", ".yml", ".env")
+            )
+            if not found:
+                raise ValueError(f"No configuration files found in {src}")
+            out.extend(os.path.join(src, n) for n in found)
+        elif os.path.exists(src):
+            out.append(src)
+        else:
+            raise FileNotFoundError(f"Config source not found: {src}")
+    return out
+
+
+def _parse_dotenv(path: str) -> dict[str, str]:
+    """KEY=VALUE lines; blanks and # comments skipped; optional
+    ``export`` prefix and single/double quotes stripped."""
+    pairs: dict[str, str] = {}
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#") or "=" not in line:
+                continue
+            if line.startswith("export "):
+                line = line[len("export "):]
+            key, _, val = line.partition("=")
+            val = val.strip()
+            if len(val) >= 2 and val[0] == val[-1] and val[0] in "\"'":
+                val = val[1:-1]
+            pairs[key.strip()] = val
+    return pairs
+
+
+def _unwrap_optional(hint: typing.Any) -> tuple[typing.Any, bool]:
+    args = typing.get_args(hint)
+    if args and type(None) in args:
+        rest = [a for a in args if a is not type(None)]
+        return (rest[0] if len(rest) == 1 else rest), True
+    return hint, False
+
+
+_TRUE = frozenset({"1", "true", "yes", "on"})
+_FALSE = frozenset({"0", "false", "no", "off"})
+
+
+def _coerce(raw: str, hint: typing.Any, key: str) -> typing.Any:
+    """String (env/.env) → field type."""
+    base, optional = _unwrap_optional(hint)
+    if optional and raw.strip().lower() in ("", "null", "none"):
+        return None
+    origin = typing.get_origin(base) or base
+    try:
+        if origin is bool:
+            low = raw.strip().lower()
+            if low in _TRUE:
+                return True
+            if low in _FALSE:
+                return False
+            raise ValueError(f"not a boolean: {raw!r}")
+        if origin is int:
+            return int(raw)
+        if origin is float:
+            return float(raw)
+        if origin in (list, tuple):
+            items = (json.loads(raw) if raw.lstrip().startswith("[")
+                     else [s.strip() for s in raw.split(",") if s.strip()])
+            return origin(items)
+        if origin is dict:
+            return json.loads(raw)
+        return raw
+    except (ValueError, json.JSONDecodeError) as e:
+        raise ValueError(f"bad value for {key}: {raw!r} ({e})") from e
+
+
+def _convert(val: typing.Any, hint: typing.Any, key: str) -> typing.Any:
+    """Parsed json/yaml value → field type (validate, light convert)."""
+    base, optional = _unwrap_optional(hint)
+    if val is None:
+        if optional:
+            return None
+        raise ValueError(f"{key} may not be null")
+    if isinstance(val, str):
+        return _coerce(val, hint, key)
+    origin = typing.get_origin(base) or base
+    if origin is bool:
+        if isinstance(val, bool):
+            return val
+        raise ValueError(f"{key} must be a boolean, got {val!r}")
+    if origin is int:
+        if isinstance(val, bool) or not isinstance(val, int):
+            raise ValueError(f"{key} must be an integer, got {val!r}")
+        return val
+    if origin is float:
+        if isinstance(val, bool) or not isinstance(val, (int, float)):
+            raise ValueError(f"{key} must be a number, got {val!r}")
+        return float(val)
+    if origin in (list, tuple):
+        if not isinstance(val, (list, tuple)):
+            raise ValueError(f"{key} must be a list, got {val!r}")
+        return origin(val)
+    if origin is dict:
+        if not isinstance(val, dict):
+            raise ValueError(f"{key} must be a mapping, got {val!r}")
+        return val
+    return val
+
+
+# a dataclass's resolved annotations are exactly its field set
+_FIELD_HINTS: dict[str, typing.Any] = typing.get_type_hints(CrawlConfig)
+_WORLD_HINTS: dict[str, typing.Any] = typing.get_type_hints(WorldConfig)

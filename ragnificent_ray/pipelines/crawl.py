@@ -197,10 +197,36 @@ class CrawlResult:
             import pyarrow as pa
 
             return rd.from_arrow(pa.table({}))
-        return rd.read_parquet(dirs)
+        # explicit file list: Ray's read_parquet accepts one directory
+        # but not a LIST of directories (pyarrow treats multi-path input
+        # as files), and the dirs also hold non-parquet sidecars
+        # (_lance_adapter.json) that a raw multi-dir read trips on
+        files = [
+            os.path.join(d, n)
+            for d in dirs
+            for n in sorted(os.listdir(d)) if n.endswith(".parquet")
+        ]
+        return rd.read_parquet(files)
+
+    # table() materializes every round's parquet into ONE driver-side
+    # Arrow table — test/small-scale accessor ONLY. Any consumer that
+    # could see 100×-scale crawls must use dataset() (lazy, streamed).
+    # The guard below makes the misuse loud instead of an OOM.
+    TABLE_MAX_BYTES = 4 << 30
 
     def table(self, table: str) -> pa.Table:
         dirs = self._round_dirs(table)
+        on_disk = sum(
+            os.path.getsize(os.path.join(d, n))
+            for d in dirs for n in os.listdir(d) if n.endswith(".parquet")
+        )
+        if on_disk > self.TABLE_MAX_BYTES:
+            raise ValueError(
+                f"CrawlResult.table({table!r}): {on_disk} parquet bytes "
+                f"exceed the driver-materialization guard "
+                f"({self.TABLE_MAX_BYTES}); use CrawlResult.dataset() "
+                "for at-scale consumers"
+            )
         tabs = []
         for d in dirs:
             for n in sorted(os.listdir(d)):

@@ -1,0 +1,172 @@
+"""Layered config loader (§2.11, reference core/config.py:359-631) and
+feature flags (core/feature_flags.py:19-260) — precedence, coercion,
+dir-merge, validation, env surface."""
+
+import json
+
+import pytest
+
+from ragnificent_ray.config import CrawlConfig
+from ragnificent_ray.flags import FeatureFlag, FeatureFlagManager
+
+
+def _write(path, text):
+    path.write_text(text, encoding="utf-8")
+    return str(path)
+
+
+# ------------------------------------------------------------ loader
+
+def test_defaults_without_sources():
+    cfg = CrawlConfig.from_sources(env={})
+    assert cfg == CrawlConfig()
+
+
+def test_env_layer_coercion():
+    cfg = CrawlConfig.from_sources(env={
+        "RAGNIFICENT_CHUNK_SIZE": "512",
+        "RAGNIFICENT_RESPECT_ROBOTS_TXT": "false",
+        "RAGNIFICENT_DEFAULT_RATE": "2.5",
+        "RAGNIFICENT_FORMATS": "markdown,json",
+        "RAGNIFICENT_SEEDS": '["https://a.test", "https://b.test"]',
+        "RAGNIFICENT_LIMIT_PER_DOMAIN": "7",
+        "RAGNIFICENT_REQUEST_CACHE_DIR": "null",
+        "RAGNIFICENT_WORLD_N_DOMAINS": "9",
+        "RAGNIFICENT_WORLD_FETCH_LATENCY": "0.25",
+        "UNRELATED_VAR": "ignored",
+    })
+    assert cfg.chunk_size == 512
+    assert cfg.respect_robots_txt is False
+    assert cfg.default_rate == 2.5
+    assert cfg.formats == ("markdown", "json")
+    assert cfg.seeds == ["https://a.test", "https://b.test"]
+    assert cfg.limit_per_domain == 7
+    assert cfg.request_cache_dir is None
+    assert cfg.world.n_domains == 9
+    assert cfg.world.fetch_latency == 0.25
+
+
+def test_dotenv_overrides_env(tmp_path):
+    dotenv = _write(tmp_path / "a.env",
+                    "# comment\n\n"
+                    "export RAGNIFICENT_CHUNK_SIZE='640'\n"
+                    "RAGNIFICENT_MAX_DEPTH=5\n"
+                    "NOT_OURS=1\n")
+    cfg = CrawlConfig.from_sources(
+        dotenv, env={"RAGNIFICENT_CHUNK_SIZE": "512"})
+    assert cfg.chunk_size == 640  # .env beats process env
+    assert cfg.max_depth == 5
+
+
+def test_files_override_dotenv_and_env(tmp_path):
+    dotenv = _write(tmp_path / "z.env", "RAGNIFICENT_CHUNK_SIZE=640\n")
+    jsonf = _write(tmp_path / "cfg.json",
+                   json.dumps({"chunk_size": 700, "unknown_key": 1}))
+    cfg = CrawlConfig.from_sources(
+        dotenv, jsonf, env={"RAGNIFICENT_CHUNK_SIZE": "512"})
+    assert cfg.chunk_size == 700  # yaml/json strongest; unknown ignored
+
+
+def test_directory_merge_alphabetical(tmp_path):
+    d = tmp_path / "conf"
+    d.mkdir()
+    _write(d / "10-default.yaml",
+           "chunk_size: 600\nmax_depth: 4\n"
+           "world:\n  n_domains: 3\n  pages_per_domain: 5\n")
+    _write(d / "20-prod.json",
+           json.dumps({"chunk_size": 800,
+                       "world": {"n_domains": 6}}))
+    cfg = CrawlConfig.from_sources(str(d), env={})
+    # later file wins per-key; untouched keys survive from earlier ones
+    assert cfg.chunk_size == 800
+    assert cfg.max_depth == 4
+    assert cfg.world.n_domains == 6
+    assert cfg.world.pages_per_domain == 5
+
+
+def test_yaml_nested_world_and_types(tmp_path):
+    y = _write(tmp_path / "c.yaml",
+               "formats: [markdown, xml]\n"
+               "domain_limits: {\"site0.test\": 1.5}\n"
+               "follow_links: false\n"
+               "min_priority: 0.4\n")
+    cfg = CrawlConfig.from_sources(y, env={})
+    assert cfg.formats == ("markdown", "xml")
+    assert cfg.domain_limits == {"site0.test": 1.5}
+    assert cfg.follow_links is False
+    assert cfg.min_priority == 0.4
+
+
+def test_validation_runs_on_merged_result(tmp_path):
+    y = _write(tmp_path / "c.yaml", "chunk_size: 100\nchunk_overlap: 200\n")
+    with pytest.raises(ValueError, match="chunk_overlap"):
+        CrawlConfig.from_sources(y, env={})
+
+
+def test_bad_type_rejected(tmp_path):
+    y = _write(tmp_path / "c.yaml", "max_depth: not_a_number\n")
+    with pytest.raises(ValueError, match="max_depth"):
+        CrawlConfig.from_sources(y, env={})
+    with pytest.raises(ValueError, match="RAGNIFICENT_MAX_RETRIES"):
+        CrawlConfig.from_sources(env={"RAGNIFICENT_MAX_RETRIES": "x"})
+
+
+def test_missing_source_and_empty_dir(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        CrawlConfig.from_sources(str(tmp_path / "nope.yaml"), env={})
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(ValueError, match="No configuration files"):
+        CrawlConfig.from_sources(str(empty), env={})
+    bad = _write(tmp_path / "c.toml", "x = 1\n")
+    with pytest.raises(ValueError, match="Unsupported config"):
+        CrawlConfig.from_sources(bad, env={})
+
+
+# ------------------------------------------------------------- flags
+
+def test_flag_defaults_match_reference():
+    m = FeatureFlagManager(env={})
+    assert m.is_enabled(FeatureFlag.SEMANTIC_CHUNKING)
+    assert m.is_enabled(FeatureFlag.CACHING)
+    assert not m.is_enabled(FeatureFlag.BENCHMARKING)
+    assert not m.is_enabled(FeatureFlag.HYBRID_SEARCH)
+    assert len(m.get_all_flags()) == len(FeatureFlag)
+
+
+def test_flag_env_surface():
+    m = FeatureFlagManager(env={
+        "RAGNIFICENT_FEATURE_CACHING": "0",
+        "RAGNIFICENT_FEATURE_BENCHMARKING": "yes",
+        "RAGNIFICENT_FEATURE_HYBRID_SEARCH": "on",
+    })
+    assert not m.is_enabled(FeatureFlag.CACHING)
+    assert m.is_enabled(FeatureFlag.BENCHMARKING)
+    assert m.is_enabled("enable_hybrid_search")
+
+
+def test_flag_dict_overrides_env():
+    m = FeatureFlagManager(
+        config_dict={"enable_caching": True},
+        env={"RAGNIFICENT_FEATURE_CACHING": "0"})
+    assert m.is_enabled(FeatureFlag.CACHING)
+
+
+def test_flag_mutators():
+    m = FeatureFlagManager(env={})
+    m.disable(FeatureFlag.CACHING)
+    assert not m.is_enabled(FeatureFlag.CACHING)
+    m.enable(FeatureFlag.CACHING)
+    assert m.is_enabled(FeatureFlag.CACHING)
+    assert m.toggle(FeatureFlag.CACHING) is False
+    assert m.toggle("unknown_flag") is False
+    assert not m.is_enabled("unknown_flag")
+
+
+def test_cli_config_merges_with_flag_override(tmp_path):
+    """--config layered load + explicit CLI flags win (cmd_crawl)."""
+    d = tmp_path / "conf"
+    d.mkdir()
+    _write(d / "a.yaml", "max_depth: 9\ndefault_rate: 3.0\n")
+    cfg = CrawlConfig.from_sources(str(d), env={})
+    assert (cfg.max_depth, cfg.default_rate) == (9, 3.0)

@@ -186,3 +186,18 @@ def test_frontier_from_refs_falls_back_without_private_api(ray_session):
                          {"ray.data._internal.plan": None}):
         ds = _frontier_from_refs([(2, t.nbytes, ray.put(t))])
         assert ds.count() == 2
+
+
+def test_table_accessor_guard_routes_big_results_to_dataset(
+    crawl_and_oracle, monkeypatch
+):
+    """CrawlResult.table() is the test/small-scale accessor; past the
+    byte guard it must refuse and point at dataset() (VERDICT r2 #7)."""
+    from ragnificent_ray.pipelines.crawl import CrawlResult
+
+    _, res, _ = crawl_and_oracle
+    monkeypatch.setattr(CrawlResult, "TABLE_MAX_BYTES", 1)
+    with pytest.raises(ValueError, match="dataset\\(\\)"):
+        res.table("harvest")
+    # the lazy accessor still streams the same rows
+    assert res.dataset("harvest").count() > 0
