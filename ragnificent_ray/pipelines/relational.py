@@ -1051,33 +1051,55 @@ def shipping_priority(sf_dir: str):
         ).select(["c_custkey"]),
         batch_format="pyarrow", batch_size=65536)
 
-    from ray.data.aggregate import Sum
+    # bucket count tracks the ORDER table's bytes (not the CPU-capped
+    # join width) so each bucket group stays ~32 MiB at any corpus size
+    try:
+        _osz = os.path.getsize(_pq(sf_dir, "orders"))
+    except OSError:
+        _osz = 0
+    n_buckets = max(8, int(_osz // (32 << 20)) + 1)
 
-    joined = (
+    def bucket_col(b: pa.Table) -> pa.Table:
+        k = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "ob", pa.array((k % n_buckets).astype(np.int32)))
+
+    def order_topk(t: pa.Table) -> pa.Table:
+        # per-order fold (Arrow group_by — Ray's Aggregate walks the
+        # ~|orders| key space per group) plus a per-bucket top-10 cut:
+        # the global top-10 under (revenue desc, orderkey asc) is a
+        # subset of the bucket top-10s, so the final sort sees at most
+        # 10×n_buckets candidate rows instead of one per order
+        g = (t.select(["l_orderkey", "o_orderdate", "o_orderpriority",
+                       "rev_e4"])
+             .group_by(["l_orderkey", "o_orderdate", "o_orderpriority"])
+             .aggregate([("rev_e4", "sum")]))
+        rev = g.column("rev_e4_sum").to_numpy()
+        key = g.column("l_orderkey").to_numpy()
+        top = np.lexsort((key, -rev))[:10]
+        g = g.take(top)
+        return pa.table({
+            "l_orderkey": g.column("l_orderkey"),
+            "revenue": pa.array(np.atleast_1d(round_half_away(
+                g.column("rev_e4_sum").to_numpy() / 10000.0, 2)),
+                type=pa.float64()),
+            "o_orderdate": pc.cast(g.column("o_orderdate"),
+                                   pa.timestamp("us")),
+            "o_orderpriority": g.column("o_orderpriority"),
+        })
+
+    return (
         li.map_batches(li_partial, batch_format="pyarrow",
                        batch_size=65536)
         .join(orders, "inner", on=("l_orderkey",),
               right_on=("o_orderkey",), **join_args)
         .join(bld, "left_semi", on=("o_custkey",),
               right_on=("c_custkey",), **join_args)
-        .groupby(["l_orderkey", "o_orderdate", "o_orderpriority"])
-        .aggregate(Sum("rev_e4", alias_name="rev_e4"))
-    )
-
-    def final(batch: pa.Table) -> pa.Table:
-        rev = round_half_away(
-            batch.column("rev_e4").to_numpy() / 10000.0, 2)
-        return pa.table({
-            "l_orderkey": batch.column("l_orderkey"),
-            "revenue": pa.array(np.atleast_1d(rev), type=pa.float64()),
-            "o_orderdate": pc.cast(batch.column("o_orderdate"),
-                                   pa.timestamp("us")),
-            "o_orderpriority": batch.column("o_orderpriority"),
-        })
-
-    return (joined.map_batches(final, batch_format="pyarrow")
-            .sort(["revenue", "l_orderkey"], descending=[True, False])
-            .limit(10))
+        .map_batches(bucket_col, batch_format="pyarrow")
+        .groupby("ob")
+        .map_groups(order_topk, batch_format="pyarrow")
+        .sort(["revenue", "l_orderkey"], descending=[True, False])
+        .limit(10))
 
 
 # ---------------------------------------------------------- part / supplier
@@ -1119,14 +1141,22 @@ def promo_revenue(sf_dir: str):
     from ray.data.aggregate import Sum
 
     def split_promo(batch: pa.Table) -> pa.Table:
+        # fold to one row per month IN-BATCH (Arrow group_by): month
+        # cardinality is calendar-bounded, so the downstream groupby's
+        # sort exchange moves ~months×blocks rows instead of the whole
+        # joined fact stream (6.9 s of Aggregate remote wall at sf0.1)
         promo = pc.equal(batch.column("p_type"), pa.scalar("PROMO"))
         rev = batch.column("rev_e4").to_numpy()
         isp = promo.to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({
+        g = pa.table({
             "month": batch.column("month"),
             "promo_e4": pa.array(rev * isp, type=pa.int64()),
             "total_e4": batch.column("rev_e4"),
-        })
+        }).group_by("month").aggregate([("promo_e4", "sum"),
+                                        ("total_e4", "sum")])
+        return pa.table({"month": g.column("month"),
+                         "promo_e4": g.column("promo_e4_sum"),
+                         "total_e4": g.column("total_e4_sum")})
 
     agg = (
         li.map_batches(li_partial, batch_format="pyarrow",
