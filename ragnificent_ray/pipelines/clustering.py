@@ -1152,6 +1152,96 @@ def ann_pq_topk(sf_dir: str, m: int = PQ_SUBSPACES, k: int = PQ_CODES):
             .map_groups(merge, batch_format="pandas"))
 
 
+def ann_ivfpq_topk(sf_dir: str, m: int = PQ_SUBSPACES, k: int = PQ_CODES):
+    """IVF-PQ composed search — the index shape production ANN systems
+    actually deploy (Jégou et al.; FAISS ``IVFx,PQy``): an IVF coarse
+    quantizer prunes the corpus to the ``N_PROBE`` probed cells, and
+    the surviving candidates are ranked by PQ asymmetric distance (m
+    integer LUT adds per row) instead of a full D-dim dot product —
+    compute drops multiplicatively (probe ratio × code compression).
+
+    Integer-exact end to end: coarse assignment uses the same
+    1e6-quantized squared-euclid/low-cid discipline as
+    :func:`kmeans_assign`, codes and LUT the same as
+    :func:`ann_pq_topk`, so the DuckDB oracle value-checks every ADC
+    distance of the composed index. Scale shape: coarse centroids +
+    codebook + query LUT ride ONE broadcast; per-block partial top-k;
+    tiny per-query merge — no shuffle beyond ≤Q·k rows."""
+    from .ann import N_QUERIES, TOP_K
+    from ..functions.numeric import round_half_away
+
+    seed = pq.read_table(
+        _pq(sf_dir, "embeddings"), columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", max(k, N_CENTROIDS, N_QUERIES))])
+    order = np.argsort(np.asarray(seed.column("vec_id").to_pylist()))
+    ints = round_half_away(
+        list_column_matrix(seed.column("embedding"),
+                           dtype=np.float64)[order] * KM_SCALE, 0
+    ).astype(np.int64)
+    D = ints.shape[1]
+    sd = D // m
+    coarse = ints[:N_CENTROIDS]                          # (C, D) ints
+    cent = ints[:k].reshape(k, m, sd)                    # PQ codebook
+    qv = ints[:N_QUERIES]                                # queries (exact)
+    # query → probed cells, (dist, cid) order with stable tiebreak
+    qd = ((qv[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
+    q_cells = np.argsort(qd, axis=1, kind="stable")[:, :N_PROBE]
+    # LUT[q, sub, code] = ||q_sub − cent[code, sub]||², exact int64
+    diff = qv.reshape(N_QUERIES, m, sd)[:, None, :, :] - cent[None, :, :, :]
+    lut = (diff * diff).sum(axis=3).transpose(0, 2, 1)   # (Q, m, k)
+    ref = ray.put((coarse, cent, lut, q_cells))
+
+    class ProbeADC:
+        def __init__(self, ref):
+            (self.coarse, self.cent, self.lut, self.q_cells) = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            kk, mm, ss = self.cent.shape
+            ids = batch.column("vec_id").to_numpy()
+            xi = round_half_away(
+                list_column_matrix(batch.column("embedding"),
+                                   dtype=np.float64) * KM_SCALE, 0
+            ).astype(np.int64)
+            cd = ((xi[:, None, :] - self.coarse[None, :, :]) ** 2) \
+                .sum(axis=2)                              # (n, C)
+            cell = np.argmin(cd, axis=1)
+            mtx = xi.reshape(-1, mm, ss)
+            d2 = ((mtx[:, None, :, :] - self.cent[None, :, :, :]) ** 2) \
+                .sum(axis=3)                              # (n, k, m)
+            codes = np.argmin(d2, axis=1)                 # (n, m)
+            subs = np.arange(mm)[None, :]
+            out_q, out_n, out_d = [], [], []
+            for qi in range(self.lut.shape[0]):
+                mask = np.isin(cell, self.q_cells[qi])
+                if not mask.any():
+                    continue
+                adc = self.lut[qi][subs, codes[mask]].sum(axis=1)
+                sub_ids = ids[mask]
+                top = np.lexsort((sub_ids, adc))[:TOP_K]
+                out_q.extend([qi] * len(top))
+                out_n.extend(sub_ids[top].tolist())
+                out_d.extend(adc[top].tolist())
+            return pa.table({
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "adc": pa.array(out_d, type=pa.int64()),
+            })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["adc", "neighbor_id"]).head(TOP_K)
+        g = g.reset_index(drop=True)
+        g["rank"] = (g.index + 1).astype(np.int64)
+        return g[["query_id", "neighbor_id", "rank", "adc"]]
+
+    ds = rd.read_parquet(_pq(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    return (ds.map_batches(ProbeADC, fn_constructor_kwargs={"ref": ref},
+                           batch_format="pyarrow", batch_size=4096,
+                           concurrency=2)
+            .groupby("query_id")
+            .map_groups(merge, batch_format="pandas"))
+
+
 def ann_pq_recall(sf_dir: str):
     """Recall@k of the PQ-ADC search vs the exact top-k — the
     compression-loss gauge (more codes / subspaces → higher recall,
@@ -1196,6 +1286,7 @@ QUERIES = {
     "pq_train_encode": pq_train_encode,
     "ann_pq_topk": ann_pq_topk,
     "ann_pq_recall": ann_pq_recall,
+    "ann_ivfpq_topk": ann_ivfpq_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_recall": ann_ivf_recall,
     "semantic_dedup": semantic_dedup,
@@ -1258,6 +1349,80 @@ _PQ_TOPK_SQL = f"""
 """
 
 ORACLE_SQL["ann_pq_topk"] = _PQ_TOPK_SQL
+
+_IVFPQ_TOPK_SQL = f"""
+    WITH e AS (
+      SELECT vec_id,
+             CAST(unnest(range(len(embedding))) AS INTEGER) AS d,
+             CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * {KM_SCALE})
+                  AS BIGINT) AS x
+      FROM embeddings
+    ), ee AS (
+      SELECT vec_id, CAST(d // {64 // PQ_SUBSPACES} AS INTEGER) AS sub,
+             d % {64 // PQ_SUBSPACES} AS sd, x
+      FROM e
+    ), c AS (
+      SELECT CAST(vec_id AS INTEGER) AS code, sub, sd, x AS cx
+      FROM ee WHERE vec_id < {PQ_CODES}
+    ), coarse AS (
+      SELECT CAST(vec_id AS INTEGER) AS cid, d, x AS cx
+      FROM e WHERE vec_id < {N_CENTROIDS}
+    ), cdist AS (
+      SELECT e.vec_id, coarse.cid,
+             SUM((e.x - coarse.cx) * (e.x - coarse.cx)) AS dd
+      FROM e JOIN coarse ON coarse.d = e.d
+      GROUP BY e.vec_id, coarse.cid
+    ), cell AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dd, cid) AS rn
+        FROM cdist)
+      WHERE rn = 1
+    ), qprobe AS (
+      SELECT vec_id AS qid, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dd, cid) AS rn
+        FROM cdist WHERE vec_id < {N_QUERIES})
+      WHERE rn <= {N_PROBE}
+    ), dist AS (
+      SELECT ee.vec_id, ee.sub, c.code,
+             SUM((ee.x - c.cx) * (ee.x - c.cx)) AS dd
+      FROM ee JOIN c ON c.sub = ee.sub AND c.sd = ee.sd
+      GROUP BY ee.vec_id, ee.sub, c.code
+    ), codes AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dd, code) AS rn
+        FROM dist)
+      WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS qid, sub, sd, x FROM ee WHERE vec_id < {N_QUERIES}
+    ), lut AS (
+      SELECT q.qid, q.sub, c.code,
+             SUM((q.x - c.cx) * (q.x - c.cx)) AS d
+      FROM q JOIN c ON c.sub = q.sub AND c.sd = q.sd
+      GROUP BY q.qid, q.sub, c.code
+    ), adc AS (
+      SELECT l.qid, codes.vec_id, SUM(l.d) AS adc
+      FROM codes
+      JOIN cell ON cell.vec_id = codes.vec_id
+      JOIN lut l ON l.sub = codes.sub AND l.code = codes.code
+      JOIN qprobe ON qprobe.qid = l.qid AND qprobe.cid = cell.cid
+      GROUP BY l.qid, codes.vec_id
+    )
+    SELECT qid AS query_id, vec_id AS neighbor_id, rank,
+           CAST(adc AS BIGINT) AS adc
+    FROM (SELECT qid, vec_id, adc,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY adc, vec_id) AS rank
+          FROM adc)
+    WHERE rank <= {TOP_K}
+"""
+
+ORACLE_SQL["ann_ivfpq_topk"] = _IVFPQ_TOPK_SQL
 ORACLE_SQL["pq_train_encode"] = _pq_train_sql()
 
 

@@ -139,6 +139,175 @@ def per_source_cap(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------- DSIR
+# Data Selection via Importance Resampling (Xie et al. 2023, public):
+# score every raw document by the log-likelihood ratio of a TARGET
+# hashed-unigram LM over the RAW corpus LM. The target here is the
+# corpus's own English slice (lang='en') — the "select web data that
+# looks like the target distribution" move used to curate pretraining
+# mixes.
+N_DSIR_BUCKETS = 512
+DSIR_TARGET_LANG = "en"
+
+
+def _dsir_weights_table(sf_dir: str) -> "object":
+    """Bucketed log-ratio weights in integer milli-nats.
+
+    Pass 1 over documents: per-block hashed-token bucket counts for the
+    target slice and the whole corpus fold through one bounded groupby
+    (≤ N_DSIR_BUCKETS rows per block, period) — the only driver-side
+    hold is the 512×2 count table. Weights quantize as
+    ``floor(1000·ln(p̂))`` per LM via ``math.log`` (libm, same as
+    DuckDB's LN), so per-document scores are exact int64 sums — no
+    float summation-order drift anywhere."""
+    import math
+
+    import numpy as np
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["lang", "text"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        tgt = np.zeros(N_DSIR_BUCKETS, dtype=np.int64)
+        raw = np.zeros(N_DSIR_BUCKETS, dtype=np.int64)
+        for lang, text in zip(batch.column("lang").to_pylist(),
+                              batch.column("text").to_pylist()):
+            toks = text.strip().split()
+            if not toks:
+                continue
+            bs = np.fromiter(
+                (int(md5_hex(t)[:12], 16) % N_DSIR_BUCKETS for t in toks),
+                dtype=np.int64, count=len(toks))
+            cnt = np.bincount(bs, minlength=N_DSIR_BUCKETS)
+            raw += cnt
+            if lang == DSIR_TARGET_LANG:
+                tgt += cnt
+        return pa.table({
+            "bucket": pa.array(np.arange(N_DSIR_BUCKETS, dtype=np.int64)),
+            "tgt_n": pa.array(tgt),
+            "raw_n": pa.array(raw),
+        })
+
+    folded = (ds.map_batches(count_partial, batch_format="pyarrow",
+                             batch_size=8192)
+              .groupby("bucket").sum(["tgt_n", "raw_n"])
+              .to_pandas().sort_values("bucket"))
+    tgt = np.zeros(N_DSIR_BUCKETS, dtype=np.int64)
+    raw = np.zeros(N_DSIR_BUCKETS, dtype=np.int64)
+    tgt[folded["bucket"].to_numpy()] = folded["sum(tgt_n)"].to_numpy()
+    raw[folded["bucket"].to_numpy()] = folded["sum(raw_n)"].to_numpy()
+    T, R = int(tgt.sum()), int(raw.sum())
+    B = N_DSIR_BUCKETS
+    w_mn = np.fromiter(
+        (math.floor(1000.0 * math.log((int(t) + 1.0) / (T + B)))
+         - math.floor(1000.0 * math.log((int(r) + 1.0) / (R + B)))
+         for t, r in zip(tgt, raw)),
+        dtype=np.int64, count=B)
+    return w_mn
+
+
+def dsir_weights(sf_dir: str):
+    """Per-document DSIR importance score (integer milli-nats) — the
+    ranking signal behind importance-resampled pretraining mixes.
+
+    Pass 2 is a pure per-batch map: hash each token into its bucket and
+    sum the broadcast weight vector (4 KB) — no shuffle, no state.
+    Blank/whitespace-only docs score 0 with 0 tokens (both sides filter
+    empty tokens, the ``normalize_text`` advisory lesson)."""
+    import numpy as np
+
+    w_mn = _dsir_weights_table(sf_dir)
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        n_out = np.zeros(len(ids), dtype=np.int64)
+        s_out = np.zeros(len(ids), dtype=np.int64)
+        for j, text in enumerate(batch.column("text").to_pylist()):
+            toks = text.strip().split()
+            if not toks:
+                continue
+            bs = np.fromiter(
+                (int(md5_hex(t)[:12], 16) % N_DSIR_BUCKETS for t in toks),
+                dtype=np.int64, count=len(toks))
+            n_out[j] = len(toks)
+            s_out[j] = int(w_mn[bs].sum())
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "n_tokens": pa.array(n_out),
+            "dsir_score_mn": pa.array(s_out),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=8192)
+
+
+def dsir_sample(sf_dir: str):
+    """The selection step: keep documents whose PER-TOKEN DSIR score
+    beats the corpus mean per-token score — self-normalizing (the raw
+    log-ratio carries a corpus-wide smoothing offset from T ≪ R, so an
+    absolute threshold is meaningless), deterministic, and exact: the
+    compare is the integer cross-product ``s·N > S·n`` (Python ints, so
+    the 100 TB-scale product cannot overflow), where (S, N) is one tiny
+    global reduce over the scored stream."""
+    scored = dsir_weights(sf_dir).materialize()
+    totals = scored.sum(["dsir_score_mn", "n_tokens"])
+    S = int(totals["sum(dsir_score_mn)"])
+    N = int(totals["sum(n_tokens)"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        ss = batch.column("dsir_score_mn").to_pylist()
+        ns = batch.column("n_tokens").to_pylist()
+        mask = [s * N > S * n for s, n in zip(ss, ns)]
+        f = batch.filter(pa.array(mask))
+        return pa.table({"doc_id": f.column("doc_id"),
+                         "dsir_score_mn": f.column("dsir_score_mn")})
+
+    # typed empty union: a zero-row result must still carry its schema
+    empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "dsir_score_mn": pa.array([], type=pa.int64())})
+    return (scored.map_batches(keep, batch_format="pyarrow")
+            .union(rd.from_arrow(empty)))
+
+
+def _dsir_sql(select: str) -> str:
+    return f"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+          FROM documents
+        ), tk AS (
+          SELECT doc_id, lang,
+                 CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT)
+                     % {N_DSIR_BUCKETS} AS b
+          FROM t WHERE tok <> ''
+        ), raw AS (
+          SELECT b, COUNT(*) AS n FROM tk GROUP BY b
+        ), tgt AS (
+          SELECT b, COUNT(*) AS n FROM tk
+          WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b
+        ), tot AS (
+          SELECT (SELECT COUNT(*) FROM tk) AS R,
+                 (SELECT COUNT(*) FROM tk
+                  WHERE lang = '{DSIR_TARGET_LANG}') AS T
+        ), w AS (
+          SELECT raw.b,
+                 CAST(FLOOR(1000.0 * LN((COALESCE(tgt.n, 0) + 1.0)
+                                        / (tot.T + {N_DSIR_BUCKETS})))
+                    - FLOOR(1000.0 * LN((raw.n + 1.0)
+                                        / (tot.R + {N_DSIR_BUCKETS})))
+                      AS BIGINT) AS w_mn
+          FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot
+        ), sc AS (
+          SELECT tk.doc_id, COUNT(*) AS n_tokens, SUM(w.w_mn) AS s
+          FROM tk JOIN w ON w.b = tk.b GROUP BY tk.doc_id
+        )
+        {select}
+    """
+
+
 def _mix_weight_case_sql() -> str:
     whens = " ".join(
         f"WHEN '{s}' THEN {w}" for s, w in sorted(MIX_WEIGHTS.items()))
@@ -180,10 +349,24 @@ ORACLE_SQL = {
             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
         ) <= {_SOURCE_CAP}
     """,
+    "dsir_weights": _dsir_sql("""
+        SELECT d.doc_id,
+               CAST(COALESCE(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(sc.s, 0) AS BIGINT) AS dsir_score_mn
+        FROM documents d LEFT JOIN sc USING (doc_id)
+    """),
+    "dsir_sample": _dsir_sql("""
+        SELECT doc_id, CAST(sc.s AS BIGINT) AS dsir_score_mn
+        FROM sc CROSS JOIN (SELECT SUM(s) AS tot_s, SUM(n_tokens) AS tot_n
+                            FROM sc) tot
+        WHERE sc.s * tot.tot_n > tot.tot_s * sc.n_tokens
+    """),
 }
 
 QUERIES = {
     "stratified_sample": stratified_sample,
     "mix_sample": mix_sample,
     "per_source_cap": per_source_cap,
+    "dsir_weights": dsir_weights,
+    "dsir_sample": dsir_sample,
 }
