@@ -441,6 +441,133 @@ HAVING COUNT(*) >= {COVIS_MIN_SHARED}
 """
 
 
+def triangle_count(sf_dir: str):
+    """Exact triangle count over the co-visitation graph — the
+    clustering-coefficient / community-density primitive of graph
+    analytics, in the degree-oriented wedge-join shape that scales.
+
+    Every edge is oriented from its lower to its higher endpoint under
+    the (degree, id) total order; each node then emits the pairs of its
+    OUT-neighbors as wedges, and a wedge is a triangle iff the closing
+    edge exists. Orientation is the scale discipline: out-degree is
+    bounded by ~√(2E) (a hub's edges all point INTO it), so per-node
+    wedge generation never blows up quadratically on hot nodes, and
+    each triangle is generated exactly once (by its smallest node under
+    the order). Wedge generation runs vectorized in bounded u-hash
+    bucket groups (the self-merge shape); closure is one hash-join of
+    the wedge stream against the undirected edge set; degrees attach by
+    two joins of a pre-summed per-batch degree fold. Exact integer
+    count — the oracle replays the same orientation."""
+    n_buckets = _bucket_count(sf_dir, ("events",))
+    ed = covisitation_pairs(sf_dir).materialize()
+    if ed.count() == 0:
+        # hot-item caps can empty the graph (the sf0.1 world does);
+        # a groupby on a 0-row dataset never runs its map_groups, so
+        # downstream joins would see schema-less blocks — short-circuit
+        return pa.table({"n_triangles": pa.array([0], type=pa.int64())})
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        nodes = np.concatenate([
+            b.column("user_a").to_numpy(zero_copy_only=False),
+            b.column("user_b").to_numpy(zero_copy_only=False)])
+        g = (pa.table({"node": pa.array(nodes, type=pa.int64())})
+             .group_by("node").aggregate([("node", "count")]))
+        return pa.table({
+            "node": g.column("node"),
+            "d": pc.cast(g.column("node_count"), pa.int64()),
+            "db": pa.array((g.column("node").to_numpy(zero_copy_only=False)
+                            % n_buckets).astype(np.int32)),
+        })
+
+    def deg_fold(t: pa.Table) -> pa.Table:
+        g = (t.select(["node", "d"]).group_by("node")
+             .aggregate([("d", "sum")]))
+        return pa.table({"node": g.column("node"),
+                         "d": g.column("d_sum")})
+
+    deg = (ed.map_batches(deg_partial, batch_format="pyarrow")
+           .groupby("db").map_groups(deg_fold, batch_format="pyarrow")
+           .materialize())
+
+    join_args = dict(num_partitions=max(
+        2, n_buckets // 16), aggregator_ray_remote_args={"num_cpus": 0.25})
+
+    def orient(b: pa.Table) -> pa.Table:
+        a = b.column("user_a").to_numpy(zero_copy_only=False)
+        bb = b.column("user_b").to_numpy(zero_copy_only=False)
+        da = b.column("d").to_numpy(zero_copy_only=False)
+        dbn = b.column("d_b").to_numpy(zero_copy_only=False)
+        fwd = (da < dbn) | ((da == dbn) & (a < bb))
+        u = np.where(fwd, a, bb)
+        v = np.where(fwd, bb, a)
+        return pa.table({
+            "u": pa.array(u, type=pa.int64()),
+            "v": pa.array(v, type=pa.int64()),
+            "ub": pa.array((u % n_buckets).astype(np.int32)),
+        })
+
+    def rename_db(b: pa.Table) -> pa.Table:
+        return b.rename_columns(
+            [{"d": "d_b"}.get(c, c) for c in b.column_names])
+
+    oriented = (
+        ed.select_columns(["user_a", "user_b"])
+        .join(deg, "inner", on=("user_a",), right_on=("node",),
+              **join_args)
+        .map_batches(rename_db, batch_format="pyarrow")
+        .join(deg, "inner", on=("user_b",), right_on=("node",),
+              **join_args)
+        .map_batches(orient, batch_format="pyarrow")
+    )
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        m = g[["u", "v"]].merge(g[["u", "v"]], on="u",
+                                suffixes=("_x", "_y"))
+        m = m.loc[m["v_x"].to_numpy() < m["v_y"].to_numpy()]
+        return pd.DataFrame({
+            "user_a": m["v_x"].to_numpy(dtype=np.int64),
+            "user_b": m["v_y"].to_numpy(dtype=np.int64),
+        })
+
+    closed = (
+        oriented.groupby("ub").map_groups(wedges, batch_format="pandas")
+        .join(ed.select_columns(["user_a", "user_b"]), "inner",
+              on=("user_a", "user_b"), **join_args)
+    )
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array([len(b)], type=pa.int64())})
+
+    folded = closed.map_batches(
+        count_partial, batch_format="pyarrow").sum("n") or 0
+    return pa.table({"n_triangles": pa.array([int(folded)],
+                                             type=pa.int64())})
+
+
+def _triangle_sql() -> str:
+    return f"""
+WITH covis AS ({_covis_sql()}),
+deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT user_a AS node FROM covis
+    UNION ALL SELECT user_b FROM covis) GROUP BY node
+), oe AS (
+  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND c.user_a < c.user_b)
+              THEN c.user_a ELSE c.user_b END AS u,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND c.user_a < c.user_b)
+              THEN c.user_b ELSE c.user_a END AS v
+  FROM covis c
+  JOIN deg da ON da.node = c.user_a
+  JOIN deg db ON db.node = c.user_b
+), wedge AS (
+  SELECT o1.v AS x, o2.v AS y
+  FROM oe o1 JOIN oe o2 ON o1.u = o2.u AND o1.v < o2.v
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM wedge w JOIN covis e ON e.user_a = w.x AND e.user_b = w.y
+"""
+
+
 def _pagerank_sql(iters: int = _ITERS) -> str:
     rounds = []
     for i in range(1, iters + 1):
@@ -652,6 +779,7 @@ ORACLE_SQL = {
     "covisitation_pairs": _covis_sql(),
     "event_type_jaccard": _JACCARD_SQL,
     "decayed_item_scores": _DECAY_SQL,
+    "triangle_count": _triangle_sql(),
 }
 
 QUERIES = {
@@ -659,4 +787,5 @@ QUERIES = {
     "covisitation_pairs": covisitation_pairs,
     "event_type_jaccard": event_type_jaccard,
     "decayed_item_scores": decayed_item_scores,
+    "triangle_count": triangle_count,
 }
