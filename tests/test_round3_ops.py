@@ -1,0 +1,107 @@
+"""Round-3 operators: semantic pins beyond the SQL parity gate.
+
+The parity suite already value-checks ``triangle_count``,
+``dsir_weights``/``dsir_sample`` and ``ann_ivfpq_topk`` against DuckDB;
+these tests pin the properties the SQL equivalence alone can't show —
+that the oracle itself is right (brute-force cross-check) and that the
+scores mean what they claim (target-language separation, IVF pruning).
+"""
+
+import duckdb
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def _con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def test_triangle_oracle_matches_brute_force_triple_join():
+    """The wedge-orientation oracle must agree with the O(E^1.5)
+    brute-force triple join — validates the oracle the parity gate
+    compares against."""
+    from ragnificent_ray.pipelines.graph import _covis_sql, _triangle_sql
+
+    con = _con()
+    oriented = con.execute(_triangle_sql()).fetchone()[0]
+    brute = con.execute(f"""
+        WITH e AS ({_covis_sql()})
+        SELECT COUNT(*) FROM e e1
+        JOIN e e2 ON e2.user_a = e1.user_a AND e2.user_b > e1.user_b
+        JOIN e e3 ON e3.user_a = e1.user_b AND e3.user_b = e2.user_b
+    """).fetchone()[0]
+    assert oriented == brute
+    assert oriented > 0  # the sf0.001 world actually has triangles
+
+
+def test_triangle_count_empty_graph_short_circuits(ray_session,
+                                                   monkeypatch):
+    """Hot-item caps can empty the edge set (the sf0.1 world does);
+    the count must come back 0 with schema intact, not crash on
+    schema-less blocks."""
+    import ragnificent_ray.pipelines.graph as graph
+
+    monkeypatch.setattr(graph, "COVIS_CAP", 0)  # every item too hot
+    t = graph.triangle_count(SF)
+    assert t.to_pydict() == {"n_triangles": [0]}
+
+
+def test_dsir_scores_separate_target_language(ray_session):
+    """DSIR's whole point: target-language (en) docs must score higher
+    per token than any other language under the target-vs-raw LM
+    ratio."""
+    import pyarrow.parquet as pq
+
+    from ragnificent_ray.pipelines.sampling import dsir_weights
+
+    scored = dsir_weights(SF).to_pandas().set_index("doc_id")
+    langs = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["doc_id", "lang"]).to_pandas()
+    merged = langs.join(scored, on="doc_id")
+    merged = merged[merged["n_tokens"] > 0]
+    per_tok = merged["dsir_score_mn"] / merged["n_tokens"]
+    means = per_tok.groupby(merged["lang"]).mean()
+    assert means.idxmax() == "en", means.to_dict()
+
+
+def test_dsir_sample_keeps_above_corpus_mean(ray_session):
+    from ragnificent_ray.pipelines.sampling import (dsir_sample,
+                                                    dsir_weights)
+
+    w = dsir_weights(SF).to_pandas()
+    kept = set(dsir_sample(SF).to_pandas()["doc_id"])
+    S = int(w["dsir_score_mn"].sum())
+    N = int(w["n_tokens"].sum())
+    expect = {
+        int(r.doc_id) for r in w.itertuples()
+        if int(r.dsir_score_mn) * N > S * int(r.n_tokens)
+    }
+    assert kept == expect
+    assert 0 < len(kept) < len(w)  # selective, not degenerate
+
+
+def test_ivfpq_prunes_but_tracks_exact_topk(ray_session):
+    """The composed index must (a) return ≤ TOP_K rows per query from
+    only the probed cells and (b) overlap the exact top-k enough to be
+    a search structure, not noise (recall@10 ≥ 0.3 on the synthetic
+    embeddings — both stages are lossy by design)."""
+    from ragnificent_ray.pipelines.ann import ann_topk
+    from ragnificent_ray.pipelines.clustering import ann_ivfpq_topk
+
+    approx = ann_ivfpq_topk(SF).to_pandas()
+    exact = ann_topk(SF).to_pandas()
+    recalls = []
+    for q, g in approx.groupby("query_id"):
+        assert len(g) <= 10
+        e = set(exact.loc[exact["query_id"] == q, "neighbor_id"])
+        recalls.append(len(set(g["neighbor_id"]) & e) / len(e))
+    assert len(recalls) > 0
+    assert np.mean(recalls) >= 0.3, recalls
