@@ -412,12 +412,16 @@ def covisitation_pairs(sf_dir: str):
            .groupby("ib").map_groups(item_pairs, batch_format="pandas")
            .groupby("pb").map_groups(pair_merge, batch_format="pandas"))
     # a corpus where every item trips the hot-item cap yields ZERO
-    # blocks — union a typed empty block so the result always carries
-    # its schema (an empty frame with no columns fails any comparison)
+    # rows — and Ray's to_pandas() drops the schema entirely when every
+    # block is empty (even a typed empty union block doesn't survive),
+    # so the all-empty case returns the typed Arrow table itself
     empty = pa.table({"user_a": pa.array([], type=pa.int64()),
                       "user_b": pa.array([], type=pa.int64()),
                       "n_items": pa.array([], type=pa.int64())})
-    return out.union(rd.from_arrow(empty))
+    mat = out.union(rd.from_arrow(empty)).materialize()
+    if mat.count() == 0:
+        return empty
+    return mat
 
 
 def _covis_sql() -> str:
@@ -459,12 +463,14 @@ def triangle_count(sf_dir: str):
     two joins of a pre-summed per-batch degree fold. Exact integer
     count — the oracle replays the same orientation."""
     n_buckets = _bucket_count(sf_dir, ("events",))
-    ed = covisitation_pairs(sf_dir).materialize()
-    if ed.count() == 0:
-        # hot-item caps can empty the graph (the sf0.1 world does);
-        # a groupby on a 0-row dataset never runs its map_groups, so
-        # downstream joins would see schema-less blocks — short-circuit
+    ed = covisitation_pairs(sf_dir)
+    # hot-item caps can empty the graph (the sf0.1 world does):
+    # covisitation_pairs then returns its typed empty Arrow table, and
+    # a groupby on a 0-row dataset never runs its map_groups, so
+    # downstream joins would see schema-less blocks — short-circuit
+    if isinstance(ed, pa.Table):
         return pa.table({"n_triangles": pa.array([0], type=pa.int64())})
+    ed = ed.materialize()
 
     def deg_partial(b: pa.Table) -> pa.Table:
         nodes = np.concatenate([
