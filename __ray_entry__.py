@@ -786,14 +786,15 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from ragnificent_ray.pipelines import (ann, clustering, curation,
+    from ragnificent_ray.pipelines import (ann, bpe, clustering, curation,
                                            decontam, dedup, graph, packing,
                                            relational, retrieval, sampling,
                                            temporal, textstats)
 
     out: dict[str, Callable[[str], Any]] = {}
     for mod in (relational, textstats, dedup, ann, temporal, sampling,
-                decontam, clustering, retrieval, curation, packing, graph):
+                decontam, clustering, retrieval, curation, packing, graph,
+                bpe):
         out.update(mod.QUERIES)
     out.update({
         "rag_chunks": _rag_chunks,
@@ -1268,14 +1269,15 @@ def _emb_lsh_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    from ragnificent_ray.pipelines import (ann, clustering, curation,
+    from ragnificent_ray.pipelines import (ann, bpe, clustering, curation,
                                            decontam, dedup, graph, packing,
                                            relational, retrieval, sampling,
                                            temporal, textstats)
 
     out: dict[str, str] = {}
     for mod in (relational, textstats, dedup, ann, temporal, sampling,
-                decontam, clustering, retrieval, curation, packing, graph):
+                decontam, clustering, retrieval, curation, packing, graph,
+                bpe):
         out.update(mod.ORACLE_SQL)
     out["rag_chunks"] = _RAG_CHUNKS_SQL
     out["rag_chunks_sliding"] = _RAG_CHUNKS_SLIDING_SQL

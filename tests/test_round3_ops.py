@@ -105,3 +105,52 @@ def test_ivfpq_prunes_but_tracks_exact_topk(ray_session):
         recalls.append(len(set(g["neighbor_id"]) & e) / len(e))
     assert len(recalls) > 0
     assert np.mean(recalls) >= 0.3, recalls
+
+
+def test_bpe_apply_merge_classic_semantics():
+    """The padded-replace trick must equal classic BPE: merge EVERY
+    non-overlapping adjacent occurrence left-to-right."""
+    from ragnificent_ray.pipelines.bpe import _apply_merge
+
+    assert _apply_merge("a a a a", "a", "a") == "aa aa"
+    assert _apply_merge("a a a", "a", "a") == "aa a"
+    assert _apply_merge("h e l l o", "l", "l") == "h e ll o"
+    assert _apply_merge("h e l l o", "e", "l") == "h el l o"
+    assert _apply_merge("ab c ab c", "ab", "c") == "abc abc"
+    assert _apply_merge("x", "a", "b") == "x"
+
+
+def test_bpe_merges_match_reference_implementation(ray_session):
+    """The distributed merge table must equal a single-process
+    reference BPE over the same corpus (independent of the SQL
+    oracle)."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from ragnificent_ray.pipelines.bpe import (_apply_merge, bpe_merges,
+                                               BPE_ITERS)
+
+    texts = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["text"]).column("text").to_pylist()
+    vocab = Counter()
+    for t in texts:
+        vocab.update(t.strip().split())
+    vocab = {" ".join(w): f for w, f in vocab.items()}
+    expect = []
+    for it in range(1, BPE_ITERS + 1):
+        pairs = Counter()
+        for s, f in vocab.items():
+            syms = s.split(" ")
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += f
+        (l, r), c = min(pairs.items(),
+                        key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        expect.append((it, l, r, c))
+        # symbol concatenation always spells the original word, so
+        # distinct words keep distinct symseqs — no key collisions
+        vocab = {_apply_merge(s, l, r): f for s, f in vocab.items()}
+
+    got = bpe_merges(SF).to_pylist()
+    assert [(g["it"], g["left_sym"], g["right_sym"], g["pair_count"])
+            for g in got] == expect
