@@ -167,6 +167,47 @@ def bpe_merges(sf_dir: str, iters: int = BPE_ITERS):
     })
 
 
+def bpe_token_counts(sf_dir: str, iters: int = BPE_ITERS):
+    """The ENCODE side: tokenize every document with the learned merge
+    table and report its BPE token count — the length statistic that
+    sizes training sequences (chars per doc → tokens per doc under the
+    trained vocabulary).
+
+    Scale shape: the 3-row merge table is driver state; encoding is a
+    pure per-batch map over documents (apply the merges to each word's
+    symbol string, count symbols) — no second shuffle. Per-word results
+    memoize in a per-batch dict, so hot words tokenize once per batch."""
+    merges = [(m["left_sym"], m["right_sym"])
+              for m in bpe_merges(sf_dir, iters).to_pylist()]
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def encode(batch: pa.Table) -> pa.Table:
+        memo: dict[str, int] = {}
+
+        def n_toks(word: str) -> int:
+            got = memo.get(word)
+            if got is None:
+                s = " ".join(word)
+                for left, right in merges:
+                    s = _apply_merge(s, left, right)
+                got = memo[word] = s.count(" ") + 1
+            return got
+
+        ids = batch.column("doc_id").to_pylist()
+        counts = np.zeros(len(ids), dtype=np.int64)
+        for j, text in enumerate(batch.column("text").to_pylist()):
+            counts[j] = sum(n_toks(w) for w in text.strip().split())
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "n_bpe_tokens": pa.array(counts),
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow",
+                          batch_size=2048)
+
+
 def _bpe_sql(iters: int = BPE_ITERS) -> str:
     """Unrolled-CTE replay of the whole BPE recurrence: pair counting,
     argmax with the (count DESC, left, right) tie-break, and the exact
@@ -178,7 +219,7 @@ WITH tok AS (
 ), w AS (
   SELECT word, COUNT(*) AS f FROM tok WHERE word <> '' GROUP BY word
 ), s0 AS (
-  SELECT array_to_string(regexp_extract_all(word, '.'), ' ') AS s, f
+  SELECT word, array_to_string(regexp_extract_all(word, '.'), ' ') AS s, f
   FROM w
 )"""]
     for i in range(1, iters + 1):
@@ -191,7 +232,7 @@ WITH tok AS (
 ), m{i} AS (
   SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1
 ), s{i} AS (
-  SELECT trim(regexp_replace(
+  SELECT {prev}.word, trim(regexp_replace(
            replace(' ' || replace({prev}.s, ' ', '  ') || ' ',
                    ' ' || m{i}.l || '  ' || m{i}.r || ' ',
                    ' ' || m{i}.l || m{i}.r || ' '),
@@ -207,5 +248,32 @@ WITH tok AS (
     return "".join(parts)
 
 
-QUERIES = {"bpe_merges": bpe_merges}
-ORACLE_SQL = {"bpe_merges": _bpe_sql()}
+def _bpe_encode_sql(iters: int = BPE_ITERS) -> str:
+    """Same unrolled merge chain (the s CTEs carry the word key), then
+    every document's tokens join their final symbol strings and the
+    symbol counts sum per doc; docs with no tokens report 0."""
+    chain = _bpe_sql(iters)
+    # drop the final merge-table SELECT; keep the CTE chain
+    chain = chain[:chain.rindex("\nSELECT 1 AS it")]
+    return f"""{chain}
+, dtok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+  FROM documents
+), per_doc AS (
+  SELECT dtok.doc_id,
+         SUM(len(regexp_split_to_array(s{iters}.s, ' '))) AS n
+  FROM dtok JOIN s{iters} USING (word)
+  WHERE dtok.word <> ''
+  GROUP BY dtok.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(per_doc.n, 0) AS BIGINT) AS n_bpe_tokens
+FROM documents d LEFT JOIN per_doc USING (doc_id)
+"""
+
+
+QUERIES = {"bpe_merges": bpe_merges,
+           "bpe_token_counts": bpe_token_counts}
+ORACLE_SQL = {"bpe_merges": _bpe_sql(),
+              "bpe_token_counts": _bpe_encode_sql()}
