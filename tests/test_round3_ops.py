@@ -154,3 +154,35 @@ def test_bpe_merges_match_reference_implementation(ray_session):
     got = bpe_merges(SF).to_pylist()
     assert [(g["it"], g["left_sym"], g["right_sym"], g["pair_count"])
             for g in got] == expect
+
+
+def test_apply_merge_equals_pairwise_scan_property():
+    """Property: the padded-replace trick equals the canonical greedy
+    pairwise scan over symbol lists, for arbitrary symbol sequences."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ragnificent_ray.pipelines.bpe import _apply_merge
+
+    sym = st.text(alphabet="abAB", min_size=1, max_size=3)
+
+    def ref_merge(syms, left, right):
+        out, i = [], 0
+        while i < len(syms):
+            if (i + 1 < len(syms) and syms[i] == left
+                    and syms[i + 1] == right):
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    @given(syms=st.lists(sym, min_size=1, max_size=12),
+           left=sym, right=sym)
+    @settings(max_examples=300, deadline=None)
+    def check(syms, left, right):
+        got = _apply_merge(" ".join(syms), left, right)
+        assert got == " ".join(ref_merge(syms, left, right))
+
+    check()
