@@ -40,13 +40,19 @@ def cmd_crawl(args) -> int:
     from .config import CrawlConfig, WorldConfig
     from .pipelines.crawl import run_crawl
 
-    if args.config:
-        # layered sources (file or directory; env < .env < yaml/json);
-        # explicit CLI flags below still win over file values
-        cfg = CrawlConfig.from_sources(*args.config)
-    else:
-        cfg = CrawlConfig(retry_delay=0.05)
+    import os
+
+    # layered sources always apply (so RAGNIFICENT_* env vars are
+    # honored with or without --config); explicit CLI flags below win
+    # over file/env values
+    cfg = CrawlConfig.from_sources(*(args.config or []))
     over = {}
+    if args.retry_delay is not None:
+        over["retry_delay"] = args.retry_delay
+    elif not args.config and "RAGNIFICENT_RETRY_DELAY" not in os.environ:
+        # historical CLI default for the zero-latency sandbox backend;
+        # applies only when nothing else set it
+        over["retry_delay"] = 0.05
     if args.world:
         over["world"] = WorldConfig(**json.loads(args.world))
     if args.seed:
@@ -146,8 +152,12 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--out", required=True)
     c.add_argument("--config", action="append",
                    help="config file or directory (repeatable; layered "
-                        "env < .env < yaml/json, dir files merged "
-                        "alphabetically)")
+                        "defaults < RAGNIFICENT_* env < sources in "
+                        "order, later overriding earlier; directories "
+                        "merge their files alphabetically)")
+    c.add_argument("--retry-delay", type=float, default=None,
+                   help="fetch retry backoff seconds (default 0.05 "
+                        "unless a config source or env sets it)")
     c.add_argument("--seed", action="append", help="seed URL (repeatable)")
     c.add_argument("--links-file")
     c.add_argument("--max-depth", type=int, default=None)

@@ -2,11 +2,14 @@
 ``core/config.py``, reduced to the knobs our Ray Data engine uses).
 
 Layered loading (reference ``core/config.py:359-631``): defaults <
-``RAGNIFICENT_*`` environment variables < ``.env`` files < yaml/json
-files, with directories expanded to their config files merged in
-alphabetical order (later files override earlier — the reference's
-``load_configs_from_directory`` contract). Unknown keys are ignored
-(the reference's pydantic models use ``extra="ignore"``)."""
+``RAGNIFICENT_*`` process environment variables < config sources in
+order — later sources override earlier ones WHATEVER their type
+(``.env`` files contribute ``RAGNIFICENT_*`` keys, yaml/json
+contribute field dicts), with directories expanded to their config
+files in alphabetical order. That is the reference's
+``load_configs_from_directory`` contract: position in the sequence,
+not file type, decides precedence. Unknown keys are ignored (the
+reference's pydantic models use ``extra="ignore"``)."""
 
 from __future__ import annotations
 
@@ -117,14 +120,15 @@ class CrawlConfig:
 
         Each source is a config file (``.json``/``.yaml``/``.yml``/
         ``.env``) or a directory of them; directories expand to their
-        config files sorted alphabetically, later files overriding
-        earlier ones. Precedence, weakest first: dataclass defaults,
-        ``RAGNIFICENT_*`` process env vars, then the sources in order
-        (``.env`` files contribute ``RAGNIFICENT_*`` keys; json/yaml
-        contribute field dicts, with ``world:`` handled as a nested
-        section). Values from env/.env are strings and coerced to the
-        field's type; json/yaml values are validated/converted.
-        ``__post_init__`` validation runs on the merged result."""
+        config files sorted alphabetically. Precedence, weakest first:
+        dataclass defaults, ``RAGNIFICENT_*`` process env vars, then
+        the sources strictly in sequence — a later source overrides an
+        earlier one regardless of type (``.env`` files contribute
+        ``RAGNIFICENT_*`` keys; json/yaml contribute field dicts, with
+        ``world:`` handled as a nested section). Values from env/.env
+        are strings and coerced to the field's type; json/yaml values
+        are validated/converted. ``__post_init__`` validation runs on
+        the merged result."""
         envmap = dict(os.environ if env is None else env)
         over: dict[str, typing.Any] = {}
         world_over: dict[str, typing.Any] = {}

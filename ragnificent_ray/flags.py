@@ -102,6 +102,11 @@ class FeatureFlagManager:
         return dict(self.flags)
 
     def reset_to_defaults(self) -> None:
+        # reference parity (core/feature_flags.py:170-173): the
+        # reference's reset also re-runs __init__, so env-var overrides
+        # are REAPPLIED and any constructor config_dict is dropped —
+        # "defaults" means "freshly constructed", not the _DEFAULTS
+        # table verbatim
         self.__init__()
 
 

@@ -172,7 +172,15 @@ def pagerank_mass(edges, nodes, *, iters: int = _ITERS,
             # outdeg + mass lookup via one sort of the bucket's nodes
             order = np.argsort(node, kind="stable")
             node_s, mass_s = node[order], mass[order]
-            pos = np.searchsorted(node_s, src)    # every src has a mass row
+            pos = np.searchsorted(node_s, src)
+            # the contract is src ⊆ nodes (every src has a mass row);
+            # a silent searchsorted miss would read a NEIGHBORING
+            # node's mass and produce plausible-but-wrong ranks, so
+            # violations must fail loudly
+            if not (np.all(pos < len(node_s))
+                    and np.array_equal(node_s[pos], src)):
+                raise ValueError(
+                    "pagerank: edge src outside the node set")
             _, inv, cnt = np.unique(src, return_inverse=True,
                                     return_counts=True)
             share = (mass_s[pos] * _DAMP_NUM) // (_DAMP_DEN * cnt[inv])
@@ -445,6 +453,14 @@ HAVING COUNT(*) >= {COVIS_MIN_SHARED}
 """
 
 
+def _orient_fwd(a: np.ndarray, b: np.ndarray,
+                deg_a: np.ndarray, deg_b: np.ndarray) -> np.ndarray:
+    """True where the edge keeps its (a → b) direction under the
+    (degree, id) total order — i.e. endpoint a is the SMALLER one, so
+    a hub's edges all point INTO it and out-degree stays ~√(2E)."""
+    return (deg_a < deg_b) | ((deg_a == deg_b) & (a < b))
+
+
 def triangle_count(sf_dir: str):
     """Exact triangle count over the co-visitation graph — the
     clustering-coefficient / community-density primitive of graph
@@ -499,11 +515,17 @@ def triangle_count(sf_dir: str):
         2, n_buckets // 16), aggregator_ray_remote_args={"num_cpus": 0.25})
 
     def orient(b: pa.Table) -> pa.Table:
+        # the FIRST join (on user_a) produced column "d" = deg(user_a),
+        # renamed "d_a" before the second join adds "d" = deg(user_b) —
+        # getting this backwards counts the same triangles (the total
+        # order is arbitrary for the count) but points every hub's
+        # edges OUT of it, restoring the quadratic wedge blow-up the
+        # orientation exists to prevent
         a = b.column("user_a").to_numpy(zero_copy_only=False)
         bb = b.column("user_b").to_numpy(zero_copy_only=False)
-        da = b.column("d").to_numpy(zero_copy_only=False)
-        dbn = b.column("d_b").to_numpy(zero_copy_only=False)
-        fwd = (da < dbn) | ((da == dbn) & (a < bb))
+        da = b.column("d_a").to_numpy(zero_copy_only=False)
+        dbn = b.column("d").to_numpy(zero_copy_only=False)
+        fwd = _orient_fwd(a, bb, da, dbn)
         u = np.where(fwd, a, bb)
         v = np.where(fwd, bb, a)
         return pa.table({
@@ -512,15 +534,15 @@ def triangle_count(sf_dir: str):
             "ub": pa.array((u % n_buckets).astype(np.int32)),
         })
 
-    def rename_db(b: pa.Table) -> pa.Table:
+    def rename_da(b: pa.Table) -> pa.Table:
         return b.rename_columns(
-            [{"d": "d_b"}.get(c, c) for c in b.column_names])
+            [{"d": "d_a"}.get(c, c) for c in b.column_names])
 
     oriented = (
         ed.select_columns(["user_a", "user_b"])
         .join(deg, "inner", on=("user_a",), right_on=("node",),
               **join_args)
-        .map_batches(rename_db, batch_format="pyarrow")
+        .map_batches(rename_da, batch_format="pyarrow")
         .join(deg, "inner", on=("user_b",), right_on=("node",),
               **join_args)
         .map_batches(orient, batch_format="pyarrow")

@@ -1074,7 +1074,12 @@ def shipping_priority(sf_dir: str):
                        "rev_e4"])
              .group_by(["l_orderkey", "o_orderdate", "o_orderpriority"])
              .aggregate([("rev_e4", "sum")]))
-        rev = g.column("rev_e4_sum").to_numpy()
+        # the cut must rank in the SAME key space as the final sort and
+        # the oracle — ROUNDED revenue, then orderkey. Cutting by exact
+        # rev_e4 would break the bucket-top-10 ⊇ global-top-10 subset
+        # property whenever distinct exact values round to a tie
+        rev = round_half_away(
+            g.column("rev_e4_sum").to_numpy() / 10000.0, 2)
         key = g.column("l_orderkey").to_numpy()
         top = np.lexsort((key, -rev))[:10]
         g = g.take(top)

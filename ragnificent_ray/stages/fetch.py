@@ -204,7 +204,12 @@ class FetchWorker:
             # runs on the pool thread, overlapping later dispatches.
             # Cache writes and politeness reports happen back on this
             # thread at collection — worker threads only touch the
-            # backend, which is stateless per request.
+            # backend, which must be stateless per request (or
+            # internally thread-safe): the synthetic backend is; a real
+            # HTTP backend must pool its connections per-thread.
+            # Resolve the backend HERE, on the dispatch thread, so pool
+            # threads never race the lazy init.
+            _ = self.backend
             futs: list[tuple[str, int, object]] = []
             for slot, domain, i in sched:
                 wait = slot - (time.monotonic() - t0)

@@ -186,3 +186,35 @@ def test_apply_merge_equals_pairwise_scan_property():
         assert got == " ".join(ref_merge(syms, left, right))
 
     check()
+
+
+def test_triangle_orientation_points_into_hubs():
+    """Degree orientation must point a star's edges INTO the hub, so
+    the hub generates ZERO wedges (out-degree bounded) — the scale
+    property the count itself can't reveal (it is orientation-
+    invariant)."""
+    from ragnificent_ray.pipelines.graph import _orient_fwd
+
+    # star: hub 0 (degree 4) vs leaves 1-4 (degree 1), edges (0, leaf)
+    a = np.zeros(4, dtype=np.int64)
+    b = np.arange(1, 5, dtype=np.int64)
+    fwd = _orient_fwd(a, b, np.full(4, 4), np.ones(4))
+    # hub is the HIGHER endpoint -> every edge flips to (leaf -> hub)
+    assert not fwd.any()
+    # ties fall back to id order
+    tie = _orient_fwd(np.array([1, 5]), np.array([2, 3]),
+                      np.array([2, 2]), np.array([2, 2]))
+    assert tie.tolist() == [True, False]
+
+
+def test_shipping_priority_bucket_cut_uses_rounded_revenue():
+    """The per-bucket top-10 must rank in the oracle's key space —
+    ROUNDED revenue — or exact-value ties that round together can push
+    the globally-ranked row out of its bucket's candidates."""
+    import inspect
+
+    from ragnificent_ray.pipelines import relational
+
+    src = inspect.getsource(relational.shipping_priority)
+    assert "round_half_away(" in src.split("def order_topk")[1] \
+        .split("np.lexsort")[0]
