@@ -969,9 +969,39 @@ def min_label_components(pairs, col_a: str, col_b: str,
 
     und = pairs.map_batches(undirect, batch_format="pyarrow").materialize()
 
+    # per-node min folds run in bounded node-hash buckets with an Arrow
+    # group_by body — Ray's native groupby("node").min() walks the |V|
+    # key space per group (the high-cardinality Aggregate trap), and it
+    # ran once per propagation round here
+    n_buckets = max(16, join_partitions * 8)
+
+    def _add_nb(t: pa.Table) -> pa.Table:
+        node = t.column("node")
+        if pa.types.is_integer(node.type):
+            nb = (node.to_numpy(zero_copy_only=False)
+                  % n_buckets).astype(np.int32)
+        else:
+            import zlib
+
+            nb = np.fromiter(
+                (zlib.crc32(s.encode()) % n_buckets
+                 for s in node.to_pylist()),
+                dtype=np.int32, count=len(t))
+        return t.append_column("nb", pa.array(nb))
+
+    def _bucket_min(src, val_col: str):
+        def fold(t: pa.Table, val_col=val_col) -> pa.Table:
+            g = (t.select(["node", val_col]).group_by("node")
+                 .aggregate([(val_col, "min")]))
+            return pa.table({"node": g.column("node"),
+                             "label": g.column(f"{val_col}_min")})
+
+        return (src.map_batches(_add_nb, batch_format="pyarrow")
+                .groupby("nb").map_groups(fold, batch_format="pyarrow"))
+
     def _fold_init(t: pa.Table) -> pa.Table:
         node = t.column("node").to_numpy(zero_copy_only=False)
-        mn = t.column("min(nbr)").to_numpy(zero_copy_only=False)
+        mn = t.column("label").to_numpy(zero_copy_only=False)
         # np.minimum is elementwise min for int64 AND object/str arrays
         return pa.table({
             "node": pa.array(node),
@@ -979,7 +1009,7 @@ def min_label_components(pairs, col_a: str, col_b: str,
         })
 
     # label[v] = min(v, direct neighbors) — init plus one free round
-    labels = (und.groupby("node").min("nbr")
+    labels = (_bucket_min(und, "nbr")
               .map_batches(_fold_init, batch_format="pyarrow")
               .materialize())
 
@@ -990,10 +1020,6 @@ def min_label_components(pairs, col_a: str, col_b: str,
     def _nbr_cand(t: pa.Table) -> pa.Table:
         return pa.table({"node": t.column("nbr"),
                          "cand": t.column("label")})
-
-    def _fold_min(t: pa.Table) -> pa.Table:
-        return pa.table({"node": t.column("node"),
-                         "label": t.column("min(cand)")})
 
     def _old(t: pa.Table) -> pa.Table:
         return pa.table({"node": t.column("node"),
@@ -1009,11 +1035,10 @@ def min_label_components(pairs, col_a: str, col_b: str,
     for _ in range(max_iters):
         msgs = (und.join(labels, "inner", on=("node",), **join_args)
                 .map_batches(_nbr_cand, batch_format="pyarrow"))
-        new_labels = (msgs.union(labels.map_batches(
-                          _as_cand, batch_format="pyarrow"))
-                      .groupby("node").min("cand")
-                      .map_batches(_fold_min, batch_format="pyarrow")
-                      .materialize())
+        new_labels = _bucket_min(
+            msgs.union(labels.map_batches(
+                _as_cand, batch_format="pyarrow")),
+            "cand").materialize()
         if convergence == "sum":
             cur = new_labels.sum("label")
             labels = new_labels
