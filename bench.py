@@ -132,6 +132,8 @@ QUERY_NAMES = [
     "pq_train_encode", "decayed_item_scores",
     "ann_ivfpq_topk", "dsir_weights", "dsir_sample", "triangle_count",
     "bpe_merges", "bpe_token_counts",
+    "customer_running_total", "late_suppliers", "idle_customer_balance",
+    "active_sessions_hourly",
 ]
 
 

@@ -1524,7 +1524,296 @@ def price_quantity_corr(sf_dir: str):
     })
 
 
+def customer_running_total(sf_dir: str):
+    """Windowed CUMULATIVE aggregate: every order carries the customer's
+    running spend to date plus its per-customer sequence number — the
+    ``SUM() OVER (PARTITION BY … ROWS UNBOUNDED PRECEDING)`` window shape
+    the surface lacked (reference has no window functions; brief §2.6).
+
+    One bounded custkey-hash bucket exchange; inside each bucket the
+    whole prefix sum is one vectorized ``groupby().cumsum`` over integer
+    cents, so the running values are exact and independent of block
+    layout (the only order that matters is the explicit
+    (o_orderdate, o_orderkey) sort). Partitioning assumption: one
+    customer's order history fits in a worker's heap."""
+    try:
+        _osz = os.path.getsize(_pq(sf_dir, "orders"))
+    except OSError:
+        _osz = 0
+    n_buckets = max(64, int(_osz // (32 << 20)) + 1)
+
+    ds = rd.read_parquet(
+        _pq(sf_dir, "orders"),
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        cents = np.rint(
+            b.column("o_totalprice").to_numpy() * 100.0).astype(np.int64)
+        k = b.column("o_custkey").to_numpy()
+        return pa.table({
+            "o_custkey": b.column("o_custkey"),
+            "o_orderkey": b.column("o_orderkey"),
+            "o_orderdate": b.column("o_orderdate"),
+            "cents": pa.array(cents, type=pa.int64()),
+            "bucket": pa.array((k % n_buckets).astype(np.int32)),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                          kind="mergesort", ignore_index=True)
+        grp = g.groupby("o_custkey", sort=False)
+        return pd.DataFrame({
+            "o_custkey": g["o_custkey"],
+            "o_orderkey": g["o_orderkey"],
+            "order_seq": (grp.cumcount().to_numpy() + 1).astype("int64"),
+            # int cents / 100.0 — bit-identical to the oracle's division
+            "running_spend": grp["cents"].cumsum().to_numpy() / 100.0,
+        })
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+_LATE_US = 90 * 86_400 * 1_000_000  # "late" = shipped >90 days after order
+
+
+def late_suppliers(sf_dir: str):
+    """TPC-H-Q21-shaped DOUBLE-CORRELATED existence test: suppliers that
+    were the ONLY late supplier in a finished multi-supplier order
+    ("late" = l_shipdate > o_orderdate + 90 days; this schema has no
+    commit/receipt dates). The classic EXISTS + NOT EXISTS pair becomes
+    per-order set logic: both fact sides co-locate in bounded
+    orderkey-hash buckets via a tagged union (one shuffle each, nothing
+    broadcast), each bucket resolves its orders with one vectorized
+    merge + groupby, and the per-supplier wait counts fold through a
+    second bounded suppkey-hash bucket exchange — the shuffle key space
+    is always the bucket count, never |orders| or |supplier|."""
+    try:
+        _lsz = os.path.getsize(_pq(sf_dir, "lineitem"))
+    except OSError:
+        _lsz = 0
+    n_buckets = max(64, int(_lsz // (32 << 20)) + 1)
+
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderdate", "o_orderstatus"])
+
+    def order_rows(b: pa.Table) -> pa.Table:
+        fin = b.filter(pc.equal(b.column("o_orderstatus"), pa.scalar("F")))
+        ok = fin.column("o_orderkey").to_numpy()
+        odate = fin.column("o_orderdate").to_numpy().astype(
+            "datetime64[us]").astype(np.int64)
+        return pa.table({
+            "ok": pa.array(ok, type=pa.int64()),
+            "sk": pa.array(np.full(len(ok), -1, dtype=np.int64)),
+            "ship_us": pa.array(odate, type=pa.int64()),  # carries odate
+            "bucket": pa.array((ok % n_buckets).astype(np.int32)),
+        })
+
+    li = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def li_rows(b: pa.Table) -> pa.Table:
+        # per-batch combiner: one row per (order, supplier) with the max
+        # ship date — "any line late" ≡ "max ship date late"
+        ship = b.column("l_shipdate").to_numpy().astype(
+            "datetime64[us]").astype(np.int64)
+        g = pa.table({
+            "ok": b.column("l_orderkey"),
+            "sk": b.column("l_suppkey"),
+            "ship_us": pa.array(ship, type=pa.int64()),
+        }).group_by(["ok", "sk"]).aggregate([("ship_us", "max")])
+        ok = g.column("ok").to_numpy()
+        return pa.table({
+            "ok": pa.array(ok, type=pa.int64()),
+            "sk": pc.cast(g.column("sk"), pa.int64()),
+            "ship_us": g.column("ship_us_max"),
+            "bucket": pa.array((ok % n_buckets).astype(np.int32)),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        od = g[g["sk"] < 0][["ok", "ship_us"]].rename(
+            columns={"ship_us": "odate_us"})
+        li_g = g[g["sk"] >= 0]
+        # inner merge drops lineitems of non-'F' orders
+        m = li_g.merge(od, on="ok", how="inner")
+        per = m.groupby(["ok", "sk"], as_index=False).agg(
+            ship=("ship_us", "max"), odate=("odate_us", "first"))
+        per["late"] = per["ship"] > per["odate"] + _LATE_US
+        stat = per.groupby("ok", as_index=False).agg(
+            nsupp=("sk", "size"), nlate=("late", "sum"))
+        j = per.merge(stat, on="ok")
+        hit = j[j["late"] & (j["nlate"] == 1) & (j["nsupp"] >= 2)]
+        out = hit.groupby("sk", as_index=False).size()
+        return pd.DataFrame({
+            "sk": out["sk"].astype("int64"),
+            "numwait": out["size"].astype("int64"),
+        })
+
+    def add_sk_bucket(b: pa.Table) -> pa.Table:
+        sk = b.column("sk").to_numpy()
+        return b.append_column(
+            "skb", pa.array((sk % 64).astype(np.int32)))
+
+    def fold_suppliers(t: pa.Table) -> pa.Table:
+        g = (t.select(["sk", "numwait"]).group_by("sk")
+             .aggregate([("numwait", "sum")]))
+        return pa.table({
+            "s_suppkey": g.column("sk"),
+            "numwait": g.column("numwait_sum"),
+        })
+
+    union = li.map_batches(
+        li_rows, batch_format="pyarrow", batch_size=65536).union(
+        orders.map_batches(order_rows, batch_format="pyarrow",
+                           batch_size=65536))
+    return (
+        union.groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .map_batches(add_sk_bucket, batch_format="pyarrow")
+        .groupby("skb")
+        .map_groups(fold_suppliers, batch_format="pyarrow")
+    )
+
+
+def idle_customer_balance(sf_dir: str):
+    """TPC-H-Q22-shaped: per market segment, the count and total balance
+    of customers whose balance beats the positive-balance average and
+    who placed NO order since 2001-01-01. The average threshold is ONE
+    tiny two-cell reduce broadcast back as an integer CROSS-PRODUCT
+    compare (bal_cents · n > sum_cents) so no float average ever decides
+    a boundary row; the no-recent-orders test is the native
+    hash-partitioned ``left_anti`` join with the orders side
+    pre-collapsed to per-batch unique custkeys (the
+    ``inactive_customers`` discipline). Nothing corpus-sized ever
+    touches the driver — the global reduce is one row per block."""
+    import datetime as _dt
+
+    P = _fact_join_partitions(sf_dir, table="orders")
+    cutoff = pa.scalar(_dt.datetime(2001, 1, 1), type=pa.timestamp("us"))
+
+    cust = rd.read_parquet(
+        _pq(sf_dir, "customer"),
+        columns=["c_custkey", "c_acctbal", "c_mktsegment"])
+
+    def bal_partial(b: pa.Table) -> pa.Table:
+        cents = np.rint(
+            b.column("c_acctbal").to_numpy() * 100.0).astype(np.int64)
+        pos = cents[cents > 0]
+        return pa.table({"s": pa.array([int(pos.sum())], type=pa.int64()),
+                         "n": pa.array([len(pos)], type=pa.int64())})
+
+    tot_s = tot_n = 0
+    for b in cust.map_batches(bal_partial, batch_format="pyarrow",
+                              batch_size=65536) \
+                 .iter_batches(batch_size=4096, batch_format="pyarrow"):
+        tot_s += sum(b.column("s").to_pylist())
+        tot_n += sum(b.column("n").to_pylist())
+
+    def above_avg(b: pa.Table) -> pa.Table:
+        cents = np.rint(
+            b.column("c_acctbal").to_numpy() * 100.0).astype(np.int64)
+        keep = cents * tot_n > tot_s
+        t = b.append_column("bal_c", pa.array(cents, type=pa.int64()))
+        return t.filter(pa.array(keep))
+
+    def active_keys(b: pa.Table) -> pa.Table:
+        recent = b.filter(
+            pc.greater_equal(b.column("o_orderdate"), cutoff))
+        return pa.table({"o_custkey": pc.unique(recent.column("o_custkey"))})
+
+    orders = rd.read_parquet(_pq(sf_dir, "orders"),
+                             columns=["o_custkey", "o_orderdate"])
+    act = orders.map_batches(active_keys, batch_format="pyarrow",
+                             batch_size=65536)
+    idle = (
+        cust.map_batches(above_avg, batch_format="pyarrow",
+                         batch_size=65536)
+        .join(act, "left_anti", num_partitions=P,
+              on=("c_custkey",), right_on=("o_custkey",),
+              aggregator_ray_remote_args={"num_cpus": 0.25})
+    )
+
+    def seg_partial(b: pa.Table) -> pa.Table:
+        g = (b.select(["c_mktsegment", "bal_c"])
+             .group_by("c_mktsegment")
+             .aggregate([("bal_c", "sum"), ("bal_c", "count")]))
+        return pa.table({
+            "c_mktsegment": g.column("c_mktsegment"),
+            "bal_c": g.column("bal_c_sum"),
+            "n": pc.cast(g.column("bal_c_count"), pa.int64()),
+        })
+
+    def seg_fold(t: pa.Table) -> pa.Table:
+        g = (t.select(["c_mktsegment", "bal_c", "n"])
+             .group_by("c_mktsegment")
+             .aggregate([("bal_c", "sum"), ("n", "sum")]))
+        return pa.table({
+            "c_mktsegment": g.column("c_mktsegment"),
+            "n_custs": g.column("n_sum"),
+            "total_bal": pc.divide(
+                pc.cast(g.column("bal_c_sum"), pa.float64()),
+                pa.scalar(100.0)),
+        })
+
+    return (
+        idle.map_batches(seg_partial, batch_format="pyarrow",
+                         batch_size=65536)
+        .groupby("c_mktsegment")
+        .map_groups(seg_fold, batch_format="pyarrow")
+    )
+
+
 ORACLE_SQL = {
+    "customer_running_total": """
+        SELECT o_custkey, o_orderkey,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_seq,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w
+                   / 100.0 AS running_spend
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS UNBOUNDED PRECEDING)
+    """,
+    "late_suppliers": """
+        WITH per AS (
+          SELECT l.l_orderkey AS ok, l.l_suppkey AS sk,
+                 MAX(l.l_shipdate) > MAX(o.o_orderdate)
+                     + INTERVAL 90 DAY AS late
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE o.o_orderstatus = 'F'
+          GROUP BY ok, sk
+        ), stat AS (
+          SELECT ok, COUNT(*) AS nsupp,
+                 SUM(CASE WHEN late THEN 1 ELSE 0 END) AS nlate
+          FROM per GROUP BY ok
+        )
+        SELECT p.sk AS s_suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM per p JOIN stat s ON p.ok = s.ok
+        WHERE p.late AND s.nlate = 1 AND s.nsupp >= 2
+        GROUP BY p.sk
+    """,
+    "idle_customer_balance": """
+        WITH t AS (
+          SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS s,
+                 COUNT(*) AS n
+          FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_custs,
+               SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0
+                   AS total_bal
+        FROM customer, t
+        WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) * t.n > t.s
+          AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+        GROUP BY c_mktsegment
+    """,
     "inactive_customers": """
         SELECT c_custkey, c_name, c_acctbal
         FROM customer c
@@ -1822,4 +2111,7 @@ QUERIES = {
     "revenue_rollup": revenue_rollup,
     "customer_order_counts": customer_order_counts,
     "distinct_users_salted": distinct_users_salted,
+    "customer_running_total": customer_running_total,
+    "late_suppliers": late_suppliers,
+    "idle_customer_balance": idle_customer_balance,
 }

@@ -469,7 +469,115 @@ def trending_items(sf_dir: str):
             .groupby("wb").map_groups(topk, batch_format="pandas"))
 
 
+def active_sessions_hourly(sf_dir: str):
+    """INTERVAL → bucket RANGE JOIN: for every clock hour, how many
+    sessions were active (session span intersects the hour). The
+    sessions come from the same 30-min-gap machinery as ``sessionize``;
+    each session then fans out one row per covered hour (vectorized
+    ``np.repeat`` + offset arange — span-bounded, no per-session Python
+    loop), pre-counts per (bucket, hour) inside the group, and the final
+    fold is a groupby over the CALENDAR-BOUNDED hour key space — the
+    same boundedness argument as ``cohort_retention``'s week matrix.
+    This is the interval-overlap shape (concurrent-usage counting) that
+    a generic engine needs a range join for; here the co-location is by
+    user for sessionization and by hour for the count, one bounded
+    exchange each."""
+    n_buckets = _bucket_count(sf_dir, ("events",))
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_id"])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        bucket = b.column("user_id").to_numpy() % n_buckets
+        return b.append_column(
+            "bucket", pa.array(bucket.astype(np.int32)))
+
+    _HOUR_US = 3_600_000_000
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort", ignore_index=True)
+        ts_us = _ts_us(g["ts"])
+        uid = g["user_id"].to_numpy()
+        new_user = np.empty(len(g), dtype=bool)
+        new_user[0] = True
+        np.not_equal(uid[1:], uid[:-1], out=new_user[1:])
+        gap = np.empty(len(g), dtype=bool)
+        gap[0] = True
+        gap[1:] = (ts_us[1:] - ts_us[:-1]) > _SESSION_GAP_US
+        is_new = new_user | gap
+        # session spans via sorted-run endpoints (ts is sorted per user)
+        starts = ts_us[is_new]
+        end_idx = np.append(np.where(is_new)[0][1:] - 1, len(g) - 1)
+        ends = ts_us[end_idx]
+        h0 = starts // _HOUR_US
+        h1 = ends // _HOUR_US
+        counts = (h1 - h0 + 1).astype(np.int64)
+        base = np.repeat(h0, counts)
+        step = np.arange(counts.sum(), dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts)
+        hours = base + step
+        out = pd.DataFrame({"hour": hours}).groupby(
+            "hour", as_index=False).size()
+        return pd.DataFrame({
+            "hour": out["hour"].astype("int64"),
+            "n": out["size"].astype("int64"),
+        })
+
+    def fold_hours(t: pa.Table) -> pa.Table:
+        g = t.select(["hour", "n"]).group_by("hour").aggregate(
+            [("n", "sum")])
+        hr_us = g.column("hour").to_numpy() * _HOUR_US
+        window_start = pd.to_datetime(hr_us, unit="us").strftime(
+            "%Y-%m-%d %H:%M:%S")
+        return pa.table({
+            "window_start": pa.array(np.asarray(window_start)),
+            "n_active": g.column("n_sum"),
+        })
+
+    def add_hour_bucket(b: pa.Table) -> pa.Table:
+        h = b.column("hour").to_numpy()
+        return b.append_column(
+            "hb", pa.array((h % 64).astype(np.int32)))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .map_batches(add_hour_bucket, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(fold_hours, batch_format="pyarrow")
+    )
+
+
 ORACLE_SQL = {
+    "active_sessions_hourly": """
+        WITH lagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                      OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                         > 1800000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+          SELECT user_id, ts,
+                 SUM(is_new) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_no
+          FROM lagged
+        ), s AS (
+          SELECT user_id, session_no, MIN(ts) AS st, MAX(ts) AS en
+          FROM numbered GROUP BY user_id, session_no
+        ), h AS (
+          SELECT unnest(generate_series(date_trunc('hour', st),
+                                        date_trunc('hour', en),
+                                        INTERVAL 1 HOUR)) AS hr
+          FROM s
+        )
+        SELECT strftime(hr, '%Y-%m-%d %H:%M:%S') AS window_start,
+               CAST(COUNT(*) AS BIGINT) AS n_active
+        FROM h GROUP BY hr
+    """,
     "cohort_retention": """
         WITH uw AS (
           SELECT DISTINCT user_id,
@@ -657,4 +765,5 @@ QUERIES = {
     "user_rolling_avg": user_rolling_avg,
     "events_funnel": events_funnel,
     "trending_items": trending_items,
+    "active_sessions_hourly": active_sessions_hourly,
 }
