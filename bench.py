@@ -133,7 +133,8 @@ QUERY_NAMES = [
     "ann_ivfpq_topk", "dsir_weights", "dsir_sample", "triangle_count",
     "bpe_merges", "bpe_token_counts",
     "customer_running_total", "late_suppliers", "idle_customer_balance",
-    "active_sessions_hourly",
+    "active_sessions_hourly", "reservoir_sample", "orders_pivot",
+    "rolling_active_users",
 ]
 
 

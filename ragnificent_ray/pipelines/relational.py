@@ -1768,7 +1768,68 @@ def idle_customer_balance(sf_dir: str):
     )
 
 
+_PIVOT_YEARS = tuple(range(1995, 2002))  # orders span 1995-2001
+
+
+def orders_pivot(sf_dir: str):
+    """PIVOT / wide-aggregate: one row per order priority with one
+    revenue column per order year — the long→wide reshape every BI
+    export needs. Per-batch Arrow ``group_by`` collapses to at most
+    |priorities|×|years| cells (a combiner), the cells fold in one tiny
+    groupby, and each priority group emits its wide row. Integer-cent
+    sums keep every cell bit-exact vs the oracle's conditional
+    aggregation. The column set is CALENDAR-BOUNDED (fixed year range),
+    so the wide schema is a constant — the reshape never depends on the
+    data."""
+    ds = rd.read_parquet(
+        _pq(sf_dir, "orders"),
+        columns=["o_orderpriority", "o_orderdate", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.rint(
+            b.column("o_totalprice").to_numpy() * 100.0).astype(np.int64)
+        yr = b.column("o_orderdate").to_numpy().astype(
+            "datetime64[Y]").astype(np.int64) + 1970
+        g = pa.table({
+            "o_orderpriority": b.column("o_orderpriority"),
+            "yr": pa.array(yr, type=pa.int64()),
+            "rev_c": pa.array(cents, type=pa.int64()),
+        }).group_by(["o_orderpriority", "yr"]).aggregate(
+            [("rev_c", "sum")])
+        return pa.table({
+            "o_orderpriority": g.column("o_orderpriority"),
+            "yr": g.column("yr"),
+            "rev_c": g.column("rev_c_sum"),
+        })
+
+    def widen(g: pd.DataFrame) -> pd.DataFrame:
+        cells = g.groupby("yr")["rev_c"].sum()
+        row = {"o_orderpriority": g["o_orderpriority"].iloc[0]}
+        for y in _PIVOT_YEARS:
+            row[f"rev_{y}"] = float(cells.get(y, 0)) / 100.0
+        return pd.DataFrame([row])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("o_orderpriority")
+        .map_groups(widen, batch_format="pandas")
+    )
+
+
+def _orders_pivot_sql() -> str:
+    cols = ",\n               ".join(
+        f"COALESCE(SUM(CASE WHEN year(o_orderdate) = {y} "
+        f"THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END), 0) / 100.0 "
+        f"AS rev_{y}" for y in _PIVOT_YEARS)
+    return f"""
+        SELECT o_orderpriority,
+               {cols}
+        FROM orders GROUP BY o_orderpriority
+    """
+
+
 ORACLE_SQL = {
+    "orders_pivot": _orders_pivot_sql(),
     "customer_running_total": """
         SELECT o_custkey, o_orderkey,
                CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_seq,
@@ -2114,4 +2175,5 @@ QUERIES = {
     "customer_running_total": customer_running_total,
     "late_suppliers": late_suppliers,
     "idle_customer_balance": idle_customer_balance,
+    "orders_pivot": orders_pivot,
 }

@@ -322,7 +322,52 @@ def _rate_case_sql() -> str:
     return f"CASE lang {whens} ELSE {_DEFAULT_RATE} END"
 
 
+_RESERVOIR_K = 200
+
+
+def reservoir_sample(sf_dir: str):
+    """Deterministic distributed RESERVOIR sample: a uniform-looking
+    fixed-size-k sample of the corpus as the k global minima of a
+    content-stable md5 priority — the classic hash-priority equivalence
+    (min-wise sampling): ordering by a uniform hash IS a random
+    permutation, but one that is reproducible across runs, retries and
+    cluster layouts, and exactly SQL-expressible for the oracle.
+
+    Scale shape: every block reduces to its own k smallest priorities
+    (a combiner — O(k) rows out per block regardless of block size),
+    then one tiny single-group merge takes the global k. No shuffle of
+    corpus-sized data, no driver-side pass, no randomness."""
+    import pandas as pd
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "source", "lang"])
+
+    def partial_kmin(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["rank_md5"] = [md5_hex(str(d)) for d in df["doc_id"]]
+        df = df.sort_values(["rank_md5", "doc_id"], kind="mergesort")
+        df = df.head(_RESERVOIR_K)
+        df["g"] = 0
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final_kmin(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["rank_md5", "doc_id"], kind="mergesort")
+        return g.head(_RESERVOIR_K)[["doc_id", "source", "lang"]]
+
+    return (
+        ds.map_batches(partial_kmin, batch_format="pyarrow",
+                       batch_size=8192)
+        .groupby("g")
+        .map_groups(final_kmin, batch_format="pandas")
+    )
+
+
 ORACLE_SQL = {
+    "reservoir_sample": f"""
+        SELECT doc_id, source, lang FROM documents
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        LIMIT {_RESERVOIR_K}
+    """,
     "mix_sample": f"""
         WITH c AS (
           SELECT source, COUNT(*) AS cnt,
@@ -369,4 +414,5 @@ QUERIES = {
     "per_source_cap": per_source_cap,
     "dsir_weights": dsir_weights,
     "dsir_sample": dsir_sample,
+    "reservoir_sample": reservoir_sample,
 }

@@ -549,7 +549,85 @@ def active_sessions_hourly(sf_dir: str):
     )
 
 
+_ROLLING_DAYS = 7
+
+
+def rolling_active_users(sf_dir: str):
+    """SLIDING-WINDOW DISTINCT: for each day, how many distinct users
+    were active in the trailing 7 days — the DAU/WAU-style holistic
+    rolling metric that no combiner can fold (distinct is not
+    summable). The scale shape: (day, user) pairs co-locate ONCE in
+    bounded user-hash buckets; inside a bucket each user's distinct
+    active days fan out to the ≤7 target days they fall into
+    (vectorized repeat/arange), are de-duplicated per (user, target) —
+    still inside the bucket, since the user is fixed — and leave as
+    per-(bucket, day) pre-counts. The final fold groups over the
+    CALENDAR-BOUNDED day key space. Output days are exactly those with
+    a nonempty trailing window, so no max-date clamp pass is needed."""
+    n_buckets = _bucket_count(sf_dir, ("events",))
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "ts"])
+
+    def day_user(b: pa.Table) -> pa.Table:
+        # per-batch distinct (day, user) combiner
+        day = _ts_us(b.column("ts").to_pandas()) // 86_400_000_000
+        t = pa.table({
+            "user_id": b.column("user_id"),
+            "day": pa.array(day, type=pa.int64()),
+        }).group_by(["user_id", "day"]).aggregate([])
+        uid = t.column("user_id").to_numpy()
+        return t.append_column(
+            "bucket", pa.array((uid % n_buckets).astype(np.int32)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        pairs = g[["user_id", "day"]].drop_duplicates()
+        uid = np.repeat(pairs["user_id"].to_numpy(), _ROLLING_DAYS)
+        tgt = np.repeat(pairs["day"].to_numpy(), _ROLLING_DAYS) + np.tile(
+            np.arange(_ROLLING_DAYS, dtype=np.int64), len(pairs))
+        fan = pd.DataFrame({"user_id": uid, "day": tgt}).drop_duplicates()
+        out = fan.groupby("day", as_index=False).size()
+        return pd.DataFrame({"day": out["day"].astype("int64"),
+                             "n": out["size"].astype("int64")})
+
+    def fold_days(t: pa.Table) -> pa.Table:
+        g = t.select(["day", "n"]).group_by("day").aggregate([("n", "sum")])
+        day_s = pd.to_datetime(
+            g.column("day").to_numpy() * 86_400, unit="s").strftime(
+            "%Y-%m-%d")
+        return pa.table({
+            "day": pa.array(np.asarray(day_s)),
+            "n_active_7d": g.column("n_sum"),
+        })
+
+    def add_day_bucket(b: pa.Table) -> pa.Table:
+        d = b.column("day").to_numpy()
+        return b.append_column(
+            "db", pa.array((d % 64).astype(np.int32)))
+
+    return (
+        ds.map_batches(day_user, batch_format="pyarrow", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .map_batches(add_day_bucket, batch_format="pyarrow")
+        .groupby("db")
+        .map_groups(fold_days, batch_format="pyarrow")
+    )
+
+
 ORACLE_SQL = {
+    "rolling_active_users": f"""
+        WITH du AS (
+          SELECT DISTINCT user_id,
+                 CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+          FROM events
+        ), fan AS (
+          SELECT DISTINCT du.user_id, du.day + r.range AS d
+          FROM du, range(0, {_ROLLING_DAYS}) r
+        )
+        SELECT strftime(to_timestamp(d * 86400), '%Y-%m-%d') AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_active_7d
+        FROM fan GROUP BY d
+    """,
     "active_sessions_hourly": """
         WITH lagged AS (
           SELECT user_id, ts, event_id,
@@ -766,4 +844,5 @@ QUERIES = {
     "events_funnel": events_funnel,
     "trending_items": trending_items,
     "active_sessions_hourly": active_sessions_hourly,
+    "rolling_active_users": rolling_active_users,
 }
