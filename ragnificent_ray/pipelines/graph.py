@@ -802,7 +802,231 @@ _JACCARD_SQL = """
 """
 
 
+# ------------------------------------------------- label propagation
+
+_LPA_ITERS = 3
+
+
+def lpa_communities(sf_dir: str, iters: int = _LPA_ITERS):
+    """Community detection by synchronous LABEL PROPAGATION over the
+    undirected click-transition graph — the FIFTH value-checked
+    distributed iterative algorithm (after PageRank, k-means, min-label
+    components, BPE). Classic LPA breaks ties randomly; here the update
+    is the deterministic argmax (neighbor-label count DESC, then label
+    ASC), isolated nodes keep their label, and labels start as node
+    ids — so the whole recurrence is a pure function of the input and
+    the DuckDB oracle replays it as one unrolled CTE chain.
+
+    Scale shape mirrors ``pagerank_mass``: edges are bucketed ONCE by
+    ``src % B`` and unioned into every fused step; each step gathers
+    the incoming label VOTES for the nodes it owns (pre-summed per
+    (node, label) before they ship — one row per distinct pair, never
+    per edge), resolves the argmax vectorized, and immediately
+    re-scatters the new labels along its co-located edges. One bounded
+    exchange per iteration, one lazy DAG, nothing corpus-sized on the
+    driver."""
+    n_buckets = _bucket_count(sf_dir, ("events",))
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_id", "props"],
+                         override_num_blocks=_read_blocks(sf_dir, "events"))
+
+    def add_k_bucket(b: pa.Table) -> pa.Table:
+        k = _props_k(b.column("props"))
+        bucket = pc.cast(
+            b.column("user_id").to_numpy() % n_buckets, pa.int32())
+        return pa.table({"user_id": b.column("user_id"),
+                         "ts": b.column("ts"),
+                         "event_id": b.column("event_id"),
+                         "k": k, "bucket": bucket})
+
+    def pairs_and_nodes(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort", ignore_index=True)
+        uid = g["user_id"].to_numpy()
+        k = g["k"].to_numpy()
+        same = uid[1:] == uid[:-1]
+        a, b = k[:-1][same], k[1:][same]
+        keep = a != b
+        lo = np.minimum(a[keep], b[keep])       # undirected orientation
+        hi = np.maximum(a[keep], b[keep])
+        edges = pd.DataFrame({"src": lo, "dst": hi,
+                              "tag": np.int8(1)}).drop_duplicates(
+                                  ignore_index=True)
+        nodes = pd.DataFrame({"src": np.unique(k), "dst": np.int64(-1),
+                              "tag": np.int8(0)})
+        out = pd.concat([edges, nodes], ignore_index=True)
+        out["ebucket"] = ((out["src"].to_numpy() * np.int64(2654435761)
+                           + out["dst"].to_numpy()) % n_buckets
+                          ).astype(np.int32)
+        return out
+
+    def distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["src", "dst", "tag"],
+                                 ignore_index=True)[["src", "dst", "tag"]]
+
+    tagged = (ds.map_batches(add_k_bucket, batch_format="pyarrow")
+              .groupby("bucket").map_groups(pairs_and_nodes,
+                                            batch_format="pandas")
+              .groupby("ebucket").map_groups(distinct,
+                                             batch_format="pandas")
+              .materialize())
+
+    def _as_edges(t: pa.Table) -> pa.Table:
+        # both orientations: every neighbor votes on every endpoint
+        m = t.filter(pc.equal(t.column("tag"), 1))
+        src = m.column("src").to_numpy(zero_copy_only=False)
+        dst = m.column("dst").to_numpy(zero_copy_only=False)
+        s = np.concatenate([src, dst])
+        d = np.concatenate([dst, src])
+        n = len(s)
+        return pa.table({
+            "b": pa.array((s % n_buckets).astype(np.int32)),
+            "node": pa.nulls(n, type=pa.int64()),
+            "lbl": pa.nulls(n, type=pa.int64()),
+            "cnt": pa.nulls(n, type=pa.int64()),
+            "src": pa.array(s, type=pa.int64()),
+            "edst": pa.array(d, type=pa.int64()),
+        })
+
+    def _init(t: pa.Table) -> pa.Table:
+        m = t.filter(pc.equal(t.column("tag"), 0))
+        node = m.column("src").to_numpy(zero_copy_only=False)
+        n = len(node)
+        return pa.table({
+            "b": pa.array((node % n_buckets).astype(np.int32)),
+            "node": pa.array(node, type=pa.int64()),
+            "lbl": pa.array(node, type=pa.int64()),
+            "cnt": pa.array(np.zeros(n, dtype=np.int64)),
+            "src": pa.nulls(n, type=pa.int64()),
+            "edst": pa.nulls(n, type=pa.int64()),
+        })
+
+    def _step(t: pa.Table) -> pa.Table:
+        state = t.filter(pc.is_null(t.column("src")))
+        keeps = state.filter(pc.equal(state.column("cnt"), 0))
+        votes = state.filter(pc.greater(state.column("cnt"), 0))
+        node_k = keeps.column("node").to_numpy(zero_copy_only=False)
+        new_lbl = keeps.column("lbl").to_numpy(zero_copy_only=False).copy()
+        order_k = np.argsort(node_k, kind="stable")
+        node_s = node_k[order_k]
+        if votes.num_rows:
+            g = (pa.table({"node": votes.column("node"),
+                           "lbl": votes.column("lbl"),
+                           "c": votes.column("cnt")})
+                 .group_by(["node", "lbl"]).aggregate([("c", "sum")]))
+            vn = g.column("node").to_numpy(zero_copy_only=False)
+            vl = g.column("lbl").to_numpy(zero_copy_only=False)
+            vc = g.column("c_sum").to_numpy(zero_copy_only=False)
+            # argmax per node: count DESC, then label ASC
+            order = np.lexsort((vl, -vc, vn))
+            vn_s, vl_s = vn[order], vl[order]
+            first = np.ones(len(vn_s), dtype=bool)
+            first[1:] = vn_s[1:] != vn_s[:-1]
+            win_n, win_l = vn_s[first], vl_s[first]
+            pos = np.searchsorted(node_s, win_n)
+            # votes only target owned nodes; a miss means the bucket
+            # routing broke — fail loudly, not with a neighbor's label
+            if not (np.all(pos < len(node_s))
+                    and np.array_equal(node_s[pos], win_n)):
+                raise ValueError("lpa: vote target outside the node set")
+            new_lbl[order_k[pos]] = win_l
+        out = [pa.table({
+            "b": pa.array((node_k % n_buckets).astype(np.int32)),
+            "node": pa.array(node_k, type=pa.int64()),
+            "lbl": pa.array(new_lbl, type=pa.int64()),
+            "cnt": pa.array(np.zeros(len(node_k), dtype=np.int64)),
+            "src": pa.nulls(len(node_k), type=pa.int64()),
+            "edst": pa.nulls(len(node_k), type=pa.int64()),
+        })]
+        e = t.filter(pc.is_valid(t.column("src")))
+        if e.num_rows:
+            src = e.column("src").to_numpy(zero_copy_only=False)
+            edst = e.column("edst").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(node_s, src)
+            if not (np.all(pos < len(node_s))
+                    and np.array_equal(node_s[pos], src)):
+                raise ValueError("lpa: edge src outside the node set")
+            src_lbl = new_lbl[order_k[pos]]
+            g = (pa.table({"node": pa.array(edst, type=pa.int64()),
+                           "lbl": pa.array(src_lbl, type=pa.int64()),
+                           "c": pa.array(np.ones(len(edst),
+                                                 dtype=np.int64))})
+                 .group_by(["node", "lbl"]).aggregate([("c", "sum")]))
+            vn = g.column("node").to_numpy(zero_copy_only=False)
+            n = len(vn)
+            out.append(pa.table({
+                "b": pa.array((vn % n_buckets).astype(np.int32)),
+                "node": g.column("node"),
+                "lbl": g.column("lbl"),
+                "cnt": g.column("c_sum"),
+                "src": pa.nulls(n, type=pa.int64()),
+                "edst": pa.nulls(n, type=pa.int64()),
+            }))
+        return pa.concat_tables(out)
+
+    def _final(t: pa.Table) -> pa.Table:
+        keeps = t.filter(
+            pc.and_(pc.is_null(t.column("src")),
+                    pc.equal(t.column("cnt"), 0)))
+        return pa.table({"item": keeps.column("node"),
+                         "community": keeps.column("lbl")})
+
+    ed = tagged.map_batches(_as_edges, batch_format="pyarrow")
+    state = tagged.map_batches(_init, batch_format="pyarrow")
+    # iters+1 fused steps: the first is the bootstrap scatter (no votes
+    # in flight yet, labels stay l0), each later step applies update i
+    for _ in range(iters + 1):
+        state = (ed.union(state)
+                 .groupby("b").map_groups(_step, batch_format="pyarrow"))
+    return state.groupby("b").map_groups(_final, batch_format="pyarrow")
+
+
+def _lpa_sql(iters: int = _LPA_ITERS) -> str:
+    rounds = []
+    for i in range(1, iters + 1):
+        rounds.append(f"""v{i} AS (
+  SELECT e.dst AS node, l.lbl, CAST(COUNT(*) AS BIGINT) AS c
+  FROM edges e JOIN l{i - 1} l ON l.node = e.src
+  GROUP BY e.dst, l.lbl
+), w{i} AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY c DESC, lbl) AS rn
+    FROM v{i}) WHERE rn = 1
+), l{i} AS (
+  SELECT n.node, COALESCE(w.lbl, p.lbl) AS lbl
+  FROM nodes n
+  JOIN l{i - 1} p ON p.node = n.node
+  LEFT JOIN w{i} w ON w.node = n.node
+)""")
+    return f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k
+  FROM events
+), pr AS (
+  SELECT k AS a,
+         LEAD(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b
+  FROM ev
+), ue AS (
+  SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+  FROM pr WHERE b IS NOT NULL AND a <> b
+), edges AS (
+  SELECT u AS src, v AS dst FROM ue
+  UNION ALL
+  SELECT v AS src, u AS dst FROM ue
+), nodes AS (
+  SELECT DISTINCT k AS node FROM ev
+), l0 AS (
+  SELECT node, node AS lbl FROM nodes
+), {', '.join(rounds)}
+SELECT node AS item, lbl AS community FROM l{iters}
+"""
+
+
 ORACLE_SQL = {
+    "lpa_communities": _lpa_sql(),
     "pagerank_clicks": _pagerank_sql(),
     "covisitation_pairs": _covis_sql(),
     "event_type_jaccard": _JACCARD_SQL,
@@ -811,6 +1035,7 @@ ORACLE_SQL = {
 }
 
 QUERIES = {
+    "lpa_communities": lpa_communities,
     "pagerank_clicks": pagerank_clicks,
     "covisitation_pairs": covisitation_pairs,
     "event_type_jaccard": event_type_jaccard,

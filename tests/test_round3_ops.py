@@ -218,3 +218,44 @@ def test_shipping_priority_bucket_cut_uses_rounded_revenue():
     src = inspect.getsource(relational.shipping_priority)
     assert "round_half_away(" in src.split("def order_topk")[1] \
         .split("np.lexsort")[0]
+
+
+def test_lpa_matches_independent_python_replay(ray_session):
+    """Third-party check for label propagation: an independent
+    single-process replay (dict-of-lists adjacency, Counter votes)
+    must reproduce the distributed result exactly — so the Ray fold
+    and the SQL window oracle can't share a hidden bug."""
+    from collections import Counter
+
+    from ragnificent_ray.pipelines.graph import _LPA_ITERS, lpa_communities
+
+    got = lpa_communities(SF).to_pandas().set_index("item")[
+        "community"].to_dict()
+
+    rows = _con().execute("""
+        SELECT user_id, ts, event_id,
+               CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k
+        FROM events ORDER BY user_id, ts, event_id
+    """).fetchall()
+    adj: dict[int, set[int]] = {}
+    nodes: set[int] = set()
+    prev_user = prev_k = None
+    for uid, _, _, k in rows:
+        nodes.add(k)
+        if uid == prev_user and prev_k is not None and prev_k != k:
+            adj.setdefault(prev_k, set()).add(k)
+            adj.setdefault(k, set()).add(prev_k)
+        prev_user, prev_k = uid, k
+    lbl = {n: n for n in nodes}
+    for _ in range(_LPA_ITERS):
+        nxt = {}
+        for n in nodes:
+            votes = Counter(lbl[m] for m in adj.get(n, ()))
+            if votes:
+                # deterministic argmax: count DESC, then label ASC
+                nxt[n] = min(votes, key=lambda c: (-votes[c], c))
+            else:
+                nxt[n] = lbl[n]
+        lbl = nxt
+
+    assert got == lbl
