@@ -134,7 +134,7 @@ QUERY_NAMES = [
     "bpe_merges", "bpe_token_counts",
     "customer_running_total", "late_suppliers", "idle_customer_balance",
     "active_sessions_hourly", "reservoir_sample", "orders_pivot",
-    "rolling_active_users", "lpa_communities",
+    "rolling_active_users", "lpa_communities", "keyword_topk",
 ]
 
 

@@ -1044,7 +1044,114 @@ def quality_rank(sf_dir: str):
             .map_groups(rank_group, batch_format="pandas"))
 
 
+def keyword_topk(sf_dir: str):
+    """Per-document KEYWORD EXTRACTION: the top-3 tokens by tf-idf —
+    the RAG/indexing summarization staple. No vocabulary broadcast at
+    any scale: document-frequency partials and per-doc term counts ride
+    the SAME token-hash bucket exchange (one distinct (doc, token) row
+    and one (token, df-partial) row per block), each bucket folds its
+    tokens' df and hash-joins it onto its tf rows, then a second
+    bounded doc-hash exchange cuts each document's top-3 vectorized
+    (score DESC, token ASC — deterministic, and the score itself is
+    bit-identical to the oracle's ``tf * LN(N/df)``)."""
+    from collections import Counter
+
+    from ..functions.hashing import stable_hash64
+
+    n_buckets = 64
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+    # total document count: metadata-only, no data pass
+    n_docs = rd.read_parquet(_pq(sf_dir, "documents"),
+                             columns=["doc_id"]).count()
+
+    def tf_and_df_rows(batch: pa.Table) -> pa.Table:
+        out_d, out_t, out_tf = [], [], []
+        dfp: Counter = Counter()
+        for did, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            c = Counter(text.strip().split())
+            for tok, n in c.items():
+                out_d.append(did)
+                out_t.append(tok)
+                out_tf.append(n)
+            dfp.update(c.keys())
+        # df partials share the stream: doc_id -1, tf = per-block df
+        out_d.extend(-1 for _ in dfp)
+        out_t.extend(dfp.keys())
+        out_tf.extend(dfp.values())
+        return pa.table({
+            "doc_id": pa.array(out_d, type=pa.int64()),
+            "token": pa.array(out_t, type=pa.string()),
+            "tf": pa.array(out_tf, type=pa.int64()),
+            "bucket": pa.array(
+                [stable_hash64(t) % n_buckets for t in out_t],
+                type=pa.int32()),
+        })
+
+    def join_df(g: "pd.DataFrame") -> "pd.DataFrame":
+        dfp = g[g["doc_id"] < 0].groupby("token", as_index=False)[
+            "tf"].sum().rename(columns={"tf": "df"})
+        tf = g[g["doc_id"] >= 0]
+        m = tf.merge(dfp, on="token")
+        out = m[["doc_id", "token", "tf", "df"]].copy()
+        out["db"] = (out["doc_id"].to_numpy() % 64).astype(np.int32)
+        return out
+
+    def topk(g: "pd.DataFrame") -> "pd.DataFrame":
+        score = g["tf"].to_numpy() * np.log(
+            n_docs / g["df"].to_numpy().astype(np.float64))
+        g = g.assign(score=score)
+        g = g.sort_values(["doc_id", "score", "token"],
+                          ascending=[True, False, True],
+                          kind="mergesort", ignore_index=True)
+        top = g.groupby("doc_id", sort=False).head(3).copy()
+        top["kw_rank"] = (top.groupby("doc_id", sort=False).cumcount()
+                          .to_numpy() + 1).astype("int64")
+        top["score"] = round_half_away(top["score"].to_numpy(), 6)
+        top["df"] = top["df"].astype("int64")
+        return top[["doc_id", "kw_rank", "token", "tf", "df", "score"]]
+
+    return (
+        ds.map_batches(tf_and_df_rows, batch_format="pyarrow",
+                       batch_size=8192)
+        .groupby("bucket")
+        .map_groups(join_df, batch_format="pandas")
+        .groupby("db")
+        .map_groups(topk, batch_format="pandas")
+        .map_batches(lambda b: b.drop_columns(
+            [c for c in ("bucket", "db") if c in b.column_names]),
+            batch_format="pyarrow")
+    )
+
+
+_KEYWORD_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE token <> '' GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+    ), n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+    ), sc AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             tf.tf * LN(CAST(n.n AS DOUBLE) / df.df) AS score
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, CAST(rn AS BIGINT) AS kw_rank, token, tf, df,
+           ROUND(score, 6) AS score
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, token) AS rn
+          FROM sc)
+    WHERE rn <= 3
+"""
+
+
 ORACLE_SQL = {
+    "keyword_topk": _KEYWORD_SQL,
     "fingerprints": r"""
         WITH t AS (
             SELECT doc_id,
@@ -1383,4 +1490,5 @@ QUERIES = {
     "quality_rank": quality_rank,
     "source_mixture": source_mixture,
     "lang_confusion": lang_confusion,
+    "keyword_topk": keyword_topk,
 }
