@@ -136,6 +136,22 @@ def _image_resize(sf_dir: str):
     ).select_columns(["image_id", "fmt", "thumb", "thumb_h", "thumb_w"])
 
 
+def _image_aspect_buckets(sf_dir: str):
+    """Aspect-ratio bucket assignment over the harvest images — the
+    multi-resolution training-batch grouping (NovelAI/SDXL bucketing).
+    Pure metadata math on (w, h); bytes never leave the scan. Rows-only
+    check (binary-backed table); ladder/assignment semantics are pinned
+    in ``tests/test_multimodal.py``."""
+    import ray.data as rd
+
+    from ragnificent_ray.stages.multimodal import AspectBucketStage
+
+    harvest = _crawl_harvest(sf_dir)
+    return rd.from_arrow(harvest.select(["image_id", "w", "h"])) \
+        .map_batches(AspectBucketStage, batch_format="pyarrow",
+                     batch_size=4096, concurrency=2)
+
+
 def _image_feature_ann(sf_dir: str):
     """Image-to-image similarity search over the crawl harvest: exact
     cosine top-5 of every query image against the whole image corpus.
@@ -821,6 +837,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_domain_stats": _crawl_domain_stats,
         "crawl_pagerank": _crawl_pagerank,
         "image_decode_stats": _image_decode_stats,
+        "image_aspect_buckets": _image_aspect_buckets,
         "image_resize": _image_resize,
         "image_feature_ann": _image_feature_ann,
         "image_quality_scores": _image_quality_scores,

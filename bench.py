@@ -135,6 +135,7 @@ QUERY_NAMES = [
     "customer_running_total", "late_suppliers", "idle_customer_balance",
     "active_sessions_hourly", "reservoir_sample", "orders_pivot",
     "rolling_active_users", "lpa_communities", "keyword_topk",
+    "markov_transitions", "balanced_sample",
 ]
 
 

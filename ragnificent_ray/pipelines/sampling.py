@@ -362,7 +362,136 @@ def reservoir_sample(sf_dir: str):
     )
 
 
+def balanced_sample(sf_dir: str):
+    """Class-BALANCED downsample: keep exactly ``m`` documents per
+    language, where ``m`` is the minority class's count — the "balance
+    to the rarest class" curation move for classifier / eval-set
+    construction. Selection within a class is by deterministic md5
+    order (tiebreak ``doc_id``), the same reproducible-permutation
+    idiom as :func:`per_source_cap`, and exactly
+    ``ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5, doc_id) <= m``.
+
+    Scale shape: ``m`` here is data-dependent and corpus-scale
+    (≈ n/|langs|), so the fixed-K combiner of :func:`per_source_cap`
+    would move (and hold per group) m rows — instead the per-class cut
+    pair (the m-th smallest (md5, doc_id)) is found by TWO-level
+    histogram selection, the Munro-Paterson shape of
+    ``textstats.quality_percentile_filter``: level 1 histograms the
+    first 3 md5 hex digits (4096 cells × |langs| rows total after a
+    bounded-bucket fold), level 2 re-histograms ONLY each class's
+    boundary cell on the next 4 digits, so the rows that reach the
+    driver are corpus/(4096·65536) per class. The keep pass is then a
+    pure per-batch filter against |langs| broadcast cut pairs. Four
+    2-column scans, no sort, no corpus-sized group anywhere."""
+    import numpy as np
+    import pandas as pd
+
+    cols = ["doc_id", "lang"]
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=cols)
+
+    def hist_rows(cell_of, flt=None):
+        def fn(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df["h"] = [md5_hex(str(d)) for d in df["doc_id"]]
+            if flt is not None:
+                df = df[flt(df)]
+            if not len(df):
+                return pa.table({"lang": pa.array([], type=pa.string()),
+                                 "cell": pa.array([], type=pa.int64()),
+                                 "cnt": pa.array([], type=pa.int64()),
+                                 "bucket": pa.array([], type=pa.int32())})
+            df["cell"] = cell_of(df["h"])
+            out = df.groupby(["lang", "cell"], as_index=False).size()
+            out = out.rename(columns={"size": "cnt"})
+            out["cnt"] = out["cnt"].astype("int64")
+            out["bucket"] = (out["cell"] % 64).astype("int32")
+            return pa.Table.from_pandas(out, preserve_index=False)
+        return fn
+
+    def fold_hist(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["lang", "cell"], as_index=False)["cnt"].sum()
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    def folded_hist(cell_of, flt=None) -> pd.DataFrame:
+        return (ds.map_batches(hist_rows(cell_of, flt),
+                               batch_format="pyarrow", batch_size=8192)
+                .groupby("bucket")
+                .map_groups(fold_hist, batch_format="pandas")
+                .to_pandas())
+
+    def cut_cell(h1: pd.DataFrame, ranks: dict) -> dict:
+        """Per lang: (boundary cell, rows strictly below it)."""
+        cuts = {}
+        for lang, sub in h1.groupby("lang"):
+            sub = sub.sort_values("cell")
+            cum = sub["cnt"].cumsum().to_numpy()
+            j = ranks[lang]
+            i = int(np.searchsorted(cum, j, side="right"))
+            below = int(cum[i - 1]) if i else 0
+            cuts[lang] = (int(sub["cell"].to_numpy()[i]), below)
+        return cuts
+
+    # level 1: 4096-cell histogram; class counts ride it for free
+    h1 = folded_hist(lambda h: [int(x[:3], 16) for x in h])
+    m = int(h1.groupby("lang")["cnt"].sum().min())
+    ranks = {lang: m - 1 for lang in h1["lang"].unique()}  # 0-based
+    c1 = cut_cell(h1, ranks)
+
+    # level 2: 65536 subcells, only inside each class's boundary cell
+    def in_b1(df: pd.DataFrame) -> "pd.Series":
+        cells = [int(x[:3], 16) for x in df["h"]]
+        return pd.Series(
+            [c1[lg][0] == c for lg, c in zip(df["lang"], cells)],
+            index=df.index)
+
+    h2 = folded_hist(lambda h: [int(x[3:7], 16) for x in h], in_b1)
+    ranks2 = {lang: ranks[lang] - c1[lang][1] for lang in ranks}
+    c2 = cut_cell(h2, ranks2)
+
+    # exact cut pair from the boundary subcell (corpus/(4096·65536) rows)
+    def in_b2(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["h"] = [md5_hex(str(d)) for d in df["doc_id"]]
+        keep = [c1[lg][0] == int(h[:3], 16)
+                and c2[lg][0] == int(h[3:7], 16)
+                for lg, h in zip(df["lang"], df["h"])]
+        return pa.Table.from_pandas(df[keep], preserve_index=False)
+
+    edge = (ds.map_batches(in_b2, batch_format="pyarrow",
+                           batch_size=8192).to_pandas())
+    cut_pair = {}
+    for lang, sub in edge.groupby("lang"):
+        sub = sub.sort_values(["h", "doc_id"], kind="mergesort",
+                              ignore_index=True)
+        # rows below the subcell within the class, then index inside it
+        k = ranks2[lang] - c2[lang][1]
+        cut_pair[lang] = (sub["h"].iloc[k], int(sub["doc_id"].iloc[k]))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        mask = []
+        for d, lg in zip(ids, langs):
+            h = md5_hex(str(d))
+            ch, cd = cut_pair[lg]
+            mask.append(h < ch or (h == ch and d <= cd))
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow", batch_size=8192)
+
+
 ORACLE_SQL = {
+    "balanced_sample": """
+        WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents
+                   GROUP BY lang),
+             m AS (SELECT MIN(cnt) AS m FROM c)
+        SELECT doc_id, lang FROM documents CROSS JOIN m
+        QUALIFY row_number() OVER (
+            PARTITION BY lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        ) <= m.m
+    """,
     "reservoir_sample": f"""
         SELECT doc_id, source, lang FROM documents
         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
@@ -415,4 +544,5 @@ QUERIES = {
     "dsir_weights": dsir_weights,
     "dsir_sample": dsir_sample,
     "reservoir_sample": reservoir_sample,
+    "balanced_sample": balanced_sample,
 }

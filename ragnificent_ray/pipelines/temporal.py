@@ -614,7 +614,82 @@ def rolling_active_users(sf_dir: str):
     )
 
 
+# ------------------------------------------------- Markov transition matrix
+
+def markov_transitions(sf_dir: str):
+    """First-order Markov transition matrix over each user's event
+    stream: for every (event_type → next event_type) pair, the count
+    and the conditional probability P(next | current). The classic
+    click-path model behind "users who view then add-to-cart convert
+    at p" product analytics; the reference has no sequence operator —
+    this extends the brief's windowed-aggregate family.
+
+    Scale shape: one bounded user-bucket exchange (same discipline as
+    :func:`sessionize`) orders each user's events; adjacent pairs fold
+    to per-bucket counts inside the group (vectorized shift + pandas
+    groupby), so the second exchange moves at most |types|² rows per
+    bucket. The final fold groups by the BOUNDED current-type key and
+    computes the row-conditional probabilities inside the group —
+    nothing corpus-sized leaves the stream."""
+    n_buckets = _bucket_count(sf_dir, ("events",))
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        bucket = b.column("user_id").to_numpy() % n_buckets
+        return b.append_column(
+            "bucket", pa.array(bucket.astype(np.int32)))
+
+    def pair_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort", ignore_index=True)
+        cur = g["event_type"].to_numpy()
+        nxt = np.roll(cur, -1)
+        same_user = np.empty(len(g), dtype=bool)
+        uid = g["user_id"].to_numpy()
+        same_user[:-1] = uid[1:] == uid[:-1]
+        same_user[-1] = False
+        out = pd.DataFrame({"event_type": cur[same_user],
+                            "next_type": nxt[same_user]})
+        return out.groupby(["event_type", "next_type"],
+                           as_index=False).size().rename(
+            columns={"size": "cnt"})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["event_type", "next_type"],
+                        as_index=False)["cnt"].sum()
+        tot = int(out["cnt"].sum())
+        out["cnt"] = out["cnt"].astype("int64")
+        out["prob"] = round_half_away(
+            out["cnt"].to_numpy() / float(tot), 6)
+        return out
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow",
+                       batch_size=65536)
+        .groupby("bucket")
+        .map_groups(pair_counts, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
 ORACLE_SQL = {
+    "markov_transitions": """
+        WITH seq AS (
+          SELECT event_type,
+                 LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS next_type
+          FROM events
+        )
+        SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+               ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (
+                     PARTITION BY event_type), 6) AS prob
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    """,
     "rolling_active_users": f"""
         WITH du AS (
           SELECT DISTINCT user_id,
@@ -845,4 +920,5 @@ QUERIES = {
     "trending_items": trending_items,
     "active_sessions_hourly": active_sessions_hourly,
     "rolling_active_users": rolling_active_users,
+    "markov_transitions": markov_transitions,
 }

@@ -410,3 +410,61 @@ class VideoFrameSampleStage:
             "frame_idx": pa.array(out_frame, type=pa.int32()),
             "frame_hash": pa.array(out_hash, type=pa.int64()),
         })
+
+
+# ------------------------------------------------ aspect-ratio bucketing
+
+def aspect_bucket_ladder(budget: int = 1024 * 1024, step: int = 64,
+                         max_ar: float = 4.0) -> list[tuple[int, int]]:
+    """The SDXL-style resolution ladder: every (w, h) with both sides a
+    multiple of ``step``, h the LARGEST such multiple with w·h ≤
+    ``budget``, and aspect ratio within [1/max_ar, max_ar]. Sorted by
+    (w, h) so ladder order — and therefore tie-breaks — is
+    deterministic. ~40 entries at the defaults; a module-sized
+    constant, never a broadcast."""
+    out = []
+    w = step
+    while w * step <= budget:
+        h = (budget // w) // step * step
+        if h >= step:
+            ar = w / h
+            if 1.0 / max_ar <= ar <= max_ar:
+                out.append((w, h))
+        w += step
+    return sorted(set(out))
+
+
+class AspectBucketStage:
+    """(w, h) metadata → training aspect-ratio bucket assignment.
+
+    Multi-resolution diffusion training groups images into fixed
+    resolution buckets of roughly equal pixel count so a batch can be
+    stacked without destructive square-cropping (NovelAI bucketing /
+    SDXL §2.3, public). Each image goes to the ladder entry nearest in
+    log-aspect (tie: first in (w, h) ladder order). Pure vectorized
+    metadata math over the ladder matrix — no decode, no state beyond
+    the precomputed ladder; at 100 TB this is a streaming per-batch
+    map of two int32 columns."""
+
+    def __init__(self, budget: int = 1024 * 1024, step: int = 64,
+                 w_col: str = "w", h_col: str = "h"):
+        ladder = aspect_bucket_ladder(budget=budget, step=step)
+        self._bw = np.array([b[0] for b in ladder], dtype=np.int32)
+        self._bh = np.array([b[1] for b in ladder], dtype=np.int32)
+        self._blog = np.log(self._bw / self._bh)
+        self.w_col, self.h_col = w_col, h_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w = batch.column(self.w_col).to_numpy().astype(np.float64)
+        h = batch.column(self.h_col).to_numpy().astype(np.float64)
+        la = np.log(w / h)
+        # |log ar - log bucket ar| over the ~40-entry ladder; argmin
+        # takes the FIRST minimum = (w, h) ladder order tie-break
+        d = np.abs(la[:, None] - self._blog[None, :])
+        idx = np.argmin(d, axis=1)
+        out = {name: batch.column(name) for name in batch.column_names
+               if name != "bytes"}
+        out["bucket_id"] = pa.array(idx.astype(np.int32))
+        out["bucket_w"] = pa.array(self._bw[idx])
+        out["bucket_h"] = pa.array(self._bh[idx])
+        return pa.table(out)

@@ -1,0 +1,125 @@
+"""Session-3 operators: semantic pins beyond the SQL parity gate.
+
+``markov_transitions`` and ``balanced_sample`` are value-checked against
+DuckDB by the parity suite; these tests pin the properties the SQL
+equivalence alone can't show (row-stochasticity, exact class balance,
+and the aspect-bucket ladder/assignment invariants — the latter has no
+SQL view at all since its production input is the binary harvest
+table).
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_markov_rows_are_conditional_distributions(ray_session):
+    """Per current event type the probs must form a distribution
+    (sum to 1 within the 6-decimal rounding) and counts must tally
+    to n_events - n_users_with_events (every non-final event emits
+    exactly one transition)."""
+    import duckdb
+
+    from ragnificent_ray.pipelines.temporal import markov_transitions
+
+    df = markov_transitions(SF).to_pandas()
+    assert (df["cnt"] > 0).all()
+    sums = df.groupby("event_type")["prob"].sum()
+    # each row rounds to 6 decimals; |types| rows per distribution
+    assert (np.abs(sums - 1.0) < 1e-4).all()
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    n_events, n_users = con.execute(
+        "SELECT COUNT(*), COUNT(DISTINCT user_id) FROM events"
+    ).fetchone()
+    assert int(df["cnt"].sum()) == n_events - n_users
+
+
+def test_balanced_sample_equalizes_class_counts(ray_session):
+    """Every language must come back with EXACTLY the minority class's
+    count — the operator's whole contract."""
+    import duckdb
+
+    from ragnificent_ray.pipelines.sampling import balanced_sample
+
+    df = balanced_sample(SF).to_pandas()
+    counts = df.groupby("lang").size()
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute(
+        "SELECT lang, COUNT(*) FROM documents GROUP BY lang"
+    ).fetchall()
+    m = min(c for _, c in want)
+    assert set(counts.index) == {lang for lang, _ in want}
+    assert (counts == m).all()
+
+
+def test_aspect_bucket_ladder_invariants():
+    """Every ladder entry: sides multiples of step, pixel count within
+    budget but maximal for its width, aspect within [1/4, 4], and the
+    ladder is deduped + sorted (the tie-break order)."""
+    from ragnificent_ray.stages.multimodal import aspect_bucket_ladder
+
+    budget, step = 1024 * 1024, 64
+    ladder = aspect_bucket_ladder(budget=budget, step=step)
+    assert ladder == sorted(set(ladder))
+    for w, h in ladder:
+        assert w % step == 0 and h % step == 0
+        assert w * h <= budget          # fits the pixel budget
+        assert w * (h + step) > budget  # h is maximal for this width
+        assert 0.25 <= w / h <= 4.0
+    # the canonical square bucket exists
+    assert (1024, 1024) in ladder
+
+
+def test_aspect_bucket_assignment_is_nearest_log_aspect():
+    """Brute-force check: the chosen bucket minimizes
+    |log(ar) - log(bucket ar)|, ties to the first ladder entry."""
+    from ragnificent_ray.stages.multimodal import (AspectBucketStage,
+                                                   aspect_bucket_ladder)
+
+    stage = AspectBucketStage()
+    ladder = aspect_bucket_ladder()
+    rng = np.random.RandomState(7)
+    ws = rng.randint(32, 4096, size=200).astype(np.int32)
+    hs = rng.randint(32, 4096, size=200).astype(np.int32)
+    out = stage(pa.table({
+        "image_id": pa.array([f"i{k}" for k in range(200)]),
+        "w": pa.array(ws), "h": pa.array(hs),
+    }))
+    got = list(zip(out.column("bucket_w").to_pylist(),
+                   out.column("bucket_h").to_pylist()))
+    blog = np.log([w / h for w, h in ladder])
+    for k in range(200):
+        d = np.abs(np.log(ws[k] / hs[k]) - blog)
+        assert got[k] == ladder[int(np.argmin(d))]
+    # bytes column must be dropped if present (metadata-only output)
+    out2 = stage(pa.table({
+        "image_id": pa.array(["a"]), "bytes": pa.array([b"x"]),
+        "w": pa.array([640], type=pa.int32()),
+        "h": pa.array([480], type=pa.int32()),
+    }))
+    assert "bytes" not in out2.column_names
+
+
+def test_image_aspect_buckets_query_runs(ray_session):
+    """The queries() entry: every harvest image gets a bucket, bucket
+    dims come from the ladder, and the assignment is deterministic
+    across two runs."""
+    import __ray_entry__ as entry
+
+    from ragnificent_ray.stages.multimodal import aspect_bucket_ladder
+
+    fn = entry.queries()["image_aspect_buckets"]
+    a = fn(SF).to_pandas().sort_values("image_id", ignore_index=True)
+    assert len(a) > 0
+    ladder = set(aspect_bucket_ladder())
+    assert set(zip(a["bucket_w"], a["bucket_h"])) <= ladder
+    b = fn(SF).to_pandas().sort_values("image_id", ignore_index=True)
+    assert a.equals(b)
