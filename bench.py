@@ -136,6 +136,9 @@ QUERY_NAMES = [
     "active_sessions_hourly", "reservoir_sample", "orders_pivot",
     "rolling_active_users", "lpa_communities", "keyword_topk",
     "markov_transitions", "balanced_sample",
+    "order_priority_exists", "trade_volume", "important_parts",
+    "order_count_distribution", "top_supplier", "small_quantity_revenue",
+    "large_orders",
 ]
 
 
