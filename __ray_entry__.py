@@ -1303,6 +1303,14 @@ def oracle_sql() -> dict[str, str]:
     out["minhash_lsh_pairs"] = _minhash_lsh_sql()
     out["dedup_clusters"] = _dedup_clusters_sql()
     out["dedup_keep"] = _dedup_keep_sql()
+    out["dedup_cluster_sizes"] = f"""
+    WITH lab AS ({_dedup_clusters_sql()}),
+         c AS (SELECT component, COUNT(*) AS size FROM lab
+               GROUP BY component)
+    SELECT CAST(size AS BIGINT) AS size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM c GROUP BY size
+    """
     out["ann_lsh_topk"] = _ann_lsh_sql()
     out["ann_lsh_recall"] = _ann_lsh_recall_sql()
     out["embedding_neardup_lsh"] = _emb_lsh_sql()

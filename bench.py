@@ -138,7 +138,8 @@ QUERY_NAMES = [
     "markov_transitions", "balanced_sample",
     "order_priority_exists", "trade_volume", "important_parts",
     "order_count_distribution", "top_supplier", "small_quantity_revenue",
-    "large_orders",
+    "large_orders", "session_duration_stats", "doc_length_histogram",
+    "dedup_cluster_sizes",
 ]
 
 

@@ -1135,6 +1135,48 @@ def dedup_keep(sf_dir: str):
             .map_groups(fold, batch_format="pandas"))
 
 
+def dedup_cluster_sizes(sf_dir: str):
+    """Near-dup CLUSTER-SIZE distribution — the dedup audit view
+    (how much of the corpus sits in 2-doc vs N-doc duplicate groups):
+    (cluster size, number of clusters) over :func:`dedup_clusters`.
+    Component labels are corpus-scale keys, so per-component sizes fold
+    in bounded label-hash buckets (Arrow ``group_by`` body); the final
+    count-of-counts folds the bounded size key space. Nothing
+    corpus-sized reaches the driver."""
+    from ray.data.aggregate import Sum
+
+    n_buckets = _bucket_count(sf_dir)
+    labels = dedup_clusters(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.table({
+            "component": b.column("component"),
+            "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+        }).group_by("component").aggregate([("n", "sum")])
+        key = g.column("component").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "component": g.column("component"),
+            "n": g.column("n_sum"),
+            "kb": pa.array((key % n_buckets).astype(np.int32)),
+        })
+
+    def size_rows(g: pa.Table) -> pa.Table:
+        f = (g.group_by("component").aggregate([("n", "sum")])
+             .group_by("n_sum").aggregate([("component", "count")]))
+        return pa.table({
+            "size": f.column("n_sum"),
+            "n_clusters": pc.cast(f.column("component_count"),
+                                  pa.int64()),
+        })
+
+    return (labels.map_batches(partial, batch_format="pyarrow",
+                               batch_size=65536)
+            .groupby("kb")
+            .map_groups(size_rows, batch_format="pyarrow")
+            .groupby("size")
+            .aggregate(Sum("n_clusters", alias_name="n_clusters")))
+
+
 # ------------------------------------------------- phash near-dup (images)
 
 def phash_neardup_pairs(ds, max_hamming: int = 8,
@@ -1426,6 +1468,7 @@ QUERIES = {
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "dedup_clusters": dedup_clusters,
     "dedup_keep": dedup_keep,
+    "dedup_cluster_sizes": dedup_cluster_sizes,
     "duplicate_ngram_fraction": duplicate_ngram_fraction,
     "dup_spans": dup_spans,
     "simhash64": simhash64,

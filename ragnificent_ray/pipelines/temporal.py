@@ -614,6 +614,57 @@ def rolling_active_users(sf_dir: str):
     )
 
 
+# --------------------------------------------------- session-level rollup
+
+def session_duration_stats(sf_dir: str):
+    """Session-LENGTH distribution — the rollup OVER the sessionize
+    output: sessions grouped by whole-minute duration (capped at 240 so
+    the key space is bounded even with pathological always-on users),
+    with session count and mean events per session. Composition shape:
+    the sessionize exchange already happened; this adds only per-batch
+    cell combiners plus one ≤241-key fold. Durations compare in exact
+    integer seconds (both engines truncate session bounds to seconds),
+    so bucket membership can't flip on a float boundary."""
+    from ray.data.aggregate import Sum
+
+    sessions = sessionize(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        start = pd.to_datetime(
+            b.column("session_start").to_pylist()).asi8 // 1_000_000_000
+        end = pd.to_datetime(
+            b.column("session_end").to_pylist()).asi8 // 1_000_000_000
+        dur_min = np.minimum((end - start) // 60, 240).astype(np.int64)
+        g = pa.table({
+            "duration_min": pa.array(dur_min, type=pa.int64()),
+            "n_sessions": pa.array(np.ones(len(dur_min), dtype=np.int64)),
+            "events": b.column("n_events"),
+        }).group_by("duration_min").aggregate([
+            ("n_sessions", "sum"), ("events", "sum")])
+        return pa.table({
+            "duration_min": g.column("duration_min"),
+            "n_sessions": g.column("n_sessions_sum"),
+            "events": g.column("events_sum"),
+        })
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n_sessions").to_numpy()
+        ev = b.column("events").to_numpy()
+        return pa.table({
+            "duration_min": b.column("duration_min"),
+            "n_sessions": b.column("n_sessions"),
+            "avg_events": pa.array(round_half_away(
+                ev / n, 4), type=pa.float64()),
+        })
+
+    return (sessions.map_batches(partial, batch_format="pyarrow",
+                                 batch_size=65536)
+            .groupby("duration_min")
+            .aggregate(Sum("n_sessions", alias_name="n_sessions"),
+                       Sum("events", alias_name="events"))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
 # ------------------------------------------------- Markov transition matrix
 
 def markov_transitions(sf_dir: str):
@@ -676,6 +727,33 @@ def markov_transitions(sf_dir: str):
 
 
 ORACLE_SQL = {
+    "session_duration_stats": """
+        WITH lagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                      OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+          SELECT user_id, ts,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_no
+          FROM lagged
+        ), sess AS (
+          -- epoch_us is BIGINT so // is true integer division (epoch
+          -- returns DOUBLE, where // degenerates to /)
+          SELECT LEAST((epoch_us(date_trunc('second', MAX(ts)))
+                        - epoch_us(date_trunc('second', MIN(ts))))
+                       // 60000000, 240) AS duration_min,
+                 COUNT(*) AS n_events
+          FROM numbered GROUP BY user_id, session_no
+        )
+        SELECT CAST(duration_min AS BIGINT) AS duration_min,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               ROUND(SUM(n_events) * 1.0 / COUNT(*), 4) AS avg_events
+        FROM sess GROUP BY duration_min
+    """,
     "markov_transitions": """
         WITH seq AS (
           SELECT event_type,
@@ -921,4 +999,5 @@ QUERIES = {
     "active_sessions_hourly": active_sessions_hourly,
     "rolling_active_users": rolling_active_users,
     "markov_transitions": markov_transitions,
+    "session_duration_stats": session_duration_stats,
 }

@@ -160,6 +160,52 @@ def fingerprints(sf_dir: str):
     return ds.map_batches(fp, batch_format="pyarrow", batch_size=8192)
 
 
+def doc_length_histogram(sf_dir: str):
+    """Corpus length profile: documents bucketed by the DECIMAL DIGIT
+    COUNT of their character length (1=1–9 chars, 2=10–99, …) with
+    count and mean length per bucket — the analysis view behind
+    min/max-length curation cuts. Digit count is integer-exact in both
+    engines (``len(str(n))`` ≡ ``LENGTH(CAST(n AS VARCHAR))``), unlike
+    a float ``log10`` boundary. Pure metadata scan (``n_chars`` column
+    only — text bytes never leave storage) + one ≤20-key fold."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        n = b.column("n_chars").to_numpy()
+        digits = np.char.str_len(n.astype("U20")).astype(np.int64)
+        g = pa.table({
+            "digits": pa.array(digits, type=pa.int64()),
+            "n_docs": pa.array(np.ones(len(n), dtype=np.int64)),
+            "chars": pa.array(n, type=pa.int64()),
+        }).group_by("digits").aggregate([
+            ("n_docs", "sum"), ("chars", "sum")])
+        return pa.table({
+            "digits": g.column("digits"),
+            "n_docs": g.column("n_docs_sum"),
+            "chars": g.column("chars_sum"),
+        })
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n_docs").to_numpy()
+        c = b.column("chars").to_numpy()
+        return pa.table({
+            "digits": b.column("digits"),
+            "n_docs": b.column("n_docs"),
+            "avg_chars": pa.array(round_half_away(c / n, 4),
+                                  type=pa.float64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("digits")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("chars", alias_name="chars"))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
 def normalize_text(sf_dir: str):
     """Text normalization pass: whitespace squeeze + consecutive
     duplicate-token removal (the classic "word word word" cleanup that
@@ -1204,6 +1250,12 @@ ORACLE_SQL = {
         SELECT lang, guessed_lang, COUNT(*) AS n
         FROM g GROUP BY lang, guessed_lang
     """,
+    "doc_length_histogram": """
+        SELECT CAST(LENGTH(CAST(n_chars AS VARCHAR)) AS BIGINT) AS digits,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(SUM(n_chars) * 1.0 / COUNT(*), 4) AS avg_chars
+        FROM documents GROUP BY digits
+    """,
     "token_stats": """
         SELECT doc_id,
                len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
@@ -1471,6 +1523,7 @@ ORACLE_SQL["quality_percentile_filter"] = f"""
 
 QUERIES = {
     "token_stats": token_stats,
+    "doc_length_histogram": doc_length_histogram,
     "quality_scores": quality_scores,
     "lang_id": lang_id,
     "token_count_bpeish": token_count_bpeish,
