@@ -134,7 +134,7 @@ QUERY_NAMES = [
     "bpe_merges", "bpe_token_counts",
     "customer_running_total", "late_suppliers", "idle_customer_balance",
     "active_sessions_hourly", "reservoir_sample", "orders_pivot",
-    "rolling_active_users", "lpa_communities", "keyword_topk",
+    "rolling_active_users", "lpa_communities", "keyword_topk", "props_numeric_agg",
     "markov_transitions", "balanced_sample",
     "order_priority_exists", "trade_volume", "important_parts",
     "order_count_distribution", "top_supplier", "small_quantity_revenue",

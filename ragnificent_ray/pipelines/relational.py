@@ -1387,6 +1387,63 @@ def customer_order_counts(sf_dir: str):
     )
 
 
+# ----------------------------------------------- semi-structured extraction
+
+def props_numeric_agg(sf_dir: str):
+    """Semi-structured field extraction + aggregate: pull the numeric
+    ``k`` out of the JSON ``props`` payload and aggregate it per event
+    type — the log-analytics shape (every web-scale event stream
+    carries a JSON blob column). Extraction is ``pc.extract_regex``
+    over the zero-copy Arrow column (no per-row json.loads loop, no
+    pandas conversion); rows that don't parse are dropped identically
+    on both sides. Sums stay int64-exact; only the mean is rounded."""
+    from ray.data.aggregate import Max, Sum
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_type", "props"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b.column("props"),
+                             pattern=r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        ok = pc.is_valid(k)
+        g = pa.table({
+            "event_type": pc.filter(b.column("event_type"), ok),
+            "n_events": pa.array(
+                np.ones(int(pc.sum(pc.cast(ok, pa.int8())).as_py() or 0),
+                        dtype=np.int64)),
+            "sum_k": pc.filter(k, ok),
+            "max_k": pc.filter(k, ok),
+        }).group_by("event_type").aggregate([
+            ("n_events", "sum"), ("sum_k", "sum"), ("max_k", "max")])
+        return pa.table({
+            "event_type": g.column("event_type"),
+            "n_events": g.column("n_events_sum"),
+            "sum_k": g.column("sum_k_sum"),
+            "max_k": g.column("max_k_max"),
+        })
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n_events").to_numpy()
+        s = b.column("sum_k").to_numpy()
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "n_events": b.column("n_events"),
+            "sum_k": b.column("sum_k"),
+            "avg_k": pa.array(round_half_away(s / n, 4),
+                              type=pa.float64()),
+            "max_k": b.column("max_k"),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("event_type")
+            .aggregate(Sum("n_events", alias_name="n_events"),
+                       Sum("sum_k", alias_name="sum_k"),
+                       Max("max_k", alias_name="max_k"))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
 # -------------------------------------------------------------- rollup
 
 def revenue_rollup(sf_dir: str):
@@ -1829,6 +1886,19 @@ def _orders_pivot_sql() -> str:
 
 
 ORACLE_SQL = {
+    "props_numeric_agg": r"""
+        WITH x AS (
+          SELECT event_type,
+                 CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+          FROM events
+          WHERE regexp_matches(props, '"k": (\d+)')
+        )
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(k) AS BIGINT) AS sum_k,
+               ROUND(SUM(k) * 1.0 / COUNT(*), 4) AS avg_k,
+               MAX(k) AS max_k
+        FROM x GROUP BY event_type
+    """,
     "orders_pivot": _orders_pivot_sql(),
     "customer_running_total": """
         SELECT o_custkey, o_orderkey,
@@ -2150,6 +2220,7 @@ ORACLE_SQL = {
 
 QUERIES = {
     "lineitem_agg": lineitem_agg,
+    "props_numeric_agg": props_numeric_agg,
     "top_orders": top_orders,
     "segment_revenue": segment_revenue,
     "events_hourly": events_hourly,
