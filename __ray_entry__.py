@@ -152,6 +152,143 @@ def _image_aspect_buckets(sf_dir: str):
                      batch_size=4096, concurrency=2)
 
 
+def _image_shard_pack(sf_dir: str):
+    """Byte-budget training-shard assignment over the harvest images —
+    the webdataset-prep step between dedup/filtering and shard
+    writing: every image gets (shard_id, start_byte) so a writer can
+    emit ~64 KiB shards (sandbox-sized; production would use ~1 GiB)
+    without any sequential scan. Distributed prefix sum via
+    ``packing.byte_shard_pack``; the domain prefix of the image id is
+    the contiguous-range bucket. Rows-only (binary-backed input);
+    budget/monotonicity/determinism pinned in
+    ``tests/test_round3c_ops.py``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ragnificent_ray.pipelines.packing import byte_shard_pack
+
+    harvest = _crawl_harvest(sf_dir)
+
+    def narrow(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "image_id": b.column("image_id"),
+            "nbytes": pc.cast(pc.binary_length(b.column("bytes")),
+                              pa.int64()),
+            # image ids are 'img-DDDD-PPPP-II': the domain prefix
+            # partitions the lexicographic id order into contiguous
+            # ranges (the byte_shard_pack bucket contract)
+            "bucket": pc.utf8_slice_codeunits(b.column("image_id"), 0, 8),
+        })
+
+    ds = rd.from_arrow(harvest.select(["image_id", "bytes"])) \
+        .map_batches(narrow, batch_format="pyarrow", batch_size=4096)
+    return byte_shard_pack(ds, "image_id", "nbytes", "bucket",
+                           shard_bytes=64 << 10)
+
+
+def _caption_template_dedup(sf_dir: str):
+    """Boilerplate-caption dedup — the LAION-style alt-text cleanup:
+    captions normalize by dropping the per-image id prefix and
+    lowercasing; images sharing a normalized caption TEMPLATE collapse
+    to (template hash, n_images, keeper). The exact-dedup shape
+    (bounded hash-bucket group-first) applied to the caption side of
+    the image+caption table. Rows-only; semantics pinned in
+    ``tests/test_round3c_ops.py``."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ragnificent_ray.functions.hashing import md5_hex
+
+    harvest = _crawl_harvest(sf_dir)
+    n_buckets = 64
+    _prefix = re.compile(r"^caption img-\d{4}-\d{4}-\d{2}:\s*")
+
+    def norm(b: pa.Table) -> pa.Table:
+        caps = b.column("caption").to_pylist()
+        tmpl = [_prefix.sub("", c or "").strip().lower() for c in caps]
+        h = [md5_hex(t) for t in tmpl]
+        return pa.table({
+            "image_id": b.column("image_id"),
+            "template_hash": pa.array(h, type=pa.string()),
+            "bucket": pa.array(
+                np.array([int(x[:4], 16) % n_buckets for x in h],
+                         dtype=np.int32)),
+        })
+
+    def first_wins(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["template_hash", "image_id"],
+                          kind="mergesort", ignore_index=True)
+        agg = g.groupby("template_hash", sort=True).agg(
+            n_images=("image_id", "size"),
+            keeper=("image_id", "first"),
+        ).reset_index()
+        agg["n_images"] = agg["n_images"].astype("int64")
+        return agg[["template_hash", "n_images", "keeper"]]
+
+    return (rd.from_arrow(harvest.select(["image_id", "caption"]))
+            .map_batches(norm, batch_format="pyarrow", batch_size=4096)
+            .groupby("bucket")
+            .map_groups(first_wins, batch_format="pandas"))
+
+
+def _aspect_bucket_stats(sf_dir: str):
+    """Rollup over the aspect-bucket assignment: images + mean
+    megapixels per training bucket — the batch-planner's sizing view.
+    Composes ``image_aspect_buckets`` with one bounded fold (the
+    ladder is ~40 entries). Rows-only; pinned with the assignment
+    tests."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ragnificent_ray.functions.numeric import round_half_away
+    from ray.data.aggregate import Sum
+
+    assigned = _image_aspect_buckets(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        w = b.column("w").to_numpy().astype(np.int64)
+        h = b.column("h").to_numpy().astype(np.int64)
+        g = pa.table({
+            "bucket_id": b.column("bucket_id"),
+            "bucket_w": b.column("bucket_w"),
+            "bucket_h": b.column("bucket_h"),
+            "n_images": pa.array(np.ones(len(w), dtype=np.int64)),
+            "pixels": pa.array(w * h, type=pa.int64()),
+        }).group_by(["bucket_id", "bucket_w", "bucket_h"]).aggregate([
+            ("n_images", "sum"), ("pixels", "sum")])
+        return pa.table({
+            "bucket_id": g.column("bucket_id"),
+            "bucket_w": g.column("bucket_w"),
+            "bucket_h": g.column("bucket_h"),
+            "n_images": g.column("n_images_sum"),
+            "pixels": g.column("pixels_sum"),
+        })
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n_images").to_numpy()
+        px = b.column("pixels").to_numpy()
+        return pa.table({
+            "bucket_id": b.column("bucket_id"),
+            "bucket_w": b.column("bucket_w"),
+            "bucket_h": b.column("bucket_h"),
+            "n_images": b.column("n_images"),
+            "avg_megapixels": pa.array(round_half_away(
+                px / n / 1e6, 4), type=pa.float64()),
+        })
+
+    return (assigned.map_batches(partial, batch_format="pyarrow",
+                                 batch_size=65536)
+            .groupby(["bucket_id", "bucket_w", "bucket_h"])
+            .aggregate(Sum("n_images", alias_name="n_images"),
+                       Sum("pixels", alias_name="pixels"))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
 def _image_feature_ann(sf_dir: str):
     """Image-to-image similarity search over the crawl harvest: exact
     cosine top-5 of every query image against the whole image corpus.
@@ -838,6 +975,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_pagerank": _crawl_pagerank,
         "image_decode_stats": _image_decode_stats,
         "image_aspect_buckets": _image_aspect_buckets,
+        "image_shard_pack": _image_shard_pack,
+        "caption_template_dedup": _caption_template_dedup,
+        "aspect_bucket_stats": _aspect_bucket_stats,
         "image_resize": _image_resize,
         "image_feature_ann": _image_feature_ann,
         "image_quality_scores": _image_quality_scores,

@@ -179,6 +179,44 @@ def packed_sequences(sf_dir: str, seq_len: int = SEQ_LEN):
             .map_groups(assemble, batch_format="pandas"))
 
 
+def byte_shard_pack(ds, id_col: str, nbytes_col: str, bucket_col: str,
+                    shard_bytes: int):
+    """Generic byte-budget shard assignment — the webdataset-style
+    "pack these blobs into ~N-byte training shards" step, as the same
+    distributed prefix sum as :func:`sequence_pack` but over BYTE
+    sizes: ``shard_id = exclusive_prefix_bytes // shard_bytes``.
+
+    A blob never splits, so a shard's actual size is ≤ shard_bytes
+    plus one blob — the standard size-estimate sharding semantics, and
+    (unlike greedy first-fit, which is inherently sequential) a pure
+    prefix sum that parallelizes and is deterministic across cluster
+    layouts. ``bucket_col`` must partition the ``id_col`` sort order
+    into contiguous ranges (e.g. the domain prefix of an image id);
+    one subtotal row per bucket reaches the driver, the offsets map
+    broadcasts once."""
+    subtotals = ds.select_columns([bucket_col, nbytes_col]) \
+        .groupby(bucket_col).sum(nbytes_col).to_pandas()
+    subtotals = subtotals.sort_values(bucket_col).reset_index(drop=True)
+    tot = subtotals[f"sum({nbytes_col})"].to_numpy(dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(tot)[:-1]))
+    start_ref = ray.put(dict(zip(subtotals[bucket_col].tolist(),
+                                 starts.tolist())))
+
+    def place(g: pd.DataFrame) -> pd.DataFrame:
+        base = ray.get(start_ref)[g[bucket_col].iloc[0]]
+        g = g.sort_values(id_col).reset_index(drop=True)
+        n = g[nbytes_col].to_numpy(dtype=np.int64)
+        start = base + np.concatenate(([0], np.cumsum(n)[:-1]))
+        return pd.DataFrame({
+            id_col: g[id_col],
+            "nbytes": n,
+            "start_byte": start,
+            "shard_id": (start // shard_bytes).astype(np.int64),
+        })
+
+    return ds.groupby(bucket_col).map_groups(place, batch_format="pandas")
+
+
 ORACLE_SQL = {
     "packed_sequences": f"""
         WITH c AS (

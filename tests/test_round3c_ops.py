@@ -1,0 +1,110 @@
+"""Pins for the image-axis rows-only ops added in session 3c:
+byte-budget shard packing, caption-template dedup, and the
+aspect-bucket rollup. These compose crawl-backed binary inputs, so no
+SQL oracle can exist — each test pins the semantic contract plus
+determinism across runs.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+SHARD_BYTES = 64 << 10
+
+
+@pytest.fixture(scope="module")
+def entry():
+    import __ray_entry__ as e
+    return e
+
+
+def test_image_shard_pack_contract(ray_session, entry):
+    df = entry.queries()["image_shard_pack"](SF).to_pandas() \
+        .sort_values("image_id", ignore_index=True)
+    harvest = entry._crawl_harvest(SF)
+    assert len(df) == harvest.num_rows
+
+    # placement is the exclusive prefix sum of byte sizes in global
+    # image_id order
+    n = df["nbytes"].to_numpy(dtype=np.int64)
+    want_start = np.concatenate(([0], np.cumsum(n)[:-1]))
+    assert (df["start_byte"].to_numpy() == want_start).all()
+    assert (df["shard_id"].to_numpy() == want_start // SHARD_BYTES).all()
+
+    # shard ids are monotone in id order; actual shard size is bounded
+    # by budget + one blob (a blob never splits)
+    assert (np.diff(df["shard_id"].to_numpy()) >= 0).all()
+    per_shard = df.groupby("shard_id")["nbytes"].sum()
+    assert (per_shard.to_numpy() <= SHARD_BYTES + n.max()).all()
+    # every shard except possibly the last reaches the budget boundary
+    assert per_shard.iloc[:-1].sum() + n.max() >= \
+        SHARD_BYTES * (len(per_shard) - 1)
+
+    again = entry.queries()["image_shard_pack"](SF).to_pandas() \
+        .sort_values("image_id", ignore_index=True)
+    pd.testing.assert_frame_equal(df, again)
+
+
+def test_byte_shard_pack_generic(ray_session):
+    """The packer itself on a crafted table: known sizes → known
+    shards, blobs never split, bucket boundaries invisible."""
+    import ray.data as rd
+
+    from ragnificent_ray.pipelines.packing import byte_shard_pack
+
+    ids = [f"b-{i:02d}" for i in range(8)]
+    sizes = [30, 30, 50, 10, 90, 20, 20, 20]  # budget 100
+    t = pa.table({
+        "id": pa.array(ids),
+        "nb": pa.array(sizes, type=pa.int64()),
+        # two buckets split mid-stream: prefix continuity must hold
+        "bk": pa.array(["x"] * 3 + ["y"] * 5),
+    })
+    out = byte_shard_pack(rd.from_arrow(t), "id", "nb", "bk", 100) \
+        .to_pandas().sort_values("id", ignore_index=True)
+    start = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    assert (out["start_byte"].to_numpy() == start).all()
+    assert (out["shard_id"].to_numpy() == start // 100).all()
+
+
+def test_caption_template_dedup_groups_by_normalized_caption(
+        ray_session, entry):
+    df = entry.queries()["caption_template_dedup"](SF).to_pandas()
+    harvest = entry._crawl_harvest(SF)
+
+    # every image is accounted for exactly once
+    assert int(df["n_images"].sum()) == harvest.num_rows
+    # the keeper is always the lexicographically-first member: groups
+    # of size 1 keep themselves; recompute one group independently
+    import re
+
+    from ragnificent_ray.functions.hashing import md5_hex
+    pre = re.compile(r"^caption img-\d{4}-\d{4}-\d{2}:\s*")
+    caps = harvest.select(["image_id", "caption"]).to_pandas()
+    caps["template_hash"] = [
+        md5_hex(pre.sub("", c).strip().lower()) for c in caps["caption"]]
+    want = caps.groupby("template_hash").agg(
+        n_images=("image_id", "size"), keeper=("image_id", "min"))
+    got = df.set_index("template_hash").sort_index()
+    want = want.sort_index()
+    assert (got["n_images"] == want["n_images"]).all()
+    assert (got["keeper"] == want["keeper"]).all()
+
+
+def test_aspect_bucket_stats_rolls_up_assignment(ray_session, entry):
+    stats = entry.queries()["aspect_bucket_stats"](SF).to_pandas()
+    assigned = entry.queries()["image_aspect_buckets"](SF).to_pandas()
+
+    want = assigned.assign(px=assigned["w"].astype("int64")
+                           * assigned["h"].astype("int64")) \
+        .groupby("bucket_id").agg(n=("px", "size"), px=("px", "sum"))
+    got = stats.set_index("bucket_id").sort_index()
+    assert (got["n_images"] == want.sort_index()["n"]).all()
+    # bucket dims come from the ladder and are consistent per bucket id
+    from ragnificent_ray.stages.multimodal import aspect_bucket_ladder
+    ladder = aspect_bucket_ladder()
+    for _, r in stats.iterrows():
+        assert ladder[int(r["bucket_id"])] == (int(r["bucket_w"]),
+                                               int(r["bucket_h"]))
