@@ -942,12 +942,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ragnificent_ray.pipelines import (ann, bpe, clustering, curation,
                                            decontam, dedup, graph, packing,
                                            relational, retrieval, sampling,
-                                           temporal, textstats, tpch_more)
+                                           temporal, textstats, tpch_more,
+                                           tpch_rest)
 
     out: dict[str, Callable[[str], Any]] = {}
     for mod in (relational, textstats, dedup, ann, temporal, sampling,
                 decontam, clustering, retrieval, curation, packing, graph,
-                bpe, tpch_more):
+                bpe, tpch_more, tpch_rest):
         out.update(mod.QUERIES)
     out.update({
         "rag_chunks": _rag_chunks,
@@ -1429,12 +1430,13 @@ def oracle_sql() -> dict[str, str]:
     from ragnificent_ray.pipelines import (ann, bpe, clustering, curation,
                                            decontam, dedup, graph, packing,
                                            relational, retrieval, sampling,
-                                           temporal, textstats, tpch_more)
+                                           temporal, textstats, tpch_more,
+                                           tpch_rest)
 
     out: dict[str, str] = {}
     for mod in (relational, textstats, dedup, ann, temporal, sampling,
                 decontam, clustering, retrieval, curation, packing, graph,
-                bpe, tpch_more):
+                bpe, tpch_more, tpch_rest):
         out.update(mod.ORACLE_SQL)
     out["rag_chunks"] = _RAG_CHUNKS_SQL
     out["rag_chunks_sliding"] = _RAG_CHUNKS_SLIDING_SQL

@@ -137,6 +137,9 @@ QUERY_NAMES = [
     "rolling_active_users", "lpa_communities", "keyword_topk", "props_numeric_agg",
     "markov_transitions", "balanced_sample",
     "order_priority_exists", "trade_volume", "important_parts",
+    "local_supplier_revenue", "market_share", "product_type_profit",
+    "returned_item_customers", "bracket_revenue", "supplier_part_variety",
+    "bulk_suppliers", "min_balance_supplier",
     "order_count_distribution", "top_supplier", "small_quantity_revenue",
     "large_orders", "session_duration_stats", "doc_length_histogram",
     "dedup_cluster_sizes",
