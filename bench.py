@@ -140,6 +140,7 @@ QUERY_NAMES = [
     "local_supplier_revenue", "market_share", "product_type_profit",
     "returned_item_customers", "bracket_revenue", "supplier_part_variety",
     "bulk_suppliers", "min_balance_supplier",
+    "dataset_split", "perplexity_buckets", "doc_prefix_dedup",
     "order_count_distribution", "top_supplier", "small_quantity_revenue",
     "large_orders", "session_duration_stats", "doc_length_histogram",
     "dedup_cluster_sizes",

@@ -131,6 +131,47 @@ def exact_dedup(sf_dir: str):
     )
 
 
+_PREFIX_LEN = 32
+
+
+def doc_prefix_dedup(sf_dir: str):
+    """Boilerplate-prefix clusters: documents sharing their first 32
+    characters (the shared-header/template symptom in web corpora —
+    catches near-dups that exact hashing misses because the tails
+    differ). Per-batch Arrow ``group_by`` collapses to one (prefix,
+    count, min-id) cell per distinct prefix per block; md5-bucketed
+    folds keep the exchange bounded while the prefix key space is
+    corpus-scale; clusters of one are dropped in-bucket so only actual
+    duplicate groups ever leave."""
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    n_buckets = _bucket_count(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({
+            "prefix": pc.utf8_slice_codeunits(
+                batch.column("text"), 0, _PREFIX_LEN),
+            "n_docs": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            "first_doc": batch.column("doc_id"),
+        }).group_by("prefix").aggregate(
+            [("n_docs", "sum"), ("first_doc", "min")])
+        g = g.rename_columns(["prefix", "n_docs", "first_doc"])
+        return g.append_column("bucket", pa.array(
+            [int(md5_hex(p)[:8], 16) % n_buckets
+             for p in g.column("prefix").to_pylist()], type=pa.int32()))
+
+    def fold(g: pa.Table) -> pa.Table:
+        f = g.group_by("prefix").aggregate(
+            [("n_docs", "sum"), ("first_doc", "min")])
+        f = f.rename_columns(["prefix", "n_docs", "first_doc"])
+        return f.filter(pc.greater(f.column("n_docs"), 1))
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=8192)
+            .groupby("bucket")
+            .map_groups(fold, batch_format="pyarrow"))
+
+
 # ------------------------------------------------------- token-set helpers
 
 def _token_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
@@ -1371,6 +1412,13 @@ ORACLE_SQL = {
         SELECT MIN(doc_id) AS doc_id, md5(text) AS text_hash
         FROM documents GROUP BY md5(text)
     """,
+    "doc_prefix_dedup": f"""
+        SELECT substr(text, 1, {_PREFIX_LEN}) AS prefix,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MIN(doc_id) AS first_doc
+        FROM documents
+        GROUP BY prefix HAVING COUNT(*) > 1
+    """,
     "ngram_jaccard_pairs": f"""
         WITH t AS (
             SELECT doc_id,
@@ -1464,6 +1512,7 @@ def image_dedup_exact(ds, n_buckets: int = _BUCKETS):
 
 QUERIES = {
     "exact_dedup": exact_dedup,
+    "doc_prefix_dedup": doc_prefix_dedup,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "dedup_clusters": dedup_clusters,

@@ -481,7 +481,66 @@ def balanced_sample(sf_dir: str):
     return ds.map_batches(keep, batch_format="pyarrow", batch_size=8192)
 
 
+# train/val/test split fractions out of 100 (train < 90, val < 95)
+_SPLIT_MUL = 2654435761  # Knuth multiplicative hash constant
+
+
+def dataset_split(sf_dir: str):
+    """Deterministic train/val/test split manifest: every document is
+    assigned a split by a multiplicative hash of its id (90/5/5), and
+    the result is the per-(split, source) document/char census a
+    training run records before it starts.
+
+    The hash is pure arithmetic — ``(doc_id·2654435761) mod 2^32 mod
+    100`` — so assignment is reproducible across runs, cluster layouts
+    and engines (the oracle replays it in HUGEINT). uint64 wraparound
+    equals mod-2^64, and 2^32 divides 2^64, so the Ray side needs no
+    big-int math. One streaming pass with per-batch Arrow cell
+    combiners; the final fold is the ≤3×|sources| key space."""
+    import numpy as np
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.uint64)
+        bucket = ((ids * np.uint64(_SPLIT_MUL)) % np.uint64(1 << 32)
+                  ) % np.uint64(100)
+        split = np.where(bucket < 90, "train",
+                         np.where(bucket < 95, "val", "test"))
+        g = pa.table({
+            "split": pa.array(split, type=pa.string()),
+            "source": batch.column("source"),
+            "n_docs": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            "total_chars": batch.column("n_chars"),
+        }).group_by(["split", "source"]).aggregate(
+            [("n_docs", "sum"), ("total_chars", "sum")])
+        return g.rename_columns(["split", "source", "n_docs",
+                                 "total_chars"])
+
+    from ray.data.aggregate import Sum
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby(["split", "source"])
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("total_chars", alias_name="total_chars")))
+
+
 ORACLE_SQL = {
+    "dataset_split": f"""
+        SELECT CASE
+                 WHEN (CAST(doc_id AS HUGEINT) * {_SPLIT_MUL})
+                      % 4294967296 % 100 < 90 THEN 'train'
+                 WHEN (CAST(doc_id AS HUGEINT) * {_SPLIT_MUL})
+                      % 4294967296 % 100 < 95 THEN 'val'
+                 ELSE 'test'
+               END AS split,
+               source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY split, source
+    """,
     "balanced_sample": """
         WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents
                    GROUP BY lang),
@@ -545,4 +604,5 @@ QUERIES = {
     "dsir_sample": dsir_sample,
     "reservoir_sample": reservoir_sample,
     "balanced_sample": balanced_sample,
+    "dataset_split": dataset_split,
 }

@@ -841,16 +841,12 @@ def lang_confusion(sf_dir: str):
             .aggregate(Sum("n", alias_name="n")))
 
 
-def unigram_logprob(sf_dir: str):
-    """CCNet-style LM quality score: per-doc mean log-probability under
-    an add-one-smoothed unigram model fit on the corpus itself (the
-    public perplexity-filtering recipe, with the 5-gram KenLM swapped
-    for a unigram model the oracle can express).
-
-    Two-pass like :func:`tfidf_embed`: per-batch token-count partials
-    (one row per distinct token per block) → native groupby-sum → the
-    bounded vocabulary broadcast with ``ray.put``; scoring is a pure
-    per-batch map. Low scores mark out-of-distribution / junk docs."""
+def _fit_unigram_model(sf_dir: str):
+    """Fit the add-one-smoothed unigram LM on the corpus and broadcast
+    it: per-batch token-count partials (one row per distinct token per
+    block) → native groupby-sum → (token→logp dict, oov logp) in the
+    object store. Shared by :func:`unigram_logprob` and
+    :func:`perplexity_buckets`."""
     import math
 
     import numpy as np
@@ -858,7 +854,7 @@ def unigram_logprob(sf_dir: str):
 
     from collections import Counter
 
-    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["text"])
 
     def cnt_partial(batch: pa.Table) -> pa.Table:
         c: Counter = Counter()
@@ -879,7 +875,24 @@ def unigram_logprob(sf_dir: str):
                   / (total + vsize))
     model = dict(zip(counts["token"], logp))
     oov = math.log(1.0 / (total + vsize))
-    ref = ray.put((model, oov))
+    return ray.put((model, oov))
+
+
+def unigram_logprob(sf_dir: str):
+    """CCNet-style LM quality score: per-doc mean log-probability under
+    an add-one-smoothed unigram model fit on the corpus itself (the
+    public perplexity-filtering recipe, with the 5-gram KenLM swapped
+    for a unigram model the oracle can express).
+
+    Two-pass like :func:`tfidf_embed`: per-batch token-count partials
+    (one row per distinct token per block) → native groupby-sum → the
+    bounded vocabulary broadcast with ``ray.put``; scoring is a pure
+    per-batch map. Low scores mark out-of-distribution / junk docs."""
+    import numpy as np
+    import ray
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+    ref = _fit_unigram_model(sf_dir)
 
     class Score:
         def __init__(self, ref):
@@ -911,6 +924,96 @@ def unigram_logprob(sf_dir: str):
     return ds.map_batches(Score, fn_constructor_kwargs={"ref": ref},
                           batch_format="pyarrow", batch_size=8192,
                           concurrency=2)
+
+
+def perplexity_buckets(sf_dir: str):
+    """CCNet-style head/middle/tail terciles per language: rank every
+    document inside its language by unigram-LM mean log-probability and
+    report each (lang, bucket)'s size and mean score — the corpus map
+    CCNet builds before keeping "head" for training.
+
+    Bucket rule is pure integers on BOTH engines (no float percentile
+    boundary): with rank = 1 + #{scores below} (ties share rank) and n
+    docs in the language, head ⇔ rank = 1 or 3·(rank−1) < n−1, middle ⇔
+    3·(rank−1) < 2·(n−1), else tail — exactly
+    ``PERCENT_RANK() < 1/3 | 2/3`` but decided by integer cross
+    products.
+
+    Scale shape: ONE corpus scan emits per-batch (lang, score_e4,
+    count) cells — scores are 4-decimal-rounded so the cell space is
+    value-range-bounded (≤ langs × |score range|·1e4 rows), not
+    corpus-sized — one native groupby folds them, and everything after
+    (cumulative ranks, bucket cuts, per-bucket means) is driver
+    arithmetic on that bounded histogram. No second pass, no join."""
+    import numpy as np
+    import ray
+
+    ref = _fit_unigram_model(sf_dir)
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["text", "lang"])
+
+    class Cells:
+        def __init__(self, ref):
+            self.ref = ref
+            self._m = None
+
+        def __getstate__(self):
+            s = self.__dict__.copy()
+            s["_m"] = None
+            return s
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self._m is None:
+                self._m = ray.get(self.ref)
+            model, oov = self._m
+            langs = batch.column("lang").to_pylist()
+            s_e4 = np.empty(batch.num_rows, dtype=np.int64)
+            for i, t in enumerate(batch.column("text").to_pylist()):
+                toks = t.strip().split()
+                n = len(toks)
+                mean = round_half_away(
+                    sum(model.get(w, oov) for w in toks) / n, 4) if n \
+                    else 0.0
+                s_e4[i] = np.int64(np.rint(mean * 10000.0))
+            g = pa.table({
+                "lang": pa.array(langs, type=pa.string()),
+                "s_e4": pa.array(s_e4),
+                "cnt": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }).group_by(["lang", "s_e4"]).aggregate([("cnt", "sum")])
+            return g.rename_columns(["lang", "s_e4", "cnt"])
+
+    hist = (ds.map_batches(Cells, fn_constructor_kwargs={"ref": ref},
+                           batch_format="pyarrow", batch_size=8192,
+                           concurrency=2)
+            .groupby(["lang", "s_e4"]).sum("cnt")).to_pandas()
+
+    out_lang, out_bucket, out_n, out_mean = [], [], [], []
+    for lang, grp in hist.groupby("lang", sort=True):
+        grp = grp.sort_values("s_e4")
+        cnt = grp["sum(cnt)"].to_numpy(dtype=np.int64)
+        val = grp["s_e4"].to_numpy(dtype=np.int64)
+        n = int(cnt.sum())
+        cum = np.cumsum(cnt)
+        less = cum - cnt                      # rank(v) − 1 per distinct v
+        bucket = np.where(
+            (less == 0) | (3 * less < n - 1), "head",
+            np.where(3 * less < 2 * (n - 1), "middle", "tail"))
+        for b in ("head", "middle", "tail"):
+            m = bucket == b
+            if not m.any():
+                continue
+            nb = int(cnt[m].sum())
+            s = int((val[m] * cnt[m]).sum())
+            out_lang.append(lang)
+            out_bucket.append(b)
+            out_n.append(nb)
+            out_mean.append(round_half_away(s / nb / 10000.0, 4))
+    return pa.table({
+        "lang": pa.array(out_lang, type=pa.string()),
+        "bucket": pa.array(out_bucket, type=pa.string()),
+        "n_docs": pa.array(out_n, type=pa.int64()),
+        "mean_logprob": pa.array(out_mean, type=pa.float64()),
+    })
 
 
 _SQL_STOPS = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -1521,6 +1624,25 @@ ORACLE_SQL["quality_percentile_filter"] = f"""
     WHERE rk <= ({QUALITY_KEEP_NUM} * n) // {QUALITY_KEEP_DEN}
 """
 
+ORACLE_SQL["perplexity_buckets"] = f"""
+    WITH u AS ({ORACLE_SQL["unigram_logprob"]}), l AS (
+      SELECT u.doc_id, u.mean_logprob, d.lang
+      FROM u JOIN documents d USING (doc_id)
+    ), r AS (
+      SELECT lang, mean_logprob,
+             RANK() OVER (PARTITION BY lang ORDER BY mean_logprob) AS rk,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM l)
+    SELECT lang,
+           CASE WHEN rk = 1 OR 3 * (rk - 1) < n - 1 THEN 'head'
+                WHEN 3 * (rk - 1) < 2 * (n - 1) THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(SUM(CAST(ROUND(mean_logprob * 10000) AS BIGINT))
+                 / COUNT(*) / 10000.0, 4) AS mean_logprob
+    FROM r GROUP BY lang, bucket
+"""
+
 QUERIES = {
     "token_stats": token_stats,
     "doc_length_histogram": doc_length_histogram,
@@ -1544,4 +1666,5 @@ QUERIES = {
     "source_mixture": source_mixture,
     "lang_confusion": lang_confusion,
     "keyword_topk": keyword_topk,
+    "perplexity_buckets": perplexity_buckets,
 }
