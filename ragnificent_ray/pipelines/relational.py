@@ -1873,6 +1873,82 @@ def orders_pivot(sf_dir: str):
     )
 
 
+_SKETCH_BINS = 4096
+_SKETCH_QS = (0.5, 0.9, 0.99)
+
+
+def events_quantile_sketch(sf_dir: str):
+    """Streaming histogram quantile ESTIMATOR over event values — the
+    bounded-memory companion to the exact ``price_quantiles`` path
+    (error ≤ one bin width by construction, the estimate itself is
+    value-checked because the oracle replays the identical binning).
+
+    Two passes, both O(bins) in driver state at any corpus size:
+    min/max/count reduce, then per-batch ``bincount`` partials fold
+    through a ≤4096-key native groupby. Every float step — bin width,
+    bucket index, the ``lo + (j+1)·w`` upper-bound estimate — is the
+    same IEEE expression on both engines, so the comparison is exact,
+    not approximate."""
+    import numpy as np
+
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["value"])
+    mm = ds.aggregate(Min("value"), Max("value"), Count())
+    lo, hi = float(mm["min(value)"]), float(mm["max(value)"])
+    n = int(mm["count()"])
+    w = (hi - lo) / float(_SKETCH_BINS)
+
+    def hist(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        if w == 0.0:
+            bkt = np.zeros(len(v), dtype=np.int64)
+        else:
+            bkt = np.minimum(np.floor((v - lo) / w),
+                             _SKETCH_BINS - 1).astype(np.int64)
+        counts = np.bincount(bkt, minlength=_SKETCH_BINS)
+        nz = np.nonzero(counts)[0]
+        return pa.table({"bkt": pa.array(nz, type=pa.int64()),
+                         "cnt": pa.array(counts[nz], type=pa.int64())})
+
+    rows = (ds.map_batches(hist, batch_format="pyarrow", batch_size=65536)
+            .groupby("bkt").sum("cnt")).to_pandas().sort_values("bkt")
+    bkt = rows["bkt"].to_numpy(dtype=np.int64)
+    cum = np.cumsum(rows["sum(cnt)"].to_numpy(dtype=np.int64))
+
+    qs, est = [], []
+    for q in _SKETCH_QS:
+        k = int(np.ceil(q * n))
+        j = int(bkt[np.searchsorted(cum, k)])
+        qs.append(q)
+        est.append(lo if w == 0.0 else lo + (j + 1) * w)
+    return pa.table({
+        "quantile": pa.array(qs, type=pa.float64()),
+        "estimate": pa.array(est, type=pa.float64()),
+        "n": pa.array([n] * len(qs), type=pa.int64()),
+    })
+
+
+_SKETCH_VALUES = ", ".join(f"({q})" for q in _SKETCH_QS)
+
+_QUANTILE_SKETCH_SQL = f"""
+    WITH mm AS (SELECT MIN(value) AS lo, MAX(value) AS hi,
+                       COUNT(*) AS n FROM events),
+    b AS (SELECT LEAST(FLOOR((value - lo) / ((hi - lo) / {_SKETCH_BINS}.0)),
+                       {_SKETCH_BINS - 1}) AS bkt, COUNT(*) AS c
+          FROM events CROSS JOIN mm GROUP BY bkt),
+    cm AS (SELECT bkt, SUM(c) OVER (ORDER BY bkt) AS cum FROM b),
+    q AS (SELECT * FROM (VALUES {_SKETCH_VALUES}) t(q))
+    SELECT q.q AS quantile,
+           mm.lo + (MIN(cm.bkt) + 1) * ((mm.hi - mm.lo)
+                                        / {_SKETCH_BINS}.0) AS estimate,
+           mm.n AS n
+    FROM q CROSS JOIN mm
+    JOIN cm ON cm.cum >= CAST(CEIL(q.q * mm.n) AS BIGINT)
+    GROUP BY q.q, mm.lo, mm.hi, mm.n
+"""
+
+
 def _orders_pivot_sql() -> str:
     cols = ",\n               ".join(
         f"COALESCE(SUM(CASE WHEN year(o_orderdate) = {y} "
@@ -2114,6 +2190,7 @@ ORACLE_SQL = {
                ex.n_exact
         FROM agg a JOIN ex ON ex.event_type = a.event_type
     """,
+    "events_quantile_sketch": _QUANTILE_SKETCH_SQL,
     "events_zscore": """
         WITH m AS (
           SELECT event_type, COUNT(*) AS n, SUM(value) AS s,
@@ -2231,6 +2308,7 @@ QUERIES = {
     "user_activity": user_activity,
     "nation_revenue": nation_revenue,
     "events_zscore": events_zscore,
+    "events_quantile_sketch": events_quantile_sketch,
     "approx_distinct_pairs": approx_distinct_pairs,
     "hll_users_by_type": hll_users_by_type,
     "orders_monthly_growth": orders_monthly_growth,

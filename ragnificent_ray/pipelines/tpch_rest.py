@@ -708,7 +708,91 @@ def min_balance_supplier(sf_dir: str):
     )
 
 
+# ----------------------------------------------------------- skyline shape
+
+def _skyline_mask(price_e2: np.ndarray, size: np.ndarray) -> np.ndarray:
+    """Boolean mask of the 2-D Pareto frontier (minimize both): row i
+    survives iff no row has price ≤, size ≤, and one strict. Vectorized
+    sweep: sort by (price, size); within a price group only min-size
+    rows can survive; across groups a row must beat the running min
+    size of all strictly-cheaper groups."""
+    order = np.lexsort((size, price_e2))
+    p, s = price_e2[order], size[order]
+    new_grp = np.empty(len(p), dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = p[1:] != p[:-1]
+    grp = np.cumsum(new_grp) - 1
+    n_grp = grp[-1] + 1 if len(p) else 0
+    min_in = np.full(n_grp, np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(min_in, grp, s)
+    prev_min = np.empty(n_grp, dtype=np.int64)
+    prev_min[0] = np.iinfo(np.int64).max
+    if n_grp > 1:
+        prev_min[1:] = np.minimum.accumulate(min_in)[:-1]
+    keep_sorted = (s == min_in[grp]) & (s < prev_min[grp])
+    keep = np.zeros(len(p), dtype=bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def pareto_parts(sf_dir: str):
+    """Skyline / Pareto frontier of the part catalog on (retail price,
+    size), both minimized: the parts no other part beats on both axes.
+
+    The skyline operator is ALGEBRAIC — skyline(A ∪ B) =
+    skyline(skyline(A) ∪ skyline(B)) — so each block emits only its
+    local frontier (for independent values the expected frontier is
+    O(log n) rows) and one single-key fold re-applies the same mask to
+    the union of frontiers. Prices compare in exact integer cents, so
+    the dominance test cannot float-drift."""
+    ds = rd.read_parquet(_pq(sf_dir, "part"),
+                         columns=["p_partkey", "p_retailprice", "p_size"])
+
+    def local(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"p_partkey": pa.array([], type=pa.int64()),
+                             "price_e2": pa.array([], type=pa.int64()),
+                             "p_size": pa.array([], type=pa.int32()),
+                             "g": pa.array([], type=pa.int32())})
+        price = np.rint(
+            b.column("p_retailprice").to_numpy() * 100.0).astype(np.int64)
+        size = b.column("p_size").to_numpy().astype(np.int64)
+        keep = _skyline_mask(price, size)
+        return pa.table({
+            "p_partkey": b.column("p_partkey").filter(pa.array(keep)),
+            "price_e2": pa.array(price[keep]),
+            "p_size": b.column("p_size").filter(pa.array(keep)),
+            "g": pa.array(np.zeros(int(keep.sum()), dtype=np.int32)),
+        })
+
+    def fold(g: pa.Table) -> pa.Table:
+        price = g.column("price_e2").to_numpy()
+        size = g.column("p_size").to_numpy().astype(np.int64)
+        keep = _skyline_mask(price, size)
+        f = g.filter(pa.array(keep))
+        return f.select(["p_partkey", "price_e2", "p_size"])
+
+    return (ds.map_batches(local, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("g")
+            .map_groups(fold, batch_format="pyarrow"))
+
+
 ORACLE_SQL = {
+    "pareto_parts": """
+        SELECT p.p_partkey,
+               CAST(ROUND(p.p_retailprice * 100) AS BIGINT) AS price_e2,
+               p.p_size
+        FROM part p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM part q
+          WHERE CAST(ROUND(q.p_retailprice * 100) AS BIGINT)
+                  <= CAST(ROUND(p.p_retailprice * 100) AS BIGINT)
+            AND q.p_size <= p.p_size
+            AND (CAST(ROUND(q.p_retailprice * 100) AS BIGINT)
+                   < CAST(ROUND(p.p_retailprice * 100) AS BIGINT)
+                 OR q.p_size < p.p_size))
+    """,
     "local_supplier_revenue": f"""
         SELECT n_name,
                ROUND(SUM({_REV_E4_SQL}) / 10000.0, 2) AS revenue
@@ -822,6 +906,7 @@ ORACLE_SQL = {
 }
 
 QUERIES = {
+    "pareto_parts": pareto_parts,
     "local_supplier_revenue": local_supplier_revenue,
     "market_share": market_share,
     "product_type_profit": product_type_profit,
