@@ -1,0 +1,128 @@
+"""Pins for the session-3d operators beyond their DuckDB parity gate:
+the skyline mask's algebraic combiner property, the dataset-split
+hash's determinism and proportions, and the tercile rank rule's edge
+cases (ties, single-doc languages).
+"""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+SF = "/root/testdata/sf0.001"
+
+
+def _brute_skyline(price, size):
+    n = len(price)
+    keep = np.ones(n, dtype=bool)
+    for i in range(n):
+        for j in range(n):
+            if (price[j] <= price[i] and size[j] <= size[i]
+                    and (price[j] < price[i] or size[j] < size[i])):
+                keep[i] = False
+                break
+    return keep
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 20), st.integers(0, 20)),
+                min_size=1, max_size=40))
+def test_skyline_mask_matches_bruteforce(pts):
+    from ragnificent_ray.pipelines.tpch_rest import _skyline_mask
+
+    price = np.array([p for p, _ in pts], dtype=np.int64)
+    size = np.array([s for _, s in pts], dtype=np.int64)
+    got = _skyline_mask(price, size)
+    assert (got == _brute_skyline(price, size)).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 50), st.integers(0, 50)),
+                min_size=2, max_size=60),
+       st.integers(1, 5))
+def test_skyline_is_algebraic_over_any_split(pts, cuts):
+    """skyline(A ∪ B) == skyline(skyline(A) ∪ skyline(B)) — the property
+    the distributed local-frontier-then-fold plan relies on."""
+    from ragnificent_ray.pipelines.tpch_rest import _skyline_mask
+
+    price = np.array([p for p, _ in pts], dtype=np.int64)
+    size = np.array([s for _, s in pts], dtype=np.int64)
+    full = _skyline_mask(price, size)
+
+    rng = np.random.RandomState(cuts)
+    part = rng.randint(0, cuts, size=len(pts))
+    cand_idx = []
+    for c in range(cuts):
+        m = np.nonzero(part == c)[0]
+        if len(m) == 0:
+            continue
+        local = _skyline_mask(price[m], size[m])
+        cand_idx.extend(m[local].tolist())
+    cand_idx = np.array(sorted(cand_idx), dtype=np.int64)
+    merged = _skyline_mask(price[cand_idx], size[cand_idx])
+    got = set(map(tuple, np.c_[price[cand_idx][merged],
+                               size[cand_idx][merged]]))
+    want = set(map(tuple, np.c_[price[full], size[full]]))
+    # compare as (price, size) value sets: duplicates of one frontier
+    # point may be split across partitions, but the frontier VALUES
+    # must agree
+    assert got == want
+
+
+def test_dataset_split_deterministic_and_complete(ray_session):
+    import __ray_entry__ as e
+
+    fn = e.queries()["dataset_split"]
+    a = fn(SF).to_pandas().sort_values(["split", "source"],
+                                       ignore_index=True)
+    b = fn(SF).to_pandas().sort_values(["split", "source"],
+                                       ignore_index=True)
+    assert a.equals(b)
+    # every document lands in exactly one split
+    import pyarrow.parquet as pq
+    n_docs = pq.read_table(f"{SF}/documents.parquet").num_rows
+    assert int(a["n_docs"].sum()) == n_docs
+    # the three splits exist and train dominates (90/5/5 target)
+    by_split = a.groupby("split")["n_docs"].sum()
+    assert set(by_split.index) == {"train", "val", "test"}
+    assert by_split["train"] > by_split["val"] + by_split["test"]
+
+
+def test_perplexity_bucket_rank_rule_edges():
+    """The integer tercile rule: rank ties share a bucket, a single-doc
+    language is all head, and bucket sizes are within one tie-group of
+    n/3 for distinct scores."""
+    n = 10
+    less = np.arange(n)  # distinct scores: rank-1 = 0..9
+    bucket = np.where((less == 0) | (3 * less < n - 1), "head",
+                      np.where(3 * less < 2 * (n - 1), "middle", "tail"))
+    assert list(bucket) == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 4
+
+    # single doc → head (rank 1, n-1 == 0)
+    less1 = np.array([0])
+    b1 = np.where((less1 == 0) | (3 * less1 < 0), "head", "tail")
+    assert b1[0] == "head"
+
+    # all-tied scores → everyone shares rank 1 → all head
+    lessT = np.zeros(7, dtype=np.int64)
+    bT = np.where((lessT == 0) | (3 * lessT < 6), "head", "tail")
+    assert (bT == "head").all()
+
+
+def test_quantile_sketch_brackets_exact(ray_session):
+    """The histogram estimate must sit within one bin width above the
+    exact quantile (upper-bound-of-bucket semantics)."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    out = e.queries()["events_quantile_sketch"](SF).to_pandas()
+    v = np.sort(pq.read_table(f"{SF}/events.parquet",
+                              columns=["value"]).column("value")
+                .to_numpy(zero_copy_only=False))
+    lo, hi = v[0], v[-1]
+    w = (hi - lo) / 4096.0
+    for _, row in out.iterrows():
+        k = int(np.ceil(row["quantile"] * len(v)))
+        exact = v[k - 1]
+        assert exact <= row["estimate"] <= exact + 2 * w
