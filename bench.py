@@ -141,7 +141,7 @@ QUERY_NAMES = [
     "returned_item_customers", "bracket_revenue", "supplier_part_variety",
     "bulk_suppliers", "min_balance_supplier",
     "dataset_split", "perplexity_buckets", "doc_prefix_dedup",
-    "pareto_parts", "events_quantile_sketch",
+    "pareto_parts", "events_quantile_sketch", "embedding_dim_stats",
     "order_count_distribution", "top_supplier", "small_quantity_revenue",
     "large_orders", "session_duration_stats", "doc_length_histogram",
     "dedup_cluster_sizes",

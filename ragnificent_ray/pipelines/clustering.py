@@ -519,6 +519,56 @@ ORACLE_SQL = {
     """,
 }
 
+def embedding_dim_stats(sf_dir: str):
+    """Per-dimension feature statistics of the embedding column — the
+    normalization/whitening census (mean, min, max per dim) a feature
+    store computes before training or index building.
+
+    One streaming pass: each batch reduces to exactly D partial rows
+    (dim, count, sum_e6, min, max) — sums in exact integer 1e-6 units
+    with DuckDB's half-away rounding reproduced bit-for-bit, so the
+    cross-block fold is order-independent — then a ≤D-key native
+    groupby and a driver-side division."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..functions.numeric import round_half_away
+
+    ds = rd.read_parquet(_pq(sf_dir, "embeddings"), columns=["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = list_column_matrix(batch.column("embedding"),
+                               dtype=np.float64)
+        y = x * 1_000_000.0
+        e6 = np.where(y >= 0, np.floor(y + 0.5),
+                      np.ceil(y - 0.5)).astype(np.int64)
+        d = x.shape[1]
+        return pa.table({
+            "dim": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+            "n": pa.array(np.full(d, x.shape[0], dtype=np.int64)),
+            "sum_e6": pa.array(e6.sum(axis=0)),
+            "mn": pa.array(x.min(axis=0), type=pa.float64()),
+            "mx": pa.array(x.max(axis=0), type=pa.float64()),
+        })
+
+    folded = (ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=4096)
+              .groupby("dim")
+              .aggregate(Sum("n", alias_name="n"),
+                         Sum("sum_e6", alias_name="sum_e6"),
+                         Min("mn", alias_name="mn"),
+                         Max("mx", alias_name="mx"))
+              ).to_pandas().sort_values("dim")
+    mean = [round_half_away(int(s) / int(n) / 1_000_000.0, 6)
+            for s, n in zip(folded["sum_e6"], folded["n"])]
+    return pa.table({
+        "dim": pa.array(folded["dim"].to_numpy(dtype=np.int64)),
+        "n": pa.array(folded["n"].to_numpy(dtype=np.int64)),
+        "mean": pa.array(mean, type=pa.float64()),
+        "mn": pa.array(folded["mn"].to_numpy(dtype=np.float64)),
+        "mx": pa.array(folded["mx"].to_numpy(dtype=np.float64)),
+    })
+
+
 def int8_quantize(sf_dir: str):
     """Symmetric per-dimension int8 scalar quantization of the
     embedding column — the compression step a 100 TB vector store runs
@@ -574,6 +624,19 @@ def int8_quantize(sf_dir: str):
                           batch_format="pyarrow", batch_size=4096,
                           concurrency=2)
 
+
+ORACLE_SQL["embedding_dim_stats"] = """
+    WITH u AS (
+      SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
+             unnest(range(1, len(embedding) + 1)) AS dim
+      FROM embeddings
+    )
+    SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(ROUND(x * 1000000) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 1000000.0, 6) AS mean,
+           MIN(x) AS mn, MAX(x) AS mx
+    FROM u GROUP BY dim
+"""
 
 ORACLE_SQL["int8_quantize"] = r"""
     WITH u AS (
@@ -1292,6 +1355,7 @@ QUERIES = {
     "semantic_dedup": semantic_dedup,
     "cluster_purity": cluster_purity,
     "int8_quantize": int8_quantize,
+    "embedding_dim_stats": embedding_dim_stats,
     "knn_label_accuracy": knn_label_accuracy,
 }
 
