@@ -726,6 +726,160 @@ def group_quantiles(sf_dir: str):
     })
 
 
+def _grouped_median(ds, key: str, col: str) -> dict:
+    """Exact per-group MEDIAN (``quantile_cont(0.5)`` semantics,
+    interpolated) by histogram order-statistic selection — the
+    :func:`group_quantiles` machinery packaged for reuse: one
+    |groups|×2048-cell histogram reduce, then only each group's
+    boundary-bucket values ship to the driver. Never a per-group sort,
+    never a full-column materialization."""
+    nbuckets = 2048
+    from ray.data.aggregate import Max, Min, Sum
+
+    mm = ds.aggregate(Min(col), Max(col))
+    lo, hi = float(mm[f"min({col})"]), float(mm[f"max({col})"])
+    width = (hi - lo) / nbuckets or 1.0
+
+    def bucket_of(v: np.ndarray) -> np.ndarray:
+        return np.clip(((v - lo) / width).astype(np.int64), 0, nbuckets - 1)
+
+    def hist(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({
+            "grp": batch.column(key).to_pylist(),
+            "bucket": bucket_of(v),
+        }).groupby(["grp", "bucket"], sort=True).size().reset_index(
+            name="cnt")
+        return pa.table({
+            "grp": pa.array(g["grp"], type=pa.string()),
+            "bucket": pa.array(g["bucket"].to_numpy(dtype=np.int64)),
+            "cnt": pa.array(g["cnt"].to_numpy(dtype=np.int64)),
+        })
+
+    rows = (ds.map_batches(hist, batch_format="pyarrow", batch_size=65536)
+            .groupby(["grp", "bucket"])
+            .aggregate(Sum("cnt", alias_name="cnt"))).to_pandas()
+
+    per_group: dict[str, np.ndarray] = {}
+    for grp, sub in rows.groupby("grp"):
+        counts = np.zeros(nbuckets, dtype=np.int64)
+        counts[sub["bucket"].to_numpy()] = sub["cnt"].to_numpy()
+        per_group[grp] = np.cumsum(counts)
+
+    need_buckets: dict[str, set] = {}
+    ks: dict[str, tuple[int, int, float]] = {}
+    for grp, cum in per_group.items():
+        n = int(cum[-1])
+        pos = (n - 1) * 0.5
+        k0 = int(pos)
+        k1 = min(k0 + 1, n - 1)
+        ks[grp] = (k0, k1, pos - k0)
+        need_buckets[grp] = {
+            int(np.searchsorted(cum, j, side="right")) for j in (k0, k1)}
+
+    def in_needed(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        grps = np.asarray(batch.column(key).to_pylist(), dtype=object)
+        idx = bucket_of(v)
+        mask = np.zeros(len(v), dtype=bool)
+        for g, bs in need_buckets.items():
+            mask |= (grps == g) & np.isin(idx, np.fromiter(
+                bs, dtype=np.int64, count=len(bs)))
+        return pa.table({
+            "grp": pa.array(grps[mask], type=pa.string()),
+            "bucket": pa.array(idx[mask]),
+            "v": pa.array(v[mask], type=pa.float64()),
+        })
+
+    by_gb: dict[tuple, list[float]] = {
+        (g, b): [] for g, bs in need_buckets.items() for b in bs}
+    for r in (ds.map_batches(in_needed, batch_format="pyarrow",
+                             batch_size=65536).take_all()):
+        by_gb[(r["grp"], r["bucket"])].append(r["v"])
+    for vals in by_gb.values():
+        vals.sort()
+
+    out: dict[str, float] = {}
+    for grp, cum in per_group.items():
+        def order_stat(j: int, grp=grp, cum=cum) -> float:
+            b = int(np.searchsorted(cum, j, side="right"))
+            below = int(cum[b - 1]) if b else 0
+            return by_gb[(grp, b)][j - below]
+
+        k0, k1, frac = ks[grp]
+        v0 = order_stat(k0)
+        out[grp] = v0 + frac * (order_stat(k1) - v0)
+    return out
+
+
+def mad_outliers(sf_dir: str):
+    """Robust per-group anomaly census: for every event type, the count
+    of events whose |value − median| exceeds 3× the MEDIAN ABSOLUTE
+    DEVIATION — the outlier rule that, unlike z-scores, a single
+    corrupted spike cannot poison.
+
+    Median and MAD are both EXACT grouped medians via histogram
+    order-statistic selection (two :func:`_grouped_median` rounds — the
+    second over |v − med| with the medians broadcast), then one
+    streaming count pass. Every interpolation uses the identical
+    ``v0 + frac·(v1 − v0)`` expression DuckDB's ``MEDIAN`` evaluates,
+    so the unrounded threshold compare cannot flip a boundary row."""
+    col, key = "value", "event_type"
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=[key, col])
+    med = _grouped_median(ds, key, col)
+    import ray as _ray
+    med_ref = _ray.put(med)
+
+    def dev(batch: pa.Table) -> pa.Table:
+        m = _ray.get(med_ref)
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        grps = batch.column(key).to_pylist()
+        medv = np.asarray([m[g] for g in grps], dtype=np.float64)
+        return pa.table({
+            key: batch.column(key),
+            "dv": pa.array(np.abs(v - medv), type=pa.float64()),
+        })
+
+    devs = ds.map_batches(dev, batch_format="pyarrow", batch_size=65536)
+    mad = _grouped_median(devs, key, "dv")
+    mad_ref = _ray.put(mad)
+
+    def flag_partial(batch: pa.Table) -> pa.Table:
+        m = _ray.get(med_ref)
+        md = _ray.get(mad_ref)
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        grps = batch.column(key).to_pylist()
+        medv = np.asarray([m[g] for g in grps], dtype=np.float64)
+        madv = np.asarray([md[g] for g in grps], dtype=np.float64)
+        out = np.abs(v - medv) > 3.0 * madv
+        g = pa.table({
+            key: batch.column(key),
+            "n": pa.array(np.ones(len(v), dtype=np.int64)),
+            "n_outliers": pa.array(out.astype(np.int64)),
+        }).group_by(key).aggregate([("n", "sum"), ("n_outliers", "sum")])
+        return g.rename_columns([key, "n", "n_outliers"])
+
+    from ray.data.aggregate import Sum
+
+    folded = (ds.map_batches(flag_partial, batch_format="pyarrow",
+                             batch_size=65536)
+              .groupby(key)
+              .aggregate(Sum("n", alias_name="n"),
+                         Sum("n_outliers", alias_name="n_outliers"))
+              ).to_pandas().sort_values(key)
+    grps = folded[key].tolist()
+    return pa.table({
+        key: pa.array(grps, type=pa.string()),
+        "n": pa.array(folded["n"].to_numpy(dtype=np.int64)),
+        "n_outliers": pa.array(
+            folded["n_outliers"].to_numpy(dtype=np.int64)),
+        "median": pa.array([round_half_away(med[g], 4) for g in grps],
+                           type=pa.float64()),
+        "mad": pa.array([round_half_away(mad[g], 4) for g in grps],
+                        type=pa.float64()),
+    })
+
+
 def orders_monthly_growth(sf_dir: str):
     """Month-over-month revenue growth — the reporting-style window
     (LAG) query. The heavy part is the per-batch (month, Σ, n) combiner;
@@ -2191,6 +2345,19 @@ ORACLE_SQL = {
         FROM agg a JOIN ex ON ex.event_type = a.event_type
     """,
     "events_quantile_sketch": _QUANTILE_SKETCH_SQL,
+    "mad_outliers": """
+        WITH m AS (SELECT event_type, MEDIAN(value) AS med
+                   FROM events GROUP BY event_type),
+        md AS (SELECT e.event_type, MEDIAN(ABS(e.value - m.med)) AS mad
+               FROM events e JOIN m USING (event_type)
+               GROUP BY e.event_type)
+        SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN ABS(e.value - m.med) > 3 * md.mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               ROUND(m.med, 4) AS median, ROUND(md.mad, 4) AS mad
+        FROM events e JOIN m USING (event_type) JOIN md USING (event_type)
+        GROUP BY e.event_type, m.med, md.mad
+    """,
     "events_zscore": """
         WITH m AS (
           SELECT event_type, COUNT(*) AS n, SUM(value) AS s,
@@ -2309,6 +2476,7 @@ QUERIES = {
     "nation_revenue": nation_revenue,
     "events_zscore": events_zscore,
     "events_quantile_sketch": events_quantile_sketch,
+    "mad_outliers": mad_outliers,
     "approx_distinct_pairs": approx_distinct_pairs,
     "hll_users_by_type": hll_users_by_type,
     "orders_monthly_growth": orders_monthly_growth,
