@@ -142,7 +142,7 @@ QUERY_NAMES = [
     "bulk_suppliers", "min_balance_supplier",
     "dataset_split", "perplexity_buckets", "doc_prefix_dedup",
     "pareto_parts", "events_quantile_sketch", "embedding_dim_stats",
-    "mad_outliers",
+    "mad_outliers", "embedding_gram",
     "order_count_distribution", "top_supplier", "small_quantity_revenue",
     "large_orders", "session_duration_stats", "doc_length_histogram",
     "dedup_cluster_sizes",

@@ -569,6 +569,56 @@ def embedding_dim_stats(sf_dir: str):
     })
 
 
+def embedding_gram(sf_dir: str):
+    """Distributed Gram matrix (uncentered second-moment matrix
+    E[x_i·x_j]) of the embedding column — the building block of
+    covariance/PCA/whitening at corpus scale.
+
+    Each block contributes ONE exact-integer XᵀX partial (values
+    quantized to 1e-3 with DuckDB-matching half-away rounding, so
+    products are e-6 ints whose sum stays inside int64 at ~1e12
+    vectors), shipped as D² rows per block regardless of block height;
+    a ≤D²-key native groupby folds them and the driver divides. The
+    oracle replays the self-join of the unnested column."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.numeric import round_half_away
+
+    ds = rd.read_parquet(_pq(sf_dir, "embeddings"), columns=["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = list_column_matrix(batch.column("embedding"),
+                               dtype=np.float64)
+        y = x * 1000.0
+        e3 = np.where(y >= 0, np.floor(y + 0.5),
+                      np.ceil(y - 0.5)).astype(np.int64)
+        g = e3.T @ e3
+        d = x.shape[1]
+        i = np.repeat(np.arange(1, d + 1, dtype=np.int64), d)
+        j = np.tile(np.arange(1, d + 1, dtype=np.int64), d)
+        return pa.table({
+            "i": pa.array(i),
+            "j": pa.array(j),
+            "s_e6": pa.array(g.reshape(-1)),
+            "n": pa.array(np.full(d * d, x.shape[0], dtype=np.int64)),
+        })
+
+    folded = (ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=4096)
+              .groupby(["i", "j"])
+              .aggregate(Sum("s_e6", alias_name="s_e6"),
+                         Sum("n", alias_name="n"))
+              ).to_pandas()
+    m2 = [round_half_away(int(s) / int(n) / 1_000_000.0, 6)
+          for s, n in zip(folded["s_e6"], folded["n"])]
+    return pa.table({
+        "i": pa.array(folded["i"].to_numpy(dtype=np.int64)),
+        "j": pa.array(folded["j"].to_numpy(dtype=np.int64)),
+        "n": pa.array(folded["n"].to_numpy(dtype=np.int64)),
+        "m2": pa.array(m2, type=pa.float64()),
+    })
+
+
 def int8_quantize(sf_dir: str):
     """Symmetric per-dimension int8 scalar quantization of the
     embedding column — the compression step a 100 TB vector store runs
@@ -624,6 +674,21 @@ def int8_quantize(sf_dir: str):
                           batch_format="pyarrow", batch_size=4096,
                           concurrency=2)
 
+
+ORACLE_SQL["embedding_gram"] = """
+    WITH u AS (
+      SELECT vec_id,
+             CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000)
+                  AS BIGINT) AS x,
+             unnest(range(1, len(embedding) + 1)) AS d
+      FROM embeddings
+    )
+    SELECT a.d AS i, b.d AS j, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(a.x * b.x) AS DOUBLE)
+                 / COUNT(*) / 1000000.0, 6) AS m2
+    FROM u a JOIN u b USING (vec_id)
+    GROUP BY i, j
+"""
 
 ORACLE_SQL["embedding_dim_stats"] = """
     WITH u AS (
@@ -1356,6 +1421,7 @@ QUERIES = {
     "cluster_purity": cluster_purity,
     "int8_quantize": int8_quantize,
     "embedding_dim_stats": embedding_dim_stats,
+    "embedding_gram": embedding_gram,
     "knn_label_accuracy": knn_label_accuracy,
 }
 
