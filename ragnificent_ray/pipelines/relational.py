@@ -812,6 +812,125 @@ def _grouped_median(ds, key: str, col: str) -> dict:
     return out
 
 
+def customer_ltv_deciles(sf_dir: str):
+    """Decile boundaries of customer lifetime value — exact
+    ``quantile_cont`` over a DERIVED distribution (per-customer total
+    spend), the segmentation cut a marketing pipeline draws before
+    assigning tiers.
+
+    Two composed scale shapes: per-customer integer-cent totals fold in
+    bounded custkey-hash buckets (per-batch Arrow combiners first),
+    then the :func:`price_quantiles` histogram order-statistic
+    selection runs over that derived stream — min/max reduce, one
+    2048-cell histogram, only the boundary buckets' values reach the
+    driver. Interpolation is the ``v0 + frac·(v1 − v0)`` expression
+    DuckDB's ``quantile_cont`` evaluates."""
+    qs = tuple(round(0.1 * k, 1) for k in range(1, 10))
+    nbuckets = 2048
+    n_kb = _fact_join_partitions(sf_dir, "orders") * 8
+
+    ds = rd.read_parquet(_pq(sf_dir, "orders"),
+                         columns=["o_custkey", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.rint(
+            b.column("o_totalprice").to_numpy() * 100.0).astype(np.int64)
+        g = pa.table({
+            "o_custkey": b.column("o_custkey"),
+            "tot": pa.array(cents),
+        }).group_by("o_custkey").aggregate([("tot", "sum")])
+        key = g.column("o_custkey").to_numpy()
+        return pa.table({
+            "o_custkey": g.column("o_custkey"),
+            "tot": g.column("tot_sum"),
+            "kb": pa.array((key % n_kb).astype(np.int32)),
+        })
+
+    def fold(g: pa.Table) -> pa.Table:
+        f = g.group_by("o_custkey").aggregate([("tot", "sum")])
+        return pa.table({
+            "tot": pc.cast(pc.cast(f.column("tot_sum"), pa.int64()),
+                           pa.float64()),
+        })
+
+    totals = (ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=65536)
+              .groupby("kb")
+              .map_groups(fold, batch_format="pyarrow")).materialize()
+
+    from ray.data.aggregate import Max, Min
+
+    mm = totals.aggregate(Min("tot"), Max("tot"))
+    lo, hi = float(mm["min(tot)"]), float(mm["max(tot)"])
+    width = (hi - lo) / nbuckets or 1.0
+
+    def bucket_of(v: np.ndarray) -> np.ndarray:
+        return np.clip(((v - lo) / width).astype(np.int64), 0,
+                       nbuckets - 1)
+
+    def hist(batch: pa.Table) -> pa.Table:
+        counts = np.bincount(
+            bucket_of(batch.column("tot").to_numpy()),
+            minlength=nbuckets)
+        nz = np.nonzero(counts)[0]
+        return pa.table({"bucket": pa.array(nz, type=pa.int64()),
+                         "cnt": pa.array(counts[nz], type=pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    rows = (totals.map_batches(hist, batch_format="pyarrow",
+                               batch_size=65536)
+            .groupby("bucket")
+            .aggregate(Sum("cnt", alias_name="cnt"))).to_pandas()
+    counts = np.zeros(nbuckets, dtype=np.int64)
+    counts[rows["bucket"].to_numpy()] = rows["cnt"].to_numpy()
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+
+    ks = {}
+    need: set[int] = set()
+    for q in qs:
+        pos = (n - 1) * q
+        k0 = int(pos)
+        k1 = min(k0 + 1, n - 1)
+        ks[q] = (k0, k1, pos - k0)
+        need.update((k0, k1))
+    need_b = {int(np.searchsorted(cum, j, side="right")) for j in need}
+    need_arr = np.fromiter(need_b, dtype=np.int64, count=len(need_b))
+
+    def in_needed(batch: pa.Table) -> pa.Table:
+        v = batch.column("tot").to_numpy()
+        m = np.isin(bucket_of(v), need_arr)
+        return pa.table({
+            "bucket": pa.array(bucket_of(v)[m]),
+            "tot": pa.array(v[m], type=pa.float64()),
+        })
+
+    by_b: dict[int, list[float]] = {b: [] for b in need_b}
+    for r in (totals.map_batches(in_needed, batch_format="pyarrow",
+                                 batch_size=65536).take_all()):
+        by_b[int(r["bucket"])].append(float(r["tot"]))
+    for vals in by_b.values():
+        vals.sort()
+
+    def order_stat(j: int) -> float:
+        b = int(np.searchsorted(cum, j, side="right"))
+        below = int(cum[b - 1]) if b else 0
+        return by_b[b][j - below]
+
+    out_q, out_v = [], []
+    for q in qs:
+        k0, k1, frac = ks[q]
+        v0 = order_stat(k0)
+        out_q.append(q)
+        out_v.append(round_half_away(
+            (v0 + frac * (order_stat(k1) - v0)) / 100.0, 4))
+    return pa.table({
+        "q": pa.array(out_q, type=pa.float64()),
+        "ltv": pa.array(out_v, type=pa.float64()),
+    })
+
+
 def mad_outliers(sf_dir: str):
     """Robust per-group anomaly census: for every event type, the count
     of events whose |value − median| exceeds 3× the MEDIAN ABSOLUTE
@@ -2345,6 +2464,19 @@ ORACLE_SQL = {
         FROM agg a JOIN ex ON ex.event_type = a.event_type
     """,
     "events_quantile_sketch": _QUANTILE_SKETCH_SQL,
+    "customer_ltv_deciles": """
+        WITH t AS (
+          SELECT o_custkey,
+                 CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                      AS DOUBLE) AS tot
+          FROM orders GROUP BY o_custkey)
+        SELECT CAST(unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+                    AS DOUBLE) AS q,
+               ROUND(unnest(quantile_cont(tot,
+                     [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]))
+                     / 100.0, 4) AS ltv
+        FROM t
+    """,
     "mad_outliers": """
         WITH m AS (SELECT event_type, MEDIAN(value) AS med
                    FROM events GROUP BY event_type),
@@ -2477,6 +2609,7 @@ QUERIES = {
     "events_zscore": events_zscore,
     "events_quantile_sketch": events_quantile_sketch,
     "mad_outliers": mad_outliers,
+    "customer_ltv_deciles": customer_ltv_deciles,
     "approx_distinct_pairs": approx_distinct_pairs,
     "hll_users_by_type": hll_users_by_type,
     "orders_monthly_growth": orders_monthly_growth,

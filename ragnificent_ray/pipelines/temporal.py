@@ -667,6 +667,60 @@ def session_duration_stats(sf_dir: str):
 
 # ------------------------------------------------- Markov transition matrix
 
+_POW10 = np.array([10 ** k for k in range(1, 19)], dtype=np.int64)
+
+
+def interarrival_histogram(sf_dir: str):
+    """Inter-arrival-time distribution of each user's event stream:
+    consecutive same-user event gaps, floored to whole seconds and
+    bucketed by DECIMAL DIGIT COUNT (1 = under 10 s, 2 = under 100 s,
+    …) — the burstiness profile behind session-gap and rate-limit
+    tuning.
+
+    Scale shape: the :func:`markov_transitions` discipline — one
+    bounded user-bucket exchange orders each user's events
+    (deterministic (ts, event_id) tiebreak), gaps diff vectorized
+    inside the bucket and pre-count to ≤19 digit cells, and the final
+    fold sums a ≤19-key space. Digit bucketing is an integer
+    ``searchsorted`` against powers of ten (never float log10, whose
+    boundary error at exact powers would disagree with the oracle's
+    string length)."""
+    n_buckets = _bucket_count(sf_dir, ("events",))
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_id"])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        bucket = b.column("user_id").to_numpy() % n_buckets
+        return b.append_column(
+            "bucket", pa.array(bucket.astype(np.int32)))
+
+    def gap_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort", ignore_index=True)
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        uid = g["user_id"].to_numpy()
+        same = np.empty(len(g), dtype=bool)
+        same[:-1] = uid[1:] == uid[:-1]
+        same[-1] = False
+        delta_s = (np.roll(us, -1) - us)[same] // 1_000_000
+        digits = (np.searchsorted(_POW10, delta_s, side="right")
+                  + 1).astype(np.int64)
+        out = pd.DataFrame({"digits": digits})
+        return out.groupby("digits", as_index=False).size().rename(
+            columns={"size": "n_pairs"})
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow",
+                       batch_size=65536)
+        .groupby("bucket")
+        .map_groups(gap_counts, batch_format="pandas")
+        .groupby("digits")
+        .aggregate(Sum("n_pairs", alias_name="n_pairs"))
+    )
+
+
 def markov_transitions(sf_dir: str):
     """First-order Markov transition matrix over each user's event
     stream: for every (event_type → next event_type) pair, the count
@@ -753,6 +807,18 @@ ORACLE_SQL = {
                CAST(COUNT(*) AS BIGINT) AS n_sessions,
                ROUND(SUM(n_events) * 1.0 / COUNT(*), 4) AS avg_events
         FROM sess GROUP BY duration_min
+    """,
+    "interarrival_histogram": """
+        WITH s AS (
+          SELECT user_id, ts,
+                 LAG(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+          FROM events),
+        d AS (SELECT (epoch_us(ts) - epoch_us(prev)) // 1000000 AS ds
+              FROM s WHERE prev IS NOT NULL)
+        SELECT CAST(LENGTH(CAST(ds AS VARCHAR)) AS BIGINT) AS digits,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM d GROUP BY digits
     """,
     "markov_transitions": """
         WITH seq AS (
@@ -999,5 +1065,6 @@ QUERIES = {
     "active_sessions_hourly": active_sessions_hourly,
     "rolling_active_users": rolling_active_users,
     "markov_transitions": markov_transitions,
+    "interarrival_histogram": interarrival_histogram,
     "session_duration_stats": session_duration_stats,
 }
