@@ -1,0 +1,95 @@
+"""Semantic pins for the session-3e operators beyond DuckDB parity:
+MAD outlier flagging on planted anomalies, Gram-matrix structure,
+the Q20 fair-share rule, and the inter-arrival digit bucketing rule.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def entry():
+    import __ray_entry__ as e
+    return e
+
+
+def test_mad_outliers_flags_planted_spikes(ray_session, entry):
+    """A distribution with a few wild spikes must flag exactly those
+    spikes: |v - median| > 3*MAD is immune to the spikes' own pull
+    (unlike a z-score, where one spike inflates sigma)."""
+    out = entry.queries()["mad_outliers"](SF).to_pandas()
+    # contract over the real table: counts partition, mad >= 0
+    assert (out["n_outliers"] <= out["n"]).all()
+    assert (out["mad"] >= 0).all()
+
+    # planted check against an independent numpy replay on one group
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["event_type", "value"]).to_pandas()
+    g = t[t["event_type"] == out.iloc[0]["event_type"]]["value"].to_numpy()
+    med = np.quantile(g, 0.5, method="linear")
+    mad = np.quantile(np.abs(g - med), 0.5, method="linear")
+    want = int((np.abs(g - med) > 3 * mad).sum())
+    got = int(out.iloc[0]["n_outliers"])
+    assert got == want
+
+
+def test_embedding_gram_is_symmetric_with_correct_diagonal(ray_session,
+                                                           entry):
+    out = entry.queries()["embedding_gram"](SF).to_pandas()
+    d = int(out["i"].max())
+    assert len(out) == d * d
+    m = np.zeros((d, d))
+    m[out["i"].to_numpy() - 1, out["j"].to_numpy() - 1] = \
+        out["m2"].to_numpy()
+    assert np.array_equal(m, m.T)
+    assert (np.diag(m) >= 0).all()
+    # Cauchy-Schwarz on the second-moment matrix (loose float check:
+    # both sides pass through e-3 quantization + 6dp rounding)
+    for i in range(0, d, 13):
+        for j in range(0, d, 17):
+            assert m[i, j] ** 2 <= m[i, i] * m[j, j] + 1e-6
+
+
+def test_bulk_suppliers_fair_share_rule(ray_session, entry):
+    """Every reported supplier must ship >2x fair share of some blue
+    part — replayed independently in pandas."""
+    import pyarrow.parquet as pq
+
+    got = set(entry.queries()["bulk_suppliers"](SF).to_pandas()
+              ["s_suppkey"])
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_partkey", "l_suppkey",
+                                "l_quantity"]).to_pandas()
+    part = pq.read_table(f"{SF}/part.parquet",
+                         columns=["p_partkey", "p_name"]).to_pandas()
+    blue = set(part[part["p_name"].str.startswith("blue ")]["p_partkey"])
+    li = li[li["l_partkey"].isin(blue)].copy()
+    li["q"] = np.rint(li["l_quantity"].to_numpy() * 100).astype(np.int64)
+    sq = li.groupby(["l_partkey", "l_suppkey"], as_index=False)["q"].sum()
+    tot = sq.groupby("l_partkey").agg(tq=("q", "sum"), n=("q", "size"))
+    sq = sq.join(tot, on="l_partkey")
+    want = set(sq[sq["q"] * sq["n"] > 2 * sq["tq"]]["l_suppkey"])
+    assert got == want
+
+
+def test_interarrival_digit_rule():
+    """Digit bucketing must be exact at powers of ten — the boundary
+    float log10 would get wrong."""
+    from ragnificent_ray.pipelines.temporal import _POW10
+
+    v = np.array([0, 9, 10, 99, 100, 999, 1000, 10**9 - 1, 10**9],
+                 dtype=np.int64)
+    digits = np.searchsorted(_POW10, v, side="right") + 1
+    assert list(digits) == [1, 1, 2, 2, 3, 3, 4, 9, 10]
+
+
+def test_customer_ltv_deciles_monotone(ray_session, entry):
+    out = entry.queries()["customer_ltv_deciles"](SF).to_pandas() \
+        .sort_values("q")
+    assert len(out) == 9
+    assert (np.diff(out["ltv"].to_numpy()) >= 0).all()
