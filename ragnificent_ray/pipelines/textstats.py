@@ -926,6 +926,95 @@ def unigram_logprob(sf_dir: str):
                           concurrency=2)
 
 
+PMI_MIN_COUNT = 5
+PMI_TOP = 50
+
+
+def pmi_bigrams(sf_dir: str):
+    """Top-50 collocations by pointwise mutual information —
+    PMI(a,b) = ln(p(a,b) / (p(a)·p(b))) with a ≥5-occurrence support
+    floor, the classic phrase-mining signal (Church & Hanks 1990) that
+    raw bigram counts miss because frequent-word pairs dominate them.
+
+    Scale shape: unigram counts fold once (vocabulary-bounded,
+    broadcast via ``ray.put``); bigram counts use :func:`bigram_top`'s
+    distinct-per-block combiner and stay distributed; the PMI map is
+    one vectorized lookup pass and the cut is a distributed
+    sort+limit. Both engines evaluate the identical
+    ``LN(((c·Nu)·Nu)/((Nb·ca)·cb))`` double expression (same libm log
+    as the DSIR precedent), then rank on the 6-dp rounding with the
+    word pair as the total-order tiebreak."""
+    import ray
+
+    from collections import Counter
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["text"])
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        nb = 0
+        for t in batch.column("text").to_pylist():
+            toks = t.strip().split()
+            c.update(toks)
+            nb += max(len(toks) - 1, 0)
+        return pa.table({
+            "token": pa.array(list(c.keys()) + ["\x00nb"],
+                              type=pa.string()),
+            "n": pa.array(list(c.values()) + [nb], type=pa.int64()),
+        })
+
+    uc = (ds.map_batches(uni_partial, batch_format="pyarrow",
+                         batch_size=8192)
+          .groupby("token").sum("n")).to_pandas()
+    nb_mask = uc["token"] == "\x00nb"
+    n_bi = int(uc.loc[nb_mask, "sum(n)"].sum())
+    uc = uc[~nb_mask]
+    n_uni = int(uc["sum(n)"].sum())
+    uni = dict(zip(uc["token"], uc["sum(n)"].astype(int)))
+    ref = ray.put((uni, float(n_uni), float(n_bi)))
+
+    def bi_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            toks = t.strip().split()
+            c.update(zip(toks, toks[1:]))
+        return pa.table({
+            "w1": pa.array([k[0] for k in c], type=pa.string()),
+            "w2": pa.array([k[1] for k in c], type=pa.string()),
+            "cnt": pa.array(list(c.values()), type=pa.int64()),
+        })
+
+    def score(batch: pa.Table) -> pa.Table:
+        uni, nu, nbf = ray.get(ref)
+        t = batch.filter(pc.greater_equal(batch.column("cnt"),
+                                          PMI_MIN_COUNT))
+        w1 = t.column("w1").to_pylist()
+        w2 = t.column("w2").to_pylist()
+        cab = t.column("cnt").to_numpy().astype(np.float64)
+        ca = np.asarray([uni[w] for w in w1], dtype=np.float64)
+        cb = np.asarray([uni[w] for w in w2], dtype=np.float64)
+        pmi = np.log(((cab * nu) * nu) / ((nbf * ca) * cb))
+        pmi = np.asarray([round_half_away(v, 6) for v in pmi])
+        return pa.table({
+            "w1": t.column("w1"),
+            "w2": t.column("w2"),
+            "cnt": t.column("cnt"),
+            "pmi": pa.array(pmi, type=pa.float64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(bi_partial, batch_format="pyarrow",
+                       batch_size=8192)
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .map_batches(score, batch_format="pyarrow", batch_size=65536)
+        .sort(["pmi", "w1", "w2"], descending=[True, False, False])
+        .limit(PMI_TOP)
+    )
+
+
 def perplexity_buckets(sf_dir: str):
     """CCNet-style head/middle/tail terciles per language: rank every
     document inside its language by unigram-LM mean log-probability and
@@ -1624,6 +1713,38 @@ ORACLE_SQL["quality_percentile_filter"] = f"""
     WHERE rk <= ({QUALITY_KEEP_NUM} * n) // {QUALITY_KEEP_DEN}
 """
 
+ORACLE_SQL["pmi_bigrams"] = rf"""
+    WITH t AS (
+      SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), u AS (
+      SELECT unnest(toks) AS w FROM t
+    ), uc AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM u GROUP BY w
+    ), nu AS (
+      SELECT SUM(c) AS n FROM uc
+    ), bg AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i])) AS w1,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i + 1])) AS w2
+      FROM t WHERE len(toks) >= 2
+    ), bc AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM bg GROUP BY w1, w2 HAVING COUNT(*) >= {PMI_MIN_COUNT}
+    ), nb AS (
+      SELECT CAST(SUM(len(toks) - 1) AS BIGINT) AS n
+      FROM t WHERE len(toks) >= 2
+    )
+    SELECT bc.w1, bc.w2, bc.cnt,
+           ROUND(LN(((CAST(bc.cnt AS DOUBLE) * nu.n) * nu.n)
+                    / ((CAST(nb.n AS DOUBLE) * ca.c) * cb.c)), 6) AS pmi
+    FROM bc CROSS JOIN nu CROSS JOIN nb
+    JOIN uc ca ON ca.w = bc.w1
+    JOIN uc cb ON cb.w = bc.w2
+    ORDER BY pmi DESC, bc.w1, bc.w2 LIMIT {PMI_TOP}
+"""
+
 ORACLE_SQL["perplexity_buckets"] = f"""
     WITH u AS ({ORACLE_SQL["unigram_logprob"]}), l AS (
       SELECT u.doc_id, u.mean_logprob, d.lang
@@ -1667,4 +1788,5 @@ QUERIES = {
     "lang_confusion": lang_confusion,
     "keyword_topk": keyword_topk,
     "perplexity_buckets": perplexity_buckets,
+    "pmi_bigrams": pmi_bigrams,
 }
