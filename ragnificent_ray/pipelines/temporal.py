@@ -721,6 +721,65 @@ def interarrival_histogram(sf_dir: str):
     )
 
 
+def events_late_arrival_stats(sf_dir: str):
+    """Out-of-order arrival census per user stream — the data-quality
+    probe a streaming pipeline runs before choosing watermark slack:
+    in each user's ARRIVAL order (event_id), how many adjacent steps go
+    backwards in event time, and the worst regression in seconds.
+
+    Same bounded user-bucket exchange as :func:`interarrival_histogram`
+    — streams order in-bucket by (user, event_id), the ts diff is
+    vectorized, and each bucket collapses to ONE (pairs, inversions,
+    max-regression) row before the final bounded fold to a single
+    corpus row. Regressions compare in exact integer microseconds."""
+    n_buckets = _bucket_count(sf_dir, ("events",))
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_id"])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        bucket = b.column("user_id").to_numpy() % n_buckets
+        return b.append_column(
+            "bucket", pa.array(bucket.astype(np.int32)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_id"], kind="mergesort",
+                          ignore_index=True)
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        uid = g["user_id"].to_numpy()
+        same = np.empty(len(g), dtype=bool)
+        same[:-1] = uid[1:] == uid[:-1]
+        same[-1] = False
+        delta = (np.roll(us, -1) - us)[same]
+        inv = delta < 0
+        worst_us = int(-delta[inv].min()) if inv.any() else 0
+        return pd.DataFrame({
+            "n_pairs": [int(same.sum())],
+            "n_inversions": [int(inv.sum())],
+            "worst_regression_s": [worst_us // 1_000_000],
+        })
+
+    from ray.data.aggregate import Max, Sum
+
+    folded = (
+        ds.map_batches(add_bucket, batch_format="pyarrow",
+                       batch_size=65536)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .aggregate(Sum("n_pairs", alias_name="n_pairs"),
+                   Sum("n_inversions", alias_name="n_inversions"),
+                   Max("worst_regression_s",
+                       alias_name="worst_regression_s"))
+    )
+    return pa.table({
+        "n_pairs": pa.array([int(folded["n_pairs"] or 0)],
+                            type=pa.int64()),
+        "n_inversions": pa.array([int(folded["n_inversions"] or 0)],
+                                 type=pa.int64()),
+        "worst_regression_s": pa.array(
+            [int(folded["worst_regression_s"] or 0)], type=pa.int64()),
+    })
+
+
 def markov_transitions(sf_dir: str):
     """First-order Markov transition matrix over each user's event
     stream: for every (event_type → next event_type) pair, the count
@@ -807,6 +866,22 @@ ORACLE_SQL = {
                CAST(COUNT(*) AS BIGINT) AS n_sessions,
                ROUND(SUM(n_events) * 1.0 / COUNT(*), 4) AS avg_events
         FROM sess GROUP BY duration_min
+    """,
+    "events_late_arrival_stats": """
+        WITH s AS (
+          SELECT user_id,
+                 epoch_us(ts)
+                   - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                             ORDER BY event_id) AS d
+          FROM events),
+        p AS (SELECT d FROM s WHERE d IS NOT NULL)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_inversions,
+               CAST(COALESCE(MAX(CASE WHEN d < 0 THEN (-d) // 1000000
+                                      END), 0) AS BIGINT)
+                 AS worst_regression_s
+        FROM p
     """,
     "interarrival_histogram": """
         WITH s AS (
@@ -1066,5 +1141,6 @@ QUERIES = {
     "rolling_active_users": rolling_active_users,
     "markov_transitions": markov_transitions,
     "interarrival_histogram": interarrival_histogram,
+    "events_late_arrival_stats": events_late_arrival_stats,
     "session_duration_stats": session_duration_stats,
 }

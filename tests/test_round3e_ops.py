@@ -93,3 +93,36 @@ def test_customer_ltv_deciles_monotone(ray_session, entry):
         .sort_values("q")
     assert len(out) == 9
     assert (np.diff(out["ltv"].to_numpy()) >= 0).all()
+
+
+def test_late_arrival_kernel_counts_planted_inversions():
+    """The corpus itself is ts-ordered (0 inversions end-to-end, which
+    the oracle confirms), so plant inversions through the kernel the
+    op folds: user 1 regresses twice (30 s, 90 s), user 2 regresses a
+    full day, and the cross-user seam (rows 4→5) must not count."""
+    import pandas as pd
+
+    g = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 2, 2],
+        "event_id": [1, 2, 3, 4, 5, 6],
+        "ts": pd.to_datetime([
+            "2025-01-01 00:00:00", "2025-01-01 00:01:00",
+            "2025-01-01 00:00:30",   # -30 s
+            "2024-12-31 23:59:00",   # -90 s
+            "2025-01-02 00:00:00", "2025-01-01 00:00:00",  # user seam
+        ]),
+    })
+    # replay the per-bucket kernel exactly as the op defines it
+    import numpy as np
+
+    g = g.sort_values(["user_id", "event_id"], ignore_index=True)
+    us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    uid = g["user_id"].to_numpy()
+    same = np.empty(len(g), dtype=bool)
+    same[:-1] = uid[1:] == uid[:-1]
+    same[-1] = False
+    delta = (np.roll(us, -1) - us)[same]
+    inv = delta < 0
+    assert int(same.sum()) == 4        # 3 user-1 pairs + 1 user-2 pair
+    assert int(inv.sum()) == 3         # two user-1 dips + user-2 dip
+    assert int(-delta[inv].min()) // 1_000_000 == 86400  # user-2 full day
