@@ -172,6 +172,67 @@ def doc_prefix_dedup(sf_dir: str):
             .map_groups(fold, batch_format="pyarrow"))
 
 
+def incremental_dedup(sf_dir: str):
+    """Incremental-ingest dedup — the repeated-crawl scenario: the
+    incoming half of the corpus (doc_id ≥ median split point) keeps
+    only documents whose content key was never seen in the EXISTING
+    half, nor earlier within the incoming batch itself. The key is the
+    md5 of the 32-char boilerplate prefix (the :func:`doc_prefix_dedup`
+    signal — this corpus has no full-text exact dups, so prefix keys
+    are what actually collide across snapshots).
+
+    Both legs stream: existing docs reduce to per-batch-unique hash
+    rows, the batch-internal keeper is the bucketed group-first
+    (:func:`exact_dedup`'s shape), and the cross-snapshot test is one
+    hash-partitioned ``left_anti`` join — the exchange carries hashes,
+    never text. No corpus-sized set ever materializes on the driver."""
+    import pyarrow.parquet as pq_mod
+
+    meta = pq_mod.read_metadata(_pq(sf_dir, "documents"))
+    split = meta.num_rows // 2
+    n_buckets = _bucket_count(sf_dir)
+    P = _join_partition_count(sf_dir)
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def hash_existing(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.less(batch.column("doc_id"), split))
+        hashes = sorted({md5_hex(t[:_PREFIX_LEN]) for t in
+                         b.column("text").to_pylist()})
+        return pa.table({"old_hash": pa.array(hashes, type=pa.string())})
+
+    def hash_incoming(batch: pa.Table) -> pa.Table:
+        b = batch.filter(
+            pc.greater_equal(batch.column("doc_id"), split))
+        hashes = [md5_hex(t[:_PREFIX_LEN])
+                  for t in b.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "text_hash": pa.array(hashes, type=pa.string()),
+            "bucket": pa.array([int(h[:8], 16) % n_buckets
+                                for h in hashes], type=pa.int32()),
+        })
+
+    def batch_first(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g.sort_values(["text_hash", "doc_id"]) \
+                .drop_duplicates("text_hash")
+        return keep[["doc_id", "text_hash"]]
+
+    existing = ds.map_batches(hash_existing, batch_format="pyarrow",
+                              batch_size=8192)
+    incoming = (ds.map_batches(hash_incoming, batch_format="pyarrow",
+                               batch_size=8192)
+                .groupby("bucket")
+                .map_groups(batch_first, batch_format="pandas"))
+    out = incoming.join(existing, "left_anti", num_partitions=P,
+                        on=("text_hash",), right_on=("old_hash",),
+                        aggregator_ray_remote_args={"num_cpus": 0.25})
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "text_hash"]),
+        batch_format="pyarrow")
+
+
 # ------------------------------------------------------- token-set helpers
 
 def _token_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
@@ -1412,6 +1473,17 @@ ORACLE_SQL = {
         SELECT MIN(doc_id) AS doc_id, md5(text) AS text_hash
         FROM documents GROUP BY md5(text)
     """,
+    "incremental_dedup": f"""
+        WITH sp AS (SELECT COUNT(*) // 2 AS s FROM documents),
+        old AS (SELECT DISTINCT md5(substr(text, 1, {_PREFIX_LEN})) AS h
+                FROM documents, sp WHERE doc_id < s),
+        inc AS (SELECT MIN(doc_id) AS doc_id,
+                       md5(substr(text, 1, {_PREFIX_LEN})) AS text_hash
+                FROM documents, sp WHERE doc_id >= s
+                GROUP BY md5(substr(text, 1, {_PREFIX_LEN})))
+        SELECT doc_id, text_hash FROM inc
+        WHERE NOT EXISTS (SELECT 1 FROM old WHERE old.h = inc.text_hash)
+    """,
     "doc_prefix_dedup": f"""
         SELECT substr(text, 1, {_PREFIX_LEN}) AS prefix,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -1513,6 +1585,7 @@ def image_dedup_exact(ds, n_buckets: int = _BUCKETS):
 QUERIES = {
     "exact_dedup": exact_dedup,
     "doc_prefix_dedup": doc_prefix_dedup,
+    "incremental_dedup": incremental_dedup,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "dedup_clusters": dedup_clusters,
