@@ -572,6 +572,61 @@ def triangle_count(sf_dir: str):
                                              type=pa.int64())})
 
 
+def clustering_coefficient(sf_dir: str):
+    """Global clustering coefficient (transitivity) of the
+    co-visitation graph: 3·triangles / wedges, where the wedge census
+    W = Σ_v C(deg(v), 2) — how much of the graph's 2-path structure
+    actually closes, the single-number community-density gauge.
+
+    Composes :func:`triangle_count` (degree-oriented wedge join) with a
+    wedge census that never materializes wedges: per-batch (node,
+    count) degree partials fold in bounded node-hash buckets, each
+    bucket emits ONE Σ d(d−1)/2 partial row, and the ratio is the only
+    float step (identical ``3.0·T / W`` expression on both engines)."""
+    from ..functions.numeric import round_half_away
+
+    tri = int(triangle_count(sf_dir).column("n_triangles")[0].as_py())
+
+    n_buckets = _bucket_count(sf_dir, ("events",))
+    ed = covisitation_pairs(sf_dir)
+    if isinstance(ed, pa.Table):  # hot-item caps emptied the graph
+        wedges = 0
+    else:
+        def deg_partial(b: pa.Table) -> pa.Table:
+            nodes = np.concatenate([
+                b.column("user_a").to_numpy(zero_copy_only=False),
+                b.column("user_b").to_numpy(zero_copy_only=False)])
+            g = (pa.table({"node": pa.array(nodes, type=pa.int64())})
+                 .group_by("node").aggregate([("node", "count")]))
+            return pa.table({
+                "node": g.column("node"),
+                "d": pc.cast(g.column("node_count"), pa.int64()),
+                "db": pa.array(
+                    (g.column("node").to_numpy(zero_copy_only=False)
+                     % n_buckets).astype(np.int32)),
+            })
+
+        def bucket_wedges(t: pa.Table) -> pa.Table:
+            g = (t.select(["node", "d"]).group_by("node")
+                 .aggregate([("d", "sum")]))
+            d = g.column("d_sum").to_numpy()
+            return pa.table({"w": pa.array(
+                [int((d * (d - 1) // 2).sum())], type=pa.int64())})
+
+        wedges = int(
+            ed.map_batches(deg_partial, batch_format="pyarrow")
+            .groupby("db").map_groups(bucket_wedges,
+                                      batch_format="pyarrow")
+            .sum("w") or 0)
+
+    cc = round_half_away(3.0 * tri / wedges, 6) if wedges else 0.0
+    return pa.table({
+        "n_triangles": pa.array([tri], type=pa.int64()),
+        "n_wedges": pa.array([wedges], type=pa.int64()),
+        "global_cc": pa.array([cc], type=pa.float64()),
+    })
+
+
 def _triangle_sql() -> str:
     return f"""
 WITH covis AS ({_covis_sql()}),
@@ -1025,8 +1080,29 @@ SELECT node AS item, lbl AS community FROM l{iters}
 """
 
 
+def _clustering_coefficient_sql() -> str:
+    return f"""
+WITH tri AS ({_triangle_sql()}),
+covis AS ({_covis_sql()}),
+deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT user_a AS node FROM covis
+    UNION ALL SELECT user_b FROM covis) GROUP BY node
+), w AS (
+  SELECT CAST(COALESCE(SUM(d * (d - 1) // 2), 0) AS BIGINT) AS wedges
+  FROM deg
+)
+SELECT tri.n_triangles, w.wedges AS n_wedges,
+       CASE WHEN w.wedges > 0
+            THEN ROUND(3.0 * tri.n_triangles / w.wedges, 6)
+            ELSE 0.0 END AS global_cc
+FROM tri CROSS JOIN w
+"""
+
+
 ORACLE_SQL = {
     "lpa_communities": _lpa_sql(),
+    "clustering_coefficient": _clustering_coefficient_sql(),
     "pagerank_clicks": _pagerank_sql(),
     "covisitation_pairs": _covis_sql(),
     "event_type_jaccard": _JACCARD_SQL,
@@ -1041,4 +1117,5 @@ QUERIES = {
     "event_type_jaccard": event_type_jaccard,
     "decayed_item_scores": decayed_item_scores,
     "triangle_count": triangle_count,
+    "clustering_coefficient": clustering_coefficient,
 }
