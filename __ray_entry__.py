@@ -105,6 +105,30 @@ def _crawl_chunks(sf_dir: str):
                       "nested_level", "position", "is_continuation"])
 
 
+def _crawl_round_metrics(sf_dir: str):
+    """Per-round crawl lineage/metrics census — the north rule's
+    "resumable from checkpoint with per-partition lineage + metrics"
+    surface as a first-class query: one row per crawl round with the
+    deterministic counters (frontier size, parsed/cached/failed pages,
+    rendered, chunks, image frontier, harvest rows, next frontier).
+    Wall-time fields are intentionally excluded so the result is
+    run-stable (rows-only determinism gate)."""
+    import pyarrow as pa
+
+    res = _crawl(sf_dir)
+    keys = ("n_frontier", "pages_parsed", "pages_from_cache",
+            "pages_failed", "rendered", "chunks", "image_frontier",
+            "harvest_rows", "next_frontier")
+    rounds = sorted(int(k.split("_", 1)[1]) for k in res.metrics
+                    if k.startswith("round_"))
+    cols: dict = {"round": pa.array(rounds, type=pa.int64())}
+    for key in keys:
+        cols[key] = pa.array(
+            [int(res.metrics[f"round_{r}"].get(key) or 0)
+             for r in rounds], type=pa.int64())
+    return pa.table(cols)
+
+
 def _crawl_domain_stats(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -973,6 +997,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_documents": _crawl_documents,
         "crawl_chunks": _crawl_chunks,
         "crawl_domain_stats": _crawl_domain_stats,
+        "crawl_round_metrics": _crawl_round_metrics,
         "crawl_pagerank": _crawl_pagerank,
         "image_decode_stats": _image_decode_stats,
         "image_aspect_buckets": _image_aspect_buckets,
