@@ -708,6 +708,42 @@ def min_balance_supplier(sf_dir: str):
     )
 
 
+# --------------------------------------------------------------- Q6 shape
+
+def forecast_revenue_change(sf_dir: str):
+    """TPC-H-Q6-shaped what-if scan: the revenue that would be
+    reclaimed by eliminating small discounts — SUM(price·discount)
+    over one ship-year for discounts in a band and small quantities.
+    The simplest possible distributed shape done right: a column-pruned
+    single streaming pass, the predicate and the product vectorized per
+    batch in exact integer 1e-4 units, one scalar fold."""
+    lo = pa.scalar(_dt.datetime(1996, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1997, 1, 1), type=pa.timestamp("us"))
+
+    li = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                         columns=["l_shipdate", "l_discount",
+                                  "l_quantity", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        w = b.filter(pc.and_(
+            pc.greater_equal(b.column("l_shipdate"), lo),
+            pc.less(b.column("l_shipdate"), hi)))
+        disc_bp = np.rint(
+            w.column("l_discount").to_numpy() * 100.0).astype(np.int64)
+        qty = w.column("l_quantity").to_numpy()
+        m = (disc_bp >= 5) & (disc_bp <= 7) & (qty < 24)
+        cents = np.rint(
+            w.column("l_extendedprice").to_numpy()[m] * 100.0
+        ).astype(np.int64)
+        rev_e4 = int((cents * disc_bp[m]).sum())
+        return pa.table({"rev_e4": pa.array([rev_e4], type=pa.int64())})
+
+    total = int(li.map_batches(partial, batch_format="pyarrow",
+                               batch_size=65536).sum("rev_e4") or 0)
+    return pa.table({"revenue": pa.array(
+        [round_half_away(total / 10000.0, 2)], type=pa.float64())})
+
+
 # ----------------------------------------------------------- skyline shape
 
 def _skyline_mask(price_e2: np.ndarray, size: np.ndarray) -> np.ndarray:
@@ -779,6 +815,16 @@ def pareto_parts(sf_dir: str):
 
 
 ORACLE_SQL = {
+    "forecast_revenue_change": """
+        SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                         * CAST(ROUND(l_discount * 100) AS BIGINT))
+                     / 10000.0, 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+          AND l_quantity < 24
+    """,
     "pareto_parts": """
         SELECT p.p_partkey,
                CAST(ROUND(p.p_retailprice * 100) AS BIGINT) AS price_e2,
@@ -906,6 +952,7 @@ ORACLE_SQL = {
 }
 
 QUERIES = {
+    "forecast_revenue_change": forecast_revenue_change,
     "pareto_parts": pareto_parts,
     "local_supplier_revenue": local_supplier_revenue,
     "market_share": market_share,
