@@ -726,13 +726,16 @@ def group_quantiles(sf_dir: str):
     })
 
 
-def _grouped_median(ds, key: str, col: str) -> dict:
-    """Exact per-group MEDIAN (``quantile_cont(0.5)`` semantics,
-    interpolated) by histogram order-statistic selection — the
+def _grouped_quantiles(ds, key: str, col: str,
+                       qs: tuple = (0.5,)) -> dict:
+    """Exact per-group ``quantile_cont`` (interpolated) for every q in
+    ``qs`` by histogram order-statistic selection — the
     :func:`group_quantiles` machinery packaged for reuse: one
     |groups|×2048-cell histogram reduce, then only each group's
     boundary-bucket values ship to the driver. Never a per-group sort,
-    never a full-column materialization."""
+    never a full-column materialization. Returns
+    ``{group: {q: value}}`` with the ``v0 + frac·(v1 − v0)``
+    interpolation DuckDB's quantile_cont/MEDIAN evaluates."""
     nbuckets = 2048
     from ray.data.aggregate import Max, Min, Sum
 
@@ -767,15 +770,19 @@ def _grouped_median(ds, key: str, col: str) -> dict:
         per_group[grp] = np.cumsum(counts)
 
     need_buckets: dict[str, set] = {}
-    ks: dict[str, tuple[int, int, float]] = {}
+    ks: dict[str, dict[float, tuple[int, int, float]]] = {}
     for grp, cum in per_group.items():
         n = int(cum[-1])
-        pos = (n - 1) * 0.5
-        k0 = int(pos)
-        k1 = min(k0 + 1, n - 1)
-        ks[grp] = (k0, k1, pos - k0)
+        ks[grp] = {}
+        need: set[int] = set()
+        for q in qs:
+            pos = (n - 1) * q
+            k0 = int(pos)
+            k1 = min(k0 + 1, n - 1)
+            ks[grp][q] = (k0, k1, pos - k0)
+            need.update((k0, k1))
         need_buckets[grp] = {
-            int(np.searchsorted(cum, j, side="right")) for j in (k0, k1)}
+            int(np.searchsorted(cum, j, side="right")) for j in need}
 
     def in_needed(batch: pa.Table) -> pa.Table:
         v = batch.column(col).to_numpy(zero_copy_only=False)
@@ -799,17 +806,25 @@ def _grouped_median(ds, key: str, col: str) -> dict:
     for vals in by_gb.values():
         vals.sort()
 
-    out: dict[str, float] = {}
+    out: dict[str, dict[float, float]] = {}
     for grp, cum in per_group.items():
         def order_stat(j: int, grp=grp, cum=cum) -> float:
             b = int(np.searchsorted(cum, j, side="right"))
             below = int(cum[b - 1]) if b else 0
             return by_gb[(grp, b)][j - below]
 
-        k0, k1, frac = ks[grp]
-        v0 = order_stat(k0)
-        out[grp] = v0 + frac * (order_stat(k1) - v0)
+        out[grp] = {}
+        for q in qs:
+            k0, k1, frac = ks[grp][q]
+            v0 = order_stat(k0)
+            out[grp][q] = v0 + frac * (order_stat(k1) - v0)
     return out
+
+
+def _grouped_median(ds, key: str, col: str) -> dict:
+    """{group: exact interpolated median} — _grouped_quantiles at 0.5."""
+    return {g: qs[0.5] for g, qs in
+            _grouped_quantiles(ds, key, col, (0.5,)).items()}
 
 
 def customer_ltv_deciles(sf_dir: str):
@@ -820,13 +835,11 @@ def customer_ltv_deciles(sf_dir: str):
 
     Two composed scale shapes: per-customer integer-cent totals fold in
     bounded custkey-hash buckets (per-batch Arrow combiners first),
-    then the :func:`price_quantiles` histogram order-statistic
-    selection runs over that derived stream — min/max reduce, one
-    2048-cell histogram, only the boundary buckets' values reach the
-    driver. Interpolation is the ``v0 + frac·(v1 − v0)`` expression
-    DuckDB's ``quantile_cont`` evaluates."""
+    then :func:`_grouped_quantiles` (the shared histogram
+    order-statistic machinery) runs over that derived stream under one
+    constant group key — min/max reduce, one 2048-cell histogram, only
+    the boundary buckets' values reach the driver."""
     qs = tuple(round(0.1 * k, 1) for k in range(1, 10))
-    nbuckets = 2048
     n_kb = _fact_join_partitions(sf_dir, "orders") * 8
 
     ds = rd.read_parquet(_pq(sf_dir, "orders"),
@@ -848,7 +861,9 @@ def customer_ltv_deciles(sf_dir: str):
 
     def fold(g: pa.Table) -> pa.Table:
         f = g.group_by("o_custkey").aggregate([("tot", "sum")])
+        n = f.num_rows
         return pa.table({
+            "g": pa.array(["all"] * n, type=pa.string()),
             "tot": pc.cast(pc.cast(f.column("tot_sum"), pa.int64()),
                            pa.float64()),
         })
@@ -858,76 +873,11 @@ def customer_ltv_deciles(sf_dir: str):
               .groupby("kb")
               .map_groups(fold, batch_format="pyarrow")).materialize()
 
-    from ray.data.aggregate import Max, Min
-
-    mm = totals.aggregate(Min("tot"), Max("tot"))
-    lo, hi = float(mm["min(tot)"]), float(mm["max(tot)"])
-    width = (hi - lo) / nbuckets or 1.0
-
-    def bucket_of(v: np.ndarray) -> np.ndarray:
-        return np.clip(((v - lo) / width).astype(np.int64), 0,
-                       nbuckets - 1)
-
-    def hist(batch: pa.Table) -> pa.Table:
-        counts = np.bincount(
-            bucket_of(batch.column("tot").to_numpy()),
-            minlength=nbuckets)
-        nz = np.nonzero(counts)[0]
-        return pa.table({"bucket": pa.array(nz, type=pa.int64()),
-                         "cnt": pa.array(counts[nz], type=pa.int64())})
-
-    from ray.data.aggregate import Sum
-
-    rows = (totals.map_batches(hist, batch_format="pyarrow",
-                               batch_size=65536)
-            .groupby("bucket")
-            .aggregate(Sum("cnt", alias_name="cnt"))).to_pandas()
-    counts = np.zeros(nbuckets, dtype=np.int64)
-    counts[rows["bucket"].to_numpy()] = rows["cnt"].to_numpy()
-    cum = np.cumsum(counts)
-    n = int(cum[-1])
-
-    ks = {}
-    need: set[int] = set()
-    for q in qs:
-        pos = (n - 1) * q
-        k0 = int(pos)
-        k1 = min(k0 + 1, n - 1)
-        ks[q] = (k0, k1, pos - k0)
-        need.update((k0, k1))
-    need_b = {int(np.searchsorted(cum, j, side="right")) for j in need}
-    need_arr = np.fromiter(need_b, dtype=np.int64, count=len(need_b))
-
-    def in_needed(batch: pa.Table) -> pa.Table:
-        v = batch.column("tot").to_numpy()
-        m = np.isin(bucket_of(v), need_arr)
-        return pa.table({
-            "bucket": pa.array(bucket_of(v)[m]),
-            "tot": pa.array(v[m], type=pa.float64()),
-        })
-
-    by_b: dict[int, list[float]] = {b: [] for b in need_b}
-    for r in (totals.map_batches(in_needed, batch_format="pyarrow",
-                                 batch_size=65536).take_all()):
-        by_b[int(r["bucket"])].append(float(r["tot"]))
-    for vals in by_b.values():
-        vals.sort()
-
-    def order_stat(j: int) -> float:
-        b = int(np.searchsorted(cum, j, side="right"))
-        below = int(cum[b - 1]) if b else 0
-        return by_b[b][j - below]
-
-    out_q, out_v = [], []
-    for q in qs:
-        k0, k1, frac = ks[q]
-        v0 = order_stat(k0)
-        out_q.append(q)
-        out_v.append(round_half_away(
-            (v0 + frac * (order_stat(k1) - v0)) / 100.0, 4))
+    cuts = _grouped_quantiles(totals, "g", "tot", qs)["all"]
     return pa.table({
-        "q": pa.array(out_q, type=pa.float64()),
-        "ltv": pa.array(out_v, type=pa.float64()),
+        "q": pa.array(list(qs), type=pa.float64()),
+        "ltv": pa.array([round_half_away(cuts[q] / 100.0, 4)
+                         for q in qs], type=pa.float64()),
     })
 
 
@@ -959,7 +909,11 @@ def mad_outliers(sf_dir: str):
             "dv": pa.array(np.abs(v - medv), type=pa.float64()),
         })
 
-    devs = ds.map_batches(dev, batch_format="pyarrow", batch_size=65536)
+    # materialize: _grouped_median scans its input three times (min/max
+    # reduce, histogram, boundary refine) — without this the full
+    # events read + per-row median lookup would recompute each pass
+    devs = ds.map_batches(dev, batch_format="pyarrow",
+                          batch_size=65536).materialize()
     mad = _grouped_median(devs, key, "dv")
     mad_ref = _ray.put(mad)
 
@@ -2207,14 +2161,17 @@ _SKETCH_VALUES = ", ".join(f"({q})" for q in _SKETCH_QS)
 _QUANTILE_SKETCH_SQL = f"""
     WITH mm AS (SELECT MIN(value) AS lo, MAX(value) AS hi,
                        COUNT(*) AS n FROM events),
-    b AS (SELECT LEAST(FLOOR((value - lo) / ((hi - lo) / {_SKETCH_BINS}.0)),
-                       {_SKETCH_BINS - 1}) AS bkt, COUNT(*) AS c
+    b AS (SELECT CASE WHEN hi = lo THEN 0 ELSE
+                 LEAST(FLOOR((value - lo) / ((hi - lo) / {_SKETCH_BINS}.0)),
+                       {_SKETCH_BINS - 1}) END AS bkt, COUNT(*) AS c
           FROM events CROSS JOIN mm GROUP BY bkt),
     cm AS (SELECT bkt, SUM(c) OVER (ORDER BY bkt) AS cum FROM b),
     q AS (SELECT * FROM (VALUES {_SKETCH_VALUES}) t(q))
     SELECT q.q AS quantile,
-           mm.lo + (MIN(cm.bkt) + 1) * ((mm.hi - mm.lo)
-                                        / {_SKETCH_BINS}.0) AS estimate,
+           CASE WHEN mm.hi = mm.lo THEN mm.lo ELSE
+                mm.lo + (MIN(cm.bkt) + 1) * ((mm.hi - mm.lo)
+                                             / {_SKETCH_BINS}.0)
+           END AS estimate,
            mm.n AS n
     FROM q CROSS JOIN mm
     JOIN cm ON cm.cum >= CAST(CEIL(q.q * mm.n) AS BIGINT)

@@ -993,8 +993,8 @@ def pmi_bigrams(sf_dir: str):
         cab = t.column("cnt").to_numpy().astype(np.float64)
         ca = np.asarray([uni[w] for w in w1], dtype=np.float64)
         cb = np.asarray([uni[w] for w in w2], dtype=np.float64)
-        pmi = np.log(((cab * nu) * nu) / ((nbf * ca) * cb))
-        pmi = np.asarray([round_half_away(v, 6) for v in pmi])
+        pmi = round_half_away(
+            np.log(((cab * nu) * nu) / ((nbf * ca) * cb)), 6)
         return pa.table({
             "w1": t.column("w1"),
             "w2": t.column("w2"),
@@ -1716,7 +1716,7 @@ ORACLE_SQL["quality_percentile_filter"] = f"""
 ORACLE_SQL["pmi_bigrams"] = rf"""
     WITH t AS (
       SELECT regexp_split_to_array(trim(text), '\s+') AS toks
-      FROM documents
+      FROM documents WHERE trim(text) <> ''
     ), u AS (
       SELECT unnest(toks) AS w FROM t
     ), uc AS (

@@ -752,13 +752,15 @@ def _skyline_mask(price_e2: np.ndarray, size: np.ndarray) -> np.ndarray:
     sweep: sort by (price, size); within a price group only min-size
     rows can survive; across groups a row must beat the running min
     size of all strictly-cheaper groups."""
+    if len(price_e2) == 0:
+        return np.zeros(0, dtype=bool)
     order = np.lexsort((size, price_e2))
     p, s = price_e2[order], size[order]
     new_grp = np.empty(len(p), dtype=bool)
     new_grp[0] = True
     new_grp[1:] = p[1:] != p[:-1]
     grp = np.cumsum(new_grp) - 1
-    n_grp = grp[-1] + 1 if len(p) else 0
+    n_grp = grp[-1] + 1
     min_in = np.full(n_grp, np.iinfo(np.int64).max, dtype=np.int64)
     np.minimum.at(min_in, grp, s)
     prev_min = np.empty(n_grp, dtype=np.int64)
