@@ -420,6 +420,48 @@ def _image_quality_scores(sf_dir: str):
                      batch_size=64, concurrency=2)
 
 
+def _image_psnr_audit(sf_dir: str):
+    """Corpus-wide lossy-roundtrip PSNR audit per image format — the
+    north rule's ≥40 dB decoded-pixel invariant as a queryable census:
+    per-format image count, min/mean roundtrip PSNR (exact integer
+    1e-4 dB folds, order-independent), and the fraction clearing
+    40 dB. Rows-only check (binary payloads — no SQL view)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ragnificent_ray.functions.numeric import round_half_away
+    from ragnificent_ray.stages.multimodal import ImagePsnrAuditStage
+
+    harvest = _crawl_harvest(sf_dir)
+    from ray.data.aggregate import Min, Sum
+
+    folded = (
+        rd.from_arrow(harvest.select(["image_id", "bytes", "fmt"]))
+        .map_batches(ImagePsnrAuditStage, batch_format="pyarrow",
+                     batch_size=64, concurrency=2)
+        .groupby("fmt")
+        .aggregate(Sum("n", alias_name="n"),
+                   Min("min_e4", alias_name="min_e4"),
+                   Sum("sum_e4", alias_name="sum_e4"),
+                   Sum("n_above_40", alias_name="n_above_40"))
+    ).to_pandas().sort_values("fmt")
+    return pa.table({
+        "fmt": pa.array(folded["fmt"].tolist(), type=pa.string()),
+        "n_images": pa.array(folded["n"].to_numpy(dtype="int64")),
+        "min_psnr": pa.array(
+            [round_half_away(int(v) / 10000.0, 4)
+             for v in folded["min_e4"]], type=pa.float64()),
+        "mean_psnr": pa.array(
+            [round_half_away(int(s) / int(n) / 10000.0, 4)
+             for s, n in zip(folded["sum_e4"], folded["n"])],
+            type=pa.float64()),
+        "frac_above_40": pa.array(
+            [round_half_away(int(a) / int(n), 6)
+             for a, n in zip(folded["n_above_40"], folded["n"])],
+            type=pa.float64()),
+    })
+
+
 def _caption_image_align(sf_dir: str):
     """Caption↔image alignment score per harvested image — the
     CLIP-alignment slot of a multimodal curation pipeline (drop pairs
@@ -1000,6 +1042,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_round_metrics": _crawl_round_metrics,
         "crawl_pagerank": _crawl_pagerank,
         "image_decode_stats": _image_decode_stats,
+        "image_psnr_audit": _image_psnr_audit,
         "image_aspect_buckets": _image_aspect_buckets,
         "image_shard_pack": _image_shard_pack,
         "caption_template_dedup": _caption_template_dedup,

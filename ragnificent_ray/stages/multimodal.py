@@ -267,6 +267,53 @@ class ImageAugmentStage:
         })
 
 
+class ImagePsnrAuditStage:
+    """binary+fmt → lossy-roundtrip PSNR partials per format — the
+    north rule's ≥40 dB decoded-pixel invariant turned into a
+    corpus-wide queryable audit: every image is decoded, re-encoded
+    through the lossy codec, decoded again, and the roundtrip PSNR
+    folds into one (fmt, n, min, sum, n_above_40) partial row per
+    batch (exact integer 1e-4 dB units so the cross-block fold is
+    order-independent; lossless roundtrips clamp to 99 dB).
+
+    A real deployment swaps the sandbox codecs for its jpeg/webp
+    libraries and keeps the identical plumbing; the ≤|formats| final
+    fold is the quality gate a recompression pipeline checks before
+    committing a codec change."""
+
+    CLAMP_DB = 99.0
+
+    def __init__(self, bytes_col: str = "bytes", fmt_col: str = "fmt"):
+        self.bytes_col, self.fmt_col = bytes_col, fmt_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.imaging import decode_image, lossy_decode, \
+            lossy_encode, psnr
+
+        datas = batch.column(self.bytes_col).to_pylist()
+        fmts = batch.column(self.fmt_col).to_pylist()
+        cells: dict[str, list] = {}
+        for data, fmt in zip(datas, fmts):
+            img = decode_image(data, fmt)
+            back = lossy_decode(lossy_encode(img))
+            db = min(psnr(img, back), self.CLAMP_DB)
+            cells.setdefault(fmt, []).append(
+                int(np.floor(db * 10000.0 + 0.5)))
+        fmt_k = sorted(cells)
+        return pa.table({
+            "fmt": pa.array(fmt_k, type=pa.string()),
+            "n": pa.array([len(cells[f]) for f in fmt_k],
+                          type=pa.int64()),
+            "min_e4": pa.array([min(cells[f]) for f in fmt_k],
+                               type=pa.int64()),
+            "sum_e4": pa.array([sum(cells[f]) for f in fmt_k],
+                               type=pa.int64()),
+            "n_above_40": pa.array(
+                [sum(1 for v in cells[f] if v >= 40_0000)
+                 for f in fmt_k], type=pa.int64()),
+        })
+
+
 class ImageQualityStage:
     """binary+fmt → per-image quality signals + keep flag (REAL decode).
 
