@@ -287,6 +287,109 @@ def search_rerank(sf_dir: str):
     })
 
 
+MMR_LAMBDA = 0.7
+MMR_CANDIDATES = 20
+MMR_SELECT = 5
+
+
+def mmr_rerank(sf_dir: str):
+    """Maximal-marginal-relevance reranking (Carbonell & Goldstein
+    1998): for each query, greedily pick MMR_SELECT of the top
+    MMR_CANDIDATES cosine candidates maximizing
+    λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s) — the diversity
+    rerank a RAG retriever runs so the context window isn't five
+    near-copies of one passage.
+
+    Scale shape: candidate generation is the distributed partial-top-k
+    (per-block lexsort cut + per-query merge); the greedy recurrence
+    touches only Q×MMR_CANDIDATES rows, and the candidates' vectors
+    come from an id-filtered parquet read (the semi-join pushed to the
+    scan) — never a corpus materialization. Ties break on neighbor_id,
+    so the selection is a total order."""
+    import pyarrow.parquet as pq
+
+    qids, qn = _query_matrix(sf_dir)
+    qref = ray.put((qids, qn))
+    ds = rd.read_parquet(_pq(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+
+    class PartialTopK:
+        def __init__(self, ref):
+            self.qids, self.qn = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column("vec_id").to_pylist(),
+                             dtype=np.int64)
+            m = list_column_matrix(batch.column("embedding"),
+                                   dtype=np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            sims = self.qn @ m.T
+            out_q, out_n, out_s = [], [], []
+            k = min(MMR_CANDIDATES, sims.shape[1])
+            for qi in range(len(self.qids)):
+                order = np.lexsort((ids, -sims[qi]))[:k]
+                out_q.extend([int(self.qids[qi])] * len(order))
+                out_n.extend(ids[order].tolist())
+                out_s.extend(sims[qi][order].tolist())
+            return pa.table({
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["sim", "neighbor_id"],
+                             ascending=[False, True]).head(MMR_CANDIDATES)
+
+    cands = (
+        ds.map_batches(PartialTopK, fn_constructor_kwargs={"ref": qref},
+                       batch_format="pyarrow", batch_size=4096,
+                       concurrency=2)
+        .groupby("query_id")
+        .map_groups(merge, batch_format="pandas")
+    ).to_pandas()
+
+    need = sorted(set(cands["neighbor_id"].astype(int)))
+    et = pq.read_table(_pq(sf_dir, "embeddings"),
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "in", need)])
+    eids = np.asarray(et.column("vec_id").to_pylist(), dtype=np.int64)
+    evecs = list_column_matrix(et.column("embedding"), dtype=np.float64)
+    evecs /= np.linalg.norm(evecs, axis=1, keepdims=True)
+    eorder = np.argsort(eids)
+    eids, evecs = eids[eorder], evecs[eorder]
+
+    rows = []
+    for qid, grp in cands.groupby("query_id"):
+        grp = grp.sort_values(["sim", "neighbor_id"],
+                              ascending=[False, True])
+        nids = grp["neighbor_id"].to_numpy(dtype=np.int64)
+        qsim = grp["sim"].to_numpy(dtype=np.float64)
+        vecs = evecs[np.searchsorted(eids, nids)]
+        pair = vecs @ vecs.T  # candidate×candidate cosine
+        picked: list[int] = []
+        avail = np.ones(len(nids), dtype=bool)
+        for rank in range(1, min(MMR_SELECT, len(nids)) + 1):
+            if picked:
+                div = pair[:, picked].max(axis=1)
+            else:
+                div = np.zeros(len(nids))
+            score = MMR_LAMBDA * qsim - (1.0 - MMR_LAMBDA) * div
+            score[~avail] = -np.inf
+            # deterministic argmax: best score, then smallest id
+            best = np.lexsort((nids, -score))[0]
+            picked.append(int(best))
+            avail[best] = False
+            rows.append((int(qid), rank, int(nids[best]),
+                         float(round_half_away(score[best], 4))))
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "rank": pa.array([r[1] for r in rows], type=pa.int64()),
+        "neighbor_id": pa.array([r[2] for r in rows], type=pa.int64()),
+        "mmr_score": pa.array([r[3] for r in rows], type=pa.float64()),
+    })
+
+
 ORACLE_SQL = {
     "ann_topk": f"""
         WITH e AS (
@@ -359,4 +462,5 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "search_rerank": search_rerank,
     "ann_lsh_recall": ann_lsh_recall,
+    "mmr_rerank": mmr_rerank,
 }

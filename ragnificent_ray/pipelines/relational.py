@@ -827,6 +827,79 @@ def _grouped_median(ds, key: str, col: str) -> dict:
             _grouped_quantiles(ds, key, col, (0.5,)).items()}
 
 
+def events_profile(sf_dir: str):
+    """Data-profiling census of the event stream's numeric columns —
+    the pre-ingest quality report (row/null counts, min/max, exact
+    mean) a pipeline records before trusting a new data drop.
+
+    One streaming pass: each batch reduces to exactly 4 rows (one per
+    profiled column) with integer-quantized sums (value at 1e-6, ids
+    at 1e0, timestamps as epoch DAYS — microseconds would overflow the
+    int64 partial sum beyond ~10⁴ rows × 10¹⁵), so the cross-block
+    fold is order-independent; the final fold is a 4-key native
+    groupby and one driver division per column. Exactness assumes
+    Σ column values < 2⁶³ per column — columns that outgrow that need
+    the two-pass moments combiner (:func:`events_zscore`'s) instead."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cols, n_null, mn, mx, s = [], [], [], [], []
+
+        def add(name, arr_f64, sum_int):
+            cols.append(name)
+            n_null.append(0)
+            mn.append(float(arr_f64.min()) if n else 0.0)
+            mx.append(float(arr_f64.max()) if n else 0.0)
+            s.append(int(sum_int))
+
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        y = v * 1_000_000.0
+        v_e6 = np.where(y >= 0, np.floor(y + 0.5),
+                        np.ceil(y - 0.5)).astype(np.int64)
+        add("value", v, v_e6.sum())
+        for name in ("event_id", "user_id"):
+            x = b.column(name).to_numpy()
+            add(name, x.astype(np.float64), x.sum())
+        ts_day = b.column("ts").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        add("ts_day", ts_day.astype(np.float64), ts_day.sum())
+        return pa.table({
+            "col": pa.array(cols, type=pa.string()),
+            "n_rows": pa.array([n] * 4, type=pa.int64()),
+            "n_null": pa.array(n_null, type=pa.int64()),
+            "min_v": pa.array(mn, type=pa.float64()),
+            "max_v": pa.array(mx, type=pa.float64()),
+            "s": pa.array(s, type=pa.int64()),
+        })
+
+    folded = (ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=65536)
+              .groupby("col")
+              .aggregate(Sum("n_rows", alias_name="n_rows"),
+                         Sum("n_null", alias_name="n_null"),
+                         Min("min_v", alias_name="min_v"),
+                         Max("max_v", alias_name="max_v"),
+                         Sum("s", alias_name="s"))
+              ).to_pandas().sort_values("col")
+    scale = {"value": 1_000_000.0, "event_id": 1.0, "user_id": 1.0,
+             "ts_day": 1.0}
+    mean = [round_half_away(int(s) / int(n) / scale[c], 6)
+            for c, s, n in zip(folded["col"], folded["s"],
+                               folded["n_rows"])]
+    return pa.table({
+        "col": pa.array(folded["col"].tolist(), type=pa.string()),
+        "n_rows": pa.array(folded["n_rows"].to_numpy(dtype="int64")),
+        "n_null": pa.array(folded["n_null"].to_numpy(dtype="int64")),
+        "min_v": pa.array(folded["min_v"].to_numpy(dtype="float64")),
+        "max_v": pa.array(folded["max_v"].to_numpy(dtype="float64")),
+        "mean_v": pa.array(mean, type=pa.float64()),
+    })
+
+
 def customer_ltv_deciles(sf_dir: str):
     """Decile boundaries of customer lifetime value — exact
     ``quantile_cont`` over a DERIVED distribution (per-customer total
@@ -2421,6 +2494,38 @@ ORACLE_SQL = {
         FROM agg a JOIN ex ON ex.event_type = a.event_type
     """,
     "events_quantile_sketch": _QUANTILE_SKETCH_SQL,
+    "events_profile": """
+        WITH p AS (
+          SELECT 'value' AS col, COUNT(*) AS n_rows,
+                 COUNT(*) - COUNT(value) AS n_null,
+                 CAST(MIN(value) AS DOUBLE) AS min_v,
+                 CAST(MAX(value) AS DOUBLE) AS max_v,
+                 ROUND(CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT))
+                            AS DOUBLE) / COUNT(*) / 1000000.0, 6) AS mean_v
+          FROM events
+          UNION ALL
+          SELECT 'event_id', COUNT(*), COUNT(*) - COUNT(event_id),
+                 CAST(MIN(event_id) AS DOUBLE),
+                 CAST(MAX(event_id) AS DOUBLE),
+                 ROUND(CAST(SUM(event_id) AS DOUBLE) / COUNT(*), 6)
+          FROM events
+          UNION ALL
+          SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+                 CAST(MIN(user_id) AS DOUBLE),
+                 CAST(MAX(user_id) AS DOUBLE),
+                 ROUND(CAST(SUM(user_id) AS DOUBLE) / COUNT(*), 6)
+          FROM events
+          UNION ALL
+          SELECT 'ts_day', COUNT(*), COUNT(*) - COUNT(ts),
+                 CAST(MIN(epoch_us(ts) // 86400000000) AS DOUBLE),
+                 CAST(MAX(epoch_us(ts) // 86400000000) AS DOUBLE),
+                 ROUND(CAST(SUM(epoch_us(ts) // 86400000000) AS DOUBLE)
+                       / COUNT(*), 6)
+          FROM events)
+        SELECT col, CAST(n_rows AS BIGINT) AS n_rows,
+               CAST(n_null AS BIGINT) AS n_null, min_v, max_v, mean_v
+        FROM p
+    """,
     "customer_ltv_deciles": """
         WITH t AS (
           SELECT o_custkey,
@@ -2567,6 +2672,7 @@ QUERIES = {
     "events_quantile_sketch": events_quantile_sketch,
     "mad_outliers": mad_outliers,
     "customer_ltv_deciles": customer_ltv_deciles,
+    "events_profile": events_profile,
     "approx_distinct_pairs": approx_distinct_pairs,
     "hll_users_by_type": hll_users_by_type,
     "orders_monthly_growth": orders_monthly_growth,

@@ -126,3 +126,55 @@ def test_late_arrival_kernel_counts_planted_inversions():
     assert int(same.sum()) == 4        # 3 user-1 pairs + 1 user-2 pair
     assert int(inv.sum()) == 3         # two user-1 dips + user-2 dip
     assert int(-delta[inv].min()) // 1_000_000 == 86400  # user-2 full day
+
+
+def test_mmr_rerank_matches_bruteforce_replay(ray_session, entry):
+    """Independent numpy replay of Carbonell-Goldstein greedy MMR from
+    the raw parquet: same candidates, same selection order, same
+    scores (no SQL view can express the greedy recurrence over
+    vectors, so the pin IS the gate)."""
+    import pyarrow.parquet as pq
+
+    from ragnificent_ray.pipelines.ann import (MMR_CANDIDATES, MMR_LAMBDA,
+                                               MMR_SELECT, N_QUERIES)
+    from ragnificent_ray.functions.numeric import round_half_away
+
+    got = entry.queries()["mmr_rerank"](SF).to_pandas() \
+        .sort_values(["query_id", "rank"], ignore_index=True)
+
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    m = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    ids, m = ids[order], m[order]
+
+    rows = []
+    for qid in range(N_QUERIES):
+        q = m[np.searchsorted(ids, qid)]
+        sims = m @ q
+        cand = np.lexsort((ids, -sims))[:MMR_CANDIDATES]
+        nids, qsim, vecs = ids[cand], sims[cand], m[cand]
+        pair = vecs @ vecs.T
+        picked, avail = [], np.ones(len(nids), dtype=bool)
+        for rank in range(1, MMR_SELECT + 1):
+            div = pair[:, picked].max(axis=1) if picked else \
+                np.zeros(len(nids))
+            score = MMR_LAMBDA * qsim - (1 - MMR_LAMBDA) * div
+            score[~avail] = -np.inf
+            best = int(np.lexsort((nids, -score))[0])
+            picked.append(best)
+            avail[best] = False
+            rows.append((qid, rank, int(nids[best]),
+                         float(round_half_away(score[best], 4))))
+    import pandas as pd
+
+    want = pd.DataFrame(rows, columns=["query_id", "rank",
+                                       "neighbor_id", "mmr_score"]) \
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"query_id": "int64", "rank": "int64",
+                    "neighbor_id": "int64"}), want)
+    # every query fills its full selection budget
+    assert (got.groupby("query_id")["rank"].max() == MMR_SELECT).all()
