@@ -1080,6 +1080,74 @@ SELECT node AS item, lbl AS community FROM l{iters}
 """
 
 
+_DEG_POW10 = np.array([10 ** k for k in range(1, 19)], dtype=np.int64)
+
+
+def degree_distribution(sf_dir: str):
+    """Degree distribution of the co-visitation graph, bucketed by
+    decimal digit count (1 = deg <10, 2 = <100, …) — the first plot a
+    graph pipeline draws: is this power-law (hubs) or flat, and does
+    the hub-cap discipline need to change?
+
+    Per-batch (node, count) degree partials fold in bounded node-hash
+    buckets (each bucket emits only its ≤19 digit-cells), then one
+    ≤19-key fold. Digit bucketing is an integer ``searchsorted``
+    against powers of ten — same exactness rule as
+    ``interarrival_histogram``."""
+    n_buckets = _bucket_count(sf_dir, ("events",))
+    ed = covisitation_pairs(sf_dir)
+    if isinstance(ed, pa.Table):  # hot-item caps emptied the graph
+        return pa.table({"digits": pa.array([], type=pa.int64()),
+                         "n_nodes": pa.array([], type=pa.int64())})
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        nodes = np.concatenate([
+            b.column("user_a").to_numpy(zero_copy_only=False),
+            b.column("user_b").to_numpy(zero_copy_only=False)])
+        g = (pa.table({"node": pa.array(nodes, type=pa.int64())})
+             .group_by("node").aggregate([("node", "count")]))
+        return pa.table({
+            "node": g.column("node"),
+            "d": pc.cast(g.column("node_count"), pa.int64()),
+            "db": pa.array(
+                (g.column("node").to_numpy(zero_copy_only=False)
+                 % n_buckets).astype(np.int32)),
+        })
+
+    def bucket_cells(t: pa.Table) -> pa.Table:
+        g = (t.select(["node", "d"]).group_by("node")
+             .aggregate([("d", "sum")]))
+        deg = g.column("d_sum").to_numpy()
+        digits = np.searchsorted(_DEG_POW10, deg, side="right") + 1
+        counts = np.bincount(digits, minlength=20)
+        nz = np.nonzero(counts)[0]
+        return pa.table({"digits": pa.array(nz, type=pa.int64()),
+                         "n_nodes": pa.array(counts[nz],
+                                             type=pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    return (ed.map_batches(deg_partial, batch_format="pyarrow")
+            .groupby("db").map_groups(bucket_cells,
+                                      batch_format="pyarrow")
+            .groupby("digits")
+            .aggregate(Sum("n_nodes", alias_name="n_nodes")))
+
+
+def _degree_distribution_sql() -> str:
+    return f"""
+WITH covis AS ({_covis_sql()}),
+deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT user_a AS node FROM covis
+    UNION ALL SELECT user_b FROM covis) GROUP BY node
+)
+SELECT CAST(LENGTH(CAST(d AS VARCHAR)) AS BIGINT) AS digits,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY digits
+"""
+
+
 def _clustering_coefficient_sql() -> str:
     return f"""
 WITH tri AS ({_triangle_sql()}),
@@ -1103,6 +1171,7 @@ FROM tri CROSS JOIN w
 ORACLE_SQL = {
     "lpa_communities": _lpa_sql(),
     "clustering_coefficient": _clustering_coefficient_sql(),
+    "degree_distribution": _degree_distribution_sql(),
     "pagerank_clicks": _pagerank_sql(),
     "covisitation_pairs": _covis_sql(),
     "event_type_jaccard": _JACCARD_SQL,
@@ -1118,4 +1187,5 @@ QUERIES = {
     "decayed_item_scores": decayed_item_scores,
     "triangle_count": triangle_count,
     "clustering_coefficient": clustering_coefficient,
+    "degree_distribution": degree_distribution,
 }
