@@ -131,7 +131,7 @@ QUERY_NAMES = [
     "distinct_users_salted", "cohort_retention", "fuzzy_name_pairs",
     "pq_train_encode", "decayed_item_scores",
     "ann_ivfpq_topk", "dsir_weights", "dsir_sample", "triangle_count",
-    "bpe_merges", "bpe_token_counts",
+    "bpe_merges", "bpe_token_counts", "bpe_compression_ratio",
     "customer_running_total", "late_suppliers", "idle_customer_balance",
     "active_sessions_hourly", "reservoir_sample", "orders_pivot",
     "rolling_active_users", "lpa_communities", "keyword_topk", "props_numeric_agg",

@@ -273,7 +273,82 @@ FROM documents d LEFT JOIN per_doc USING (doc_id)
 """
 
 
+def bpe_compression_ratio(sf_dir: str, iters: int = BPE_ITERS):
+    """Tokenizer efficiency gauge: characters per BPE token, per
+    language — the compression statistic that decides whether a
+    trained vocabulary is pulling its weight (and where it
+    under-serves a language).
+
+    Composes :func:`bpe_token_counts` (encode side, one per-batch map)
+    with a doc_id-aligned pruned read of (lang, n_chars); the join is
+    the encode output's own batch (doc_id rides through), so the only
+    exchange is the ≤|langs| final fold of exact integer (chars,
+    tokens) sums."""
+    merges = [(m["left_sym"], m["right_sym"])
+              for m in bpe_merges(sf_dir, iters).to_pylist()]
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["lang", "text", "n_chars"])
+
+    def encode(batch: pa.Table) -> pa.Table:
+        memo: dict[str, int] = {}
+
+        def n_toks(word: str) -> int:
+            got = memo.get(word)
+            if got is None:
+                s = " ".join(word)
+                for left, right in merges:
+                    s = _apply_merge(s, left, right)
+                got = memo[word] = s.count(" ") + 1
+            return got
+
+        toks = np.zeros(batch.num_rows, dtype=np.int64)
+        for j, text in enumerate(batch.column("text").to_pylist()):
+            toks[j] = sum(n_toks(w) for w in text.strip().split())
+        g = pa.table({
+            "lang": batch.column("lang"),
+            "n_chars": batch.column("n_chars"),
+            "n_tokens": pa.array(toks),
+        }).group_by("lang").aggregate(
+            [("n_chars", "sum"), ("n_tokens", "sum")])
+        return g.rename_columns(["lang", "n_chars", "n_tokens"])
+
+    from ray.data.aggregate import Sum
+
+    folded = (ds.map_batches(encode, batch_format="pyarrow",
+                             batch_size=2048)
+              .groupby("lang")
+              .aggregate(Sum("n_chars", alias_name="n_chars"),
+                         Sum("n_tokens", alias_name="n_tokens"))
+              ).to_pandas().sort_values("lang")
+    from ..functions.numeric import round_half_away
+
+    ratio = [round_half_away(int(c) / int(t), 6) if int(t) else 0.0
+             for c, t in zip(folded["n_chars"], folded["n_tokens"])]
+    return pa.table({
+        "lang": pa.array(folded["lang"].tolist(), type=pa.string()),
+        "n_chars": pa.array(folded["n_chars"].to_numpy(dtype="int64")),
+        "n_tokens": pa.array(folded["n_tokens"].to_numpy(dtype="int64")),
+        "chars_per_token": pa.array(ratio, type=pa.float64()),
+    })
+
+
+def _bpe_ratio_sql(iters: int = BPE_ITERS) -> str:
+    enc = _bpe_encode_sql(iters)
+    return f"""
+WITH enc AS ({enc})
+SELECT d.lang, CAST(SUM(d.n_chars) AS BIGINT) AS n_chars,
+       CAST(SUM(enc.n_bpe_tokens) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(d.n_chars) AS DOUBLE)
+             / SUM(enc.n_bpe_tokens), 6) AS chars_per_token
+FROM documents d JOIN enc USING (doc_id)
+GROUP BY d.lang
+"""
+
+
 QUERIES = {"bpe_merges": bpe_merges,
-           "bpe_token_counts": bpe_token_counts}
+           "bpe_token_counts": bpe_token_counts,
+           "bpe_compression_ratio": bpe_compression_ratio}
 ORACLE_SQL = {"bpe_merges": _bpe_sql(),
-              "bpe_token_counts": _bpe_encode_sql()}
+              "bpe_token_counts": _bpe_encode_sql(),
+              "bpe_compression_ratio": _bpe_ratio_sql()}
