@@ -18,6 +18,7 @@ comparison is stable across summation orders.
 
 from __future__ import annotations
 
+import datetime as _dt
 import os
 
 import numpy as np
@@ -825,6 +826,96 @@ def _grouped_median(ds, key: str, col: str) -> dict:
     """{group: exact interpolated median} — _grouped_quantiles at 0.5."""
     return {g: qs[0.5] for g, qs in
             _grouped_quantiles(ds, key, col, (0.5,)).items()}
+
+
+_RFM_ANCHOR = _dt.datetime(2001, 9, 1)
+
+
+def rfm_segments(sf_dir: str):
+    """RFM segmentation census — the classic marketing cut: every
+    customer scored 0/1/2 on Recency (days since last order vs a fixed
+    anchor), Frequency (order count) and Monetary (lifetime cents) by
+    TERCILE boundaries of each metric's own distribution, then counted
+    into the ≤27 (r, f, m) segments.
+
+    Composition of proven shapes: ONE bucketed custkey fold builds the
+    per-customer (rec, freq, mon) stream (integer days/counts/cents),
+    :func:`_grouped_quantiles` finds each metric's two tercile
+    boundaries (interpolated exactly as DuckDB's ``quantile_cont``, so
+    the ``v ≤ boundary`` assignment cannot disagree), and a final
+    streaming pass folds the bounded segment census."""
+    n_kb = _fact_join_partitions(sf_dir, "orders") * 8
+    anchor_us = np.int64(
+        (_RFM_ANCHOR - _dt.datetime(1970, 1, 1)).total_seconds()
+    ) * 1_000_000
+
+    ds = rd.read_parquet(_pq(sf_dir, "orders"),
+                         columns=["o_custkey", "o_orderdate",
+                                  "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.rint(
+            b.column("o_totalprice").to_numpy() * 100.0).astype(np.int64)
+        odate = b.column("o_orderdate").cast(pa.int64()).to_numpy()
+        g = pa.table({
+            "o_custkey": b.column("o_custkey"),
+            "last_us": pa.array(odate),
+            "freq": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "mon": pa.array(cents),
+        }).group_by("o_custkey").aggregate(
+            [("last_us", "max"), ("freq", "sum"), ("mon", "sum")])
+        g = g.rename_columns(["o_custkey", "last_us", "freq", "mon"])
+        key = g.column("o_custkey").to_numpy()
+        return g.append_column(
+            "kb", pa.array((key % n_kb).astype(np.int32)))
+
+    def fold(g: pa.Table) -> pa.Table:
+        f = g.group_by("o_custkey").aggregate(
+            [("last_us", "max"), ("freq", "sum"), ("mon", "sum")])
+        rec = (anchor_us - f.column("last_us_max").to_numpy()) \
+            // np.int64(86_400_000_000)
+        n = f.num_rows
+        return pa.table({
+            "g": pa.array(["all"] * n, type=pa.string()),
+            "rec": pa.array(rec.astype(np.float64)),
+            "freq": pa.array(
+                f.column("freq_sum").to_numpy().astype(np.float64)),
+            "mon": pa.array(
+                f.column("mon_sum").to_numpy().astype(np.float64)),
+        })
+
+    cust = (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("kb")
+            .map_groups(fold, batch_format="pyarrow")).materialize()
+
+    terciles = (1.0 / 3, 2.0 / 3)
+    cuts = {c: _grouped_quantiles(cust, "g", c, terciles)["all"]
+            for c in ("rec", "freq", "mon")}
+
+    def assign(b: pa.Table) -> pa.Table:
+        def bucket(col):
+            v = b.column(col).to_numpy()
+            t1, t2 = cuts[col][terciles[0]], cuts[col][terciles[1]]
+            return np.where(v <= t1, 0, np.where(v <= t2, 1, 2)) \
+                .astype(np.int64)
+
+        g = pa.table({
+            "r_bucket": pa.array(bucket("rec")),
+            "f_bucket": pa.array(bucket("freq")),
+            "m_bucket": pa.array(bucket("mon")),
+            "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+        }).group_by(["r_bucket", "f_bucket", "m_bucket"]).aggregate(
+            [("n", "sum")])
+        return g.rename_columns(["r_bucket", "f_bucket", "m_bucket",
+                                 "n_customers"])
+
+    from ray.data.aggregate import Sum
+
+    return (cust.map_batches(assign, batch_format="pyarrow",
+                             batch_size=65536)
+            .groupby(["r_bucket", "f_bucket", "m_bucket"])
+            .aggregate(Sum("n_customers", alias_name="n_customers")))
 
 
 def events_profile(sf_dir: str):
@@ -2494,6 +2585,34 @@ ORACLE_SQL = {
         FROM agg a JOIN ex ON ex.event_type = a.event_type
     """,
     "events_quantile_sketch": _QUANTILE_SKETCH_SQL,
+    "rfm_segments": """
+        WITH c AS (
+          SELECT o_custkey,
+                 date_diff('day', MAX(o_orderdate),
+                           TIMESTAMP '2001-09-01') AS rec,
+                 CAST(COUNT(*) AS DOUBLE) AS freq,
+                 CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                      AS DOUBLE) AS mon
+          FROM orders GROUP BY o_custkey),
+        q AS (
+          SELECT quantile_cont(CAST(rec AS DOUBLE),
+                               [1.0/3, 2.0/3]) AS rq,
+                 quantile_cont(freq, [1.0/3, 2.0/3]) AS fq,
+                 quantile_cont(mon, [1.0/3, 2.0/3]) AS mq
+          FROM c)
+        SELECT CAST(CASE WHEN rec <= rq[1] THEN 0
+                         WHEN rec <= rq[2] THEN 1 ELSE 2 END AS BIGINT)
+                 AS r_bucket,
+               CAST(CASE WHEN freq <= fq[1] THEN 0
+                         WHEN freq <= fq[2] THEN 1 ELSE 2 END AS BIGINT)
+                 AS f_bucket,
+               CAST(CASE WHEN mon <= mq[1] THEN 0
+                         WHEN mon <= mq[2] THEN 1 ELSE 2 END AS BIGINT)
+                 AS m_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM c CROSS JOIN q
+        GROUP BY r_bucket, f_bucket, m_bucket
+    """,
     "events_profile": """
         WITH p AS (
           SELECT 'value' AS col, COUNT(*) AS n_rows,
@@ -2673,6 +2792,7 @@ QUERIES = {
     "mad_outliers": mad_outliers,
     "customer_ltv_deciles": customer_ltv_deciles,
     "events_profile": events_profile,
+    "rfm_segments": rfm_segments,
     "approx_distinct_pairs": approx_distinct_pairs,
     "hll_users_by_type": hll_users_by_type,
     "orders_monthly_growth": orders_monthly_growth,
