@@ -143,7 +143,7 @@ QUERY_NAMES = [
     "dataset_split", "perplexity_buckets", "doc_prefix_dedup",
     "pareto_parts", "events_quantile_sketch", "embedding_dim_stats",
     "mad_outliers", "embedding_gram", "customer_ltv_deciles",
-    "interarrival_histogram", "pmi_bigrams", "events_late_arrival_stats", "incremental_dedup", "clustering_coefficient", "forecast_revenue_change", "events_profile", "mmr_rerank", "degree_distribution", "rfm_segments",
+    "interarrival_histogram", "pmi_bigrams", "events_late_arrival_stats", "incremental_dedup", "clustering_coefficient", "forecast_revenue_change", "events_profile", "mmr_rerank", "degree_distribution", "rfm_segments", "events_seasonality",
     "order_count_distribution", "top_supplier", "small_quantity_revenue",
     "large_orders", "session_duration_stats", "doc_length_histogram",
     "dedup_cluster_sizes",

@@ -828,6 +828,49 @@ def _grouped_median(ds, key: str, col: str) -> dict:
             _grouped_quantiles(ds, key, col, (0.5,)).items()}
 
 
+def events_seasonality(sf_dir: str):
+    """Weekly seasonality matrix: event count and exact mean value per
+    (ISO day-of-week, hour-of-day) cell — the 168-cell load profile
+    behind capacity planning and anomaly baselines. Pure per-batch
+    Arrow temporal kernels (``day_of_week``/``hour``) pre-fold each
+    block to ≤168 cells; the final fold is the bounded census."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        dow = pc.cast(pc.add(pc.day_of_week(b.column("ts")), 1),
+                      pa.int64())  # Arrow Mon=0 → ISO Mon=1
+        hour = pc.cast(pc.hour(b.column("ts")), pa.int64())
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        y = v * 1_000_000.0
+        v_e6 = np.where(y >= 0, np.floor(y + 0.5),
+                        np.ceil(y - 0.5)).astype(np.int64)
+        g = pa.table({
+            "dow": dow,
+            "hour": hour,
+            "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "s_e6": pa.array(v_e6),
+        }).group_by(["dow", "hour"]).aggregate(
+            [("n", "sum"), ("s_e6", "sum")])
+        return g.rename_columns(["dow", "hour", "n", "s_e6"])
+
+    folded = (ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=65536)
+              .groupby(["dow", "hour"])
+              .aggregate(Sum("n", alias_name="n"),
+                         Sum("s_e6", alias_name="s_e6"))
+              ).to_pandas()
+    mean = [round_half_away(int(s) / int(n) / 1_000_000.0, 6)
+            for s, n in zip(folded["s_e6"], folded["n"])]
+    return pa.table({
+        "dow": pa.array(folded["dow"].to_numpy(dtype="int64")),
+        "hour": pa.array(folded["hour"].to_numpy(dtype="int64")),
+        "n_events": pa.array(folded["n"].to_numpy(dtype="int64")),
+        "mean_value": pa.array(mean, type=pa.float64()),
+    })
+
+
 _RFM_ANCHOR = _dt.datetime(2001, 9, 1)
 
 
@@ -2585,6 +2628,15 @@ ORACLE_SQL = {
         FROM agg a JOIN ex ON ex.event_type = a.event_type
     """,
     "events_quantile_sketch": _QUANTILE_SKETCH_SQL,
+    "events_seasonality": """
+        SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+               CAST(hour(ts) AS BIGINT) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT))
+                          AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+                 AS mean_value
+        FROM events GROUP BY dow, hour
+    """,
     "rfm_segments": """
         WITH c AS (
           SELECT o_custkey,
@@ -2793,6 +2845,7 @@ QUERIES = {
     "customer_ltv_deciles": customer_ltv_deciles,
     "events_profile": events_profile,
     "rfm_segments": rfm_segments,
+    "events_seasonality": events_seasonality,
     "approx_distinct_pairs": approx_distinct_pairs,
     "hll_users_by_type": hll_users_by_type,
     "orders_monthly_growth": orders_monthly_growth,
