@@ -527,7 +527,111 @@ def dataset_split(sf_dir: str):
                        Sum("total_chars", alias_name="total_chars")))
 
 
+# alphabetical split-set strings indexed by bitmask (test=1, train=2,
+# val=4) — matches the oracle's list_sort(list_distinct(list(split)))
+_SPLIT_MASK_NAMES = [
+    "", "test", "train", "test,train", "val", "test,val", "train,val",
+    "test,train,val",
+]
+
+
+def split_leakage_audit(sf_dir: str):
+    """Cross-split contamination audit: near-duplicate families (the
+    32-char boilerplate-prefix key of :func:`...dedup.doc_prefix_dedup`
+    — this corpus's real collision signal) whose members straddle two
+    or more of the train/val/test splits assigned by
+    :func:`dataset_split`'s multiplicative hash. Any such family leaks
+    training text into evaluation — the audit a curation run performs
+    after splitting and before publishing the manifest.
+
+    Scale shape: per-batch Arrow ``group_by`` collapses to one
+    (family-hash, split-bit) cell per block — splits ride as bits
+    (test=1, train=2, val=4) so the distinct-split set is a plain
+    integer OR, realized as a sum of per-(family, bit) rows. md5-bucket
+    folds bound the corpus-scale family key space; families that don't
+    leak are dropped in-bucket, so only offending rows leave."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .dedup import _PREFIX_LEN, _bucket_count
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    n_buckets = _bucket_count(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.uint64)
+        split_b = ((ids * np.uint64(_SPLIT_MUL)) % np.uint64(1 << 32)
+                   ) % np.uint64(100)
+        bit = np.where(split_b < 90, 2, np.where(split_b < 95, 4, 1))
+        prefixes = pc.utf8_slice_codeunits(
+            batch.column("text"), 0, _PREFIX_LEN).to_pylist()
+        g = pa.table({
+            "text_hash": pa.array([md5_hex(p) for p in prefixes]),
+            "bit": pa.array(bit.astype(np.int64)),
+            "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            "first_doc": batch.column("doc_id"),
+        }).group_by(["text_hash", "bit"]).aggregate(
+            [("n", "sum"), ("first_doc", "min")])
+        g = g.rename_columns(["text_hash", "bit", "n", "first_doc"])
+        return g.append_column("bucket", pa.array(
+            (int(h[:8], 16) % n_buckets
+             for h in g.column("text_hash").to_pylist()),
+            type=pa.int32()))
+
+    def fold(g: pa.Table) -> pa.Table:
+        # collapse cross-block repeats of (family, split-bit) first so
+        # the per-family bit sum below is an exact set-OR
+        f1 = g.group_by(["text_hash", "bit"]).aggregate(
+            [("n", "sum"), ("first_doc", "min")])
+        f1 = f1.rename_columns(["text_hash", "bit", "n", "first_doc"])
+        f2 = f1.group_by("text_hash").aggregate(
+            [("n", "sum"), ("bit", "sum"), ("first_doc", "min")])
+        f2 = f2.rename_columns(["text_hash", "n_docs", "mask",
+                                "first_doc"])
+        mask = f2.column("mask").to_numpy()
+        n_splits = (((mask >> 0) & 1) + ((mask >> 1) & 1)
+                    + ((mask >> 2) & 1)).astype(np.int64)
+        out = pa.table({
+            "text_hash": f2.column("text_hash"),
+            "n_docs": f2.column("n_docs"),
+            "n_splits": pa.array(n_splits),
+            "splits": pa.array(
+                np.asarray(_SPLIT_MASK_NAMES, dtype=object)[mask]),
+            "first_doc": f2.column("first_doc"),
+        })
+        return out.filter(pc.and_(pc.greater(out.column("n_docs"), 1),
+                                  pc.greater(out.column("n_splits"), 1)))
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=8192)
+            .groupby("bucket")
+            .map_groups(fold, batch_format="pyarrow"))
+
+
 ORACLE_SQL = {
+    "split_leakage_audit": """
+        WITH d AS (
+          SELECT doc_id, md5(substr(text, 1, 32)) AS text_hash,
+                 CASE
+                   WHEN (CAST(doc_id AS HUGEINT) * 2654435761)
+                        % 4294967296 % 100 < 90 THEN 'train'
+                   WHEN (CAST(doc_id AS HUGEINT) * 2654435761)
+                        % 4294967296 % 100 < 95 THEN 'val'
+                   ELSE 'test'
+                 END AS split
+          FROM documents
+        ), f AS (
+          SELECT text_hash,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits,
+                 array_to_string(
+                     list_sort(list_distinct(list(split))), ',') AS splits,
+                 MIN(doc_id) AS first_doc
+          FROM d GROUP BY text_hash
+        )
+        SELECT * FROM f WHERE n_docs > 1 AND n_splits > 1
+    """,
     "dataset_split": f"""
         SELECT CASE
                  WHEN (CAST(doc_id AS HUGEINT) * {_SPLIT_MUL})
@@ -605,4 +709,5 @@ QUERIES = {
     "reservoir_sample": reservoir_sample,
     "balanced_sample": balanced_sample,
     "dataset_split": dataset_split,
+    "split_leakage_audit": split_leakage_audit,
 }
