@@ -233,6 +233,70 @@ def incremental_dedup(sf_dir: str):
         batch_format="pyarrow")
 
 
+def snapshot_diff(sf_dir: str):
+    """Snapshot-to-snapshot content diff — the recrawl health report:
+    the corpus splits into an EXISTING half (doc_id below the median)
+    and an INCOMING half (:func:`incremental_dedup`'s scenario), keyed
+    by the md5 of the 32-char boilerplate prefix, and the census says
+    how much content carried over, arrived new, or disappeared —
+    the numbers behind "did the recrawl actually refresh anything?".
+
+    Scale shape: legs ride as bits (old=1, new=2) on distinct
+    (key, bit) rows — per-batch Arrow ``group_by`` collapses repeats,
+    md5-buckets bound the corpus-scale key space, each bucket folds to
+    ONE partial row of five counts, and the final fold sums a
+    buckets-sized table into the single-row report."""
+    import pyarrow.parquet as pq_mod
+
+    meta = pq_mod.read_metadata(_pq(sf_dir, "documents"))
+    split = meta.num_rows // 2
+    n_buckets = _bucket_count(sf_dir)
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        bit = pc.if_else(pc.less(batch.column("doc_id"), split),
+                         pa.scalar(1, pa.int64()),
+                         pa.scalar(2, pa.int64()))
+        hashes = [md5_hex(t[:_PREFIX_LEN])
+                  for t in batch.column("text").to_pylist()]
+        g = (pa.table({"h": pa.array(hashes, type=pa.string()),
+                       "bit": bit})
+             .group_by(["h", "bit"]).aggregate([]))
+        return g.append_column("bucket", pa.array(
+            (int(h[:8], 16) % n_buckets
+             for h in g.column("h").to_pylist()), type=pa.int32()))
+
+    def bucket_fold(g: pa.Table) -> pa.Table:
+        f = (pa.table({"h": g.column("h"), "bit": g.column("bit")})
+             .group_by(["h", "bit"]).aggregate([])
+             .group_by("h").aggregate([("bit", "sum")]))
+        mask = f.column("bit_sum").to_numpy()
+        return pa.table({
+            "k": pa.array([1], type=pa.int32()),
+            "n_old_keys": pa.array([int(((mask & 1) > 0).sum())]),
+            "n_new_keys": pa.array([int(((mask & 2) > 0).sum())]),
+            "n_carried": pa.array([int((mask == 3).sum())]),
+            "n_added": pa.array([int((mask == 2).sum())]),
+            "n_retired": pa.array([int((mask == 1).sum())]),
+        })
+
+    def finish(g: pa.Table) -> pa.Table:
+        cols = ["n_old_keys", "n_new_keys", "n_carried", "n_added",
+                "n_retired"]
+        return pa.table({c: pa.array(
+            [int(pc.sum(g.column(c)).as_py() or 0)], type=pa.int64())
+            for c in cols})
+
+    return (ds.map_batches(keyed, batch_format="pyarrow",
+                           batch_size=8192)
+            .groupby("bucket")
+            .map_groups(bucket_fold, batch_format="pyarrow")
+            .groupby("k")
+            .map_groups(finish, batch_format="pyarrow"))
+
+
 # ------------------------------------------------------- token-set helpers
 
 def _token_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
@@ -930,6 +994,101 @@ def duplicate_ngram_fraction(sf_dir: str, k: int = NGRAM_SPAN_K,
     return per_doc.map_batches(finish, batch_format="pyarrow")
 
 
+def ngram_novelty(sf_dir: str, k: int = NGRAM_SPAN_K,
+                  join_partitions: int | None = None):
+    """Corpus-saturation novelty curve: for every document, the
+    fraction of its DISTINCT k-token grams whose corpus-wide FIRST
+    occurrence (minimum doc_id — the ingest-order stand-in) is this
+    document. A corpus whose marginal novelty decays toward zero is
+    saturated — adding more of the same source stops buying new text;
+    this is the per-doc attribution behind that curve (the dedup-side
+    complement of :func:`duplicate_ngram_fraction`, which marks
+    repeats without attributing them).
+
+    Scale shape: distinct (doc, gram) rows stream out per batch; the
+    first-seen owner per gram is a min-fold in bounded gram-hash
+    buckets (Arrow ``group_by`` body — the corpus-scale gram key space
+    never meets a native per-group walk); marks flow back via one
+    gram-keyed hash-join before a doc-keyed sum. Gram identity is the
+    first 48 bits of md5 on both sides so the oracle hashes
+    identically, collisions included."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import md5_hex
+
+    if join_partitions is None:
+        join_partitions = _join_partition_count(sf_dir, "documents")
+    join_args = dict(num_partitions=join_partitions,
+                     aggregator_ray_remote_args={"num_cpus": 0.25})
+    n_buckets = _bucket_count(sf_dir)
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def grams(batch: pa.Table) -> pa.Table:
+        ids, ghs = [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            toks = t.strip().split()
+            if len(toks) < k:
+                continue
+            hs = {int(md5_hex(" ".join(toks[i:i + k]))[:12], 16)
+                  for i in range(len(toks) - k + 1)}
+            ids.extend([d] * len(hs))
+            ghs.extend(hs)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "gram": pa.array(ghs, type=pa.int64()),
+        })
+
+    go = ds.map_batches(grams, batch_format="pyarrow",
+                        batch_size=2048).materialize()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        g = t.column("gram").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "gb", pa.array((g % n_buckets).astype(np.int32)))
+
+    def bucket_first(t: pa.Table) -> pa.Table:
+        f = (pa.table({"gram": t.column("gram"),
+                       "first_doc": t.column("doc_id")})
+             .group_by("gram").aggregate([("first_doc", "min")]))
+        return f.rename_columns(["gram", "first_doc"])
+
+    first = (go.map_batches(add_bucket, batch_format="pyarrow")
+             .groupby("gb")
+             .map_groups(bucket_first, batch_format="pyarrow"))
+
+    def mark(t: pa.Table) -> pa.Table:
+        novel = pc.cast(pc.equal(t.column("first_doc"),
+                                 t.column("doc_id")), pa.int64())
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "novel": novel,
+        })
+
+    per_doc = (
+        go.join(first, "inner", on=("gram",), **join_args)
+        .map_batches(mark, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("n", alias_name="n_grams"),
+                   Sum("novel", alias_name="n_novel"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        tot = t.column("n_grams").to_numpy(zero_copy_only=False)
+        nov = t.column("n_novel").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_grams": t.column("n_grams"),
+            "n_novel": t.column("n_novel"),
+            "novelty": pa.array(
+                round_half_away(nov / tot, 4), type=pa.float64()),
+        })
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")
+
+
 def dup_spans(sf_dir: str, k: int = NGRAM_SPAN_K,
               join_partitions: int | None = None):
     """Maximal duplicated-span coverage per document — the step past
@@ -1424,6 +1583,33 @@ ORACLE_SQL = {
                ROUND(CAST(dup_grams AS DOUBLE) / total_grams, 4) AS dup_frac
         FROM per
     """,
+    "ngram_novelty": rf"""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents
+        ), g0 AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                     range(1, len(toks) - {NGRAM_SPAN_K} + 2),
+                     i -> CAST(('0x' || substr(md5(array_to_string(
+                         toks[i:i+{NGRAM_SPAN_K}-1], ' ')), 1, 12))
+                         AS BIGINT))) AS gram
+          FROM t WHERE len(toks) >= {NGRAM_SPAN_K}
+        ), g AS (
+          SELECT DISTINCT doc_id, gram FROM g0
+        ), fs AS (
+          SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram
+        ), per AS (
+          SELECT g.doc_id, COUNT(*) AS n_grams,
+                 SUM(CASE WHEN fs.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                     AS n_novel
+          FROM g JOIN fs USING (gram) GROUP BY g.doc_id
+        )
+        SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+               CAST(n_novel AS BIGINT) AS n_novel,
+               ROUND(CAST(n_novel AS DOUBLE) / n_grams, 4) AS novelty
+        FROM per
+    """,
     "dup_spans": rf"""
         WITH t AS (
           SELECT doc_id,
@@ -1472,6 +1658,24 @@ ORACLE_SQL = {
     "exact_dedup": """
         SELECT MIN(doc_id) AS doc_id, md5(text) AS text_hash
         FROM documents GROUP BY md5(text)
+    """,
+    "snapshot_diff": f"""
+        WITH sp AS (SELECT COUNT(*) // 2 AS s FROM documents),
+        d AS (SELECT DISTINCT md5(substr(text, 1, {_PREFIX_LEN})) AS h,
+                     CASE WHEN doc_id < s THEN 1 ELSE 2 END AS bit
+              FROM documents, sp),
+        m AS (SELECT h, SUM(bit) AS mask FROM d GROUP BY h)
+        SELECT CAST(SUM(CASE WHEN mask IN (1, 3) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_old_keys,
+               CAST(SUM(CASE WHEN mask IN (2, 3) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new_keys,
+               CAST(SUM(CASE WHEN mask = 3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_carried,
+               CAST(SUM(CASE WHEN mask = 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_added,
+               CAST(SUM(CASE WHEN mask = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_retired
+        FROM m
     """,
     "incremental_dedup": f"""
         WITH sp AS (SELECT COUNT(*) // 2 AS s FROM documents),
@@ -1592,6 +1796,8 @@ QUERIES = {
     "dedup_keep": dedup_keep,
     "dedup_cluster_sizes": dedup_cluster_sizes,
     "duplicate_ngram_fraction": duplicate_ngram_fraction,
+    "ngram_novelty": ngram_novelty,
+    "snapshot_diff": snapshot_diff,
     "dup_spans": dup_spans,
     "simhash64": simhash64,
     "simhash_neardup_pairs": simhash_neardup_pairs,

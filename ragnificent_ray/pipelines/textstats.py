@@ -206,6 +206,64 @@ def doc_length_histogram(sf_dir: str):
             .map_batches(finish, batch_format="pyarrow"))
 
 
+def doclen_gini(sf_dir: str):
+    """Gini coefficient of document character lengths per source — the
+    length-inequality gauge behind "is one template dominating this
+    source?" curation calls (0 = all docs equal, →1 = a few giants
+    hold all the text).
+
+    Exact by construction: the classic rank formula
+    ``2·Σᵢ i·xᵢ/(N·Σx) − (N+1)/N`` needs a global sort, but lengths
+    are small ints, so each source folds to a VALUE HISTOGRAM instead
+    — per-batch Arrow ``group_by`` collapses to (source, n_chars,
+    count) cells, one bounded exchange later each source's histogram
+    ranks its runs in closed form (a run of c equal values starting at
+    rank r contributes v·(c·r + c·(c−1)/2), tie-order-independent).
+    The rank algebra runs in Python unbounded ints (i·xᵢ overflows
+    int64 at ~10¹⁰ docs); floats appear only in the final ratio,
+    mirroring the oracle's HUGEINT→DOUBLE cast. Pure metadata scan —
+    text bytes never leave storage."""
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["source", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.table({
+            "source": b.column("source"),
+            "n_chars": b.column("n_chars"),
+            "c": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+        }).group_by(["source", "n_chars"]).aggregate([("c", "sum")])
+        return g.rename_columns(["source", "n_chars", "c"])
+
+    def gini_fold(g: pa.Table) -> pa.Table:
+        src = g.column("source")[0].as_py()
+        h = (pa.table({"n_chars": g.column("n_chars"),
+                       "c": g.column("c")})
+             .group_by("n_chars").aggregate([("c", "sum")])
+             .sort_by("n_chars"))
+        v = h.column("n_chars").to_pylist()
+        c = h.column("c_sum").to_pylist()
+        n_docs = sum(c)
+        total = sum(vi * ci for vi, ci in zip(v, c))
+        t, rank = 0, 1
+        for vi, ci in zip(v, c):
+            t += vi * (ci * rank + ci * (ci - 1) // 2)
+            rank += ci
+        gini = round_half_away(
+            np.array([2.0 * t / (n_docs * total)
+                      - (n_docs + 1.0) / n_docs]), 4)
+        return pa.table({
+            "source": pa.array([src]),
+            "n_docs": pa.array([n_docs], type=pa.int64()),
+            "total_chars": pa.array([total], type=pa.int64()),
+            "gini": pa.array(gini, type=pa.float64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("source")
+            .map_groups(gini_fold, batch_format="pyarrow"))
+
+
 def normalize_text(sf_dir: str):
     """Text normalization pass: whitespace squeeze + consecutive
     duplicate-token removal (the classic "word word word" cleanup that
@@ -1448,6 +1506,21 @@ ORACLE_SQL = {
                ROUND(SUM(n_chars) * 1.0 / COUNT(*), 4) AS avg_chars
         FROM documents GROUP BY digits
     """,
+    "doclen_gini": """
+        WITH r AS (
+          SELECT source, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_chars) AS i
+          FROM documents
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               ROUND(2.0 * SUM(CAST(i AS HUGEINT) * n_chars)
+                         / (COUNT(*) * SUM(n_chars))
+                     - (COUNT(*) + 1.0) / COUNT(*), 4) AS gini
+        FROM r GROUP BY source
+    """,
     "token_stats": """
         SELECT doc_id,
                len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
@@ -1767,6 +1840,7 @@ ORACLE_SQL["perplexity_buckets"] = f"""
 QUERIES = {
     "token_stats": token_stats,
     "doc_length_histogram": doc_length_histogram,
+    "doclen_gini": doclen_gini,
     "quality_scores": quality_scores,
     "lang_id": lang_id,
     "token_count_bpeish": token_count_bpeish,
