@@ -453,6 +453,160 @@ HAVING COUNT(*) >= {COVIS_MIN_SHARED}
 """
 
 
+BASKET_MIN_PAIR = 2   # support floor: pairs co-bought in ≥2 orders
+BASKET_TOPK = 50
+
+
+def basket_lift(sf_dir: str):
+    """Market-basket association mining (the pair level of Agrawal et
+    al. 1993's Apriori, the retail "beer and diapers" analysis): the
+    top-50 part pairs by LIFT = N·n(a,b) / (n(a)·n(b)) among parts
+    co-purchased in the same order, with co-purchase count and
+    support. Lift > 1 means the pair co-occurs more than independent
+    popularity predicts — the association-rule signal.
+
+    Scale shape: distinct (order, part) rows co-locate per order in
+    bounded order-hash buckets; pair generation is a vectorized
+    self-merge per bucket whose blow-up is bounded by the SCHEMA (an
+    order holds ≤7 lineitems, so ≤C(7,2) pairs — no hot-key cap
+    needed, unlike event items), pre-summed in-bucket before the
+    pair-hash fold. Item counts and the basket total N ride the SAME
+    first exchange (one partial row per part per bucket plus a
+    sentinel row for N), then two hash-joins put n(a)/n(b) on each
+    surviving pair. Lift divides EXACT integer products (Python
+    unbounded ints — N·n_ab overflows int64 at ~10¹⁰ baskets),
+    mirroring the oracle's HUGEINT→DOUBLE; the top-50 rank orders by
+    the 4-dp rounded lift with the part pair as tiebreak on both
+    engines."""
+    from ..functions.numeric import round_half_away
+
+    n_buckets = _bucket_count(sf_dir, ("lineitem",))
+    join_args = dict(num_partitions=max(2, n_buckets // 16),
+                     aggregator_ray_remote_args={"num_cpus": 0.25})
+    ds = rd.read_parquet(
+        _pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"],
+        override_num_blocks=_read_blocks(sf_dir, "lineitem"))
+
+    def op_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "o": b.column("l_orderkey").to_numpy(),
+            "p": b.column("l_partkey").to_numpy(),
+        }).drop_duplicates()
+        return pa.table({
+            "o": pa.array(df["o"].to_numpy(), type=pa.int64()),
+            "p": pa.array(df["p"].to_numpy(), type=pa.int64()),
+            "ob": pa.array((df["o"].to_numpy() % n_buckets)
+                           .astype(np.int32)),
+        })
+
+    base = (ds.map_batches(op_partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .materialize())
+
+    def order_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["o", "p"])
+        m = g[["o", "p"]].merge(g[["o", "p"]], on="o",
+                                suffixes=("_a", "_b"))
+        m = m.loc[m["p_a"].to_numpy() < m["p_b"].to_numpy()]
+        part = m.groupby(["p_a", "p_b"], as_index=False).size() \
+                .rename(columns={"size": "n", "p_a": "part_a",
+                                 "p_b": "part_b"})
+        part["pb"] = ((part["part_a"].to_numpy() * np.int64(2654435761)
+                       + part["part_b"].to_numpy()) % n_buckets
+                      ).astype(np.int32)
+        return part[["pb", "part_a", "part_b", "n"]]
+
+    def pair_merge(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["part_a", "part_b"], as_index=False)["n"].sum()
+        agg = agg[agg["n"] >= BASKET_MIN_PAIR]
+        return pd.DataFrame({
+            "part_a": agg["part_a"].to_numpy().astype(np.int64),
+            "part_b": agg["part_b"].to_numpy().astype(np.int64),
+            "n_ab": agg["n"].to_numpy().astype(np.int64),
+        })
+
+    def item_partial(g: pd.DataFrame) -> pd.DataFrame:
+        # per-bucket part counts + one sentinel row (p = −1) carrying
+        # this bucket's distinct-order count, so N folds with the items
+        g = g.drop_duplicates(["o", "p"])
+        cnt = g.groupby("p", as_index=False).size() \
+               .rename(columns={"size": "n_p"})
+        sent = pd.DataFrame({"p": [-1], "n_p": [g["o"].nunique()]})
+        out = pd.concat([cnt, sent], ignore_index=True)
+        return pd.DataFrame({
+            "p": out["p"].to_numpy().astype(np.int64),
+            "n_p": out["n_p"].to_numpy().astype(np.int64),
+        })
+
+    pairs = (base.groupby("ob")
+             .map_groups(order_pairs, batch_format="pandas")
+             .groupby("pb").map_groups(pair_merge,
+                                       batch_format="pandas"))
+    from ray.data.aggregate import Sum
+    counts = (base.groupby("ob")
+              .map_groups(item_partial, batch_format="pandas")
+              .groupby("p").aggregate(Sum("n_p", alias_name="n_p"))
+              .materialize())
+    n_orders = int(counts.filter(expr="p == -1").take(1)[0]["n_p"])
+    counts = counts.filter(expr="p >= 0")
+
+    def rename_na(b: pa.Table) -> pa.Table:
+        return b.rename_columns(
+            [{"n_p": "n_a"}.get(c, c) for c in b.column_names])
+
+    joined = (pairs
+              .join(counts, "inner", on=("part_a",), right_on=("p",),
+                    **join_args)
+              .map_batches(rename_na, batch_format="pyarrow")
+              .join(counts, "inner", on=("part_b",), right_on=("p",),
+                    **join_args))
+
+    def finish(b: pa.Table) -> pa.Table:
+        nab = b.column("n_ab").to_pylist()
+        na = b.column("n_a").to_pylist()
+        nb = b.column("n_p").to_pylist()
+        lift = [float(n_orders * x) / float(a * y)
+                for x, a, y in zip(nab, na, nb)]
+        supp = [float(x) / n_orders for x in nab]
+        return pa.table({
+            "part_a": b.column("part_a"),
+            "part_b": b.column("part_b"),
+            "n_ab": b.column("n_ab"),
+            "lift": pa.array(round_half_away(np.array(lift), 4),
+                             type=pa.float64()),
+            "support": pa.array(round_half_away(np.array(supp), 6),
+                                type=pa.float64()),
+        })
+
+    return (joined.map_batches(finish, batch_format="pyarrow")
+            .sort(["lift", "part_a", "part_b"],
+                  descending=[True, False, False])
+            .limit(BASKET_TOPK))
+
+
+def _basket_sql() -> str:
+    return f"""
+WITH lv AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM lv),
+ic AS (SELECT p, COUNT(*) AS n_p FROM lv GROUP BY p),
+pr AS (
+  SELECT a.p AS part_a, b.p AS part_b, COUNT(*) AS n_ab
+  FROM lv a JOIN lv b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p
+  HAVING COUNT(*) >= {BASKET_MIN_PAIR}
+)
+SELECT part_a, part_b, CAST(n_ab AS BIGINT) AS n_ab,
+       ROUND(CAST(n.n_orders * n_ab AS DOUBLE)
+             / CAST(ia.n_p * ib.n_p AS DOUBLE), 4) AS lift,
+       ROUND(CAST(n_ab AS DOUBLE) / n.n_orders, 6) AS support
+FROM pr JOIN ic ia ON ia.p = part_a
+        JOIN ic ib ON ib.p = part_b
+        CROSS JOIN n
+ORDER BY lift DESC, part_a, part_b LIMIT {BASKET_TOPK}
+"""
+
+
 def _orient_fwd(a: np.ndarray, b: np.ndarray,
                 deg_a: np.ndarray, deg_b: np.ndarray) -> np.ndarray:
     """True where the edge keeps its (a → b) direction under the
@@ -1174,6 +1328,7 @@ ORACLE_SQL = {
     "degree_distribution": _degree_distribution_sql(),
     "pagerank_clicks": _pagerank_sql(),
     "covisitation_pairs": _covis_sql(),
+    "basket_lift": _basket_sql(),
     "event_type_jaccard": _JACCARD_SQL,
     "decayed_item_scores": _DECAY_SQL,
     "triangle_count": _triangle_sql(),
@@ -1183,6 +1338,7 @@ QUERIES = {
     "lpa_communities": lpa_communities,
     "pagerank_clicks": pagerank_clicks,
     "covisitation_pairs": covisitation_pairs,
+    "basket_lift": basket_lift,
     "event_type_jaccard": event_type_jaccard,
     "decayed_item_scores": decayed_item_scores,
     "triangle_count": triangle_count,
