@@ -591,6 +591,107 @@ def _caption_to_image_recall(sf_dir: str):
             .map_groups(merge, batch_format="pandas"))
 
 
+def _hard_negative_mining(sf_dir: str):
+    """Contrastive-training hard negatives: for each query caption, the
+    top-5 images by text→image cosine EXCLUDING its own paired image,
+    with the margin over the positive pair — the mining step that
+    builds CLIP-style batches where in-batch negatives are too easy
+    (Robinson et al. 2021, "Contrastive Learning with Hard Negative
+    Samples"). A negative with margin > 0 outranks the true pair —
+    exactly the sample a contrastive update learns most from (and the
+    curation red flag for a mislabeled pair).
+
+    Shape mirrors ``_caption_to_image_recall``: fixed 16-caption query
+    panel (the broadcast bound), per-block partial top-(k+1) over the
+    actor-pool image features with the positive's sim riding the same
+    rows (marked, never a second pass), tiny per-query merge. Both
+    towers are the sandbox's deterministic stand-ins (HashEmbedder
+    text, 64-d block-mean image); a trained two-tower model slots in.
+    Rows-only (binary payloads — no SQL view); pinned by a full numpy
+    replay in pytest."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from ragnificent_ray.functions.numeric import (list_column_matrix,
+                                                   round_half_away)
+    from ragnificent_ray.stages.embed import HashEmbedder
+    from ragnificent_ray.stages.multimodal import ImageFeatureStage
+
+    top_k, n_q = 5, 16
+    harvest = _crawl_harvest(sf_dir)
+    order = pc.array_sort_indices(harvest.column("image_id"))[:n_q]
+    qrows = harvest.select(["image_id", "caption"]).take(order)
+    qids = qrows.column("image_id").to_pylist()
+    qm = HashEmbedder(dim=64)._encode(
+        qrows.column("caption").to_pylist()).astype(np.float64)
+    qref = ray.put((qids, qm))
+
+    feats = rd.from_arrow(harvest.select(["image_id", "bytes", "fmt"])) \
+        .map_batches(ImageFeatureStage, batch_format="pyarrow",
+                     batch_size=64, concurrency=2)
+
+    class PartialTopK:
+        def __init__(self, ref):
+            self.qids, self.qm = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column("image_id").to_pylist(),
+                             dtype=object)
+            m = list_column_matrix(batch.column("features"),
+                                   dtype=np.float64)
+            sims = self.qm @ m.T
+            # top-(k+1) covers the worst case where the positive is in
+            # this block's top-k; the positive's own row always rides
+            # along (marked) so the merge knows the pair sim
+            k = min(top_k + 1, len(ids))
+            out_q, out_n, out_s, out_own = [], [], [], []
+            for qi, qid in enumerate(self.qids):
+                sel = np.lexsort((ids, -sims[qi]))[:k]
+                keep = list(sel)
+                own_idx = np.nonzero(ids == qid)[0]
+                if len(own_idx) and own_idx[0] not in keep:
+                    keep.append(own_idx[0])
+                for i in keep:
+                    out_q.append(qid)
+                    out_n.append(ids[i])
+                    out_s.append(sims[qi][i])
+                    out_own.append(bool(ids[i] == qid))
+            return pa.table({
+                "query_id": pa.array(out_q, type=pa.string()),
+                "neighbor_id": pa.array(out_n, type=pa.string()),
+                "sim": pa.array(out_s, type=pa.float64()),
+                "is_own": pa.array(out_own, type=pa.bool_()),
+            })
+
+    def merge(g: "pd.DataFrame") -> "pd.DataFrame":
+        qid = g["query_id"].iloc[0]
+        own = g.loc[g["is_own"], "sim"]
+        own_sim = float(own.iloc[0]) if len(own) else 0.0
+        neg = g.loc[~g["is_own"]] \
+               .sort_values(["sim", "neighbor_id"],
+                            ascending=[False, True]).head(top_k)
+        n = len(neg)
+        return pd.DataFrame({
+            "query_id": [qid] * n,
+            "negative_id": neg["neighbor_id"].to_numpy(),
+            "rank": np.arange(1, n + 1, dtype=np.int64),
+            "sim": round_half_away(neg["sim"].to_numpy(), 4),
+            "margin": round_half_away(
+                neg["sim"].to_numpy() - own_sim, 4),
+        })
+
+    return (feats.map_batches(PartialTopK,
+                              fn_constructor_kwargs={"ref": qref},
+                              batch_format="pyarrow", batch_size=4096,
+                              concurrency=2)
+            .groupby("query_id")
+            .map_groups(merge, batch_format="pandas"))
+
+
 def _audio_features(sf_dir: str):
     """Audio feature-extract plumbing over the harvest payload column
     (deterministic fake features — no audio codec in this container)."""
@@ -1052,6 +1153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_quality_scores": _image_quality_scores,
         "caption_image_align": _caption_image_align,
         "caption_to_image_recall": _caption_to_image_recall,
+        "hard_negative_mining": _hard_negative_mining,
         "video_frame_sample": _video_frame_sample,
         "audio_features": _audio_features,
     })

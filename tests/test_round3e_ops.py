@@ -178,3 +178,56 @@ def test_mmr_rerank_matches_bruteforce_replay(ray_session, entry):
                     "neighbor_id": "int64"}), want)
     # every query fills its full selection budget
     assert (got.groupby("query_id")["rank"].max() == MMR_SELECT).all()
+
+
+def test_hard_negative_mining_matches_replay(ray_session, entry):
+    """Independent numpy replay of the hard-negative miner from the
+    harvest table: same 16-caption panel, same towers, same top-5
+    excluding the positive, same margins (rows-only op — the replay
+    IS the gate)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ragnificent_ray.functions.imaging import decode_image
+    from ragnificent_ray.functions.numeric import round_half_away
+    from ragnificent_ray.stages.embed import HashEmbedder
+    from ragnificent_ray.stages.multimodal import ImageFeatureStage
+
+    got = entry.queries()["hard_negative_mining"](SF).to_pandas() \
+        .sort_values(["query_id", "rank"], ignore_index=True)
+
+    harvest = entry._crawl_harvest(SF)
+    ids = np.asarray(harvest.column("image_id").to_pylist(), dtype=object)
+    assert len(set(ids)) == len(ids)  # replay's own-row lookup needs it
+    feats = np.stack([
+        ImageFeatureStage._features(decode_image(b, f))
+        for b, f in zip(harvest.column("bytes").to_pylist(),
+                        harvest.column("fmt").to_pylist())
+    ]).astype(np.float64)
+    order = pc.array_sort_indices(harvest.column("image_id"))[:16]
+    q = harvest.select(["image_id", "caption"]).take(order)
+    qids = q.column("image_id").to_pylist()
+    qm = HashEmbedder(dim=64)._encode(
+        q.column("caption").to_pylist()).astype(np.float64)
+
+    sims = qm @ feats.T
+    rows = []
+    for qi, qid in enumerate(qids):
+        own = sims[qi][ids == qid]
+        own_sim = float(own[0]) if len(own) else 0.0
+        mask = ids != qid
+        nids, s = ids[mask], sims[qi][mask]
+        sel = np.lexsort((nids, -s))[:5]
+        for r, i in enumerate(sel, 1):
+            rows.append((qid, nids[i], r,
+                         float(round_half_away(s[i], 4)),
+                         float(round_half_away(s[i] - own_sim, 4))))
+    want = pd.DataFrame(rows, columns=["query_id", "negative_id",
+                                       "rank", "sim", "margin"]) \
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    pd.testing.assert_frame_equal(got, want)
+    # contract: full panel, 5 negatives each, never the positive
+    # itself, sims non-increasing down each query's rank column
+    assert got.groupby("query_id")["rank"].max().eq(5).all()
+    assert (got["negative_id"] != got["query_id"]).all()
+    assert (got.groupby("query_id")["sim"].diff().dropna() <= 0).all()
