@@ -2015,6 +2015,79 @@ def price_quantity_corr(sf_dir: str):
     })
 
 
+_TREND_EPOCH_DAYS = 9131  # days from unix epoch to 1995-01-01
+
+
+def part_price_trend(sf_dir: str):
+    """GROUPED linear regression — per-part OLS slope of extended
+    price (cents) over ship date (days since 1995-01-01): the
+    price-drift / elasticity census behind "which SKUs are getting
+    cheaper?". The grouped sibling of :func:`price_quantity_corr`'s
+    exact-moment design: no float partial ever rides a
+    nondeterministic combine.
+
+    Scale shape: each batch folds to one row of int64 moment partials
+    (n, Σx, Σy, Σx², Σx·y) per part via Arrow ``group_by``; partials
+    combine in bounded part-hash buckets where the closed form
+    ``(n·Σxy − Σx·Σy)/(n·Σx² − Σx²)`` runs per part in Python
+    unbounded ints (the cross products overflow int64 at ~10⁵ rows
+    per part) — O(catalog) narrow rows, never corpus rows. Parts with
+    a single distinct ship day have zero x-variance and are dropped
+    by the same integer test on both engines."""
+    ds = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_shipdate", "l_extendedprice"])
+    n_buckets = 64
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = (b.column("l_shipdate").to_numpy()
+             .astype("datetime64[D]").astype(np.int64)
+             - _TREND_EPOCH_DAYS)
+        y = np.rint(
+            b.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
+        g = pa.table({
+            "partkey": b.column("l_partkey"),
+            "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "sx": pa.array(x),
+            "sy": pa.array(y),
+            "sxx": pa.array(x * x),
+            "sxy": pa.array(x * y),
+        }).group_by("partkey").aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxx", "sum"), ("sxy", "sum")])
+        g = g.rename_columns(["partkey", "n", "sx", "sy", "sxx", "sxy"])
+        return g.append_column("pb", pa.array(
+            (g.column("partkey").to_numpy() % n_buckets).astype(np.int32)))
+
+    def fold(g: pa.Table) -> pa.Table:
+        f = (g.drop_columns(["pb"]).group_by("partkey").aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxx", "sum"), ("sxy", "sum")]))
+        f = f.rename_columns(["partkey", "n", "sx", "sy", "sxx", "sxy"])
+        out_k, out_n, out_s = [], [], []
+        for pk, n, sx, sy, sxx, sxy in zip(
+                f.column("partkey").to_pylist(), f.column("n").to_pylist(),
+                f.column("sx").to_pylist(), f.column("sy").to_pylist(),
+                f.column("sxx").to_pylist(), f.column("sxy").to_pylist()):
+            den = n * sxx - sx * sx          # exact: 0 iff one distinct day
+            if den <= 0:
+                continue
+            out_k.append(pk)
+            out_n.append(n)
+            out_s.append(round_half_away(
+                np.array([float(n * sxy - sx * sy) / float(den)]), 4)[0])
+        return pa.table({
+            "partkey": pa.array(out_k, type=pa.int64()),
+            "n": pa.array(out_n, type=pa.int64()),
+            "slope_cents_per_day": pa.array(out_s, type=pa.float64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("pb")
+            .map_groups(fold, batch_format="pyarrow"))
+
+
 def customer_running_total(sf_dir: str):
     """Windowed CUMULATIVE aggregate: every order carries the customer's
     running spend to date plus its per-customer sequence number — the
@@ -2537,6 +2610,24 @@ ORACLE_SQL = {
         JOIN region ON r_regionkey = n_regionkey
         GROUP BY r_name, n_name
     """,
+    "part_price_trend": """
+        WITH b AS (
+          SELECT l_partkey AS partkey,
+                 CAST(datediff('day', TIMESTAMP '1995-01-01',
+                               l_shipdate) AS BIGINT) AS x,
+                 CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+          FROM lineitem
+        ), m AS (
+          SELECT partkey, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * x) AS sxx, SUM(x * y) AS sxy
+          FROM b GROUP BY partkey
+        )
+        SELECT partkey, CAST(n AS BIGINT) AS n,
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 4)
+                   AS slope_cents_per_day
+        FROM m WHERE n * sxx - sx * sx > 0
+    """,
     "price_quantity_corr": """
         -- exact integer moments (cents), HUGEINT sums: mirrors the
         -- Ray side's Python-int combine bit-for-bit
@@ -2853,6 +2944,7 @@ QUERIES = {
     "inactive_customers": inactive_customers,
     "shipping_priority": shipping_priority,
     "price_quantity_corr": price_quantity_corr,
+    "part_price_trend": part_price_trend,
     "promo_revenue": promo_revenue,
     "region_supplier_revenue": region_supplier_revenue,
     "revenue_rollup": revenue_rollup,
