@@ -147,6 +147,8 @@ QUERY_NAMES = [
     "order_count_distribution", "top_supplier", "small_quantity_revenue",
     "large_orders", "session_duration_stats", "doc_length_histogram",
     "dedup_cluster_sizes",
+    "basket_lift", "ngram_novelty", "part_price_trend",
+    "split_leakage_audit", "snapshot_diff", "doclen_gini",
 ]
 
 

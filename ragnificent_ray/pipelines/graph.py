@@ -213,17 +213,15 @@ def pagerank_mass(edges, nodes, *, iters: int = _ITERS,
     return shares.groupby("b").map_groups(_final, batch_format="pyarrow")
 
 
-def pagerank_clicks(sf_dir: str, iters: int = _ITERS):
-    """PageRank over the page-transition graph implied by the events
-    stream: each user's consecutive events (ordered by ts, event_id)
-    form a directed edge between their ``props.k`` pages; distinct
-    edges, self-loops dropped. 3 integer-mass iterations (see module
-    docstring) — bit-exact against the unrolled-CTE DuckDB oracle.
-
-    Graph construction is two bounded-key exchanges over one read:
-    per-user buckets emit consecutive-pair edge rows AND the node ids
-    they saw (tagged), then a hash-bucket distinct pass dedupes both
-    kinds in one groupby."""
+def _click_graph(sf_dir: str):
+    """(edges, nodes, n_buckets) of the click-transition graph: each
+    user's consecutive events (ordered by ts, event_id) form a directed
+    edge between their ``props.k`` pages; distinct edges, self-loops
+    dropped; nodes are every page seen. Two bounded-key exchanges over
+    one read: per-user buckets emit consecutive-pair edge rows AND the
+    node ids they saw (tagged), then a hash-bucket distinct pass
+    dedupes both kinds in one groupby. Shared by the link-analysis ops
+    (:func:`pagerank_clicks`, :func:`hits_clicks`)."""
     n_buckets = _bucket_count(sf_dir, ("events",))
     ds = rd.read_parquet(_pq(sf_dir, "events"),
                          columns=["user_id", "ts", "event_id", "props"],
@@ -278,7 +276,193 @@ def pagerank_clicks(sf_dir: str, iters: int = _ITERS):
 
     edges = tagged.map_batches(_as_edges, batch_format="pyarrow")
     nodes = tagged.map_batches(_as_nodes, batch_format="pyarrow")
+    return edges, nodes, n_buckets
+
+
+def pagerank_clicks(sf_dir: str, iters: int = _ITERS):
+    """PageRank over the click-transition graph (see
+    :func:`_click_graph`). 3 integer-mass iterations (module
+    docstring) — bit-exact against the unrolled-CTE DuckDB oracle."""
+    edges, nodes, n_buckets = _click_graph(sf_dir)
     return pagerank_mass(edges, nodes, iters=iters, buckets=n_buckets)
+
+
+HITS_ITERS = 2  # unnormalized integer power rounds (see hits_clicks)
+
+
+def hits_clicks(sf_dir: str, iters: int = HITS_ITERS):
+    """HITS hubs & authorities (Kleinberg 1999, "Authoritative sources
+    in a hyperlinked environment") over the click-transition graph —
+    the SIXTH value-checked iterative algorithm: authority(v) =
+    Σ_{u→v} hub(u) and hub(u) = Σ_{u→v} authority(v), alternating from
+    hub₀ ≡ 1. The recurrence stays in EXACT int64 by running the
+    classic power iteration UNNORMALIZED for a fixed 2 rounds (a₁ =
+    indegree, h₁, a₂, h₂) — rankings equal the normalized ones (the
+    L2 scale-out is rank-invariant), every value is an exact integer
+    the unrolled-CTE oracle reproduces bit-for-bit, and no float ever
+    rides a nondeterministic combine. Magnitudes grow ~d_max per
+    half-round (h₂ ≲ d_max⁴ · N): fine for any graph whose max degree
+    keeps d_max⁴·N < 2⁶³ — a production run at larger depth would
+    rescale per round (dividing by a power of two preserves exactness)
+    before this bound bites.
+
+    Scale shape mirrors :func:`pagerank_mass`'s fused exchange, ONCE
+    PER DIRECTION: edge rows materialize twice (bucketed by src for
+    the authority gather, by dst for the hub gather) and each
+    half-round is one bounded-bucket exchange where values look up via
+    a sorted membership probe and shares pre-sum per target before
+    leaving the bucket. The final hub fold emits its gathered
+    authority values as carry rows, so both scores arrive at the
+    output fold without an extra join."""
+    edges, nodes, buckets = _click_graph(sf_dir)
+    bucket_of = _int_bucket_of(buckets)
+    KIND_VAL, KIND_CARRY = 0, 1
+
+    def _np(col) -> np.ndarray:
+        return col.to_numpy(zero_copy_only=False)
+
+    def _edge_rows(key: str):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table({
+                "b": pa.array(bucket_of(_np(t.column(key)))),
+                "node": pa.nulls(n, type=pa.int64()),
+                "val": pa.nulls(n, type=pa.int64()),
+                "kind": pa.array(np.zeros(n, dtype=np.int8)),
+                "src": t.column("src"),
+                "edst": t.column("dst"),
+            })
+        return f
+
+    def _init(t: pa.Table) -> pa.Table:
+        node = t.column("node")
+        n = t.num_rows
+        return pa.table({
+            "b": pa.array(bucket_of(_np(node))),
+            "node": node,
+            "val": pa.array(np.ones(n, dtype=np.int64)),
+            "kind": pa.array(np.zeros(n, dtype=np.int8)),
+            "src": pa.nulls(n, type=pa.int64()),
+            "edst": pa.nulls(n, type=pa.int64()),
+        })
+
+    def _gather(t: pa.Table, kind: int):
+        v = t.filter(pc.and_(pc.is_null(t.column("src")),
+                             pc.equal(t.column("kind"), kind)))
+        g = (pa.table({"node": v.column("node"), "val": v.column("val")})
+             .group_by("node").aggregate([("val", "sum")]))
+        return (_np(g.column("node")).astype(np.int64),
+                _np(g.column("val_sum")).astype(np.int64))
+
+    def _half_step(key: str, out: str, carry: bool):
+        def f(t: pa.Table) -> pa.Table:
+            node, val = _gather(t, KIND_VAL)
+            out_n = [node]
+            out_v = [np.zeros(len(node), dtype=np.int64)]
+            out_k = [np.zeros(len(node), dtype=np.int8)]
+            e = t.filter(pc.is_valid(t.column("src")))
+            if e.num_rows:
+                kcol = _np(e.column("src" if key == "src" else "edst"))
+                ocol = _np(e.column("edst" if out == "edst" else "src"))
+                order = np.argsort(node, kind="stable")
+                node_s, val_s = node[order], val[order]
+                pos = np.searchsorted(node_s, kcol)
+                if not (np.all(pos < len(node_s))
+                        and np.array_equal(node_s[pos], kcol)):
+                    raise ValueError("hits: edge endpoint outside the "
+                                     "node set")
+                uniq, inv = np.unique(ocol, return_inverse=True)
+                sums = np.zeros(len(uniq), dtype=np.int64)
+                np.add.at(sums, inv, val_s[pos])
+                out_n.append(uniq)
+                out_v.append(sums)
+                out_k.append(np.zeros(len(uniq), dtype=np.int8))
+            if carry:
+                out_n.append(node)
+                out_v.append(val)
+                out_k.append(np.full(len(node), KIND_CARRY,
+                                     dtype=np.int8))
+            nodes_all = np.concatenate(out_n)
+            n = len(nodes_all)
+            return pa.table({
+                "b": pa.array(bucket_of(nodes_all)),
+                "node": pa.array(nodes_all, type=pa.int64()),
+                "val": pa.array(np.concatenate(out_v)),
+                "kind": pa.array(np.concatenate(out_k)),
+                "src": pa.nulls(n, type=pa.int64()),
+                "edst": pa.nulls(n, type=pa.int64()),
+            })
+        return f
+
+    def _final(t: pa.Table) -> pa.Table:
+        node, hub = _gather(t, KIND_VAL)
+        cn, cv = _gather(t, KIND_CARRY)
+        order = np.argsort(cn, kind="stable")
+        cn_s, cv_s = cn[order], cv[order]
+        pos = np.searchsorted(cn_s, node)
+        if not (np.all(pos < len(cn_s))
+                and np.array_equal(cn_s[pos], node)):
+            raise ValueError("hits: carry rows missing a node")
+        return pa.table({
+            "node": pa.array(node, type=pa.int64()),
+            "authority": pa.array(cv_s[pos]),
+            "hub": pa.array(hub),
+        })
+
+    ed_src = edges.map_batches(_edge_rows("src"),
+                               batch_format="pyarrow").materialize()
+    ed_dst = edges.map_batches(_edge_rows("dst"),
+                               batch_format="pyarrow").materialize()
+    rows = nodes.map_batches(_init, batch_format="pyarrow")
+    for i in range(iters):
+        rows = (ed_src.union(rows).groupby("b")
+                .map_groups(_half_step("src", "edst", carry=False),
+                            batch_format="pyarrow"))
+        rows = (ed_dst.union(rows).groupby("b")
+                .map_groups(_half_step("edst", "src",
+                                       carry=(i == iters - 1)),
+                            batch_format="pyarrow"))
+    return rows.groupby("b").map_groups(_final, batch_format="pyarrow")
+
+
+def _hits_sql(iters: int = HITS_ITERS) -> str:
+    rounds = []
+    for i in range(1, iters + 1):
+        rounds.append(f"""a{i} AS (
+  SELECT n.node, CAST(COALESCE(SUM(h.v), 0) AS BIGINT) AS v
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN h{i - 1} h ON h.node = e.src
+  GROUP BY n.node
+)""")
+        rounds.append(f"""h{i} AS (
+  SELECT n.node, CAST(COALESCE(SUM(a.v), 0) AS BIGINT) AS v
+  FROM nodes n
+  LEFT JOIN edges e ON e.src = n.node
+  LEFT JOIN a{i} a ON a.node = e.dst
+  GROUP BY n.node
+)""")
+    return f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k
+  FROM events
+), pr AS (
+  SELECT k AS src,
+         LEAD(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM ev
+), edges AS (
+  SELECT DISTINCT src, dst FROM pr WHERE dst IS NOT NULL AND src <> dst
+), nodes AS (
+  SELECT DISTINCT k AS node FROM ev
+), h0 AS (
+  SELECT node, CAST(1 AS BIGINT) AS v FROM nodes
+), {', '.join(rounds)}
+SELECT n.node, a{iters}.v AS authority, h{iters}.v AS hub
+FROM nodes n
+JOIN a{iters} ON a{iters}.node = n.node
+JOIN h{iters} ON h{iters}.node = n.node
+"""
 
 
 def pagerank_links(documents, *, buckets: int = _MIN_BUCKETS,
@@ -1327,6 +1511,7 @@ ORACLE_SQL = {
     "clustering_coefficient": _clustering_coefficient_sql(),
     "degree_distribution": _degree_distribution_sql(),
     "pagerank_clicks": _pagerank_sql(),
+    "hits_clicks": _hits_sql(),
     "covisitation_pairs": _covis_sql(),
     "basket_lift": _basket_sql(),
     "event_type_jaccard": _JACCARD_SQL,
@@ -1337,6 +1522,7 @@ ORACLE_SQL = {
 QUERIES = {
     "lpa_communities": lpa_communities,
     "pagerank_clicks": pagerank_clicks,
+    "hits_clicks": hits_clicks,
     "covisitation_pairs": covisitation_pairs,
     "basket_lift": basket_lift,
     "event_type_jaccard": event_type_jaccard,
