@@ -2015,6 +2015,50 @@ def price_quantity_corr(sf_dir: str):
     })
 
 
+def k_anonymity(sf_dir: str):
+    """k-anonymity census over the customer quasi-identifier
+    (c_nationkey, c_mktsegment) — Sweeney 2002's re-identification
+    risk gauge as count-of-counts: each row says "n_groups
+    equivalence classes of size k cover n_customers people"; the
+    dataset's k-anonymity is the smallest k present, and any k=1 row
+    is a uniquely re-identifiable individual. The privacy audit a
+    curation pipeline runs before releasing joined demographics.
+
+    Scale shape: per-batch Arrow ``group_by`` collapses to one cell
+    per quasi-id combination per block (the quasi-id space is
+    catalog-bounded: |nations|×|segments|), one bounded fold sums
+    class sizes, and the count-of-counts is a second ≤|classes|-key
+    fold — all exact integers, nothing rides a float."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(_pq(sf_dir, "customer"),
+                         columns=["c_nationkey", "c_mktsegment"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.table({
+            "nat": b.column("c_nationkey"),
+            "seg": b.column("c_mktsegment"),
+            "k": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+        }).group_by(["nat", "seg"]).aggregate([("k", "sum")])
+        return g.rename_columns(["nat", "seg", "k"])
+
+    def counts_of_counts(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": b.column("k"),
+            "n_groups": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "n_customers": b.column("k"),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby(["nat", "seg"])
+            .aggregate(Sum("k", alias_name="k"))
+            .map_batches(counts_of_counts, batch_format="pyarrow")
+            .groupby("k")
+            .aggregate(Sum("n_groups", alias_name="n_groups"),
+                       Sum("n_customers", alias_name="n_customers")))
+
+
 _TREND_EPOCH_DAYS = 9131  # days from unix epoch to 1995-01-01
 
 
@@ -2610,6 +2654,16 @@ ORACLE_SQL = {
         JOIN region ON r_regionkey = n_regionkey
         GROUP BY r_name, n_name
     """,
+    "k_anonymity": """
+        WITH g AS (
+          SELECT c_nationkey, c_mktsegment, COUNT(*) AS k
+          FROM customer GROUP BY c_nationkey, c_mktsegment
+        )
+        SELECT CAST(k AS BIGINT) AS k,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(k) AS BIGINT) AS n_customers
+        FROM g GROUP BY k
+    """,
     "part_price_trend": """
         WITH b AS (
           SELECT l_partkey AS partkey,
@@ -2945,6 +2999,7 @@ QUERIES = {
     "shipping_priority": shipping_priority,
     "price_quantity_corr": price_quantity_corr,
     "part_price_trend": part_price_trend,
+    "k_anonymity": k_anonymity,
     "promo_revenue": promo_revenue,
     "region_supplier_revenue": region_supplier_revenue,
     "revenue_rollup": revenue_rollup,

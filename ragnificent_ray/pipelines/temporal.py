@@ -839,7 +839,100 @@ def markov_transitions(sf_dir: str):
     )
 
 
+def events_burstiness(sf_dir: str):
+    """Fano factor (index of dispersion, var/mean of hourly arrival
+    counts over the FULL observation window — empty hours count) per
+    event type: ≈1 is Poisson traffic, ≫1 is bursty, ≪1 is paced —
+    the load-model census behind capacity planning and anomaly
+    baselines.
+
+    Exact by construction: hourly counts fold to integers over the
+    calendar-bounded (type, hour) key space, the window length H is
+    an integer hour difference, and the Fano closed form
+    ``(H·Σc² − (Σc)²)/(H·Σc)`` divides exact integer moments once —
+    Σc² over empty hours contributes zero, so only occupied hours
+    ever ship. Population variance, matching the oracle's identical
+    HUGEINT expression."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_type", "ts"])
+
+    def hour_partial(b: pa.Table) -> pa.Table:
+        hrs = (b.column("ts").to_numpy().astype("datetime64[h]")
+               .astype(np.int64))
+        g = pa.table({
+            "event_type": b.column("event_type"),
+            "hr": pa.array(hrs),
+            "c": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+        }).group_by(["event_type", "hr"]).aggregate([("c", "sum")])
+        return g.rename_columns(["event_type", "hr", "c"])
+
+    span = ds.map_batches(
+        lambda b: pa.table({"hr": pa.array(
+            b.column("ts").to_numpy().astype("datetime64[h]")
+            .astype(np.int64))}),
+        batch_format="pyarrow", batch_size=65536) \
+        .aggregate(Min("hr"), Max("hr"))
+    H = int(span["max(hr)"]) - int(span["min(hr)"]) + 1
+
+    hourly = (ds.map_batches(hour_partial, batch_format="pyarrow",
+                             batch_size=65536)
+              .groupby(["event_type", "hr"])
+              .aggregate(Sum("c", alias_name="c")))
+
+    def moment_partial(b: pa.Table) -> pa.Table:
+        c = b.column("c").to_numpy()
+        g = pa.table({
+            "event_type": b.column("event_type"),
+            "sc": b.column("c"),
+            "scc": pa.array(c * c),
+        }).group_by("event_type").aggregate(
+            [("sc", "sum"), ("scc", "sum")])
+        return g.rename_columns(["event_type", "sc", "scc"])
+
+    def finish(g: pa.Table) -> pa.Table:
+        f = (g.group_by("event_type")
+             .aggregate([("sc", "sum"), ("scc", "sum")]))
+        f = f.rename_columns(["event_type", "sc", "scc"])
+        sc = f.column("sc").to_pylist()
+        scc = f.column("scc").to_pylist()
+        fano = [round_half_away(
+            np.array([float(H * q - s * s) / float(H * s)]), 4)[0]
+            for s, q in zip(sc, scc)]
+        return pa.table({
+            "event_type": f.column("event_type"),
+            "n_events": f.column("sc"),
+            "n_hours": pa.array([H] * f.num_rows, type=pa.int64()),
+            "fano": pa.array(fano, type=pa.float64()),
+        })
+
+    return (hourly.map_batches(moment_partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .map_groups(finish, batch_format="pyarrow"))
+
+
 ORACLE_SQL = {
+    "events_burstiness": """
+        WITH h AS (
+          SELECT event_type,
+                 epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+                 COUNT(*) AS c
+          FROM events GROUP BY event_type, hr
+        ), sp AS (
+          SELECT CAST(MAX(epoch_us(date_trunc('hour', ts))
+                          // 3600000000)
+                      - MIN(epoch_us(date_trunc('hour', ts))
+                            // 3600000000) + 1 AS HUGEINT) AS H
+          FROM events
+        )
+        SELECT event_type,
+               CAST(SUM(c) AS BIGINT) AS n_events,
+               CAST(H AS BIGINT) AS n_hours,
+               ROUND(CAST(H * SUM(c * c) - SUM(c) * SUM(c) AS DOUBLE)
+                     / CAST(H * SUM(c) AS DOUBLE), 4) AS fano
+        FROM h CROSS JOIN sp GROUP BY event_type, H
+    """,
     "session_duration_stats": """
         WITH lagged AS (
           SELECT user_id, ts, event_id,
@@ -1140,6 +1233,7 @@ QUERIES = {
     "active_sessions_hourly": active_sessions_hourly,
     "rolling_active_users": rolling_active_users,
     "markov_transitions": markov_transitions,
+    "events_burstiness": events_burstiness,
     "interarrival_histogram": interarrival_histogram,
     "events_late_arrival_stats": events_late_arrival_stats,
     "session_duration_stats": session_duration_stats,

@@ -448,6 +448,63 @@ def vocab_top(sf_dir: str):
     )
 
 
+ZIPF_TOPK = 100
+
+
+def zipf_fit(sf_dir: str):
+    """Zipf's-law exponent of the corpus token frequency distribution:
+    OLS slope of ln(count) on ln(rank) over the top-100 tokens —
+    natural text sits near −1; a corpus drifting toward 0 (flat) or
+    −2+ (head-dominated) signals template spam or a collapsed
+    vocabulary. The one-number lexical-health gauge next to
+    ``vocab_top``'s raw list.
+
+    Scale shape: the distinct-per-block occurrence combiner →
+    token-keyed groupby → deterministic (count DESC, token) top-100 —
+    everything heavy is the same shape as ``heavy_hitter_tokens``; the
+    regression then runs on exactly 100 driver rows. Ranks and counts
+    are exact integers on both engines; ln() is libm on both; the
+    4-dp rounding absorbs the float-sum association order."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["text"])
+
+    def partial_tc(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(tok for tok in t.strip().split() if tok)
+        return pa.table({
+            "token": pa.array(list(c.keys()), type=pa.string()),
+            "n": pa.array(list(c.values()), type=pa.int64()),
+        })
+
+    top = (ds.map_batches(partial_tc, batch_format="pyarrow",
+                          batch_size=8192)
+           .groupby("token")
+           .aggregate(Sum("n", alias_name="n"))
+           .sort(["n", "token"], descending=[True, False])
+           .limit(ZIPF_TOPK)
+           .take(ZIPF_TOPK))
+    cnt = np.array([r["n"] for r in top], dtype=np.float64)
+    k = len(cnt)
+    x = np.log(np.arange(1, k + 1, dtype=np.float64))
+    y = np.log(cnt)
+    sx, sy = x.sum(), y.sum()
+    sxx, sxy = (x * x).sum(), (x * y).sum()
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    intercept = (sy - slope * sx) / k
+    return pa.table({
+        "n_tokens": pa.array([k], type=pa.int64()),
+        "zipf_slope": pa.array(
+            round_half_away(np.array([slope]), 4), type=pa.float64()),
+        "ln_intercept": pa.array(
+            round_half_away(np.array([intercept]), 4),
+            type=pa.float64()),
+    })
+
+
 def bigram_top(sf_dir: str):
     """Top-100 token bigrams by occurrence count (the collocation /
     boilerplate-detection companion to :func:`vocab_top`). Same combiner
@@ -1506,6 +1563,29 @@ ORACLE_SQL = {
                ROUND(SUM(n_chars) * 1.0 / COUNT(*), 4) AS avg_chars
         FROM documents GROUP BY digits
     """,
+    "zipf_fit": f"""
+        WITH toks AS (
+          SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+          FROM documents
+        ), tc AS (
+          SELECT token, COUNT(*) AS n FROM toks WHERE token <> ''
+          GROUP BY token ORDER BY n DESC, token LIMIT {ZIPF_TOPK}
+        ), r AS (
+          SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rank
+          FROM tc
+        ), m AS (
+          SELECT COUNT(*) AS k, SUM(ln(rank)) AS sx, SUM(ln(n)) AS sy,
+                 SUM(ln(rank) * ln(rank)) AS sxx,
+                 SUM(ln(rank) * ln(n)) AS sxy
+          FROM r
+        )
+        SELECT CAST(k AS BIGINT) AS n_tokens,
+               ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 4)
+                   AS zipf_slope,
+               ROUND((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx))
+                      * sx) / k, 4) AS ln_intercept
+        FROM m
+    """,
     "doclen_gini": """
         WITH r AS (
           SELECT source, n_chars,
@@ -1841,6 +1921,7 @@ QUERIES = {
     "token_stats": token_stats,
     "doc_length_histogram": doc_length_histogram,
     "doclen_gini": doclen_gini,
+    "zipf_fit": zipf_fit,
     "quality_scores": quality_scores,
     "lang_id": lang_id,
     "token_count_bpeish": token_count_bpeish,
