@@ -18,6 +18,7 @@ from __future__ import annotations
 import os
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from ..functions.hashing import md5_hex
@@ -527,6 +528,64 @@ def dataset_split(sf_dir: str):
                        Sum("total_chars", alias_name="total_chars")))
 
 
+_WEIGHTED_K = 50
+
+
+def weighted_sample(sf_dir: str):
+    """Weighted sampling WITHOUT replacement — Efraimidis & Spirakis
+    2006 ("Weighted random sampling with a reservoir"): each document
+    draws priority ``ln(u)/w`` from a content-stable uniform
+    u = (md5₃₂(doc_id)+1)/2³² and weight w = n_chars, and the sample
+    is the top-50 priorities — longer documents proportionally more
+    likely, yet the whole draw is a pure function of the input
+    (reproducible across runs, retries and cluster layouts, and
+    SQL-checkable; the char-weighted variant of
+    :func:`reservoir_sample`'s uniform min-wise draw).
+
+    Scale shape: priority is a pure per-batch map; each block emits
+    only its local top-50 (argpartition, no block sort), so the final
+    exact sort+limit sees blocks×50 rows, never the corpus. libm
+    ln on both engines; ties broken by doc_id."""
+    import numpy as np
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "source", "n_chars"])
+
+    def partial_topk(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b.column("n_chars"), 0))  # w must be > 0
+        ids = b.column("doc_id").to_pylist()
+        h = np.array([int(md5_hex(str(d))[:8], 16) for d in ids],
+                     dtype=np.float64)
+        w = b.column("n_chars").to_numpy().astype(np.float64)
+        key = np.log((h + 1.0) / 4294967296.0) / w
+        k = min(_WEIGHTED_K, len(ids))
+        sel = np.argpartition(-key, k - 1)[:k] if len(ids) > k \
+            else np.arange(len(ids))
+        return pa.table({
+            "doc_id": pa.array(np.asarray(ids, dtype=np.int64)[sel]),
+            "source": pa.array(
+                np.asarray(b.column("source").to_pylist(),
+                           dtype=object)[sel], type=pa.string()),
+            "n_chars": pa.array(
+                b.column("n_chars").to_numpy()[sel], type=pa.int64()),
+            "priority": pa.array(key[sel], type=pa.float64()),
+        })
+
+    from ..functions.numeric import round_half_away as _rha
+
+    def finish(b: pa.Table) -> pa.Table:
+        return b.set_column(
+            b.column_names.index("priority"), "priority",
+            pa.array(_rha(b.column("priority").to_numpy(), 6),
+                     type=pa.float64()))
+
+    return (ds.map_batches(partial_topk, batch_format="pyarrow",
+                           batch_size=65536)
+            .sort(["priority", "doc_id"], descending=[True, False])
+            .limit(_WEIGHTED_K)
+            .map_batches(finish, batch_format="pyarrow"))
+
+
 # alphabetical split-set strings indexed by bitmask (test=1, train=2,
 # val=4) — matches the oracle's list_sort(list_distinct(list(split)))
 _SPLIT_MASK_NAMES = [
@@ -632,6 +691,17 @@ ORACLE_SQL = {
         )
         SELECT * FROM f WHERE n_docs > 1 AND n_splits > 1
     """,
+    "weighted_sample": f"""
+        WITH p AS (
+          SELECT doc_id, source, n_chars,
+                 ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                          1, 8)) AS BIGINT) + 1.0)
+                    / 4294967296.0) / n_chars AS pri
+          FROM documents WHERE n_chars > 0
+        )
+        SELECT doc_id, source, n_chars, ROUND(pri, 6) AS priority
+        FROM p ORDER BY pri DESC, doc_id LIMIT {_WEIGHTED_K}
+    """,
     "dataset_split": f"""
         SELECT CASE
                  WHEN (CAST(doc_id AS HUGEINT) * {_SPLIT_MUL})
@@ -709,5 +779,6 @@ QUERIES = {
     "reservoir_sample": reservoir_sample,
     "balanced_sample": balanced_sample,
     "dataset_split": dataset_split,
+    "weighted_sample": weighted_sample,
     "split_leakage_audit": split_leakage_audit,
 }
