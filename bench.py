@@ -150,7 +150,8 @@ QUERY_NAMES = [
     "basket_lift", "ngram_novelty", "part_price_trend",
     "split_leakage_audit", "snapshot_diff", "doclen_gini",
     "hits_clicks", "events_burstiness", "zipf_fit", "k_anonymity",
-    "weighted_sample",
+    "weighted_sample", "events_changepoint", "length_drift_ks",
+    "embedding_spectrum",
 ]
 
 

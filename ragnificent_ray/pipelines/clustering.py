@@ -24,6 +24,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data as rd
@@ -616,6 +617,48 @@ def embedding_gram(sf_dir: str):
         "j": pa.array(folded["j"].to_numpy(dtype=np.int64)),
         "n": pa.array(folded["n"].to_numpy(dtype=np.int64)),
         "m2": pa.array(m2, type=pa.float64()),
+    })
+
+
+SPECTRUM_TOPK = 10
+
+
+def embedding_spectrum(sf_dir: str):
+    """Distributed spectral analysis of the embedding space — the
+    eigenvalue spectrum of the (uncentered) second-moment matrix from
+    :func:`embedding_gram`'s exact-integer fold, i.e. the classic
+    two-stage distributed PCA: the corpus-sized work is the D²-row
+    Gram reduction, then ``eigh`` runs on the D×D driver matrix. The
+    top-10 eigenvalues with variance-explained tell whether the
+    embedding space is healthy (energy spread) or collapsed (one
+    direction dominates — the anisotropy failure mode of contrastive
+    towers).
+
+    Deterministic end-to-end: the Gram values are exact e-6 integers
+    divided and rounded once, so the driver matrix — and therefore
+    LAPACK's spectrum — is a pure function of the input. No SQL can
+    express an eigendecomposition; the gate is a full numpy replay in
+    pytest (rows-only entry)."""
+    from ..functions.numeric import round_half_away
+
+    g = embedding_gram(sf_dir)
+    d = int(pc.max(g.column("i")).as_py())
+    m = np.zeros((d, d))
+    m[np.asarray(g.column("i")) - 1,
+      np.asarray(g.column("j")) - 1] = g.column("m2").to_numpy()
+    evals = np.linalg.eigvalsh(m)[::-1]          # descending
+    trace = float(np.trace(m))
+    k = min(SPECTRUM_TOPK, d)
+    top = evals[:k]
+    return pa.table({
+        "rank": pa.array(np.arange(1, k + 1, dtype=np.int64)),
+        "eigenvalue": pa.array(round_half_away(top, 6),
+                               type=pa.float64()),
+        "var_explained": pa.array(
+            round_half_away(top / trace, 6), type=pa.float64()),
+        "cum_var_explained": pa.array(
+            round_half_away(np.cumsum(top) / trace, 6),
+            type=pa.float64()),
     })
 
 
@@ -1422,6 +1465,7 @@ QUERIES = {
     "int8_quantize": int8_quantize,
     "embedding_dim_stats": embedding_dim_stats,
     "embedding_gram": embedding_gram,
+    "embedding_spectrum": embedding_spectrum,
     "knn_label_accuracy": knn_label_accuracy,
 }
 

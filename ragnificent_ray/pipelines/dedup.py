@@ -297,6 +297,77 @@ def snapshot_diff(sf_dir: str):
             .map_groups(finish, batch_format="pyarrow"))
 
 
+def length_drift_ks(sf_dir: str):
+    """Distribution-drift monitor between crawl snapshots: the exact
+    two-sample Kolmogorov–Smirnov statistic on the document-length
+    distribution of the EXISTING half (doc_id below the median) vs the
+    INCOMING half — did the recrawl change the SHAPE of what we
+    collect, not just its keys (:func:`snapshot_diff`'s complement)?
+    D = max_t |F_old(t) − F_new(t)|; the argmax is found on the
+    INTEGER numerator |k_old·n_new − k_new·n_old| over a common
+    denominator, so the maximizing length is exact on both engines and
+    only the reported ratio is a rounded float.
+
+    Scale shape: per-batch Arrow ``group_by`` folds to one
+    (length, leg-count) cell per block; lengths are value-bounded, so
+    the cumulative walk runs driver-side on the bounded histogram in
+    Python unbounded ints (n_old·n_new overflows int64 at ~10¹⁰ docs
+    per leg)."""
+    import pyarrow.parquet as pq_mod
+    from ray.data.aggregate import Sum
+
+    from ..functions.numeric import round_half_away
+
+    meta = pq_mod.read_metadata(_pq(sf_dir, "documents"))
+    split = meta.num_rows // 2
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        old = pc.cast(pc.less(b.column("doc_id"), split), pa.int64())
+        g = pa.table({
+            "v": b.column("n_chars"),
+            "c0": old,
+            "c1": pc.subtract(pa.scalar(1, pa.int64()), old),
+        }).group_by("v").aggregate([("c0", "sum"), ("c1", "sum")])
+        return g.rename_columns(["v", "c0", "c1"])
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("v")
+            .aggregate(Sum("c0", alias_name="c0"),
+                       Sum("c1", alias_name="c1"))
+            .sort("v").take_all())
+    vs = [int(r["v"]) for r in hist]
+    c0 = [int(r["c0"]) for r in hist]
+    c1 = [int(r["c1"]) for r in hist]
+    n0, n1 = sum(c0), sum(c1)
+    best_num, best_v, best_k0, best_k1 = -1, None, 0, 0
+    k0 = k1 = 0
+    for v, a, b_ in zip(vs, c0, c1):
+        k0 += a
+        k1 += b_
+        num = abs(k0 * n1 - k1 * n0)
+        if num > best_num:
+            best_num, best_v, best_k0, best_k1 = num, v, k0, k1
+    return pa.table({
+        "at_length": pa.array([best_v], type=pa.int64()),
+        "n_old": pa.array([n0], type=pa.int64()),
+        "n_new": pa.array([n1], type=pa.int64()),
+        "cdf_old": pa.array(
+            [round_half_away(np.array([best_k0 / n0]), 4)[0]],
+            type=pa.float64()),
+        "cdf_new": pa.array(
+            [round_half_away(np.array([best_k1 / n1]), 4)[0]],
+            type=pa.float64()),
+        "ks": pa.array(
+            [round_half_away(
+                np.array([float(best_num) / float(n0 * n1)]), 4)[0]],
+            type=pa.float64()),
+    })
+
+
 # ------------------------------------------------------- token-set helpers
 
 def _token_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
@@ -1659,6 +1730,29 @@ ORACLE_SQL = {
         SELECT MIN(doc_id) AS doc_id, md5(text) AS text_hash
         FROM documents GROUP BY md5(text)
     """,
+    "length_drift_ks": """
+        WITH sp AS (SELECT COUNT(*) // 2 AS s FROM documents),
+        d AS (SELECT n_chars AS v,
+                     CASE WHEN doc_id < s THEN 1 ELSE 0 END AS o
+              FROM documents, sp),
+        h AS (SELECT v, SUM(o) AS c0, SUM(1 - o) AS c1
+              FROM d GROUP BY v),
+        n AS (SELECT SUM(c0) AS n0, SUM(c1) AS n1 FROM h),
+        cum AS (SELECT v, SUM(c0) OVER (ORDER BY v) AS k0,
+                       SUM(c1) OVER (ORDER BY v) AS k1 FROM h),
+        sc AS (SELECT v, k0, k1, n0, n1,
+                      ABS(CAST(k0 AS HUGEINT) * n1
+                          - CAST(k1 AS HUGEINT) * n0) AS num
+               FROM cum CROSS JOIN n)
+        SELECT CAST(v AS BIGINT) AS at_length,
+               CAST(n0 AS BIGINT) AS n_old,
+               CAST(n1 AS BIGINT) AS n_new,
+               ROUND(k0 * 1.0 / n0, 4) AS cdf_old,
+               ROUND(k1 * 1.0 / n1, 4) AS cdf_new,
+               ROUND(CAST(num AS DOUBLE)
+                     / CAST(CAST(n0 AS HUGEINT) * n1 AS DOUBLE), 4) AS ks
+        FROM sc ORDER BY num DESC, v LIMIT 1
+    """,
     "snapshot_diff": f"""
         WITH sp AS (SELECT COUNT(*) // 2 AS s FROM documents),
         d AS (SELECT DISTINCT md5(substr(text, 1, {_PREFIX_LEN})) AS h,
@@ -1798,6 +1892,7 @@ QUERIES = {
     "duplicate_ngram_fraction": duplicate_ngram_fraction,
     "ngram_novelty": ngram_novelty,
     "snapshot_diff": snapshot_diff,
+    "length_drift_ks": length_drift_ks,
     "dup_spans": dup_spans,
     "simhash64": simhash64,
     "simhash_neardup_pairs": simhash_neardup_pairs,

@@ -912,7 +912,101 @@ def events_burstiness(sf_dir: str):
             .map_groups(finish, batch_format="pyarrow"))
 
 
+def events_changepoint(sf_dir: str):
+    """Single changepoint detection over the global hourly event-count
+    series — one step of binary segmentation (Scott & Knott 1974, the
+    classic CUSUM-style mean-shift scan): the split hour maximizing
+    the between-segment sum of squares n₁n₂/n·(m₁−m₂)², over the FULL
+    observation window (empty hours count as zero load). The
+    did-traffic-shift? monitor a pipeline runs before trusting a drift
+    alarm.
+
+    Exactness: hourly counts and their prefix sums are exact integers
+    over a calendar-bounded series, so the only floats are the final
+    per-split score expression — identical, term-for-term, to the
+    oracle's — and the argmax tiebreak is the hour itself. The hourly
+    census folds distributed (one cell per (hour) per block); the
+    series walk is driver-side on ≤|hours| rows — the documented
+    calendar-bounded-matrix pattern."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["ts"])
+
+    def hour_partial(b: pa.Table) -> pa.Table:
+        hrs = (b.column("ts").to_numpy().astype("datetime64[h]")
+               .astype(np.int64))
+        g = pa.table({
+            "hr": pa.array(hrs),
+            "c": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+        }).group_by("hr").aggregate([("c", "sum")])
+        return g.rename_columns(["hr", "c"])
+
+    hourly = (ds.map_batches(hour_partial, batch_format="pyarrow",
+                             batch_size=65536)
+              .groupby("hr").aggregate(Sum("c", alias_name="c"))
+              .sort("hr").take_all())
+    hr = np.array([r["hr"] for r in hourly], dtype=np.int64)
+    c = np.array([r["c"] for r in hourly], dtype=np.int64)
+    lo, hi = int(hr[0]), int(hr[-1])
+    full = np.zeros(hi - lo + 1, dtype=np.int64)
+    full[hr - lo] = c
+    n = len(full)
+    s = int(full.sum())
+    s1 = np.cumsum(full)[:-1]                 # prefix sums, splits 1..n-1
+    n1 = np.arange(1, n, dtype=np.int64)
+    dm = s1 / n1 - (s - s1) / (n - n1)
+    score = ((n1.astype(np.float64) * (n - n1)) / n) * dm ** 2
+    best = int(np.lexsort((n1, -score))[0])
+    return pa.table({
+        "split_hr": pa.array([lo + int(n1[best]) - 1], type=pa.int64()),
+        "n_before": pa.array([int(n1[best])], type=pa.int64()),
+        "events_before": pa.array([int(s1[best])], type=pa.int64()),
+        "mean_before": pa.array(
+            [round_half_away(np.array([s1[best] / n1[best]]), 4)[0]],
+            type=pa.float64()),
+        "mean_after": pa.array(
+            [round_half_away(
+                np.array([(s - s1[best]) / (n - n1[best])]), 4)[0]],
+            type=pa.float64()),
+        "score": pa.array(
+            [round_half_away(np.array([score[best]]), 4)[0]],
+            type=pa.float64()),
+    })
+
+
 ORACLE_SQL = {
+    "events_changepoint": """
+        WITH b AS (
+          SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+                 COUNT(*) AS c
+          FROM events GROUP BY hr
+        ), sp AS (SELECT MIN(hr) AS lo, MAX(hr) AS hi FROM b),
+        hours AS (
+          SELECT unnest(generate_series(lo, hi)) AS hr FROM sp
+        ), series AS (
+          SELECT h.hr, COALESCE(b.c, 0) AS c
+          FROM hours h LEFT JOIN b USING (hr)
+        ), pre AS (
+          SELECT hr, SUM(c) OVER (ORDER BY hr) AS s1,
+                 ROW_NUMBER() OVER (ORDER BY hr) AS n1
+          FROM series
+        ), tot AS (SELECT SUM(c) AS s, COUNT(*) AS n FROM series),
+        sc AS (
+          SELECT hr, n1, s1,
+                 ((n1 * 1.0 * (n - n1)) / n)
+                 * (s1 * 1.0 / n1 - (s - s1) * 1.0 / (n - n1))
+                 * (s1 * 1.0 / n1 - (s - s1) * 1.0 / (n - n1)) AS score,
+                 s, n
+          FROM pre CROSS JOIN tot WHERE n1 < n
+        )
+        SELECT CAST(hr AS BIGINT) AS split_hr,
+               CAST(n1 AS BIGINT) AS n_before,
+               CAST(s1 AS BIGINT) AS events_before,
+               ROUND(s1 * 1.0 / n1, 4) AS mean_before,
+               ROUND((s - s1) * 1.0 / (n - n1), 4) AS mean_after,
+               ROUND(score, 4) AS score
+        FROM sc ORDER BY sc.score DESC, hr LIMIT 1
+    """,
     "events_burstiness": """
         WITH h AS (
           SELECT event_type,
@@ -1234,6 +1328,7 @@ QUERIES = {
     "rolling_active_users": rolling_active_users,
     "markov_transitions": markov_transitions,
     "events_burstiness": events_burstiness,
+    "events_changepoint": events_changepoint,
     "interarrival_histogram": interarrival_histogram,
     "events_late_arrival_stats": events_late_arrival_stats,
     "session_duration_stats": session_duration_stats,

@@ -231,3 +231,41 @@ def test_hard_negative_mining_matches_replay(ray_session, entry):
     assert got.groupby("query_id")["rank"].max().eq(5).all()
     assert (got["negative_id"] != got["query_id"]).all()
     assert (got.groupby("query_id")["sim"].diff().dropna() <= 0).all()
+
+
+def test_embedding_spectrum_matches_replay(ray_session, entry):
+    """Full numpy replay of the distributed PCA spectrum: rebuild the
+    exact-integer Gram from the raw parquet, eigh, compare — plus the
+    spectral contracts (non-negative eigenvalues for a Gram matrix,
+    monotone cumulative variance reaching <= 1)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ragnificent_ray.functions.numeric import round_half_away
+
+    got = entry.queries()["embedding_spectrum"](SF).to_pandas() \
+        .sort_values("rank", ignore_index=True)
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding"])
+    x = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    y = x * 1000.0
+    e3 = np.where(y >= 0, np.floor(y + 0.5),
+                  np.ceil(y - 0.5)).astype(np.int64)
+    g = e3.T @ e3
+    n = x.shape[0]
+    m = np.array([[round_half_away(int(v) / n / 1_000_000.0, 6)
+                   for v in row] for row in g])
+    evals = np.linalg.eigvalsh(m)[::-1]
+    k = min(10, m.shape[0])
+    trace = float(np.trace(m))
+    want = pd.DataFrame({
+        "rank": np.arange(1, k + 1, dtype=np.int64),
+        "eigenvalue": round_half_away(evals[:k], 6),
+        "var_explained": round_half_away(evals[:k] / trace, 6),
+        "cum_var_explained": round_half_away(
+            np.cumsum(evals[:k]) / trace, 6),
+    })
+    pd.testing.assert_frame_equal(got, want)
+    assert (got["eigenvalue"] >= 0).all()
+    assert got["cum_var_explained"].is_monotonic_increasing
+    assert got["cum_var_explained"].iloc[-1] <= 1.0 + 1e-9
