@@ -151,7 +151,7 @@ QUERY_NAMES = [
     "split_leakage_audit", "snapshot_diff", "doclen_gini",
     "hits_clicks", "events_burstiness", "zipf_fit", "k_anonymity",
     "weighted_sample", "events_changepoint", "length_drift_ks",
-    "embedding_spectrum",
+    "embedding_spectrum", "supplier_wilson_rank", "naive_bayes_source",
 ]
 
 

@@ -2059,6 +2059,113 @@ def k_anonymity(sf_dir: str):
                        Sum("n_customers", alias_name="n_customers")))
 
 
+_WILSON_Z, _WILSON_Z2 = 1.96, 3.8416  # 95% Wilson score interval
+_WILSON_TOPK = 20
+
+
+def supplier_wilson_rank(sf_dir: str):
+    """Supplier reliability leaderboard by the WILSON SCORE lower
+    bound of the on-time-shipment rate ("late" = shipped more than 90
+    days after the order, this schema's only lateness signal) — the
+    "how not to sort by average rating" fix: a 2/2 supplier must not
+    outrank a 95/100 one, so rank on the 95% lower confidence bound,
+    not the raw rate.
+
+    Scale shape: lineitem ⋈ orders co-partition in bounded
+    orderkey-hash buckets via a tagged union (one shuffle each side,
+    no broadcast), per-supplier (n, on_time) pre-sum in-bucket, one
+    catalog-bounded supplier fold; the Wilson expression then runs
+    vectorized on exact integer counts, term-for-term identical to
+    the oracle's, and only the final sort+limit sees supplier rows."""
+    try:
+        _lsz = os.path.getsize(_pq(sf_dir, "lineitem"))
+    except OSError:
+        _lsz = 0
+    n_buckets = max(64, int(_lsz // (32 << 20)) + 1)
+
+    def order_rows(b: pa.Table) -> pa.Table:
+        ok = b.column("o_orderkey").to_numpy()
+        odate = (b.column("o_orderdate").to_numpy()
+                 .astype("datetime64[us]").astype(np.int64))
+        return pa.table({
+            "bucket": pa.array((ok % n_buckets).astype(np.int32)),
+            "side": pa.array(np.zeros(len(ok), dtype=np.int8)),
+            "ok": pa.array(ok, type=pa.int64()),
+            "supp": pa.array(np.zeros(len(ok), dtype=np.int64)),
+            "ts": pa.array(odate),
+        })
+
+    def line_rows(b: pa.Table) -> pa.Table:
+        ok = b.column("l_orderkey").to_numpy()
+        ship = (b.column("l_shipdate").to_numpy()
+                .astype("datetime64[us]").astype(np.int64))
+        return pa.table({
+            "bucket": pa.array((ok % n_buckets).astype(np.int32)),
+            "side": pa.array(np.ones(len(ok), dtype=np.int8)),
+            "ok": pa.array(ok, type=pa.int64()),
+            "supp": pc.cast(b.column("l_suppkey"), pa.int64()),
+            "ts": pa.array(ship),
+        })
+
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(order_rows, batch_format="pyarrow", batch_size=65536)
+    lines = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"]
+    ).map_batches(line_rows, batch_format="pyarrow", batch_size=65536)
+
+    _LATE_US = 90 * 86_400_000_000
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0][["ok", "ts"]].rename(columns={"ts": "od"})
+        li = g[g["side"] == 1]
+        m = li.merge(o, on="ok")
+        m["ot"] = (m["ts"].to_numpy()
+                   <= m["od"].to_numpy() + _LATE_US).astype(np.int64)
+        agg = m.groupby("supp", as_index=False).agg(
+            n=("ot", "size"), on_time=("ot", "sum"))
+        agg["n"] = agg["n"].astype("int64")
+        return agg[["supp", "n", "on_time"]]
+
+    from ray.data.aggregate import Sum
+
+    counts = (orders.union(lines)
+              .groupby("bucket")
+              .map_groups(per_bucket, batch_format="pandas")
+              .groupby("supp")
+              .aggregate(Sum("n", alias_name="n"),
+                         Sum("on_time", alias_name="on_time")))
+
+    def wilson(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy().astype(np.float64)
+        ot = b.column("on_time").to_numpy().astype(np.float64)
+        p = ot / n
+        lb = ((p + _WILSON_Z2 / (2 * n)
+               - _WILSON_Z * np.sqrt((p * (1 - p)
+                                      + _WILSON_Z2 / (4 * n)) / n))
+              / (1 + _WILSON_Z2 / n))
+        return pa.table({
+            "suppkey": b.column("supp"),
+            "n_shipments": b.column("n"),
+            "n_on_time": b.column("on_time"),
+            "on_time_rate": pa.array(round_half_away(p, 4),
+                                     type=pa.float64()),
+            "wilson_lb": pa.array(lb, type=pa.float64()),
+        })
+
+    def finish(b: pa.Table) -> pa.Table:
+        return b.set_column(
+            b.column_names.index("wilson_lb"), "wilson_lb",
+            pa.array(round_half_away(
+                b.column("wilson_lb").to_numpy(), 4), type=pa.float64()))
+
+    return (counts.map_batches(wilson, batch_format="pyarrow")
+            .sort(["wilson_lb", "suppkey"], descending=[True, False])
+            .limit(_WILSON_TOPK)
+            .map_batches(finish, batch_format="pyarrow"))
+
+
 _TREND_EPOCH_DAYS = 9131  # days from unix epoch to 1995-01-01
 
 
@@ -2654,6 +2761,31 @@ ORACLE_SQL = {
         JOIN region ON r_regionkey = n_regionkey
         GROUP BY r_name, n_name
     """,
+    "supplier_wilson_rank": """
+        WITH j AS (
+          SELECT l_suppkey AS s,
+                 CASE WHEN l_shipdate <= o_orderdate
+                                         + INTERVAL 90 DAY
+                      THEN 1 ELSE 0 END AS ot
+          FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        ), c AS (
+          SELECT s, COUNT(*) AS n, SUM(ot) AS on_time FROM j GROUP BY s
+        ), w AS (
+          SELECT s, n, on_time, on_time * 1.0 / n AS p,
+                 (on_time * 1.0 / n + 3.8416 / (2 * n)
+                  - 1.96 * sqrt((on_time * 1.0 / n
+                                 * (1 - on_time * 1.0 / n)
+                                 + 3.8416 / (4 * n)) / n))
+                 / (1 + 3.8416 / n) AS lb
+          FROM c
+        )
+        SELECT CAST(s AS BIGINT) AS suppkey,
+               CAST(n AS BIGINT) AS n_shipments,
+               CAST(on_time AS BIGINT) AS n_on_time,
+               ROUND(p, 4) AS on_time_rate,
+               ROUND(lb, 4) AS wilson_lb
+        FROM w ORDER BY lb DESC, s LIMIT 20
+    """,
     "k_anonymity": """
         WITH g AS (
           SELECT c_nationkey, c_mktsegment, COUNT(*) AS k
@@ -3000,6 +3132,7 @@ QUERIES = {
     "price_quantity_corr": price_quantity_corr,
     "part_price_trend": part_price_trend,
     "k_anonymity": k_anonymity,
+    "supplier_wilson_rank": supplier_wilson_rank,
     "promo_revenue": promo_revenue,
     "region_supplier_revenue": region_supplier_revenue,
     "revenue_rollup": revenue_rollup,

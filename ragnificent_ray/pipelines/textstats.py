@@ -505,6 +505,110 @@ def zipf_fit(sf_dir: str):
     })
 
 
+NB_BUCKETS = 512
+
+
+def naive_bayes_source(sf_dir: str):
+    """Distributed multinomial NAIVE BAYES source classifier, trained
+    and evaluated in one pipeline (the fastText-slot baseline of a
+    quality/provenance-classification stage): hashed-unigram class
+    likelihoods with add-one smoothing, document-count priors, and the
+    training-set confusion matrix (actual × predicted counts) as the
+    output — the separability census telling whether provenance is
+    even learnable from text.
+
+    Exact by the DSIR discipline: per-(source, bucket) counts fold to
+    a |sources|×513 driver table (the ONLY driver-side hold), weights
+    quantize as ``floor(1000·ln(p̂))`` via libm so both engines agree
+    bit-for-bit, per-doc scores are exact int64 dot products, and the
+    argmax tiebreak is the source name — nothing floats across a
+    combine. Pass 2 is one vectorized map (docs×512 count matrix @
+    weight matrix); the confusion fold is ≤|sources|² keys."""
+    import math
+
+    from ..functions.hashing import md5_hex
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["source", "text"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        per: dict[str, np.ndarray] = {}
+        docs: dict[str, int] = {}
+        for src, text in zip(batch.column("source").to_pylist(),
+                             batch.column("text").to_pylist()):
+            toks = text.strip().split()
+            docs[src] = docs.get(src, 0) + 1
+            if src not in per:
+                per[src] = np.zeros(NB_BUCKETS, dtype=np.int64)
+            if toks:
+                bs = np.fromiter(
+                    (int(md5_hex(t)[:12], 16) % NB_BUCKETS
+                     for t in toks), dtype=np.int64, count=len(toks))
+                per[src] += np.bincount(bs, minlength=NB_BUCKETS)
+        out_s, out_b, out_n = [], [], []
+        for src, cnt in per.items():
+            nz = np.nonzero(cnt)[0]
+            out_s.extend([src] * (len(nz) + 1))
+            out_b.extend(nz.tolist())
+            out_n.extend(cnt[nz].tolist())
+            out_b.append(-1)                 # sentinel: doc count
+            out_n.append(docs[src])
+        return pa.table({
+            "source": pa.array(out_s, type=pa.string()),
+            "b": pa.array(out_b, type=pa.int64()),
+            "n": pa.array(out_n, type=pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    folded = (ds.map_batches(count_partial, batch_format="pyarrow",
+                             batch_size=8192)
+              .groupby(["source", "b"])
+              .aggregate(Sum("n", alias_name="n"))
+              .take_all())
+    srcs = sorted({r["source"] for r in folded})
+    sidx = {s: i for i, s in enumerate(srcs)}
+    cnt = np.zeros((len(srcs), NB_BUCKETS), dtype=np.int64)
+    ndocs = np.zeros(len(srcs), dtype=np.int64)
+    for r in folded:
+        if r["b"] < 0:
+            ndocs[sidx[r["source"]]] += r["n"]
+        else:
+            cnt[sidx[r["source"]], r["b"]] = r["n"]
+    tot = cnt.sum(axis=1)
+    W = np.array([[math.floor(1000.0 * math.log(
+        (int(c) + 1.0) / (int(t) + NB_BUCKETS))) for c in row]
+        for row, t in zip(cnt, tot)], dtype=np.int64)
+    total_docs = int(ndocs.sum())
+    prior = np.array([math.floor(1000.0 * math.log(
+        int(d) * 1.0 / total_docs)) for d in ndocs], dtype=np.int64)
+
+    def classify(batch: pa.Table) -> pa.Table:
+        rows = batch.num_rows
+        C = np.zeros((rows, NB_BUCKETS), dtype=np.int64)
+        for i, text in enumerate(batch.column("text").to_pylist()):
+            toks = text.strip().split()
+            if toks:
+                bs = np.fromiter(
+                    (int(md5_hex(t)[:12], 16) % NB_BUCKETS
+                     for t in toks), dtype=np.int64, count=len(toks))
+                C[i] = np.bincount(bs, minlength=NB_BUCKETS)
+        scores = C @ W.T + prior             # exact int64
+        # first max = alphabetically smallest source (srcs sorted)
+        pred = np.asarray(srcs, dtype=object)[np.argmax(scores, axis=1)]
+        g = pa.table({
+            "actual": batch.column("source"),
+            "predicted": pa.array(pred, type=pa.string()),
+            "n": pa.array(np.ones(rows, dtype=np.int64)),
+        }).group_by(["actual", "predicted"]).aggregate([("n", "sum")])
+        return g.rename_columns(["actual", "predicted", "n"])
+
+    return (ds.map_batches(classify, batch_format="pyarrow",
+                           batch_size=8192)
+            .groupby(["actual", "predicted"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
 def bigram_top(sf_dir: str):
     """Top-100 token bigrams by occurrence count (the collocation /
     boilerplate-detection companion to :func:`vocab_top`). Same combiner
@@ -1563,6 +1667,54 @@ ORACLE_SQL = {
                ROUND(SUM(n_chars) * 1.0 / COUNT(*), 4) AS avg_chars
         FROM documents GROUP BY digits
     """,
+    "naive_bayes_source": f"""
+        WITH t AS (
+          SELECT doc_id, source,
+                 unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+          FROM documents
+        ), tk AS (
+          SELECT doc_id, source,
+                 CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT)
+                     % {NB_BUCKETS} AS b
+          FROM t WHERE tok <> ''
+        ), cnt AS (
+          SELECT source, b, COUNT(*) AS n FROM tk GROUP BY source, b
+        ), tot AS (
+          SELECT source, COUNT(*) AS tot FROM tk GROUP BY source
+        ), buckets AS (
+          SELECT unnest(range({NB_BUCKETS})) AS b
+        ), w AS (
+          SELECT t2.source, buckets.b,
+                 CAST(FLOOR(1000.0 * LN((COALESCE(c.n, 0) + 1.0)
+                                        / (t2.tot + {NB_BUCKETS})))
+                      AS BIGINT) AS w
+          FROM tot t2 CROSS JOIN buckets
+          LEFT JOIN cnt c ON c.source = t2.source AND c.b = buckets.b
+        ), docs AS (
+          SELECT source, COUNT(*) AS nd FROM documents GROUP BY source
+        ), alldocs AS (SELECT COUNT(*) AS total FROM documents),
+        prior AS (
+          SELECT d.source,
+                 CAST(FLOOR(1000.0 * LN(d.nd * 1.0 / a.total))
+                      AS BIGINT) AS pw
+          FROM docs d CROSS JOIN alldocs a
+        ), docscore AS (
+          SELECT tk.doc_id, w.source, SUM(w.w) AS tscore
+          FROM tk JOIN w ON w.b = tk.b GROUP BY tk.doc_id, w.source
+        ), scored AS (
+          SELECT d.doc_id, d.source AS actual, p.source AS cand,
+                 p.pw + COALESCE(ds.tscore, 0) AS score
+          FROM documents d CROSS JOIN prior p
+          LEFT JOIN docscore ds
+            ON ds.doc_id = d.doc_id AND ds.source = p.source
+        ), pred AS (
+          SELECT doc_id, actual, cand AS predicted FROM scored
+          QUALIFY row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, cand) = 1
+        )
+        SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pred GROUP BY actual, predicted
+    """,
     "zipf_fit": f"""
         WITH toks AS (
           SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
@@ -1922,6 +2074,7 @@ QUERIES = {
     "doc_length_histogram": doc_length_histogram,
     "doclen_gini": doclen_gini,
     "zipf_fit": zipf_fit,
+    "naive_bayes_source": naive_bayes_source,
     "quality_scores": quality_scores,
     "lang_id": lang_id,
     "token_count_bpeish": token_count_bpeish,
