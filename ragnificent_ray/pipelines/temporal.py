@@ -974,7 +974,125 @@ def events_changepoint(sf_dir: str):
     })
 
 
+_AB_Z_CRIT = 1.96  # two-sided 95%
+
+
+def ab_conversion_ztest(sf_dir: str):
+    """Two-proportion z-test between A/B arms — the experimentation
+    readout every event pipeline ends in. The experiment unit is the
+    USER-DAY (this corpus has few users but years of traffic, so the
+    user alone is degenerate — every user eventually converts);
+    assignment is the parity of user_id + day (the deterministic
+    hash-assignment stand-in), conversion = at least one ``purchase``
+    that day, and the readout is the pooled two-proportion
+    z-statistic with the |z| > 1.96 significance call. The arms are
+    exchangeable by construction, so the honest answer is "not
+    significant" — the op is the harness, the data is the null.
+
+    Exactness: per-(user, day) conversion flags dedupe in bounded
+    user-hash buckets (a user's events never straddle buckets), each
+    bucket emits one (arm, n, conv) partial, and the z expression —
+    identical term-for-term to the oracle's — touches floats only in
+    the final single-row fold."""
+    n_buckets = _bucket_count(sf_dir, ("events",))
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_type"])
+
+    def user_partial(b: pa.Table) -> pa.Table:
+        conv = pc.cast(pc.equal(b.column("event_type"), "purchase"),
+                       pa.int64())
+        day = (b.column("ts").to_numpy().astype("datetime64[D]")
+               .astype(np.int64))
+        g = pa.table({
+            "u": b.column("user_id"),
+            "day": pa.array(day),
+            "conv": conv,
+        }).group_by(["u", "day"]).aggregate([("conv", "max")])
+        g = g.rename_columns(["u", "day", "conv"])
+        return g.append_column("ub", pa.array(
+            (g.column("u").to_numpy() % n_buckets).astype(np.int32)))
+
+    def bucket_fold(g: pa.Table) -> pa.Table:
+        f = (pa.table({"u": g.column("u"), "day": g.column("day"),
+                       "conv": g.column("conv")})
+             .group_by(["u", "day"]).aggregate([("conv", "max")]))
+        u = f.column("u").to_numpy()
+        day = f.column("day").to_numpy()
+        conv = f.column("conv_max").to_numpy()
+        arm = ((u + day) % 2).astype(np.int64)
+        out = pa.table({
+            "arm": pa.array(arm),
+            "n": pa.array(np.ones(len(u), dtype=np.int64)),
+            "conv": pa.array(conv.astype(np.int64)),
+        }).group_by("arm").aggregate([("n", "sum"), ("conv", "sum")])
+        return out.rename_columns(["arm", "n", "conv"])
+
+    parts = (ds.map_batches(user_partial, batch_format="pyarrow",
+                            batch_size=65536)
+             .groupby("ub").map_groups(bucket_fold,
+                                       batch_format="pyarrow")
+             .take_all())   # ≤ 2×buckets tiny partial rows
+    agg = {0: [0, 0], 1: [0, 0]}
+    for r in parts:
+        agg[int(r["arm"])][0] += int(r["n"])
+        agg[int(r["arm"])][1] += int(r["conv"])
+    na, ca = agg[0]
+    nb, cb = agg[1]
+    ra, rb = ca * 1.0 / na, cb * 1.0 / nb
+    pp = (ca + cb) * 1.0 / (na + nb)
+    z = (ra - rb) / np.sqrt(pp * (1 - pp) * (1.0 / na + 1.0 / nb))
+    return pa.table({
+        "n_a": pa.array([na], type=pa.int64()),
+        "n_b": pa.array([nb], type=pa.int64()),
+        "conv_a": pa.array([ca], type=pa.int64()),
+        "conv_b": pa.array([cb], type=pa.int64()),
+        "rate_a": pa.array(round_half_away(np.array([ra]), 4),
+                           type=pa.float64()),
+        "rate_b": pa.array(round_half_away(np.array([rb]), 4),
+                           type=pa.float64()),
+        "z": pa.array(round_half_away(np.array([z]), 4),
+                      type=pa.float64()),
+        "significant": pa.array([int(abs(z) > _AB_Z_CRIT)],
+                                type=pa.int64()),
+    })
+
+
 ORACLE_SQL = {
+    "ab_conversion_ztest": """
+        WITH u AS (
+          SELECT user_id,
+                 epoch_us(date_trunc('day', ts)) // 86400000000 AS day,
+                 MAX(CASE WHEN event_type = 'purchase'
+                     THEN 1 ELSE 0 END) AS conv
+          FROM events GROUP BY user_id, day
+        ), a AS (
+          SELECT (user_id + day) % 2 AS arm, COUNT(*) AS n,
+                 SUM(conv) AS c
+          FROM u GROUP BY arm
+        ), w AS (
+          SELECT MAX(CASE WHEN arm = 0 THEN n END) AS na,
+                 MAX(CASE WHEN arm = 0 THEN c END) AS ca,
+                 MAX(CASE WHEN arm = 1 THEN n END) AS nb,
+                 MAX(CASE WHEN arm = 1 THEN c END) AS cb
+          FROM a
+        ), zc AS (
+          SELECT na, nb, ca, cb,
+                 (ca * 1.0 / na - cb * 1.0 / nb)
+                 / sqrt((ca + cb) * 1.0 / (na + nb)
+                        * (1 - (ca + cb) * 1.0 / (na + nb))
+                        * (1.0 / na + 1.0 / nb)) AS z
+          FROM w
+        )
+        SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+               CAST(ca AS BIGINT) AS conv_a,
+               CAST(cb AS BIGINT) AS conv_b,
+               ROUND(ca * 1.0 / na, 4) AS rate_a,
+               ROUND(cb * 1.0 / nb, 4) AS rate_b,
+               ROUND(z, 4) AS z,
+               CAST(CASE WHEN ABS(z) > 1.96 THEN 1 ELSE 0 END
+                    AS BIGINT) AS significant
+        FROM zc
+    """,
     "events_changepoint": """
         WITH b AS (
           SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
@@ -1329,6 +1447,7 @@ QUERIES = {
     "markov_transitions": markov_transitions,
     "events_burstiness": events_burstiness,
     "events_changepoint": events_changepoint,
+    "ab_conversion_ztest": ab_conversion_ztest,
     "interarrival_histogram": interarrival_histogram,
     "events_late_arrival_stats": events_late_arrival_stats,
     "session_duration_stats": session_duration_stats,
