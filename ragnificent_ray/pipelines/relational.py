@@ -2166,6 +2166,110 @@ def supplier_wilson_rank(sf_dir: str):
             .map_batches(finish, batch_format="pyarrow"))
 
 
+def order_size_regression(sf_dir: str):
+    """Multivariate OLS by NORMAL EQUATIONS — distributed linear
+    regression of order value (cents) on (line count, total quantity)
+    with intercept, the textbook two-stage shape: the corpus-sized
+    work reduces to ten exact integer moments (XᵀX and Xᵀy entries),
+    and the 3×3 solve is CRAMER'S RULE on exact integer determinants —
+    so the coefficients are exact rationals divided ONCE, bit-equal to
+    the oracle's HUGEINT determinant arithmetic, and R² follows from
+    the same moments via SSE = yᵀy − βᵀXᵀy. The how-much-is-an-extra-
+    line-worth pricing model, verified where regression outputs are
+    normally unverifiable.
+
+    Scale shape: lineitem ⋈ orders co-partition in bounded
+    orderkey-hash buckets (tagged union, no broadcast); each bucket
+    folds its per-order feature rows to ONE int64 moment row (bucket
+    size is capped by construction at ~32 MiB of input, which keeps
+    Σy² inside int64; the driver combine is Python unbounded ints);
+    the driver then does O(1) determinant algebra."""
+    try:
+        _lsz = os.path.getsize(_pq(sf_dir, "lineitem"))
+    except OSError:
+        _lsz = 0
+    n_buckets = max(64, int(_lsz // (32 << 20)) + 1)
+
+    def order_rows(b: pa.Table) -> pa.Table:
+        ok = b.column("o_orderkey").to_numpy()
+        y = np.rint(b.column("o_totalprice").to_numpy() * 100) \
+            .astype(np.int64)
+        return pa.table({
+            "bucket": pa.array((ok % n_buckets).astype(np.int32)),
+            "side": pa.array(np.zeros(len(ok), dtype=np.int8)),
+            "ok": pa.array(ok, type=pa.int64()),
+            "v": pa.array(y),
+        })
+
+    def line_rows(b: pa.Table) -> pa.Table:
+        ok = b.column("l_orderkey").to_numpy()
+        q = np.rint(b.column("l_quantity").to_numpy()).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array((ok % n_buckets).astype(np.int32)),
+            "side": pa.array(np.ones(len(ok), dtype=np.int8)),
+            "ok": pa.array(ok, type=pa.int64()),
+            "v": pa.array(q),
+        })
+
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"]
+    ).map_batches(order_rows, batch_format="pyarrow", batch_size=65536)
+    lines = rd.read_parquet(
+        _pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_quantity"]
+    ).map_batches(line_rows, batch_format="pyarrow", batch_size=65536)
+
+    _M = ("n", "s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y", "yy")
+
+    def moments(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0][["ok", "v"]].rename(columns={"v": "y"})
+        li = g[g["side"] == 1]
+        f = li.groupby("ok", as_index=False).agg(
+            x1=("v", "size"), x2=("v", "sum"))
+        j = f.merge(o, on="ok")
+        x1 = j["x1"].to_numpy(dtype=np.int64)
+        x2 = j["x2"].to_numpy(dtype=np.int64)
+        y = j["y"].to_numpy(dtype=np.int64)
+        vals = [len(j), x1.sum(), x2.sum(), (x1 * x1).sum(),
+                (x1 * x2).sum(), (x2 * x2).sum(), y.sum(),
+                (x1 * y).sum(), (x2 * y).sum(), (y * y).sum()]
+        return pd.DataFrame({k: [int(v)] for k, v in zip(_M, vals)})
+
+    tot = {k: 0 for k in _M}
+    for b in (orders.union(lines).groupby("bucket")
+              .map_groups(moments, batch_format="pandas")
+              .iter_batches(batch_size=4096, batch_format="pyarrow")):
+        for k in _M:
+            tot[k] += sum(b.column(k).to_pylist())   # exact Python ints
+
+    n, s1, s2, s11, s12, s22, sy, s1y, s2y, yy = (tot[k] for k in _M)
+    det = (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+           + s2 * (s1 * s12 - s11 * s2))
+    det0 = (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+            + s2 * (s1y * s12 - s11 * s2y))
+    det1 = (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s2y - s1y * s2))
+    det2 = (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+            + sy * (s1 * s12 - s11 * s2))
+    b0 = float(det0) / float(det)
+    b1 = float(det1) / float(det)
+    b2 = float(det2) / float(det)
+    sse = float(yy) - (b0 * float(sy) + b1 * float(s1y)
+                       + b2 * float(s2y))
+    sst = float(yy) - float(sy) * float(sy) / n
+    r2 = 1 - sse / sst
+    return pa.table({
+        "n_orders": pa.array([n], type=pa.int64()),
+        "intercept_cents": pa.array(
+            round_half_away(np.array([b0]), 4), type=pa.float64()),
+        "per_line_cents": pa.array(
+            round_half_away(np.array([b1]), 4), type=pa.float64()),
+        "per_qty_cents": pa.array(
+            round_half_away(np.array([b2]), 4), type=pa.float64()),
+        "r2": pa.array(
+            round_half_away(np.array([r2]), 6), type=pa.float64()),
+    })
+
+
 _TREND_EPOCH_DAYS = 9131  # days from unix epoch to 1995-01-01
 
 
@@ -2761,6 +2865,58 @@ ORACLE_SQL = {
         JOIN region ON r_regionkey = n_regionkey
         GROUP BY r_name, n_name
     """,
+    "order_size_regression": """
+        WITH f AS (
+          SELECT l_orderkey AS ok, COUNT(*) AS x1,
+                 CAST(SUM(ROUND(l_quantity)) AS BIGINT) AS x2
+          FROM lineitem GROUP BY ok
+        ), j AS (
+          SELECT f.x1, f.x2,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y
+          FROM f JOIN orders ON o_orderkey = ok
+        ), m AS (
+          SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                 CAST(SUM(x1) AS HUGEINT) AS s1,
+                 CAST(SUM(x2) AS HUGEINT) AS s2,
+                 CAST(SUM(x1 * x1) AS HUGEINT) AS s11,
+                 CAST(SUM(x1 * x2) AS HUGEINT) AS s12,
+                 CAST(SUM(x2 * x2) AS HUGEINT) AS s22,
+                 CAST(SUM(y) AS HUGEINT) AS sy,
+                 CAST(SUM(x1 * y) AS HUGEINT) AS s1y,
+                 CAST(SUM(x2 * y) AS HUGEINT) AS s2y,
+                 SUM(CAST(y AS HUGEINT) * y) AS yy
+          FROM j
+        ), d AS (
+          SELECT *,
+            n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+              + s2 * (s1 * s12 - s11 * s2) AS det,
+            sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+              + s2 * (s1y * s12 - s11 * s2y) AS det0,
+            n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+              + s2 * (s1 * s2y - s1y * s2) AS det1,
+            n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+              + sy * (s1 * s12 - s11 * s2) AS det2
+          FROM m
+        ), c AS (
+          SELECT n, sy, s1y, s2y, yy,
+                 CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) AS b0,
+                 CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) AS b1,
+                 CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) AS b2
+          FROM d
+        )
+        SELECT CAST(n AS BIGINT) AS n_orders,
+               ROUND(b0, 4) AS intercept_cents,
+               ROUND(b1, 4) AS per_line_cents,
+               ROUND(b2, 4) AS per_qty_cents,
+               ROUND(1 - (CAST(yy AS DOUBLE)
+                          - (b0 * CAST(sy AS DOUBLE)
+                             + b1 * CAST(s1y AS DOUBLE)
+                             + b2 * CAST(s2y AS DOUBLE)))
+                       / (CAST(yy AS DOUBLE)
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                            / CAST(n AS DOUBLE)), 6) AS r2
+        FROM c
+    """,
     "supplier_wilson_rank": """
         WITH j AS (
           SELECT l_suppkey AS s,
@@ -3133,6 +3289,7 @@ QUERIES = {
     "part_price_trend": part_price_trend,
     "k_anonymity": k_anonymity,
     "supplier_wilson_rank": supplier_wilson_rank,
+    "order_size_regression": order_size_regression,
     "promo_revenue": promo_revenue,
     "region_supplier_revenue": region_supplier_revenue,
     "revenue_rollup": revenue_rollup,
