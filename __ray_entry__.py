@@ -1613,6 +1613,12 @@ def oracle_sql() -> dict[str, str]:
     out["rag_chunks_recursive"] = _RAG_CHUNKS_RECURSIVE_SQL
     out["rag_chunks_rust"] = _RAG_CHUNKS_RUST_SQL
     out["minhash_lsh_pairs"] = _minhash_lsh_sql()
+    out["minhash_threshold_curve"] = f"""
+    WITH pairs AS ({_minhash_lsh_sql()})
+    SELECT CAST(FLOOR(jaccard * 10) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY bin
+    """
     out["dedup_clusters"] = _dedup_clusters_sql()
     out["dedup_keep"] = _dedup_keep_sql()
     out["dedup_cluster_sizes"] = f"""

@@ -233,6 +233,31 @@ def incremental_dedup(sf_dir: str):
         batch_format="pyarrow")
 
 
+def minhash_threshold_curve(sf_dir: str):
+    """Dedup-threshold tuning curve over the verified MinHash
+    candidate set: pair counts per 0.1-wide Jaccard bin — the plot an
+    operator reads before picking the near-dup cut ("how many more
+    pairs does lowering the threshold to 0.5 admit?"). Composes the
+    full :func:`minhash_lsh_pairs` scale path (band buckets, hash-join
+    verify) and adds one ≤10-key integer fold; binning floors the same
+    IEEE double on both engines."""
+    from ray.data.aggregate import Sum
+
+    pairs = minhash_lsh_pairs(sf_dir)
+
+    def bin_partial(b: pa.Table) -> pa.Table:
+        j = b.column("jaccard").to_numpy()
+        g = pa.table({
+            "bin": pa.array(np.floor(j * 10).astype(np.int64)),
+            "n_pairs": pa.array(np.ones(len(j), dtype=np.int64)),
+        }).group_by("bin").aggregate([("n_pairs", "sum")])
+        return g.rename_columns(["bin", "n_pairs"])
+
+    return (pairs.map_batches(bin_partial, batch_format="pyarrow")
+            .groupby("bin")
+            .aggregate(Sum("n_pairs", alias_name="n_pairs")))
+
+
 def snapshot_diff(sf_dir: str):
     """Snapshot-to-snapshot content diff — the recrawl health report:
     the corpus splits into an EXISTING half (doc_id below the median)
@@ -1886,6 +1911,7 @@ QUERIES = {
     "incremental_dedup": incremental_dedup,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_lsh_pairs": minhash_lsh_pairs,
+    "minhash_threshold_curve": minhash_threshold_curve,
     "dedup_clusters": dedup_clusters,
     "dedup_keep": dedup_keep,
     "dedup_cluster_sizes": dedup_cluster_sizes,
@@ -1899,3 +1925,4 @@ QUERIES = {
     "embedding_neardup": embedding_neardup,
     "embedding_neardup_lsh": embedding_neardup_lsh,
 }
+
