@@ -152,7 +152,8 @@ QUERY_NAMES = [
     "hits_clicks", "events_burstiness", "zipf_fit", "k_anonymity",
     "weighted_sample", "events_changepoint", "length_drift_ks",
     "embedding_spectrum", "supplier_wilson_rank", "naive_bayes_source",
-    "ab_conversion_ztest", "order_size_regression",
+    "ab_conversion_ztest", "order_size_regression", "kaplan_meier_reorder",
+    "minhash_threshold_curve",
 ]
 
 

@@ -974,6 +974,92 @@ def events_changepoint(sf_dir: str):
     })
 
 
+def kaplan_meier_reorder(sf_dir: str):
+    """KAPLAN–MEIER survival curve of time-to-second-order (Kaplan &
+    Meier 1958) — the right-censoring-aware answer to "how long until
+    a customer comes back?" that a naive average of repeat gaps gets
+    wrong (it silently drops everyone who hasn't reordered YET).
+    One-order customers are censored at the end of observation; the
+    curve is S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) over event times, one row
+    per distinct reorder-gap day with the risk set and event count.
+
+    Exactness: per-customer first/second order dates reduce in
+    bounded custkey-hash buckets; durations fold to a calendar-bounded
+    (days, is_event) histogram — the ONLY driver-side hold — where
+    risk sets and event counts are exact integers and the survival
+    product multiplies the same IEEE factors in the same (time) order
+    as the oracle's windowed ``product()``."""
+    from ray.data.aggregate import Sum
+
+    n_buckets = _bucket_count(sf_dir, ("orders",))
+    ds = rd.read_parquet(_pq(sf_dir, "orders"),
+                         columns=["o_custkey", "o_orderdate",
+                                  "o_orderkey"])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column("bucket", pa.array(
+            (b.column("o_custkey").to_numpy() % n_buckets)
+            .astype(np.int32)))
+
+    def first_two(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                          kind="mergesort", ignore_index=True)
+        top = g.groupby("o_custkey", sort=False).head(2)
+        agg = top.groupby("o_custkey", sort=False).agg(
+            t1=("o_orderdate", "min"), t2=("o_orderdate", "max"),
+            n=("o_orderdate", "size"))
+        d1 = agg["t1"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        d2 = agg["t2"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        return pd.DataFrame({
+            "t1_day": d1, "t2_day": d2,
+            "ev": (agg["n"].to_numpy() >= 2).astype(np.int64),
+        })
+
+    firsts = (ds.map_batches(add_bucket, batch_format="pyarrow",
+                             batch_size=65536)
+              .groupby("bucket")
+              .map_groups(first_two, batch_format="pandas")
+              .materialize())
+    # censor at the end of observation = the global max ORDER date
+    # (which may belong to a 3rd+ order, so it comes from the raw scan)
+    from ray.data.aggregate import Max
+    max_day = int(np.datetime64(
+        ds.aggregate(Max("o_orderdate"))["max(o_orderdate)"], "D")
+        .astype(np.int64))
+
+    def dur_partial(b: pa.Table) -> pa.Table:
+        t1 = b.column("t1_day").to_numpy()
+        t2 = b.column("t2_day").to_numpy()
+        ev = b.column("ev").to_numpy()
+        t = np.where(ev == 1, t2 - t1, max_day - t1)
+        g = pa.table({
+            "t": pa.array(t.astype(np.int64)),
+            "d_i": pa.array(ev.astype(np.int64)),
+            "all_at_t": pa.array(np.ones(len(t), dtype=np.int64)),
+        }).group_by("t").aggregate([("d_i", "sum"), ("all_at_t", "sum")])
+        return g.rename_columns(["t", "d_i", "all_at_t"])
+
+    hist = (firsts.map_batches(dur_partial, batch_format="pyarrow")
+            .groupby("t")
+            .aggregate(Sum("d_i", alias_name="d_i"),
+                       Sum("all_at_t", alias_name="all_at_t"))
+            .sort("t").take_all())
+    t = np.array([r["t"] for r in hist], dtype=np.int64)
+    d = np.array([r["d_i"] for r in hist], dtype=np.int64)
+    a = np.array([r["all_at_t"] for r in hist], dtype=np.int64)
+    total = int(a.sum())
+    n_risk = total - np.concatenate([[0], np.cumsum(a)[:-1]])
+    mask = d > 0
+    surv = np.cumprod(1 - d[mask] * 1.0 / n_risk[mask])
+    return pa.table({
+        "t_days": pa.array(t[mask]),
+        "n_risk": pa.array(n_risk[mask]),
+        "n_events": pa.array(d[mask]),
+        "survival": pa.array(round_half_away(surv, 6),
+                             type=pa.float64()),
+    })
+
+
 _AB_Z_CRIT = 1.96  # two-sided 95%
 
 
@@ -1058,6 +1144,46 @@ def ab_conversion_ztest(sf_dir: str):
 
 
 ORACLE_SQL = {
+    "kaplan_meier_reorder": """
+        WITH r AS (
+          SELECT o_custkey AS c, o_orderdate AS d,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey)
+                     AS rn
+          FROM orders
+        ), f AS (
+          SELECT c, MAX(CASE WHEN rn = 1 THEN d END) AS t1,
+                 MAX(CASE WHEN rn = 2 THEN d END) AS t2
+          FROM r WHERE rn <= 2 GROUP BY c
+        ), mx AS (SELECT MAX(o_orderdate) AS m FROM orders),
+        dur AS (
+          SELECT CASE WHEN t2 IS NOT NULL
+                      THEN datediff('day', t1, t2)
+                      ELSE datediff('day', t1, m) END AS t,
+                 CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+          FROM f CROSS JOIN mx
+        ), n AS (SELECT COUNT(*) AS total FROM dur),
+        evt AS (
+          SELECT t, SUM(ev) AS d_i, COUNT(*) AS all_at_t
+          FROM dur GROUP BY t
+        ), cum AS (
+          SELECT t, d_i,
+                 total - COALESCE(SUM(all_at_t) OVER (
+                     ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS n_risk
+          FROM evt CROSS JOIN n
+        ), km AS (
+          SELECT t, d_i, n_risk,
+                 product(1 - d_i * 1.0 / n_risk)
+                     OVER (ORDER BY t) AS s
+          FROM cum WHERE d_i > 0
+        )
+        SELECT CAST(t AS BIGINT) AS t_days,
+               CAST(n_risk AS BIGINT) AS n_risk,
+               CAST(d_i AS BIGINT) AS n_events,
+               ROUND(s, 6) AS survival
+        FROM km
+    """,
     "ab_conversion_ztest": """
         WITH u AS (
           SELECT user_id,
@@ -1448,6 +1574,7 @@ QUERIES = {
     "events_burstiness": events_burstiness,
     "events_changepoint": events_changepoint,
     "ab_conversion_ztest": ab_conversion_ztest,
+    "kaplan_meier_reorder": kaplan_meier_reorder,
     "interarrival_histogram": interarrival_histogram,
     "events_late_arrival_stats": events_late_arrival_stats,
     "session_duration_stats": session_duration_stats,
