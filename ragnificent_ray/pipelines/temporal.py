@@ -1143,7 +1143,160 @@ def ab_conversion_ztest(sf_dir: str):
     })
 
 
+def ab_cuped(sf_dir: str):
+    """CUPED variance reduction (Deng et al. 2013, "Improving the
+    sensitivity of online controlled experiments") over the user-day
+    A/B units of :func:`ab_conversion_ztest`: metric y = that day's
+    purchase count, covariate x = the SAME user's previous-day event
+    count (0 if idle), θ = cov(x,y)/var(x) fitted pooled, and the
+    readout is the raw vs CUPED-adjusted arm difference plus the
+    variance reduction corr(x,y)² the adjustment buys. The
+    pre-experiment-covariate trick every experimentation platform
+    runs; on exchangeable arms the adjusted difference stays null —
+    the harness is the deliverable.
+
+    Exactness: per-(user, day) counts and the day−1 covariate join
+    co-locate in user-hash buckets (a user's days never straddle
+    buckets); each bucket folds to per-arm int64 moment rows; θ is an
+    exact integer ratio divided once, and every later float mirrors
+    the oracle term-for-term."""
+    n_buckets = _bucket_count(sf_dir, ("events",))
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_type"])
+
+    def day_partial(b: pa.Table) -> pa.Table:
+        day = (b.column("ts").to_numpy().astype("datetime64[D]")
+               .astype(np.int64))
+        purch = pc.cast(pc.equal(b.column("event_type"), "purchase"),
+                        pa.int64())
+        g = pa.table({
+            "u": b.column("user_id"),
+            "day": pa.array(day),
+            "n_ev": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "n_pur": purch,
+        }).group_by(["u", "day"]).aggregate(
+            [("n_ev", "sum"), ("n_pur", "sum")])
+        g = g.rename_columns(["u", "day", "n_ev", "n_pur"])
+        return g.append_column("ub", pa.array(
+            (g.column("u").to_numpy() % n_buckets).astype(np.int32)))
+
+    _C = ("n", "sx", "sy", "sxx", "sxy", "syy")
+
+    def bucket_moments(g: pa.Table) -> pa.Table:
+        f = (pa.table({"u": g.column("u"), "day": g.column("day"),
+                       "n_ev": g.column("n_ev"),
+                       "n_pur": g.column("n_pur")})
+             .group_by(["u", "day"]).aggregate(
+                 [("n_ev", "sum"), ("n_pur", "sum")]))
+        df = f.to_pandas()
+        df.columns = ["u", "day", "n_ev", "n_pur"]
+        prev = df[["u", "day", "n_ev"]].copy()
+        prev["day"] += 1
+        m = df.merge(prev.rename(columns={"n_ev": "x"}),
+                     on=["u", "day"], how="left")
+        x = m["x"].fillna(0).to_numpy(dtype=np.int64)
+        y = m["n_pur"].to_numpy(dtype=np.int64)
+        arm = ((m["u"].to_numpy() + m["day"].to_numpy()) % 2
+               ).astype(np.int64)
+        rows = []
+        for a in (0, 1):
+            sel = arm == a
+            xs, ys = x[sel], y[sel]
+            rows.append([a, int(sel.sum()), int(xs.sum()),
+                         int(ys.sum()), int((xs * xs).sum()),
+                         int((xs * ys).sum()), int((ys * ys).sum())])
+        arr = np.array(rows, dtype=np.int64)
+        return pa.table({"arm": pa.array(arr[:, 0]),
+                         **{k: pa.array(arr[:, i + 1])
+                            for i, k in enumerate(_C)}})
+
+    parts = (ds.map_batches(day_partial, batch_format="pyarrow",
+                            batch_size=65536)
+             .groupby("ub").map_groups(bucket_moments,
+                                       batch_format="pyarrow")
+             .take_all())
+    m = {0: {k: 0 for k in _C}, 1: {k: 0 for k in _C}}
+    for r in parts:
+        for k in _C:
+            m[int(r["arm"])][k] += int(r[k])
+    n = m[0]["n"] + m[1]["n"]
+    sx = m[0]["sx"] + m[1]["sx"]
+    sy = m[0]["sy"] + m[1]["sy"]
+    sxx = m[0]["sxx"] + m[1]["sxx"]
+    sxy = m[0]["sxy"] + m[1]["sxy"]
+    syy = m[0]["syy"] + m[1]["syy"]
+    num = n * sxy - sx * sy
+    denx = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+    theta = float(num) / float(denx)
+    corr = float(num) / np.sqrt(float(denx) * float(deny))
+    raw = (m[0]["sy"] * 1.0 / m[0]["n"]
+           - m[1]["sy"] * 1.0 / m[1]["n"])
+    cuped = raw - theta * (m[0]["sx"] * 1.0 / m[0]["n"]
+                           - m[1]["sx"] * 1.0 / m[1]["n"])
+    return pa.table({
+        "n_units": pa.array([n], type=pa.int64()),
+        "theta": pa.array(round_half_away(np.array([theta]), 6),
+                          type=pa.float64()),
+        "raw_diff": pa.array(round_half_away(np.array([raw]), 6),
+                             type=pa.float64()),
+        "cuped_diff": pa.array(round_half_away(np.array([cuped]), 6),
+                               type=pa.float64()),
+        "var_reduction_pct": pa.array(
+            round_half_away(np.array([corr * corr * 100]), 4),
+            type=pa.float64()),
+    })
+
+
 ORACLE_SQL = {
+    "ab_cuped": """
+        WITH ud AS (
+          SELECT user_id AS u,
+                 epoch_us(date_trunc('day', ts)) // 86400000000 AS day,
+                 COUNT(*) AS n_ev,
+                 SUM(CASE WHEN event_type = 'purchase'
+                     THEN 1 ELSE 0 END) AS n_pur
+          FROM events GROUP BY u, day
+        ), j AS (
+          SELECT a.u, a.day, a.n_pur AS y,
+                 COALESCE(b.n_ev, 0) AS x,
+                 (a.u + a.day) % 2 AS arm
+          FROM ud a LEFT JOIN ud b
+            ON b.u = a.u AND b.day = a.day - 1
+        ), mm AS (
+          SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                 CAST(SUM(x) AS HUGEINT) AS sx,
+                 CAST(SUM(y) AS HUGEINT) AS sy,
+                 CAST(SUM(x * x) AS HUGEINT) AS sxx,
+                 CAST(SUM(x * y) AS HUGEINT) AS sxy,
+                 CAST(SUM(y * y) AS HUGEINT) AS syy,
+                 SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+                 SUM(CASE WHEN arm = 0 THEN x ELSE 0 END) AS sx0,
+                 SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS sy0,
+                 SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+                 SUM(CASE WHEN arm = 1 THEN x ELSE 0 END) AS sx1,
+                 SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS sy1
+          FROM j
+        ), c AS (
+          SELECT n, n0, n1, sx0, sy0, sx1, sy1,
+                 CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+                 CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE))
+                     AS corr,
+                 sy0 * 1.0 / n0 - sy1 * 1.0 / n1 AS raw
+          FROM mm
+        )
+        SELECT CAST(n AS BIGINT) AS n_units,
+               ROUND(theta, 6) AS theta,
+               ROUND(raw, 6) AS raw_diff,
+               ROUND(raw - theta * (sx0 * 1.0 / n0
+                                    - sx1 * 1.0 / n1), 6)
+                   AS cuped_diff,
+               ROUND(corr * corr * 100, 4) AS var_reduction_pct
+        FROM c
+    """,
     "kaplan_meier_reorder": """
         WITH r AS (
           SELECT o_custkey AS c, o_orderdate AS d,
@@ -1575,6 +1728,7 @@ QUERIES = {
     "events_changepoint": events_changepoint,
     "ab_conversion_ztest": ab_conversion_ztest,
     "kaplan_meier_reorder": kaplan_meier_reorder,
+    "ab_cuped": ab_cuped,
     "interarrival_histogram": interarrival_histogram,
     "events_late_arrival_stats": events_late_arrival_stats,
     "session_duration_stats": session_duration_stats,
