@@ -153,7 +153,8 @@ QUERY_NAMES = [
     "weighted_sample", "events_changepoint", "length_drift_ks",
     "embedding_spectrum", "supplier_wilson_rank", "naive_bayes_source",
     "ab_conversion_ztest", "order_size_regression", "kaplan_meier_reorder",
-    "minhash_threshold_curve", "ab_cuped",
+    "minhash_threshold_curve", "ab_cuped", "lang_source_mi",
+    "benford_order_totals",
 ]
 
 

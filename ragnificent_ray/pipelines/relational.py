@@ -2059,6 +2059,61 @@ def k_anonymity(sf_dir: str):
                        Sum("n_customers", alias_name="n_customers")))
 
 
+def benford_order_totals(sf_dir: str):
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-numbers screen (Nigrini 1996): observed vs expected
+    log₁₀(1+1/d) leading-digit frequencies with per-digit χ² terms.
+    Synthetic uniform-ish prices FAIL Benford loudly — the op's
+    honest reading here is "this data is not organic", which is
+    exactly what the audit is for.
+
+    Exactness: the leading digit is integer string arithmetic (no
+    float log boundary), the ≤9-key histogram folds exact counts, and
+    the χ² terms mirror the oracle's float expression term-for-term
+    driver-side."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = np.floor(b.column("o_totalprice").to_numpy()).astype(np.int64)
+        digit = v.astype("U20").astype("U1").astype(np.int64)
+        g = pa.table({
+            "digit": pa.array(digit),
+            "n": pa.array(np.ones(len(v), dtype=np.int64)),
+        }).group_by("digit").aggregate([("n", "sum")])
+        return g.rename_columns(["digit", "n"])
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("digit").aggregate(Sum("n", alias_name="n"))
+            .take_all())
+    hist.sort(key=lambda r: r["digit"])
+    n = sum(int(r["n"]) for r in hist)
+    dig, obs, of, ef, chi = [], [], [], [], []
+    for r in hist:
+        d_, nd = int(r["digit"]), int(r["n"])
+        pe = math.log10(1 + 1.0 / d_)
+        dev = nd - n * pe
+        dig.append(d_)
+        obs.append(nd)
+        of.append(nd * 1.0 / n)
+        ef.append(pe)
+        chi.append(dev * dev / (n * pe))
+    return pa.table({
+        "digit": pa.array(dig, type=pa.int64()),
+        "n_obs": pa.array(obs, type=pa.int64()),
+        "observed_frac": pa.array(
+            round_half_away(np.array(of), 6), type=pa.float64()),
+        "expected_frac": pa.array(
+            round_half_away(np.array(ef), 6), type=pa.float64()),
+        "chi2_term": pa.array(
+            round_half_away(np.array(chi), 4), type=pa.float64()),
+    })
+
+
 _WILSON_Z, _WILSON_Z2 = 1.96, 3.8416  # 95% Wilson score interval
 _WILSON_TOPK = 20
 
@@ -2865,6 +2920,21 @@ ORACLE_SQL = {
         JOIN region ON r_regionkey = n_regionkey
         GROUP BY r_name, n_name
     """,
+    "benford_order_totals": """
+        WITH d AS (
+          SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                                  AS VARCHAR), 1, 1) AS BIGINT) AS digit
+          FROM orders
+        ), c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+        tot AS (SELECT SUM(n) AS n FROM c)
+        SELECT digit, CAST(c.n AS BIGINT) AS n_obs,
+               ROUND(c.n * 1.0 / tot.n, 6) AS observed_frac,
+               ROUND(log10(1 + 1.0 / digit), 6) AS expected_frac,
+               ROUND((c.n - tot.n * log10(1 + 1.0 / digit))
+                     * (c.n - tot.n * log10(1 + 1.0 / digit))
+                     / (tot.n * log10(1 + 1.0 / digit)), 4) AS chi2_term
+        FROM c CROSS JOIN tot
+    """,
     "order_size_regression": """
         WITH f AS (
           SELECT l_orderkey AS ok, COUNT(*) AS x1,
@@ -3290,6 +3360,7 @@ QUERIES = {
     "k_anonymity": k_anonymity,
     "supplier_wilson_rank": supplier_wilson_rank,
     "order_size_regression": order_size_regression,
+    "benford_order_totals": benford_order_totals,
     "promo_revenue": promo_revenue,
     "region_supplier_revenue": region_supplier_revenue,
     "revenue_rollup": revenue_rollup,

@@ -609,6 +609,67 @@ def naive_bayes_source(sf_dir: str):
             .aggregate(Sum("n", alias_name="n")))
 
 
+def lang_source_mi(sf_dir: str):
+    """Mutual information I(lang; source) in nats — the one-number
+    dependency census behind stratification decisions: 0 means
+    language balance is uniform across sources (stratify by either),
+    high MI means sources are language silos (stratify by both). Also
+    reports the normalized variant I/min(H(lang), H(source)).
+
+    Exactness: the joint (lang, source) table is catalog-bounded, so
+    one Arrow cell-combiner pass folds exact integer counts; the MI
+    sum runs driver-side over ≤|langs|·|sources| cells in a
+    DETERMINISTIC (lang, source) order with libm ln — matching the
+    oracle's ordered-list aggregation, so even float association
+    order is pinned."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["lang", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.table({
+            "lang": b.column("lang"),
+            "source": b.column("source"),
+            "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+        }).group_by(["lang", "source"]).aggregate([("n", "sum")])
+        return g.rename_columns(["lang", "source", "n"])
+
+    cells = (ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=65536)
+             .groupby(["lang", "source"])
+             .aggregate(Sum("n", alias_name="n"))
+             .take_all())
+    cells.sort(key=lambda r: (r["lang"], r["source"]))
+    n = sum(int(r["n"]) for r in cells)
+    pl: dict[str, int] = {}
+    ps: dict[str, int] = {}
+    for r in cells:
+        pl[r["lang"]] = pl.get(r["lang"], 0) + int(r["n"])
+        ps[r["source"]] = ps.get(r["source"], 0) + int(r["n"])
+    mi = sum((int(r["n"]) / n) * math.log(
+        int(r["n"]) * n * 1.0 / (pl[r["lang"]] * ps[r["source"]]))
+        for r in cells)
+    hl = -sum((c / n) * math.log(c * 1.0 / n)
+              for _, c in sorted(pl.items()))
+    hs = -sum((c / n) * math.log(c * 1.0 / n)
+              for _, c in sorted(ps.items()))
+    return pa.table({
+        "n_docs": pa.array([n], type=pa.int64()),
+        "mi_nats": pa.array(round_half_away(np.array([mi]), 6),
+                            type=pa.float64()),
+        "h_lang": pa.array(round_half_away(np.array([hl]), 6),
+                           type=pa.float64()),
+        "h_source": pa.array(round_half_away(np.array([hs]), 6),
+                             type=pa.float64()),
+        "mi_normalized": pa.array(
+            round_half_away(np.array([mi / min(hl, hs)]), 6),
+            type=pa.float64()),
+    })
+
+
 def bigram_top(sf_dir: str):
     """Top-100 token bigrams by occurrence count (the collocation /
     boilerplate-detection companion to :func:`vocab_top`). Same combiner
@@ -1667,6 +1728,39 @@ ORACLE_SQL = {
                ROUND(SUM(n_chars) * 1.0 / COUNT(*), 4) AS avg_chars
         FROM documents GROUP BY digits
     """,
+    "lang_source_mi": """
+        WITH c AS (
+          SELECT lang, source, COUNT(*) AS n FROM documents
+          GROUP BY lang, source
+        ), tot AS (SELECT SUM(n) AS n FROM c),
+        pl AS (SELECT lang, SUM(n) AS nl FROM c GROUP BY lang),
+        ps AS (SELECT source, SUM(n) AS ns FROM c GROUP BY source),
+        terms AS (
+          SELECT c.lang, c.source,
+                 (c.n * 1.0 / tot.n)
+                 * LN(c.n * tot.n * 1.0 / (pl.nl * ps.ns)) AS t
+          FROM c JOIN pl USING (lang) JOIN ps USING (source)
+          CROSS JOIN tot
+        ), mi AS (
+          SELECT list_sum(list(t ORDER BY lang, source)) AS v FROM terms
+        ), hl AS (
+          SELECT -list_sum(list((nl * 1.0 / tot.n)
+                                * LN(nl * 1.0 / tot.n)
+                                ORDER BY lang)) AS v
+          FROM pl CROSS JOIN tot GROUP BY tot.n
+        ), hs AS (
+          SELECT -list_sum(list((ns * 1.0 / tot.n)
+                                * LN(ns * 1.0 / tot.n)
+                                ORDER BY source)) AS v
+          FROM ps CROSS JOIN tot GROUP BY tot.n
+        )
+        SELECT CAST(tot.n AS BIGINT) AS n_docs,
+               ROUND(mi.v, 6) AS mi_nats,
+               ROUND(hl.v, 6) AS h_lang,
+               ROUND(hs.v, 6) AS h_source,
+               ROUND(mi.v / least(hl.v, hs.v), 6) AS mi_normalized
+        FROM tot, mi, hl, hs
+    """,
     "naive_bayes_source": f"""
         WITH t AS (
           SELECT doc_id, source,
@@ -2075,6 +2169,7 @@ QUERIES = {
     "doclen_gini": doclen_gini,
     "zipf_fit": zipf_fit,
     "naive_bayes_source": naive_bayes_source,
+    "lang_source_mi": lang_source_mi,
     "quality_scores": quality_scores,
     "lang_id": lang_id,
     "token_count_bpeish": token_count_bpeish,
