@@ -154,7 +154,7 @@ QUERY_NAMES = [
     "embedding_spectrum", "supplier_wilson_rank", "naive_bayes_source",
     "ab_conversion_ztest", "order_size_regression", "kaplan_meier_reorder",
     "minhash_threshold_curve", "ab_cuped", "lang_source_mi",
-    "benford_order_totals",
+    "benford_order_totals", "graph_assortativity", "copurchase_bfs",
 ]
 
 

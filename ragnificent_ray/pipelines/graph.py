@@ -1506,6 +1506,289 @@ FROM tri CROSS JOIN w
 """
 
 
+def graph_assortativity(sf_dir: str):
+    """Degree assortativity of the co-visitation graph (Newman 2002,
+    "Assortative mixing in networks"): the Pearson correlation of
+    endpoint degrees over edges — positive means hubs attach to hubs
+    (social cores), negative means hub-spoke mixing (web and
+    infrastructure graphs). The one-number mixing gauge next to
+    ``degree_distribution``'s shape plot: together they say whether
+    the hot-key discipline should expect clustered or star skew.
+
+    Exact by the integer-moment discipline (the
+    ``price_quantity_corr`` shape on graph data): degrees are exact
+    ints from the bounded node-hash bucket fold, two hash-joins put
+    (deg_a, deg_b) on every edge, and each batch folds to ONE int64
+    row of Newman's edge moments (M, Σ(dₐ+d_b), Σ(dₐ²+d_b²),
+    Σ(dₐ·d_b)); the per-block rows stream to the driver where Python
+    unbounded ints combine order-independently, and
+    r = (4M·Sp − S1²)/(2M·S2 − S1²) divides exact integers ONCE —
+    mirroring the oracle's HUGEINT arithmetic term for term."""
+    from ..functions.numeric import round_half_away
+
+    n_buckets = _bucket_count(sf_dir, ("events",))
+    ed = covisitation_pairs(sf_dir)
+    if isinstance(ed, pa.Table):  # hot-item caps emptied the graph
+        return pa.table({
+            "n_edges": pa.array([0], type=pa.int64()),
+            "n_nodes": pa.array([0], type=pa.int64()),
+            "assortativity": pa.array([0.0], type=pa.float64()),
+        })
+    ed = ed.materialize()
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        nodes = np.concatenate([
+            b.column("user_a").to_numpy(zero_copy_only=False),
+            b.column("user_b").to_numpy(zero_copy_only=False)])
+        g = (pa.table({"node": pa.array(nodes, type=pa.int64())})
+             .group_by("node").aggregate([("node", "count")]))
+        return pa.table({
+            "node": g.column("node"),
+            "d": pc.cast(g.column("node_count"), pa.int64()),
+            "db": pa.array((g.column("node").to_numpy(zero_copy_only=False)
+                            % n_buckets).astype(np.int32)),
+        })
+
+    def deg_fold(t: pa.Table) -> pa.Table:
+        g = (t.select(["node", "d"]).group_by("node")
+             .aggregate([("d", "sum")]))
+        return pa.table({"node": g.column("node"),
+                         "d": g.column("d_sum")})
+
+    deg = (ed.map_batches(deg_partial, batch_format="pyarrow")
+           .groupby("db").map_groups(deg_fold, batch_format="pyarrow")
+           .materialize())
+    n_nodes = deg.count()
+
+    join_args = dict(num_partitions=max(2, n_buckets // 16),
+                     aggregator_ray_remote_args={"num_cpus": 0.25})
+
+    def rename_da(b: pa.Table) -> pa.Table:
+        return b.rename_columns(
+            [{"d": "d_a"}.get(c, c) for c in b.column_names])
+
+    joined = (
+        ed.select_columns(["user_a", "user_b"])
+        .join(deg, "inner", on=("user_a",), right_on=("node",),
+              **join_args)
+        .map_batches(rename_da, batch_format="pyarrow")
+        .join(deg, "inner", on=("user_b",), right_on=("node",),
+              **join_args)
+    )
+
+    def moments(b: pa.Table) -> pa.Table:
+        da = b.column("d_a").to_numpy(zero_copy_only=False)
+        db_ = b.column("d").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "m": pa.array([len(da)], type=pa.int64()),
+            "s1": pa.array([int((da + db_).sum())], type=pa.int64()),
+            "s2": pa.array([int((da * da + db_ * db_).sum())],
+                           type=pa.int64()),
+            "sp": pa.array([int((da * db_).sum())], type=pa.int64()),
+        })
+
+    tot = {k: 0 for k in ("m", "s1", "s2", "sp")}
+    for b in joined.map_batches(moments, batch_format="pyarrow") \
+                   .iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for k in tot:
+            tot[k] += sum(b.column(k).to_pylist())  # exact Python ints
+    num = 4 * tot["m"] * tot["sp"] - tot["s1"] ** 2
+    den = 2 * tot["m"] * tot["s2"] - tot["s1"] ** 2
+    r = round_half_away(float(num) / float(den), 4) if den else 0.0
+    return pa.table({
+        "n_edges": pa.array([tot["m"]], type=pa.int64()),
+        "n_nodes": pa.array([n_nodes], type=pa.int64()),
+        "assortativity": pa.array([r], type=pa.float64()),
+    })
+
+
+def _assortativity_sql() -> str:
+    return f"""
+WITH covis AS ({_covis_sql()}),
+deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT user_a AS node FROM covis
+    UNION ALL SELECT user_b FROM covis) GROUP BY node
+), ej AS (
+  SELECT da.d AS d_a, db.d AS d_b
+  FROM covis JOIN deg da ON da.node = covis.user_a
+             JOIN deg db ON db.node = covis.user_b
+), m AS (
+  SELECT COUNT(*) AS m,
+         COALESCE(SUM(CAST(d_a + d_b AS HUGEINT)), 0) AS s1,
+         COALESCE(SUM(CAST(d_a AS HUGEINT) * d_a
+                      + CAST(d_b AS HUGEINT) * d_b), 0) AS s2,
+         COALESCE(SUM(CAST(d_a AS HUGEINT) * d_b), 0) AS sp
+  FROM ej
+), n AS (SELECT COUNT(*) AS n_nodes FROM deg)
+SELECT CAST(m.m AS BIGINT) AS n_edges,
+       CAST(n.n_nodes AS BIGINT) AS n_nodes,
+       CASE WHEN 2 * m.m * s2 - s1 * s1 = 0 THEN 0.0
+            ELSE ROUND(CAST(4 * m.m * sp - s1 * s1 AS DOUBLE)
+                       / CAST(2 * m.m * s2 - s1 * s1 AS DOUBLE), 4)
+       END AS assortativity
+FROM m CROSS JOIN n
+"""
+
+
+BFS_ROUNDS = 4
+BFS_MIN_PAIR = 2   # same co-purchase support floor as basket_lift
+
+
+def copurchase_bfs(sf_dir: str):
+    """Single-source breadth-first distances over the part
+    co-purchase graph (parts linked when ≥BFS_MIN_PAIR orders bought
+    both): exact hop distance from the smallest part id, up to
+    BFS_ROUNDS hops — the SEVENTH exactly-verified iterative
+    algorithm (after PageRank, HITS, k-means, PQ, BPE, LPA), and the
+    reachability primitive behind graph-radius and related-item
+    expansion queries.
+
+    Scale shape — the fused gather+scatter discipline of
+    ``pagerank_mass`` (graph.py:20-27) on a min-fold: edges live in
+    bounded node-hash buckets (materialized once, unioned into every
+    round); distances and frontier-candidate rows ride the SAME
+    bucket key, so each round is ONE ``groupby(bucket)`` exchange
+    whose groups (a) min-fold candidates into settled distances and
+    (b) scatter dist+1 rows along co-located edges for nodes IMPROVED
+    this round only — the frontier, so total scatter work is O(E)
+    over the whole run, not O(E·rounds). All-integer min recurrence:
+    bit-exact on any cluster and in the oracle, which replays the
+    recurrence as an unrolled CTE chain (scatter-from-all-settled in
+    SQL is equivalent under the min fold — redundant candidates can
+    never beat a settled minimum)."""
+    n_buckets = _bucket_count(sf_dir, ("lineitem",))
+    ds = rd.read_parquet(
+        _pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"],
+        override_num_blocks=_read_blocks(sf_dir, "lineitem"))
+
+    def op_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "o": b.column("l_orderkey").to_numpy(),
+            "p": b.column("l_partkey").to_numpy(),
+        }).drop_duplicates()
+        return pa.table({
+            "o": pa.array(df["o"].to_numpy(), type=pa.int64()),
+            "p": pa.array(df["p"].to_numpy(), type=pa.int64()),
+            "ob": pa.array((df["o"].to_numpy() % n_buckets)
+                           .astype(np.int32)),
+        })
+
+    def order_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["o", "p"])
+        m = g[["o", "p"]].merge(g[["o", "p"]], on="o",
+                                suffixes=("_a", "_b"))
+        m = m.loc[m["p_a"].to_numpy() < m["p_b"].to_numpy()]
+        part = m.groupby(["p_a", "p_b"], as_index=False).size()
+        part["pb"] = ((part["p_a"].to_numpy() * np.int64(2654435761)
+                       + part["p_b"].to_numpy()) % n_buckets
+                      ).astype(np.int32)
+        return part[["pb", "p_a", "p_b", "size"]]
+
+    def pair_edges(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby(["p_a", "p_b"], as_index=False)["size"].sum()
+        agg = agg[agg["size"] >= BFS_MIN_PAIR]
+        a = agg["p_a"].to_numpy().astype(np.int64)
+        b = agg["p_b"].to_numpy().astype(np.int64)
+        # both directions, tagged kind 0, bucketed by SRC node
+        u = np.concatenate([a, b])
+        v = np.concatenate([b, a])
+        return pa.table({
+            "k": pa.array(np.zeros(len(u), dtype=np.int64)),
+            "a": pa.array(u), "b": pa.array(v),
+            "bk": pa.array((u % n_buckets).astype(np.int32)),
+        })
+
+    und = (ds.map_batches(op_partial, batch_format="pyarrow",
+                          batch_size=65536)
+           .groupby("ob").map_groups(order_pairs, batch_format="pandas")
+           .groupby("pb").map_groups(pair_edges, batch_format="pandas")
+           .materialize())
+    empty = pa.table({"node": pa.array([], type=pa.int64()),
+                      "dist": pa.array([], type=pa.int64())})
+    if und.count() == 0:
+        return empty
+    src = int(und.min("a"))
+
+    state = rd.from_arrow(pa.table({
+        "k": pa.array([2], type=pa.int64()),
+        "a": pa.array([src], type=pa.int64()),
+        "b": pa.array([0], type=pa.int64()),
+        "bk": pa.array([src % n_buckets], type=pa.int32()),
+    }))
+
+    def step(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["k"] == 0]
+        d = g[g["k"] == 1]
+        c = g[g["k"] == 2]
+        allv = pd.concat([d[["a", "b"]], c[["a", "b"]]],
+                         ignore_index=True)
+        newd = allv.groupby("a", as_index=False)["b"].min()
+        old = d.groupby("a", as_index=False)["b"].min() \
+               .rename(columns={"b": "ob"})
+        mm = newd.merge(old, on="a", how="left")
+        imp = mm.loc[mm["ob"].isna()
+                     | (mm["b"].to_numpy() < mm["ob"]
+                        .fillna(np.iinfo(np.int64).max).to_numpy()),
+                     ["a", "b"]]
+        na = newd["a"].to_numpy().astype(np.int64)
+        ks = [np.ones(len(na), dtype=np.int64)]
+        as_ = [na]
+        bs = [newd["b"].to_numpy().astype(np.int64)]
+        if len(imp) and len(e):
+            sc = e[["a", "b"]].merge(imp.rename(columns={"b": "dist"}),
+                                     on="a")
+            dst = sc["b"].to_numpy().astype(np.int64)
+            ks.append(np.full(len(dst), 2, dtype=np.int64))
+            as_.append(dst)
+            bs.append(sc["dist"].to_numpy().astype(np.int64) + 1)
+        k = np.concatenate(ks)
+        a = np.concatenate(as_)
+        bb = np.concatenate(bs)
+        return pa.table({
+            "k": pa.array(k), "a": pa.array(a), "b": pa.array(bb),
+            "bk": pa.array((a % n_buckets).astype(np.int32)),
+        })
+
+    for _ in range(BFS_ROUNDS):
+        state = (und.union(state).groupby("bk")
+                 .map_groups(step, batch_format="pandas"))
+
+    def final_fold(g: pd.DataFrame) -> pa.Table:
+        s = g[g["k"] > 0]
+        newd = s.groupby("a", as_index=False)["b"].min()
+        return pa.table({
+            "node": pa.array(newd["a"].to_numpy().astype(np.int64)),
+            "dist": pa.array(newd["b"].to_numpy().astype(np.int64)),
+        })
+
+    return (state.groupby("bk")
+            .map_groups(final_fold, batch_format="pandas"))
+
+
+def _copurchase_bfs_sql(rounds: int = BFS_ROUNDS) -> str:
+    ctes = [
+        "lv AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p"
+        " FROM lineitem)",
+        f"""pr AS (
+  SELECT a.p AS pa, b.p AS pb
+  FROM lv a JOIN lv b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p HAVING COUNT(*) >= {BFS_MIN_PAIR})""",
+        "und AS (SELECT pa AS u, pb AS v FROM pr"
+        " UNION ALL SELECT pb, pa FROM pr)",
+        "d0 AS (SELECT MIN(u) AS node, 0 AS dist FROM und)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(f"""d{i} AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d{i - 1}
+    UNION ALL
+    SELECT und.v AS node, d{i - 1}.dist + 1 AS dist
+    FROM d{i - 1} JOIN und ON und.u = d{i - 1}.node) GROUP BY node)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, CAST(dist AS BIGINT) AS dist FROM d{rounds}")
+
+
 ORACLE_SQL = {
     "lpa_communities": _lpa_sql(),
     "clustering_coefficient": _clustering_coefficient_sql(),
@@ -1517,6 +1800,8 @@ ORACLE_SQL = {
     "event_type_jaccard": _JACCARD_SQL,
     "decayed_item_scores": _DECAY_SQL,
     "triangle_count": _triangle_sql(),
+    "graph_assortativity": _assortativity_sql(),
+    "copurchase_bfs": _copurchase_bfs_sql(),
 }
 
 QUERIES = {
@@ -1530,4 +1815,6 @@ QUERIES = {
     "triangle_count": triangle_count,
     "clustering_coefficient": clustering_coefficient,
     "degree_distribution": degree_distribution,
+    "graph_assortativity": graph_assortativity,
+    "copurchase_bfs": copurchase_bfs,
 }

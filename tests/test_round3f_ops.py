@@ -1,0 +1,91 @@
+"""Semantic pins for the session-3f operators beyond DuckDB parity:
+Newman assortativity against a networkx-free numpy replay, and BFS
+distances against an independent single-process breadth-first search.
+"""
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def entry():
+    import __ray_entry__ as e
+    return e
+
+
+@pytest.mark.parametrize("sf", [SF, "/root/testdata/sf0.01"])
+def test_graph_assortativity_matches_numpy_replay(ray_session, entry, sf):
+    """Newman's r recomputed from scratch: rebuild the covis edge set
+    via the oracle SQL (already value-checked), then compare the exact
+    integer-moment closed form against a float Pearson correlation of
+    endpoint degrees over directed edge copies. sf0.001's graph is
+    degree-regular (zero variance) — that pins the den=0 → 0.0
+    convention; sf0.01 pins a real correlation."""
+    import duckdb
+
+    from ragnificent_ray.pipelines.graph import _covis_sql
+
+    out = entry.queries()["graph_assortativity"](sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    ed = con.execute(_covis_sql()).fetchdf()
+    assert int(out["n_edges"][0]) == len(ed)
+    deg: dict[int, int] = {}
+    for a, b in zip(ed["user_a"], ed["user_b"]):
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    assert int(out["n_nodes"][0]) == len(deg)
+    # both directed copies of each edge — the standard symmetric form
+    x = np.array([deg[a] for a in ed["user_a"]]
+                 + [deg[b] for b in ed["user_b"]], dtype=np.float64)
+    y = np.array([deg[b] for b in ed["user_b"]]
+                 + [deg[a] for a in ed["user_a"]], dtype=np.float64)
+    want = np.corrcoef(x, y)[0, 1]
+    got = float(out["assortativity"][0])
+    if np.isnan(want):     # zero degree variance: defined as 0.0
+        assert got == 0.0
+    else:
+        assert abs(got - want) < 1e-3
+
+
+def test_copurchase_bfs_matches_reference_bfs(ray_session, entry):
+    """Exact hop distances vs an independent deque-based BFS over the
+    same co-purchase edge set, truncated at BFS_ROUNDS hops."""
+    from collections import deque
+
+    import duckdb
+
+    from ragnificent_ray.pipelines.graph import BFS_MIN_PAIR, BFS_ROUNDS
+
+    out = entry.queries()["copurchase_bfs"](SF).to_pandas()
+    got = dict(zip(out["node"], out["dist"]))
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{SF}/lineitem.parquet')")
+    pr = con.execute(f"""
+        WITH lv AS (SELECT DISTINCT l_orderkey o, l_partkey p
+                    FROM lineitem)
+        SELECT a.p pa, b.p pb FROM lv a JOIN lv b
+            ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p HAVING COUNT(*) >= {BFS_MIN_PAIR}""").fetchdf()
+    adj: dict[int, list[int]] = {}
+    for a, b in zip(pr["pa"], pr["pb"]):
+        adj.setdefault(int(a), []).append(int(b))
+        adj.setdefault(int(b), []).append(int(a))
+    src = min(adj)
+    want = {src: 0}
+    dq = deque([src])
+    while dq:
+        u = dq.popleft()
+        if want[u] >= BFS_ROUNDS:
+            continue
+        for v in adj[u]:
+            if v not in want:
+                want[v] = want[u] + 1
+                dq.append(v)
+    assert got == want
+    assert min(got.values()) == 0 and max(got.values()) <= BFS_ROUNDS
