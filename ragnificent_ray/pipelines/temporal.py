@@ -1248,7 +1248,189 @@ def ab_cuped(sf_dir: str):
     })
 
 
+ACF_MAX_LAG = 7
+
+
+def acf_daily_orders(sf_dir: str):
+    """Autocorrelation function of the daily order-count series at
+    lags 1..ACF_MAX_LAG — the seasonality/memory fingerprint (Box &
+    Jenkins): a weekly cycle shows as a lag-7 peak, load smoothing as
+    slow decay. The diagnostic a forecasting stage runs before picking
+    model order.
+
+    Exactness: daily counts fold distributed to exact integers over
+    the calendar-filled [min, max] day range (empty days are real
+    zeros); all per-lag moments (Σxₜxₜ₊ₖ and the head/tail partial
+    sums) are exact Python ints on ≤|days| driver rows, and
+    rₖ = (n²·Cₖ − n·S·(Hₖ+Tₖ) + (n−k)·S²) / (n·(n·Q − S²)) divides
+    exact integers ONCE per lag — the oracle's HUGEINT expression
+    term for term."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_orderdate"])
+
+    def day_partial(b: pa.Table) -> pa.Table:
+        days = (b.column("o_orderdate").to_numpy()
+                .astype("datetime64[D]").astype(np.int64))
+        g = pa.table({
+            "day": pa.array(days),
+            "c": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+        }).group_by("day").aggregate([("c", "sum")])
+        return g.rename_columns(["day", "c"])
+
+    daily = (ds.map_batches(day_partial, batch_format="pyarrow",
+                            batch_size=65536)
+             .groupby("day").aggregate(Sum("c", alias_name="c"))
+             .sort("day").take_all())
+    dy = np.array([r["day"] for r in daily], dtype=np.int64)
+    c = np.array([r["c"] for r in daily], dtype=np.int64)
+    lo, hi = int(dy[0]), int(dy[-1])
+    x = np.zeros(hi - lo + 1, dtype=np.int64)
+    x[dy - lo] = c
+    n = len(x)
+    s = int(x.sum())
+    q = int((x * x).sum())
+    den = n * (n * q - s * s)          # exact Python int
+    lags, acfs = [], []
+    for k in range(1, ACF_MAX_LAG + 1):
+        ck = int((x[:-k] * x[k:]).sum())
+        hk = int(x[:-k].sum())
+        tk = int(x[k:].sum())
+        num = n * n * ck - n * s * (hk + tk) + (n - k) * s * s
+        acfs.append(round_half_away(float(num) / float(den), 4)
+                    if den else 0.0)
+        lags.append(k)
+    return pa.table({
+        "lag": pa.array(lags, type=pa.int64()),
+        "acf": pa.array(acfs, type=pa.float64()),
+    })
+
+
+EWMA_SCALE = 10_000       # smoothed level carried in 1e-4 order units
+EWMA_SPIKE_NUM, EWMA_SPIKE_DEN = 3, 2   # alert when x > 1.5x smoothed
+
+
+def ewma_daily_orders(sf_dir: str):
+    """EWMA load monitor over daily order counts (the classic
+    exponentially-weighted control chart, Roberts 1959, α = 1/2):
+    every day gets the running smoothed level and a spike flag —
+    xₜ > 1.5× yesterday's smoothed level — the streaming anomaly
+    check a capacity planner runs on arrival rates.
+
+    Exactness: the recurrence is ALL-INTEGER — sₜ = ⌊(sₜ₋₁ +
+    xₜ·SCALE)/2⌋ in 1e-4 units, so there is no float fold order to
+    drift and the DuckDB oracle replays the identical recurrence as a
+    recursive CTE over the day index. Daily counts fold distributed;
+    the walk is driver-side on the calendar-bounded series (the
+    ``events_changepoint`` pattern)."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_orderdate"])
+
+    def day_partial(b: pa.Table) -> pa.Table:
+        days = (b.column("o_orderdate").to_numpy()
+                .astype("datetime64[D]").astype(np.int64))
+        g = pa.table({
+            "day": pa.array(days),
+            "c": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+        }).group_by("day").aggregate([("c", "sum")])
+        return g.rename_columns(["day", "c"])
+
+    daily = (ds.map_batches(day_partial, batch_format="pyarrow",
+                            batch_size=65536)
+             .groupby("day").aggregate(Sum("c", alias_name="c"))
+             .sort("day").take_all())
+    dy = np.array([r["day"] for r in daily], dtype=np.int64)
+    c = np.array([r["c"] for r in daily], dtype=np.int64)
+    lo, hi = int(dy[0]), int(dy[-1])
+    x = np.zeros(hi - lo + 1, dtype=np.int64)
+    x[dy - lo] = c
+    ewma = np.zeros(len(x), dtype=np.int64)
+    alert = np.zeros(len(x), dtype=np.int64)
+    s = int(x[0]) * EWMA_SCALE
+    ewma[0] = s
+    for t in range(1, len(x)):
+        alert[t] = int(int(x[t]) * EWMA_SCALE * EWMA_SPIKE_DEN
+                       > EWMA_SPIKE_NUM * s)
+        s = (s + int(x[t]) * EWMA_SCALE) // 2
+        ewma[t] = s
+    return pa.table({
+        "day": pa.array(lo + np.arange(len(x), dtype=np.int64)),
+        "n_orders": pa.array(x),
+        "ewma_q": pa.array(ewma),
+        "spike": pa.array(alert),
+    })
+
+
+def _acf_sql(max_lag: int = ACF_MAX_LAG) -> str:
+    return f"""
+WITH dc AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS c
+  FROM orders GROUP BY d
+), bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM dc),
+cal AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+  FROM bounds
+), series AS (
+  SELECT row_number() OVER (ORDER BY cal.d) AS t,
+         COALESCE(dc.c, 0) AS x
+  FROM cal LEFT JOIN dc ON dc.d = cal.d
+), m AS (
+  SELECT COUNT(*) AS n, SUM(x) AS s,
+         SUM(CAST(x AS HUGEINT) * x) AS q
+  FROM series
+), lags AS (SELECT unnest(generate_series(1, {max_lag})) AS l),
+ck AS (
+  SELECT lags.l,
+         SUM(CAST(a.x AS HUGEINT) * b.x) AS c_k,
+         SUM(CAST(a.x AS HUGEINT)) AS h_k,
+         SUM(CAST(b.x AS HUGEINT)) AS t_k
+  FROM lags JOIN series a ON TRUE
+            JOIN series b ON b.t = a.t + lags.l
+  GROUP BY lags.l
+)
+SELECT CAST(l AS BIGINT) AS lag,
+       CASE WHEN n * (n * q - s * s) = 0 THEN 0.0
+            ELSE ROUND(CAST(n * n * c_k - n * s * (h_k + t_k)
+                            + (n - l) * s * s AS DOUBLE)
+                       / CAST(n * (n * q - s * s) AS DOUBLE), 4)
+       END AS acf
+FROM ck CROSS JOIN m
+"""
+
+
+def _ewma_sql() -> str:
+    return f"""
+WITH RECURSIVE dc AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS c
+  FROM orders GROUP BY d
+), bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM dc),
+cal AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+  FROM bounds
+), series AS (
+  SELECT row_number() OVER (ORDER BY cal.d) AS t,
+         epoch(cal.d)::BIGINT // 86400 AS day,
+         COALESCE(dc.c, 0)::BIGINT AS x
+  FROM cal LEFT JOIN dc ON dc.d = cal.d
+), walk AS (
+  SELECT t, day, x, x * {EWMA_SCALE} AS s, 0::BIGINT AS spike
+  FROM series WHERE t = 1
+  UNION ALL
+  SELECT n.t, n.day, n.x,
+         (w.s + n.x * {EWMA_SCALE}) // 2,
+         CASE WHEN n.x * {EWMA_SCALE} * {EWMA_SPIKE_DEN}
+                   > {EWMA_SPIKE_NUM} * w.s THEN 1 ELSE 0 END
+  FROM walk w JOIN series n ON n.t = w.t + 1
+)
+SELECT day, x AS n_orders, s AS ewma_q, spike
+FROM walk
+"""
+
+
 ORACLE_SQL = {
+    "acf_daily_orders": _acf_sql(),
+    "ewma_daily_orders": _ewma_sql(),
     "ab_cuped": """
         WITH ud AS (
           SELECT user_id AS u,
@@ -1714,6 +1896,8 @@ def cohort_retention(sf_dir: str):
 
 
 QUERIES = {
+    "acf_daily_orders": acf_daily_orders,
+    "ewma_daily_orders": ewma_daily_orders,
     "cohort_retention": cohort_retention,
     "sessionize": sessionize,
     "user_order_asof": user_order_asof,

@@ -89,3 +89,39 @@ def test_copurchase_bfs_matches_reference_bfs(ray_session, entry):
                 dq.append(v)
     assert got == want
     assert min(got.values()) == 0 and max(got.values()) <= BFS_ROUNDS
+
+
+def test_acf_matches_numpy_replay(ray_session, entry):
+    """ACF recomputed with float numpy on the same zero-filled daily
+    series — the exact-integer closed form must agree to rounding."""
+    import pyarrow.parquet as pq
+
+    out = entry.queries()["acf_daily_orders"](SF).to_pandas()
+    d = pq.read_table(f"{SF}/orders.parquet", columns=["o_orderdate"]) \
+          .column("o_orderdate").to_numpy().astype("datetime64[D]") \
+          .astype(np.int64)
+    lo, hi = d.min(), d.max()
+    x = np.bincount(d - lo, minlength=hi - lo + 1).astype(np.float64)
+    xc = x - x.mean()
+    den = (xc * xc).sum()
+    for _, row in out.iterrows():
+        k = int(row["lag"])
+        want = (xc[:-k] * xc[k:]).sum() / den
+        assert abs(row["acf"] - want) < 1e-3
+    # weekly cadence sanity: all lags defined in [-1, 1]
+    assert (out["acf"].abs() <= 1.0).all()
+
+
+def test_ewma_spike_rule_replay(ray_session, entry):
+    """Every spike flag must satisfy x_t * 2e4 > 3 * s_(t-1), replayed
+    sequentially; the smoothed level must track the series mean."""
+    out = entry.queries()["ewma_daily_orders"](SF).to_pandas() \
+        .sort_values("day").reset_index(drop=True)
+    x = out["n_orders"].to_numpy()
+    s = int(x[0]) * 10_000
+    for t in range(1, len(x)):
+        want = int(int(x[t]) * 10_000 * 2 > 3 * s)
+        assert int(out["spike"][t]) == want
+        s = (s + int(x[t]) * 10_000) // 2
+        assert int(out["ewma_q"][t]) == s
+    assert out["spike"][0] == 0
