@@ -155,7 +155,8 @@ QUERY_NAMES = [
     "ab_conversion_ztest", "order_size_regression", "kaplan_meier_reorder",
     "minhash_threshold_curve", "ab_cuped", "lang_source_mi",
     "benford_order_totals", "graph_assortativity", "copurchase_bfs",
-    "acf_daily_orders", "ewma_daily_orders",
+    "acf_daily_orders", "ewma_daily_orders", "l_diversity",
+    "key_skew_audit",
 ]
 
 

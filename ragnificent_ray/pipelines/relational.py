@@ -2781,7 +2781,160 @@ def _orders_pivot_sql() -> str:
     """
 
 
+LDIV_BAND_CENTS = 100_000     # 1000-currency-unit balance bands
+LDIV_BAND_SHIFT = 10_000_000  # shifts min acctbal (-999.99) positive
+
+
+def l_diversity(sf_dir: str):
+    """l-diversity census (Machanavajjhala et al. 2007 — the
+    k-anonymity upgrade): for each quasi-identifier class
+    (c_nationkey, 1000-unit account-balance band), how many DISTINCT
+    sensitive values (c_mktsegment) appear? Count-of-counts output:
+    "n_classes classes expose only l distinct segments, covering
+    n_customers people" — any l=1 row is a homogeneity attack (the
+    class's segment is known even though k-anonymity holds). Runs
+    with [[k-anonymity]] before releasing joined demographics.
+
+    Scale shape: per-batch Arrow ``group_by`` collapses to one cell
+    per (nat, band, segment) per block — the quasi-id × sensitive
+    space is catalog-bounded — one fold sums class-segment sizes, a
+    second ≤|classes| fold counts distinct segments per class, and
+    the count-of-counts is a third ≤|segments| fold. Exact integers
+    throughout; balance bands are integer-cents floor division on the
+    SHIFTED (always-positive) value so truncation equals floor on
+    both engines."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(_pq(sf_dir, "customer"),
+                         columns=["c_nationkey", "c_acctbal",
+                                  "c_mktsegment"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.rint(
+            b.column("c_acctbal").to_numpy() * 100).astype(np.int64)
+        band = (cents + LDIV_BAND_SHIFT) // LDIV_BAND_CENTS
+        g = pa.table({
+            "nat": b.column("c_nationkey"),
+            "band": pa.array(band),
+            "seg": b.column("c_mktsegment"),
+            "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+        }).group_by(["nat", "band", "seg"]).aggregate([("n", "sum")])
+        return g.rename_columns(["nat", "band", "seg", "n"])
+
+    per_class = (ds.map_batches(partial, batch_format="pyarrow",
+                                batch_size=65536)
+                 .groupby(["nat", "band", "seg"])
+                 .aggregate(Sum("n", alias_name="n"))
+                 .groupby(["nat", "band"])
+                 .aggregate(Count(alias_name="l"),
+                            Sum("n", alias_name="n_cust")))
+
+    def counts_of_counts(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l": pc.cast(b.column("l"), pa.int64()),
+            "n_classes": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "n_customers": b.column("n_cust"),
+        })
+
+    return (per_class.map_batches(counts_of_counts,
+                                  batch_format="pyarrow")
+            .groupby("l")
+            .aggregate(Sum("n_classes", alias_name="n_classes"),
+                       Sum("n_customers", alias_name="n_customers")))
+
+
+def key_skew_audit(sf_dir: str):
+    """Shuffle-key skew audit over lineitem's supplier key — the
+    pre-flight census THIS ENGINE's own bucket discipline depends on:
+    row count, key cardinality, the hottest key and its size, mean
+    rows/key, and the Gini coefficient of the per-key row-count
+    distribution (0 = perfectly balanced partitions, →1 = one key
+    owns the table; >0.6 says salt before you groupby).
+
+    Scale shape: per-batch Arrow ``group_by`` pre-counts collapse each
+    block to ≤|keys| cells, one key-fold produces the per-key count
+    vector — bounded by the supplier catalog, the ONLY driver-side
+    hold — and the Gini is the doclen_gini rank formula on exact
+    integers with one float expression mirroring the oracle."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(_pq(sf_dir, "lineitem"), columns=["l_suppkey"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.table({
+            "k": b.column("l_suppkey"),
+            "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+        }).group_by("k").aggregate([("n", "sum")])
+        return g.rename_columns(["k", "n"])
+
+    rows = (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("k").aggregate(Sum("n", alias_name="n"))
+            .take_all())
+    k = np.array([r["k"] for r in rows], dtype=np.int64)
+    n = np.array([r["n"] for r in rows], dtype=np.int64)
+    order = np.lexsort((k, n))          # count asc, key asc on ties
+    n_sorted = n[order]
+    nk = len(n)
+    nr = int(n.sum())
+    mx = int(n.max())
+    top_key = int(k[n == mx].min())
+    s_in = int((np.arange(1, nk + 1, dtype=np.int64)
+                * n_sorted).sum())      # Σ rank·count, exact
+    gini = 2.0 * s_in / (nk * nr) - (nk + 1.0) / nk
+    return pa.table({
+        "n_rows": pa.array([nr], type=pa.int64()),
+        "n_keys": pa.array([nk], type=pa.int64()),
+        "max_n": pa.array([mx], type=pa.int64()),
+        "top_key": pa.array([top_key], type=pa.int64()),
+        "mean_rows_per_key": pa.array(
+            [round_half_away(float(nr) / nk, 4)], type=pa.float64()),
+        "gini": pa.array([round_half_away(gini, 4)],
+                         type=pa.float64()),
+    })
+
+
+_LDIV_SQL = f"""
+WITH cls AS (
+  SELECT c_nationkey AS nat,
+         (CAST(ROUND(c_acctbal * 100) AS BIGINT) + {LDIV_BAND_SHIFT})
+             // {LDIV_BAND_CENTS} AS band,
+         c_mktsegment AS seg, COUNT(*) AS n
+  FROM customer GROUP BY nat, band, seg
+), cl AS (
+  SELECT nat, band, COUNT(*) AS l, SUM(n) AS n_cust
+  FROM cls GROUP BY nat, band
+)
+SELECT CAST(l AS BIGINT) AS l,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(n_cust) AS BIGINT) AS n_customers
+FROM cl GROUP BY l
+"""
+
+_KEY_SKEW_SQL = """
+WITH kc AS (
+  SELECT l_suppkey AS k, COUNT(*) AS n FROM lineitem GROUP BY k
+), r AS (
+  SELECT k, n, row_number() OVER (ORDER BY n, k) AS i FROM kc
+), m AS (
+  SELECT COUNT(*) AS nk, SUM(n) AS nr, MAX(n) AS mx,
+         SUM(CAST(i AS HUGEINT) * n) AS s_in
+  FROM r
+), t AS (
+  SELECT MIN(k) AS top_key FROM kc
+  WHERE n = (SELECT MAX(n) FROM kc)
+)
+SELECT CAST(nr AS BIGINT) AS n_rows, CAST(nk AS BIGINT) AS n_keys,
+       CAST(mx AS BIGINT) AS max_n, t.top_key,
+       ROUND(CAST(nr AS DOUBLE) / nk, 4) AS mean_rows_per_key,
+       ROUND(2.0 * s_in / (nk * nr) - (nk + 1.0) / nk, 4) AS gini
+FROM m CROSS JOIN t
+"""
+
+
 ORACLE_SQL = {
+    "l_diversity": _LDIV_SQL,
+    "key_skew_audit": _KEY_SKEW_SQL,
     "props_numeric_agg": r"""
         WITH x AS (
           SELECT event_type,
@@ -3358,6 +3511,8 @@ QUERIES = {
     "price_quantity_corr": price_quantity_corr,
     "part_price_trend": part_price_trend,
     "k_anonymity": k_anonymity,
+    "l_diversity": l_diversity,
+    "key_skew_audit": key_skew_audit,
     "supplier_wilson_rank": supplier_wilson_rank,
     "order_size_regression": order_size_regression,
     "benford_order_totals": benford_order_totals,

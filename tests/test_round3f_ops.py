@@ -125,3 +125,44 @@ def test_ewma_spike_rule_replay(ray_session, entry):
         s = (s + int(x[t]) * 10_000) // 2
         assert int(out["ewma_q"][t]) == s
     assert out["spike"][0] == 0
+
+
+def test_l_diversity_partitions_customers(ray_session, entry):
+    """Count-of-counts must partition: Σ n_customers = |customer|,
+    and every class's l is between 1 and |segments|; replayed with an
+    independent pandas groupby."""
+    import pyarrow.parquet as pq
+
+    out = entry.queries()["l_diversity"](SF).to_pandas()
+    cust = pq.read_table(f"{SF}/customer.parquet",
+                         columns=["c_nationkey", "c_acctbal",
+                                  "c_mktsegment"]).to_pandas()
+    assert int(out["n_customers"].sum()) == len(cust)
+    nseg = cust["c_mktsegment"].nunique()
+    assert out["l"].between(1, nseg).all()
+    cents = np.rint(cust["c_acctbal"].to_numpy() * 100).astype(np.int64)
+    cust["band"] = (cents + 10_000_000) // 100_000
+    cl = cust.groupby(["c_nationkey", "band"])["c_mktsegment"] \
+             .nunique().value_counts().sort_index()
+    want = dict(zip(cl.index.astype(int), cl.to_numpy()))
+    got = dict(zip(out["l"].astype(int), out["n_classes"]))
+    assert got == want
+
+
+def test_key_skew_audit_replay(ray_session, entry):
+    """Gini and hottest-key replayed independently in pandas."""
+    import pyarrow.parquet as pq
+
+    out = entry.queries()["key_skew_audit"](SF).to_pandas().iloc[0]
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_suppkey"]).to_pandas()
+    vc = li["l_suppkey"].value_counts()
+    assert int(out["n_rows"]) == len(li)
+    assert int(out["n_keys"]) == len(vc)
+    assert int(out["max_n"]) == int(vc.max())
+    assert int(out["top_key"]) == int(min(vc[vc == vc.max()].index))
+    n = np.sort(vc.to_numpy())
+    g = 2.0 * (np.arange(1, len(n) + 1) * n).sum() / (len(n) * n.sum()) \
+        - (len(n) + 1.0) / len(n)
+    assert abs(float(out["gini"]) - g) < 1e-3
+    assert 0.0 <= float(out["gini"]) < 1.0
