@@ -156,7 +156,7 @@ QUERY_NAMES = [
     "minhash_threshold_curve", "ab_cuped", "lang_source_mi",
     "benford_order_totals", "graph_assortativity", "copurchase_bfs",
     "acf_daily_orders", "ewma_daily_orders", "l_diversity",
-    "key_skew_audit",
+    "key_skew_audit", "heaps_law_fit", "kl_source_divergence",
 ]
 
 

@@ -1668,7 +1668,281 @@ _KEYWORD_SQL = r"""
 """
 
 
+HEAPS_K = 2   # bigram vocabulary (the unigram space saturates in doc 1)
+
+
+def heaps_law_fit(sf_dir: str):
+    """Heaps'-law fit of vocabulary growth: OLS of ln(V) on ln(N)
+    over the cumulative (tokens-seen, distinct-bigrams-seen) curve in
+    doc_id ingest order — V ≈ K·N^β with β < 1 for natural text; β
+    near 0 means the corpus has saturated (more ingestion buys no new
+    vocabulary: stop crawling this source). The regression companion
+    to [[ngram_novelty]]'s per-doc attribution, over the bigram space
+    (this corpus's ~31-token unigram vocabulary saturates in the
+    first document).
+
+    Scale shape: cumulative distinct counting distributes as
+    FIRST-OCCURRENCE attribution — each gram's min doc_id is a
+    min-fold in bounded gram-hash buckets; V(d) is then the cumsum of
+    a ≤|docs| histogram. Gram rows and per-doc totals ride ONE
+    exchange (sentinel rows, the basket_lift discipline); the OLS
+    runs on ≤|docs| exact-integer driver rows with the zipf_fit float
+    tree."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import md5_hex
+    from .dedup import _bucket_count
+
+    n_buckets = _bucket_count(sf_dir)
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def grams(batch: pa.Table) -> pa.Table:
+        gmin: dict[int, int] = {}
+        docs, dn = [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            toks = t.strip().split()
+            docs.append(d)
+            dn.append(max(0, len(toks) - HEAPS_K + 1))
+            for i in range(len(toks) - HEAPS_K + 1):
+                h = int(md5_hex(" ".join(toks[i:i + HEAPS_K]))[:12], 16)
+                if h not in gmin or d < gmin[h]:
+                    gmin[h] = d
+        g = np.fromiter(gmin.keys(), dtype=np.int64, count=len(gmin))
+        dm = np.fromiter(gmin.values(), dtype=np.int64, count=len(gmin))
+        dd = np.asarray(docs, dtype=np.int64)
+        return pa.table({
+            "g": pa.array(np.concatenate([g, np.full(len(dd), -1)])),
+            "d": pa.array(np.concatenate([dm, dd])),
+            "n": pa.array(np.concatenate(
+                [np.zeros(len(g), dtype=np.int64),
+                 np.asarray(dn, dtype=np.int64)])),
+            "bk": pa.array(np.concatenate(
+                [(g % n_buckets), (dd % n_buckets)]).astype(np.int32)),
+        })
+
+    def bucket_fold(t: pa.Table) -> pa.Table:
+        isg = pc.greater_equal(t.column("g"), 0)
+        gr = t.filter(isg)
+        sn = t.filter(pc.invert(isg))
+        fo = (gr.select(["g", "d"]).group_by("g")
+              .aggregate([("d", "min")]))
+        vh = (pa.table({"doc": fo.column("d_min"),
+                        "one": pa.array(
+                            np.ones(fo.num_rows, dtype=np.int64))})
+              .group_by("doc").aggregate([("one", "sum")]))
+        nh = (sn.select(["d", "n"]).group_by("d")
+              .aggregate([("n", "sum")]))
+        return pa.table({
+            "doc": pa.array(
+                np.concatenate([
+                    vh.column("doc").to_numpy(zero_copy_only=False),
+                    nh.column("d").to_numpy(zero_copy_only=False),
+                ]).astype(np.int64)),
+            "v": pa.array(np.concatenate([
+                vh.column("one_sum").to_numpy(zero_copy_only=False),
+                np.zeros(nh.num_rows, dtype=np.int64)]).astype(np.int64)),
+            "n": pa.array(np.concatenate([
+                np.zeros(vh.num_rows, dtype=np.int64),
+                nh.column("n_sum").to_numpy(zero_copy_only=False),
+            ]).astype(np.int64)),
+        })
+
+    rows = (ds.map_batches(grams, batch_format="pyarrow",
+                           batch_size=8192)
+            .groupby("bk").map_groups(bucket_fold,
+                                      batch_format="pyarrow")
+            .groupby("doc")
+            .aggregate(Sum("v", alias_name="v"),
+                       Sum("n", alias_name="n"))
+            .take_all())
+    rows.sort(key=lambda r: r["doc"])
+    cn = np.cumsum([r["n"] for r in rows])
+    cv = np.cumsum([r["v"] for r in rows])
+    keep = (cn > 0) & (cv > 0)
+    x = np.log(cn[keep].astype(np.float64))
+    y = np.log(cv[keep].astype(np.float64))
+    k = len(x)
+    sx, sy = x.sum(), y.sum()
+    sxx, sxy = (x * x).sum(), (x * y).sum()
+    den = k * sxx - sx * sx
+    if k == 0 or den == 0:
+        beta, lnk = 0.0, 0.0
+    else:
+        beta = round_half_away((k * sxy - sx * sy) / den, 4)
+        lnk = round_half_away(
+            (sy - ((k * sxy - sx * sy) / den) * sx) / k, 4)
+    return pa.table({
+        "n_points": pa.array([k], type=pa.int64()),
+        "heaps_beta": pa.array([beta], type=pa.float64()),
+        "ln_k": pa.array([lnk], type=pa.float64()),
+    })
+
+
+def kl_source_divergence(sf_dir: str):
+    """Pairwise Kullback-Leibler divergence D(P‖Q) between the
+    per-source hashed-unigram language models (add-one smoothed over
+    NB_BUCKETS cells) — the distribution-shift matrix a data-mixing
+    stage reads before reweighting sources: which provenances are
+    interchangeable, which would shift the training distribution?
+
+    Exact by the DSIR quantized-log discipline shared with
+    [[naive-bayes-source]]: per-(source, bucket) counts fold to a
+    |sources|×NB_BUCKETS driver table (the only driver-side hold),
+    log-probs quantize as floor(1000·ln p̂) via libm so both engines
+    agree bit-for-bit, and each pair's numerator
+    Σ_b (c_pb+1)·(L_pb − L_qb) is an exact int64 dot — ONE float
+    division per pair, mirroring the oracle."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import md5_hex
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["source", "text"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        per: dict[str, np.ndarray] = {}
+        for src, text in zip(batch.column("source").to_pylist(),
+                             batch.column("text").to_pylist()):
+            toks = text.strip().split()
+            if src not in per:
+                per[src] = np.zeros(NB_BUCKETS, dtype=np.int64)
+            if toks:
+                bs = np.fromiter(
+                    (int(md5_hex(t)[:12], 16) % NB_BUCKETS
+                     for t in toks), dtype=np.int64, count=len(toks))
+                per[src] += np.bincount(bs, minlength=NB_BUCKETS)
+        out_s, out_b, out_n = [], [], []
+        for src, cnt in per.items():
+            nz = np.nonzero(cnt)[0]
+            out_s.extend([src] * len(nz))
+            out_b.extend(nz.tolist())
+            out_n.extend(cnt[nz].tolist())
+        return pa.table({
+            "source": pa.array(out_s, type=pa.string()),
+            "b": pa.array(out_b, type=pa.int64()),
+            "n": pa.array(out_n, type=pa.int64()),
+        })
+
+    folded = (ds.map_batches(count_partial, batch_format="pyarrow",
+                             batch_size=8192)
+              .groupby(["source", "b"])
+              .aggregate(Sum("n", alias_name="n"))
+              .take_all())
+    srcs = sorted({r["source"] for r in folded})
+    sidx = {s: i for i, s in enumerate(srcs)}
+    cnt = np.zeros((len(srcs), NB_BUCKETS), dtype=np.int64)
+    for r in folded:
+        cnt[sidx[r["source"]], r["b"]] = r["n"]
+    tot = cnt.sum(axis=1)
+    W = np.array([[math.floor(1000.0 * math.log(
+        (int(c) + 1.0) / (int(t) + NB_BUCKETS))) for c in row]
+        for row, t in zip(cnt, tot)], dtype=np.int64)
+    sp_, sq_, kl_ = [], [], []
+    for p in range(len(srcs)):
+        for q in range(len(srcs)):
+            if p == q:
+                continue
+            num = int(((cnt[p] + 1) * (W[p] - W[q])).sum())
+            sp_.append(srcs[p])
+            sq_.append(srcs[q])
+            kl_.append(round_half_away(
+                float(num) / (1000.0 * (int(tot[p]) + NB_BUCKETS)), 6))
+    return pa.table({
+        "src_p": pa.array(sp_, type=pa.string()),
+        "src_q": pa.array(sq_, type=pa.string()),
+        "kl_nats": pa.array(kl_, type=pa.float64()),
+    })
+
+
+_HEAPS_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             range(1, len(toks) - {HEAPS_K} + 2),
+             i -> CAST(('0x' || substr(md5(array_to_string(
+                 toks[i:i+{HEAPS_K}-1], ' ')), 1, 12))
+                 AS BIGINT))) AS gram
+  FROM t WHERE len(toks) >= {HEAPS_K}
+), fo AS (
+  SELECT gram, MIN(doc_id) AS d0 FROM g GROUP BY gram
+), nv AS (
+  SELECT d0 AS doc_id, COUNT(*) AS v FROM fo GROUP BY d0
+), dn AS (
+  SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id
+), base AS (
+  SELECT d.doc_id, COALESCE(dn.n, 0) AS n, COALESCE(nv.v, 0) AS v
+  FROM (SELECT doc_id FROM documents) d
+  LEFT JOIN dn USING (doc_id) LEFT JOIN nv USING (doc_id)
+), cum AS (
+  SELECT doc_id, SUM(n) OVER (ORDER BY doc_id) AS cn,
+         SUM(v) OVER (ORDER BY doc_id) AS cv
+  FROM base
+), pts AS (
+  SELECT ln(CAST(cn AS DOUBLE)) AS x, ln(CAST(cv AS DOUBLE)) AS y
+  FROM cum WHERE cn > 0 AND cv > 0
+), m AS (
+  SELECT COUNT(*) AS k, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM pts
+)
+SELECT CAST(k AS BIGINT) AS n_points,
+       CASE WHEN k = 0 OR k * sxx - sx * sx = 0 THEN 0.0
+            ELSE ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 4)
+       END AS heaps_beta,
+       CASE WHEN k = 0 OR k * sxx - sx * sx = 0 THEN 0.0
+            ELSE ROUND((sy - ((k * sxy - sx * sy)
+                              / (k * sxx - sx * sx)) * sx) / k, 4)
+       END AS ln_k
+FROM m
+"""
+
+_KL_SQL = rf"""
+WITH t AS (
+  SELECT source,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents
+), tk AS (
+  SELECT source,
+         CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT)
+             % {NB_BUCKETS} AS b
+  FROM t WHERE tok <> ''
+), cnt AS (
+  SELECT source, b, COUNT(*) AS n FROM tk GROUP BY source, b
+), tot AS (
+  SELECT source, COUNT(*) AS tot FROM tk GROUP BY source
+), buckets AS (
+  SELECT unnest(range({NB_BUCKETS})) AS b
+), w AS (
+  SELECT t2.source, buckets.b,
+         CAST(FLOOR(1000.0 * LN((COALESCE(c.n, 0) + 1.0)
+                                / (t2.tot + {NB_BUCKETS})))
+              AS BIGINT) AS w
+  FROM tot t2 CROSS JOIN buckets
+  LEFT JOIN cnt c ON c.source = t2.source AND c.b = buckets.b
+), num AS (
+  SELECT wp.source AS sp, wq.source AS sq,
+         SUM((COALESCE(c.n, 0) + 1) * (wp.w - wq.w)) AS num
+  FROM w wp JOIN w wq ON wq.b = wp.b AND wq.source <> wp.source
+  LEFT JOIN cnt c ON c.source = wp.source AND c.b = wp.b
+  GROUP BY wp.source, wq.source
+)
+SELECT sp AS src_p, sq AS src_q,
+       ROUND(CAST(num AS DOUBLE)
+             / (1000.0 * (t.tot + {NB_BUCKETS})), 6) AS kl_nats
+FROM num JOIN tot t ON t.source = num.sp
+"""
+
+
 ORACLE_SQL = {
+    "heaps_law_fit": _HEAPS_SQL,
+    "kl_source_divergence": _KL_SQL,
     "keyword_topk": _KEYWORD_SQL,
     "fingerprints": r"""
         WITH t AS (
@@ -2168,6 +2442,8 @@ QUERIES = {
     "doc_length_histogram": doc_length_histogram,
     "doclen_gini": doclen_gini,
     "zipf_fit": zipf_fit,
+    "heaps_law_fit": heaps_law_fit,
+    "kl_source_divergence": kl_source_divergence,
     "naive_bayes_source": naive_bayes_source,
     "lang_source_mi": lang_source_mi,
     "quality_scores": quality_scores,

@@ -166,3 +166,63 @@ def test_key_skew_audit_replay(ray_session, entry):
         - (len(n) + 1.0) / len(n)
     assert abs(float(out["gini"]) - g) < 1e-3
     assert 0.0 <= float(out["gini"]) < 1.0
+
+
+def test_kl_divergence_properties(ray_session, entry):
+    """KL matrix: 380 ordered pairs, D(p||p)=0 excluded, and the
+    quantized D(p||q) approximates a float replay on raw counts."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from ragnificent_ray.functions.hashing import md5_hex
+    from ragnificent_ray.pipelines.textstats import NB_BUCKETS
+
+    out = entry.queries()["kl_source_divergence"](SF).to_pandas()
+    assert len(out) == 20 * 19
+    assert (out["src_p"] != out["src_q"]).all()
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+    cnt: dict[str, np.ndarray] = {}
+    for src, text in zip(docs["source"], docs["text"]):
+        v = cnt.setdefault(src, np.zeros(NB_BUCKETS, dtype=np.int64))
+        for t in text.strip().split():
+            v[int(md5_hex(t)[:12], 16) % NB_BUCKETS] += 1
+    row = out.iloc[0]
+    p, q = cnt[row["src_p"]], cnt[row["src_q"]]
+    tp, tq = p.sum(), q.sum()
+    pp = (p + 1.0) / (tp + NB_BUCKETS)
+    qq = (q + 1.0) / (tq + NB_BUCKETS)
+    want = float((pp * np.log(pp / qq)).sum())
+    # quantization error bound: |D_q - D| <= 1/1000 (weight grid)
+    assert abs(float(row["kl_nats"]) - want) < 2e-3
+
+
+def test_heaps_fit_bigram_replay(ray_session, entry):
+    """β and ln K replayed with a single-process set-based sweep."""
+    import pyarrow.parquet as pq
+
+    out = entry.queries()["heaps_law_fit"](SF).to_pandas().iloc[0]
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas() \
+        .sort_values("doc_id")
+    seen: set = set()
+    N = V = 0
+    xs, ys = [], []
+    for t in docs["text"]:
+        toks = t.strip().split()
+        bgs = [" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)]
+        N += len(bgs)
+        seen.update(bgs)
+        V = len(seen)
+        if N > 0 and V > 0:
+            xs.append(np.log(N))
+            ys.append(np.log(V))
+    x, y = np.array(xs), np.array(ys)
+    k = len(x)
+    assert int(out["n_points"]) == k
+    slope = ((k * (x * y).sum() - x.sum() * y.sum())
+             / (k * (x * x).sum() - x.sum() ** 2))
+    assert abs(float(out["heaps_beta"]) - slope) < 1e-3
+    assert 0.0 <= float(out["heaps_beta"]) < 1.0
