@@ -1651,7 +1651,110 @@ _SIMHASH_SQL_CTE = r"""t AS (
         FROM bits GROUP BY doc_id
         )"""
 
+WINNOW_K = 4   # gram width (tokens)
+WINNOW_W = 4   # winnowing window (grams)
+
+
+def winnowing_fingerprints(sf_dir: str):
+    """MOSS winnowing fingerprint selection (Schleimer, Wilkerson &
+    Aiken 2003): per document, slide a WINNOW_W-gram window over the
+    WINNOW_K-token gram-hash sequence and keep each window's minimum
+    hash (RIGHTMOST position on ties); the distinct (position, hash)
+    selections are the document's fingerprints — the guaranteed-
+    coverage sparse signature exact-substring matchers index (any
+    shared run of WINNOW_K+WINNOW_W−1 tokens shares a fingerprint).
+    Output per doc: gram count, fingerprint count, and the fingerprint
+    hash sum so the SELECTION ITSELF is value-checked, not just its
+    size. Docs with fewer than WINNOW_W grams keep zero fingerprints
+    (full windows only — in the oracle too).
+
+    Scale shape: pure per-batch map, no shuffle — the sliding-window
+    min is a vectorized stride-trick kernel per doc, gram identity is
+    the md5-48bit convention shared with [[ngram-novelty]] so the
+    oracle hashes identically, collisions included."""
+    from ..functions.hashing import md5_hex
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def winnow(batch: pa.Table) -> pa.Table:
+        n_grams, n_fp, fp_sum = [], [], []
+        for t in batch.column("text").to_pylist():
+            toks = t.strip().split()
+            ng = max(0, len(toks) - WINNOW_K + 1)
+            n_grams.append(ng)
+            if ng < WINNOW_W:
+                n_fp.append(0)
+                fp_sum.append(0)
+                continue
+            h = np.fromiter(
+                (int(md5_hex(" ".join(toks[i:i + WINNOW_K]))[:12], 16)
+                 for i in range(ng)), dtype=np.int64, count=ng)
+            win = np.lib.stride_tricks.sliding_window_view(h, WINNOW_W)
+            # rightmost min: argmin over the reversed window
+            rev = win[:, ::-1]
+            ridx = rev.argmin(axis=1)
+            pos = (np.arange(ng - WINNOW_W + 1)
+                   + (WINNOW_W - 1 - ridx))
+            sel = {(int(p), int(h[p])) for p in pos}
+            n_fp.append(len(sel))
+            fp_sum.append(sum(v for _, v in sel))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_grams": pa.array(n_grams, type=pa.int64()),
+            "n_fingerprints": pa.array(n_fp, type=pa.int64()),
+            "fp_sum": pa.array(fp_sum, type=pa.int64()),
+        })
+
+    return ds.map_batches(winnow, batch_format="pyarrow",
+                          batch_size=8192)
+
+
+_WINNOW_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, i AS pos,
+         CAST(('0x' || substr(md5(array_to_string(
+             toks[i:i+{WINNOW_K}-1], ' ')), 1, 12)) AS BIGINT) AS h
+  FROM t, unnest(range(1, len(toks) - {WINNOW_K} + 2)) AS u(i)
+  WHERE len(toks) >= {WINNOW_K}
+), ng AS (
+  SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id
+), wm AS (
+  SELECT doc_id, pos AS wstart,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW
+                      AND {WINNOW_W} - 1 FOLLOWING) AS wmin,
+         COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW
+                        AND {WINNOW_W} - 1 FOLLOWING) AS wlen
+  FROM g
+), sel AS (
+  SELECT w.doc_id, MAX(g.pos) AS spos, w.wmin AS h
+  FROM wm w JOIN g ON g.doc_id = w.doc_id
+        AND g.pos BETWEEN w.wstart AND w.wstart + {WINNOW_W} - 1
+        AND g.h = w.wmin
+  WHERE w.wlen = {WINNOW_W}
+  GROUP BY w.doc_id, w.wstart, w.wmin
+), fp AS (
+  SELECT DISTINCT doc_id, spos, h FROM sel
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_fp, SUM(h) AS fp_sum
+  FROM fp GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(ng.n_grams, 0) AS n_grams,
+       COALESCE(agg.n_fp, 0) AS n_fingerprints,
+       CAST(COALESCE(agg.fp_sum, 0) AS BIGINT) AS fp_sum
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN ng USING (doc_id) LEFT JOIN agg USING (doc_id)
+"""
+
+
 ORACLE_SQL = {
+    "winnowing_fingerprints": _WINNOW_SQL,
     "duplicate_ngram_fraction": rf"""
         WITH t AS (
           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
@@ -1906,6 +2009,7 @@ def image_dedup_exact(ds, n_buckets: int = _BUCKETS):
 
 
 QUERIES = {
+    "winnowing_fingerprints": winnowing_fingerprints,
     "exact_dedup": exact_dedup,
     "doc_prefix_dedup": doc_prefix_dedup,
     "incremental_dedup": incremental_dedup,

@@ -1858,6 +1858,109 @@ def kl_source_divergence(sf_dir: str):
     })
 
 
+AMS_R = 8   # independent sign-hash estimators
+
+
+def ams_f2_tokens(sf_dir: str):
+    """AMS second-frequency-moment sketch (Alon, Matias & Szegedy
+    1996) over the corpus token stream: F₂ = Σ_t f_t² — the
+    self-join-size / skew gauge that complements the resident sketch
+    family (HLL = F₀, Count-Min = point F₁ queries). Each of AMS_R
+    estimators keeps ONE counter S_j = Σ_t σ_j(t)·f_t with md5-parity
+    signs; E[S²] = F₂. The sketch's own estimate is value-checked
+    against the oracle replaying the identical signs, and the exact
+    F₂ rides along so est≥truth drift is auditable.
+
+    Scale shape: each block folds to AMS_R (j, s) partial rows —
+    O(1) driver-side hold by construction — while the exact F₂ is
+    one vocabulary-bounded token fold. All counters are exact int64;
+    one float division at the end."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import md5_hex
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["text"])
+
+    def sign_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(tok for tok in t.strip().split() if tok)
+        s = np.zeros(AMS_R, dtype=np.int64)
+        for tok, n in c.items():
+            for j in range(AMS_R):
+                sg = 1 if int(md5_hex(f"{j}:{tok}")[:12], 16) % 2 == 0 \
+                    else -1
+                s[j] += sg * n
+        return pa.table({
+            "j": pa.array(np.arange(AMS_R, dtype=np.int64)),
+            "s": pa.array(s),
+        })
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(tok for tok in t.strip().split() if tok)
+        return pa.table({
+            "token": pa.array(list(c.keys()), type=pa.string()),
+            "n": pa.array(list(c.values()), type=pa.int64()),
+        })
+
+    srows = (ds.map_batches(sign_partial, batch_format="pyarrow",
+                            batch_size=8192)
+             .groupby("j").aggregate(Sum("s", alias_name="s"))
+             .take_all())
+    ss = sum(int(r["s"]) ** 2 for r in srows)     # exact Python ints
+
+    def sq_partial(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy(zero_copy_only=False)
+        return pa.table({"f2": pa.array([int((n * n).sum())],
+                                        type=pa.int64())})
+
+    f2 = int(ds.map_batches(count_partial, batch_format="pyarrow",
+                            batch_size=8192)
+             .groupby("token").aggregate(Sum("n", alias_name="n"))
+             .map_batches(sq_partial, batch_format="pyarrow")
+             .sum("f2"))
+    est = float(ss) / float(AMS_R)
+    return pa.table({
+        "exact_f2": pa.array([f2], type=pa.int64()),
+        "est_f2": pa.array([round_half_away(est, 4)],
+                           type=pa.float64()),
+        "rel_err": pa.array(
+            [round_half_away(abs(float(ss) / float(AMS_R) - f2) / f2,
+                             4)],
+            type=pa.float64()),
+    })
+
+
+_AMS_SQL = rf"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents
+), tc AS (
+  SELECT tok, COUNT(*) AS n FROM toks WHERE tok <> '' GROUP BY tok
+), ex AS (
+  SELECT SUM(CAST(n AS HUGEINT) * n) AS f2 FROM tc
+), js AS (SELECT unnest(range({AMS_R})) AS j),
+s AS (
+  SELECT js.j,
+         SUM(CASE WHEN CAST(('0x' || substr(md5(
+                  CAST(js.j AS VARCHAR) || ':' || tc.tok), 1, 12))
+                  AS BIGINT) % 2 = 0
+             THEN tc.n ELSE -tc.n END) AS s
+  FROM js CROSS JOIN tc GROUP BY js.j
+), est AS (SELECT SUM(CAST(s AS HUGEINT) * s) AS ss FROM s)
+SELECT CAST(ex.f2 AS BIGINT) AS exact_f2,
+       ROUND(CAST(est.ss AS DOUBLE) / CAST({AMS_R} AS DOUBLE), 4)
+           AS est_f2,
+       ROUND(ABS(CAST(est.ss AS DOUBLE) / CAST({AMS_R} AS DOUBLE)
+                 - ex.f2) / ex.f2, 4) AS rel_err
+FROM ex CROSS JOIN est
+"""
+
+
 _HEAPS_SQL = rf"""
 WITH t AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
@@ -1943,6 +2046,7 @@ FROM num JOIN tot t ON t.source = num.sp
 ORACLE_SQL = {
     "heaps_law_fit": _HEAPS_SQL,
     "kl_source_divergence": _KL_SQL,
+    "ams_f2_tokens": _AMS_SQL,
     "keyword_topk": _KEYWORD_SQL,
     "fingerprints": r"""
         WITH t AS (
@@ -2444,6 +2548,7 @@ QUERIES = {
     "zipf_fit": zipf_fit,
     "heaps_law_fit": heaps_law_fit,
     "kl_source_divergence": kl_source_divergence,
+    "ams_f2_tokens": ams_f2_tokens,
     "naive_bayes_source": naive_bayes_source,
     "lang_source_mi": lang_source_mi,
     "quality_scores": quality_scores,

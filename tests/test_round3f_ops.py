@@ -226,3 +226,62 @@ def test_heaps_fit_bigram_replay(ray_session, entry):
              / (k * (x * x).sum() - x.sum() ** 2))
     assert abs(float(out["heaps_beta"]) - slope) < 1e-3
     assert 0.0 <= float(out["heaps_beta"]) < 1.0
+
+
+def test_winnowing_coverage_guarantee(ray_session, entry):
+    """The winnowing theorem: any window of w consecutive grams
+    contains at least one fingerprint, so n_fp >= ceil(ng / w) ... no:
+    the guarantee is one selection per window, dedup across overlaps;
+    the checkable bounds are ceil(n_windows / w) <= n_fp <= n_windows,
+    plus an independent brute-force replay on a sample of docs."""
+    import pyarrow.parquet as pq
+
+    from ragnificent_ray.functions.hashing import md5_hex
+    from ragnificent_ray.pipelines.dedup import WINNOW_K, WINNOW_W
+
+    out = entry.queries()["winnowing_fingerprints"](SF).to_pandas()
+    assert len(out) == 500
+    full = out[out["n_grams"] >= WINNOW_W]
+    nwin = full["n_grams"] - WINNOW_W + 1
+    assert (full["n_fingerprints"] <= nwin).all()
+    assert (full["n_fingerprints"] >= np.ceil(nwin / WINNOW_W)).all()
+    zero = out[out["n_grams"] < WINNOW_W]
+    assert (zero["n_fingerprints"] == 0).all()
+    assert (zero["fp_sum"] == 0).all()
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    for _, doc in docs.head(5).iterrows():
+        toks = doc["text"].strip().split()
+        ng = max(0, len(toks) - WINNOW_K + 1)
+        h = [int(md5_hex(" ".join(toks[i:i + WINNOW_K]))[:12], 16)
+             for i in range(ng)]
+        sel = set()
+        for i in range(ng - WINNOW_W + 1):
+            win = h[i:i + WINNOW_W]
+            m = min(win)
+            p = i + max(k for k, v in enumerate(win) if v == m)
+            sel.add((p, h[p]))
+        row = out[out["doc_id"] == doc["doc_id"]].iloc[0]
+        assert int(row["n_fingerprints"]) == len(sel)
+        assert int(row["fp_sum"]) == sum(v for _, v in sel)
+
+
+def test_ams_f2_estimate_quality(ray_session, entry):
+    """est_f2 is an unbiased estimator; with 8 estimators over this
+    skewed vocabulary it should land within 60% of truth, and
+    exact_f2 must equal a Counter replay."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    out = entry.queries()["ams_f2_tokens"](SF).to_pandas().iloc[0]
+    c: Counter = Counter()
+    for t in pq.read_table(f"{SF}/documents.parquet",
+                           columns=["text"]).column("text").to_pylist():
+        c.update(tok for tok in t.strip().split() if tok)
+    want = sum(n * n for n in c.values())
+    assert int(out["exact_f2"]) == want
+    assert float(out["rel_err"]) < 0.6
+    assert abs(float(out["est_f2"]) / want - 1.0) == pytest.approx(
+        float(out["rel_err"]), abs=1e-3)
