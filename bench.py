@@ -157,7 +157,7 @@ QUERY_NAMES = [
     "benford_order_totals", "graph_assortativity", "copurchase_bfs",
     "acf_daily_orders", "ewma_daily_orders", "l_diversity",
     "key_skew_audit", "heaps_law_fit", "kl_source_divergence",
-    "winnowing_fingerprints", "ams_f2_tokens",
+    "winnowing_fingerprints", "ams_f2_tokens", "priority_line_counts",
 ]
 
 

@@ -536,7 +536,87 @@ def large_orders(sf_dir: str):
     )
 
 
+# --------------------------------------------------------------- Q12 shape
+
+def priority_line_counts(sf_dir: str):
+    """TPC-H-Q12-shaped priority split (the schema has no l_shipmode,
+    so the return flag plays the mode): per l_returnflag, how many
+    1996-shipped lineitems belong to HIGH-priority orders (1-URGENT /
+    2-HIGH) vs everything else — Q12's CASE-inside-SUM over a big⋈big
+    join, completing the 22/22 TPC-H shape census.
+
+    Scale shape: the shipdate year filter prunes at the READ
+    (row-group predicate), lineitems pre-collapse per batch to
+    (orderkey, flag, n) cells before the hash-partitioned join onto
+    orders, the CASE split runs vectorized on the joined batches, and
+    the final fold is the ≤3-row flag key space. Exact integer
+    counts."""
+    import datetime as dt
+
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Sum
+
+    P = _join_partitions(sf_dir)
+    lo = dt.datetime(1996, 1, 1)
+    hi = dt.datetime(1997, 1, 1)
+    li = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_returnflag", "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= lo)
+               & (pads.field("l_shipdate") < hi))
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        g = pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "flag": b.column("l_returnflag"),
+            "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+        }).group_by(["l_orderkey", "flag"]).aggregate([("n", "sum")])
+        return g.rename_columns(["l_orderkey", "flag", "n"])
+
+    orders = rd.read_parquet(_pq(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_orderpriority"])
+
+    def split(b: pa.Table) -> pa.Table:
+        pr = b.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        hi_mask = (pr == "1-URGENT") | (pr == "2-HIGH")
+        n = b.column("n").to_numpy(zero_copy_only=False)
+        g = pa.table({
+            "flag": b.column("flag"),
+            "high_line_count": pa.array(np.where(hi_mask, n, 0)),
+            "low_line_count": pa.array(np.where(hi_mask, 0, n)),
+        }).group_by("flag").aggregate([("high_line_count", "sum"),
+                                       ("low_line_count", "sum")])
+        return g.rename_columns(["flag", "high_line_count",
+                                 "low_line_count"])
+
+    return (
+        li.map_batches(li_partial, batch_format="pyarrow",
+                       batch_size=65536)
+        .join(orders, "inner", num_partitions=P,
+              on=("l_orderkey",), right_on=("o_orderkey",),
+              aggregator_ray_remote_args={"num_cpus": 0.25})
+        .map_batches(split, batch_format="pyarrow", batch_size=65536)
+        .groupby("flag")
+        .aggregate(Sum("high_line_count", alias_name="high_line_count"),
+                   Sum("low_line_count", alias_name="low_line_count"))
+    )
+
+
+_Q12_SQL = """
+SELECT l_returnflag AS flag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+"""
+
+
 ORACLE_SQL = {
+    "priority_line_counts": _Q12_SQL,
     "order_priority_exists": """
         SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
         FROM orders
@@ -613,6 +693,7 @@ ORACLE_SQL = {
 }
 
 QUERIES = {
+    "priority_line_counts": priority_line_counts,
     "order_priority_exists": order_priority_exists,
     "trade_volume": trade_volume,
     "important_parts": important_parts,

@@ -285,3 +285,28 @@ def test_ams_f2_estimate_quality(ray_session, entry):
     assert float(out["rel_err"]) < 0.6
     assert abs(float(out["est_f2"]) / want - 1.0) == pytest.approx(
         float(out["rel_err"]), abs=1e-3)
+
+
+def test_priority_line_counts_partition(ray_session, entry):
+    """high+low must equal the 1996-shipped joined line count, and the
+    high share must follow the 2-of-5 priority mix; replayed in pandas."""
+    import pyarrow.parquet as pq
+
+    out = entry.queries()["priority_line_counts"](SF).to_pandas()
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_orderkey", "l_returnflag",
+                                "l_shipdate"]).to_pandas()
+    li = li[(li["l_shipdate"] >= "1996-01-01")
+            & (li["l_shipdate"] < "1997-01-01")]
+    orders = pq.read_table(f"{SF}/orders.parquet",
+                           columns=["o_orderkey", "o_orderpriority"]) \
+        .to_pandas()
+    j = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    j["hi"] = j["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])
+    want = j.groupby("l_returnflag").agg(
+        high=("hi", "sum"), n=("hi", "size"))
+    for _, row in out.iterrows():
+        w = want.loc[row["flag"]]
+        assert int(row["high_line_count"]) == int(w["high"])
+        assert int(row["high_line_count"] + row["low_line_count"]) \
+            == int(w["n"])
