@@ -1248,6 +1248,180 @@ def ab_cuped(sf_dir: str):
     })
 
 
+def _pair_matrix(sf_dir: str) -> list[dict]:
+    """Driver-side (event_type, next_type, cnt) transition matrix —
+    the |types|²-bounded fold shared by :func:`markov_stationary` and
+    :func:`next_event_entropy`; same two-exchange shape as
+    :func:`markov_transitions` (ordering in bounded user buckets,
+    pair counts pre-summed in-group)."""
+    n_buckets = _bucket_count(sf_dir, ("events",))
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        bucket = b.column("user_id").to_numpy() % n_buckets
+        return b.append_column(
+            "bucket", pa.array(bucket.astype(np.int32)))
+
+    def pair_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort", ignore_index=True)
+        cur = g["event_type"].to_numpy()
+        nxt = np.roll(cur, -1)
+        same_user = np.empty(len(g), dtype=bool)
+        uid = g["user_id"].to_numpy()
+        same_user[:-1] = uid[1:] == uid[:-1]
+        same_user[-1] = False
+        out = pd.DataFrame({"event_type": cur[same_user],
+                            "next_type": nxt[same_user]})
+        return out.groupby(["event_type", "next_type"],
+                           as_index=False).size().rename(
+            columns={"size": "cnt"})
+
+    from ray.data.aggregate import Sum
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("bucket")
+            .map_groups(pair_counts, batch_format="pandas")
+            .groupby(["event_type", "next_type"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .take_all())
+
+
+MARKOV_ITERS = 3
+MARKOV_MASS = 1_000_000
+
+
+def markov_stationary(sf_dir: str, iters: int = MARKOV_ITERS):
+    """Stationary distribution of the event-type Markov chain —
+    where does a long click-path session spend its time? — by
+    fixed-round INTEGER power iteration over the transition matrix
+    (the pagerank_mass discipline on the behaviour chain): mass
+    m₊(j) = Σᵢ ⌊mᵢ·n(i,j)/nᵢ⌋ with dangling types simply losing
+    mass, so every round is bit-exact on any cluster and the DuckDB
+    oracle replays the whole recurrence as an unrolled CTE chain.
+
+    Scale shape: the transition fold is the distributed part (two
+    bounded exchanges); the matrix is |types|²-bounded driver state
+    and the iteration is exact integer arithmetic on it."""
+    rows = _pair_matrix(sf_dir)
+    types = sorted({r["event_type"] for r in rows}
+                   | {r["next_type"] for r in rows})
+    tidx = {t: i for i, t in enumerate(types)}
+    n = np.zeros((len(types), len(types)), dtype=np.int64)
+    for r in rows:
+        n[tidx[r["event_type"]], tidx[r["next_type"]]] = r["cnt"]
+    ni = n.sum(axis=1)
+    m = np.full(len(types), MARKOV_MASS, dtype=np.int64)
+    for _ in range(iters):
+        nm = np.zeros(len(types), dtype=np.int64)
+        for i in range(len(types)):
+            if ni[i] > 0:
+                nm += (int(m[i]) * n[i]) // int(ni[i])
+        m = nm
+    tot = int(m.sum())
+    return pa.table({
+        "event_type": pa.array(types, type=pa.string()),
+        "mass": pa.array(m),
+        "share": pa.array(
+            [round_half_away(float(v) / float(tot), 6) for v in m],
+            type=pa.float64()),
+    })
+
+
+def next_event_entropy(sf_dir: str):
+    """Conditional entropy H(next event | current event) of the
+    click-path chain in nats, with its perplexity — the one-number
+    predictability gauge over [[markov-transitions]]: H→0 means the
+    stream is a deterministic funnel, H→ln|types| means anarchy.
+
+    Exact by the DSIR quantized-log discipline: every conditional
+    log-prob quantizes as floor(1000·ln(n_ij/n_i)) via libm, the
+    numerator Σ n_ij·L_ij is an exact integer, and ONE float division
+    (plus one exp for the perplexity) mirrors the oracle term for
+    term."""
+    import math
+
+    rows = _pair_matrix(sf_dir)
+    ni: dict[str, int] = {}
+    for r in rows:
+        ni[r["event_type"]] = ni.get(r["event_type"], 0) + int(r["cnt"])
+    num = 0
+    n_total = 0
+    for r in rows:
+        c = int(r["cnt"])
+        n_total += c
+        num += c * math.floor(
+            1000.0 * math.log(c / ni[r["event_type"]]))
+    h = -float(num) / (1000.0 * n_total)
+    return pa.table({
+        "n_transitions": pa.array([n_total], type=pa.int64()),
+        "entropy_nats": pa.array([round_half_away(h, 6)],
+                                 type=pa.float64()),
+        "perplexity": pa.array([round_half_away(math.exp(h), 4)],
+                               type=pa.float64()),
+    })
+
+
+_PAIR_CTE = """seq AS (
+  SELECT event_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS next_type
+  FROM events
+), tc AS (
+  SELECT event_type, next_type, COUNT(*) AS cnt
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+)"""
+
+
+def _markov_stationary_sql(iters: int = MARKOV_ITERS) -> str:
+    ctes = [
+        _PAIR_CTE,
+        "types AS (SELECT DISTINCT event_type AS ty FROM tc"
+        " UNION SELECT DISTINCT next_type FROM tc)",
+        "tot AS (SELECT event_type, SUM(cnt) AS ni FROM tc"
+        " GROUP BY event_type)",
+        f"m0 AS (SELECT ty, CAST({MARKOV_MASS} AS BIGINT) AS m"
+        " FROM types)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""m{i}s AS (
+  SELECT tc.next_type AS ty, SUM((m{i - 1}.m * tc.cnt) // tot.ni) AS m
+  FROM m{i - 1} JOIN tc ON tc.event_type = m{i - 1}.ty
+              JOIN tot ON tot.event_type = m{i - 1}.ty
+  GROUP BY tc.next_type)""")
+        ctes.append(f"""m{i} AS (
+  SELECT t.ty, COALESCE(m{i}s.m, 0) AS m
+  FROM types t LEFT JOIN m{i}s ON m{i}s.ty = t.ty)""")
+    return ("WITH " + ",\n".join(ctes) + f""",
+fin AS (SELECT SUM(m) AS s FROM m{iters})
+SELECT ty AS event_type, CAST(m AS BIGINT) AS mass,
+       ROUND(CAST(m AS DOUBLE) / fin.s, 6) AS share
+FROM m{iters} CROSS JOIN fin""")
+
+
+_ENTROPY_SQL = f"""
+WITH {_PAIR_CTE},
+tot AS (SELECT event_type, SUM(cnt) AS ni FROM tc GROUP BY event_type),
+q AS (
+  SELECT tc.cnt,
+         CAST(FLOOR(1000.0 * LN(CAST(tc.cnt AS DOUBLE) / tot.ni))
+              AS BIGINT) AS l
+  FROM tc JOIN tot USING (event_type)
+), m AS (
+  SELECT SUM(cnt) AS n, SUM(CAST(cnt AS HUGEINT) * l) AS num FROM q
+)
+SELECT CAST(n AS BIGINT) AS n_transitions,
+       ROUND(-CAST(num AS DOUBLE) / (1000.0 * n), 6) AS entropy_nats,
+       ROUND(EXP(-CAST(num AS DOUBLE) / (1000.0 * n)), 4) AS perplexity
+FROM m
+"""
+
+
 ACF_MAX_LAG = 7
 
 
@@ -1431,6 +1605,8 @@ FROM walk
 ORACLE_SQL = {
     "acf_daily_orders": _acf_sql(),
     "ewma_daily_orders": _ewma_sql(),
+    "markov_stationary": _markov_stationary_sql(),
+    "next_event_entropy": _ENTROPY_SQL,
     "ab_cuped": """
         WITH ud AS (
           SELECT user_id AS u,
@@ -1898,6 +2074,8 @@ def cohort_retention(sf_dir: str):
 QUERIES = {
     "acf_daily_orders": acf_daily_orders,
     "ewma_daily_orders": ewma_daily_orders,
+    "markov_stationary": markov_stationary,
+    "next_event_entropy": next_event_entropy,
     "cohort_retention": cohort_retention,
     "sessionize": sessionize,
     "user_order_asof": user_order_asof,

@@ -310,3 +310,48 @@ def test_priority_line_counts_partition(ray_session, entry):
         assert int(row["high_line_count"]) == int(w["high"])
         assert int(row["high_line_count"] + row["low_line_count"]) \
             == int(w["n"])
+
+
+def test_markov_stationary_mass_conservation(ray_session, entry):
+    """Power-iteration sanity: masses are non-negative, total mass is
+    bounded by the initial total (floor division only loses mass),
+    shares sum to ~1, and the heaviest type must also dominate an
+    independent float power iteration."""
+    out = entry.queries()["markov_stationary"](SF).to_pandas()
+    assert (out["mass"] >= 0).all()
+    assert out["mass"].sum() <= 1_000_000 * len(out)
+    assert abs(out["share"].sum() - 1.0) < 1e-3
+
+    import duckdb
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    tc = con.execute("""
+        WITH seq AS (SELECT event_type, LEAD(event_type) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+            FROM events)
+        SELECT event_type, nxt, COUNT(*) n FROM seq
+        WHERE nxt IS NOT NULL GROUP BY 1, 2""").fetchdf()
+    types = sorted(set(tc["event_type"]) | set(tc["nxt"]))
+    ti = {t: i for i, t in enumerate(types)}
+    P = np.zeros((len(types), len(types)))
+    for _, r in tc.iterrows():
+        P[ti[r["event_type"]], ti[r["nxt"]]] = r["n"]
+    P = P / P.sum(axis=1, keepdims=True)
+    v = np.full(len(types), 1.0 / len(types))
+    for _ in range(50):
+        v = v @ P
+    float_top = types[int(np.argmax(v))]
+    got_top = out.sort_values("mass", ascending=False).iloc[0][
+        "event_type"]
+    assert got_top == float_top
+
+
+def test_next_event_entropy_bounds(ray_session, entry):
+    """0 <= H <= ln(|types|); perplexity == exp(H) to rounding."""
+    out = entry.queries()["next_event_entropy"](SF).to_pandas().iloc[0]
+    n_types = len(entry.queries()["markov_stationary"](SF)
+                  .to_pandas())
+    h = float(out["entropy_nats"])
+    assert 0.0 <= h <= np.log(n_types) + 1e-6
+    assert abs(float(out["perplexity"]) - np.exp(h)) < 0.01
