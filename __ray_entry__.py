@@ -148,6 +148,50 @@ def _image_decode_stats(sf_dir: str):
     )
 
 
+def _image_channel_stats(sf_dir: str):
+    """Dataset NORMALIZATION constants over the harvest images: exact
+    per-channel (R, G, B) pixel counts and mean/std — the first number
+    a vision-pretraining config needs. Actor-pool decode emits one
+    int64 moment row per channel per batch; the fold is a 3-key
+    groupby-sum; mean/std convert the exact integer moments to float
+    ONCE on the 3 driver rows. Rows-only check (binary pixels have no
+    SQL view); an independent decode replay pins the values in
+    ``tests/test_multimodal.py``."""
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ragnificent_ray.functions.numeric import round_half_away
+    from ragnificent_ray.stages.multimodal import ImageChannelStatsStage
+
+    harvest = _crawl_harvest(sf_dir)
+    rows = (rd.from_arrow(harvest)
+            .map_batches(ImageChannelStatsStage, batch_format="pyarrow",
+                         batch_size=64, concurrency=2)
+            .groupby("channel")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("s", alias_name="s"),
+                       Sum("ss", alias_name="ss"))
+            .take_all())
+    rows.sort(key=lambda r: r["channel"])
+    ch, npx, mean, std = [], [], [], []
+    for r in rows:
+        n, s, ss = int(r["n"]), int(r["s"]), int(r["ss"])
+        ch.append(int(r["channel"]))
+        npx.append(n)
+        mean.append(round_half_away(float(s) / n, 6))
+        std.append(round_half_away(
+            math.sqrt(float(n * ss - s * s)) / n, 6))
+    return pa.table({
+        "channel": pa.array(ch, type=pa.int64()),
+        "n_pixels": pa.array(npx, type=pa.int64()),
+        "mean": pa.array(mean, type=pa.float64()),
+        "std": pa.array(std, type=pa.float64()),
+    })
+
+
 def _image_resize(sf_dir: str):
     import ray.data as rd
 
@@ -1143,6 +1187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_round_metrics": _crawl_round_metrics,
         "crawl_pagerank": _crawl_pagerank,
         "image_decode_stats": _image_decode_stats,
+        "image_channel_stats": _image_channel_stats,
         "image_psnr_audit": _image_psnr_audit,
         "image_aspect_buckets": _image_aspect_buckets,
         "image_shard_pack": _image_shard_pack,

@@ -386,6 +386,38 @@ class ImageQualityStage:
         return pa.table(out)
 
 
+class ImageChannelStatsStage:
+    """binary+fmt → EXACT per-channel pixel-moment partials (REAL
+    decode): one (channel, n, Σv, Σv²) int64 row per RGB channel per
+    batch — the combiner side of the dataset NORMALIZATION constants
+    (per-channel mean/std) every vision pretraining pipeline computes
+    before anything else. uint8 pixels make the moments exact
+    integers, so the fold is order-independent on any cluster; the
+    final mean/std conversion happens once, driver-side, from the
+    three folded rows."""
+
+    def __init__(self, bytes_col: str = "bytes", fmt_col: str = "fmt"):
+        self.bytes_col, self.fmt_col = bytes_col, fmt_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        datas = batch.column(self.bytes_col).to_pylist()
+        fmts = batch.column(self.fmt_col).to_pylist()
+        n = np.zeros(3, dtype=np.int64)
+        s = np.zeros(3, dtype=np.int64)
+        ss = np.zeros(3, dtype=np.int64)
+        for data, fmt in zip(datas, fmts):
+            img = decode_image(data, fmt).astype(np.int64)
+            n += img.shape[0] * img.shape[1]
+            s += img.sum(axis=(0, 1))
+            ss += (img * img).sum(axis=(0, 1))
+        return pa.table({
+            "channel": pa.array(np.arange(3, dtype=np.int64)),
+            "n": pa.array(n),
+            "s": pa.array(s),
+            "ss": pa.array(ss),
+        })
+
+
 class AudioFeatureStage:
     """binary audio → fixed-dim feature vector.
 

@@ -241,3 +241,17 @@ def test_image_augment_stage_variants():
     # deterministic across calls
     out2 = ImageAugmentStage()(batch)
     assert out.column("bytes").to_pylist() == out2.column("bytes").to_pylist()
+
+
+def test_image_channel_stats_stage_exact_moments():
+    """The partial row must carry EXACT integer pixel moments."""
+    from ragnificent_ray.stages.multimodal import ImageChannelStatsStage
+
+    pixels, batch = _img_batch()
+    out = ImageChannelStatsStage()(batch)
+    assert out.column("channel").to_pylist() == [0, 1, 2]
+    px = pixels.astype(np.int64)
+    assert out.column("n").to_pylist() == [24 * 32] * 3
+    assert out.column("s").to_pylist() == px.sum(axis=(0, 1)).tolist()
+    assert out.column("ss").to_pylist() == \
+        (px * px).sum(axis=(0, 1)).tolist()
