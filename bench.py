@@ -158,7 +158,8 @@ QUERY_NAMES = [
     "acf_daily_orders", "ewma_daily_orders", "l_diversity",
     "key_skew_audit", "heaps_law_fit", "kl_source_divergence",
     "winnowing_fingerprints", "ams_f2_tokens", "priority_line_counts",
-    "markov_stationary", "next_event_entropy",
+    "markov_stationary", "next_event_entropy", "value_psi",
+    "hill_tail_index",
 ]
 
 

@@ -2894,6 +2894,191 @@ def key_skew_audit(sf_dir: str):
     })
 
 
+PSI_BUCKETS = 10
+
+
+def value_psi(sf_dir: str):
+    """Population Stability Index between the first and second time
+    halves of the event value stream — THE production drift metric of
+    ML monitoring (PSI < 0.1 stable, > 0.25 retrain): equal-width
+    value deciles over the full range, per-bucket shares compared as
+    (p_A − p_B)·ln(p_A/p_B) with add-one smoothing. One row per
+    bucket so the drift's LOCATION is visible, not just its size.
+
+    Exact end-to-end: values are integer cents, the bucket rule
+    ((v−lo)·10)//(hi−lo) is ALL-INTEGER (no float boundary can flip a
+    row), the time split is the integer-microsecond midpoint, the
+    smoothed log-ratio quantizes as floor(1000·ln(·)) via libm, and
+    each term is two exact-integer products divided by floats ONCE —
+    mirroring the oracle term for term."""
+    import math
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["ts", "value"])
+
+    def mm_partial(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.int64()).to_numpy()
+        c = np.rint(b.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table({
+            "t0": pa.array([int(us.min())], type=pa.int64()),
+            "t1": pa.array([int(us.max())], type=pa.int64()),
+            "lo": pa.array([int(c.min())], type=pa.int64()),
+            "hi": pa.array([int(c.max())], type=pa.int64()),
+        })
+
+    mm = (ds.map_batches(mm_partial, batch_format="pyarrow",
+                         batch_size=65536)
+          .aggregate(Min("t0"), Max("t1"), Min("lo"), Max("hi")))
+    t0, t1 = int(mm["min(t0)"]), int(mm["max(t1)"])
+    lo, hi = int(mm["min(lo)"]), int(mm["max(hi)"])
+    mid = (t0 + t1) // 2
+    span = hi - lo
+
+    def bucket_partial(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.int64()).to_numpy()
+        c = np.rint(b.column("value").to_numpy() * 100).astype(np.int64)
+        bk = (np.minimum(PSI_BUCKETS - 1,
+                         (c - lo) * PSI_BUCKETS // span)
+              if span else np.zeros(len(c), dtype=np.int64))
+        side = (us >= mid).astype(np.int64)
+        g = pa.table({
+            "bucket": pa.array(bk),
+            "c_a": pa.array((1 - side)),
+            "c_b": pa.array(side),
+        }).group_by("bucket").aggregate([("c_a", "sum"),
+                                         ("c_b", "sum")])
+        return g.rename_columns(["bucket", "c_a", "c_b"])
+
+    rows = (ds.map_batches(bucket_partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("bucket")
+            .aggregate(Sum("c_a", alias_name="c_a"),
+                       Sum("c_b", alias_name="c_b"))
+            .take_all())
+    ca = np.zeros(PSI_BUCKETS, dtype=np.int64)
+    cb = np.zeros(PSI_BUCKETS, dtype=np.int64)
+    for r in rows:
+        ca[r["bucket"]] = r["c_a"]
+        cb[r["bucket"]] = r["c_b"]
+    na, nb = int(ca.sum()), int(cb.sum())
+    terms = []
+    for k in range(PSI_BUCKETS):
+        L = math.floor(1000.0 * math.log(
+            ((int(ca[k]) + 1) * (nb + PSI_BUCKETS))
+            / ((int(cb[k]) + 1) * (na + PSI_BUCKETS))))
+        terms.append(round_half_away(
+            (int(ca[k]) + 1) * L / (1000.0 * (na + PSI_BUCKETS))
+            - (int(cb[k]) + 1) * L / (1000.0 * (nb + PSI_BUCKETS)), 6))
+    return pa.table({
+        "bucket": pa.array(np.arange(PSI_BUCKETS, dtype=np.int64)),
+        "c_a": pa.array(ca),
+        "c_b": pa.array(cb),
+        "psi_term": pa.array(terms, type=pa.float64()),
+    })
+
+
+HILL_K = 100
+
+
+def hill_tail_index(sf_dir: str):
+    """Hill estimator of the heavy-tail exponent of order totals
+    (Hill 1975): α̂ = k / Σᵢ₌₁..k ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the top-k
+    order statistics — the whale-risk gauge (α ≤ 2 means infinite
+    variance: expect single orders to dominate revenue partitions;
+    the value-side companion to zipf_fit's count-side slope).
+
+    Scale shape: ONE distributed sort-limit ships k+1 integer-cent
+    values to the driver (the zipf_fit discipline); ln is libm on
+    both engines and the 4-dp round absorbs the k-term float-sum
+    association order."""
+    import math
+
+    ds = rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_totalprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table({"c": pa.array(
+            np.rint(b.column("o_totalprice").to_numpy() * 100)
+            .astype(np.int64))})
+
+    top = (ds.map_batches(cents, batch_format="pyarrow",
+                          batch_size=65536)
+           .sort("c", descending=True)
+           .limit(HILL_K + 1).take_all())
+    xs = [int(r["c"]) for r in top]
+    sl = sum(math.log(float(x)) for x in xs[:HILL_K])
+    den = sl - HILL_K * math.log(float(xs[HILL_K]))
+    alpha = round_half_away(HILL_K / den, 4) if den > 0 else 0.0
+    return pa.table({
+        "k": pa.array([HILL_K], type=pa.int64()),
+        "x_k": pa.array([xs[HILL_K]], type=pa.int64()),
+        "hill_alpha": pa.array([alpha], type=pa.float64()),
+    })
+
+
+_PSI_SQL = f"""
+WITH m AS (
+  SELECT MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1,
+         MIN(CAST(ROUND(value * 100) AS BIGINT)) AS lo,
+         MAX(CAST(ROUND(value * 100) AS BIGINT)) AS hi
+  FROM events
+), e AS (
+  SELECT CASE WHEN epoch_us(ts) >= (m.t0 + m.t1) // 2
+         THEN 1 ELSE 0 END AS side,
+         CASE WHEN m.hi = m.lo THEN 0
+              ELSE LEAST({PSI_BUCKETS} - 1,
+                   ((CAST(ROUND(value * 100) AS BIGINT) - m.lo)
+                    * {PSI_BUCKETS}) // (m.hi - m.lo))
+         END AS bucket
+  FROM events CROSS JOIN m
+), c AS (
+  SELECT bucket,
+         SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS c_a,
+         SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS c_b
+  FROM e GROUP BY bucket
+), n AS (SELECT SUM(c_a) AS na, SUM(c_b) AS nb FROM c),
+b10 AS (SELECT unnest(range({PSI_BUCKETS})) AS bucket),
+f AS (
+  SELECT b10.bucket, COALESCE(c.c_a, 0) AS c_a,
+         COALESCE(c.c_b, 0) AS c_b
+  FROM b10 LEFT JOIN c USING (bucket)
+), q AS (
+  SELECT f.bucket, f.c_a, f.c_b,
+         CAST(FLOOR(1000.0 * LN(
+             CAST((f.c_a + 1) * (n.nb + {PSI_BUCKETS}) AS DOUBLE)
+             / ((f.c_b + 1) * (n.na + {PSI_BUCKETS})))) AS BIGINT) AS l,
+         n.na, n.nb
+  FROM f CROSS JOIN n
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+       ROUND((c_a + 1) * l / (1000.0 * (na + {PSI_BUCKETS}))
+             - (c_b + 1) * l / (1000.0 * (nb + {PSI_BUCKETS})), 6)
+           AS psi_term
+FROM q
+"""
+
+_HILL_SQL = f"""
+WITH v AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c FROM orders
+), top AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC) AS i
+  FROM v ORDER BY c DESC LIMIT {HILL_K} + 1
+), xk AS (SELECT c AS ck FROM top WHERE i = {HILL_K} + 1),
+m AS (
+  SELECT SUM(ln(CAST(c AS DOUBLE))) AS sl FROM top WHERE i <= {HILL_K}
+)
+SELECT CAST({HILL_K} AS BIGINT) AS k,
+       CAST(xk.ck AS BIGINT) AS x_k,
+       CASE WHEN m.sl - {HILL_K} * ln(CAST(xk.ck AS DOUBLE)) <= 0
+            THEN 0.0
+            ELSE ROUND({HILL_K} / (m.sl - {HILL_K}
+                       * ln(CAST(xk.ck AS DOUBLE))), 4)
+       END AS hill_alpha
+FROM xk CROSS JOIN m
+"""
+
+
 _LDIV_SQL = f"""
 WITH cls AS (
   SELECT c_nationkey AS nat,
@@ -2935,6 +3120,8 @@ FROM m CROSS JOIN t
 ORACLE_SQL = {
     "l_diversity": _LDIV_SQL,
     "key_skew_audit": _KEY_SKEW_SQL,
+    "value_psi": _PSI_SQL,
+    "hill_tail_index": _HILL_SQL,
     "props_numeric_agg": r"""
         WITH x AS (
           SELECT event_type,
@@ -3513,6 +3700,8 @@ QUERIES = {
     "k_anonymity": k_anonymity,
     "l_diversity": l_diversity,
     "key_skew_audit": key_skew_audit,
+    "value_psi": value_psi,
+    "hill_tail_index": hill_tail_index,
     "supplier_wilson_rank": supplier_wilson_rank,
     "order_size_regression": order_size_regression,
     "benford_order_totals": benford_order_totals,

@@ -355,3 +355,42 @@ def test_next_event_entropy_bounds(ray_session, entry):
     h = float(out["entropy_nats"])
     assert 0.0 <= h <= np.log(n_types) + 1e-6
     assert abs(float(out["perplexity"]) - np.exp(h)) < 0.01
+
+
+def test_value_psi_null_by_construction(ray_session, entry):
+    """The synthetic stream is stationary, so total PSI must be small
+    (<0.1, the industry 'stable' line), counts must partition the
+    events, and a float replay must agree."""
+    import pyarrow.parquet as pq
+
+    out = entry.queries()["value_psi"](SF).to_pandas()
+    assert len(out) == 10
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "value"]).to_pandas()
+    assert int(out["c_a"].sum() + out["c_b"].sum()) == len(ev)
+    psi = float(out["psi_term"].sum())
+    assert abs(psi) < 0.1
+
+    us = ev["ts"].astype("int64").to_numpy()
+    c = np.rint(ev["value"].to_numpy() * 100).astype(np.int64)
+    mid = (us.min() + us.max()) // 2
+    lo, hi = c.min(), c.max()
+    bk = np.minimum(9, (c - lo) * 10 // (hi - lo))
+    for k in range(10):
+        assert int(out["c_a"][k]) == int(((bk == k) & (us < mid)).sum())
+        assert int(out["c_b"][k]) == int(((bk == k) & (us >= mid)).sum())
+
+
+def test_hill_alpha_on_planted_pareto():
+    """The estimator itself: on exact Pareto(alpha=2.5) samples the
+    Hill alpha must recover ~2.5 — replayed with the same closed form
+    the op uses."""
+    import math
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    alpha = 2.5
+    x = (1.0 / rng.random(200_000)) ** (1.0 / alpha)
+    xs = np.sort(np.rint(x * 10_000).astype(np.int64))[::-1][:101]
+    sl = sum(math.log(float(v)) for v in xs[:100])
+    est = 100 / (sl - 100 * math.log(float(xs[100])))
+    assert abs(est - alpha) < 0.6
