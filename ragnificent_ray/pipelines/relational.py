@@ -2894,6 +2894,99 @@ def key_skew_audit(sf_dir: str):
     })
 
 
+def t_closeness(sf_dir: str):
+    """t-closeness census (Li, Li & Venkatasubramanian 2007 — the
+    third rung of the privacy ladder after [[k-anonymity]] and
+    [[l-diversity]]): for each quasi-identifier class (c_nationkey,
+    1000-unit balance band), the variational distance between the
+    class's sensitive-value (c_mktsegment) distribution and the
+    GLOBAL one — t = ½·Σ|p_class − p_global|. Classes with small l
+    can still be safe if their mix mirrors the population; a high-t
+    class leaks a segment skew even when l-diversity passes.
+
+    Exact: the catalog-bounded (class × segment) counts fold once;
+    t's numerator Σ|cᵢ·N − nᵢ·C| is EXACT INTEGER cross-products
+    (class count cᵢ, class size C, global segment count nᵢ, total N)
+    divided by 2·C·N once — mirroring the oracle's HUGEINT tree."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(_pq(sf_dir, "customer"),
+                         columns=["c_nationkey", "c_acctbal",
+                                  "c_mktsegment"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.rint(
+            b.column("c_acctbal").to_numpy() * 100).astype(np.int64)
+        band = (cents + LDIV_BAND_SHIFT) // LDIV_BAND_CENTS
+        g = pa.table({
+            "nat": b.column("c_nationkey"),
+            "band": pa.array(band),
+            "seg": b.column("c_mktsegment"),
+            "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+        }).group_by(["nat", "band", "seg"]).aggregate([("n", "sum")])
+        return g.rename_columns(["nat", "band", "seg", "n"])
+
+    rows = (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby(["nat", "band", "seg"])
+            .aggregate(Sum("n", alias_name="n"))
+            .take_all())
+    segs = sorted({r["seg"] for r in rows})
+    sidx = {s: i for i, s in enumerate(segs)}
+    classes: dict[tuple, np.ndarray] = {}
+    for r in rows:
+        key = (int(r["nat"]), int(r["band"]))
+        classes.setdefault(
+            key, np.zeros(len(segs), dtype=np.int64))[sidx[r["seg"]]] \
+            += int(r["n"])
+    glob = np.sum(list(classes.values()), axis=0)
+    N = int(glob.sum())
+    nat_, band_, ncust_, t_ = [], [], [], []
+    for (nat, band), c in sorted(classes.items()):
+        C = int(c.sum())
+        num = int(np.abs(c.astype(object) * N
+                         - glob.astype(object) * C).sum())
+        nat_.append(nat)
+        band_.append(band)
+        ncust_.append(C)
+        t_.append(round_half_away(
+            float(num) / (2.0 * C * N), 6))
+    return pa.table({
+        "nat": pa.array(nat_, type=pa.int64()),
+        "band": pa.array(band_, type=pa.int64()),
+        "n_cust": pa.array(ncust_, type=pa.int64()),
+        "t": pa.array(t_, type=pa.float64()),
+    })
+
+
+_TCLOSE_SQL = f"""
+WITH cls AS (
+  SELECT c_nationkey AS nat,
+         (CAST(ROUND(c_acctbal * 100) AS BIGINT) + {LDIV_BAND_SHIFT})
+             // {LDIV_BAND_CENTS} AS band,
+         c_mktsegment AS seg, COUNT(*) AS n
+  FROM customer GROUP BY nat, band, seg
+), segs AS (SELECT DISTINCT c_mktsegment AS seg FROM customer),
+keys AS (SELECT DISTINCT nat, band FROM cls),
+grid AS (
+  SELECT k.nat, k.band, s.seg, COALESCE(cls.n, 0) AS n
+  FROM keys k CROSS JOIN segs s
+  LEFT JOIN cls ON cls.nat = k.nat AND cls.band = k.band
+                AND cls.seg = s.seg
+), gl AS (SELECT seg, SUM(n) AS gn FROM grid GROUP BY seg),
+tot AS (SELECT SUM(n) AS nn FROM grid),
+csz AS (SELECT nat, band, SUM(n) AS c FROM grid GROUP BY nat, band)
+SELECT CAST(g.nat AS BIGINT) AS nat, CAST(g.band AS BIGINT) AS band,
+       CAST(csz.c AS BIGINT) AS n_cust,
+       ROUND(SUM(ABS(CAST(g.n AS HUGEINT) * tot.nn
+                     - CAST(gl.gn AS HUGEINT) * csz.c))
+             / (2.0 * csz.c * tot.nn), 6) AS t
+FROM grid g
+JOIN gl USING (seg) JOIN csz USING (nat, band) CROSS JOIN tot
+GROUP BY g.nat, g.band, csz.c, tot.nn
+"""
+
+
 PSI_BUCKETS = 10
 
 
@@ -3122,6 +3215,7 @@ ORACLE_SQL = {
     "key_skew_audit": _KEY_SKEW_SQL,
     "value_psi": _PSI_SQL,
     "hill_tail_index": _HILL_SQL,
+    "t_closeness": _TCLOSE_SQL,
     "props_numeric_agg": r"""
         WITH x AS (
           SELECT event_type,
@@ -3702,6 +3796,7 @@ QUERIES = {
     "key_skew_audit": key_skew_audit,
     "value_psi": value_psi,
     "hill_tail_index": hill_tail_index,
+    "t_closeness": t_closeness,
     "supplier_wilson_rank": supplier_wilson_rank,
     "order_size_regression": order_size_regression,
     "benford_order_totals": benford_order_totals,

@@ -394,3 +394,28 @@ def test_hill_alpha_on_planted_pareto():
     sl = sum(math.log(float(v)) for v in xs[:100])
     est = 100 / (sl - 100 * math.log(float(xs[100])))
     assert abs(est - alpha) < 0.6
+
+
+def test_t_closeness_bounds_and_replay(ray_session, entry):
+    """0 <= t <= 1, classes partition the table, and a float TVD
+    replay on the largest class agrees."""
+    import pyarrow.parquet as pq
+
+    out = entry.queries()["t_closeness"](SF).to_pandas()
+    cust = pq.read_table(f"{SF}/customer.parquet",
+                         columns=["c_nationkey", "c_acctbal",
+                                  "c_mktsegment"]).to_pandas()
+    assert int(out["n_cust"].sum()) == len(cust)
+    assert out["t"].between(0.0, 1.0).all()
+
+    cents = np.rint(cust["c_acctbal"].to_numpy() * 100).astype(np.int64)
+    cust["band"] = (cents + 10_000_000) // 100_000
+    big = out.sort_values("n_cust", ascending=False).iloc[0]
+    sub = cust[(cust["c_nationkey"] == big["nat"])
+               & (cust["band"] == big["band"])]
+    segs = sorted(cust["c_mktsegment"].unique())
+    p = np.array([(sub["c_mktsegment"] == s).sum() for s in segs],
+                 dtype=np.float64) / len(sub)
+    g = np.array([(cust["c_mktsegment"] == s).sum() for s in segs],
+                 dtype=np.float64) / len(cust)
+    assert abs(float(big["t"]) - 0.5 * np.abs(p - g).sum()) < 1e-4
