@@ -709,18 +709,21 @@ def basket_lift(sf_dir: str):
             "n_ab": agg["n"].to_numpy().astype(np.int64),
         })
 
-    def item_partial(g: pd.DataFrame) -> pd.DataFrame:
+    def item_partial(g: pd.DataFrame) -> pa.Table:
         # per-bucket part counts + one sentinel row (p = −1) carrying
-        # this bucket's distinct-order count, so N folds with the items
+        # this bucket's distinct-order count, so N folds with the
+        # items. Arrow output: the downstream groupby("p") aggregate
+        # runs ~20x faster on Arrow blocks than on pandas blocks
+        # (Ray's sort-aggregate takes a per-key pandas path otherwise)
         g = g.drop_duplicates(["o", "p"])
         cnt = g.groupby("p", as_index=False).size() \
                .rename(columns={"size": "n_p"})
-        sent = pd.DataFrame({"p": [-1], "n_p": [g["o"].nunique()]})
-        out = pd.concat([cnt, sent], ignore_index=True)
-        return pd.DataFrame({
-            "p": out["p"].to_numpy().astype(np.int64),
-            "n_p": out["n_p"].to_numpy().astype(np.int64),
-        })
+        p = np.concatenate(
+            [cnt["p"].to_numpy().astype(np.int64), [-1]])
+        n = np.concatenate(
+            [cnt["n_p"].to_numpy().astype(np.int64),
+             [g["o"].nunique()]])
+        return pa.table({"p": pa.array(p), "n_p": pa.array(n)})
 
     pairs = (base.groupby("ob")
              .map_groups(order_pairs, batch_format="pandas")
