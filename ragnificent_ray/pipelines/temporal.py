@@ -1365,6 +1365,122 @@ def next_event_entropy(sf_dir: str):
     })
 
 
+CHURN_SPLIT_NUM, CHURN_SPLIT_DEN = 3, 4   # label window = last quarter
+
+
+def churn_labels(sf_dir: str):
+    """Training-set construction for churn prediction — the LABEL
+    ENGINEERING step of a user-model pipeline: the observation window
+    splits at its ¾ point (integer microseconds); features are each
+    user's early-window activity counts (events, purchases, distinct
+    active days, total value in cents) and the label is churned=1 iff
+    the user makes NO PURCHASE in the holdout quarter (every user has
+    SOME event there — purchases are the retention signal). Users
+    first seen in the holdout are excluded (no feature window). This is the
+    supervised-dataset shape every behavioural model trains on.
+
+    Scale shape: ONE bounded user-hash bucket exchange; features and
+    the label fold per user inside the group from exact integers —
+    the oracle replays the identical split arithmetic."""
+    n_buckets = _bucket_count(sf_dir, ("events",))
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_type",
+                                  "value"])
+
+    from ray.data.aggregate import Max, Min
+
+    span = ds.select_columns(["ts"]).map_batches(
+        lambda b: pa.table({"us": b.column("ts").cast(pa.int64())}),
+        batch_format="pyarrow", batch_size=65536) \
+        .aggregate(Min("us"), Max("us"))
+    t0, t1 = int(span["min(us)"]), int(span["max(us)"])
+    split = t0 + (t1 - t0) * CHURN_SPLIT_NUM // CHURN_SPLIT_DEN
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        bucket = b.column("user_id").to_numpy() % n_buckets
+        return b.append_column(
+            "bucket", pa.array(bucket.astype(np.int32)))
+
+    def per_user(g: pd.DataFrame) -> pa.Table:
+        us = g["ts"].astype("int64").to_numpy()
+        early = us < split
+        sub = g[early]
+        if not len(sub):
+            return pa.table({
+                "user_id": pa.array([], type=pa.int64()),
+                "n_events": pa.array([], type=pa.int64()),
+                "n_purchases": pa.array([], type=pa.int64()),
+                "n_active_days": pa.array([], type=pa.int64()),
+                "value_cents": pa.array([], type=pa.int64()),
+                "churned": pa.array([], type=pa.int64()),
+            })
+        sub = sub.assign(
+            day=(us[early] // 86_400_000_000),
+            pur=(sub["event_type"].to_numpy() == "purchase")
+            .astype(np.int64),
+            cents=np.rint(sub["value"].to_numpy() * 100)
+            .astype(np.int64))
+        agg = sub.groupby("user_id").agg(
+            n_events=("day", "size"), n_purchases=("pur", "sum"),
+            n_active_days=("day", "nunique"), value_cents=("cents",
+                                                           "sum"))
+        late = g.loc[~early]
+        late_users = set(
+            late.loc[late["event_type"].to_numpy() == "purchase",
+                     "user_id"].tolist())
+        churned = np.fromiter(
+            (0 if u in late_users else 1 for u in agg.index),
+            dtype=np.int64, count=len(agg))
+        return pa.table({
+            "user_id": pa.array(agg.index.to_numpy().astype(np.int64)),
+            "n_events": pa.array(
+                agg["n_events"].to_numpy().astype(np.int64)),
+            "n_purchases": pa.array(
+                agg["n_purchases"].to_numpy().astype(np.int64)),
+            "n_active_days": pa.array(
+                agg["n_active_days"].to_numpy().astype(np.int64)),
+            "value_cents": pa.array(
+                agg["value_cents"].to_numpy().astype(np.int64)),
+            "churned": pa.array(churned),
+        })
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("bucket")
+            .map_groups(per_user, batch_format="pandas"))
+
+
+_CHURN_SQL = f"""
+WITH m AS (
+  SELECT MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1 FROM events
+), s AS (
+  SELECT m.t0 + (m.t1 - m.t0) * {CHURN_SPLIT_NUM}
+             // {CHURN_SPLIT_DEN} AS split
+  FROM m
+), early AS (
+  SELECT user_id,
+         COUNT(*) AS n_events,
+         SUM(CASE WHEN event_type = 'purchase'
+             THEN 1 ELSE 0 END) AS n_purchases,
+         COUNT(DISTINCT epoch_us(ts) // 86400000000)
+             AS n_active_days,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+  FROM events CROSS JOIN s WHERE epoch_us(ts) < s.split
+  GROUP BY user_id
+), late AS (
+  SELECT DISTINCT user_id FROM events CROSS JOIN s
+  WHERE epoch_us(ts) >= s.split AND event_type = 'purchase'
+)
+SELECT e.user_id, CAST(e.n_events AS BIGINT) AS n_events,
+       CAST(e.n_purchases AS BIGINT) AS n_purchases,
+       CAST(e.n_active_days AS BIGINT) AS n_active_days,
+       CAST(e.value_cents AS BIGINT) AS value_cents,
+       CAST(CASE WHEN late.user_id IS NULL THEN 1 ELSE 0 END
+            AS BIGINT) AS churned
+FROM early e LEFT JOIN late ON late.user_id = e.user_id
+"""
+
+
 _PAIR_CTE = """seq AS (
   SELECT event_type,
          LEAD(event_type) OVER (
@@ -1607,6 +1723,7 @@ ORACLE_SQL = {
     "ewma_daily_orders": _ewma_sql(),
     "markov_stationary": _markov_stationary_sql(),
     "next_event_entropy": _ENTROPY_SQL,
+    "churn_labels": _CHURN_SQL,
     "ab_cuped": """
         WITH ud AS (
           SELECT user_id AS u,
@@ -2076,6 +2193,7 @@ QUERIES = {
     "ewma_daily_orders": ewma_daily_orders,
     "markov_stationary": markov_stationary,
     "next_event_entropy": next_event_entropy,
+    "churn_labels": churn_labels,
     "cohort_retention": cohort_retention,
     "sessionize": sessionize,
     "user_order_asof": user_order_asof,

@@ -419,3 +419,30 @@ def test_t_closeness_bounds_and_replay(ray_session, entry):
     g = np.array([(cust["c_mktsegment"] == s).sum() for s in segs],
                  dtype=np.float64) / len(cust)
     assert abs(float(big["t"]) - 0.5 * np.abs(p - g).sum()) < 1e-4
+
+
+def test_churn_labels_replay(ray_session, entry):
+    """Features and labels replayed in pandas at the same 3/4 split."""
+    import pyarrow.parquet as pq
+
+    out = entry.queries()["churn_labels"](
+        "/root/testdata/sf0.01").to_pandas().set_index("user_id")
+    ev = pq.read_table("/root/testdata/sf0.01/events.parquet",
+                       columns=["user_id", "ts", "event_type",
+                                "value"]).to_pandas()
+    us = ev["ts"].astype("int64").to_numpy()
+    split = us.min() + (us.max() - us.min()) * 3 // 4
+    early = ev[us < split]
+    late = ev[us >= split]
+    buyers = set(late.loc[late["event_type"] == "purchase", "user_id"])
+    assert len(out) == early["user_id"].nunique()
+    g = early.groupby("user_id")
+    for uid, sub in list(g)[:40]:
+        row = out.loc[uid]
+        assert int(row["n_events"]) == len(sub)
+        assert int(row["n_purchases"]) == \
+            int((sub["event_type"] == "purchase").sum())
+        days = (sub["ts"].astype("int64") // 86_400_000_000).nunique()
+        assert int(row["n_active_days"]) == days
+        assert int(row["churned"]) == int(uid not in buyers)
+    assert out["churned"].sum() > 0        # non-degenerate labels
