@@ -159,7 +159,7 @@ QUERY_NAMES = [
     "key_skew_audit", "heaps_law_fit", "kl_source_divergence",
     "winnowing_fingerprints", "ams_f2_tokens", "priority_line_counts",
     "markov_stationary", "next_event_entropy", "value_psi",
-    "hill_tail_index", "t_closeness", "churn_labels",
+    "hill_tail_index", "t_closeness", "churn_labels", "purchase_did",
 ]
 
 

@@ -1143,6 +1143,133 @@ def ab_conversion_ztest(sf_dir: str):
     })
 
 
+def purchase_did(sf_dir: str):
+    """Difference-in-differences readout over the user-day A/B units
+    of [[ab-conversion-ztest]] — the causal-inference workhorse for
+    launches without a clean holdout: Δ = (treated_after −
+    treated_before) − (control_after − control_before), with the
+    "launch" at the ¾ point of the observed day range. Arms are the
+    same deterministic (user+day) parity, so the true effect is zero
+    by construction — the harness is the deliverable and the honest
+    answer is ≈0.
+
+    Exactness: per-(user, day) conversion flags dedupe in bounded
+    user-hash buckets; each bucket emits ≤4 (arm, period, n, conv)
+    int64 cells; the four rates and Δ touch floats only in the final
+    single-row fold, term-identical to the oracle."""
+    n_buckets = _bucket_count(sf_dir, ("events",))
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_type"])
+
+    from ray.data.aggregate import Max, Min
+
+    span = ds.select_columns(["ts"]).map_batches(
+        lambda b: pa.table({"day": pa.array(
+            b.column("ts").to_numpy().astype("datetime64[D]")
+            .astype(np.int64))}),
+        batch_format="pyarrow", batch_size=65536) \
+        .aggregate(Min("day"), Max("day"))
+    d0, d1 = int(span["min(day)"]), int(span["max(day)"])
+    split_day = d0 + (d1 - d0) * 3 // 4
+
+    def user_partial(b: pa.Table) -> pa.Table:
+        conv = pc.cast(pc.equal(b.column("event_type"), "purchase"),
+                       pa.int64())
+        day = (b.column("ts").to_numpy().astype("datetime64[D]")
+               .astype(np.int64))
+        g = pa.table({
+            "u": b.column("user_id"),
+            "day": pa.array(day),
+            "conv": conv,
+        }).group_by(["u", "day"]).aggregate([("conv", "max")])
+        g = g.rename_columns(["u", "day", "conv"])
+        return g.append_column("ub", pa.array(
+            (g.column("u").to_numpy() % n_buckets).astype(np.int32)))
+
+    def bucket_fold(g: pa.Table) -> pa.Table:
+        f = (pa.table({"u": g.column("u"), "day": g.column("day"),
+                       "conv": g.column("conv")})
+             .group_by(["u", "day"]).aggregate([("conv", "max")]))
+        u = f.column("u").to_numpy()
+        day = f.column("day").to_numpy()
+        conv = f.column("conv_max").to_numpy()
+        out = pa.table({
+            "arm": pa.array(((u + day) % 2).astype(np.int64)),
+            "per": pa.array((day >= split_day).astype(np.int64)),
+            "n": pa.array(np.ones(len(u), dtype=np.int64)),
+            "conv": pa.array(conv.astype(np.int64)),
+        }).group_by(["arm", "per"]).aggregate([("n", "sum"),
+                                               ("conv", "sum")])
+        return out.rename_columns(["arm", "per", "n", "conv"])
+
+    parts = (ds.map_batches(user_partial, batch_format="pyarrow",
+                            batch_size=65536)
+             .groupby("ub").map_groups(bucket_fold,
+                                       batch_format="pyarrow")
+             .take_all())
+    cell = {(a, p): [0, 0] for a in (0, 1) for p in (0, 1)}
+    for r in parts:
+        c = cell[(int(r["arm"]), int(r["per"]))]
+        c[0] += int(r["n"])
+        c[1] += int(r["conv"])
+    rate = {k: v[1] * 1.0 / v[0] for k, v in cell.items()}
+    did = ((rate[(1, 1)] - rate[(1, 0)])
+           - (rate[(0, 1)] - rate[(0, 0)]))
+    return pa.table({
+        "n_c_pre": pa.array([cell[(0, 0)][0]], type=pa.int64()),
+        "conv_c_pre": pa.array([cell[(0, 0)][1]], type=pa.int64()),
+        "n_c_post": pa.array([cell[(0, 1)][0]], type=pa.int64()),
+        "conv_c_post": pa.array([cell[(0, 1)][1]], type=pa.int64()),
+        "n_t_pre": pa.array([cell[(1, 0)][0]], type=pa.int64()),
+        "conv_t_pre": pa.array([cell[(1, 0)][1]], type=pa.int64()),
+        "n_t_post": pa.array([cell[(1, 1)][0]], type=pa.int64()),
+        "conv_t_post": pa.array([cell[(1, 1)][1]], type=pa.int64()),
+        "did": pa.array([round_half_away(did, 6)], type=pa.float64()),
+    })
+
+
+_DID_SQL = """
+WITH ud AS (
+  SELECT user_id AS u,
+         epoch_us(ts) // 86400000000 AS day,
+         MAX(CASE WHEN event_type = 'purchase'
+             THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY u, day
+), m AS (
+  SELECT MIN(epoch_us(ts) // 86400000000) AS d0,
+         MAX(epoch_us(ts) // 86400000000) AS d1
+  FROM events
+), s AS (SELECT d0 + (d1 - d0) * 3 // 4 AS sd FROM m),
+cells AS (
+  SELECT (u + day) % 2 AS arm,
+         CASE WHEN day >= s.sd THEN 1 ELSE 0 END AS per,
+         COUNT(*) AS n, SUM(conv) AS c
+  FROM ud CROSS JOIN s GROUP BY 1, 2
+), w AS (
+  SELECT
+    CAST(SUM(CASE WHEN arm=0 AND per=0 THEN n END) AS BIGINT) AS n_c_pre,
+    CAST(SUM(CASE WHEN arm=0 AND per=0 THEN c END) AS BIGINT)
+        AS conv_c_pre,
+    CAST(SUM(CASE WHEN arm=0 AND per=1 THEN n END) AS BIGINT) AS n_c_post,
+    CAST(SUM(CASE WHEN arm=0 AND per=1 THEN c END) AS BIGINT)
+        AS conv_c_post,
+    CAST(SUM(CASE WHEN arm=1 AND per=0 THEN n END) AS BIGINT) AS n_t_pre,
+    CAST(SUM(CASE WHEN arm=1 AND per=0 THEN c END) AS BIGINT)
+        AS conv_t_pre,
+    CAST(SUM(CASE WHEN arm=1 AND per=1 THEN n END) AS BIGINT) AS n_t_post,
+    CAST(SUM(CASE WHEN arm=1 AND per=1 THEN c END) AS BIGINT)
+        AS conv_t_post
+  FROM cells
+)
+SELECT *,
+       ROUND((conv_t_post * 1.0 / n_t_post
+              - conv_t_pre * 1.0 / n_t_pre)
+             - (conv_c_post * 1.0 / n_c_post
+                - conv_c_pre * 1.0 / n_c_pre), 6) AS did
+FROM w
+"""
+
+
 def ab_cuped(sf_dir: str):
     """CUPED variance reduction (Deng et al. 2013, "Improving the
     sensitivity of online controlled experiments") over the user-day
@@ -1724,6 +1851,7 @@ ORACLE_SQL = {
     "markov_stationary": _markov_stationary_sql(),
     "next_event_entropy": _ENTROPY_SQL,
     "churn_labels": _CHURN_SQL,
+    "purchase_did": _DID_SQL,
     "ab_cuped": """
         WITH ud AS (
           SELECT user_id AS u,
@@ -2194,6 +2322,7 @@ QUERIES = {
     "markov_stationary": markov_stationary,
     "next_event_entropy": next_event_entropy,
     "churn_labels": churn_labels,
+    "purchase_did": purchase_did,
     "cohort_retention": cohort_retention,
     "sessionize": sessionize,
     "user_order_asof": user_order_asof,

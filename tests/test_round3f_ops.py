@@ -446,3 +446,23 @@ def test_churn_labels_replay(ray_session, entry):
         assert int(row["n_active_days"]) == days
         assert int(row["churned"]) == int(uid not in buyers)
     assert out["churned"].sum() > 0        # non-degenerate labels
+
+
+def test_purchase_did_cells_partition(ray_session, entry):
+    """The 2x2 cells must partition the user-day units and DiD must
+    equal the four-rate closed form."""
+    out = entry.queries()["purchase_did"](SF).to_pandas().iloc[0]
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    days = ev["ts"].astype("int64") // 86_400_000_000
+    n_units = len(set(zip(ev["user_id"], days)))
+    tot = int(out["n_c_pre"] + out["n_c_post"]
+              + out["n_t_pre"] + out["n_t_post"])
+    assert tot == n_units
+    did = ((out["conv_t_post"] / out["n_t_post"]
+            - out["conv_t_pre"] / out["n_t_pre"])
+           - (out["conv_c_post"] / out["n_c_post"]
+              - out["conv_c_pre"] / out["n_c_pre"]))
+    assert abs(float(out["did"]) - did) < 1e-5
