@@ -2901,6 +2901,84 @@ def key_skew_audit(sf_dir: str):
     })
 
 
+_FK_RELS = [
+    ("lineitem.l_orderkey->orders.o_orderkey",
+     "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part.p_partkey",
+     "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier.s_suppkey",
+     "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer.c_custkey",
+     "orders", "o_custkey", "customer", "c_custkey"),
+]
+
+
+def fk_integrity_audit(sf_dir: str):
+    """Referential-integrity audit across the star schema's four
+    foreign keys — the pre-ingest data-quality gate every warehouse
+    load runs: per relationship, child row count, distinct child
+    keys, and how many keys/rows are ORPHANS (no matching parent).
+    Clean synthetic data honestly reports zero orphans; the audit is
+    the harness a real ingest plugs into.
+
+    Scale shape: child keys pre-collapse per batch to (key, n) cells
+    (Arrow group_by), one key-fold, then the orphan set is Ray's
+    native hash-partitioned ``left_anti`` join against the parent key
+    column — the NOT-EXISTS shape of ``inactive_customers``; nothing
+    but keys and counts ever shuffles. Exact integers throughout."""
+    from ray.data.aggregate import Sum
+
+    P = _fact_join_partitions(sf_dir)
+    join_args = dict(num_partitions=P,
+                     aggregator_ray_remote_args={"num_cpus": 0.25})
+    rel_, nrow_, nkey_, okey_, orow_ = [], [], [], [], []
+    for rel, child, ck, parent, pk in _FK_RELS:
+        ds = rd.read_parquet(_pq(sf_dir, child), columns=[ck])
+
+        def key_partial(b: pa.Table, _ck=ck) -> pa.Table:
+            g = pa.table({
+                "k": b.column(_ck),
+                "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }).group_by("k").aggregate([("n", "sum")])
+            return g.rename_columns(["k", "n"])
+
+        counts = (ds.map_batches(key_partial, batch_format="pyarrow",
+                                 batch_size=65536)
+                  .groupby("k").aggregate(Sum("n", alias_name="n"))
+                  .materialize())
+        par = rd.read_parquet(_pq(sf_dir, parent), columns=[pk])
+        orphans = counts.join(par, "left_anti", on=("k",),
+                              right_on=(pk,), **join_args) \
+                        .materialize()
+        n_orphan_keys = orphans.count()
+        n_orphan_rows = int(orphans.sum("n") or 0)
+        rel_.append(rel)
+        nrow_.append(int(counts.sum("n") or 0))
+        nkey_.append(counts.count())
+        okey_.append(n_orphan_keys)
+        orow_.append(n_orphan_rows)
+    return pa.table({
+        "rel": pa.array(rel_, type=pa.string()),
+        "n_rows": pa.array(nrow_, type=pa.int64()),
+        "n_keys": pa.array(nkey_, type=pa.int64()),
+        "n_orphan_keys": pa.array(okey_, type=pa.int64()),
+        "n_orphan_rows": pa.array(orow_, type=pa.int64()),
+    })
+
+
+_FK_SQL = "\nUNION ALL\n".join(f"""
+SELECT '{rel}' AS rel,
+       (SELECT COUNT(*) FROM {child}) AS n_rows,
+       (SELECT COUNT(DISTINCT {ck}) FROM {child}) AS n_keys,
+       (SELECT COUNT(*) FROM (SELECT DISTINCT {ck} AS k FROM {child}) c
+        WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                          WHERE p.{pk} = c.k)) AS n_orphan_keys,
+       (SELECT COUNT(*) FROM {child} c
+        WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                          WHERE p.{pk} = c.{ck})) AS n_orphan_rows
+""" for rel, child, ck, parent, pk in _FK_RELS)
+
+
 def t_closeness(sf_dir: str):
     """t-closeness census (Li, Li & Venkatasubramanian 2007 — the
     third rung of the privacy ladder after [[k-anonymity]] and
@@ -3223,6 +3301,7 @@ ORACLE_SQL = {
     "value_psi": _PSI_SQL,
     "hill_tail_index": _HILL_SQL,
     "t_closeness": _TCLOSE_SQL,
+    "fk_integrity_audit": _FK_SQL,
     "props_numeric_agg": r"""
         WITH x AS (
           SELECT event_type,
@@ -3804,6 +3883,7 @@ QUERIES = {
     "value_psi": value_psi,
     "hill_tail_index": hill_tail_index,
     "t_closeness": t_closeness,
+    "fk_integrity_audit": fk_integrity_audit,
     "supplier_wilson_rank": supplier_wilson_rank,
     "order_size_regression": order_size_regression,
     "benford_order_totals": benford_order_totals,

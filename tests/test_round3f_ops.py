@@ -466,3 +466,35 @@ def test_purchase_did_cells_partition(ray_session, entry):
            - (out["conv_c_post"] / out["n_c_post"]
               - out["conv_c_pre"] / out["n_c_pre"]))
     assert abs(float(out["did"]) - did) < 1e-5
+
+
+def test_fk_integrity_audit_detects_planted_orphans(ray_session,
+                                                    entry, tmp_path):
+    """On clean data all four relationships report zero orphans; on a
+    doctored copy with planted orphan keys, the audit must count them
+    exactly."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = entry.queries()["fk_integrity_audit"](SF).to_pandas()
+    assert len(out) == 4
+    assert (out["n_orphan_keys"] == 0).all()
+    assert (out["n_orphan_rows"] == 0).all()
+
+    work = tmp_path / "sf"
+    work.mkdir()
+    for t in ("lineitem", "orders", "customer", "part", "supplier"):
+        shutil.copy(f"{SF}/{t}.parquet", work / f"{t}.parquet")
+    li = pq.read_table(work / "lineitem.parquet")
+    bad = li.slice(0, 7).set_column(
+        li.column_names.index("l_suppkey"), "l_suppkey",
+        pa.array([999_999] * 7, type=li.column("l_suppkey").type))
+    pq.write_table(pa.concat_tables([li, bad]),
+                   work / "lineitem.parquet")
+    doctored = entry.queries()["fk_integrity_audit"](
+        str(work)).to_pandas().set_index("rel")
+    row = doctored.loc["lineitem.l_suppkey->supplier.s_suppkey"]
+    assert int(row["n_orphan_keys"]) == 1
+    assert int(row["n_orphan_rows"]) == 7
