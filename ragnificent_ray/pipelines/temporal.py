@@ -1492,6 +1492,95 @@ def next_event_entropy(sf_dir: str):
     })
 
 
+PATH_TOPK = 25
+_SESSION_GAP_US = 1_800_000_000   # 30 min, the sessionize rule
+
+
+def session_path_topk(sf_dir: str):
+    """Top-25 within-session event-type TRIGRAM paths — the
+    click-path mining readout ("view>view>purchase") product
+    analytics builds its funnel hypotheses from, over the same 30-min
+    session rule as [[sessionize]]. The sequence-mining complement to
+    [[markov-transitions]]' first-order matrix: trigrams expose the
+    second-order structure a Markov chain flattens.
+
+    Scale shape: each user's stream orders inside ONE bounded
+    user-hash bucket (sessions never straddle buckets); trigram
+    counting is vectorized shifts + a per-bucket pre-count, so the
+    path fold moves at most |types|³ rows per bucket; the top-k is a
+    distributed sort-limit on the bounded path key space. Exact
+    integer counts; deterministic (n DESC, path) order."""
+    n_buckets = _bucket_count(sf_dir, ("events",))
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        bucket = b.column("user_id").to_numpy() % n_buckets
+        return b.append_column(
+            "bucket", pa.array(bucket.astype(np.int32)))
+
+    def tri_counts(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort", ignore_index=True)
+        us = g["ts"].astype("int64").to_numpy()
+        uid = g["user_id"].to_numpy()
+        new = np.ones(len(g), dtype=np.int64)
+        if len(g) > 1:
+            same = uid[1:] == uid[:-1]
+            new[1:] = (~same
+                       | (us[1:] - us[:-1] > _SESSION_GAP_US)) \
+                .astype(np.int64)
+        sid = np.cumsum(new)
+        t = g["event_type"]
+        ok = pd.Series(sid).eq(pd.Series(sid).shift(-2)).to_numpy()
+        path = (t + ">" + t.shift(-1) + ">" + t.shift(-2))[ok]
+        vc = path.value_counts()
+        return pa.table({
+            "path": pa.array(vc.index.to_numpy().astype(object),
+                             type=pa.string()),
+            "n": pa.array(vc.to_numpy().astype(np.int64)),
+        })
+
+    from ray.data.aggregate import Sum
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("bucket")
+            .map_groups(tri_counts, batch_format="pandas")
+            .groupby("path").aggregate(Sum("n", alias_name="n"))
+            .sort(["n", "path"], descending=[True, False])
+            .limit(PATH_TOPK))
+
+
+_PATH_SQL = f"""
+WITH lagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+              OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                 > {_SESSION_GAP_US}
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM lagged
+), tri AS (
+  SELECT event_type || '>' || LEAD(event_type, 1) OVER w2
+             || '>' || LEAD(event_type, 2) OVER w2 AS path,
+         session_no,
+         LEAD(session_no, 2) OVER w2 AS s2
+  FROM numbered
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT path, COUNT(*) AS n FROM tri
+WHERE s2 = session_no
+GROUP BY path ORDER BY n DESC, path LIMIT {PATH_TOPK}
+"""
+
+
 CHURN_SPLIT_NUM, CHURN_SPLIT_DEN = 3, 4   # label window = last quarter
 
 
@@ -1852,6 +1941,7 @@ ORACLE_SQL = {
     "next_event_entropy": _ENTROPY_SQL,
     "churn_labels": _CHURN_SQL,
     "purchase_did": _DID_SQL,
+    "session_path_topk": _PATH_SQL,
     "ab_cuped": """
         WITH ud AS (
           SELECT user_id AS u,
@@ -2323,6 +2413,7 @@ QUERIES = {
     "next_event_entropy": next_event_entropy,
     "churn_labels": churn_labels,
     "purchase_did": purchase_did,
+    "session_path_topk": session_path_topk,
     "cohort_retention": cohort_retention,
     "sessionize": sessionize,
     "user_order_asof": user_order_asof,

@@ -498,3 +498,30 @@ def test_fk_integrity_audit_detects_planted_orphans(ray_session,
     row = doctored.loc["lineitem.l_suppkey->supplier.s_suppkey"]
     assert int(row["n_orphan_keys"]) == 1
     assert int(row["n_orphan_rows"]) == 7
+
+
+def test_session_path_topk_replay(ray_session, entry):
+    """Trigram counts replayed with a dict walk over per-user
+    session-segmented streams."""
+    import pyarrow.parquet as pq
+
+    out = entry.queries()["session_path_topk"](SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts", "event_id",
+                                "event_type"]).to_pandas() \
+        .sort_values(["user_id", "ts", "event_id"])
+    counts: dict[str, int] = {}
+    for _, g in ev.groupby("user_id"):
+        us = g["ts"].astype("int64").to_numpy()
+        types = g["event_type"].tolist()
+        sess = [0]
+        for i in range(1, len(g)):
+            sess.append(sess[-1]
+                        + (us[i] - us[i - 1] > 1_800_000_000))
+        for i in range(len(types) - 2):
+            if sess[i] == sess[i + 2]:
+                p = f"{types[i]}>{types[i + 1]}>{types[i + 2]}"
+                counts[p] = counts.get(p, 0) + 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    got = list(zip(out["path"], out["n"]))
+    assert sorted(got) == sorted(want)
