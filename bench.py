@@ -160,7 +160,7 @@ QUERY_NAMES = [
     "winnowing_fingerprints", "ams_f2_tokens", "priority_line_counts",
     "markov_stationary", "next_event_entropy", "value_psi",
     "hill_tail_index", "t_closeness", "churn_labels", "purchase_did",
-    "fk_integrity_audit", "session_path_topk",
+    "fk_integrity_audit", "session_path_topk", "copurchase_kcore",
 ]
 
 

@@ -1638,29 +1638,12 @@ BFS_ROUNDS = 4
 BFS_MIN_PAIR = 2   # same co-purchase support floor as basket_lift
 
 
-def copurchase_bfs(sf_dir: str):
-    """Single-source breadth-first distances over the part
-    co-purchase graph (parts linked when ≥BFS_MIN_PAIR orders bought
-    both): exact hop distance from the smallest part id, up to
-    BFS_ROUNDS hops — the SEVENTH exactly-verified iterative
-    algorithm (after PageRank, HITS, k-means, PQ, BPE, LPA), and the
-    reachability primitive behind graph-radius and related-item
-    expansion queries.
-
-    Scale shape — the fused gather+scatter discipline of
-    ``pagerank_mass`` (graph.py:20-27) on a min-fold: edges live in
-    bounded node-hash buckets (materialized once, unioned into every
-    round); distances and frontier-candidate rows ride the SAME
-    bucket key, so each round is ONE ``groupby(bucket)`` exchange
-    whose groups (a) min-fold candidates into settled distances and
-    (b) scatter dist+1 rows along co-located edges for nodes IMPROVED
-    this round only — the frontier, so total scatter work is O(E)
-    over the whole run, not O(E·rounds). All-integer min recurrence:
-    bit-exact on any cluster and in the oracle, which replays the
-    recurrence as an unrolled CTE chain (scatter-from-all-settled in
-    SQL is equivalent under the min fold — redundant candidates can
-    never beat a settled minimum)."""
-    n_buckets = _bucket_count(sf_dir, ("lineitem",))
+def _copurchase_pair_parts(sf_dir: str, n_buckets: int):
+    """Per-pair-bucket partial rows (pb, p_a, p_b, size) of the part
+    co-purchase graph — the distinct-(order, part) self-merge shared
+    by :func:`copurchase_bfs` and :func:`copurchase_kcore`; callers
+    fold the partials per pair bucket and apply the BFS_MIN_PAIR
+    support floor."""
     ds = rd.read_parquet(
         _pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"],
         override_num_blocks=_read_blocks(sf_dir, "lineitem"))
@@ -1688,6 +1671,36 @@ def copurchase_bfs(sf_dir: str):
                       ).astype(np.int32)
         return part[["pb", "p_a", "p_b", "size"]]
 
+    return (ds.map_batches(op_partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("ob").map_groups(order_pairs,
+                                      batch_format="pandas"))
+
+
+def copurchase_bfs(sf_dir: str):
+    """Single-source breadth-first distances over the part
+    co-purchase graph (parts linked when ≥BFS_MIN_PAIR orders bought
+    both): exact hop distance from the smallest part id, up to
+    BFS_ROUNDS hops — the SEVENTH exactly-verified iterative
+    algorithm (after PageRank, HITS, k-means, PQ, BPE, LPA), and the
+    reachability primitive behind graph-radius and related-item
+    expansion queries.
+
+    Scale shape — the fused gather+scatter discipline of
+    ``pagerank_mass`` (graph.py:20-27) on a min-fold: edges live in
+    bounded node-hash buckets (materialized once, unioned into every
+    round); distances and frontier-candidate rows ride the SAME
+    bucket key, so each round is ONE ``groupby(bucket)`` exchange
+    whose groups (a) min-fold candidates into settled distances and
+    (b) scatter dist+1 rows along co-located edges for nodes IMPROVED
+    this round only — the frontier, so total scatter work is O(E)
+    over the whole run, not O(E·rounds). All-integer min recurrence:
+    bit-exact on any cluster and in the oracle, which replays the
+    recurrence as an unrolled CTE chain (scatter-from-all-settled in
+    SQL is equivalent under the min fold — redundant candidates can
+    never beat a settled minimum)."""
+    n_buckets = _bucket_count(sf_dir, ("lineitem",))
+
     def pair_edges(g: pd.DataFrame) -> pa.Table:
         agg = g.groupby(["p_a", "p_b"], as_index=False)["size"].sum()
         agg = agg[agg["size"] >= BFS_MIN_PAIR]
@@ -1702,9 +1715,7 @@ def copurchase_bfs(sf_dir: str):
             "bk": pa.array((u % n_buckets).astype(np.int32)),
         })
 
-    und = (ds.map_batches(op_partial, batch_format="pyarrow",
-                          batch_size=65536)
-           .groupby("ob").map_groups(order_pairs, batch_format="pandas")
+    und = (_copurchase_pair_parts(sf_dir, n_buckets)
            .groupby("pb").map_groups(pair_edges, batch_format="pandas")
            .materialize())
     empty = pa.table({"node": pa.array([], type=pa.int64()),
@@ -1769,6 +1780,108 @@ def copurchase_bfs(sf_dir: str):
             .map_groups(final_fold, batch_format="pandas"))
 
 
+KCORE_K = 2
+KCORE_ROUNDS = 3
+
+
+def copurchase_kcore(sf_dir: str, k: int = KCORE_K,
+                     rounds: int = KCORE_ROUNDS):
+    """Fixed-round k-core PEELING of the part co-purchase graph
+    (k=2, 3 rounds) — the EIGHTH exactly-verified iterative
+    algorithm: each round drops nodes with degree < k and the edges
+    touching them, converging toward the 2-core (the graph's cyclic
+    backbone, where co-purchase communities actually live; pendant
+    parts peel away). Output: surviving nodes with their residual
+    degree after the final round.
+
+    Scale shape: each round is one bounded node-bucket degree fold
+    plus TWO native hash-partitioned left_semi joins filtering the
+    edge set by the keep set — no driver state beyond the loop
+    counter; all-integer set semantics, replayed by the oracle as an
+    unrolled CTE chain of degree/keep/edge levels."""
+    n_buckets = _bucket_count(sf_dir, ("lineitem",))
+
+    def pair_und(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby(["p_a", "p_b"], as_index=False)["size"].sum()
+        agg = agg[agg["size"] >= BFS_MIN_PAIR]
+        a = agg["p_a"].to_numpy().astype(np.int64)
+        b = agg["p_b"].to_numpy().astype(np.int64)
+        u = np.concatenate([a, b])
+        v = np.concatenate([b, a])
+        return pa.table({
+            "u": pa.array(u), "v": pa.array(v),
+            "ub": pa.array((u % n_buckets).astype(np.int32)),
+        })
+
+    edges = (_copurchase_pair_parts(sf_dir, n_buckets)
+             .groupby("pb").map_groups(pair_und, batch_format="pandas")
+             .materialize())
+    empty = pa.table({"node": pa.array([], type=pa.int64()),
+                      "deg": pa.array([], type=pa.int64())})
+    join_args = dict(num_partitions=max(2, n_buckets // 16),
+                     aggregator_ray_remote_args={"num_cpus": 0.25})
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        g = (b.select(["u"]).group_by("u")
+             .aggregate([("u", "count")]))
+        return pa.table({
+            "node": g.column("u"),
+            "d": pc.cast(g.column("u_count"), pa.int64()),
+            "db": pa.array((g.column("u").to_numpy(zero_copy_only=False)
+                            % n_buckets).astype(np.int32)),
+        })
+
+    def deg_fold(t: pa.Table) -> pa.Table:
+        g = (t.select(["node", "d"]).group_by("node")
+             .aggregate([("d", "sum")]))
+        return pa.table({"node": g.column("node"),
+                         "d": g.column("d_sum")})
+
+    for _ in range(rounds):
+        if edges.count() == 0:
+            return empty
+        deg = (edges.map_batches(deg_partial, batch_format="pyarrow")
+               .groupby("db").map_groups(deg_fold,
+                                         batch_format="pyarrow"))
+        keep = deg.filter(expr=f"d >= {k}").materialize()
+        edges = (edges.join(keep.select_columns(["node"]), "left_semi",
+                            on=("u",), right_on=("node",), **join_args)
+                 .join(keep.select_columns(["node"]), "left_semi",
+                       on=("v",), right_on=("node",), **join_args)
+                 .materialize())
+    if edges.count() == 0:
+        return empty
+    return (edges.map_batches(deg_partial, batch_format="pyarrow")
+            .groupby("db").map_groups(deg_fold, batch_format="pyarrow")
+            .map_batches(lambda t: pa.table({
+                "node": t.column("node"),
+                "deg": t.column("d")}), batch_format="pyarrow"))
+
+
+def _copurchase_kcore_sql(k: int = KCORE_K,
+                          rounds: int = KCORE_ROUNDS) -> str:
+    ctes = [
+        "lv AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p"
+        " FROM lineitem)",
+        f"""pr AS (
+  SELECT a.p AS pa, b.p AS pb
+  FROM lv a JOIN lv b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p HAVING COUNT(*) >= {BFS_MIN_PAIR})""",
+        "e0 AS (SELECT pa AS u, pb AS v FROM pr"
+        " UNION ALL SELECT pb, pa FROM pr)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(f"d{i} AS (SELECT u AS node, COUNT(*) AS d"
+                    f" FROM e{i - 1} GROUP BY u)")
+        ctes.append(f"k{i} AS (SELECT node FROM d{i} WHERE d >= {k})")
+        ctes.append(f"""e{i} AS (
+  SELECT e.u, e.v FROM e{i - 1} e
+  JOIN k{i} a ON a.node = e.u JOIN k{i} b ON b.node = e.v)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+FROM e{rounds} GROUP BY u""")
+
+
 def _copurchase_bfs_sql(rounds: int = BFS_ROUNDS) -> str:
     ctes = [
         "lv AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p"
@@ -1805,6 +1918,7 @@ ORACLE_SQL = {
     "triangle_count": _triangle_sql(),
     "graph_assortativity": _assortativity_sql(),
     "copurchase_bfs": _copurchase_bfs_sql(),
+    "copurchase_kcore": _copurchase_kcore_sql(),
 }
 
 QUERIES = {
@@ -1820,4 +1934,5 @@ QUERIES = {
     "degree_distribution": degree_distribution,
     "graph_assortativity": graph_assortativity,
     "copurchase_bfs": copurchase_bfs,
+    "copurchase_kcore": copurchase_kcore,
 }

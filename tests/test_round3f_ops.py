@@ -525,3 +525,37 @@ def test_session_path_topk_replay(ray_session, entry):
     want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
     got = list(zip(out["path"], out["n"]))
     assert sorted(got) == sorted(want)
+
+
+def test_kcore_peeling_replay(ray_session, entry):
+    """3 rounds of 2-core peeling replayed with dict degree counting;
+    every survivor must have residual degree >= 1 and the node/degree
+    map must match exactly."""
+    import duckdb
+
+    out = entry.queries()["copurchase_kcore"](SF).to_pandas()
+    got = dict(zip(out["node"], out["deg"]))
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{SF}/lineitem.parquet')")
+    pr = con.execute("""
+        WITH lv AS (SELECT DISTINCT l_orderkey o, l_partkey p
+                    FROM lineitem)
+        SELECT a.p pa, b.p pb FROM lv a JOIN lv b
+            ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p HAVING COUNT(*) >= 2""").fetchdf()
+    edges = {(int(a), int(b)) for a, b in zip(pr["pa"], pr["pb"])}
+    for _ in range(3):
+        deg: dict[int, int] = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= 2}
+        edges = {(a, b) for a, b in edges
+                 if a in keep and b in keep}
+    want: dict[int, int] = {}
+    for a, b in edges:
+        want[a] = want.get(a, 0) + 1
+        want[b] = want.get(b, 0) + 1
+    assert got == want
