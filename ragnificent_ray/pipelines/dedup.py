@@ -172,6 +172,72 @@ def doc_prefix_dedup(sf_dir: str):
             .map_groups(fold, batch_format="pyarrow"))
 
 
+def cross_source_dup_matrix(sf_dir: str):
+    """Cross-source duplication matrix — WHO copies from WHOM: for
+    every source pair, how many 32-char boilerplate-prefix groups
+    (the [[doc-prefix-dedup]] signal) contain documents from BOTH.
+    The provenance question a crawl-curation pass answers before
+    deciding which mirror/aggregator sources to drop entirely rather
+    than dedup document-by-document.
+
+    Scale shape: distinct (prefix, source) cells per batch, prefix
+    co-locates via md5-bucketed folds, pair generation is a
+    vectorized self-merge per bucket bounded by |sources| per prefix,
+    and the final fold is the ≤C(|sources|,2) pair key space. Exact
+    integer counts."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["source", "text"])
+    n_buckets = _bucket_count(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({
+            "prefix": pc.utf8_slice_codeunits(
+                batch.column("text"), 0, _PREFIX_LEN),
+            "source": batch.column("source"),
+        }).group_by(["prefix", "source"]).aggregate([])
+        return g.append_column("bucket", pa.array(
+            [int(md5_hex(p)[:8], 16) % n_buckets
+             for p in g.column("prefix").to_pylist()], type=pa.int32()))
+
+    def bucket_pairs(g: pd.DataFrame) -> pa.Table:
+        g = g.drop_duplicates(["prefix", "source"])
+        m = g[["prefix", "source"]].merge(g[["prefix", "source"]],
+                                          on="prefix")
+        m = m[m["source_x"] < m["source_y"]]
+        cnt = m.groupby(["source_x", "source_y"],
+                        as_index=False).size()
+        return pa.table({
+            "src_a": pa.array(cnt["source_x"].to_numpy()
+                              .astype(object), type=pa.string()),
+            "src_b": pa.array(cnt["source_y"].to_numpy()
+                              .astype(object), type=pa.string()),
+            "n_prefixes": pa.array(
+                cnt["size"].to_numpy().astype(np.int64)),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=8192)
+            .groupby("bucket")
+            .map_groups(bucket_pairs, batch_format="pandas")
+            .groupby(["src_a", "src_b"])
+            .aggregate(Sum("n_prefixes", alias_name="n_prefixes")))
+
+
+_CROSS_SOURCE_SQL = """
+WITH pv AS (
+  SELECT DISTINCT substr(text, 1, 32) AS prefix, source
+  FROM documents
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       COUNT(*) AS n_prefixes
+FROM pv a JOIN pv b ON a.prefix = b.prefix
+      AND a.source < b.source
+GROUP BY a.source, b.source
+"""
+
+
 def incremental_dedup(sf_dir: str):
     """Incremental-ingest dedup — the repeated-crawl scenario: the
     incoming half of the corpus (doc_id ≥ median split point) keeps
@@ -1755,6 +1821,7 @@ LEFT JOIN ng USING (doc_id) LEFT JOIN agg USING (doc_id)
 
 ORACLE_SQL = {
     "winnowing_fingerprints": _WINNOW_SQL,
+    "cross_source_dup_matrix": _CROSS_SOURCE_SQL,
     "duplicate_ngram_fraction": rf"""
         WITH t AS (
           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
@@ -2010,6 +2077,7 @@ def image_dedup_exact(ds, n_buckets: int = _BUCKETS):
 
 QUERIES = {
     "winnowing_fingerprints": winnowing_fingerprints,
+    "cross_source_dup_matrix": cross_source_dup_matrix,
     "exact_dedup": exact_dedup,
     "doc_prefix_dedup": doc_prefix_dedup,
     "incremental_dedup": incremental_dedup,

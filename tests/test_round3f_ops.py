@@ -559,3 +559,25 @@ def test_kcore_peeling_replay(ray_session, entry):
         want[a] = want.get(a, 0) + 1
         want[b] = want.get(b, 0) + 1
     assert got == want
+
+
+def test_cross_source_dup_matrix_replay(ray_session, entry):
+    """Pair counts replayed with a dict of prefix -> source set."""
+    import pyarrow.parquet as pq
+
+    out = entry.queries()["cross_source_dup_matrix"](SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "text"]).to_pandas()
+    groups: dict[str, set] = {}
+    for src, text in zip(docs["source"], docs["text"]):
+        groups.setdefault(text[:32], set()).add(src)
+    want: dict[tuple, int] = {}
+    for srcs in groups.values():
+        ss = sorted(srcs)
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                want[(ss[i], ss[j])] = want.get((ss[i], ss[j]), 0) + 1
+    got = {(a, b): int(n) for a, b, n in
+           zip(out["src_a"], out["src_b"], out["n_prefixes"])}
+    assert got == want
+    assert (out["src_a"] < out["src_b"]).all()
