@@ -390,7 +390,122 @@ def knn_label_accuracy(sf_dir: str):
                           concurrency=2)
 
 
+EMB_Q = 1000   # e-3 quantization, the embedding_gram convention
+
+
+def embedding_centroid_shift(sf_dir: str):
+    """Embedding-distribution drift gauge — the vector-side PSI: the
+    cosine between the centroid of the FIRST id-half of the embedding
+    table and the SECOND (ingest-order halves, the snapshot stand-in).
+    Cosine ≈ 1 means the embedding distribution is stationary across
+    ingestion; a drop says the upstream encoder or corpus mix moved
+    and ANN index parameters (IVF centroids, PQ codebooks) need
+    retraining. Reported with each half's vector count.
+
+    Exactness: components quantize to e-3 integers (the
+    embedding_gram convention), per-(dim, side) int64 sums fold
+    distributed (≤128 rows per block), and the cosine's numerator and
+    both norms are exact integer dot products on the 128 driver
+    cells — ONE sqrt + division at the end, term-identical to the
+    oracle's HUGEINT tree."""
+    import math
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = rd.read_parquet(_pq(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    mm = ds.select_columns(["vec_id"]).aggregate(
+        Min("vec_id"), Max("vec_id"))
+    split = (int(mm["min(vec_id)"]) + int(mm["max(vec_id)"])) // 2
+
+    def partial(b: pa.Table) -> pa.Table:
+        y = list_column_matrix(b.column("embedding")) \
+            .astype(np.float64) * EMB_Q
+        # DuckDB ROUND is half-AWAY-from-zero; np.rint is half-even
+        m = np.where(y >= 0, np.floor(y + 0.5),
+                     np.ceil(y - 0.5)).astype(np.int64)
+        side = (b.column("vec_id").to_numpy() > split).astype(np.int64)
+        d = m.shape[1]
+        rows_d, rows_s, rows_sum, rows_n = [], [], [], []
+        for s in (0, 1):
+            sel = m[side == s]
+            rows_d.extend(range(d))
+            rows_s.extend([s] * d)
+            rows_sum.extend(sel.sum(axis=0).tolist()
+                            if len(sel) else [0] * d)
+            rows_n.extend([len(sel)] * d)
+        return pa.table({
+            "d": pa.array(rows_d, type=pa.int64()),
+            "side": pa.array(rows_s, type=pa.int64()),
+            "s": pa.array(rows_sum, type=pa.int64()),
+            "n": pa.array(rows_n, type=pa.int64()),
+        })
+
+    rows = (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=4096)
+            .groupby(["d", "side"])
+            .aggregate(Sum("s", alias_name="s"),
+                       Sum("n", alias_name="n"))
+            .take_all())
+    dim = max(r["d"] for r in rows) + 1
+    sa = np.zeros(dim, dtype=object)
+    sb = np.zeros(dim, dtype=object)
+    na = nb = 0
+    for r in rows:
+        if r["side"] == 0:
+            sa[r["d"]] = int(r["s"])
+        else:
+            sb[r["d"]] = int(r["s"])
+    # vector counts: n was replicated per dim; take the dim-0 rows
+    na = sum(int(r["n"]) for r in rows if r["side"] == 0
+             and r["d"] == 0)
+    nb = sum(int(r["n"]) for r in rows if r["side"] == 1
+             and r["d"] == 0)
+    num = int(sum(int(a) * int(b) for a, b in zip(sa, sb)))
+    qa = int(sum(int(a) * int(a) for a in sa))
+    qb = int(sum(int(b) * int(b) for b in sb))
+    cos = (float(num) / math.sqrt(float(qa) * float(qb))
+           if qa and qb else 0.0)
+    return pa.table({
+        "n_a": pa.array([na], type=pa.int64()),
+        "n_b": pa.array([nb], type=pa.int64()),
+        "centroid_cosine": pa.array([round_half_away(cos, 6)],
+                                    type=pa.float64()),
+    })
+
+
+_CENTROID_SHIFT_SQL = f"""
+WITH mm AS (
+  SELECT (MIN(vec_id) + MAX(vec_id)) // 2 AS split FROM embeddings
+), e AS (
+  SELECT CASE WHEN vec_id > mm.split THEN 1 ELSE 0 END AS side,
+         generate_subscripts(embedding, 1) AS d,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * {EMB_Q})
+              AS BIGINT) AS xq
+  FROM embeddings CROSS JOIN mm
+), s AS (
+  SELECT d, side, SUM(xq) AS s FROM e GROUP BY d, side
+), w AS (
+  SELECT SUM(a.s * b.s) AS num,
+         SUM(a.s * a.s) AS qa, SUM(b.s * b.s) AS qb
+  FROM s a JOIN s b ON a.d = b.d AND a.side = 0 AND b.side = 1
+), n AS (
+  SELECT SUM(CASE WHEN vec_id <= mm.split THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN vec_id > mm.split THEN 1 ELSE 0 END) AS n_b
+  FROM embeddings CROSS JOIN mm
+)
+SELECT CAST(n.n_a AS BIGINT) AS n_a, CAST(n.n_b AS BIGINT) AS n_b,
+       CASE WHEN w.qa = 0 OR w.qb = 0 THEN 0.0
+            ELSE ROUND(CAST(w.num AS DOUBLE)
+                       / SQRT(CAST(w.qa AS DOUBLE)
+                              * CAST(w.qb AS DOUBLE)), 6)
+       END AS centroid_cosine
+FROM w CROSS JOIN n
+"""
+
+
 ORACLE_SQL = {
+    "embedding_centroid_shift": _CENTROID_SHIFT_SQL,
     "knn_label_accuracy": f"""
         WITH e AS (
           SELECT vec_id, label,
@@ -1451,6 +1566,7 @@ def ann_pq_recall(sf_dir: str):
 
 
 QUERIES = {
+    "embedding_centroid_shift": embedding_centroid_shift,
     "kmeans_assign": kmeans_assign,
     "kmeans_fit": kmeans_fit,
     "pq_encode": pq_encode,

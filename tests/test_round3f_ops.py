@@ -581,3 +581,23 @@ def test_cross_source_dup_matrix_replay(ray_session, entry):
            zip(out["src_a"], out["src_b"], out["n_prefixes"])}
     assert got == want
     assert (out["src_a"] < out["src_b"]).all()
+
+
+def test_embedding_centroid_shift_replay(ray_session, entry):
+    """Quantized centroid cosine replayed with float numpy means —
+    must agree to quantization error; halves partition."""
+    import pyarrow.parquet as pq
+
+    out = entry.queries()["embedding_centroid_shift"](SF) \
+        .to_pandas().iloc[0]
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    ids = t.column("vec_id").to_numpy()
+    split = (ids.min() + ids.max()) // 2
+    a = m[ids <= split].mean(axis=0)
+    b = m[ids > split].mean(axis=0)
+    want = float(a @ b / np.sqrt((a @ a) * (b @ b)))
+    assert int(out["n_a"] + out["n_b"]) == len(m)
+    assert abs(float(out["centroid_cosine"]) - want) < 5e-3
+    assert -1.0 <= float(out["centroid_cosine"]) <= 1.0
