@@ -3194,6 +3194,110 @@ def hill_tail_index(sf_dir: str):
     })
 
 
+def weekday_anova(sf_dir: str):
+    """One-way ANOVA of order totals across weekdays — "does the day
+    of the week move basket size?": the F-statistic over the 7
+    day-of-week groups plus η² (the variance share the grouping
+    explains). The classic fixed-effects readout between the t-test
+    family ([[ab-conversion-ztest]]) and the regression family
+    ([[order-size-regression]]).
+
+    Exactness: per-(dow, block) int64 moment cells (n, Σx, Σx²) in
+    integer cents stream to the driver where Python unbounded ints
+    combine them order-independently (Σx² exceeds int64 at sf≥0.1 —
+    the price_quantity_corr discipline, NOT a Ray Sum); SSB/SSW
+    convert the exact moments with the oracle's identical float
+    expression — the only float sums are over SEVEN group terms,
+    absorbed by the 4-dp round."""
+    ds = rd.read_parquet(_pq(sf_dir, "orders"),
+                         columns=["o_orderdate", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        days = (b.column("o_orderdate").to_numpy()
+                .astype("datetime64[D]").astype(np.int64))
+        g = (days + 4) % 7          # 0=Sunday, DuckDB dayofweek()
+        x = np.rint(b.column("o_totalprice").to_numpy() * 100) \
+            .astype(np.int64)
+        t = pa.table({
+            "g": pa.array(g),
+            "n": pa.array(np.ones(len(x), dtype=np.int64)),
+            "s": pa.array(x),
+            "q": pa.array(x * x),
+        }).group_by("g").aggregate([("n", "sum"), ("s", "sum"),
+                                    ("q", "sum")])
+        return t.rename_columns(["g", "n", "s", "q"])
+
+    cells: dict[int, list] = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=65536) \
+               .iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for g, n_, s_, q_ in zip(b.column("g").to_pylist(),
+                                 b.column("n").to_pylist(),
+                                 b.column("s").to_pylist(),
+                                 b.column("q").to_pylist()):
+            c = cells.setdefault(int(g), [0, 0, 0])
+            c[0] += int(n_)           # exact Python ints
+            c[1] += int(s_)
+            c[2] += int(q_)
+    rows = [(g, *cells[g]) for g in sorted(cells)]
+    k = len(rows)
+    nn = sum(r[1] for r in rows)
+    ss = sum(r[2] for r in rows)
+    sb2 = sum(float(r[2]) * r[2] / r[1] for r in rows)
+    qq = sum(float(r[3]) for r in rows)
+    ssb = sb2 - float(ss) * ss / nn
+    ssw = qq - sb2
+    f = ((ssb / (k - 1)) / (ssw / (nn - k))
+         if k > 1 and ssw > 0 else 0.0)
+    return pa.table({
+        "n": pa.array([nn], type=pa.int64()),
+        "k": pa.array([k], type=pa.int64()),
+        "f_stat": pa.array([round_half_away(f, 4)],
+                           type=pa.float64()),
+        # denominator written as qq - ss^2/n (NOT ssb+ssw): the oracle
+        # computes it that way and the two differ in the last ulp
+        "eta_sq": pa.array(
+            [round_half_away(ssb / (qq - float(ss) * ss / nn), 6)
+             if qq - float(ss) * ss / nn > 0 else 0.0],
+            type=pa.float64()),
+    })
+
+
+_ANOVA_SQL = """
+WITH v AS (
+  SELECT CAST(dayofweek(o_orderdate) AS BIGINT) AS g,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x
+  FROM orders
+), gm AS (
+  SELECT g, COUNT(*) AS n, SUM(x) AS s,
+         SUM(CAST(x AS HUGEINT) * x) AS q
+  FROM v GROUP BY g
+), tot AS (
+  SELECT SUM(n) AS nn, SUM(s) AS ss, COUNT(*) AS k FROM gm
+), terms AS (
+  SELECT SUM(CAST(s AS DOUBLE) * s / n) AS sb2,
+         SUM(CAST(q AS DOUBLE)) AS qq
+  FROM gm
+)
+SELECT CAST(tot.nn AS BIGINT) AS n, CAST(tot.k AS BIGINT) AS k,
+       CASE WHEN tot.k <= 1
+                 OR terms.qq - terms.sb2 <= 0 THEN 0.0
+            ELSE ROUND(((terms.sb2 - CAST(tot.ss AS DOUBLE) * tot.ss
+                         / tot.nn) / (tot.k - 1))
+                       / ((terms.qq - terms.sb2)
+                          / (tot.nn - tot.k)), 4)
+       END AS f_stat,
+       CASE WHEN terms.qq - CAST(tot.ss AS DOUBLE) * tot.ss / tot.nn
+                 <= 0 THEN 0.0
+            ELSE ROUND((terms.sb2 - CAST(tot.ss AS DOUBLE) * tot.ss
+                        / tot.nn)
+                       / (terms.qq - CAST(tot.ss AS DOUBLE) * tot.ss
+                          / tot.nn), 6)
+       END AS eta_sq
+FROM tot CROSS JOIN terms
+"""
+
+
 _PSI_SQL = f"""
 WITH m AS (
   SELECT MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1,
@@ -3301,6 +3405,7 @@ ORACLE_SQL = {
     "value_psi": _PSI_SQL,
     "hill_tail_index": _HILL_SQL,
     "t_closeness": _TCLOSE_SQL,
+    "weekday_anova": _ANOVA_SQL,
     "fk_integrity_audit": _FK_SQL,
     "props_numeric_agg": r"""
         WITH x AS (
@@ -3883,6 +3988,7 @@ QUERIES = {
     "value_psi": value_psi,
     "hill_tail_index": hill_tail_index,
     "t_closeness": t_closeness,
+    "weekday_anova": weekday_anova,
     "fk_integrity_audit": fk_integrity_audit,
     "supplier_wilson_rank": supplier_wilson_rank,
     "order_size_regression": order_size_regression,

@@ -601,3 +601,28 @@ def test_embedding_centroid_shift_replay(ray_session, entry):
     assert int(out["n_a"] + out["n_b"]) == len(m)
     assert abs(float(out["centroid_cosine"]) - want) < 5e-3
     assert -1.0 <= float(out["centroid_cosine"]) <= 1.0
+
+
+def test_weekday_anova_matches_scipy_free_replay(ray_session, entry):
+    """F recomputed from raw group arrays with float numpy."""
+    import pyarrow.parquet as pq
+
+    out = entry.queries()["weekday_anova"](SF).to_pandas().iloc[0]
+    t = pq.read_table(f"{SF}/orders.parquet",
+                      columns=["o_orderdate", "o_totalprice"]) \
+        .to_pandas()
+    days = t["o_orderdate"].to_numpy().astype("datetime64[D]") \
+        .astype(np.int64)
+    g = (days + 4) % 7
+    x = np.rint(t["o_totalprice"].to_numpy() * 100)
+    groups = [x[g == i] for i in range(7)]
+    gm = np.array([v.mean() for v in groups])
+    ns = np.array([len(v) for v in groups], dtype=np.float64)
+    grand = x.mean()
+    ssb = (ns * (gm - grand) ** 2).sum()
+    ssw = sum(((v - m) ** 2).sum() for v, m in zip(groups, gm))
+    f = (ssb / 6) / (ssw / (len(x) - 7))
+    assert int(out["n"]) == len(x)
+    assert int(out["k"]) == 7
+    assert abs(float(out["f_stat"]) - f) < 1e-2
+    assert 0.0 <= float(out["eta_sq"]) <= 1.0
