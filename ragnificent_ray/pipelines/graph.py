@@ -794,6 +794,112 @@ ORDER BY lift DESC, part_a, part_b LIMIT {BASKET_TOPK}
 """
 
 
+TRIPLE_MIN = 2      # support floor: triples co-bought in >= 2 orders
+TRIPLE_TOPK = 25
+
+
+def basket_triples(sf_dir: str):
+    """Apriori LEVEL-3: the top-25 part TRIPLES by co-purchase
+    support — the itemset step above [[basket-lift]]'s pair level
+    (bundle-of-three signals pair lift can't see). Same
+    order-co-location discipline: distinct (order, part) rows
+    co-locate per order-hash bucket, triple generation is TWO chained
+    vectorized self-merges whose blow-up is bounded by the ≤7-lineitem
+    schema (≤C(7,3)=35 triples per order), pre-summed in-bucket
+    before the triple-hash fold; support floor TRIPLE_MIN applies at
+    the fold. Exact integer counts, deterministic
+    (n DESC, parts) top-k."""
+    from ray.data.aggregate import Sum
+
+    n_buckets = _bucket_count(sf_dir, ("lineitem",))
+    ds = rd.read_parquet(
+        _pq(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"],
+        override_num_blocks=_read_blocks(sf_dir, "lineitem"))
+
+    def op_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "o": b.column("l_orderkey").to_numpy(),
+            "p": b.column("l_partkey").to_numpy(),
+        }).drop_duplicates()
+        return pa.table({
+            "o": pa.array(df["o"].to_numpy(), type=pa.int64()),
+            "p": pa.array(df["p"].to_numpy(), type=pa.int64()),
+            "ob": pa.array((df["o"].to_numpy() % n_buckets)
+                           .astype(np.int32)),
+        })
+
+    def order_triples(g: pd.DataFrame) -> pa.Table:
+        g = g.drop_duplicates(["o", "p"])[["o", "p"]]
+        m = g.merge(g, on="o", suffixes=("_a", "_b"))
+        m = m.loc[m["p_a"].to_numpy() < m["p_b"].to_numpy()]
+        m3 = m.merge(g.rename(columns={"p": "p_c"}), on="o")
+        m3 = m3.loc[m3["p_b"].to_numpy() < m3["p_c"].to_numpy()]
+        part = m3.groupby(["p_a", "p_b", "p_c"], as_index=False).size()
+        tb = ((part["p_a"].to_numpy() * np.int64(2654435761)
+               + part["p_b"].to_numpy() * np.int64(40503)
+               + part["p_c"].to_numpy()) % n_buckets).astype(np.int32)
+        return pa.table({
+            "tb": pa.array(tb),
+            "part_a": pa.array(part["p_a"].to_numpy()
+                               .astype(np.int64)),
+            "part_b": pa.array(part["p_b"].to_numpy()
+                               .astype(np.int64)),
+            "part_c": pa.array(part["p_c"].to_numpy()
+                               .astype(np.int64)),
+            "n": pa.array(part["size"].to_numpy().astype(np.int64)),
+        })
+
+    def triple_fold(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby(["part_a", "part_b", "part_c"],
+                        as_index=False)["n"].sum()
+        agg = agg[agg["n"] >= TRIPLE_MIN]
+        return pa.table({
+            "part_a": pa.array(agg["part_a"].to_numpy()
+                               .astype(np.int64)),
+            "part_b": pa.array(agg["part_b"].to_numpy()
+                               .astype(np.int64)),
+            "part_c": pa.array(agg["part_c"].to_numpy()
+                               .astype(np.int64)),
+            "n_orders": pa.array(agg["n"].to_numpy()
+                                 .astype(np.int64)),
+        })
+
+    out = (ds.map_batches(op_partial, batch_format="pyarrow",
+                          batch_size=65536)
+           .groupby("ob").map_groups(order_triples,
+                                     batch_format="pandas")
+           .groupby("tb").map_groups(triple_fold,
+                                     batch_format="pandas"))
+    # the support floor can empty the result (sf0.1 does) — Ray drops
+    # the schema when every block is empty, so union a typed empty
+    # block and short-circuit (the covisitation_pairs discipline)
+    empty = pa.table({"part_a": pa.array([], type=pa.int64()),
+                      "part_b": pa.array([], type=pa.int64()),
+                      "part_c": pa.array([], type=pa.int64()),
+                      "n_orders": pa.array([], type=pa.int64())})
+    mat = out.union(rd.from_arrow(empty)).materialize()
+    if mat.count() == 0:
+        return empty
+    return (mat.sort(["n_orders", "part_a", "part_b", "part_c"],
+                     descending=[True, False, False, False])
+            .limit(TRIPLE_TOPK))
+
+
+def _basket_triples_sql() -> str:
+    return f"""
+WITH lv AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+)
+SELECT a.p AS part_a, b.p AS part_b, c.p AS part_c,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM lv a JOIN lv b ON a.o = b.o AND a.p < b.p
+          JOIN lv c ON b.o = c.o AND b.p < c.p
+GROUP BY a.p, b.p, c.p
+HAVING COUNT(*) >= {TRIPLE_MIN}
+ORDER BY n_orders DESC, part_a, part_b, part_c LIMIT {TRIPLE_TOPK}
+"""
+
+
 def _orient_fwd(a: np.ndarray, b: np.ndarray,
                 deg_a: np.ndarray, deg_b: np.ndarray) -> np.ndarray:
     """True where the edge keeps its (a → b) direction under the
@@ -1913,6 +2019,7 @@ ORACLE_SQL = {
     "hits_clicks": _hits_sql(),
     "covisitation_pairs": _covis_sql(),
     "basket_lift": _basket_sql(),
+    "basket_triples": _basket_triples_sql(),
     "event_type_jaccard": _JACCARD_SQL,
     "decayed_item_scores": _DECAY_SQL,
     "triangle_count": _triangle_sql(),
@@ -1927,6 +2034,7 @@ QUERIES = {
     "hits_clicks": hits_clicks,
     "covisitation_pairs": covisitation_pairs,
     "basket_lift": basket_lift,
+    "basket_triples": basket_triples,
     "event_type_jaccard": event_type_jaccard,
     "decayed_item_scores": decayed_item_scores,
     "triangle_count": triangle_count,

@@ -626,3 +626,24 @@ def test_weekday_anova_matches_scipy_free_replay(ray_session, entry):
     assert int(out["k"]) == 7
     assert abs(float(out["f_stat"]) - f) < 1e-2
     assert 0.0 <= float(out["eta_sq"]) <= 1.0
+
+
+def test_basket_triples_replay(ray_session, entry):
+    """Triple supports replayed with itertools.combinations."""
+    from collections import Counter
+    from itertools import combinations
+
+    import pyarrow.parquet as pq
+
+    out = entry.queries()["basket_triples"](SF).to_pandas()
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_orderkey", "l_partkey"]).to_pandas()
+    c: Counter = Counter()
+    for _, g in li.drop_duplicates().groupby("l_orderkey"):
+        for tri in combinations(sorted(g["l_partkey"]), 3):
+            c[tri] += 1
+    want = sorted(((n, *t) for t, n in c.items() if n >= 2),
+                  key=lambda r: (-r[0], r[1], r[2], r[3]))[:25]
+    got = [(int(r["n_orders"]), int(r["part_a"]), int(r["part_b"]),
+            int(r["part_c"])) for _, r in out.iterrows()]
+    assert got == want
