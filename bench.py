@@ -162,7 +162,7 @@ QUERY_NAMES = [
     "hill_tail_index", "t_closeness", "churn_labels", "purchase_did",
     "fk_integrity_audit", "session_path_topk", "copurchase_kcore",
     "cross_source_dup_matrix", "embedding_centroid_shift",
-    "weekday_anova", "basket_triples",
+    "weekday_anova", "basket_triples", "mannwhitney_order_values",
 ]
 
 

@@ -3194,6 +3194,116 @@ def hill_tail_index(sf_dir: str):
     })
 
 
+def mannwhitney_order_values(sf_dir: str):
+    """Mann-Whitney U test between hash-assigned A/B arms of order
+    totals — the NONPARAMETRIC two-sample test (no normality
+    assumption, immune to the heavy tail [[hill-tail-index]]
+    measures), tie-corrected normal approximation. Arms are orderkey
+    parity, exchangeable by construction: the harness is the
+    deliverable and the honest answer is "not significant".
+
+    Exactness: the statistic is computed from the VALUE HISTOGRAM —
+    per distinct integer-cent value, arm counts (cA, cB) fold
+    distributed; a single sorted stream then accumulates
+    2U = Σ(2·cA·cumB₍₋₎ + cA·cB) in exact Python ints with O(1)
+    driver state (running scalars only — the price_quantity_corr
+    streaming discipline on sorted blocks); the tie term Σ(t³−t) and
+    the variance are exact integers, ONE sqrt+division at the end
+    mirroring the oracle's window-function replay."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(_pq(sf_dir, "orders"),
+                         columns=["o_orderkey", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = np.rint(b.column("o_totalprice").to_numpy() * 100) \
+            .astype(np.int64)
+        arm = (b.column("o_orderkey").to_numpy() % 2).astype(np.int64)
+        t = pa.table({
+            "x": pa.array(x),
+            "c_a": pa.array(1 - arm),
+            "c_b": pa.array(arm),
+        }).group_by("x").aggregate([("c_a", "sum"), ("c_b", "sum")])
+        return t.rename_columns(["x", "c_a", "c_b"])
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("x")
+            .aggregate(Sum("c_a", alias_name="c_a"),
+                       Sum("c_b", alias_name="c_b"))
+            .sort("x"))
+    na = nb = 0
+    u2 = 0            # 2U, exact
+    t3 = 0            # Σ (t³ − t) over tie groups
+    cum_b = 0
+    for b in hist.iter_batches(batch_size=8192,
+                               batch_format="pyarrow"):
+        ca = b.column("c_a").to_numpy(zero_copy_only=False)
+        cb = b.column("c_b").to_numpy(zero_copy_only=False)
+        # in-block prefix of cB BEFORE each value + running offset
+        cum_in = np.concatenate([[0], np.cumsum(cb)[:-1]])
+        u2 += int((2 * ca * (cum_in + cum_b) + ca * cb).sum())
+        t = ca + cb
+        t3 += int((t * t * t - t).sum())
+        na += int(ca.sum())
+        nb += int(cb.sum())
+        cum_b += int(cb.sum())
+    n = na + nb
+    var_num = na * nb * (n * (n - 1) * (n + 1) - t3)   # exact ints
+    var = float(var_num) / (12 * n * (n - 1))
+    z = (u2 - na * nb) / (2.0 * math.sqrt(var)) if var > 0 else 0.0
+    return pa.table({
+        "n_a": pa.array([na], type=pa.int64()),
+        "n_b": pa.array([nb], type=pa.int64()),
+        "u2": pa.array([u2], type=pa.int64()),
+        "z": pa.array([round_half_away(z, 4)], type=pa.float64()),
+        "significant": pa.array([int(abs(z) > 1.96)],
+                                type=pa.int64()),
+    })
+
+
+_MWU_SQL = """
+WITH v AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x,
+         o_orderkey % 2 AS arm
+  FROM orders
+), h AS (
+  SELECT x,
+         SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS c_a,
+         SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS c_b
+  FROM v GROUP BY x
+), o AS (
+  SELECT x, c_a, c_b,
+         COALESCE(SUM(c_b) OVER (ORDER BY x
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND 1 PRECEDING), 0) AS cum_b
+  FROM h
+), m AS (
+  SELECT SUM(c_a) AS na, SUM(c_b) AS nb,
+         SUM(2 * c_a * cum_b + c_a * c_b) AS u2,
+         SUM(CAST(c_a + c_b AS HUGEINT) * (c_a + c_b) * (c_a + c_b)
+             - (c_a + c_b)) AS t3
+  FROM o
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(u2 AS BIGINT) AS u2,
+       ROUND((u2 - na * nb)
+             / (2.0 * SQRT(CAST(na * nb
+                 * (CAST(na + nb AS HUGEINT) * (na + nb - 1)
+                    * (na + nb + 1) - t3) AS DOUBLE)
+                 / (12 * (na + nb) * (na + nb - 1)))), 4) AS z,
+       CAST(CASE WHEN ABS((u2 - na * nb)
+             / (2.0 * SQRT(CAST(na * nb
+                 * (CAST(na + nb AS HUGEINT) * (na + nb - 1)
+                    * (na + nb + 1) - t3) AS DOUBLE)
+                 / (12 * (na + nb) * (na + nb - 1))))) > 1.96
+            THEN 1 ELSE 0 END AS BIGINT) AS significant
+FROM m
+"""
+
+
 def weekday_anova(sf_dir: str):
     """One-way ANOVA of order totals across weekdays — "does the day
     of the week move basket size?": the F-statistic over the 7
@@ -3406,6 +3516,7 @@ ORACLE_SQL = {
     "hill_tail_index": _HILL_SQL,
     "t_closeness": _TCLOSE_SQL,
     "weekday_anova": _ANOVA_SQL,
+    "mannwhitney_order_values": _MWU_SQL,
     "fk_integrity_audit": _FK_SQL,
     "props_numeric_agg": r"""
         WITH x AS (
@@ -3989,6 +4100,7 @@ QUERIES = {
     "hill_tail_index": hill_tail_index,
     "t_closeness": t_closeness,
     "weekday_anova": weekday_anova,
+    "mannwhitney_order_values": mannwhitney_order_values,
     "fk_integrity_audit": fk_integrity_audit,
     "supplier_wilson_rank": supplier_wilson_rank,
     "order_size_regression": order_size_regression,

@@ -647,3 +647,31 @@ def test_basket_triples_replay(ray_session, entry):
     got = [(int(r["n_orders"]), int(r["part_a"]), int(r["part_b"]),
             int(r["part_c"])) for _, r in out.iterrows()]
     assert got == want
+
+
+def test_mannwhitney_matches_scipy_formula(ray_session, entry):
+    """U and z replayed with rank-based numpy (average ranks)."""
+    import pyarrow.parquet as pq
+
+    out = entry.queries()["mannwhitney_order_values"](SF) \
+        .to_pandas().iloc[0]
+    t = pq.read_table(f"{SF}/orders.parquet",
+                      columns=["o_orderkey", "o_totalprice"]) \
+        .to_pandas()
+    x = np.rint(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    arm = t["o_orderkey"].to_numpy() % 2
+    import pandas as pd
+
+    ranks = pd.Series(x).rank(method="average").to_numpy()
+    ra = ranks[arm == 0].sum()
+    na = int((arm == 0).sum())
+    nb = int((arm == 1).sum())
+    u = ra - na * (na + 1) / 2
+    assert int(out["u2"]) == int(round(2 * u))
+    n = na + nb
+    tie = pd.Series(x).value_counts().to_numpy().astype(np.int64)
+    t3 = int((tie ** 3 - tie).sum())
+    var = na * nb * (n * (n - 1) * (n + 1) - t3) / (12 * n * (n - 1))
+    z = (2 * u - na * nb) / (2 * np.sqrt(var))
+    assert abs(float(out["z"]) - z) < 1e-3
+    assert int(out["significant"]) == 0
