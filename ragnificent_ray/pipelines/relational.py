@@ -2925,26 +2925,45 @@ def fk_integrity_audit(sf_dir: str):
     (Arrow group_by), one key-fold, then the orphan set is Ray's
     native hash-partitioned ``left_anti`` join against the parent key
     column — the NOT-EXISTS shape of ``inactive_customers``; nothing
-    but keys and counts ever shuffles. Exact integers throughout."""
-    from ray.data.aggregate import Sum
-
+    but keys and counts ever shuffles. The three lineitem
+    relationships share ONE materialized column read, and the key
+    fold runs in bounded key-hash buckets (never a native per-key
+    aggregate — ~100us/key at fact-table cardinalities). Exact
+    integers throughout."""
     P = _fact_join_partitions(sf_dir)
+    n_kb = P * 8
     join_args = dict(num_partitions=P,
                      aggregator_ray_remote_args={"num_cpus": 0.25})
+    child_cols: dict[str, list[str]] = {}
+    for _, child, ck, _, _ in _FK_RELS:
+        child_cols.setdefault(child, []).append(ck)
+    child_ds = {c: rd.read_parquet(_pq(sf_dir, c), columns=cols)
+                .materialize()
+                for c, cols in child_cols.items()}
     rel_, nrow_, nkey_, okey_, orow_ = [], [], [], [], []
+
+    def key_fold(t: pa.Table) -> pa.Table:
+        g = (t.select(["k", "n"]).group_by("k")
+             .aggregate([("n", "sum")]))
+        return g.rename_columns(["k", "n"])
+
     for rel, child, ck, parent, pk in _FK_RELS:
-        ds = rd.read_parquet(_pq(sf_dir, child), columns=[ck])
+        ds = child_ds[child]
 
         def key_partial(b: pa.Table, _ck=ck) -> pa.Table:
             g = pa.table({
                 "k": b.column(_ck),
                 "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
             }).group_by("k").aggregate([("n", "sum")])
-            return g.rename_columns(["k", "n"])
+            g = g.rename_columns(["k", "n"])
+            return g.append_column("kb", pa.array(
+                (g.column("k").to_numpy(zero_copy_only=False)
+                 % n_kb).astype(np.int32)))
 
         counts = (ds.map_batches(key_partial, batch_format="pyarrow",
                                  batch_size=65536)
-                  .groupby("k").aggregate(Sum("n", alias_name="n"))
+                  .groupby("kb").map_groups(key_fold,
+                                            batch_format="pyarrow")
                   .materialize())
         par = rd.read_parquet(_pq(sf_dir, parent), columns=[pk])
         orphans = counts.join(par, "left_anti", on=("k",),
@@ -3204,18 +3223,18 @@ def mannwhitney_order_values(sf_dir: str):
 
     Exactness: the statistic is computed from the VALUE HISTOGRAM —
     per distinct integer-cent value, arm counts (cA, cB) fold
-    distributed; a single sorted stream then accumulates
-    2U = Σ(2·cA·cumB₍₋₎ + cA·cB) in exact Python ints with O(1)
-    driver state (running scalars only — the price_quantity_corr
-    streaming discipline on sorted blocks); the tie term Σ(t³−t) and
-    the variance are exact integers, ONE sqrt+division at the end
-    mirroring the oracle's window-function replay."""
+    distributed to a DOMAIN-bounded table (integer cents ≤ the max
+    order total, independent of row count), which one driver-side
+    sorted cumsum turns into 2U = Σ(2·cA·cumB₍₋₎ + cA·cB) in exact
+    integers; the tie term Σ(t³−t) and the variance are exact too,
+    ONE sqrt+division at the end mirroring the oracle's
+    window-function replay."""
     import math
-
-    from ray.data.aggregate import Sum
 
     ds = rd.read_parquet(_pq(sf_dir, "orders"),
                          columns=["o_orderkey", "o_totalprice"])
+
+    n_kb = _fact_join_partitions(sf_dir, "orders") * 8
 
     def partial(b: pa.Table) -> pa.Table:
         x = np.rint(b.column("o_totalprice").to_numpy() * 100) \
@@ -3226,30 +3245,35 @@ def mannwhitney_order_values(sf_dir: str):
             "c_a": pa.array(1 - arm),
             "c_b": pa.array(arm),
         }).group_by("x").aggregate([("c_a", "sum"), ("c_b", "sum")])
-        return t.rename_columns(["x", "c_a", "c_b"])
+        t = t.rename_columns(["x", "c_a", "c_b"])
+        return t.append_column("kb", pa.array(
+            (t.column("x").to_numpy(zero_copy_only=False)
+             % n_kb).astype(np.int32)))
 
-    hist = (ds.map_batches(partial, batch_format="pyarrow",
+    def fold(t: pa.Table) -> pa.Table:
+        g = (t.select(["x", "c_a", "c_b"]).group_by("x")
+             .aggregate([("c_a", "sum"), ("c_b", "sum")]))
+        return g.rename_columns(["x", "c_a", "c_b"])
+
+    # bucketed fold (NOT a native per-key aggregate — Ray's sort
+    # aggregate costs ~100us/key at 150k distinct values); the folded
+    # histogram key space is the VALUE DOMAIN (integer cents, bounded
+    # by the max order total, independent of row count), so one
+    # domain-bounded take_all + driver numpy sort finishes it
+    rows = (ds.map_batches(partial, batch_format="pyarrow",
                            batch_size=65536)
-            .groupby("x")
-            .aggregate(Sum("c_a", alias_name="c_a"),
-                       Sum("c_b", alias_name="c_b"))
-            .sort("x"))
-    na = nb = 0
-    u2 = 0            # 2U, exact
-    t3 = 0            # Σ (t³ − t) over tie groups
-    cum_b = 0
-    for b in hist.iter_batches(batch_size=8192,
-                               batch_format="pyarrow"):
-        ca = b.column("c_a").to_numpy(zero_copy_only=False)
-        cb = b.column("c_b").to_numpy(zero_copy_only=False)
-        # in-block prefix of cB BEFORE each value + running offset
-        cum_in = np.concatenate([[0], np.cumsum(cb)[:-1]])
-        u2 += int((2 * ca * (cum_in + cum_b) + ca * cb).sum())
-        t = ca + cb
-        t3 += int((t * t * t - t).sum())
-        na += int(ca.sum())
-        nb += int(cb.sum())
-        cum_b += int(cb.sum())
+            .groupby("kb").map_groups(fold, batch_format="pyarrow")
+            .take_all())
+    x = np.array([r["x"] for r in rows], dtype=np.int64)
+    order = np.argsort(x, kind="stable")
+    ca = np.array([r["c_a"] for r in rows], dtype=np.int64)[order]
+    cb = np.array([r["c_b"] for r in rows], dtype=np.int64)[order]
+    cum_in = np.concatenate([[0], np.cumsum(cb)[:-1]])
+    u2 = int((2 * ca * cum_in + ca * cb).sum())
+    t = ca + cb
+    t3 = int((t * t * t - t).sum())
+    na = int(ca.sum())
+    nb = int(cb.sum())
     n = na + nb
     var_num = na * nb * (n * (n - 1) * (n + 1) - t3)   # exact ints
     var = float(var_num) / (12 * n * (n - 1))
