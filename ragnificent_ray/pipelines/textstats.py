@@ -1961,6 +1961,96 @@ FROM ex CROSS JOIN est
 """
 
 
+def chi2_lang_source(sf_dir: str):
+    """Pearson χ² independence test + Cramér's V between document
+    language and source — the significance/effect-size companion to
+    [[lang-source-mi]]'s information readout: is the lang×source
+    association real, and how strong on a 0-1 scale?
+
+    Exactness: the contingency table folds to catalog-bounded
+    (lang, source) integer cells; each cell's χ² term is
+    (O·N − R·C)²/(N·R·C) with an EXACT integer numerator (Python
+    unbounded ints — O·N ~ 10¹⁰ at scale squares past int64) and one
+    float division per cell; the ≤|langs|×|sources| float cell sum is
+    absorbed by the 4-dp round, mirroring the oracle."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["lang", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.table({
+            "lang": b.column("lang"),
+            "source": b.column("source"),
+            "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+        }).group_by(["lang", "source"]).aggregate([("n", "sum")])
+        return g.rename_columns(["lang", "source", "n"])
+
+    rows = (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby(["lang", "source"])
+            .aggregate(Sum("n", alias_name="n"))
+            .take_all())
+    langs = sorted({r["lang"] for r in rows})
+    srcs = sorted({r["source"] for r in rows})
+    li = {v: i for i, v in enumerate(langs)}
+    si = {v: i for i, v in enumerate(srcs)}
+    obs = np.zeros((len(langs), len(srcs)), dtype=np.int64)
+    for r in rows:
+        obs[li[r["lang"]], si[r["source"]]] = r["n"]
+    rsum = obs.sum(axis=1)
+    csum = obs.sum(axis=0)
+    n = int(obs.sum())
+    chi2 = 0.0
+    for i in range(len(langs)):
+        for j in range(len(srcs)):
+            num = (int(obs[i, j]) * n
+                   - int(rsum[i]) * int(csum[j])) ** 2
+            chi2 += float(num) / (float(n) * int(rsum[i])
+                                  * int(csum[j]))
+    dof = (len(langs) - 1) * (len(srcs) - 1)
+    v = math.sqrt(chi2 / (n * min(len(langs) - 1, len(srcs) - 1)))
+    return pa.table({
+        "n": pa.array([n], type=pa.int64()),
+        "dof": pa.array([dof], type=pa.int64()),
+        "chi2": pa.array([round_half_away(chi2, 4)],
+                         type=pa.float64()),
+        "cramers_v": pa.array([round_half_away(v, 6)],
+                              type=pa.float64()),
+    })
+
+
+_CHI2_SQL = """
+WITH c AS (
+  SELECT lang, source, COUNT(*) AS o FROM documents
+  GROUP BY lang, source
+), r AS (SELECT lang, SUM(o) AS rs FROM c GROUP BY lang),
+s AS (SELECT source, SUM(o) AS cs FROM c GROUP BY source),
+tot AS (SELECT SUM(o) AS n FROM c),
+grid AS (
+  SELECT r.lang, s.source, COALESCE(c.o, 0) AS o, r.rs, s.cs
+  FROM r CROSS JOIN s
+  LEFT JOIN c ON c.lang = r.lang AND c.source = s.source
+), terms AS (
+  SELECT SUM(CAST((CAST(o AS HUGEINT) * tot.n - rs * cs)
+                  * (CAST(o AS HUGEINT) * tot.n - rs * cs) AS DOUBLE)
+             / (CAST(tot.n AS DOUBLE) * rs * cs)) AS chi2
+  FROM grid CROSS JOIN tot
+), dims AS (
+  SELECT (SELECT COUNT(*) FROM r) AS nr, (SELECT COUNT(*) FROM s) AS nc
+)
+SELECT CAST(tot.n AS BIGINT) AS n,
+       CAST((dims.nr - 1) * (dims.nc - 1) AS BIGINT) AS dof,
+       ROUND(terms.chi2, 4) AS chi2,
+       ROUND(SQRT(terms.chi2 / (tot.n * LEAST(dims.nr - 1,
+                                              dims.nc - 1))), 6)
+           AS cramers_v
+FROM terms CROSS JOIN tot CROSS JOIN dims
+"""
+
+
 _HEAPS_SQL = rf"""
 WITH t AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
@@ -2047,6 +2137,7 @@ ORACLE_SQL = {
     "heaps_law_fit": _HEAPS_SQL,
     "kl_source_divergence": _KL_SQL,
     "ams_f2_tokens": _AMS_SQL,
+    "chi2_lang_source": _CHI2_SQL,
     "keyword_topk": _KEYWORD_SQL,
     "fingerprints": r"""
         WITH t AS (
@@ -2549,6 +2640,7 @@ QUERIES = {
     "heaps_law_fit": heaps_law_fit,
     "kl_source_divergence": kl_source_divergence,
     "ams_f2_tokens": ams_f2_tokens,
+    "chi2_lang_source": chi2_lang_source,
     "naive_bayes_source": naive_bayes_source,
     "lang_source_mi": lang_source_mi,
     "quality_scores": quality_scores,

@@ -675,3 +675,22 @@ def test_mannwhitney_matches_scipy_formula(ray_session, entry):
     z = (2 * u - na * nb) / (2 * np.sqrt(var))
     assert abs(float(out["z"]) - z) < 1e-3
     assert int(out["significant"]) == 0
+
+
+def test_chi2_lang_source_replay(ray_session, entry):
+    """Chi-square replayed with float numpy expected counts."""
+    import pyarrow.parquet as pq
+
+    out = entry.queries()["chi2_lang_source"](SF).to_pandas().iloc[0]
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["lang", "source"]).to_pandas()
+    ct = docs.groupby(["lang", "source"]).size().unstack(fill_value=0)
+    obs = ct.to_numpy().astype(np.float64)
+    exp = obs.sum(axis=1, keepdims=True) \
+        * obs.sum(axis=0, keepdims=True) / obs.sum()
+    chi2 = ((obs - exp) ** 2 / exp).sum()
+    assert int(out["n"]) == len(docs)
+    assert int(out["dof"]) == (ct.shape[0] - 1) * (ct.shape[1] - 1)
+    assert abs(float(out["chi2"]) - chi2) < 1e-2
+    v = np.sqrt(chi2 / (len(docs) * (min(ct.shape) - 1)))
+    assert abs(float(out["cramers_v"]) - v) < 1e-4
