@@ -2022,6 +2022,107 @@ def chi2_lang_source(sf_dir: str):
     })
 
 
+_QCORR_FEATS = ["n_chars", "n_tokens", "n_distinct", "longest_token"]
+
+
+def quality_corr_matrix(sf_dir: str):
+    """Pairwise Pearson correlation matrix over four per-document
+    integer features (chars, tokens, distinct tokens, longest token)
+    — the feature-redundancy census a quality-model trainer reads
+    before fitting: ρ≈1 pairs carry one signal, drop one. The matrix
+    generalization of ``price_quantity_corr``'s single pair.
+
+    Exactness: each batch folds to ONE row of 15 int64 moments (n,
+    four Σxᵢ, ten Σxᵢxⱼ); rows stream to the driver where unbounded
+    Python ints combine order-independently; each ρ divides exact
+    integers once via the closed form, mirroring the oracle's HUGEINT
+    tree term for term."""
+    import math
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["text", "n_chars"])
+    k = len(_QCORR_FEATS)
+
+    def moments(batch: pa.Table) -> pa.Table:
+        nc = batch.column("n_chars").to_numpy()
+        texts = batch.column("text").to_pylist()
+        f = np.zeros((len(texts), k), dtype=np.int64)
+        f[:, 0] = nc
+        for i, t in enumerate(texts):
+            toks = t.strip().split()
+            f[i, 1] = len(toks)
+            f[i, 2] = len(set(toks))
+            f[i, 3] = max((len(w) for w in toks), default=0)
+        out = {"n": pa.array([len(texts)], type=pa.int64())}
+        for a in range(k):
+            out[f"s{a}"] = pa.array([int(f[:, a].sum())],
+                                    type=pa.int64())
+            for b in range(a, k):
+                out[f"p{a}{b}"] = pa.array(
+                    [int((f[:, a] * f[:, b]).sum())], type=pa.int64())
+        return pa.table(out)
+
+    tot: dict[str, int] = {}
+    for b in ds.map_batches(moments, batch_format="pyarrow",
+                            batch_size=8192) \
+               .iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for name in b.column_names:
+            tot[name] = tot.get(name, 0) \
+                + sum(b.column(name).to_pylist())
+    n = tot["n"]
+    fa, fb, rho = [], [], []
+    for a in range(k):
+        for b2 in range(a + 1, k):
+            num = n * tot[f"p{a}{b2}"] - tot[f"s{a}"] * tot[f"s{b2}"]
+            va = n * tot[f"p{a}{a}"] - tot[f"s{a}"] ** 2
+            vb = n * tot[f"p{b2}{b2}"] - tot[f"s{b2}"] ** 2
+            den = math.sqrt(float(va) * float(vb))
+            fa.append(_QCORR_FEATS[a])
+            fb.append(_QCORR_FEATS[b2])
+            rho.append(round_half_away(float(num) / den, 4)
+                       if den else 0.0)
+    return pa.table({
+        "feat_a": pa.array(fa, type=pa.string()),
+        "feat_b": pa.array(fb, type=pa.string()),
+        "corr": pa.array(rho, type=pa.float64()),
+    })
+
+
+def _qcorr_sql() -> str:
+    feats = {
+        "n_chars": "n_chars",
+        "n_tokens": r"len(regexp_split_to_array(trim(text), '\s+'))",
+        "n_distinct":
+            r"len(list_distinct(regexp_split_to_array(trim(text),"
+            r" '\s+')))",
+        "longest_token":
+            r"list_max(list_transform(regexp_split_to_array("
+            r"trim(text), '\s+'), w -> length(w)))",
+    }
+    cols = ", ".join(f"CAST({expr} AS BIGINT) AS f{i}"
+                     for i, expr in enumerate(feats.values()))
+    names = list(feats)
+    pairs = []
+    for a in range(len(names)):
+        for b in range(a + 1, len(names)):
+            pairs.append(f"""
+SELECT '{names[a]}' AS feat_a, '{names[b]}' AS feat_b,
+  CASE WHEN (n * p{a}{a} - s{a} * s{a}) = 0
+            OR (n * p{b}{b} - s{b} * s{b}) = 0 THEN 0.0
+       ELSE ROUND(CAST(n * p{a}{b} - s{a} * s{b} AS DOUBLE)
+                  / SQRT(CAST(n * p{a}{a} - s{a} * s{a} AS DOUBLE)
+                         * CAST(n * p{b}{b} - s{b} * s{b} AS DOUBLE)),
+                  4)
+  END AS corr FROM m""")
+    sums = ", ".join(
+        [f"SUM(CAST(f{a} AS HUGEINT)) AS s{a}" for a in range(4)]
+        + [f"SUM(CAST(f{a} AS HUGEINT) * f{b}) AS p{a}{b}"
+           for a in range(4) for b in range(a, 4)])
+    return (f"WITH v AS (SELECT {cols} FROM documents),\n"
+            f"m AS (SELECT COUNT(*) AS n, {sums} FROM v)\n"
+            + "\nUNION ALL\n".join(pairs))
+
+
 _CHI2_SQL = """
 WITH c AS (
   SELECT lang, source, COUNT(*) AS o FROM documents
@@ -2138,6 +2239,7 @@ ORACLE_SQL = {
     "kl_source_divergence": _KL_SQL,
     "ams_f2_tokens": _AMS_SQL,
     "chi2_lang_source": _CHI2_SQL,
+    "quality_corr_matrix": _qcorr_sql(),
     "keyword_topk": _KEYWORD_SQL,
     "fingerprints": r"""
         WITH t AS (
@@ -2641,6 +2743,7 @@ QUERIES = {
     "kl_source_divergence": kl_source_divergence,
     "ams_f2_tokens": ams_f2_tokens,
     "chi2_lang_source": chi2_lang_source,
+    "quality_corr_matrix": quality_corr_matrix,
     "naive_bayes_source": naive_bayes_source,
     "lang_source_mi": lang_source_mi,
     "quality_scores": quality_scores,

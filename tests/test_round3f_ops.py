@@ -694,3 +694,25 @@ def test_chi2_lang_source_replay(ray_session, entry):
     assert abs(float(out["chi2"]) - chi2) < 1e-2
     v = np.sqrt(chi2 / (len(docs) * (min(ct.shape) - 1)))
     assert abs(float(out["cramers_v"]) - v) < 1e-4
+
+
+def test_quality_corr_matrix_replay(ray_session, entry):
+    """All six pairwise correlations replayed with float numpy."""
+    import pyarrow.parquet as pq
+
+    out = entry.queries()["quality_corr_matrix"](SF).to_pandas()
+    assert len(out) == 6
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["text", "n_chars"]).to_pandas()
+    feats = {"n_chars": docs["n_chars"].to_numpy().astype(float)}
+    toks = [t.strip().split() for t in docs["text"]]
+    feats["n_tokens"] = np.array([len(t) for t in toks], dtype=float)
+    feats["n_distinct"] = np.array([len(set(t)) for t in toks],
+                                   dtype=float)
+    feats["longest_token"] = np.array(
+        [max((len(w) for w in t), default=0) for t in toks],
+        dtype=float)
+    for _, r in out.iterrows():
+        want = np.corrcoef(feats[r["feat_a"]], feats[r["feat_b"]])[0, 1]
+        assert abs(float(r["corr"]) - want) < 1e-3
+    assert out["corr"].between(-1.0, 1.0).all()
