@@ -163,7 +163,7 @@ QUERY_NAMES = [
     "fk_integrity_audit", "session_path_topk", "copurchase_kcore",
     "cross_source_dup_matrix", "embedding_centroid_shift",
     "weekday_anova", "basket_triples", "mannwhitney_order_values",
-    "chi2_lang_source", "quality_corr_matrix",
+    "chi2_lang_source", "quality_corr_matrix", "bootstrap_median_ci",
 ]
 
 

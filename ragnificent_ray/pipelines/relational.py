@@ -3328,6 +3328,124 @@ FROM m
 """
 
 
+BOOT_B = 16          # bootstrap replicates
+# Poisson(1) CDF thresholds scaled to 2^40, k = 0..8 (weights cap at
+# 9): weight = count of thresholds <= hash40 — identical integer
+# compares on both engines
+_POISSON_T40 = [404487723187, 808975446375, 1011219307969,
+                1078633928500, 1095487583633, 1098858314660,
+                1099420103164, 1099500358665, 1099510390602]
+
+
+def bootstrap_median_ci(sf_dir: str):
+    """POISSON-BOOTSTRAP replicate medians of the order-total
+    distribution — the bootstrap that actually streams at scale
+    (Chamandy et al. 2012, "Estimating uncertainty for massive data
+    streams"): instead of resampling rows (impossible distributed),
+    every row draws an independent Poisson(1) weight per replicate
+    from a deterministic hash, so each replicate is a valid bootstrap
+    resample computable row-locally. Output: one LOWER WEIGHTED
+    MEDIAN per replicate — the spread of these 16 values IS the
+    median's sampling uncertainty.
+
+    Exactness: the hash→weight map is integer compares against
+    precomputed Poisson-CDF thresholds scaled to 2⁴⁰ (shared literals
+    with the oracle), weighted histograms fold in bounded
+    (replicate, value)-hash buckets, and the lower-median rule
+    2·cum ≥ W is all-integer — no interpolation, no float
+    anywhere."""
+    from ..functions.hashing import md5_hex
+
+    n_kb = _fact_join_partitions(sf_dir, "orders") * 8
+    ds = rd.read_parquet(_pq(sf_dir, "orders"),
+                         columns=["o_orderkey", "o_totalprice"])
+    thr = np.array(_POISSON_T40, dtype=np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = b.column("o_orderkey").to_pylist()
+        x = np.rint(b.column("o_totalprice").to_numpy() * 100) \
+            .astype(np.int64)
+        bs, xs, ws = [], [], []
+        for rep in range(BOOT_B):
+            h = np.fromiter(
+                (int(md5_hex(f"{rep}:{k}")[:10], 16) for k in keys),
+                dtype=np.int64, count=len(keys))
+            w = np.searchsorted(thr, h, side="right")
+            nz = w > 0
+            bs.append(np.full(int(nz.sum()), rep, dtype=np.int64))
+            xs.append(x[nz])
+            ws.append(w[nz].astype(np.int64))
+        t = pa.table({
+            "b": pa.array(np.concatenate(bs)),
+            "x": pa.array(np.concatenate(xs)),
+            "w": pa.array(np.concatenate(ws)),
+        }).group_by(["b", "x"]).aggregate([("w", "sum")])
+        t = t.rename_columns(["b", "x", "w"])
+        return t.append_column("kb", pa.array(
+            ((t.column("b").to_numpy(zero_copy_only=False)
+              * np.int64(2654435761)
+              + t.column("x").to_numpy(zero_copy_only=False))
+             % n_kb).astype(np.int32)))
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = (t.select(["b", "x", "w"]).group_by(["b", "x"])
+             .aggregate([("w", "sum")]))
+        return g.rename_columns(["b", "x", "w"])
+
+    rows = (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("kb").map_groups(fold, batch_format="pyarrow")
+            .take_all())
+    per: dict[int, list] = {rep: [] for rep in range(BOOT_B)}
+    for r in rows:
+        per[int(r["b"])].append((int(r["x"]), int(r["w"])))
+    reps, meds = [], []
+    for rep in range(BOOT_B):
+        hist = sorted(per[rep])
+        total = sum(w for _, w in hist)
+        cum = 0
+        med = hist[-1][0] if hist else 0
+        for x, w in hist:
+            cum += w
+            if 2 * cum >= total:
+                med = x
+                break
+        reps.append(rep)
+        meds.append(med)
+    return pa.table({
+        "replicate": pa.array(reps, type=pa.int64()),
+        "median_cents": pa.array(meds, type=pa.int64()),
+    })
+
+
+def _bootstrap_sql() -> str:
+    ladder = " ".join(
+        f"WHEN h < {t} THEN {i}" for i, t in enumerate(_POISSON_T40))
+    return f"""
+WITH reps AS (SELECT unnest(range({BOOT_B})) AS b),
+r AS (
+  SELECT reps.b,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x,
+         CAST(('0x' || substr(md5(CAST(reps.b AS VARCHAR) || ':' ||
+              CAST(o_orderkey AS VARCHAR)), 1, 10)) AS BIGINT) AS h
+  FROM orders CROSS JOIN reps
+), w AS (
+  SELECT b, x,
+         CASE {ladder} ELSE {len(_POISSON_T40)} END AS w
+  FROM r
+), hw AS (
+  SELECT b, x, SUM(w) AS w FROM w WHERE w > 0 GROUP BY b, x
+), c AS (
+  SELECT b, x,
+         SUM(w) OVER (PARTITION BY b ORDER BY x) AS cw,
+         SUM(w) OVER (PARTITION BY b) AS tw
+  FROM hw
+)
+SELECT b AS replicate, CAST(MIN(x) AS BIGINT) AS median_cents
+FROM c WHERE 2 * cw >= tw GROUP BY b
+"""
+
+
 def weekday_anova(sf_dir: str):
     """One-way ANOVA of order totals across weekdays — "does the day
     of the week move basket size?": the F-statistic over the 7
@@ -3541,6 +3659,7 @@ ORACLE_SQL = {
     "t_closeness": _TCLOSE_SQL,
     "weekday_anova": _ANOVA_SQL,
     "mannwhitney_order_values": _MWU_SQL,
+    "bootstrap_median_ci": _bootstrap_sql(),
     "fk_integrity_audit": _FK_SQL,
     "props_numeric_agg": r"""
         WITH x AS (
@@ -4125,6 +4244,7 @@ QUERIES = {
     "t_closeness": t_closeness,
     "weekday_anova": weekday_anova,
     "mannwhitney_order_values": mannwhitney_order_values,
+    "bootstrap_median_ci": bootstrap_median_ci,
     "fk_integrity_audit": fk_integrity_audit,
     "supplier_wilson_rank": supplier_wilson_rank,
     "order_size_regression": order_size_regression,

@@ -716,3 +716,40 @@ def test_quality_corr_matrix_replay(ray_session, entry):
         want = np.corrcoef(feats[r["feat_a"]], feats[r["feat_b"]])[0, 1]
         assert abs(float(r["corr"]) - want) < 1e-3
     assert out["corr"].between(-1.0, 1.0).all()
+
+
+def test_bootstrap_median_ci_properties(ray_session, entry):
+    """Replicate medians must bracket the true median (for most
+    replicates), each replicate must replay exactly from the hash
+    rule, and the weight distribution must look Poisson(1)."""
+    import pyarrow.parquet as pq
+
+    from ragnificent_ray.functions.hashing import md5_hex
+    from ragnificent_ray.pipelines.relational import _POISSON_T40
+
+    out = entry.queries()["bootstrap_median_ci"](SF).to_pandas()
+    assert len(out) == 16
+    t = pq.read_table(f"{SF}/orders.parquet",
+                      columns=["o_orderkey", "o_totalprice"]) \
+        .to_pandas()
+    x = np.rint(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    true_med = np.median(x)
+    # replicate medians scatter around the point estimate
+    assert (np.abs(out["median_cents"] - true_med)
+            < 0.5 * true_med).all()
+
+    thr = np.array(_POISSON_T40, dtype=np.int64)
+    for rep in (0, 7):
+        h = np.fromiter((int(md5_hex(f"{rep}:{k}")[:10], 16)
+                         for k in t["o_orderkey"]), dtype=np.int64)
+        w = np.searchsorted(thr, h, side="right")
+        # Poisson(1): mean weight ~ 1
+        assert abs(w.mean() - 1.0) < 0.1
+        order = np.argsort(x, kind="stable")
+        cw = np.cumsum(w[order])
+        # lower weighted median: smallest x with 2*cum >= total
+        idx = np.searchsorted(2 * cw, cw[-1])
+        med = x[order][idx]
+        got = int(out.loc[out["replicate"] == rep,
+                          "median_cents"].iloc[0])
+        assert got == int(med)
