@@ -21,3 +21,23 @@ def test_coverage_footer_counts_match_surface():
     assert int(m.group(1)) == n_o
     assert int(m.group(2)) == n_q
     assert int(m.group(3)) == n_q - n_o
+
+
+def test_bench_query_names_resolve():
+    """Every bench.py QUERY_NAMES entry must exist in queries() (a
+    typo here fails the driver's per-round bench run), with no
+    duplicates."""
+    import importlib.util
+    import os
+
+    import __ray_entry__ as entry
+
+    os.environ.setdefault("RAY_GRAFT_CPUS", "8")
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(os.path.dirname(__file__), "..",
+                                  "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    q = set(entry.queries())
+    assert [n for n in bench.QUERY_NAMES if n not in q] == []
+    assert len(set(bench.QUERY_NAMES)) == len(bench.QUERY_NAMES)
