@@ -201,9 +201,9 @@ def dhash64_batch(stack: np.ndarray) -> np.ndarray:
     global-mean threshold, so the two hashes fail differently (phash is
     robust to global brightness shifts, dhash to local mean shifts); a
     near-dup pass can band on either. All-integer like phash: uint16
-    BT.601 luma, uint64 block sums (uint32 wrapped silently once a
-    block exceeded ~65 k pixels, i.e. sources larger than roughly
-    2048×2300); after edge-padding every block in a
+    BT.601 luma, uint64 block sums (wrap-proof at any source size —
+    a block would need >2⁴⁷ pixels to overflow); after edge-padding
+    every block in a
     row has the same pixel count, so comparing block SUMS equals
     comparing block means with no division — bit-deterministic across
     platforms and batch groupings. Returns signed int64s.

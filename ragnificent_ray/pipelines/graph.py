@@ -1685,16 +1685,38 @@ def graph_assortativity(sf_dir: str):
               **join_args)
     )
 
+    _CELL = 1 << 62
+
+    def _cells(v: int) -> list[int]:
+        # split an unbounded int into int64-safe addends (the driver
+        # recombines with Python ints) — squared hub degrees can
+        # exceed int64 at extreme skew, so no partial may wrap
+        out: list[int] = []
+        while v >= _CELL or v <= -_CELL:
+            step = _CELL if v > 0 else -_CELL
+            out.append(step)
+            v -= step
+        out.append(v)
+        return out
+
     def moments(b: pa.Table) -> pa.Table:
-        da = b.column("d_a").to_numpy(zero_copy_only=False)
-        db_ = b.column("d").to_numpy(zero_copy_only=False)
-        return pa.table({
-            "m": pa.array([len(da)], type=pa.int64()),
-            "s1": pa.array([int((da + db_).sum())], type=pa.int64()),
-            "s2": pa.array([int((da * da + db_ * db_).sum())],
-                           type=pa.int64()),
-            "sp": pa.array([int((da * db_).sum())], type=pa.int64()),
-        })
+        # object dtype: exact unbounded-int sums (t_closeness
+        # discipline) — int64 da*da silently wraps on extreme hubs
+        da = b.column("d_a").to_numpy(zero_copy_only=False) \
+            .astype(object)
+        db_ = b.column("d").to_numpy(zero_copy_only=False) \
+            .astype(object)
+        cols = {
+            "m": [len(da)],
+            "s1": _cells(int((da + db_).sum())) if len(da) else [0],
+            "s2": _cells(int((da * da + db_ * db_).sum()))
+            if len(da) else [0],
+            "sp": _cells(int((da * db_).sum())) if len(da) else [0],
+        }
+        n = max(len(v) for v in cols.values())
+        return pa.table({k: pa.array(v + [0] * (n - len(v)),
+                                     type=pa.int64())
+                         for k, v in cols.items()})
 
     tot = {k: 0 for k in ("m", "s1", "s2", "sp")}
     for b in joined.map_batches(moments, batch_format="pyarrow") \

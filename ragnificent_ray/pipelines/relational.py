@@ -3335,6 +3335,20 @@ BOOT_B = 16          # bootstrap replicates
 _POISSON_T40 = [404487723187, 808975446375, 1011219307969,
                 1078633928500, 1095487583633, 1098858314660,
                 1099420103164, 1099500358665, 1099510390602]
+# Per-replicate odd 60-bit multiply-shift constants (splitmix64
+# stream, seed 0x1234567890ABCDEF, low 60 bits forced odd) — each
+# row pays ONE md5 (a 60-bit base from the first 15 hex chars) and
+# every replicate's 40-bit draw is (base * C_rep mod 2^60) >> 20,
+# a universal multiply-shift hash the oracle replays in HUGEINT
+# (product < 2^120) with plain % and // — no per-replicate md5.
+_BOOT_MIX = [906505647824660501, 1053545081321049051,
+             732266854765488239, 746945125342133159,
+             829718696367412199, 205601913862331955,
+             15679512933385289, 1141632390386609805,
+             409234102773873797, 11486974032919957,
+             1091762498639499451, 682627282742901223,
+             721436828753957831, 344121833412585385,
+             855078239548287813, 398313753572459967]
 
 
 def bootstrap_median_ci(sf_dir: str):
@@ -3361,15 +3375,20 @@ def bootstrap_median_ci(sf_dir: str):
                          columns=["o_orderkey", "o_totalprice"])
     thr = np.array(_POISSON_T40, dtype=np.int64)
 
+    mix = np.array(_BOOT_MIX, dtype=np.uint64)
+    m60 = np.uint64((1 << 60) - 1)          # 2^60 | 2^64, so the
+    s20 = np.uint64(20)                     # uint64 wrap is exact
+
     def partial(b: pa.Table) -> pa.Table:
         keys = b.column("o_orderkey").to_pylist()
         x = np.rint(b.column("o_totalprice").to_numpy() * 100) \
             .astype(np.int64)
+        base = np.fromiter(
+            (int(md5_hex(str(k))[:15], 16) for k in keys),
+            dtype=np.uint64, count=len(keys))     # one md5 per key
         bs, xs, ws = [], [], []
         for rep in range(BOOT_B):
-            h = np.fromiter(
-                (int(md5_hex(f"{rep}:{k}")[:10], 16) for k in keys),
-                dtype=np.int64, count=len(keys))
+            h = (((base * mix[rep]) & m60) >> s20).astype(np.int64)
             w = np.searchsorted(thr, h, side="right")
             nz = w > 0
             bs.append(np.full(int(nz.sum()), rep, dtype=np.int64))
@@ -3421,14 +3440,21 @@ def bootstrap_median_ci(sf_dir: str):
 def _bootstrap_sql() -> str:
     ladder = " ".join(
         f"WHEN h < {t} THEN {i}" for i, t in enumerate(_POISSON_T40))
+    mix_rows = ", ".join(
+        f"({rep}, CAST({c} AS HUGEINT))"
+        for rep, c in enumerate(_BOOT_MIX))
     return f"""
-WITH reps AS (SELECT unnest(range({BOOT_B})) AS b),
-r AS (
-  SELECT reps.b,
-         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x,
-         CAST(('0x' || substr(md5(CAST(reps.b AS VARCHAR) || ':' ||
-              CAST(o_orderkey AS VARCHAR)), 1, 10)) AS BIGINT) AS h
-  FROM orders CROSS JOIN reps
+WITH mix(b, c) AS (VALUES {mix_rows}),
+base AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x,
+         CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+              1, 15)) AS BIGINT) AS h60
+  FROM orders
+), r AS (
+  SELECT mix.b, base.x,
+         CAST(((CAST(base.h60 AS HUGEINT) * mix.c)
+               % 1152921504606846976) // 1048576 AS BIGINT) AS h
+  FROM base CROSS JOIN mix
 ), w AS (
   SELECT b, x,
          CASE {ladder} ELSE {len(_POISSON_T40)} END AS w
@@ -3440,9 +3466,14 @@ r AS (
          SUM(w) OVER (PARTITION BY b ORDER BY x) AS cw,
          SUM(w) OVER (PARTITION BY b) AS tw
   FROM hw
+), med AS (
+  SELECT b, CAST(MIN(x) AS BIGINT) AS median_cents
+  FROM c WHERE 2 * cw >= tw GROUP BY b
 )
-SELECT b AS replicate, CAST(MIN(x) AS BIGINT) AS median_cents
-FROM c WHERE 2 * cw >= tw GROUP BY b
+SELECT reps.b AS replicate,
+       COALESCE(med.median_cents, CAST(0 AS BIGINT)) AS median_cents
+FROM (SELECT unnest(range({BOOT_B})) AS b) reps
+LEFT JOIN med ON reps.b = med.b
 """
 
 

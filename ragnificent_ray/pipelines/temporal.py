@@ -1212,9 +1212,11 @@ def purchase_did(sf_dir: str):
         c = cell[(int(r["arm"]), int(r["per"]))]
         c[0] += int(r["n"])
         c[1] += int(r["conv"])
-    rate = {k: v[1] * 1.0 / v[0] for k, v in cell.items()}
-    did = ((rate[(1, 1)] - rate[(1, 0)])
-           - (rate[(0, 1)] - rate[(0, 0)]))
+    rate = {k: (v[1] * 1.0 / v[0] if v[0] else 0.0)
+            for k, v in cell.items()}
+    did = (((rate[(1, 1)] - rate[(1, 0)])
+            - (rate[(0, 1)] - rate[(0, 0)]))
+           if all(v[0] for v in cell.values()) else 0.0)
     return pa.table({
         "n_c_pre": pa.array([cell[(0, 0)][0]], type=pa.int64()),
         "conv_c_pre": pa.array([cell[(0, 0)][1]], type=pa.int64()),
@@ -1247,25 +1249,32 @@ cells AS (
   FROM ud CROSS JOIN s GROUP BY 1, 2
 ), w AS (
   SELECT
-    CAST(SUM(CASE WHEN arm=0 AND per=0 THEN n END) AS BIGINT) AS n_c_pre,
-    CAST(SUM(CASE WHEN arm=0 AND per=0 THEN c END) AS BIGINT)
-        AS conv_c_pre,
-    CAST(SUM(CASE WHEN arm=0 AND per=1 THEN n END) AS BIGINT) AS n_c_post,
-    CAST(SUM(CASE WHEN arm=0 AND per=1 THEN c END) AS BIGINT)
-        AS conv_c_post,
-    CAST(SUM(CASE WHEN arm=1 AND per=0 THEN n END) AS BIGINT) AS n_t_pre,
-    CAST(SUM(CASE WHEN arm=1 AND per=0 THEN c END) AS BIGINT)
-        AS conv_t_pre,
-    CAST(SUM(CASE WHEN arm=1 AND per=1 THEN n END) AS BIGINT) AS n_t_post,
-    CAST(SUM(CASE WHEN arm=1 AND per=1 THEN c END) AS BIGINT)
-        AS conv_t_post
+    CAST(COALESCE(SUM(CASE WHEN arm=0 AND per=0 THEN n END), 0)
+        AS BIGINT) AS n_c_pre,
+    CAST(COALESCE(SUM(CASE WHEN arm=0 AND per=0 THEN c END), 0)
+        AS BIGINT) AS conv_c_pre,
+    CAST(COALESCE(SUM(CASE WHEN arm=0 AND per=1 THEN n END), 0)
+        AS BIGINT) AS n_c_post,
+    CAST(COALESCE(SUM(CASE WHEN arm=0 AND per=1 THEN c END), 0)
+        AS BIGINT) AS conv_c_post,
+    CAST(COALESCE(SUM(CASE WHEN arm=1 AND per=0 THEN n END), 0)
+        AS BIGINT) AS n_t_pre,
+    CAST(COALESCE(SUM(CASE WHEN arm=1 AND per=0 THEN c END), 0)
+        AS BIGINT) AS conv_t_pre,
+    CAST(COALESCE(SUM(CASE WHEN arm=1 AND per=1 THEN n END), 0)
+        AS BIGINT) AS n_t_post,
+    CAST(COALESCE(SUM(CASE WHEN arm=1 AND per=1 THEN c END), 0)
+        AS BIGINT) AS conv_t_post
   FROM cells
 )
 SELECT *,
-       ROUND((conv_t_post * 1.0 / n_t_post
-              - conv_t_pre * 1.0 / n_t_pre)
-             - (conv_c_post * 1.0 / n_c_post
-                - conv_c_pre * 1.0 / n_c_pre), 6) AS did
+       CASE WHEN n_c_pre = 0 OR n_c_post = 0
+                 OR n_t_pre = 0 OR n_t_post = 0 THEN 0.0
+            ELSE ROUND((conv_t_post * 1.0 / n_t_post
+                        - conv_t_pre * 1.0 / n_t_pre)
+                       - (conv_c_post * 1.0 / n_c_post
+                          - conv_c_pre * 1.0 / n_c_pre), 6)
+       END AS did
 FROM w
 """
 
@@ -1523,7 +1532,7 @@ def session_path_topk(sf_dir: str):
     def tri_counts(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(["user_id", "ts", "event_id"],
                           kind="mergesort", ignore_index=True)
-        us = g["ts"].astype("int64").to_numpy()
+        us = _ts_us(g["ts"])
         uid = g["user_id"].to_numpy()
         new = np.ones(len(g), dtype=np.int64)
         if len(g) > 1:
@@ -1618,7 +1627,7 @@ def churn_labels(sf_dir: str):
             "bucket", pa.array(bucket.astype(np.int32)))
 
     def per_user(g: pd.DataFrame) -> pa.Table:
-        us = g["ts"].astype("int64").to_numpy()
+        us = _ts_us(g["ts"])
         early = us < split
         sub = g[early]
         if not len(sub):

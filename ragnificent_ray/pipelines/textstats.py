@@ -1930,7 +1930,7 @@ def ams_f2_tokens(sf_dir: str):
                            type=pa.float64()),
         "rel_err": pa.array(
             [round_half_away(abs(float(ss) / float(AMS_R) - f2) / f2,
-                             4)],
+                             4) if f2 else 0.0],
             type=pa.float64()),
     })
 
@@ -1952,11 +1952,14 @@ s AS (
              THEN tc.n ELSE -tc.n END) AS s
   FROM js CROSS JOIN tc GROUP BY js.j
 ), est AS (SELECT SUM(CAST(s AS HUGEINT) * s) AS ss FROM s)
-SELECT CAST(ex.f2 AS BIGINT) AS exact_f2,
-       ROUND(CAST(est.ss AS DOUBLE) / CAST({AMS_R} AS DOUBLE), 4)
-           AS est_f2,
-       ROUND(ABS(CAST(est.ss AS DOUBLE) / CAST({AMS_R} AS DOUBLE)
-                 - ex.f2) / ex.f2, 4) AS rel_err
+SELECT CAST(COALESCE(ex.f2, 0) AS BIGINT) AS exact_f2,
+       ROUND(CAST(COALESCE(est.ss, 0) AS DOUBLE)
+             / CAST({AMS_R} AS DOUBLE), 4) AS est_f2,
+       CASE WHEN COALESCE(ex.f2, 0) = 0 THEN 0.0
+            ELSE ROUND(ABS(CAST(COALESCE(est.ss, 0) AS DOUBLE)
+                           / CAST({AMS_R} AS DOUBLE)
+                           - ex.f2) / ex.f2, 4)
+       END AS rel_err
 FROM ex CROSS JOIN est
 """
 
@@ -2089,15 +2092,22 @@ def quality_corr_matrix(sf_dir: str):
 
 
 def _qcorr_sql() -> str:
+    # trim('')-guards: Python str.split() yields [] for
+    # empty/whitespace-only text but regexp_split_to_array yields
+    # [''] (count 1) — guard every token-derived feature to 0
     feats = {
         "n_chars": "n_chars",
-        "n_tokens": r"len(regexp_split_to_array(trim(text), '\s+'))",
+        "n_tokens":
+            r"CASE WHEN trim(text) = '' THEN 0 ELSE "
+            r"len(regexp_split_to_array(trim(text), '\s+')) END",
         "n_distinct":
+            r"CASE WHEN trim(text) = '' THEN 0 ELSE "
             r"len(list_distinct(regexp_split_to_array(trim(text),"
-            r" '\s+')))",
+            r" '\s+'))) END",
         "longest_token":
+            r"CASE WHEN trim(text) = '' THEN 0 ELSE "
             r"list_max(list_transform(regexp_split_to_array("
-            r"trim(text), '\s+'), w -> length(w)))",
+            r"trim(text), '\s+'), w -> length(w))) END",
     }
     cols = ", ".join(f"CAST({expr} AS BIGINT) AS f{i}"
                      for i, expr in enumerate(feats.values()))
