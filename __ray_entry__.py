@@ -110,15 +110,19 @@ def _crawl_round_metrics(sf_dir: str):
     "resumable from checkpoint with per-partition lineage + metrics"
     surface as a first-class query: one row per crawl round with the
     deterministic counters (frontier size, parsed/cached/failed pages,
-    rendered, chunks, image frontier, harvest rows, next frontier).
-    Wall-time fields are intentionally excluded so the result is
-    run-stable (rows-only determinism gate)."""
+    rendered, chunks, image frontier, harvest rows, next frontier)
+    plus the seen-shard scale audit (cumulative actor-heap bytes and
+    RPC fan-out watermarks per round — flat-bounded heap and
+    O(batches × shards) RPC counts are the north rule's cross-process
+    contract). Wall-time fields are intentionally excluded so the
+    result is run-stable (rows-only determinism gate)."""
     import pyarrow as pa
 
     res = _crawl(sf_dir)
     keys = ("n_frontier", "pages_parsed", "pages_from_cache",
             "pages_failed", "rendered", "chunks", "image_frontier",
-            "harvest_rows", "next_frontier")
+            "harvest_rows", "next_frontier", "seen_shard_bytes",
+            "seen_rpc_calls", "seen_rpc_rows")
     rounds = sorted(int(k.split("_", 1)[1]) for k in res.metrics
                     if k.startswith("round_"))
     cols: dict = {"round": pa.array(rounds, type=pa.int64())}

@@ -716,6 +716,20 @@ def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResu
 
             critical_sec = time.monotonic() - round_t0
 
+            # seen-shard telemetry snapshot — taken on the critical
+            # path right after phase-2, so the cumulative counters are
+            # exact per-round watermarks (every seen mutation happens
+            # inside a critical-path execution). Audits the north
+            # rule's cross-process boundaries: RPC fan-out must stay
+            # O(batches × shards) and actor heap flat-numpy-bounded.
+            _sst = seen.rpc_stats()
+            seen_telemetry = {
+                "seen_shard_bytes": sum(
+                    st["memory_bytes"] for st in _sst),
+                "seen_rpc_calls": sum(st["rpc_calls"] for st in _sst),
+                "seen_rpc_rows": sum(st["rpc_rows_in"] for st in _sst),
+            }
+
             # ---- deferred round finalization --------------------------------
             # each finalizer waits on the previous round's finalizer so
             # manifest completion is IN ORDER: completed_rounds is always
@@ -729,6 +743,7 @@ def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResu
                           critical_sec=critical_sec,
                           fetch_parse_sec=fetch_parse_sec,
                           frontier_dir=frontier_dir,
+                          seen_telemetry=seen_telemetry,
                           prev_finalizer=prev_finalizer):
                 n_rendered, n_chunks = (
                     futures["render_chunks"].result()
@@ -761,6 +776,7 @@ def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResu
                     "critical_sec": round(critical_sec, 3),
                     "fetch_parse_sec": round(fetch_parse_sec, 3),
                     "branch_times": dict(branch_times),
+                    **seen_telemetry,
                 }
                 with manifest_lock:
                     ckpt.complete_round(depth, lineage, metrics, chash)

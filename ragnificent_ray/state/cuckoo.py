@@ -1,18 +1,26 @@
-"""Cuckoo filter — the approximate-membership core of the URL-seen set.
+"""Cuckoo structures — the membership core of the URL-seen set.
 
 The north rule calls for a sharded cuckoo-filter URL-seen set keyed by
-canonicalized URL hash (BASELINE.json ``north_star``). This is a
-bucketed fingerprint table (4 slots × 16-bit fingerprints, partial-key
-cuckoo hashing per Fan et al., "Cuckoo Filter: Practically Better Than
-Bloom", CoNEXT 2014) with numpy bulk lookups so a whole Arrow batch of
-``url_hash`` values is tested in one vectorized pass.
+canonicalized URL hash (BASELINE.json ``north_star``). Two structures:
 
-False-positive story (SURVEY §7.4): a false positive would *drop* a URL,
-breaking seen-set parity. The owning shard actor therefore pairs the
-filter with an exact spill set and consults it only on filter-positives
-— the filter short-circuits the overwhelmingly common "never seen"
-case, the exact set confirms the rare positives. At 10^10-URL scale the
-exact set becomes per-shard sorted hash spill files; same interface.
+* :class:`CuckooHashSet` — the shard membership structure: a
+  partial-key cuckoo table whose "fingerprint" is the key's FULL
+  remainder (``h >> log2(n_buckets)``) plus a home-bucket bit, so any
+  stored slot decodes back to the exact 64-bit key. Membership is
+  therefore EXACT (zero false positives/negatives) at 8 bytes/slot —
+  within ~2× of the information-theoretic floor for 64-bit keys, vs
+  ~60 bytes/key for a Python ``set`` of ints — and every lookup is one
+  vectorized numpy pass over two gathered bucket rows. This resolves
+  SURVEY §7.4's false-positive hazard by construction: there is no
+  lossy fingerprint to collide, so no URL can ever be wrongly dropped
+  and no unbounded exact side set is needed. At 10^10 URLs that is
+  ~10 GB per 10^9-key shard, flat numpy (spillable/mmap-able), not TBs
+  of Python-object heap.
+
+* :class:`CuckooFilter` — the classic lossy 16-bit-fingerprint filter
+  (Fan et al., "Cuckoo Filter: Practically Better Than Bloom", CoNEXT
+  2014), kept as the pre-screen building block for flows that tolerate
+  false positives (e.g. remote-RPC avoidance caches).
 """
 
 from __future__ import annotations
@@ -104,3 +112,178 @@ class CuckooFilter:
         # filter may now report false NEGATIVES — the caller must rebuild
         # from its authoritative hash set before trusting negatives again.
         return False
+
+
+_MIX = np.uint64(0x5BD1E995)
+
+
+class CuckooHashSet:
+    """Exact membership set for uint64 keys as a cuckoo hash table.
+
+    Layout: ``2^k`` buckets × 4 uint64 slots. A key ``h`` lives in its
+    home bucket ``i1 = h & (2^k - 1)`` or the alternate
+    ``i2 = i1 ^ H(rem)`` (partial-key cuckoo displacement); the slot
+    stores ``((rem << 1) | home_bit) + 1`` where ``rem = h >> k`` — so
+    ``(bucket, slot)`` decodes to exactly one key and membership has no
+    false positives. Zero marks an empty slot (the +1 keeps key 0
+    representable). Kicks flip the home bit; saturation triggers an
+    in-place doubling rebuilt from the decoded keys themselves (the
+    table IS the authoritative set — no external copy).
+
+    Bulk ops are vectorized: ``contains_bulk`` is two gathers + two
+    row-compares; ``add_bulk`` places all first-per-bucket keys with
+    empty home slots in one scatter and falls back to per-key kicks
+    only for the residue.
+    """
+
+    def __init__(self, capacity: int = 1 << 16, seed: int = 0x5EED):
+        self.n_buckets = _next_pow2(max(1, int(capacity / _SLOTS / 0.95)))
+        self.k = int(self.n_buckets).bit_length() - 1
+        self.table = np.zeros((self.n_buckets, _SLOTS), dtype=np.uint64)
+        self.seed = np.uint64(seed)
+        self.count = 0
+        self._orphan: int | None = None
+
+    # -- encoding ------------------------------------------------------------
+
+    def _mask(self) -> np.uint64:
+        return np.uint64(self.n_buckets - 1)
+
+    def _rem_hash(self, rem: np.ndarray) -> np.ndarray:
+        # displacement hash of the remainder; masked by the caller
+        return (rem * _MIX) ^ self.seed
+
+    def _rem_hash_i(self, rem: int) -> int:
+        # scalar twin of _rem_hash (Python ints; explicit 2^64 wrap)
+        return ((rem * 0x5BD1E995) & 0xFFFFFFFFFFFFFFFF) ^ int(self.seed)
+
+    def _encode(self, rem, home):
+        # rem < 2^(64-k), k >= 4 ⇒ ((rem << 1) | home) + 1 < 2^62
+        one = np.uint64(1)
+        return ((rem << one) | home) + one
+
+    # -- bulk ops --------------------------------------------------------------
+
+    def contains_bulk(self, hashes: np.ndarray) -> np.ndarray:
+        """Exact vectorized membership test for a uint64 hash array."""
+        h = np.asarray(hashes, dtype=np.uint64)
+        if len(h) == 0:
+            return np.zeros(0, dtype=bool)
+        mask = self._mask()
+        rem = h >> np.uint64(self.k)
+        i1 = (h & mask).astype(np.int64)
+        i2 = ((i1.astype(np.uint64) ^ (self._rem_hash(rem) & mask))
+              ).astype(np.int64)
+        v_home = self._encode(rem, np.uint64(1))[:, None]
+        v_away = self._encode(rem, np.uint64(0))[:, None]
+        return ((self.table[i1] == v_home).any(axis=1)
+                | (self.table[i2] == v_away).any(axis=1))
+
+    def add_bulk(self, hashes: np.ndarray) -> None:
+        """Insert keys (caller guarantees fresh & unique within the
+        call); grows the table automatically on saturation."""
+        h = np.asarray(hashes, dtype=np.uint64)
+        if len(h) == 0:
+            return
+        mask = self._mask()
+        rem = h >> np.uint64(self.k)
+        i1 = (h & mask).astype(np.int64)
+        # vectorized fast path: first key per distinct home bucket with
+        # an empty home slot lands in one scatter
+        rows = self.table[i1]
+        empt = rows == 0
+        has_empty = empt.any(axis=1)
+        slot = empt.argmax(axis=1)
+        _, first_idx = np.unique(i1, return_index=True)
+        fast = np.zeros(len(h), dtype=bool)
+        fast[first_idx] = True
+        fast &= has_empty
+        self.table[i1[fast], slot[fast]] = self._encode(
+            rem[fast], np.uint64(1))
+        self.count += int(fast.sum())
+        for key in h[~fast]:
+            if not self._insert_one(int(key)):
+                # the key itself was placed on the first kick; _grow
+                # rebuilds from the decoded table (which includes it)
+                # plus the one orbiting orphan entry
+                self._grow()
+
+    # -- scalar insert / growth -----------------------------------------------
+
+    def _insert_one(self, h: int) -> bool:
+        mask = self.n_buckets - 1
+        rem = h >> self.k
+        i1 = h & mask
+        i2 = (i1 ^ self._rem_hash_i(rem)) & mask
+        for idx, home in ((i1, 1), (i2, 0)):
+            row = self.table[idx]
+            e = np.nonzero(row == 0)[0]
+            if len(e):
+                row[e[0]] = (rem << 1 | home) + 1
+                self.count += 1
+                return True
+        # evict: deterministic pseudo-random kicks (cheap LCG)
+        state = (rem * 2654435761 + i1) & 0xFFFFFFFF
+        idx, home = (i1, 1) if state & 1 else (i2, 0)
+        cur = (rem << 1 | home) + 1
+        for _ in range(_MAX_KICKS):
+            state = (state * 1103515245 + 12345) & 0xFFFFFFFF
+            slot = (state >> 16) & (_SLOTS - 1)
+            victim = int(self.table[idx, slot])
+            self.table[idx, slot] = cur
+            v = victim - 1
+            vrem, vhome = v >> 1, v & 1
+            idx = (idx ^ self._rem_hash_i(vrem)) & mask
+            cur = (vrem << 1 | (vhome ^ 1)) + 1
+            row = self.table[idx]
+            e = np.nonzero(row == 0)[0]
+            if len(e):
+                row[e[0]] = cur
+                self.count += 1
+                return True
+        # park the orbiting entry back in a decodable slot before the
+        # caller grows: overwrite nothing — push into the grow buffer
+        self._orphan = cur_key(cur, idx, self)
+        return False
+
+    def _grow(self) -> None:
+        keys = self.decode_all()
+        orphan = getattr(self, "_orphan", None)
+        self._orphan = None
+        self.n_buckets *= 2
+        self.k += 1
+        self.table = np.zeros((self.n_buckets, _SLOTS), dtype=np.uint64)
+        self.count = 0
+        if len(keys):
+            self.add_bulk(keys)
+        if orphan is not None:
+            if not self.contains_bulk(
+                    np.array([orphan], dtype=np.uint64))[0]:
+                self.add_bulk(np.array([orphan], dtype=np.uint64))
+
+    def decode_all(self) -> np.ndarray:
+        """Reconstruct every stored key — the table is self-describing."""
+        occ = self.table != 0
+        if not occ.any():
+            return np.empty(0, dtype=np.uint64)
+        rows = np.nonzero(occ)[0].astype(np.uint64)
+        v = self.table[occ] - np.uint64(1)
+        rem = v >> np.uint64(1)
+        home = v & np.uint64(1)
+        mask = self._mask()
+        home_bucket = np.where(
+            home == 1, rows, rows ^ (self._rem_hash(rem) & mask))
+        return (rem << np.uint64(self.k)) | home_bucket
+
+    @property
+    def nbytes(self) -> int:
+        return int(self.table.nbytes)
+
+
+def cur_key(cur: int, idx: int, s: "CuckooHashSet") -> int:
+    """Decode an in-flight encoded entry headed for bucket ``idx``."""
+    v = cur - 1
+    rem, home = v >> 1, v & 1
+    mask = s.n_buckets - 1
+    bucket = idx if home else (idx ^ s._rem_hash_i(rem)) & mask
+    return (rem << s.k) | bucket

@@ -1,16 +1,29 @@
-"""Sharded URL-seen set — cuckoo-filter actors + exact confirmation.
+"""Sharded URL-seen set — exact cuckoo-table actors, fully vectorized.
 
 D1 in SURVEY §2.7: N lightweight ``SeenShard`` actors, shard key =
-``url_hash % N``. Each shard holds a :class:`CuckooFilter` (the scale
-path: one vectorized membership pass per batch) plus an exact hash set
-(the parity path: filter positives are confirmed so a cuckoo false
-positive can never silently drop a URL — SURVEY §7.4). The shard is the
-single serialization point for its key range, so two concurrent tasks
+``url_hash % N``. Each shard's membership structure is a
+:class:`~.cuckoo.CuckooHashSet` — a cuckoo table whose slots store the
+key's full remainder, so membership is EXACT (SURVEY §7.4's
+false-positive hazard is resolved by construction: no lossy
+fingerprint exists to collide, so no URL can ever be wrongly dropped
+and no unbounded exact Python set is needed). Memory is 8 bytes/slot
+flat numpy — ~10 GB per 10^9-key shard at the north rule's 10^10-URL
+frontier, vs TBs of Python-set heap. The shard is the single
+serialization point for its key range, so two concurrent tasks
 submitting the same URL race safely: exactly one gets "new".
 
+Every actor-side pass is vectorized: membership is one numpy
+gather+compare over the whole RPC batch, min-rank pending state is
+kept as sorted numpy arrays (lexsort + first-per-key reductions), and
+winner emission is a single mask — no per-element Python loop touches
+the actor hot path.
+
 Batches route client-side: a ``map_batches`` task groups its
-``url_hash`` column by shard and issues ONE ``check_and_add`` RPC per
-shard per batch (amortized round trip, SURVEY D1).
+``url_hash`` column by shard and issues ONE RPC per shard per batch
+(amortized round trip, SURVEY D1), shipping numpy arrays (zero-copy
+through the object store). Each shard counts its RPC traffic
+(calls/rows in/out) so ``crawl_round_metrics`` can audit the
+cross-process fan-out on a real cluster.
 """
 
 from __future__ import annotations
@@ -18,120 +31,186 @@ from __future__ import annotations
 import numpy as np
 import ray
 
-from .cuckoo import CuckooFilter
+from .cuckoo import CuckooHashSet
+
+
+def _u64(a) -> np.ndarray:
+    return np.asarray(a, dtype=np.uint64)
+
+
+def _i64(a) -> np.ndarray:
+    return np.asarray(a, dtype=np.int64)
+
+
+def _min_per_key(h: np.ndarray, r: np.ndarray, *payload: np.ndarray):
+    """Sort by (key, rank) and keep the first row per key — the
+    vectorized min-rank winner reduction. Returns the filtered arrays
+    in ascending-key order."""
+    order = np.lexsort((r, h))
+    h, r = h[order], r[order]
+    firsts = np.ones(len(h), dtype=bool)
+    firsts[1:] = h[1:] != h[:-1]
+    out = [h[firsts], r[firsts]]
+    for p in payload:
+        out.append(p[order][firsts])
+    return out
 
 
 class _SeenShardState:
     """Plain-object core (actor-free for unit tests and the oracle)."""
 
     def __init__(self, capacity: int = 1 << 16):
-        self.filter = CuckooFilter(capacity=capacity)
-        self.exact: set[int] = set()
-        # hash → min proposed rank, for the two-phase min-rank claim
-        self.pending_min: dict[int, int] = {}
-        # hash → (rank, url, domain, depth): payload-carrying variant
-        self.pending_full: dict[int, tuple] = {}
+        self.members = CuckooHashSet(capacity=capacity)
+        # pending min-rank proposals: per-call pre-reduced (h, r) array
+        # pairs; frozen into sorted arrays at first resolve
+        self._pmin: list[tuple[np.ndarray, np.ndarray]] = []
+        self._pmin_frozen: list | None = None
+        # payload-carrying variant: (h, r, url, domain, depth) arrays
+        self._pfull: list[tuple] = []
+        # RPC telemetry (item 7: multi-node realism audit)
+        self.rpc_calls = 0
+        self.rpc_rows_in = 0
+        self.rpc_rows_out = 0
 
-    def check_and_add(self, hashes: list[int]) -> list[bool]:
+    # -- membership ----------------------------------------------------------
+
+    def check_and_add(self, hashes) -> list[bool]:
         """True per input hash iff it was NOT seen before this call.
 
-        Duplicates inside one call: the first occurrence wins.
+        Duplicates inside one call: the first occurrence wins. One
+        vectorized membership pass + one bulk insert.
         """
-        arr = np.asarray(hashes, dtype=np.uint64)
+        arr = _u64(hashes)
+        self.rpc_calls += 1
+        self.rpc_rows_in += len(arr)
         if len(arr) == 0:
             return []
-        maybe_seen = self.filter.contains_bulk(arr)
-        out = []
-        fresh: list[int] = []
-        for h, positive in zip(hashes, maybe_seen):
-            if positive and h in self.exact:
-                out.append(False)
-            elif h in self.exact:  # duplicate within this call
-                out.append(False)
-            else:
-                self.exact.add(h)
-                fresh.append(h)
-                out.append(True)
-        if fresh and not self.filter.add_bulk(np.asarray(fresh, dtype=np.uint64)):
-            self._rebuild()
-        return out
+        _, first_idx = np.unique(arr, return_index=True)
+        is_first = np.zeros(len(arr), dtype=bool)
+        is_first[first_idx] = True
+        new = is_first & ~self.members.contains_bulk(arr)
+        if new.any():
+            self.members.add_bulk(arr[new])
+        self.rpc_rows_out += len(arr)
+        return new.tolist()
 
-    def _rebuild(self) -> None:
-        f = CuckooFilter(capacity=max(1 << 16, 2 * len(self.exact)))
-        f.add_bulk(np.fromiter(self.exact, dtype=np.uint64, count=len(self.exact)))
-        self.filter = f
+    # -- two-phase min-rank claim (hash-only) ----------------------------------
 
-    def propose_min(self, hashes: list[int], ranks: list[int]) -> None:
+    def propose_min(self, hashes, ranks) -> None:
         """Phase 1 of the min-rank claim: record the smallest rank ever
         proposed for each hash. Deterministic regardless of arrival
         order once all proposals are in (the caller barriers between
         phases)."""
-        pend = self.pending_min
-        for h, r in zip(hashes, ranks):
-            cur = pend.get(h)
-            if cur is None or r < cur:
-                pend[h] = r
+        self._unfreeze_pmin()
+        h, r = _u64(hashes), _i64(ranks)
+        self.rpc_calls += 1
+        self.rpc_rows_in += len(h)
+        if len(h):
+            hk, rk = _min_per_key(h, r)
+            self._pmin.append((hk, rk))
 
-    def resolve_min(self, hashes: list[int], ranks: list[int]) -> list[bool]:
+    def _freeze_pmin(self) -> None:
+        if self._pmin_frozen is not None:
+            return
+        if self._pmin:
+            h = np.concatenate([x for x, _ in self._pmin])
+            r = np.concatenate([x for _, x in self._pmin])
+            h, r = _min_per_key(h, r)
+        else:
+            h = np.empty(0, dtype=np.uint64)
+            r = np.empty(0, dtype=np.int64)
+        self._pmin_frozen = [h, r, np.zeros(len(h), dtype=bool)]
+        self._pmin = []
+
+    def _unfreeze_pmin(self) -> None:
+        # proposals after a resolve phase start a fresh round; fold any
+        # unclaimed frozen entries back so nothing is lost
+        if self._pmin_frozen is not None:
+            keys, ranks, claimed = self._pmin_frozen
+            if (~claimed).any():
+                self._pmin.append((keys[~claimed], ranks[~claimed]))
+            self._pmin_frozen = None
+
+    def resolve_min(self, hashes, ranks) -> list[bool]:
         """Phase 2: True iff (hash, rank) is the proposal winner AND the
         hash was not already seen; winners are claimed into the seen
-        set. The unique owner (rank == pending min) pops its pending
-        entry win or lose, so the table drains exactly once per
+        set. The unique owner (rank == pending min) marks its pending
+        entry claimed win or lose, so the table drains exactly once per
         proposed hash."""
-        out = []
-        fresh: list[int] = []
-        pend = self.pending_min
-        for h, r in zip(hashes, ranks):
-            owner = pend.get(h) == r
-            if owner:
-                del pend[h]
-            if owner and h not in self.exact:
-                self.exact.add(h)
-                fresh.append(h)
-                out.append(True)
-            else:
-                out.append(False)
-        if fresh and not self.filter.add_bulk(np.asarray(fresh, dtype=np.uint64)):
-            self._rebuild()
-        return out
+        self._freeze_pmin()
+        keys, minr, claimed = self._pmin_frozen
+        h, r = _u64(hashes), _i64(ranks)
+        self.rpc_calls += 1
+        self.rpc_rows_in += len(h)
+        n = len(h)
+        if n == 0:
+            return []
+        if len(keys) == 0:
+            self.rpc_rows_out += n
+            return [False] * n
+        pos = np.searchsorted(keys, h)
+        posc = np.minimum(pos, len(keys) - 1)
+        owner = (keys[posc] == h) & (minr[posc] == r) & ~claimed[posc]
+        if owner.any():
+            # intra-call duplicates of the same (h, min-rank): only the
+            # first occurrence owns (matches the dict pop semantics)
+            oh = h[owner]
+            _, fi = np.unique(oh, return_index=True)
+            keep = np.zeros(len(oh), dtype=bool)
+            keep[fi] = True
+            idx = np.nonzero(owner)[0][keep]
+            owner = np.zeros(n, dtype=bool)
+            owner[idx] = True
+            claimed[posc[owner]] = True
+        win = owner & ~self.members.contains_bulk(h)
+        if win.any():
+            self.members.add_bulk(h[win])
+        self.rpc_rows_out += n
+        return win.tolist()
 
-    def propose_full(self, hashes: list[int], ranks: list[int],
-                     urls: list[str], domains: list[str],
-                     depths: list[int]) -> None:
+    # -- two-phase claim with frontier payload ---------------------------------
+
+    def propose_full(self, hashes, ranks, urls, domains, depths) -> None:
         """Phase 1 of the min-rank claim, carrying the full frontier
         payload: the shard keeps the lowest-rank candidate row per
         hash, so phase 2 needs no second dataset execution — the shard
         already holds the winning rows. Memory is bounded by the
         round's unique URLs on this shard and cleared every round by
         :meth:`take_winners`."""
-        pend = self.pending_full
-        for h, r, u, dom, dep in zip(hashes, ranks, urls, domains, depths):
-            cur = pend.get(h)
-            if cur is None or r < cur[0]:
-                pend[h] = (r, u, dom, dep)
+        h, r = _u64(hashes), _i64(ranks)
+        self.rpc_calls += 1
+        self.rpc_rows_in += len(h)
+        if not len(h):
+            return
+        u = np.asarray(urls, dtype=object)
+        dom = np.asarray(domains, dtype=object)
+        dep = _i64(depths)
+        self._pfull.append(tuple(_min_per_key(h, r, u, dom, dep)))
 
     def take_winners(self) -> dict:
         """Phase 2, shard-side: claim every pending hash not yet seen
-        into the seen set and return the winners' frontier payload;
-        the pending table drains completely (exactly-once per round)."""
-        pend = self.pending_full
-        urls, domains, depths, ranks, hashes = [], [], [], [], []
-        fresh: list[int] = []
-        for h in sorted(pend):  # deterministic emit order
-            r, u, dom, dep = pend[h]
-            if h not in self.exact:
-                self.exact.add(h)
-                fresh.append(h)
-                urls.append(u)
-                domains.append(dom)
-                depths.append(dep)
-                ranks.append(r)
-                hashes.append(h)
-        pend.clear()
-        if fresh and not self.filter.add_bulk(np.asarray(fresh, dtype=np.uint64)):
-            self._rebuild()
-        return {"url": urls, "domain": domains, "depth": depths,
-                "seed_rank": ranks, "url_hash": hashes}
+        into the seen set and return the winners' frontier payload in
+        ascending-hash order; the pending table drains completely
+        (exactly-once per round)."""
+        self.rpc_calls += 1
+        if not self._pfull:
+            return {"url": [], "domain": [], "depth": [],
+                    "seed_rank": [], "url_hash": []}
+        h = np.concatenate([p[0] for p in self._pfull])
+        r = np.concatenate([p[1] for p in self._pfull])
+        u = np.concatenate([p[2] for p in self._pfull])
+        dom = np.concatenate([p[3] for p in self._pfull])
+        dep = np.concatenate([p[4] for p in self._pfull])
+        self._pfull = []
+        h, r, u, dom, dep = _min_per_key(h, r, u, dom, dep)
+        new = ~self.members.contains_bulk(h)
+        h, r, u, dom, dep = h[new], r[new], u[new], dom[new], dep[new]
+        if len(h):
+            self.members.add_bulk(h)
+        self.rpc_rows_out += len(h)
+        return {"url": u.tolist(), "domain": dom.tolist(),
+                "depth": dep.tolist(), "seed_rank": r.tolist(),
+                "url_hash": h.tolist()}
 
     def take_winners_to_parquet(self, path: str, shard_id: int):
         """Winners → one FRONTIER-schema parquet part written BY THE
@@ -167,17 +246,38 @@ class _SeenShardState:
         os.replace(tmp, os.path.join(path, f"part-shard{shard_id:04d}.parquet"))
         return (n, table.nbytes), table
 
-    def snapshot(self) -> list[int]:
-        """All seen hashes (for checkpoint manifests / parity checks)."""
-        return sorted(self.exact)
+    # -- checkpoint / metrics ---------------------------------------------------
 
-    def restore(self, hashes: list[int]) -> None:
-        self.exact.update(hashes)
-        if hashes:
-            self.filter.add_bulk(np.asarray(hashes, dtype=np.uint64))
+    def snapshot(self) -> list[int]:
+        """All seen hashes (for checkpoint manifests / parity checks) —
+        decoded straight from the cuckoo table (it is exact)."""
+        return np.sort(self.members.decode_all()).tolist()
+
+    def restore(self, hashes) -> None:
+        arr = np.unique(_u64(hashes))
+        if len(arr):
+            fresh = arr[~self.members.contains_bulk(arr)]
+            if len(fresh):
+                self.members.add_bulk(fresh)
 
     def size(self) -> int:
-        return len(self.exact)
+        return self.members.count
+
+    def memory_bytes(self) -> int:
+        """Actor-heap held by the membership structure + pending state
+        (the bounded-growth audit for crawl_round_metrics)."""
+        pend = sum(sum(getattr(a, "nbytes", 0) for a in p)
+                   for p in (self._pmin + self._pfull))
+        if self._pmin_frozen is not None:
+            pend += sum(a.nbytes for a in self._pmin_frozen)
+        return self.members.nbytes + int(pend)
+
+    def rpc_stats(self) -> dict:
+        return {"rpc_calls": self.rpc_calls,
+                "rpc_rows_in": self.rpc_rows_in,
+                "rpc_rows_out": self.rpc_rows_out,
+                "memory_bytes": self.memory_bytes(),
+                "seen": self.members.count}
 
 
 @ray.remote(num_cpus=0.05)
@@ -189,29 +289,29 @@ class SeenSet:
     """Client handle over N shard actors; lives on the driver and inside
     ``map_batches`` workers (actor handles serialize fine)."""
 
-    def __init__(self, n_shards: int = 8, capacity_per_shard: int = 1 << 16):
+    def __init__(self, n_shards: int = 8, capacity_per_shard: int = 1 << 16,
+                 spread: bool = False):
         self.n_shards = n_shards
+        opts = {"scheduling_strategy": "SPREAD"} if spread else {}
+        cls = SeenShard.options(**opts) if opts else SeenShard
         self.shards = [
-            SeenShard.remote(capacity=capacity_per_shard) for _ in range(n_shards)
+            cls.remote(capacity=capacity_per_shard) for _ in range(n_shards)
         ]
 
     def check_and_add(self, hashes: np.ndarray) -> np.ndarray:
         """Bulk filter a uint64 hash array → boolean "is new" mask.
 
-        One RPC per shard per call; preserves input order.
+        One RPC per shard per call (numpy array payloads); preserves
+        input order.
         """
         n = len(hashes)
         if n == 0:
             return np.zeros(0, dtype=bool)
-        shard_ids = (hashes % np.uint64(self.n_shards)).astype(np.int64)
         result = np.zeros(n, dtype=bool)
         refs, spans = [], []
-        for s in range(self.n_shards):
-            idx = np.nonzero(shard_ids == s)[0]
-            if len(idx):
-                refs.append(self.shards[s].check_and_add.remote(
-                    [int(h) for h in hashes[idx]]))
-                spans.append(idx)
+        for s, idx in self._route(_u64(hashes)):
+            refs.append(self.shards[s].check_and_add.remote(hashes[idx]))
+            spans.append(idx)
         for idx, flags in zip(spans, ray.get(refs)):
             result[idx] = flags
         return result
@@ -227,23 +327,21 @@ class SeenSet:
         """Phase-1 RPC fan-out of the two-phase min-rank claim; blocks
         until every touched shard acked (the phase barrier is the
         enclosing dataset execution)."""
+        h, r = _u64(hashes), _i64(ranks)
         refs = [
-            self.shards[s].propose_min.remote(
-                [int(h) for h in hashes[idx]],
-                [int(r) for r in ranks[idx]])
-            for s, idx in self._route(hashes)
+            self.shards[s].propose_min.remote(h[idx], r[idx])
+            for s, idx in self._route(h)
         ]
         ray.get(refs)
 
     def resolve_min(self, hashes: np.ndarray, ranks: np.ndarray) -> np.ndarray:
         """Phase-2 RPC fan-out → boolean winner mask, input order."""
-        n = len(hashes)
+        h, r = _u64(hashes), _i64(ranks)
+        n = len(h)
         result = np.zeros(n, dtype=bool)
         refs, spans = [], []
-        for s, idx in self._route(hashes):
-            refs.append(self.shards[s].resolve_min.remote(
-                [int(h) for h in hashes[idx]],
-                [int(r) for r in ranks[idx]]))
+        for s, idx in self._route(h):
+            refs.append(self.shards[s].resolve_min.remote(h[idx], r[idx]))
             spans.append(idx)
         for idx, flags in zip(spans, ray.get(refs)):
             result[idx] = flags
@@ -255,14 +353,14 @@ class SeenSet:
         """Payload-carrying phase-1 fan-out (one RPC per touched shard);
         blocks until acked — the phase barrier is the enclosing dataset
         execution's materialize."""
+        h, r = _u64(hashes), _i64(ranks)
+        u = np.asarray(urls, dtype=object)
+        dom = np.asarray(domains, dtype=object)
+        dep = _i64(depths)
         refs = []
-        for s, idx in self._route(hashes):
+        for s, idx in self._route(h):
             refs.append(self.shards[s].propose_full.remote(
-                [int(h) for h in hashes[idx]],
-                [int(r) for r in ranks[idx]],
-                [urls[i] for i in idx],
-                [domains[i] for i in idx],
-                [depths[i] for i in idx]))
+                h[idx], r[idx], u[idx], dom[idx], dep[idx]))
         ray.get(refs)
 
     def take_winners_to_parquet(self, path: str):
@@ -287,15 +385,21 @@ class SeenSet:
         return sorted(h for p in parts for h in p)
 
     def restore(self, hashes: list[int]) -> None:
-        by_shard: dict[int, list[int]] = {}
-        for h in hashes:
-            by_shard.setdefault(h % self.n_shards, []).append(h)
+        arr = _u64(hashes)
         ray.get([
-            self.shards[s].restore.remote(hs) for s, hs in by_shard.items()
+            self.shards[s].restore.remote(arr[idx])
+            for s, idx in self._route(arr)
         ])
 
     def size(self) -> int:
         return sum(ray.get([s.size.remote() for s in self.shards]))
+
+    def rpc_stats(self) -> list[dict]:
+        """Per-shard RPC/memory telemetry (multi-node fan-out audit)."""
+        return ray.get([s.rpc_stats.remote() for s in self.shards])
+
+    def memory_bytes(self) -> int:
+        return sum(st["memory_bytes"] for st in self.rpc_stats())
 
     def shutdown(self) -> None:
         for s in self.shards:

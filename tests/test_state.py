@@ -139,3 +139,88 @@ def test_min_rank_claim_vs_check_and_add_namespaces(ray_session):
             np.array([7], dtype=np.uint64))) == [False]
     finally:
         seen.shutdown()
+
+
+def test_cuckoo_hashset_exact_no_false_positives_under_collision():
+    """VERDICT r03 item 1: plant keys that would collide in a lossy
+    fingerprint filter (same bucket pair, same top bits) and prove the
+    exact cuckoo table never wrongly reports a fresh key as seen —
+    i.e. no URL can be dropped by a membership false positive."""
+    from ragnificent_ray.state.cuckoo import CuckooHashSet
+
+    s = CuckooHashSet(capacity=64)
+    # same home bucket (identical low k bits), different remainders —
+    # the classic fingerprint-collision geometry for a 16-bit filter
+    base = np.uint64(0xABCD << 48 | 5)
+    twin = np.uint64(0xABCD << 48 | (1 << s.k) | 5)
+    s.add_bulk(np.array([base], dtype=np.uint64))
+    assert s.contains_bulk(np.array([base], dtype=np.uint64))[0]
+    # twin shares bucket-pair pressure but MUST read as unseen
+    assert not s.contains_bulk(np.array([twin], dtype=np.uint64))[0]
+    s.add_bulk(np.array([twin], dtype=np.uint64))
+    assert s.contains_bulk(np.array([base, twin], dtype=np.uint64)).all()
+    assert s.count == 2
+    assert sorted(s.decode_all().tolist()) == sorted([int(base), int(twin)])
+
+
+def test_cuckoo_hashset_exactness_fuzz_with_growth():
+    """Interleaved add/query rounds against a reference set, capacity
+    starting tiny so the table grows many times — membership must stay
+    bit-exact through every rebuild."""
+    from ragnificent_ray.state.cuckoo import CuckooHashSet
+
+    s = CuckooHashSet(capacity=16)
+    rng = np.random.Generator(np.random.PCG64(11))
+    ref: set[int] = set()
+    for _ in range(30):
+        batch = np.unique(rng.integers(0, 2**64, 400, dtype=np.uint64))
+        expect = np.array([int(k) in ref for k in batch])
+        got = s.contains_bulk(batch)
+        assert (got == expect).all()
+        fresh = batch[~expect]
+        s.add_bulk(fresh)
+        ref.update(int(k) for k in fresh)
+    assert s.count == len(ref)
+    assert set(int(x) for x in s.decode_all()) == ref
+
+
+def test_seen_shard_memory_bounded():
+    """The shard's heap is the flat cuckoo table (8 B/slot) — no
+    unbounded Python set. 50k keys must fit in <64 B/key including
+    load-factor and doubling slack."""
+    s = _SeenShardState(capacity=1024)
+    n = 50_000
+    rng = np.random.Generator(np.random.PCG64(12))
+    keys = np.unique(rng.integers(0, 2**64, n + 1000, dtype=np.uint64))[:n]
+    assert all(s.check_and_add(keys))
+    assert not hasattr(s, "exact")          # the old unbounded set is gone
+    assert s.size() == n
+    assert s.memory_bytes() < 64 * n
+    stats = s.rpc_stats()
+    assert stats["rpc_calls"] == 1 and stats["rpc_rows_in"] == n
+
+
+def test_seen_shard_min_rank_vectorized_semantics():
+    """Rank ties, in-call duplicates, and re-proposal after a resolve
+    round keep the dict-era semantics under the array implementation."""
+    s = _SeenShardState(capacity=256)
+    h = np.array([10, 10, 20], dtype=np.uint64)
+    r = np.array([5, 3, 7], dtype=np.int64)
+    s.propose_min(h, r)
+    s.propose_min(np.array([20], dtype=np.uint64),
+                  np.array([2], dtype=np.int64))
+    # losing rank never wins; min rank wins once even if resolved twice
+    out = s.resolve_min(np.array([10, 10, 10], dtype=np.uint64),
+                        np.array([5, 3, 3], dtype=np.int64))
+    assert out == [False, True, False]
+    assert s.resolve_min(np.array([20], dtype=np.uint64),
+                         np.array([7], dtype=np.int64)) == [False]
+    assert s.resolve_min(np.array([20], dtype=np.uint64),
+                         np.array([2], dtype=np.int64)) == [True]
+    # a new round can propose a fresh hash; already-seen hashes lose
+    s.propose_min(np.array([10, 30], dtype=np.uint64),
+                  np.array([1, 1], dtype=np.int64))
+    out2 = s.resolve_min(np.array([10, 30], dtype=np.uint64),
+                         np.array([1, 1], dtype=np.int64))
+    assert out2 == [False, True]
+    assert s.snapshot() == [10, 20, 30]
