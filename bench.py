@@ -203,18 +203,33 @@ def main() -> None:
     dilation = _host_dilation(min(NUM_CPUS, 32))
 
     sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     print(json.dumps({
         "metric": "pages_fetched_extracted_per_sec",
         "value": crawl["pages_per_sec"],
         "unit": "pages/sec",
         "queries": queries,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
         "num_cpus": NUM_CPUS,
         "crawl_pages": crawl["pages"],
         "crawl_harvest_rows": crawl["harvest_rows"],
         "crawl_sec": crawl["sec"],
         "total_sec": round(total, 3),
         "host_dilation": dilation,
+    }))
+    # compact headline repeated LAST: the driver's bounded tail capture
+    # truncates the head of the full line above (240 query timings), so
+    # the final line is a complete, parseable JSON object on its own
+    print(json.dumps({
+        "metric": "pages_fetched_extracted_per_sec",
+        "value": crawl["pages_per_sec"],
+        "unit": "pages/sec",
+        "sf": sf_val,
+        "num_cpus": NUM_CPUS,
+        "crawl_sec": crawl["sec"],
+        "total_sec": round(total, 3),
+        "host_dilation": dilation,
+        "n_queries": len(queries),
     }))
     ray.shutdown()
 

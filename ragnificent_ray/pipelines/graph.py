@@ -649,14 +649,17 @@ def basket_lift(sf_dir: str):
     support. Lift > 1 means the pair co-occurs more than independent
     popularity predicts — the association-rule signal.
 
-    Scale shape: distinct (order, part) rows co-locate per order in
-    bounded order-hash buckets; pair generation is a vectorized
-    self-merge per bucket whose blow-up is bounded by the SCHEMA (an
-    order holds ≤7 lineitems, so ≤C(7,2) pairs — no hot-key cap
-    needed, unlike event items), pre-summed in-bucket before the
-    pair-hash fold. Item counts and the basket total N ride the SAME
-    first exchange (one partial row per part per bucket plus a
-    sentinel row for N), then two hash-joins put n(a)/n(b) on each
+    Scale shape: the fact table is scanned ONCE (pruned 2-column
+    read) and the distinct (order, part) projection is never
+    materialized. One order-hash exchange co-locates each order's
+    rows; the bucket fold emits a TAGGED union — pair partials
+    (vectorized self-merge whose blow-up is bounded by the SCHEMA: an
+    order holds ≤7 lineitems, so ≤C(7,2) pairs, pre-summed in-bucket)
+    plus per-part count cells and a basket-total sentinel — that one
+    second exchange folds by a combined bucket key (pair-hash buckets
+    for pairs, part-hash buckets for counts). Only the FOLDED cells
+    (support-floored pairs + the catalog-bounded item counts)
+    materialize for the two hash-joins that put n(a)/n(b) on each
     surviving pair. Lift divides EXACT integer products (Python
     unbounded ints — N·n_ab overflows int64 at ~10¹⁰ baskets),
     mirroring the oracle's HUGEINT→DOUBLE; the top-50 rank orders by
@@ -683,59 +686,90 @@ def basket_lift(sf_dir: str):
                            .astype(np.int32)),
         })
 
-    base = (ds.map_batches(op_partial, batch_format="pyarrow",
-                           batch_size=65536)
-            .materialize())
+    base = ds.map_batches(op_partial, batch_format="pyarrow",
+                          batch_size=65536)
 
-    def order_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def ob_fold(g: pd.DataFrame) -> pa.Table:
+        # one pass per order bucket emits EVERYTHING downstream needs
+        # as a tagged union (Arrow out — the next exchange's groupby
+        # runs ~20x faster on Arrow blocks than on pandas blocks):
+        #   tag 0: in-bucket pre-summed pair partials (a, b, n),
+        #          keyed to pair-hash buckets [0, n_buckets)
+        #   tag 1: per-part count cells (a=p, n) + one sentinel row
+        #          (a=-1) carrying the bucket's distinct-order count,
+        #          keyed to part-hash buckets [n_buckets, 2·n_buckets)
         g = g.drop_duplicates(["o", "p"])
         m = g[["o", "p"]].merge(g[["o", "p"]], on="o",
                                 suffixes=("_a", "_b"))
         m = m.loc[m["p_a"].to_numpy() < m["p_b"].to_numpy()]
-        part = m.groupby(["p_a", "p_b"], as_index=False).size() \
-                .rename(columns={"size": "n", "p_a": "part_a",
-                                 "p_b": "part_b"})
-        part["pb"] = ((part["part_a"].to_numpy() * np.int64(2654435761)
-                       + part["part_b"].to_numpy()) % n_buckets
-                      ).astype(np.int32)
-        return part[["pb", "part_a", "part_b", "n"]]
-
-    def pair_merge(g: pd.DataFrame) -> pd.DataFrame:
-        agg = g.groupby(["part_a", "part_b"], as_index=False)["n"].sum()
-        agg = agg[agg["n"] >= BASKET_MIN_PAIR]
-        return pd.DataFrame({
-            "part_a": agg["part_a"].to_numpy().astype(np.int64),
-            "part_b": agg["part_b"].to_numpy().astype(np.int64),
-            "n_ab": agg["n"].to_numpy().astype(np.int64),
+        part = m.groupby(["p_a", "p_b"], as_index=False).size()
+        pa_a = part["p_a"].to_numpy().astype(np.int64)
+        pa_b = part["p_b"].to_numpy().astype(np.int64)
+        pa_n = part["size"].to_numpy().astype(np.int64)
+        cnt = g.groupby("p", as_index=False).size()
+        ip = np.concatenate(
+            [cnt["p"].to_numpy().astype(np.int64), [-1]])
+        inn = np.concatenate(
+            [cnt["size"].to_numpy().astype(np.int64),
+             [g["o"].nunique()]])
+        kb = np.concatenate([
+            ((pa_a * np.int64(2654435761) + pa_b) % n_buckets)
+            .astype(np.int32),
+            (n_buckets + ip % n_buckets).astype(np.int32),
+        ])
+        return pa.table({
+            "kb": pa.array(kb),
+            "tag": pa.array(np.concatenate(
+                [np.zeros(len(pa_a), dtype=np.int32),
+                 np.ones(len(ip), dtype=np.int32)])),
+            "a": pa.array(np.concatenate([pa_a, ip])),
+            "b": pa.array(np.concatenate(
+                [pa_b, np.zeros(len(ip), dtype=np.int64)])),
+            "n": pa.array(np.concatenate([pa_n, inn])),
         })
 
-    def item_partial(g: pd.DataFrame) -> pa.Table:
-        # per-bucket part counts + one sentinel row (p = −1) carrying
-        # this bucket's distinct-order count, so N folds with the
-        # items. Arrow output: the downstream groupby("p") aggregate
-        # runs ~20x faster on Arrow blocks than on pandas blocks
-        # (Ray's sort-aggregate takes a per-key pandas path otherwise)
-        g = g.drop_duplicates(["o", "p"])
-        cnt = g.groupby("p", as_index=False).size() \
-               .rename(columns={"size": "n_p"})
-        p = np.concatenate(
-            [cnt["p"].to_numpy().astype(np.int64), [-1]])
-        n = np.concatenate(
-            [cnt["n_p"].to_numpy().astype(np.int64),
-             [g["o"].nunique()]])
-        return pa.table({"p": pa.array(p), "n_p": pa.array(n)})
+    def kb_fold(t: pa.Table) -> pa.Table:
+        # a kb bucket holds exactly one tag by construction
+        if t.column("tag")[0].as_py() == 0:
+            g = (t.select(["a", "b", "n"]).group_by(["a", "b"])
+                 .aggregate([("n", "sum")]).rename_columns(
+                     ["a", "b", "n"]))
+            g = g.filter(
+                pc.greater_equal(g.column("n"), BASKET_MIN_PAIR))
+            tag = np.zeros(g.num_rows, dtype=np.int32)
+        else:
+            g0 = (t.select(["a", "n"]).group_by("a")
+                  .aggregate([("n", "sum")]).rename_columns(
+                      ["a", "n"]))
+            g = pa.table({
+                "a": g0.column("a"),
+                "b": pa.array(np.zeros(g0.num_rows, dtype=np.int64)),
+                "n": g0.column("n"),
+            })
+            tag = np.ones(g.num_rows, dtype=np.int32)
+        return pa.table({"tag": pa.array(tag), "a": g.column("a"),
+                         "b": g.column("b"), "n": g.column("n")})
 
-    pairs = (base.groupby("ob")
-             .map_groups(order_pairs, batch_format="pandas")
-             .groupby("pb").map_groups(pair_merge,
-                                       batch_format="pandas"))
-    from ray.data.aggregate import Sum
-    counts = (base.groupby("ob")
-              .map_groups(item_partial, batch_format="pandas")
-              .groupby("p").aggregate(Sum("n_p", alias_name="n_p"))
-              .materialize())
-    n_orders = int(counts.filter(expr="p == -1").take(1)[0]["n_p"])
-    counts = counts.filter(expr="p >= 0")
+    folded = (base.groupby("ob")
+              .map_groups(ob_fold, batch_format="pandas")
+              .groupby("kb").map_groups(kb_fold,
+                                        batch_format="pyarrow")
+              .materialize())   # support-floored pairs + item counts
+    n_orders = int(folded.filter(expr="a == -1").take(1)[0]["n"])
+
+    def as_pairs(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("tag"), 0))
+        return pa.table({"part_a": b.column("a"),
+                         "part_b": b.column("b"),
+                         "n_ab": b.column("n")})
+
+    def as_counts(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.equal(b.column("tag"), 1),
+                             pc.greater_equal(b.column("a"), 0)))
+        return pa.table({"p": b.column("a"), "n_p": b.column("n")})
+
+    pairs = folded.map_batches(as_pairs, batch_format="pyarrow")
+    counts = folded.map_batches(as_counts, batch_format="pyarrow")
 
     def rename_na(b: pa.Table) -> pa.Table:
         return b.rename_columns(

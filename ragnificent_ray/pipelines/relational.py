@@ -2921,61 +2921,104 @@ def fk_integrity_audit(sf_dir: str):
     Clean synthetic data honestly reports zero orphans; the audit is
     the harness a real ingest plugs into.
 
-    Scale shape: child keys pre-collapse per batch to (key, n) cells
-    (Arrow group_by), one key-fold, then the orphan set is Ray's
-    native hash-partitioned ``left_anti`` join against the parent key
-    column — the NOT-EXISTS shape of ``inactive_customers``; nothing
-    but keys and counts ever shuffles. The three lineitem
-    relationships share ONE materialized column read, and the key
-    fold runs in bounded key-hash buckets (never a native per-key
-    aggregate — ~100us/key at fact-table cardinalities). Exact
+    Scale shape: ONE fused exchange covers all four relationships,
+    anti-join included. Each table is read exactly once with pruned
+    key columns; a per-batch Arrow ``group_by`` collapses child keys
+    to tagged ``(rel, key, n)`` cells while parent keys ride the same
+    union as ``(rel, key, par=1)`` sentinel cells. Everything
+    co-partitions on one (rel, key-hash) bucket id, and the bucket
+    fold groups by key to classify each child key as parented or
+    orphan IN PLACE (sum(par) == 0 ⇒ NOT EXISTS — the anti-join is
+    free once parent and child cells share a bucket), emitting ONE
+    partial stats row per (bucket, rel). The driver folds ≤ 4·buckets
+    bounded partials — no join machinery, no materialization of
+    anything raw, nothing but keys and counts ever shuffles. Exact
     integers throughout."""
     P = _fact_join_partitions(sf_dir)
     n_kb = P * 8
-    join_args = dict(num_partitions=P,
-                     aggregator_ray_remote_args={"num_cpus": 0.25})
-    child_cols: dict[str, list[str]] = {}
-    for _, child, ck, _, _ in _FK_RELS:
-        child_cols.setdefault(child, []).append(ck)
-    child_ds = {c: rd.read_parquet(_pq(sf_dir, c), columns=cols)
-                .materialize()
-                for c, cols in child_cols.items()}
-    rel_, nrow_, nkey_, okey_, orow_ = [], [], [], [], []
+    # table → [(rel_id, key_column, is_parent)]
+    roles: dict[str, list[tuple[int, str, int]]] = {}
+    for rid, (_, child, ck, parent, pk) in enumerate(_FK_RELS):
+        roles.setdefault(child, []).append((rid, ck, 0))
+        roles.setdefault(parent, []).append((rid, pk, 1))
 
-    def key_fold(t: pa.Table) -> pa.Table:
-        g = (t.select(["k", "n"]).group_by("k")
-             .aggregate([("n", "sum")]))
-        return g.rename_columns(["k", "n"])
+    def bucket_fold(t: pa.Table) -> pa.Table:
+        g = (t.select(["rel", "k", "n", "par"]).group_by(["rel", "k"])
+             .aggregate([("n", "sum"), ("par", "sum")]))
+        rel = g.column("rel").to_numpy(zero_copy_only=False)
+        n = g.column("n_sum").to_numpy(zero_copy_only=False)
+        par = g.column("par_sum").to_numpy(zero_copy_only=False)
+        child = n > 0          # parent-only keys are not child keys
+        orphan = child & (par == 0)
+        rids = np.unique(rel)
+        out = {"rel": [], "n_rows": [], "n_keys": [],
+               "n_orphan_keys": [], "n_orphan_rows": []}
+        for r in rids:
+            m = rel == r
+            out["rel"].append(int(r))
+            out["n_rows"].append(int(n[m].sum()))
+            out["n_keys"].append(int((child & m).sum()))
+            out["n_orphan_keys"].append(int((orphan & m).sum()))
+            out["n_orphan_rows"].append(int(n[m & orphan].sum()))
+        return pa.table({k: pa.array(v, type=pa.int64())
+                         for k, v in out.items()})
 
-    for rel, child, ck, parent, pk in _FK_RELS:
-        ds = child_ds[child]
+    parts = []
+    for tbl, rels in roles.items():
+        ds = rd.read_parquet(_pq(sf_dir, tbl),
+                             columns=sorted({c for _, c, _ in rels}))
 
-        def key_partial(b: pa.Table, _ck=ck) -> pa.Table:
-            g = pa.table({
-                "k": b.column(_ck),
-                "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
-            }).group_by("k").aggregate([("n", "sum")])
-            g = g.rename_columns(["k", "n"])
-            return g.append_column("kb", pa.array(
-                (g.column("k").to_numpy(zero_copy_only=False)
-                 % n_kb).astype(np.int32)))
+        def tagged_partial(b: pa.Table, _rels=tuple(rels)) -> pa.Table:
+            outs = []
+            for rid, col, is_par in _rels:
+                if is_par:
+                    # primary keys are unique: no pre-collapse needed
+                    k = b.column(col).cast(pa.int64()) \
+                         .to_numpy(zero_copy_only=False)
+                    n = np.zeros(len(k), dtype=np.int64)
+                    par = np.ones(len(k), dtype=np.int64)
+                else:
+                    g = pa.table({
+                        "k": b.column(col).cast(pa.int64()),
+                        "n": pa.array(
+                            np.ones(b.num_rows, dtype=np.int64)),
+                    }).group_by("k").aggregate([("n", "sum")])
+                    g = g.rename_columns(["k", "n"])
+                    k = g.column("k").to_numpy(zero_copy_only=False)
+                    n = g.column("n").to_numpy(zero_copy_only=False)
+                    par = np.zeros(len(k), dtype=np.int64)
+                outs.append(pa.table({
+                    "rel": pa.array(np.full(len(k), rid,
+                                            dtype=np.int32)),
+                    "k": pa.array(k, type=pa.int64()),
+                    "n": pa.array(n),
+                    "par": pa.array(par),
+                    # rel folded into the bucket id: one exchange
+                    # co-partitions all four relationships at once
+                    "kb": pa.array(
+                        (rid * n_kb + k % n_kb).astype(np.int32)),
+                }))
+            return pa.concat_tables(outs)
 
-        counts = (ds.map_batches(key_partial, batch_format="pyarrow",
-                                 batch_size=65536)
-                  .groupby("kb").map_groups(key_fold,
-                                            batch_format="pyarrow")
-                  .materialize())
-        par = rd.read_parquet(_pq(sf_dir, parent), columns=[pk])
-        orphans = counts.join(par, "left_anti", on=("k",),
-                              right_on=(pk,), **join_args) \
-                        .materialize()
-        n_orphan_keys = orphans.count()
-        n_orphan_rows = int(orphans.sum("n") or 0)
-        rel_.append(rel)
-        nrow_.append(int(counts.sum("n") or 0))
-        nkey_.append(counts.count())
-        okey_.append(n_orphan_keys)
-        orow_.append(n_orphan_rows)
+        parts.append(ds.map_batches(tagged_partial,
+                                    batch_format="pyarrow",
+                                    batch_size=65536))
+    cells = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+    stats = (cells.groupby("kb")
+             .map_groups(bucket_fold, batch_format="pyarrow")
+             .take_all())                 # ≤ 4·n_kb bounded partials
+    agg = {rid: [0, 0, 0, 0] for rid in range(len(_FK_RELS))}
+    for row in stats:
+        a = agg[row["rel"]]
+        a[0] += row["n_rows"]
+        a[1] += row["n_keys"]
+        a[2] += row["n_orphan_keys"]
+        a[3] += row["n_orphan_rows"]
+    rel_ = [rel for rel, *_ in _FK_RELS]
+    nrow_ = [agg[i][0] for i in range(len(_FK_RELS))]
+    nkey_ = [agg[i][1] for i in range(len(_FK_RELS))]
+    okey_ = [agg[i][2] for i in range(len(_FK_RELS))]
+    orow_ = [agg[i][3] for i in range(len(_FK_RELS))]
     return pa.table({
         "rel": pa.array(rel_, type=pa.string()),
         "n_rows": pa.array(nrow_, type=pa.int64()),
