@@ -1863,11 +1863,15 @@ def copurchase_bfs(sf_dir: str):
     never beat a settled minimum)."""
     n_buckets = _bucket_count(sf_dir, ("lineitem",))
 
-    def pair_edges(g: pd.DataFrame) -> pa.Table:
-        agg = g.groupby(["p_a", "p_b"], as_index=False)["size"].sum()
-        agg = agg[agg["size"] >= BFS_MIN_PAIR]
-        a = agg["p_a"].to_numpy().astype(np.int64)
-        b = agg["p_b"].to_numpy().astype(np.int64)
+    def pair_edges(g: pa.Table) -> pa.Table:
+        agg = (g.select(["p_a", "p_b", "size"])
+               .group_by(["p_a", "p_b"]).aggregate([("size", "sum")]))
+        keep = (agg.column("size_sum").to_numpy(zero_copy_only=False)
+                >= BFS_MIN_PAIR)
+        a = agg.column("p_a").to_numpy(
+            zero_copy_only=False)[keep].astype(np.int64)
+        b = agg.column("p_b").to_numpy(
+            zero_copy_only=False)[keep].astype(np.int64)
         # both directions, tagged kind 0, bucketed by SRC node
         u = np.concatenate([a, b])
         v = np.concatenate([b, a])
@@ -1878,7 +1882,7 @@ def copurchase_bfs(sf_dir: str):
         })
 
     und = (_copurchase_pair_parts(sf_dir, n_buckets)
-           .groupby("pb").map_groups(pair_edges, batch_format="pandas")
+           .groupby("pb").map_groups(pair_edges, batch_format="pyarrow")
            .materialize())
     empty = pa.table({"node": pa.array([], type=pa.int64()),
                       "dist": pa.array([], type=pa.int64())})
@@ -1963,11 +1967,15 @@ def copurchase_kcore(sf_dir: str, k: int = KCORE_K,
     unrolled CTE chain of degree/keep/edge levels."""
     n_buckets = _bucket_count(sf_dir, ("lineitem",))
 
-    def pair_und(g: pd.DataFrame) -> pa.Table:
-        agg = g.groupby(["p_a", "p_b"], as_index=False)["size"].sum()
-        agg = agg[agg["size"] >= BFS_MIN_PAIR]
-        a = agg["p_a"].to_numpy().astype(np.int64)
-        b = agg["p_b"].to_numpy().astype(np.int64)
+    def pair_und(g: pa.Table) -> pa.Table:
+        agg = (g.select(["p_a", "p_b", "size"])
+               .group_by(["p_a", "p_b"]).aggregate([("size", "sum")]))
+        keep = (agg.column("size_sum").to_numpy(zero_copy_only=False)
+                >= BFS_MIN_PAIR)
+        a = agg.column("p_a").to_numpy(
+            zero_copy_only=False)[keep].astype(np.int64)
+        b = agg.column("p_b").to_numpy(
+            zero_copy_only=False)[keep].astype(np.int64)
         u = np.concatenate([a, b])
         v = np.concatenate([b, a])
         return pa.table({
@@ -1976,7 +1984,7 @@ def copurchase_kcore(sf_dir: str, k: int = KCORE_K,
         })
 
     edges = (_copurchase_pair_parts(sf_dir, n_buckets)
-             .groupby("pb").map_groups(pair_und, batch_format="pandas")
+             .groupby("pb").map_groups(pair_und, batch_format="pyarrow")
              .materialize())
     empty = pa.table({"node": pa.array([], type=pa.int64()),
                       "deg": pa.array([], type=pa.int64())})

@@ -114,8 +114,6 @@ def per_source_cap(sf_dir: str):
     to at most K rows per source BEFORE the shuffle, so the groupby
     moves O(K·sources·blocks) tiny rows no matter the corpus size, then
     each (bounded) source group takes its final K. No global sort."""
-    import pandas as pd
-
     ds = rd.read_parquet(_pq(sf_dir, "documents"),
                          columns=["doc_id", "source"])
 
@@ -128,15 +126,16 @@ def per_source_cap(sf_dir: str):
             df.groupby("source", sort=False).head(_SOURCE_CAP),
             preserve_index=False)
 
-    def final_topk(g: "pd.DataFrame") -> "pd.DataFrame":
-        g = g.sort_values(["rank_md5", "doc_id"], kind="mergesort")
-        return g.head(_SOURCE_CAP)[["doc_id", "source"]]
+    def final_topk(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("rank_md5", "ascending"),
+                       ("doc_id", "ascending")])
+        return g.slice(0, _SOURCE_CAP).select(["doc_id", "source"])
 
     return (
         ds.map_batches(partial_topk, batch_format="pyarrow",
                        batch_size=8192)
         .groupby("source")
-        .map_groups(final_topk, batch_format="pandas")
+        .map_groups(final_topk, batch_format="pyarrow")
     )
 
 
@@ -338,8 +337,6 @@ def reservoir_sample(sf_dir: str):
     (a combiner — O(k) rows out per block regardless of block size),
     then one tiny single-group merge takes the global k. No shuffle of
     corpus-sized data, no driver-side pass, no randomness."""
-    import pandas as pd
-
     ds = rd.read_parquet(_pq(sf_dir, "documents"),
                          columns=["doc_id", "source", "lang"])
 
@@ -351,15 +348,17 @@ def reservoir_sample(sf_dir: str):
         df["g"] = 0
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    def final_kmin(g: "pd.DataFrame") -> "pd.DataFrame":
-        g = g.sort_values(["rank_md5", "doc_id"], kind="mergesort")
-        return g.head(_RESERVOIR_K)[["doc_id", "source", "lang"]]
+    def final_kmin(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("rank_md5", "ascending"),
+                       ("doc_id", "ascending")])
+        return g.slice(0, _RESERVOIR_K).select(["doc_id", "source",
+                                                "lang"])
 
     return (
         ds.map_batches(partial_kmin, batch_format="pyarrow",
                        batch_size=8192)
         .groupby("g")
-        .map_groups(final_kmin, batch_format="pandas")
+        .map_groups(final_kmin, batch_format="pyarrow")
     )
 
 
@@ -409,16 +408,20 @@ def balanced_sample(sf_dir: str):
             return pa.Table.from_pandas(out, preserve_index=False)
         return fn
 
-    def fold_hist(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby(["lang", "cell"], as_index=False)["cnt"].sum()
-        out["cnt"] = out["cnt"].astype("int64")
-        return out
+    def fold_hist(g: pa.Table) -> pa.Table:
+        out = (g.select(["lang", "cell", "cnt"])
+               .group_by(["lang", "cell"]).aggregate([("cnt", "sum")]))
+        return pa.table({
+            "lang": out.column("lang"),
+            "cell": out.column("cell"),
+            "cnt": pc.cast(out.column("cnt_sum"), pa.int64()),
+        })
 
     def folded_hist(cell_of, flt=None) -> pd.DataFrame:
         return (ds.map_batches(hist_rows(cell_of, flt),
                                batch_format="pyarrow", batch_size=8192)
                 .groupby("bucket")
-                .map_groups(fold_hist, batch_format="pandas")
+                .map_groups(fold_hist, batch_format="pyarrow")
                 .to_pandas())
 
     def cut_cell(h1: pd.DataFrame, ranks: dict) -> dict:

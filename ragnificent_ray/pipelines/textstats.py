@@ -907,21 +907,23 @@ def fuzzy_name_pairs(sf_dir: str):
             "vb": pa.array(vb),
         })
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(["token", "variant"])
-        m = g.merge(g, on="variant")
-        m = m[m["token_x"] < m["token_y"]]
-        if not len(m):
-            return pd.DataFrame({"tok_a": pd.Series(dtype=str),
-                                 "tok_b": pd.Series(dtype=str)})
-        m = m.drop_duplicates(["token_x", "token_y"])
-        keep = [_edit1(a, b) for a, b in zip(m["token_x"], m["token_y"])]
-        m = m[np.asarray(keep, dtype=bool)]
-        return m.rename(columns={"token_x": "tok_a", "token_y": "tok_b"}) \
-                [["tok_a", "tok_b"]]
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        g = (g.select(["token", "variant"])
+             .group_by(["token", "variant"]).aggregate([]))
+        m = g.join(g, keys="variant", join_type="inner",
+                   left_suffix="_x", right_suffix="_y")
+        m = m.filter(pc.less(m.column("token_x"), m.column("token_y")))
+        m = m.group_by(["token_x", "token_y"]).aggregate([])
+        ta = m.column("token_x").to_pylist()
+        tb = m.column("token_y").to_pylist()
+        if ta:
+            keep = np.fromiter((_edit1(a, b) for a, b in zip(ta, tb)),
+                               dtype=bool, count=len(ta))
+            m = m.filter(pa.array(keep))
+        return m.rename_columns(["tok_a", "tok_b"])
 
-    def pair_dedup(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["tok_a", "tok_b"])
+    def pair_dedup(g: pa.Table) -> pa.Table:
+        return g.group_by(["tok_a", "tok_b"]).aggregate([])
 
     def add_pb(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -934,10 +936,10 @@ def fuzzy_name_pairs(sf_dir: str):
     return (
         ds.map_batches(variants, batch_format="pyarrow")
         .groupby("vb")
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
         .map_batches(add_pb, batch_format="pyarrow")
         .groupby("pb")
-        .map_groups(pair_dedup, batch_format="pandas")
+        .map_groups(pair_dedup, batch_format="pyarrow")
         .map_batches(lambda b: b.drop_columns(["pb"])
                      if "pb" in b.column_names else b,
                      batch_format="pyarrow")
@@ -1546,20 +1548,21 @@ def quality_rank(sf_dir: str):
         return batch.append_column(
             "bucket", pa.array(bucket_of(v), type=pa.int64()))
 
-    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
-        off = ray.get(off_ref)[int(g["bucket"].iloc[0])]
-        g = g.sort_values(["mean_logprob", "doc_id"],
-                          ascending=[False, True]).reset_index(drop=True)
-        return pd.DataFrame({
-            "doc_id": g["doc_id"].astype("int64"),
-            "mean_logprob": g["mean_logprob"],
-            "rank": (off + g.index.to_numpy() + 1).astype("int64"),
+    def rank_group(g: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)[int(g.column("bucket")[0].as_py())]
+        g = g.sort_by([("mean_logprob", "descending"),
+                       ("doc_id", "ascending")])
+        return pa.table({
+            "doc_id": pc.cast(g.column("doc_id"), pa.int64()),
+            "mean_logprob": g.column("mean_logprob"),
+            "rank": pa.array(
+                off + np.arange(1, g.num_rows + 1, dtype=np.int64)),
         })
 
     return (scores.map_batches(add_bucket, batch_format="pyarrow",
                                batch_size=65536)
             .groupby("bucket")
-            .map_groups(rank_group, batch_format="pandas"))
+            .map_groups(rank_group, batch_format="pyarrow"))
 
 
 def keyword_topk(sf_dir: str):
@@ -1606,36 +1609,59 @@ def keyword_topk(sf_dir: str):
                 type=pa.int32()),
         })
 
-    def join_df(g: "pd.DataFrame") -> "pd.DataFrame":
-        dfp = g[g["doc_id"] < 0].groupby("token", as_index=False)[
-            "tf"].sum().rename(columns={"tf": "df"})
-        tf = g[g["doc_id"] >= 0]
-        m = tf.merge(dfp, on="token")
-        out = m[["doc_id", "token", "tf", "df"]].copy()
-        out["db"] = (out["doc_id"].to_numpy() % 64).astype(np.int32)
-        return out
+    def join_df(g: pa.Table) -> pa.Table:
+        is_df = pc.less(g.column("doc_id"), 0)
+        dfp = (g.filter(is_df).select(["token", "tf"])
+               .group_by("token").aggregate([("tf", "sum")]))
+        dfp = pa.table({"token": dfp.column("token"),
+                        "df": pc.cast(dfp.column("tf_sum"), pa.int64())})
+        tf = g.filter(pc.invert(is_df)).select(["doc_id", "token", "tf"])
+        m = tf.join(dfp, keys="token", join_type="inner")
+        doc = m.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": m.column("doc_id"),
+            "token": m.column("token"),
+            "tf": m.column("tf"),
+            "df": m.column("df"),
+            "db": pa.array((doc % 64).astype(np.int32)),
+        })
 
-    def topk(g: "pd.DataFrame") -> "pd.DataFrame":
-        score = g["tf"].to_numpy() * np.log(
-            n_docs / g["df"].to_numpy().astype(np.float64))
-        g = g.assign(score=score)
-        g = g.sort_values(["doc_id", "score", "token"],
-                          ascending=[True, False, True],
-                          kind="mergesort", ignore_index=True)
-        top = g.groupby("doc_id", sort=False).head(3).copy()
-        top["kw_rank"] = (top.groupby("doc_id", sort=False).cumcount()
-                          .to_numpy() + 1).astype("int64")
-        top["score"] = round_half_away(top["score"].to_numpy(), 6)
-        top["df"] = top["df"].astype("int64")
-        return top[["doc_id", "kw_rank", "token", "tf", "df", "score"]]
+    def topk(g: pa.Table) -> pa.Table:
+        score = (g.column("tf").to_numpy(zero_copy_only=False)
+                 * np.log(n_docs / g.column("df").to_numpy(
+                     zero_copy_only=False).astype(np.float64)))
+        g = g.append_column("score",
+                            pa.array(score, type=pa.float64()))
+        g = g.sort_by([("doc_id", "ascending"),
+                       ("score", "descending"),
+                       ("token", "ascending")])
+        doc = g.column("doc_id").to_numpy(zero_copy_only=False)
+        n = len(doc)
+        if n:
+            first = np.flatnonzero(np.r_[True, doc[1:] != doc[:-1]])
+            starts = np.repeat(first, np.diff(np.r_[first, n]))
+            rank = np.arange(n, dtype=np.int64) - starts + 1
+        else:
+            rank = np.zeros(0, dtype=np.int64)
+        g = g.append_column("kw_rank", pa.array(rank))
+        g = g.filter(pa.array(rank <= 3))
+        return pa.table({
+            "doc_id": g.column("doc_id"),
+            "kw_rank": g.column("kw_rank"),
+            "token": g.column("token"),
+            "tf": g.column("tf"),
+            "df": pc.cast(g.column("df"), pa.int64()),
+            "score": pa.array(round_half_away(
+                g.column("score").to_numpy(zero_copy_only=False), 6)),
+        })
 
     return (
         ds.map_batches(tf_and_df_rows, batch_format="pyarrow",
                        batch_size=8192)
         .groupby("bucket")
-        .map_groups(join_df, batch_format="pandas")
+        .map_groups(join_df, batch_format="pyarrow")
         .groupby("db")
-        .map_groups(topk, batch_format="pandas")
+        .map_groups(topk, batch_format="pyarrow")
         .map_batches(lambda b: b.drop_columns(
             [c for c in ("bucket", "db") if c in b.column_names]),
             batch_format="pyarrow")
