@@ -1430,17 +1430,20 @@ _RAG_CHUNKS_RUST_SQL = f"""
 
 
 def _minhash_lsh_sql() -> str:
-    """Full-pipeline DuckDB oracle for minhash_lsh_pairs: md5-60 3-gram
-    shingles, the SAME 64 (a,b) permutation constants embedded as
-    literals, uint64-wraparound arithmetic mirrored via HUGEINT mod
-    2^64, band candidacy as 4-minhash slice equality (equivalent to the
-    engine's band-hash buckets), exact-Jaccard verify at 0.4."""
+    """Full-pipeline DuckDB oracle for minhash_lsh_pairs: 60-bit
+    token-md5 Horner-mix 3-gram shingles (the exact HUGEINT replay of
+    ``dedup._gram_hashes``), the SAME 64 (a,b) permutation constants
+    embedded as literals, uint64-wraparound arithmetic mirrored via
+    HUGEINT mod 2^64, band candidacy as 4-minhash slice equality
+    (equivalent to the engine's band-hash buckets), exact-Jaccard
+    verify at 0.4."""
     from ragnificent_ray.pipelines.dedup import (
         LSH_BANDS,
         MINHASH_A,
         MINHASH_B,
         MINHASH_PERMS,
         _MERSENNE,
+        _gram_mix_sql,
     )
 
     rows_per_band = MINHASH_PERMS // LSH_BANDS
@@ -1452,17 +1455,9 @@ def _minhash_lsh_sql() -> str:
     WITH d AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
         FROM documents
-    ), grams AS (
-        SELECT doc_id,
-               CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-                    ELSE [array_to_string(toks[i+1:i+3], ' ')
-                          FOR i IN range(0, len(toks) - 2)]
-               END AS gs
-        FROM d
     ), sh AS (
-        SELECT doc_id,
-               CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS h
-        FROM (SELECT doc_id, unnest(gs) AS g FROM grams)
+        SELECT doc_id, h
+        FROM (SELECT doc_id, unnest({_gram_mix_sql(3, 4)}) AS h FROM d)
         GROUP BY 1, 2
     ), sets AS (
         SELECT doc_id, list(h ORDER BY h) AS shingles, COUNT(*) AS n_sh

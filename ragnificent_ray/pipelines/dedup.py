@@ -567,17 +567,86 @@ def _minhash_perms(n: int = MINHASH_PERMS) -> tuple[np.ndarray, np.ndarray]:
 MINHASH_A, MINHASH_B = _minhash_perms()
 
 
+# ------------------------------------------------- vectorized gram ids
+# Gram identity = token-level md5 once (cached per worker — Heaps-law
+# vocabulary is tiny next to token occurrences), then a Horner fold of
+# the k token ids in wrapping uint64: one numpy pass per document
+# instead of one Python md5 per gram. The oracles replay the identical
+# fold in HUGEINT mod-2^64 arithmetic (``_gram_mix_sql``), collisions
+# included. Multipliers stay < 2^63 so every HUGEINT product fits.
+_W64 = 1 << 64
+GRAM_MIX_P = 0x51E3779B97F4A7C1
+GRAM_MIX_P2 = 0x27D4EB2F165667C5
+GRAM_MIX_SEED = 0x9E3779B97F4A7C15
+_GRAM_C0 = (GRAM_MIX_SEED * GRAM_MIX_P) % _W64
+
+_TOKEN_HASH_CACHE: dict[str, int] = {}
+
+
+def _token_hashes(toks: list[str]) -> np.ndarray:
+    """60-bit md5 token ids (``int(md5_hex(tok)[:15], 16)``), cached."""
+    cache = _TOKEN_HASH_CACHE
+    if len(cache) > (1 << 20):
+        cache.clear()
+    out = np.empty(len(toks), dtype=np.uint64)
+    for i, t in enumerate(toks):
+        h = cache.get(t)
+        if h is None:
+            h = int(md5_hex(t)[:15], 16)
+            cache[t] = h
+        out[i] = h
+    return out
+
+
+def _gram_hashes(toks: list[str], k: int, shift: int) -> np.ndarray:
+    """Hashes of every k-token gram of ``toks`` (a doc shorter than k
+    folds to ONE whole-doc gram, mirroring the joined-string idiom):
+    ``(Horner(u_i..u_{i+k-1}) * P2) >> shift`` in wrapping uint64."""
+    u = _token_hashes(toks)
+    if len(u) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    win = (u[None, :] if len(u) < k
+           else np.lib.stride_tricks.sliding_window_view(u, k))
+    p = np.uint64(GRAM_MIX_P)
+    h = np.uint64(_GRAM_C0) + win[:, 0]
+    for j in range(1, win.shape[1]):
+        h = h * p + win[:, j]
+    return (h * np.uint64(GRAM_MIX_P2)) >> np.uint64(shift)
+
+
+def _gram_mix_sql(k: int, shift: int, toks_expr: str = "toks") -> str:
+    """DuckDB expression yielding the per-doc LIST of gram hashes for a
+    string-array column — the exact HUGEINT replay of ``_gram_hashes``
+    (token md5-60 ids, Horner fold, finalizer multiply, >> shift)."""
+    div = 1 << shift
+
+    def u(idx: str) -> str:
+        # hex literals parse to BIGINT only (60 bits fits); the fold
+        # itself runs in HUGEINT
+        return ("CAST(CAST(('0x' || substr(md5(%s[%s]), 1, 15))"
+                " AS BIGINT) AS HUGEINT)" % (toks_expr, idx))
+
+    def horner(idxs: list[str]) -> str:
+        e = f"(({_GRAM_C0} + {u(idxs[0])}) % {_W64})"
+        for ix in idxs[1:]:
+            e = f"((({e} * {GRAM_MIX_P}) % {_W64} + {u(ix)}) % {_W64})"
+        return (f"CAST((({e} * {GRAM_MIX_P2}) % {_W64}) // {div}"
+                f" AS BIGINT)")
+
+    short = "".join(
+        f" WHEN len({toks_expr}) = {n}"
+        f" THEN [{horner([str(j) for j in range(1, n + 1)])}]"
+        for n in range(1, k))
+    full = horner([f"i+{j}" for j in range(1, k + 1)])
+    return (f"CASE{short} ELSE [{full} FOR i IN"
+            f" range(0, len({toks_expr}) - {k - 1})] END")
+
+
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """3-word-gram shingles hashed to the first 60 bits of md5 (the
-    ``simhash64``/``fingerprints`` idiom) so the whole MinHash pipeline
-    is expressible in DuckDB SQL; 60 bits < the Mersenne-61 modulus."""
-    toks = text.strip().split()
-    if len(toks) < k:
-        grams = [" ".join(toks)] if toks else []
-    else:
-        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
-    return np.unique(np.array([int(md5_hex(g)[:15], 16) for g in grams],
-                              dtype=np.uint64))
+    """3-token-gram shingle ids: the token-md5 Horner mix, top 60 bits
+    (< the Mersenne-61 modulus) — one vectorized pass per doc, replayed
+    in SQL by ``_gram_mix_sql(3, 4)``."""
+    return np.unique(_gram_hashes(text.strip().split(), k, 4))
 
 
 def _minhash(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -749,8 +818,7 @@ def simhash64(sf_dir: str):
             if not toks:
                 out.append(0)
                 continue
-            hs = np.array([int(md5_hex(w)[:15], 16) for w in toks],
-                          dtype=np.uint64)
+            hs = _token_hashes(toks)  # same md5-60 ids, cached
             bits = ((hs[:, None] >> bit_cols[None, :]) & 1).astype(np.int32)
             acc = (2 * bits - 1).sum(axis=0)
             sig = 0
@@ -1086,11 +1154,10 @@ def duplicate_ngram_fraction(sf_dir: str, k: int = NGRAM_SPAN_K,
     never broadcast — one gram-keyed groupby counts distinct docs per
     gram (combiner: one row per distinct gram per doc), and the dup
     marks flow back via a gram-keyed LEFT OUTER hash-join before a
-    doc-keyed sum. Gram identity is the first 48 bits of md5 on both
-    sides, so the oracle hashes identically (collisions included)."""
+    doc-keyed sum. Gram identity is the 48-bit token-md5 Horner mix
+    (``_gram_hashes``) on both sides, so the oracle hashes identically
+    (collisions included)."""
     from ray.data.aggregate import Sum
-
-    from ..functions.hashing import md5_hex
 
     if join_partitions is None:
         join_partitions = _join_partition_count(sf_dir, "documents")
@@ -1100,19 +1167,17 @@ def duplicate_ngram_fraction(sf_dir: str, k: int = NGRAM_SPAN_K,
     ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def grams(batch: pa.Table) -> pa.Table:
-        from collections import Counter
         ids, ghs, occ = [], [], []
         for d, t in zip(batch.column("doc_id").to_pylist(),
                         batch.column("text").to_pylist()):
             toks = t.strip().split()
             if len(toks) < k:
                 continue
-            c = Counter(
-                int(md5_hex(" ".join(toks[i:i + k]))[:12], 16)
-                for i in range(len(toks) - k + 1))
-            ids.extend([d] * len(c))
-            ghs.extend(c.keys())
-            occ.extend(c.values())
+            vals, cnts = np.unique(_gram_hashes(toks, k, 16),
+                                   return_counts=True)
+            ids.extend([d] * len(vals))
+            ghs.extend(vals.astype(np.int64))
+            occ.extend(cnts.astype(np.int64))
         return pa.table({
             "doc_id": pa.array(ids, type=pa.int64()),
             "gram": pa.array(ghs, type=pa.int64()),
@@ -1172,11 +1237,9 @@ def ngram_novelty(sf_dir: str, k: int = NGRAM_SPAN_K,
     buckets (Arrow ``group_by`` body — the corpus-scale gram key space
     never meets a native per-group walk); marks flow back via one
     gram-keyed hash-join before a doc-keyed sum. Gram identity is the
-    first 48 bits of md5 on both sides so the oracle hashes
-    identically, collisions included."""
+    48-bit token-md5 Horner mix (``_gram_hashes``) on both sides so
+    the oracle hashes identically, collisions included."""
     from ray.data.aggregate import Sum
-
-    from ..functions.hashing import md5_hex
 
     if join_partitions is None:
         join_partitions = _join_partition_count(sf_dir, "documents")
@@ -1193,13 +1256,17 @@ def ngram_novelty(sf_dir: str, k: int = NGRAM_SPAN_K,
             toks = t.strip().split()
             if len(toks) < k:
                 continue
-            hs = {int(md5_hex(" ".join(toks[i:i + k]))[:12], 16)
-                  for i in range(len(toks) - k + 1)}
-            ids.extend([d] * len(hs))
-            ghs.extend(hs)
+            hs = np.unique(_gram_hashes(toks, k, 16)).astype(np.int64)
+            ids.append(np.full(len(hs), d, dtype=np.int64))
+            ghs.append(hs)
+        if not ids:
+            return pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "gram": pa.array([], type=pa.int64()),
+            })
         return pa.table({
-            "doc_id": pa.array(ids, type=pa.int64()),
-            "gram": pa.array(ghs, type=pa.int64()),
+            "doc_id": pa.array(np.concatenate(ids)),
+            "gram": pa.array(np.concatenate(ghs)),
         })
 
     go = ds.map_batches(grams, batch_format="pyarrow",
@@ -1264,8 +1331,6 @@ def dup_spans(sf_dir: str, k: int = NGRAM_SPAN_K,
     (inner — only duplicated positions survive), then interval merging
     runs vectorized inside bounded doc-buckets, with token totals
     riding the same union so zero-dup docs still report."""
-    from ..functions.hashing import md5_hex
-
     if join_partitions is None:
         join_partitions = _join_partition_count(sf_dir, "documents")
     join_args = dict(num_partitions=join_partitions,
@@ -1279,14 +1344,22 @@ def dup_spans(sf_dir: str, k: int = NGRAM_SPAN_K,
         for d, t in zip(batch.column("doc_id").to_pylist(),
                         batch.column("text").to_pylist()):
             toks = t.strip().split()
-            for i in range(len(toks) - k + 1):
-                ids.append(d)
-                pos.append(i)
-                ghs.append(int(md5_hex(" ".join(toks[i:i + k]))[:12], 16))
+            if len(toks) < k:
+                continue
+            gh = _gram_hashes(toks, k, 16).astype(np.int64)
+            ids.append(np.full(len(gh), d, dtype=np.int64))
+            pos.append(np.arange(len(gh), dtype=np.int64))
+            ghs.append(gh)
+        if not ids:
+            return pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "pos": pa.array([], type=pa.int64()),
+                "gram": pa.array([], type=pa.int64()),
+            })
         return pa.table({
-            "doc_id": pa.array(ids, type=pa.int64()),
-            "pos": pa.array(pos, type=pa.int64()),
-            "gram": pa.array(ghs, type=pa.int64()),
+            "doc_id": pa.array(np.concatenate(ids)),
+            "pos": pa.array(np.concatenate(pos)),
+            "gram": pa.array(np.concatenate(ghs)),
         })
 
     occ = ds.map_batches(gram_pos, batch_format="pyarrow",
@@ -1736,10 +1809,8 @@ def winnowing_fingerprints(sf_dir: str):
 
     Scale shape: pure per-batch map, no shuffle — the sliding-window
     min is a vectorized stride-trick kernel per doc, gram identity is
-    the md5-48bit convention shared with [[ngram-novelty]] so the
-    oracle hashes identically, collisions included."""
-    from ..functions.hashing import md5_hex
-
+    the 48-bit token-md5 Horner mix shared with [[ngram-novelty]] so
+    the oracle hashes identically, collisions included."""
     ds = rd.read_parquet(_pq(sf_dir, "documents"),
                          columns=["doc_id", "text"])
 
@@ -1753,9 +1824,7 @@ def winnowing_fingerprints(sf_dir: str):
                 n_fp.append(0)
                 fp_sum.append(0)
                 continue
-            h = np.fromiter(
-                (int(md5_hex(" ".join(toks[i:i + WINNOW_K]))[:12], 16)
-                 for i in range(ng)), dtype=np.int64, count=ng)
+            h = _gram_hashes(toks, WINNOW_K, 16).astype(np.int64)
             win = np.lib.stride_tricks.sliding_window_view(h, WINNOW_W)
             # rightmost min: argmin over the reversed window
             rev = win[:, ::-1]
@@ -1780,12 +1849,12 @@ _WINNOW_SQL = rf"""
 WITH t AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
   FROM documents
+), hs AS (
+  SELECT doc_id, {_gram_mix_sql(WINNOW_K, 16)} AS hl
+  FROM t WHERE len(toks) >= {WINNOW_K}
 ), g AS (
-  SELECT doc_id, i AS pos,
-         CAST(('0x' || substr(md5(array_to_string(
-             toks[i:i+{WINNOW_K}-1], ' ')), 1, 12)) AS BIGINT) AS h
-  FROM t, unnest(range(1, len(toks) - {WINNOW_K} + 2)) AS u(i)
-  WHERE len(toks) >= {WINNOW_K}
+  SELECT hs.doc_id, u.i AS pos, hs.hl[u.i] AS h
+  FROM hs, LATERAL (SELECT unnest(range(1, len(hs.hl) + 1)) AS i) u
 ), ng AS (
   SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id
 ), wm AS (
@@ -1828,11 +1897,7 @@ ORACLE_SQL = {
           FROM documents
         ), g AS (
           SELECT doc_id,
-                 unnest(list_transform(
-                     range(1, len(toks) - {NGRAM_SPAN_K} + 2),
-                     i -> CAST(('0x' || substr(md5(array_to_string(
-                         toks[i:i+{NGRAM_SPAN_K}-1], ' ')), 1, 12))
-                         AS BIGINT))) AS gram
+                 unnest({_gram_mix_sql(NGRAM_SPAN_K, 16)}) AS gram
           FROM t WHERE len(toks) >= {NGRAM_SPAN_K}
         ), go AS (
           SELECT doc_id, gram, COUNT(*) AS occ FROM g GROUP BY doc_id, gram
@@ -1855,11 +1920,7 @@ ORACLE_SQL = {
           FROM documents
         ), g0 AS (
           SELECT doc_id,
-                 unnest(list_transform(
-                     range(1, len(toks) - {NGRAM_SPAN_K} + 2),
-                     i -> CAST(('0x' || substr(md5(array_to_string(
-                         toks[i:i+{NGRAM_SPAN_K}-1], ' ')), 1, 12))
-                         AS BIGINT))) AS gram
+                 unnest({_gram_mix_sql(NGRAM_SPAN_K, 16)}) AS gram
           FROM t WHERE len(toks) >= {NGRAM_SPAN_K}
         ), g AS (
           SELECT DISTINCT doc_id, gram FROM g0
@@ -1881,16 +1942,14 @@ ORACLE_SQL = {
           SELECT doc_id,
                  regexp_split_to_array(trim(text), '\s+') AS toks
           FROM documents
+        ), h AS (
+          SELECT doc_id, {_gram_mix_sql(NGRAM_SPAN_K, 16)} AS hs
+          FROM t WHERE len(toks) >= {NGRAM_SPAN_K}
         ), g AS (
-          SELECT t.doc_id, gs.i,
-                 CAST(('0x' || substr(md5(array_to_string(
-                     t.toks[gs.i : gs.i + {NGRAM_SPAN_K} - 1], ' ')),
-                     1, 12)) AS BIGINT) AS gram
-          FROM t, LATERAL (
-              SELECT unnest(range(1,
-                  len(t.toks) - {NGRAM_SPAN_K} + 2)) AS i
+          SELECT h.doc_id, gs.i, h.hs[gs.i] AS gram
+          FROM h, LATERAL (
+              SELECT unnest(range(1, len(h.hs) + 1)) AS i
           ) gs
-          WHERE len(t.toks) >= {NGRAM_SPAN_K}
         ), nd AS (
           SELECT gram, COUNT(DISTINCT doc_id) AS ndocs
           FROM g GROUP BY gram

@@ -249,13 +249,23 @@ def test_winnowing_coverage_guarantee(ray_session, entry):
     assert (zero["n_fingerprints"] == 0).all()
     assert (zero["fp_sum"] == 0).all()
 
+    from ragnificent_ray.pipelines.dedup import (GRAM_MIX_P, GRAM_MIX_P2,
+                                                 GRAM_MIX_SEED)
+
+    def gram_hash(gram_toks):
+        # independent pure-Python replay of the token-md5 Horner mix
+        acc = GRAM_MIX_SEED
+        for tok in gram_toks:
+            acc = (acc * GRAM_MIX_P + int(md5_hex(tok)[:15], 16)) \
+                % (1 << 64)
+        return ((acc * GRAM_MIX_P2) % (1 << 64)) >> 16
+
     docs = pq.read_table(f"{SF}/documents.parquet",
                          columns=["doc_id", "text"]).to_pandas()
     for _, doc in docs.head(5).iterrows():
         toks = doc["text"].strip().split()
         ng = max(0, len(toks) - WINNOW_K + 1)
-        h = [int(md5_hex(" ".join(toks[i:i + WINNOW_K]))[:12], 16)
-             for i in range(ng)]
+        h = [gram_hash(toks[i:i + WINNOW_K]) for i in range(ng)]
         sel = set()
         for i in range(ng - WINNOW_W + 1):
             win = h[i:i + WINNOW_W]
@@ -725,7 +735,7 @@ def test_bootstrap_median_ci_properties(ray_session, entry):
     import pyarrow.parquet as pq
 
     from ragnificent_ray.functions.hashing import md5_hex
-    from ragnificent_ray.pipelines.relational import _POISSON_T40
+    from ragnificent_ray.pipelines.relational import _BOOT_MIX, _POISSON_T40
 
     out = entry.queries()["bootstrap_median_ci"](SF).to_pandas()
     assert len(out) == 16
@@ -739,9 +749,11 @@ def test_bootstrap_median_ci_properties(ray_session, entry):
             < 0.5 * true_med).all()
 
     thr = np.array(_POISSON_T40, dtype=np.int64)
+    base = [int(md5_hex(str(k))[:15], 16) for k in t["o_orderkey"]]
     for rep in (0, 7):
-        h = np.fromiter((int(md5_hex(f"{rep}:{k}")[:10], 16)
-                         for k in t["o_orderkey"]), dtype=np.int64)
+        # one md5 per key, per-replicate multiply-mask-shift draw
+        h = np.array([((b * _BOOT_MIX[rep]) % (1 << 60)) >> 20
+                      for b in base], dtype=np.int64)
         w = np.searchsorted(thr, h, side="right")
         # Poisson(1): mean weight ~ 1
         assert abs(w.mean() - 1.0) < 0.1
