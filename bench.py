@@ -531,11 +531,71 @@ def query_stats(name: str) -> None:
     ray.shutdown()
 
 
+def spread_bench() -> None:
+    """``--spread``: the headline crawl with seen shards placed via
+    ``scheduling_strategy="SPREAD"`` (one per node on a real cluster;
+    a placement no-op single-node), printing the per-round seen-shard
+    RPC/heap telemetry — evidence that the cross-process fan-out stays
+    O(batches × shards) and shard heap flat-numpy-bounded
+    (BASELINE.md "Seen-shard fan-out")."""
+    import logging
+
+    import ray
+
+    from ragnificent_ray.config import CrawlConfig, WorldConfig
+    from ragnificent_ray.pipelines.crawl import run_crawl
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    d, p, i = _bench_world()
+    out_dir = "/tmp/ragnificent_bench/crawl_spread"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cfg = CrawlConfig(
+        world=WorldConfig(n_domains=d, pages_per_domain=p,
+                          images_per_page=i),
+        default_rate=100000.0,
+        adaptive_throttling=False,
+        retry_delay=0.05,
+        fetch_concurrency=max(4, NUM_CPUS // 2),
+        fetch_batch_size=256,
+        n_seen_shards=8,
+        n_politeness_shards=4,
+        seen_spread=True,
+    )
+    t0 = time.monotonic()
+    res = run_crawl(cfg, out_dir)
+    sec = time.monotonic() - t0
+    pages = res.metrics.get("pages_parsed_total", 0)
+    rounds = {}
+    for r in res.rounds:
+        m = res.metrics.get(f"round_{r}", {})
+        rounds[str(r)] = {k: m.get(k) for k in
+                          ("seen_rpc_calls", "seen_rpc_rows",
+                           "seen_shard_bytes")}
+    print(json.dumps({
+        "mode": "spread",
+        "num_cpus": NUM_CPUS,
+        "crawl_sec": round(sec, 3),
+        "pages": pages,
+        "pages_per_sec": round(pages / sec, 2) if sec else 0.0,
+        "n_seen_shards": cfg.n_seen_shards,
+        "rounds": rounds,
+    }))
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--stats" in sys.argv:
         query_stats(sys.argv[sys.argv.index("--stats") + 1])
     elif "--scaling" in sys.argv:
         scaling()
+    elif "--spread" in sys.argv:
+        spread_bench()
     elif "--politeness" in sys.argv:
         politeness_bench()
     elif "--latency" in sys.argv:

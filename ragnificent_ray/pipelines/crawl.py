@@ -443,6 +443,7 @@ def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResu
     seen = SeenSet(
         n_shards=cfg.n_seen_shards,
         capacity_per_shard=cfg.seen_capacity_per_shard,
+        spread=cfg.seen_spread,
     )
 
     fetcher = FetchWorker(

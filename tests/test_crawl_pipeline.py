@@ -137,6 +137,69 @@ def test_resume_skips_completed_rounds_and_redoes_missing(
     assert h1 == h2
 
 
+def test_resume_replays_interrupted_background_lane_idempotently(
+    ray_session, tmp_path_factory, crawl_and_oracle
+):
+    """The kill-mid-lane crash window: a round's critical path
+    (fetch/claims/next frontier) finished, but its BACKGROUND lanes
+    (render/chunks/harvest) were caught mid-flight — some
+    content-addressed block files flushed, one write torn as a stale
+    ``.tmp``, and the round never reached the manifest. Resume must
+    replay the round's lanes over the stale partial files without
+    duplicating or losing a row (it clears the pending round's lane
+    dirs before replaying; content-addressed filenames additionally
+    make intra-run task retries overwrite their own blocks)."""
+    import os
+
+    from ragnificent_ray.pipelines.crawl import run_crawl
+    from ragnificent_ray.state.checkpoint import CheckpointManager
+
+    cfg, full_res, oracle = crawl_and_oracle
+    out = str(tmp_path_factory.mktemp("resume_lane"))
+    res1 = run_crawl(cfg, out)
+    target = max(res1.rounds)
+    ckpt = CheckpointManager(out)
+    m = ckpt.load_manifest()
+    m["completed_rounds"] = [e for e in m["completed_rounds"]
+                             if e["round"] < target]
+    ckpt._write_manifest(m)
+    rdir = ckpt.round_dir(target)
+    dropped = kept = 0
+    for li, lane in enumerate(("rendered", "chunks", "harvest")):
+        d = os.path.join(rdir, lane)
+        if not os.path.isdir(d):
+            continue
+        parts = sorted(n for n in os.listdir(d) if n.endswith(".parquet"))
+        # lanes flush independently: keep the first block of every
+        # other lane, drop the rest — the kill caught the lanes at
+        # different progress points
+        doomed = parts[1:] if li % 2 == 0 else parts
+        for n in doomed:
+            os.remove(os.path.join(d, n))
+            dropped += 1
+        kept += len(parts) - len(doomed)
+        if parts:
+            # and one write torn mid-rename by the kill
+            with open(os.path.join(d, ".part-deadbeef.tmp"), "wb") as f:
+                f.write(b"torn write")
+    assert dropped > 0 and kept > 0  # genuinely partial state
+
+    res2 = run_crawl(cfg, out, resume=True)
+    assert set(res2.rounds) == set(res1.rounds)
+    assert set(res2.metrics["_seen_snapshot"]) == oracle.seen_hashes
+
+    def rows(res, tbl):
+        # created_at is wall-clock (reference parity is field-presence,
+        # not value); everything else must replay byte-identically
+        out = [{k: v for k, v in r.items() if k != "created_at"}
+               for r in res.table(tbl).to_pylist()]
+        return sorted(out, key=lambda r: repr(sorted(r.items())))
+
+    for tbl in ("chunks", "harvest"):
+        assert rows(full_res, tbl) == rows(res2, tbl), \
+            f"{tbl} diverged after lane-interrupt resume"
+
+
 def test_parity_holds_on_medium_world(ray_session, tmp_path):
     """Ordering + seen-set + harvest parity on a world large enough to
     exercise multi-block fan-out and pipelined rounds (8 domains × 20
