@@ -923,20 +923,14 @@ def _image_phash_clusters(sf_dir: str):
         batch_format="pyarrow")
 
 
-def _image_dedup_keep(sf_dir: str):
-    """The kept image set after phash near-dedup: every harvested image
-    except non-representative cluster members — the image-side twin of
-    the text ``dedup_keep`` (write-the-deduped-dataset step downstream
-    of ``image_phash_clusters``). An image is dropped iff its component
-    label sorts before its own id; kept rows carry ``in_cluster`` (1 =
-    representative of a multi-image cluster, 0 = untouched singleton).
-
-    Scale shape mirrors ``pipelines/dedup.py:dedup_keep``: corpus ids
-    and cluster labels meet in a bounded hash-bucket groupby (narrow
-    string rows only; no broadcast of the removed set). Rows-only
-    (binary-payload input)."""
+def _image_keep_from_labels(sf_dir: str, labels):
+    """Shared keep-set resolution for the image dedup family: corpus
+    ids and cluster labels meet in a bounded hash-bucket groupby
+    (narrow string rows only; no broadcast of the removed set). An
+    image is dropped iff its component label sorts before its own id;
+    kept rows carry ``in_cluster`` (1 = representative of a
+    multi-image cluster, 0 = untouched singleton)."""
     import numpy as np
-    import pandas as pd
     import pyarrow as pa
     import ray.data as rd
 
@@ -969,21 +963,80 @@ def _image_dedup_keep(sf_dir: str):
             "hb": _hb(node),
         })
 
-    labels = _image_phash_clusters(sf_dir).map_batches(
-        label_rows, batch_format="pyarrow")
+    label_marks = labels.map_batches(label_rows, batch_format="pyarrow")
 
-    def keep(g: pd.DataFrame) -> pd.DataFrame:
-        mx = g.groupby("image_id")["marker"].max()
-        dropped = mx[mx == 1].index
-        kept = g[(g["marker"] == 0)
-                 & ~g["image_id"].isin(dropped)][["image_id"]]
-        reps = set(mx[mx == 2].index)
-        kept = kept.copy()
-        kept["in_cluster"] = kept["image_id"].isin(reps).astype(np.int8)
-        return kept
+    def keep(g: pa.Table) -> pa.Table:
+        f = (g.select(["image_id", "marker"]).group_by("image_id")
+             .aggregate([("marker", "max")]))
+        mx = f.column("marker_max").to_numpy(zero_copy_only=False)
+        kept = f.filter(pa.array(mx != 1))
+        in_cluster = (kept.column("marker_max")
+                      .to_numpy(zero_copy_only=False) == 2)
+        return pa.table({
+            "image_id": kept.column("image_id"),
+            "in_cluster": pa.array(in_cluster.astype(np.int8)),
+        })
 
-    return corpus.union(labels).groupby("hb").map_groups(
-        keep, batch_format="pandas")
+    return corpus.union(label_marks).groupby("hb").map_groups(
+        keep, batch_format="pyarrow")
+
+
+def _image_dedup_keep(sf_dir: str):
+    """The kept image set after phash near-dedup: every harvested image
+    except non-representative cluster members — the image-side twin of
+    the text ``dedup_keep`` (write-the-deduped-dataset step downstream
+    of ``image_phash_clusters``). Keep resolution in
+    ``_image_keep_from_labels`` mirrors ``pipelines/dedup.py:
+    dedup_keep``. Rows-only (binary-payload input)."""
+    return _image_keep_from_labels(sf_dir, _image_phash_clusters(sf_dir))
+
+
+def _image_curate_keep(sf_dir: str):
+    """END-TO-END image curation over the harvest — the image-side
+    twin of ``curate_corpus``'s signal composition: the phash pair set
+    (global-structure near-dups) UNIONs with the dhash pair set
+    (gradient sketches catch brightness-shifted near-dups phash
+    misses), each candidate set verified by its own exact XOR-popcount
+    pass inside ``phash_neardup_pairs``; connected components over the
+    union graph pick one representative per cluster
+    (lexicographic-min image_id), and the kept corpus falls out of the
+    shared bounded-bucket keep resolution.
+
+    Scale shape: both sketches are narrow (image_id, hash64) rows —
+    pixels never leave the decode actors; the union is a pair-level
+    concat (min-label propagation is idempotent under duplicate
+    edges), and components/keep reuse the bounded machinery of
+    ``image_phash_clusters`` / ``image_dedup_keep``. Rows-only
+    (binary-payload input); containment vs the phash-only keep set
+    and planted-dup behavior pinned in ``tests/test_phash_neardup.py``."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ragnificent_ray.pipelines.dedup import (min_label_components,
+                                                 phash_neardup_pairs)
+    from ragnificent_ray.stages.multimodal import ImageDHashStage
+
+    harvest = _crawl_harvest(sf_dir)
+    ph_pairs = phash_neardup_pairs(
+        harvest.select(["image_id", "phash"])
+    ).select_columns(["image_id_a", "image_id_b"])
+    dh_sketches = rd.from_arrow(
+        harvest.select(["image_id", "bytes", "fmt"])
+    ).map_batches(ImageDHashStage, batch_format="pyarrow", batch_size=64,
+                  concurrency=2)
+    dh_pairs = phash_neardup_pairs(
+        dh_sketches, hash_col="dhash"
+    ).select_columns(["image_id_a", "image_id_b"])
+
+    pairs = ph_pairs.union(dh_pairs)
+    labels = min_label_components(pairs, "image_id_a", "image_id_b",
+                                  join_partitions=2,
+                                  convergence="changed")
+    labels = labels.map_batches(
+        lambda t: pa.table({"image_id": t.column("node"),
+                            "component": t.column("label")}),
+        batch_format="pyarrow")
+    return _image_keep_from_labels(sf_dir, labels)
 
 
 def _image_dhash_neardup(sf_dir: str):
@@ -1179,6 +1232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "harvest_dedup_exact": _harvest_dedup_exact,
         "image_phash_clusters": _image_phash_clusters,
         "image_dedup_keep": _image_dedup_keep,
+        "image_curate_keep": _image_curate_keep,
         "image_dhash_neardup": _image_dhash_neardup,
         "image_patchify": _image_patchify,
         "image_patch_dedup": _image_patch_dedup,

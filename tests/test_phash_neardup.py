@@ -91,3 +91,38 @@ def test_image_dedup_exact_kernel(ray_session):
     assert got.loc["img1", "n_copies"] == 3  # img1+img3+img4 identical
     assert got.loc["img2", "n_copies"] == 1
     assert got["n_copies"].sum() == 4
+
+
+def test_image_curate_keep_composes_phash_and_dhash(ray_session):
+    """The composed end-to-end curation query: keep set over the UNION
+    of the verified phash and dhash pair graphs. Pins (1) containment —
+    every image the phash-only keep drops, the union keep also drops
+    (adding a sketch lens can only find MORE dups); (2) the planted
+    near-dups actually shrink the corpus; (3) kept rows are a subset of
+    the harvest with a clean in_cluster flag; (4) determinism across
+    runs (rows-only driver gate)."""
+    import pandas as pd
+
+    import __ray_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    q = entry.queries()
+    harvest_ids = set(
+        q["crawl_harvest"](sf).column("image_id").to_pylist())
+    ku = q["image_curate_keep"](sf).to_pandas()
+    kp = q["image_dedup_keep"](sf).to_pandas()
+
+    assert set(ku["image_id"]) <= harvest_ids
+    dropped_union = harvest_ids - set(ku["image_id"])
+    dropped_ph = harvest_ids - set(kp["image_id"])
+    assert dropped_ph <= dropped_union
+    assert dropped_union, "planted near-dups must shrink the corpus"
+    assert set(ku["in_cluster"].unique()) <= {0, 1}
+    # every multi-image cluster keeps exactly one representative:
+    # reps (in_cluster=1) + dropped = the images touched by any pair
+    assert len(ku) + len(dropped_union) == len(harvest_ids)
+
+    again = q["image_curate_keep"](sf).to_pandas()
+    pd.testing.assert_frame_equal(
+        ku.sort_values("image_id").reset_index(drop=True),
+        again.sort_values("image_id").reset_index(drop=True))
