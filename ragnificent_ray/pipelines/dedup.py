@@ -111,23 +111,25 @@ def exact_dedup(sf_dir: str):
 
     def add_hash(batch: pa.Table) -> pa.Table:
         hashes = [md5_hex(t) for t in batch.column("text").to_pylist()]
-        return batch.append_column(
-            "text_hash", pa.array(hashes)
-        ).append_column(
-            "bucket",
-            pa.array([int(h[:8], 16) % n_buckets for h in hashes],
-                     type=pa.int32()),
-        )
+        # narrow rows only — the text column never ships through the
+        # bucket exchange
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "text_hash": pa.array(hashes),
+            "bucket": pa.array([int(h[:8], 16) % n_buckets
+                                for h in hashes], type=pa.int32()),
+        })
 
-    def bucket_first(g: pd.DataFrame) -> pd.DataFrame:
-        keep = g.sort_values(["text_hash", "doc_id"]) \
-                .drop_duplicates("text_hash")
-        return keep[["doc_id", "text_hash"]]
+    def bucket_first(g: pa.Table) -> pa.Table:
+        f = (g.select(["text_hash", "doc_id"]).group_by("text_hash")
+             .aggregate([("doc_id", "min")]))
+        return pa.table({"doc_id": f.column("doc_id_min"),
+                         "text_hash": f.column("text_hash")})
 
     return (
         ds.map_batches(add_hash, batch_format="pyarrow", batch_size=8192)
         .groupby("bucket")
-        .map_groups(bucket_first, batch_format="pandas")
+        .map_groups(bucket_first, batch_format="pyarrow")
     )
 
 
@@ -201,26 +203,26 @@ def cross_source_dup_matrix(sf_dir: str):
             [int(md5_hex(p)[:8], 16) % n_buckets
              for p in g.column("prefix").to_pylist()], type=pa.int32()))
 
-    def bucket_pairs(g: pd.DataFrame) -> pa.Table:
-        g = g.drop_duplicates(["prefix", "source"])
-        m = g[["prefix", "source"]].merge(g[["prefix", "source"]],
-                                          on="prefix")
-        m = m[m["source_x"] < m["source_y"]]
-        cnt = m.groupby(["source_x", "source_y"],
-                        as_index=False).size()
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        g = (g.select(["prefix", "source"])
+             .group_by(["prefix", "source"]).aggregate([]))
+        m = g.join(g, keys="prefix", join_type="inner",
+                   left_suffix="_x", right_suffix="_y")
+        m = m.filter(pc.less(m.column("source_x"),
+                             m.column("source_y")))
+        cnt = (m.group_by(["source_x", "source_y"])
+               .aggregate([("prefix", "count")]))
         return pa.table({
-            "src_a": pa.array(cnt["source_x"].to_numpy()
-                              .astype(object), type=pa.string()),
-            "src_b": pa.array(cnt["source_y"].to_numpy()
-                              .astype(object), type=pa.string()),
-            "n_prefixes": pa.array(
-                cnt["size"].to_numpy().astype(np.int64)),
+            "src_a": cnt.column("source_x"),
+            "src_b": cnt.column("source_y"),
+            "n_prefixes": pc.cast(cnt.column("prefix_count"),
+                                  pa.int64()),
         })
 
     return (ds.map_batches(partial, batch_format="pyarrow",
                            batch_size=8192)
             .groupby("bucket")
-            .map_groups(bucket_pairs, batch_format="pandas")
+            .map_groups(bucket_pairs, batch_format="pyarrow")
             .groupby(["src_a", "src_b"])
             .aggregate(Sum("n_prefixes", alias_name="n_prefixes")))
 
@@ -280,17 +282,18 @@ def incremental_dedup(sf_dir: str):
                                 for h in hashes], type=pa.int32()),
         })
 
-    def batch_first(g: pd.DataFrame) -> pd.DataFrame:
-        keep = g.sort_values(["text_hash", "doc_id"]) \
-                .drop_duplicates("text_hash")
-        return keep[["doc_id", "text_hash"]]
+    def batch_first(g: pa.Table) -> pa.Table:
+        f = (g.select(["text_hash", "doc_id"]).group_by("text_hash")
+             .aggregate([("doc_id", "min")]))
+        return pa.table({"doc_id": f.column("doc_id_min"),
+                         "text_hash": f.column("text_hash")})
 
     existing = ds.map_batches(hash_existing, batch_format="pyarrow",
                               batch_size=8192)
     incoming = (ds.map_batches(hash_incoming, batch_format="pyarrow",
                                batch_size=8192)
                 .groupby("bucket")
-                .map_groups(batch_first, batch_format="pandas"))
+                .map_groups(batch_first, batch_format="pyarrow"))
     out = incoming.join(existing, "left_anti", num_partitions=P,
                         on=("text_hash",), right_on=("old_hash",),
                         aggregator_ray_remote_args={"num_cpus": 0.25})
@@ -747,11 +750,14 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.4,
             "bucket": pa.array((band_hash % n_buckets).astype(np.int32)),
         })
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        m = g.merge(g, on=["band_id", "band_hash"])
-        m = m[m["doc_id_x"] < m["doc_id_y"]]
-        out = m.rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"})
-        return out[["doc_a", "doc_b"]].drop_duplicates()
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        g = g.select(["band_id", "band_hash", "doc_id"])
+        m = g.join(g, keys=["band_id", "band_hash"], join_type="inner",
+                   left_suffix="_x", right_suffix="_y")
+        m = m.filter(pc.less(m.column("doc_id_x"),
+                             m.column("doc_id_y")))
+        return (m.group_by(["doc_id_x", "doc_id_y"]).aggregate([])
+                .rename_columns(["doc_a", "doc_b"]))
 
     def add_pair_bucket(batch: pa.Table) -> pa.Table:
         da = batch.column("doc_a").to_numpy(zero_copy_only=False)
@@ -759,17 +765,17 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.4,
         pb = ((da * np.int64(1000003) + db) % n_buckets).astype(np.int32)
         return batch.append_column("pair_bucket", pa.array(pb))
 
-    def pair_dedup(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]]
+    def pair_dedup(g: pa.Table) -> pa.Table:
+        return g.group_by(["doc_a", "doc_b"]).aggregate([])
 
     cands = (
         sketches
         .map_batches(explode_bands, batch_format="pyarrow", batch_size=4096)
         .groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
         .map_batches(add_pair_bucket, batch_format="pyarrow")
         .groupby("pair_bucket")
-        .map_groups(pair_dedup, batch_format="pandas")
+        .map_groups(pair_dedup, batch_format="pyarrow")
     )
 
     def _keyed(key: str, col: str):
@@ -887,21 +893,23 @@ def simhash_neardup_pairs(sf_dir: str, k: int = SIMHASH_HAMMING_K):
             "bucket": pa.array(bucket.astype(np.int32)),
         })
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        m = g.merge(g, on=["band_id", "band_val"])
-        m = m[m["doc_id_x"] < m["doc_id_y"]]
-        if not len(m):
-            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
-                                 "doc_b": pd.Series(dtype="int64"),
-                                 "hamming": pd.Series(dtype="int64")})
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        g = g.select(["band_id", "band_val", "doc_id", "simhash"])
+        m = g.join(g, keys=["band_id", "band_val"], join_type="inner",
+                   left_suffix="_x", right_suffix="_y")
+        m = m.filter(pc.less(m.column("doc_id_x"),
+                             m.column("doc_id_y")))
         ham = _popcount64(
-            m["simhash_x"].to_numpy().astype(np.uint64)
-            ^ m["simhash_y"].to_numpy().astype(np.uint64))
-        m = m.assign(hamming=ham)
-        m = m[m["hamming"] <= k]
-        out = m.rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"})
-        return out[["doc_a", "doc_b", "hamming"]].drop_duplicates(
-            ["doc_a", "doc_b"])
+            m.column("simhash_x").to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+            ^ m.column("simhash_y").to_numpy(zero_copy_only=False)
+            .astype(np.uint64))
+        m = m.append_column("hamming", pa.array(ham))
+        m = m.filter(pa.array(ham <= k))
+        f = (m.select(["doc_id_x", "doc_id_y", "hamming"])
+             .group_by(["doc_id_x", "doc_id_y"])
+             .aggregate([("hamming", "min")]))
+        return f.rename_columns(["doc_a", "doc_b", "hamming"])
 
     def add_pair_bucket(batch: pa.Table) -> pa.Table:
         da = batch.column("doc_a").to_numpy(zero_copy_only=False)
@@ -909,18 +917,20 @@ def simhash_neardup_pairs(sf_dir: str, k: int = SIMHASH_HAMMING_K):
         pb = ((da * np.int64(1000003) + db) % n_buckets).astype(np.int32)
         return batch.append_column("pair_bucket", pa.array(pb))
 
-    def pair_dedup(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["doc_a", "doc_b"])[
-            ["doc_a", "doc_b", "hamming"]]
+    def pair_dedup(g: pa.Table) -> pa.Table:
+        f = (g.select(["doc_a", "doc_b", "hamming"])
+             .group_by(["doc_a", "doc_b"])
+             .aggregate([("hamming", "min")]))
+        return f.rename_columns(["doc_a", "doc_b", "hamming"])
 
     return (
         simhash64(sf_dir)
         .map_batches(explode, batch_format="pyarrow", batch_size=8192)
         .groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
         .map_batches(add_pair_bucket, batch_format="pyarrow")
         .groupby("pair_bucket")
-        .map_groups(pair_dedup, batch_format="pandas")
+        .map_groups(pair_dedup, batch_format="pyarrow")
     )
 
 
@@ -1039,11 +1049,14 @@ def embedding_neardup_lsh(sf_dir: str, threshold: float = COSINE_THRESHOLD,
                  np.uint64(n_buckets)).astype(np.int32)),
         })
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        m = g.merge(g, on=["band_id", "band_hash"])
-        m = m[m["doc_id_x"] < m["doc_id_y"]]
-        out = m.rename(columns={"doc_id_x": "vec_a", "doc_id_y": "vec_b"})
-        return out[["vec_a", "vec_b"]].drop_duplicates()
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        g = g.select(["band_id", "band_hash", "doc_id"])
+        m = g.join(g, keys=["band_id", "band_hash"], join_type="inner",
+                   left_suffix="_x", right_suffix="_y")
+        m = m.filter(pc.less(m.column("doc_id_x"),
+                             m.column("doc_id_y")))
+        return (m.group_by(["doc_id_x", "doc_id_y"]).aggregate([])
+                .rename_columns(["vec_a", "vec_b"]))
 
     def add_pair_bucket(batch: pa.Table) -> pa.Table:
         da = batch.column("vec_a").to_numpy(zero_copy_only=False)
@@ -1051,16 +1064,16 @@ def embedding_neardup_lsh(sf_dir: str, threshold: float = COSINE_THRESHOLD,
         pb = ((da * np.int64(1000003) + db) % n_buckets).astype(np.int32)
         return batch.append_column("pair_bucket", pa.array(pb))
 
-    def pair_dedup(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["vec_a", "vec_b"])[["vec_a", "vec_b"]]
+    def pair_dedup(g: pa.Table) -> pa.Table:
+        return g.group_by(["vec_a", "vec_b"]).aggregate([])
 
     cands = (
         ds.map_batches(band_rows, batch_format="pyarrow", batch_size=4096)
         .groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
         .map_batches(add_pair_bucket, batch_format="pyarrow")
         .groupby("pair_bucket")
-        .map_groups(pair_dedup, batch_format="pandas")
+        .map_groups(pair_dedup, batch_format="pyarrow")
     )
 
     def _keyed(key: str):
@@ -1401,10 +1414,15 @@ def dup_spans(sf_dir: str, k: int = NGRAM_SPAN_K,
     totals = ds.map_batches(tok_rows, batch_format="pyarrow",
                             batch_size=8192)
 
-    def merge_spans(g: pd.DataFrame) -> pd.DataFrame:
+    def merge_spans(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("doc_id", "ascending"), ("pos", "ascending")])
+        doc = g.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = g.column("pos").to_numpy(zero_copy_only=False)
         out_d, out_n, out_s, out_c = [], [], [], []
-        for d, sub in g.groupby("doc_id", sort=True):
-            p = sub["pos"].to_numpy()
+        bounds = np.flatnonzero(np.r_[True, doc[1:] != doc[:-1]])
+        for j, lo in enumerate(bounds):
+            hi = bounds[j + 1] if j + 1 < len(bounds) else len(doc)
+            p = pos[lo:hi]
             n_tokens = int(-(p[p < 0][0]) - 1)
             starts = np.unique(p[p >= 0])
             if len(starts):
@@ -1419,23 +1437,23 @@ def dup_spans(sf_dir: str, k: int = NGRAM_SPAN_K,
                     for s, e in zip(span_starts, span_ends)))
             else:
                 n_spans, n_dup = 0, 0
-            out_d.append(d)
+            out_d.append(int(doc[lo]))
             out_n.append(n_tokens)
             out_s.append(n_spans)
             out_c.append(n_dup)
         frac = [round_half_away(c / n, 4) if n else 0.0
                 for c, n in zip(out_c, out_n)]
-        return pd.DataFrame({
-            "doc_id": pd.array(out_d, dtype="int64"),
-            "n_tokens": pd.array(out_n, dtype="int64"),
-            "n_spans": pd.array(out_s, dtype="int64"),
-            "n_dup_tokens": pd.array(out_c, dtype="int64"),
-            "dup_token_frac": frac,
+        return pa.table({
+            "doc_id": pa.array(out_d, type=pa.int64()),
+            "n_tokens": pa.array(out_n, type=pa.int64()),
+            "n_spans": pa.array(out_s, type=pa.int64()),
+            "n_dup_tokens": pa.array(out_c, type=pa.int64()),
+            "dup_token_frac": pa.array(frac, type=pa.float64()),
         })
 
     return (covered.union(totals)
             .groupby("bucket")
-            .map_groups(merge_spans, batch_format="pandas"))
+            .map_groups(merge_spans, batch_format="pyarrow"))
 
 
 # ------------------------------------------- dup components (CC over pairs)
@@ -1618,17 +1636,21 @@ def dedup_keep(sf_dir: str):
         .map_batches(doc_rows, batch_format="pyarrow", batch_size=8192)
     marks = labels.map_batches(label_rows, batch_format="pyarrow")
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        m = g.groupby("doc_id")["marker"].max()
-        keep = m[m != 1]
-        return pd.DataFrame({
-            "doc_id": keep.index.to_numpy(dtype=np.int64),
-            "in_cluster": (keep.to_numpy() == 2).astype(np.int64),
+    def fold(g: pa.Table) -> pa.Table:
+        f = (g.select(["doc_id", "marker"]).group_by("doc_id")
+             .aggregate([("marker", "max")]))
+        mx = f.column("marker_max").to_numpy(zero_copy_only=False)
+        keep = f.filter(pa.array(mx != 1))
+        return pa.table({
+            "doc_id": pc.cast(keep.column("doc_id"), pa.int64()),
+            "in_cluster": pa.array(
+                (keep.column("marker_max").to_numpy(zero_copy_only=False)
+                 == 2).astype(np.int64)),
         })
 
     return (docs.union(marks)
             .groupby("bucket")
-            .map_groups(fold, batch_format="pandas"))
+            .map_groups(fold, batch_format="pyarrow"))
 
 
 def dedup_cluster_sizes(sf_dir: str):
@@ -1720,26 +1742,29 @@ def phash_neardup_pairs(ds, max_hamming: int = 8,
                  >> np.uint64(58)).astype(np.int32)),
         })
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        m = g.merge(g, on=["band_id", "band_val"])
-        m = m[m["image_id_x"] < m["image_id_y"]]
-        if not len(m):
-            return pd.DataFrame({"image_id_a": pd.Series(dtype=str),
-                                 "image_id_b": pd.Series(dtype=str),
-                                 "hamming": pd.Series(dtype=np.int64)})
-        a = m["phash_x"].to_numpy(dtype=np.uint64)
-        b = m["phash_y"].to_numpy(dtype=np.uint64)
-        ham = np.array([int(x).bit_count() for x in (a ^ b)],
-                       dtype=np.int64)
-        m = m.assign(hamming=ham)
-        m = m[m["hamming"] <= max_hamming]
-        out = m.rename(columns={"image_id_x": "image_id_a",
-                                "image_id_y": "image_id_b"})
-        return out[["image_id_a", "image_id_b", "hamming"]] \
-            .drop_duplicates(["image_id_a", "image_id_b"])
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        g = g.select(["band_id", "band_val", "image_id", "phash"])
+        m = g.join(g, keys=["band_id", "band_val"], join_type="inner",
+                   left_suffix="_x", right_suffix="_y")
+        m = m.filter(pc.less(m.column("image_id_x"),
+                             m.column("image_id_y")))
+        ham = _popcount64(
+            m.column("phash_x").to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+            ^ m.column("phash_y").to_numpy(zero_copy_only=False)
+            .astype(np.uint64))
+        m = m.append_column("hamming", pa.array(ham))
+        m = m.filter(pa.array(ham <= max_hamming))
+        f = (m.select(["image_id_x", "image_id_y", "hamming"])
+             .group_by(["image_id_x", "image_id_y"])
+             .aggregate([("hamming", "min")]))
+        return f.rename_columns(["image_id_a", "image_id_b", "hamming"])
 
-    def pair_dedup(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["image_id_a", "image_id_b"])
+    def pair_dedup(g: pa.Table) -> pa.Table:
+        f = (g.select(["image_id_a", "image_id_b", "hamming"])
+             .group_by(["image_id_a", "image_id_b"])
+             .aggregate([("hamming", "min")]))
+        return f.rename_columns(["image_id_a", "image_id_b", "hamming"])
 
     def add_pair_bucket(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -1756,10 +1781,10 @@ def phash_neardup_pairs(ds, max_hamming: int = 8,
     return (
         ds.map_batches(band_rows, batch_format="pyarrow", batch_size=4096)
         .groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
         .map_batches(add_pair_bucket, batch_format="pyarrow")
         .groupby("pair_bucket")
-        .map_groups(pair_dedup, batch_format="pandas")
+        .map_groups(pair_dedup, batch_format="pyarrow")
         .map_batches(lambda b: b.drop_columns(["pair_bucket"])
                      if "pair_bucket" in b.column_names else b,
                      batch_format="pyarrow")
@@ -2119,18 +2144,20 @@ def image_dedup_exact(ds, n_buckets: int = _BUCKETS):
                                type=pa.int32()),
         })
 
-    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["content_hash", "image_id"])
-        agg = (g.groupby("content_hash", sort=True)
-               .agg(keeper=("image_id", "first"),
-                    n_copies=("image_id", "size"))
-               .reset_index())
-        return agg[["content_hash", "keeper", "n_copies"]]
+    def bucket_fold(g: pa.Table) -> pa.Table:
+        f = (g.select(["content_hash", "image_id"])
+             .group_by("content_hash")
+             .aggregate([("image_id", "min"), ("image_id", "count")]))
+        return pa.table({
+            "content_hash": f.column("content_hash"),
+            "keeper": f.column("image_id_min"),
+            "n_copies": pc.cast(f.column("image_id_count"), pa.int64()),
+        })
 
     return (
         ds.map_batches(add_hash, batch_format="pyarrow", batch_size=2048)
         .groupby("bucket")
-        .map_groups(bucket_fold, batch_format="pandas")
+        .map_groups(bucket_fold, batch_format="pyarrow")
     )
 
 
