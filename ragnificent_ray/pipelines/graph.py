@@ -236,34 +236,37 @@ def _click_graph(sf_dir: str):
                          "event_id": b.column("event_id"),
                          "k": k, "bucket": bucket})
 
-    def pairs_and_nodes(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts", "event_id"],
-                          kind="mergesort", ignore_index=True)
-        uid = g["user_id"].to_numpy()
-        k = g["k"].to_numpy()
+    def pairs_and_nodes(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        k = g.column("k").to_numpy(zero_copy_only=False)
         same = uid[1:] == uid[:-1]
         src, dst = k[:-1][same], k[1:][same]
         keep = src != dst
-        edges = pd.DataFrame({"src": src[keep], "dst": dst[keep],
-                              "tag": np.int8(1)}).drop_duplicates(
-                                  ignore_index=True)
-        nodes = pd.DataFrame({"src": np.unique(k), "dst": np.int64(-1),
-                              "tag": np.int8(0)})
-        out = pd.concat([edges, nodes], ignore_index=True)
-        out["ebucket"] = ((out["src"].to_numpy() * np.int64(2654435761)
-                           + out["dst"].to_numpy()) % n_buckets
-                          ).astype(np.int32)
-        return out
+        e = np.unique(np.stack([src[keep], dst[keep]], axis=1), axis=0)
+        nodes = np.unique(k)
+        out_src = np.concatenate([e[:, 0], nodes]).astype(np.int64)
+        out_dst = np.concatenate(
+            [e[:, 1], np.full(len(nodes), -1, dtype=np.int64)])
+        tag = np.concatenate([np.ones(len(e), dtype=np.int8),
+                              np.zeros(len(nodes), dtype=np.int8)])
+        eb = ((out_src * np.int64(2654435761) + out_dst)
+              % n_buckets).astype(np.int32)
+        return pa.table({"src": pa.array(out_src),
+                         "dst": pa.array(out_dst),
+                         "tag": pa.array(tag),
+                         "ebucket": pa.array(eb)})
 
-    def distinct(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["src", "dst", "tag"],
-                                 ignore_index=True)[["src", "dst", "tag"]]
+    def distinct(g: pa.Table) -> pa.Table:
+        return (g.select(["src", "dst", "tag"])
+                .group_by(["src", "dst", "tag"]).aggregate([]))
 
     tagged = (ds.map_batches(add_k_bucket, batch_format="pyarrow")
               .groupby("bucket").map_groups(pairs_and_nodes,
-                                            batch_format="pandas")
+                                            batch_format="pyarrow")
               .groupby("ebucket").map_groups(distinct,
-                                             batch_format="pandas")
+                                             batch_format="pyarrow")
               .materialize())
 
     def _as_edges(t: pa.Table) -> pa.Table:
@@ -512,16 +515,16 @@ def pagerank_links(documents, *, buckets: int = _MIN_BUCKETS,
             out.column("dst").to_numpy(zero_copy_only=False))
         return out.append_column("hb", pa.array(hb))
 
-    def member_distinct(g: pd.DataFrame) -> pd.DataFrame:
-        crawled = set(g.loc[g["tag"] == 0, "dst"])
-        e = g.loc[g["tag"] == 1]
-        e = e[e["dst"].isin(crawled)]
-        return e.drop_duplicates(["src", "dst"],
-                                 ignore_index=True)[["src", "dst"]]
+    def member_distinct(g: pa.Table) -> pa.Table:
+        crawled = (g.filter(pc.equal(g.column("tag"), 0))
+                   .select(["dst"]).group_by("dst").aggregate([]))
+        e = g.filter(pc.equal(g.column("tag"), 1)).select(["src", "dst"])
+        e = e.join(crawled, keys="dst", join_type="left semi")
+        return e.group_by(["src", "dst"]).aggregate([])
 
     tagged = ds.map_batches(tag_rows, batch_format="pyarrow")
     edges = tagged.groupby("hb").map_groups(member_distinct,
-                                            batch_format="pandas")
+                                            batch_format="pyarrow")
 
     def as_nodes(t: pa.Table) -> pa.Table:
         return pa.table({"node": t.column("url")})
@@ -568,41 +571,48 @@ def covisitation_pairs(sf_dir: str):
             "ib": pa.array(df["ib"].to_numpy()),
         })
 
-    def item_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # vectorized self-merge per bucket (the minhash bucket_pairs
+    def item_pairs(g: pa.Table) -> pa.Table:
+        # vectorized self-join per bucket (the minhash bucket_pairs
         # shape): items outside [2, COVIS_CAP] users are dropped FIRST,
-        # so the merge blow-up is bounded by CAP × bucket rows
-        g = g.drop_duplicates(["u", "item"])
-        cnt = g.groupby("item")["u"].transform("size").to_numpy()
-        g = g.loc[(cnt >= 2) & (cnt <= COVIS_CAP), ["u", "item"]]
-        if not len(g):
-            return pd.DataFrame({"pb": pd.array([], dtype="int32"),
-                                 "user_a": pd.array([], dtype="int64"),
-                                 "user_b": pd.array([], dtype="int64"),
-                                 "n": pd.array([], dtype="int64")})
-        m = g.merge(g, on="item", suffixes=("_a", "_b"))
-        m = m.loc[m["u_a"].to_numpy() < m["u_b"].to_numpy()]
-        part = m.groupby(["u_a", "u_b"], as_index=False).size() \
-                .rename(columns={"size": "n", "u_a": "user_a",
-                                 "u_b": "user_b"})
-        part["pb"] = ((part["user_a"].to_numpy() * np.int64(2654435761)
-                       + part["user_b"].to_numpy()) % n_buckets
-                      ).astype(np.int32)
-        return part[["pb", "user_a", "user_b", "n"]]
-
-    def pair_merge(g: pd.DataFrame) -> pd.DataFrame:
-        agg = g.groupby(["user_a", "user_b"], as_index=False)["n"].sum()
-        agg = agg[agg["n"] >= COVIS_MIN_SHARED]
-        return pd.DataFrame({
-            "user_a": agg["user_a"].to_numpy().astype(np.int64),
-            "user_b": agg["user_b"].to_numpy().astype(np.int64),
-            "n_items": agg["n"].to_numpy().astype(np.int64),
+        # so the join blow-up is bounded by CAP × bucket rows
+        g = g.select(["u", "item"]).group_by(["u", "item"]).aggregate([])
+        cnt = g.group_by("item").aggregate([("u", "count")])
+        c = pc.cast(cnt.column("u_count"), pa.int64())
+        ok = cnt.filter(pc.and_(pc.greater_equal(c, pa.scalar(2)),
+                                pc.less_equal(c, pa.scalar(COVIS_CAP)))
+                        ).select(["item"])
+        g = g.join(ok, keys="item", join_type="left semi")
+        m = g.join(g, keys="item", join_type="inner",
+                   left_suffix="_a", right_suffix="_b")
+        m = m.filter(pc.less(m.column("u_a"), m.column("u_b")))
+        part = m.group_by(["u_a", "u_b"]).aggregate([("item", "count")])
+        ua = part.column("u_a").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ub = part.column("u_b").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pb = ((ua * np.int64(2654435761) + ub)
+              % n_buckets).astype(np.int32)
+        return pa.table({
+            "pb": pa.array(pb),
+            "user_a": pa.array(ua), "user_b": pa.array(ub),
+            "n": pc.cast(part.column("item_count"), pa.int64()),
         })
+
+    def pair_merge(g: pa.Table) -> pa.Table:
+        agg = (g.select(["user_a", "user_b", "n"])
+               .group_by(["user_a", "user_b"]).aggregate([("n", "sum")]))
+        out = pa.table({
+            "user_a": pc.cast(agg.column("user_a"), pa.int64()),
+            "user_b": pc.cast(agg.column("user_b"), pa.int64()),
+            "n_items": pc.cast(agg.column("n_sum"), pa.int64()),
+        })
+        return out.filter(pc.greater_equal(out.column("n_items"),
+                                           COVIS_MIN_SHARED))
 
     out = (ds.map_batches(ui_partial, batch_format="pyarrow",
                           batch_size=65536)
-           .groupby("ib").map_groups(item_pairs, batch_format="pandas")
-           .groupby("pb").map_groups(pair_merge, batch_format="pandas"))
+           .groupby("ib").map_groups(item_pairs, batch_format="pyarrow")
+           .groupby("pb").map_groups(pair_merge, batch_format="pyarrow"))
     # a corpus where every item trips the hot-item cap yields ZERO
     # rows — and Ray's to_pandas() drops the schema entirely when every
     # block is empty (even a typed empty union block doesn't survive),
@@ -689,29 +699,33 @@ def basket_lift(sf_dir: str):
     base = ds.map_batches(op_partial, batch_format="pyarrow",
                           batch_size=65536)
 
-    def ob_fold(g: pd.DataFrame) -> pa.Table:
+    def ob_fold(g: pa.Table) -> pa.Table:
         # one pass per order bucket emits EVERYTHING downstream needs
-        # as a tagged union (Arrow out — the next exchange's groupby
-        # runs ~20x faster on Arrow blocks than on pandas blocks):
+        # as a tagged union:
         #   tag 0: in-bucket pre-summed pair partials (a, b, n),
         #          keyed to pair-hash buckets [0, n_buckets)
         #   tag 1: per-part count cells (a=p, n) + one sentinel row
         #          (a=-1) carrying the bucket's distinct-order count,
         #          keyed to part-hash buckets [n_buckets, 2·n_buckets)
-        g = g.drop_duplicates(["o", "p"])
-        m = g[["o", "p"]].merge(g[["o", "p"]], on="o",
-                                suffixes=("_a", "_b"))
-        m = m.loc[m["p_a"].to_numpy() < m["p_b"].to_numpy()]
-        part = m.groupby(["p_a", "p_b"], as_index=False).size()
-        pa_a = part["p_a"].to_numpy().astype(np.int64)
-        pa_b = part["p_b"].to_numpy().astype(np.int64)
-        pa_n = part["size"].to_numpy().astype(np.int64)
-        cnt = g.groupby("p", as_index=False).size()
+        g = g.select(["o", "p"]).group_by(["o", "p"]).aggregate([])
+        m = g.join(g, keys="o", join_type="inner",
+                   left_suffix="_a", right_suffix="_b")
+        m = m.filter(pc.less(m.column("p_a"), m.column("p_b")))
+        part = m.group_by(["p_a", "p_b"]).aggregate([("o", "count")])
+        pa_a = part.column("p_a").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pa_b = part.column("p_b").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pa_n = pc.cast(part.column("o_count"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        cnt = g.group_by("p").aggregate([("o", "count")])
         ip = np.concatenate(
-            [cnt["p"].to_numpy().astype(np.int64), [-1]])
+            [cnt.column("p").to_numpy(
+                zero_copy_only=False).astype(np.int64), [-1]])
         inn = np.concatenate(
-            [cnt["size"].to_numpy().astype(np.int64),
-             [g["o"].nunique()]])
+            [pc.cast(cnt.column("o_count"), pa.int64()).to_numpy(
+                zero_copy_only=False),
+             [pc.count_distinct(g.column("o")).as_py()]])
         kb = np.concatenate([
             ((pa_a * np.int64(2654435761) + pa_b) % n_buckets)
             .astype(np.int32),
@@ -751,7 +765,7 @@ def basket_lift(sf_dir: str):
                          "b": g.column("b"), "n": g.column("n")})
 
     folded = (base.groupby("ob")
-              .map_groups(ob_fold, batch_format="pandas")
+              .map_groups(ob_fold, batch_format="pyarrow")
               .groupby("kb").map_groups(kb_fold,
                                         batch_format="pyarrow")
               .materialize())   # support-floored pairs + item counts
@@ -862,48 +876,51 @@ def basket_triples(sf_dir: str):
                            .astype(np.int32)),
         })
 
-    def order_triples(g: pd.DataFrame) -> pa.Table:
-        g = g.drop_duplicates(["o", "p"])[["o", "p"]]
-        m = g.merge(g, on="o", suffixes=("_a", "_b"))
-        m = m.loc[m["p_a"].to_numpy() < m["p_b"].to_numpy()]
-        m3 = m.merge(g.rename(columns={"p": "p_c"}), on="o")
-        m3 = m3.loc[m3["p_b"].to_numpy() < m3["p_c"].to_numpy()]
-        part = m3.groupby(["p_a", "p_b", "p_c"], as_index=False).size()
-        tb = ((part["p_a"].to_numpy() * np.int64(2654435761)
-               + part["p_b"].to_numpy() * np.int64(40503)
-               + part["p_c"].to_numpy()) % n_buckets).astype(np.int32)
+    def order_triples(g: pa.Table) -> pa.Table:
+        g = g.select(["o", "p"]).group_by(["o", "p"]).aggregate([])
+        m = g.join(g, keys="o", join_type="inner",
+                   left_suffix="_a", right_suffix="_b")
+        m = m.filter(pc.less(m.column("p_a"), m.column("p_b")))
+        m3 = m.join(g.rename_columns(["o", "p_c"]), keys="o",
+                    join_type="inner")
+        m3 = m3.filter(pc.less(m3.column("p_b"), m3.column("p_c")))
+        part = (m3.group_by(["p_a", "p_b", "p_c"])
+                .aggregate([("o", "count")]))
+        p_a = part.column("p_a").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        p_b = part.column("p_b").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        p_c = part.column("p_c").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        tb = ((p_a * np.int64(2654435761) + p_b * np.int64(40503)
+               + p_c) % n_buckets).astype(np.int32)
         return pa.table({
             "tb": pa.array(tb),
-            "part_a": pa.array(part["p_a"].to_numpy()
-                               .astype(np.int64)),
-            "part_b": pa.array(part["p_b"].to_numpy()
-                               .astype(np.int64)),
-            "part_c": pa.array(part["p_c"].to_numpy()
-                               .astype(np.int64)),
-            "n": pa.array(part["size"].to_numpy().astype(np.int64)),
+            "part_a": pa.array(p_a),
+            "part_b": pa.array(p_b),
+            "part_c": pa.array(p_c),
+            "n": pc.cast(part.column("o_count"), pa.int64()),
         })
 
-    def triple_fold(g: pd.DataFrame) -> pa.Table:
-        agg = g.groupby(["part_a", "part_b", "part_c"],
-                        as_index=False)["n"].sum()
-        agg = agg[agg["n"] >= TRIPLE_MIN]
-        return pa.table({
-            "part_a": pa.array(agg["part_a"].to_numpy()
-                               .astype(np.int64)),
-            "part_b": pa.array(agg["part_b"].to_numpy()
-                               .astype(np.int64)),
-            "part_c": pa.array(agg["part_c"].to_numpy()
-                               .astype(np.int64)),
-            "n_orders": pa.array(agg["n"].to_numpy()
-                                 .astype(np.int64)),
+    def triple_fold(g: pa.Table) -> pa.Table:
+        agg = (g.select(["part_a", "part_b", "part_c", "n"])
+               .group_by(["part_a", "part_b", "part_c"])
+               .aggregate([("n", "sum")]))
+        out = pa.table({
+            "part_a": pc.cast(agg.column("part_a"), pa.int64()),
+            "part_b": pc.cast(agg.column("part_b"), pa.int64()),
+            "part_c": pc.cast(agg.column("part_c"), pa.int64()),
+            "n_orders": pc.cast(agg.column("n_sum"), pa.int64()),
         })
+        return out.filter(pc.greater_equal(out.column("n_orders"),
+                                           TRIPLE_MIN))
 
     out = (ds.map_batches(op_partial, batch_format="pyarrow",
                           batch_size=65536)
            .groupby("ob").map_groups(order_triples,
-                                     batch_format="pandas")
+                                     batch_format="pyarrow")
            .groupby("tb").map_groups(triple_fold,
-                                     batch_format="pandas"))
+                                     batch_format="pyarrow"))
     # the support floor can empty the result (sf0.1 does) — Ray drops
     # the schema when every block is empty, so union a typed empty
     # block and short-circuit (the covisitation_pairs discipline)
@@ -1029,17 +1046,18 @@ def triangle_count(sf_dir: str):
         .map_batches(orient, batch_format="pyarrow")
     )
 
-    def wedges(g: pd.DataFrame) -> pd.DataFrame:
-        m = g[["u", "v"]].merge(g[["u", "v"]], on="u",
-                                suffixes=("_x", "_y"))
-        m = m.loc[m["v_x"].to_numpy() < m["v_y"].to_numpy()]
-        return pd.DataFrame({
-            "user_a": m["v_x"].to_numpy(dtype=np.int64),
-            "user_b": m["v_y"].to_numpy(dtype=np.int64),
+    def wedges(g: pa.Table) -> pa.Table:
+        g = g.select(["u", "v"])
+        m = g.join(g, keys="u", join_type="inner",
+                   left_suffix="_x", right_suffix="_y")
+        m = m.filter(pc.less(m.column("v_x"), m.column("v_y")))
+        return pa.table({
+            "user_a": pc.cast(m.column("v_x"), pa.int64()),
+            "user_b": pc.cast(m.column("v_y"), pa.int64()),
         })
 
     closed = (
-        oriented.groupby("ub").map_groups(wedges, batch_format="pandas")
+        oriented.groupby("ub").map_groups(wedges, batch_format="pyarrow")
         .join(ed.select_columns(["user_a", "user_b"]), "inner",
               on=("user_a", "user_b"), **join_args)
     )
@@ -1281,27 +1299,36 @@ def event_type_jaccard(sf_dir: str):
                            .astype(np.int32)),
         })
 
-    def user_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # vectorized self-merge on user (the minhash bucket_pairs
+    def user_pairs(g: pa.Table) -> pa.Table:
+        # vectorized self-join on user (the minhash bucket_pairs
         # shape): pair rows where ta < tb, plus one membership row
         # (t, "") per (user, type) counting the user toward |A| —
         # blow-up bounded by T(T-1)/2 per user, T = type vocabulary
-        g = g.drop_duplicates(["u", "t"])[["u", "t"]]
-        m = g.merge(g, on="u", suffixes=("_a", "_b"))
-        m = m.loc[m["t_a"].to_numpy() < m["t_b"].to_numpy()]
-        pairs = m.groupby(["t_a", "t_b"], as_index=False).size() \
-                 .rename(columns={"size": "n", "t_a": "ta", "t_b": "tb"})
-        member = g.groupby("t", as_index=False).size() \
-                  .rename(columns={"size": "n", "t": "ta"})
-        member["tb"] = ""
-        return pd.concat([pairs, member[["ta", "tb", "n"]]],
-                         ignore_index=True)
+        g = g.select(["u", "t"]).group_by(["u", "t"]).aggregate([])
+        m = g.join(g, keys="u", join_type="inner",
+                   left_suffix="_a", right_suffix="_b")
+        m = m.filter(pc.less(m.column("t_a"), m.column("t_b")))
+        pairs = m.group_by(["t_a", "t_b"]).aggregate([("u", "count")])
+        member = g.group_by("t").aggregate([("u", "count")])
+        return pa.concat_tables([
+            pa.table({
+                "ta": pairs.column("t_a").cast(pa.string()),
+                "tb": pairs.column("t_b").cast(pa.string()),
+                "n": pairs.column("u_count").cast(pa.int64()),
+            }),
+            pa.table({
+                "ta": member.column("t").cast(pa.string()),
+                "tb": pa.array([""] * member.num_rows,
+                               type=pa.string()),
+                "n": member.column("u_count").cast(pa.int64()),
+            }),
+        ])
 
     folded = (
         ds.map_batches(distinct_partial, batch_format="pyarrow",
                        batch_size=65536)
         .groupby("ub")
-        .map_groups(user_pairs, batch_format="pandas")
+        .map_groups(user_pairs, batch_format="pyarrow")
         .groupby(["ta", "tb"]).sum("n")
     ).to_pandas()
 
@@ -1375,36 +1402,39 @@ def lpa_communities(sf_dir: str, iters: int = _LPA_ITERS):
                          "event_id": b.column("event_id"),
                          "k": k, "bucket": bucket})
 
-    def pairs_and_nodes(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts", "event_id"],
-                          kind="mergesort", ignore_index=True)
-        uid = g["user_id"].to_numpy()
-        k = g["k"].to_numpy()
+    def pairs_and_nodes(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        k = g.column("k").to_numpy(zero_copy_only=False)
         same = uid[1:] == uid[:-1]
         a, b = k[:-1][same], k[1:][same]
         keep = a != b
         lo = np.minimum(a[keep], b[keep])       # undirected orientation
         hi = np.maximum(a[keep], b[keep])
-        edges = pd.DataFrame({"src": lo, "dst": hi,
-                              "tag": np.int8(1)}).drop_duplicates(
-                                  ignore_index=True)
-        nodes = pd.DataFrame({"src": np.unique(k), "dst": np.int64(-1),
-                              "tag": np.int8(0)})
-        out = pd.concat([edges, nodes], ignore_index=True)
-        out["ebucket"] = ((out["src"].to_numpy() * np.int64(2654435761)
-                           + out["dst"].to_numpy()) % n_buckets
-                          ).astype(np.int32)
-        return out
+        e = np.unique(np.stack([lo, hi], axis=1), axis=0)
+        nodes = np.unique(k)
+        out_src = np.concatenate([e[:, 0], nodes]).astype(np.int64)
+        out_dst = np.concatenate(
+            [e[:, 1], np.full(len(nodes), -1, dtype=np.int64)])
+        tag = np.concatenate([np.ones(len(e), dtype=np.int8),
+                              np.zeros(len(nodes), dtype=np.int8)])
+        eb = ((out_src * np.int64(2654435761) + out_dst)
+              % n_buckets).astype(np.int32)
+        return pa.table({"src": pa.array(out_src),
+                         "dst": pa.array(out_dst),
+                         "tag": pa.array(tag),
+                         "ebucket": pa.array(eb)})
 
-    def distinct(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["src", "dst", "tag"],
-                                 ignore_index=True)[["src", "dst", "tag"]]
+    def distinct(g: pa.Table) -> pa.Table:
+        return (g.select(["src", "dst", "tag"])
+                .group_by(["src", "dst", "tag"]).aggregate([]))
 
     tagged = (ds.map_batches(add_k_bucket, batch_format="pyarrow")
               .groupby("bucket").map_groups(pairs_and_nodes,
-                                            batch_format="pandas")
+                                            batch_format="pyarrow")
               .groupby("ebucket").map_groups(distinct,
-                                             batch_format="pandas")
+                                             batch_format="pyarrow")
               .materialize())
 
     def _as_edges(t: pa.Table) -> pa.Table:
@@ -1822,21 +1852,28 @@ def _copurchase_pair_parts(sf_dir: str, n_buckets: int):
                            .astype(np.int32)),
         })
 
-    def order_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(["o", "p"])
-        m = g[["o", "p"]].merge(g[["o", "p"]], on="o",
-                                suffixes=("_a", "_b"))
-        m = m.loc[m["p_a"].to_numpy() < m["p_b"].to_numpy()]
-        part = m.groupby(["p_a", "p_b"], as_index=False).size()
-        part["pb"] = ((part["p_a"].to_numpy() * np.int64(2654435761)
-                       + part["p_b"].to_numpy()) % n_buckets
-                      ).astype(np.int32)
-        return part[["pb", "p_a", "p_b", "size"]]
+    def order_pairs(g: pa.Table) -> pa.Table:
+        g = g.select(["o", "p"]).group_by(["o", "p"]).aggregate([])
+        m = g.join(g, keys="o", join_type="inner",
+                   left_suffix="_a", right_suffix="_b")
+        m = m.filter(pc.less(m.column("p_a"), m.column("p_b")))
+        part = m.group_by(["p_a", "p_b"]).aggregate([("o", "count")])
+        p_a = part.column("p_a").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        p_b = part.column("p_b").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pb = ((p_a * np.int64(2654435761) + p_b)
+              % n_buckets).astype(np.int32)
+        return pa.table({
+            "pb": pa.array(pb),
+            "p_a": pa.array(p_a), "p_b": pa.array(p_b),
+            "size": pc.cast(part.column("o_count"), pa.int64()),
+        })
 
     return (ds.map_batches(op_partial, batch_format="pyarrow",
                            batch_size=65536)
             .groupby("ob").map_groups(order_pairs,
-                                      batch_format="pandas"))
+                                      batch_format="pyarrow"))
 
 
 def copurchase_bfs(sf_dir: str):
@@ -1897,31 +1934,37 @@ def copurchase_bfs(sf_dir: str):
         "bk": pa.array([src % n_buckets], type=pa.int32()),
     }))
 
-    def step(g: pd.DataFrame) -> pd.DataFrame:
-        e = g[g["k"] == 0]
-        d = g[g["k"] == 1]
-        c = g[g["k"] == 2]
-        allv = pd.concat([d[["a", "b"]], c[["a", "b"]]],
-                         ignore_index=True)
-        newd = allv.groupby("a", as_index=False)["b"].min()
-        old = d.groupby("a", as_index=False)["b"].min() \
-               .rename(columns={"b": "ob"})
-        mm = newd.merge(old, on="a", how="left")
-        imp = mm.loc[mm["ob"].isna()
-                     | (mm["b"].to_numpy() < mm["ob"]
-                        .fillna(np.iinfo(np.int64).max).to_numpy()),
-                     ["a", "b"]]
-        na = newd["a"].to_numpy().astype(np.int64)
+    def step(g: pa.Table) -> pa.Table:
+        kcol = g.column("k")
+        e = g.filter(pc.equal(kcol, 0))
+        newd = (g.filter(pc.greater(kcol, 0)).select(["a", "b"])
+                .group_by("a").aggregate([("b", "min")]))
+        old = (g.filter(pc.equal(kcol, 1)).select(["a", "b"])
+               .group_by("a").aggregate([("b", "min")])
+               .rename_columns(["a", "ob"]))
+        mm = newd.join(old, keys="a", join_type="left outer")
+        filled = pc.fill_null(
+            mm.column("ob"),
+            pa.scalar(np.iinfo(np.int64).max, pa.int64()))
+        imp = mm.filter(pc.or_kleene(
+            pc.is_null(mm.column("ob")),
+            pc.less(mm.column("b_min"), filled)))
+        na = newd.column("a").to_numpy(
+            zero_copy_only=False).astype(np.int64)
         ks = [np.ones(len(na), dtype=np.int64)]
         as_ = [na]
-        bs = [newd["b"].to_numpy().astype(np.int64)]
-        if len(imp) and len(e):
-            sc = e[["a", "b"]].merge(imp.rename(columns={"b": "dist"}),
-                                     on="a")
-            dst = sc["b"].to_numpy().astype(np.int64)
+        bs = [newd.column("b_min").to_numpy(
+            zero_copy_only=False).astype(np.int64)]
+        if imp.num_rows and e.num_rows:
+            sc = e.select(["a", "b"]).join(
+                imp.select(["a", "b_min"]).rename_columns(["a", "dist"]),
+                keys="a", join_type="inner")
+            dst = sc.column("b").to_numpy(
+                zero_copy_only=False).astype(np.int64)
             ks.append(np.full(len(dst), 2, dtype=np.int64))
             as_.append(dst)
-            bs.append(sc["dist"].to_numpy().astype(np.int64) + 1)
+            bs.append(sc.column("dist").to_numpy(
+                zero_copy_only=False).astype(np.int64) + 1)
         k = np.concatenate(ks)
         a = np.concatenate(as_)
         bb = np.concatenate(bs)
@@ -1932,18 +1975,19 @@ def copurchase_bfs(sf_dir: str):
 
     for _ in range(BFS_ROUNDS):
         state = (und.union(state).groupby("bk")
-                 .map_groups(step, batch_format="pandas"))
+                 .map_groups(step, batch_format="pyarrow"))
 
-    def final_fold(g: pd.DataFrame) -> pa.Table:
-        s = g[g["k"] > 0]
-        newd = s.groupby("a", as_index=False)["b"].min()
+    def final_fold(g: pa.Table) -> pa.Table:
+        s = g.filter(pc.greater(g.column("k"), 0))
+        newd = (s.select(["a", "b"]).group_by("a")
+                .aggregate([("b", "min")]))
         return pa.table({
-            "node": pa.array(newd["a"].to_numpy().astype(np.int64)),
-            "dist": pa.array(newd["b"].to_numpy().astype(np.int64)),
+            "node": pc.cast(newd.column("a"), pa.int64()),
+            "dist": pc.cast(newd.column("b_min"), pa.int64()),
         })
 
     return (state.groupby("bk")
-            .map_groups(final_fold, batch_format="pandas"))
+            .map_groups(final_fold, batch_format="pyarrow"))
 
 
 KCORE_K = 2
