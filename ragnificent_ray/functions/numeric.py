@@ -42,3 +42,23 @@ def list_column_matrix(col, dtype=None):
     if dtype is not None:
         m = m.astype(dtype, copy=False)
     return m
+
+
+def grouped_cumcount(codes):
+    """Per-group 0-based occurrence index in the CURRENT row order for
+    an integer group-code array — the vectorized equivalent of pandas
+    ``groupby(codes).cumcount()``, used by the Arrow group bodies that
+    need a per-key rank/top-k without a pandas conversion."""
+    import numpy as np
+
+    n = len(codes)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    order = np.argsort(codes, kind="stable")
+    sorted_codes = np.asarray(codes)[order]
+    first = np.flatnonzero(np.r_[True, sorted_codes[1:]
+                                  != sorted_codes[:-1]])
+    starts = np.repeat(first, np.diff(np.r_[first, n]))
+    out = np.empty(n, dtype=np.int64)
+    out[order] = np.arange(n, dtype=np.int64) - starts
+    return out

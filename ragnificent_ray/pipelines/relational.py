@@ -28,7 +28,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-from ..functions.numeric import pc_round4, round_half_away
+from ..functions.numeric import (grouped_cumcount, pc_round4,
+                                 round_half_away)
 
 
 def _pq(sf_dir: str, table: str) -> str:
@@ -414,19 +415,27 @@ def user_activity(sf_dir: str):
         return b.append_column(
             "bucket", pc.cast(pc.bit_wise_and(uid, 63), pa.int32()))
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby("user_id", as_index=False).agg(
-            n_events=("user_id", "size"),
-            n_types=("event_type", "nunique"),
-            max_value=("value", "max"),
-        )
-        out["max_value"] = round_half_away(out["max_value"].to_numpy(), 4)
-        return out
+    def per_bucket(g: pa.Table) -> pa.Table:
+        out = (g.select(["user_id", "event_type", "value"])
+               .group_by("user_id")
+               .aggregate([("event_type", "count"),
+                           ("event_type", "count_distinct"),
+                           ("value", "max")]))
+        return pa.table({
+            "user_id": out.column("user_id"),
+            "n_events": pc.cast(out.column("event_type_count"),
+                                pa.int64()),
+            "n_types": pc.cast(out.column("event_type_count_distinct"),
+                               pa.int64()),
+            "max_value": pa.array(round_half_away(
+                out.column("value_max").to_numpy(zero_copy_only=False),
+                4)),
+        })
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=65536)
         .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(per_bucket, batch_format="pyarrow")
         .map_batches(lambda b: b.drop_columns(["bucket"])
                      if "bucket" in b.column_names else b,
                      batch_format="pyarrow")
@@ -448,22 +457,30 @@ def priority_top_orders(sf_dir: str):
                          columns=["o_orderkey", "o_orderpriority",
                                   "o_totalprice"])
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.sort_values(["o_totalprice", "o_orderkey"],
-                                  ascending=[False, True])
-        return batch.groupby("o_orderpriority", sort=False).head(k)
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.sort_by([("o_totalprice", "descending"),
+                               ("o_orderkey", "ascending")])
+        codes = np.unique(
+            batch.column("o_orderpriority").to_numpy(
+                zero_copy_only=False).astype(object),
+            return_inverse=True)[1]
+        return batch.filter(pa.array(grouped_cumcount(codes) < k))
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_totalprice", "o_orderkey"],
-                          ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rk"] = g.index + 1
-        return g[["o_orderpriority", "rk", "o_orderkey", "o_totalprice"]]
+    def merge(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("o_totalprice", "descending"),
+                       ("o_orderkey", "ascending")]).slice(0, k)
+        return pa.table({
+            "o_orderpriority": g.column("o_orderpriority"),
+            "rk": pa.array(np.arange(1, g.num_rows + 1,
+                                     dtype=np.int64)),
+            "o_orderkey": g.column("o_orderkey"),
+            "o_totalprice": g.column("o_totalprice"),
+        })
 
     return (
-        ds.map_batches(partial, batch_format="pandas", batch_size=16384)
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=16384)
         .groupby("o_orderpriority")
-        .map_groups(merge, batch_format="pandas")
+        .map_groups(merge, batch_format="pyarrow")
     )
 
 
@@ -1260,20 +1277,21 @@ def approx_distinct_pairs(sf_dir: str):
                          "g": pa.array(np.zeros(min(len(hs), KMV_K),
                                                 dtype=np.int32))})
 
-    def kmin_merge(g: pd.DataFrame) -> pd.DataFrame:
-        hs = np.unique(g["h"].to_numpy())[:KMV_K]
+    def kmin_merge(g: pa.Table) -> pa.Table:
+        hs = np.unique(g.column("h").to_numpy(
+            zero_copy_only=False))[:KMV_K]
         kth = int(hs[-1])
         est = round_half_away((KMV_K - 1) * float(1 << 60) / kth, 4)
-        return pd.DataFrame({
-            "k": pd.array([KMV_K], dtype="int64"),
-            "kth_hash": pd.array([kth], dtype="int64"),
-            "est_distinct": [est],
-            "n_exact": pd.array([n_exact], dtype="int64"),
+        return pa.table({
+            "k": pa.array([KMV_K], type=pa.int64()),
+            "kth_hash": pa.array([kth], type=pa.int64()),
+            "est_distinct": pa.array([est], type=pa.float64()),
+            "n_exact": pa.array([n_exact], type=pa.int64()),
         })
 
     return (parts.map_batches(kmin_partial, batch_format="pyarrow")
             .groupby("g")
-            .map_groups(kmin_merge, batch_format="pandas")
+            .map_groups(kmin_merge, batch_format="pyarrow")
             .select_columns(["k", "kth_hash", "est_distinct", "n_exact"]))
 
 
@@ -1320,27 +1338,29 @@ def hll_users_by_type(sf_dir: str):
             "rho": pa.array(part["rho"].to_numpy(), type=pa.int64()),
         })
 
-    def hll_merge(g: pd.DataFrame) -> pd.DataFrame:
-        regs = g.groupby("idx")["rho"].max()
-        n_present = len(regs)
-        s_int = int((np.int64(1) << (HLL_RHO_MAX
-                                     - regs.to_numpy())).sum()) \
+    def hll_merge(g: pa.Table) -> pa.Table:
+        regs = (g.select(["idx", "rho"]).group_by("idx")
+                .aggregate([("rho", "max")]))
+        rho = regs.column("rho_max").to_numpy(zero_copy_only=False)
+        n_present = len(rho)
+        s_int = int((np.int64(1) << (HLL_RHO_MAX - rho)).sum()) \
             + (HLL_M - n_present) * (1 << HLL_RHO_MAX)
         alpha = 0.7213 / (1 + 1.079 / HLL_M)
         est = round_half_away(
             alpha * HLL_M * HLL_M * float(1 << HLL_RHO_MAX) / s_int, 4)
-        return pd.DataFrame({
-            "event_type": [g["event_type"].iloc[0]],
-            "m": pd.array([HLL_M], dtype="int64"),
-            "v_zero": pd.array([HLL_M - n_present], dtype="int64"),
-            "s_int": pd.array([s_int], dtype="int64"),
-            "est_distinct": [est],
+        return pa.table({
+            "event_type": pa.array([g.column("event_type")[0].as_py()],
+                                   type=pa.string()),
+            "m": pa.array([HLL_M], type=pa.int64()),
+            "v_zero": pa.array([HLL_M - n_present], type=pa.int64()),
+            "s_int": pa.array([s_int], type=pa.int64()),
+            "est_distinct": pa.array([est], type=pa.float64()),
         })
 
     est = (ds.map_batches(reg_partial, batch_format="pyarrow",
                           batch_size=65536)
            .groupby("event_type")
-           .map_groups(hll_merge, batch_format="pandas"))
+           .map_groups(hll_merge, batch_format="pyarrow"))
 
     # exact distinct per type: bounded-bucket hash dedup, then a native
     # streaming count — the all-to-all the sketch path avoids
@@ -1356,14 +1376,15 @@ def hll_users_by_type(sf_dir: str):
             "hb": pa.array(hb),
         })
 
-    def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["event_type", "user_id"],
-                                 ignore_index=True)[["event_type"]]
+    def bucket_distinct(g: pa.Table) -> pa.Table:
+        return (g.select(["event_type", "user_id"])
+                .group_by(["event_type", "user_id"]).aggregate([])
+                .select(["event_type"]))
 
     exact = (ds.map_batches(key_partial, batch_format="pyarrow",
                             batch_size=65536)
              .groupby("hb").map_groups(bucket_distinct,
-                                       batch_format="pandas")
+                                       batch_format="pyarrow")
              .groupby("event_type").count())
 
     def _tag_est(t: pa.Table) -> pa.Table:
@@ -1381,22 +1402,24 @@ def hll_users_by_type(sf_dir: str):
             "n_exact": pc.cast(t.column("count()"), pa.int64()),
         })
 
-    def _merge(g: pd.DataFrame) -> pd.DataFrame:
-        a = g[g["m"].notna()].iloc[0]
-        b = g[g["m"].isna()].iloc[0]
-        return pd.DataFrame({
-            "event_type": [a["event_type"]],
-            "m": pd.array([int(a["m"])], dtype="int64"),
-            "v_zero": pd.array([int(a["v_zero"])], dtype="int64"),
-            "s_int": pd.array([int(a["s_int"])], dtype="int64"),
-            "est_distinct": [float(a["est_distinct"])],
-            "n_exact": pd.array([int(b["n_exact"])], dtype="int64"),
+    def _merge(g: pa.Table) -> pa.Table:
+        has_m = pc.is_valid(g.column("m"))
+        a = g.filter(has_m)
+        b = g.filter(pc.invert(has_m))
+        return pa.table({
+            "event_type": a.column("event_type"),
+            "m": pc.cast(a.column("m"), pa.int64()),
+            "v_zero": pc.cast(a.column("v_zero"), pa.int64()),
+            "s_int": pc.cast(a.column("s_int"), pa.int64()),
+            "est_distinct": pc.cast(a.column("est_distinct"),
+                                    pa.float64()),
+            "n_exact": pc.cast(b.column("n_exact"), pa.int64()),
         })
 
     return (est.map_batches(_tag_est, batch_format="pyarrow")
             .union(exact.map_batches(_tag_exact, batch_format="pyarrow"))
             .groupby("event_type")
-            .map_groups(_merge, batch_format="pandas"))
+            .map_groups(_merge, batch_format="pyarrow"))
 
 
 # ------------------------------------------------------------ filter/project
@@ -1741,17 +1764,22 @@ def distinct_users_salted(sf_dir: str, n_salts: int = 16):
                 (df["user_id"].to_numpy() % n_salts).astype(np.int32)),
         })
 
-    def salt_distinct(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby("event_type", as_index=False)["user_id"] \
-               .nunique().rename(columns={"user_id": "nd"})
-        return out
+    def salt_distinct(g: pa.Table) -> pa.Table:
+        out = (g.select(["event_type", "user_id"])
+               .group_by("event_type")
+               .aggregate([("user_id", "count_distinct")]))
+        return pa.table({
+            "event_type": out.column("event_type"),
+            "nd": pc.cast(out.column("user_id_count_distinct"),
+                          pa.int64()),
+        })
 
     from ray.data.aggregate import Sum
 
     return (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
         .groupby(["event_type", "salt"])
-        .map_groups(salt_distinct, batch_format="pandas")
+        .map_groups(salt_distinct, batch_format="pyarrow")
         .groupby("event_type")
         .aggregate(Sum("nd", alias_name="n_users"))
     )
@@ -1804,12 +1832,19 @@ def customer_order_counts(sf_dir: str):
             "kb": pa.array((key % n_buckets).astype(np.int32)),
         })
 
-    def outer(g: pd.DataFrame) -> pd.DataFrame:
-        counts = g[g["tag"] == 1].groupby("c_custkey")["n"].sum()
-        left = g[g["tag"] == 0][["c_custkey", "c_name"]].copy()
-        left["n_orders"] = left["c_custkey"].map(counts) \
-                               .fillna(0).astype(np.int64)
-        return left
+    def outer(g: pa.Table) -> pa.Table:
+        tag = g.column("tag")
+        counts = (g.filter(pc.equal(tag, 1))
+                  .select(["c_custkey", "n"]).group_by("c_custkey")
+                  .aggregate([("n", "sum")]))
+        left = g.filter(pc.equal(tag, 0)).select(["c_custkey", "c_name"])
+        m = left.join(counts, keys="c_custkey", join_type="left outer")
+        return pa.table({
+            "c_custkey": m.column("c_custkey"),
+            "c_name": m.column("c_name"),
+            "n_orders": pc.cast(pc.fill_null(m.column("n_sum"), 0),
+                                pa.int64()),
+        })
 
     return (
         cust.map_batches(cust_rows, batch_format="pyarrow",
@@ -1817,7 +1852,7 @@ def customer_order_counts(sf_dir: str):
         .union(orders.map_batches(count_rows, batch_format="pyarrow",
                                   batch_size=65536))
         .groupby("kb")
-        .map_groups(outer, batch_format="pandas")
+        .map_groups(outer, batch_format="pyarrow")
     )
 
 
@@ -2172,29 +2207,30 @@ def supplier_wilson_rank(sf_dir: str):
 
     _LATE_US = 90 * 86_400_000_000
 
-    def per_bucket(g: pd.DataFrame) -> pa.Table:
-        # Arrow output: the downstream groupby("supp") aggregate runs
-        # ~20x faster on Arrow blocks (pandas blocks take Ray's
-        # per-key pandas sort-aggregate path)
-        o = g[g["side"] == 0][["ok", "ts"]].rename(columns={"ts": "od"})
-        li = g[g["side"] == 1]
-        m = li.merge(o, on="ok")
-        m["ot"] = (m["ts"].to_numpy()
-                   <= m["od"].to_numpy() + _LATE_US).astype(np.int64)
-        agg = m.groupby("supp", as_index=False).agg(
-            n=("ot", "size"), on_time=("ot", "sum"))
+    def per_bucket(g: pa.Table) -> pa.Table:
+        side = g.column("side")
+        o = (g.filter(pc.equal(side, 0)).select(["ok", "ts"])
+             .rename_columns(["ok", "od"]))
+        li = g.filter(pc.equal(side, 1)).select(["ok", "supp", "ts"])
+        m = li.join(o, keys="ok", join_type="inner")
+        ot = (m.column("ts").to_numpy(zero_copy_only=False)
+              <= m.column("od").to_numpy(zero_copy_only=False)
+              + _LATE_US).astype(np.int64)
+        agg = (pa.table({"supp": m.column("supp"),
+                         "ot": pa.array(ot)})
+               .group_by("supp")
+               .aggregate([("ot", "count"), ("ot", "sum")]))
         return pa.table({
-            "supp": pa.array(agg["supp"].to_numpy().astype(np.int64)),
-            "n": pa.array(agg["n"].to_numpy().astype(np.int64)),
-            "on_time": pa.array(
-                agg["on_time"].to_numpy().astype(np.int64)),
+            "supp": pc.cast(agg.column("supp"), pa.int64()),
+            "n": pc.cast(agg.column("ot_count"), pa.int64()),
+            "on_time": pc.cast(agg.column("ot_sum"), pa.int64()),
         })
 
     from ray.data.aggregate import Sum
 
     counts = (orders.union(lines)
               .groupby("bucket")
-              .map_groups(per_bucket, batch_format="pandas")
+              .map_groups(per_bucket, batch_format="pyarrow")
               .groupby("supp")
               .aggregate(Sum("n", alias_name="n"),
                          Sum("on_time", alias_name="on_time")))
@@ -2282,23 +2318,30 @@ def order_size_regression(sf_dir: str):
 
     _M = ("n", "s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y", "yy")
 
-    def moments(g: pd.DataFrame) -> pd.DataFrame:
-        o = g[g["side"] == 0][["ok", "v"]].rename(columns={"v": "y"})
-        li = g[g["side"] == 1]
-        f = li.groupby("ok", as_index=False).agg(
-            x1=("v", "size"), x2=("v", "sum"))
-        j = f.merge(o, on="ok")
-        x1 = j["x1"].to_numpy(dtype=np.int64)
-        x2 = j["x2"].to_numpy(dtype=np.int64)
-        y = j["y"].to_numpy(dtype=np.int64)
-        vals = [len(j), x1.sum(), x2.sum(), (x1 * x1).sum(),
+    def moments(g: pa.Table) -> pa.Table:
+        side = g.column("side")
+        o = (g.filter(pc.equal(side, 0)).select(["ok", "v"])
+             .rename_columns(["ok", "y"]))
+        li = g.filter(pc.equal(side, 1)).select(["ok", "v"])
+        f = (li.group_by("ok")
+             .aggregate([("v", "count"), ("v", "sum")])
+             .rename_columns(["ok", "x1", "x2"]))
+        j = f.join(o, keys="ok", join_type="inner")
+        x1 = j.column("x1").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        x2 = j.column("x2").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        y = j.column("y").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        vals = [len(x1), x1.sum(), x2.sum(), (x1 * x1).sum(),
                 (x1 * x2).sum(), (x2 * x2).sum(), y.sum(),
                 (x1 * y).sum(), (x2 * y).sum(), (y * y).sum()]
-        return pd.DataFrame({k: [int(v)] for k, v in zip(_M, vals)})
+        return pa.table({k: pa.array([int(v)], type=pa.int64())
+                         for k, v in zip(_M, vals)})
 
     tot = {k: 0 for k in _M}
     for b in (orders.union(lines).groupby("bucket")
-              .map_groups(moments, batch_format="pandas")
+              .map_groups(moments, batch_format="pyarrow")
               .iter_batches(batch_size=4096, batch_format="pyarrow")):
         for k in _M:
             tot[k] += sum(b.column(k).to_pylist())   # exact Python ints
@@ -2439,22 +2482,31 @@ def customer_running_total(sf_dir: str):
             "bucket": pa.array((k % n_buckets).astype(np.int32)),
         })
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
-                          kind="mergesort", ignore_index=True)
-        grp = g.groupby("o_custkey", sort=False)
-        return pd.DataFrame({
-            "o_custkey": g["o_custkey"],
-            "o_orderkey": g["o_orderkey"],
-            "order_seq": (grp.cumcount().to_numpy() + 1).astype("int64"),
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("o_custkey", "ascending"),
+                       ("o_orderdate", "ascending"),
+                       ("o_orderkey", "ascending")])
+        cust = g.column("o_custkey").to_numpy(zero_copy_only=False)
+        cents = g.column("cents").to_numpy(zero_copy_only=False)
+        cs = np.cumsum(cents)
+        first = np.flatnonzero(np.r_[True, cust[1:] != cust[:-1]])
+        offs = (np.concatenate(([0], cs[first[1:] - 1]))
+                if len(first) > 1
+                else np.zeros(len(first), dtype=np.int64))
+        starts = np.repeat(offs, np.diff(np.r_[first, len(cust)]))
+        return pa.table({
+            "o_custkey": g.column("o_custkey"),
+            "o_orderkey": g.column("o_orderkey"),
+            "order_seq": pa.array(grouped_cumcount(cust) + 1),
             # int cents / 100.0 — bit-identical to the oracle's division
-            "running_spend": grp["cents"].cumsum().to_numpy() / 100.0,
+            "running_spend": pa.array((cs - starts) / 100.0,
+                                      type=pa.float64()),
         })
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=65536)
         .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
 
 
@@ -2516,23 +2568,33 @@ def late_suppliers(sf_dir: str):
             "bucket": pa.array((ok % n_buckets).astype(np.int32)),
         })
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        od = g[g["sk"] < 0][["ok", "ship_us"]].rename(
-            columns={"ship_us": "odate_us"})
-        li_g = g[g["sk"] >= 0]
-        # inner merge drops lineitems of non-'F' orders
-        m = li_g.merge(od, on="ok", how="inner")
-        per = m.groupby(["ok", "sk"], as_index=False).agg(
-            ship=("ship_us", "max"), odate=("odate_us", "first"))
-        per["late"] = per["ship"] > per["odate"] + _LATE_US
-        stat = per.groupby("ok", as_index=False).agg(
-            nsupp=("sk", "size"), nlate=("late", "sum"))
-        j = per.merge(stat, on="ok")
-        hit = j[j["late"] & (j["nlate"] == 1) & (j["nsupp"] >= 2)]
-        out = hit.groupby("sk", as_index=False).size()
-        return pd.DataFrame({
-            "sk": out["sk"].astype("int64"),
-            "numwait": out["size"].astype("int64"),
+    def per_bucket(g: pa.Table) -> pa.Table:
+        sk = g.column("sk")
+        od = (g.filter(pc.less(sk, 0)).select(["ok", "ship_us"])
+              .rename_columns(["ok", "odate_us"]))
+        li_g = (g.filter(pc.greater_equal(sk, 0))
+                .select(["ok", "sk", "ship_us"]))
+        # inner join drops lineitems of non-'F' orders
+        m = li_g.join(od, keys="ok", join_type="inner")
+        per = (m.group_by(["ok", "sk"])
+               .aggregate([("ship_us", "max"), ("odate_us", "min")]))
+        late = (per.column("ship_us_max").to_numpy(zero_copy_only=False)
+                > per.column("odate_us_min").to_numpy(
+                    zero_copy_only=False) + _LATE_US).astype(np.int64)
+        per = per.append_column("late", pa.array(late))
+        stat = (per.group_by("ok")
+                .aggregate([("sk", "count"), ("late", "sum")])
+                .rename_columns(["ok", "nsupp", "nlate"]))
+        j = per.join(stat, keys="ok", join_type="inner")
+        hit = j.filter(pc.and_(
+            pc.and_(pc.equal(j.column("late"), 1),
+                    pc.equal(j.column("nlate"), 1)),
+            pc.greater_equal(pc.cast(j.column("nsupp"), pa.int64()),
+                             2)))
+        out = hit.group_by("sk").aggregate([("ok", "count")])
+        return pa.table({
+            "sk": pc.cast(out.column("sk"), pa.int64()),
+            "numwait": pc.cast(out.column("ok_count"), pa.int64()),
         })
 
     def add_sk_bucket(b: pa.Table) -> pa.Table:
@@ -2554,7 +2616,7 @@ def late_suppliers(sf_dir: str):
                            batch_size=65536))
     return (
         union.groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(per_bucket, batch_format="pyarrow")
         .map_batches(add_sk_bucket, batch_format="pyarrow")
         .groupby("skb")
         .map_groups(fold_suppliers, batch_format="pyarrow")
@@ -2683,17 +2745,22 @@ def orders_pivot(sf_dir: str):
             "rev_c": g.column("rev_c_sum"),
         })
 
-    def widen(g: pd.DataFrame) -> pd.DataFrame:
-        cells = g.groupby("yr")["rev_c"].sum()
-        row = {"o_orderpriority": g["o_orderpriority"].iloc[0]}
+    def widen(g: pa.Table) -> pa.Table:
+        f = (g.select(["yr", "rev_c"]).group_by("yr")
+             .aggregate([("rev_c", "sum")]))
+        cells = dict(zip(f.column("yr").to_pylist(),
+                         f.column("rev_c_sum").to_pylist()))
+        out = {"o_orderpriority": pa.array(
+            [g.column("o_orderpriority")[0].as_py()], type=pa.string())}
         for y in _PIVOT_YEARS:
-            row[f"rev_{y}"] = float(cells.get(y, 0)) / 100.0
-        return pd.DataFrame([row])
+            out[f"rev_{y}"] = pa.array(
+                [float(cells.get(y, 0)) / 100.0], type=pa.float64())
+        return pa.table(out)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
         .groupby("o_orderpriority")
-        .map_groups(widen, batch_format="pandas")
+        .map_groups(widen, batch_format="pyarrow")
     )
 
 
