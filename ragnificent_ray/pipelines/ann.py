@@ -17,6 +17,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data as rd
@@ -74,19 +75,23 @@ def ann_topk(sf_dir: str):
                 "sim": pa.array(out_s, type=pa.float64()),
             })
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "neighbor_id"],
-                          ascending=[False, True]).head(TOP_K)
-        g = g.reset_index(drop=True)
-        g["rank"] = g.index + 1
-        g["cos_sim"] = round_half_away(g["sim"].to_numpy(), 4)
-        return g[["query_id", "neighbor_id", "rank", "cos_sim"]]
+    def merge(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("sim", "descending"),
+                       ("neighbor_id", "ascending")]).slice(0, TOP_K)
+        return pa.table({
+            "query_id": g.column("query_id"),
+            "neighbor_id": g.column("neighbor_id"),
+            "rank": pa.array(np.arange(1, g.num_rows + 1,
+                                       dtype=np.int64)),
+            "cos_sim": pa.array(round_half_away(
+                g.column("sim").to_numpy(zero_copy_only=False), 4)),
+        })
 
     return (
         ds.map_batches(PartialTopK, fn_constructor_kwargs={"ref": qref},
                        batch_format="pyarrow", batch_size=4096, concurrency=2)
         .groupby("query_id")
-        .map_groups(merge, batch_format="pandas")
+        .map_groups(merge, batch_format="pyarrow")
     )
 
 
@@ -131,19 +136,23 @@ def ann_lsh_topk(sf_dir: str):
                 "sim": pa.array(out_s, type=pa.float64()),
             })
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "neighbor_id"],
-                          ascending=[False, True]).head(TOP_K)
-        g = g.reset_index(drop=True)
-        g["rank"] = g.index + 1
-        g["cos_sim"] = round_half_away(g["sim"].to_numpy(), 4)
-        return g[["query_id", "neighbor_id", "rank", "cos_sim"]]
+    def merge(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("sim", "descending"),
+                       ("neighbor_id", "ascending")]).slice(0, TOP_K)
+        return pa.table({
+            "query_id": g.column("query_id"),
+            "neighbor_id": g.column("neighbor_id"),
+            "rank": pa.array(np.arange(1, g.num_rows + 1,
+                                       dtype=np.int64)),
+            "cos_sim": pa.array(round_half_away(
+                g.column("sim").to_numpy(zero_copy_only=False), 4)),
+        })
 
     return (
         ds.map_batches(BucketSearch, fn_constructor_kwargs={"ref": ref},
                        batch_format="pyarrow", batch_size=4096, concurrency=2)
         .groupby("query_id")
-        .map_groups(merge, batch_format="pandas")
+        .map_groups(merge, batch_format="pyarrow")
     )
 
 
@@ -177,19 +186,24 @@ def ann_lsh_recall(sf_dir: str):
         tag("lsh"), batch_format="pyarrow").materialize()
     both = exact.union(approx)
 
-    def recall(g: pd.DataFrame) -> pd.DataFrame:
-        e = set(g.loc[g["src"] == "exact", "neighbor_id"])
-        l = set(g.loc[g["src"] == "lsh", "neighbor_id"])
-        return pd.DataFrame({
-            "query_id": pd.array([int(g["query_id"].iloc[0])],
-                                 dtype="int64"),
-            "n_exact": pd.array([len(e)], dtype="int64"),
-            "n_lsh": pd.array([len(l)], dtype="int64"),
-            "recall": [round_half_away(len(e & l) / len(e), 4)
-                       if e else 0.0],
+    def recall(g: pa.Table) -> pa.Table:
+        src_col = g.column("src")
+        e = set(g.filter(pc.equal(src_col, "exact"))
+                .column("neighbor_id").to_pylist())
+        l = set(g.filter(pc.equal(src_col, "lsh"))
+                .column("neighbor_id").to_pylist())
+        return pa.table({
+            "query_id": pa.array([g.column("query_id")[0].as_py()],
+                                 type=pa.int64()),
+            "n_exact": pa.array([len(e)], type=pa.int64()),
+            "n_lsh": pa.array([len(l)], type=pa.int64()),
+            "recall": pa.array(
+                [round_half_away(len(e & l) / len(e), 4)
+                 if e else 0.0], type=pa.float64()),
         })
 
-    return both.groupby("query_id").map_groups(recall, batch_format="pandas")
+    return both.groupby("query_id").map_groups(recall,
+                                               batch_format="pyarrow")
 
 
 def search_rerank(sf_dir: str):
@@ -241,15 +255,15 @@ def search_rerank(sf_dir: str):
                 "sim": pa.array(out_s, type=pa.float64()),
             })
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["sim", "neighbor_id"],
-                             ascending=[False, True]).head(over_k)
+    def merge(g: pa.Table) -> pa.Table:
+        return g.sort_by([("sim", "descending"),
+                          ("neighbor_id", "ascending")]).slice(0, over_k)
 
     cands = (
         ds.map_batches(PartialTopK(qref), batch_format="pyarrow",
                        batch_size=4096)
         .groupby("query_id")
-        .map_groups(merge, batch_format="pandas")
+        .map_groups(merge, batch_format="pyarrow")
     ).to_pandas()
 
     # candidate-only text lookup: an `in`-filtered parquet read is the
@@ -337,16 +351,17 @@ def mmr_rerank(sf_dir: str):
                 "sim": pa.array(out_s, type=pa.float64()),
             })
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["sim", "neighbor_id"],
-                             ascending=[False, True]).head(MMR_CANDIDATES)
+    def merge(g: pa.Table) -> pa.Table:
+        return g.sort_by([("sim", "descending"),
+                          ("neighbor_id", "ascending")]
+                         ).slice(0, MMR_CANDIDATES)
 
     cands = (
         ds.map_batches(PartialTopK, fn_constructor_kwargs={"ref": qref},
                        batch_format="pyarrow", batch_size=4096,
                        concurrency=2)
         .groupby("query_id")
-        .map_groups(merge, batch_format="pandas")
+        .map_groups(merge, batch_format="pyarrow")
     ).to_pandas()
 
     need = sorted(set(cands["neighbor_id"].astype(int)))

@@ -129,16 +129,17 @@ def bpe_merges(sf_dir: str, iters: int = BPE_ITERS):
                 "pb": pa.array((pb % n_buckets).astype(np.int32)),
             })
 
-        def bucket_top1(g: pd.DataFrame) -> pd.DataFrame:
-            agg = g.groupby(["l", "r"], as_index=False)["c"].sum()
-            agg = agg.sort_values(["c", "l", "r"],
-                                  ascending=[False, True, True],
-                                  kind="mergesort")
-            return agg.head(1)
+        def bucket_top1(g: pa.Table) -> pa.Table:
+            agg = (g.select(["l", "r", "c"]).group_by(["l", "r"])
+                   .aggregate([("c", "sum")])
+                   .rename_columns(["l", "r", "c"]))
+            agg = agg.sort_by([("c", "descending"), ("l", "ascending"),
+                               ("r", "ascending")])
+            return agg.slice(0, 1)
 
         cands = (vocab.map_batches(pair_partial, batch_format="pyarrow")
                  .groupby("pb")
-                 .map_groups(bucket_top1, batch_format="pandas")
+                 .map_groups(bucket_top1, batch_format="pyarrow")
                  .to_pandas())
         if not len(cands):
             break

@@ -159,20 +159,24 @@ def ann_ivf_topk(sf_dir: str):
                 "sim": pa.array(out_s, type=pa.float64()),
             })
 
-    def merge(g):
-        g = g.sort_values(["sim", "neighbor_id"],
-                          ascending=[False, True]).head(TOP_K)
-        g = g.reset_index(drop=True)
-        g["rank"] = g.index + 1
-        g["cos_sim"] = round_half_away(g["sim"].to_numpy(), 4)
-        return g[["query_id", "neighbor_id", "rank", "cos_sim"]]
+    def merge(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("sim", "descending"),
+                       ("neighbor_id", "ascending")]).slice(0, TOP_K)
+        return pa.table({
+            "query_id": g.column("query_id"),
+            "neighbor_id": g.column("neighbor_id"),
+            "rank": pa.array(np.arange(1, g.num_rows + 1,
+                                       dtype=np.int64)),
+            "cos_sim": pa.array(round_half_away(
+                g.column("sim").to_numpy(zero_copy_only=False), 4)),
+        })
 
     return (
         ds.map_batches(ProbeSearch, fn_constructor_kwargs={"ref": ref},
                        batch_format="pyarrow", batch_size=4096,
                        concurrency=2)
         .groupby("query_id")
-        .map_groups(merge, batch_format="pandas")
+        .map_groups(merge, batch_format="pyarrow")
     )
 
 
@@ -200,20 +204,25 @@ def ann_ivf_recall(sf_dir: str):
     approx = ann_ivf_topk(sf_dir).map_batches(
         tag("ivf"), batch_format="pyarrow").materialize()
 
-    def recall(g: pd.DataFrame) -> pd.DataFrame:
-        e = set(g.loc[g["src"] == "exact", "neighbor_id"])
-        a = set(g.loc[g["src"] == "ivf", "neighbor_id"])
-        return pd.DataFrame({
-            "query_id": pd.array([int(g["query_id"].iloc[0])],
-                                 dtype="int64"),
-            "n_exact": pd.array([len(e)], dtype="int64"),
-            "n_ivf": pd.array([len(a)], dtype="int64"),
-            "recall": [_r4(len(e & a) / len(e), 4) if e else 0.0],
+    def recall(g: pa.Table) -> pa.Table:
+        src_col = g.column("src")
+        e = set(g.filter(pc.equal(src_col, "exact"))
+                .column("neighbor_id").to_pylist())
+        a = set(g.filter(pc.equal(src_col, "ivf"))
+                .column("neighbor_id").to_pylist())
+        return pa.table({
+            "query_id": pa.array([g.column("query_id")[0].as_py()],
+                                 type=pa.int64()),
+            "n_exact": pa.array([len(e)], type=pa.int64()),
+            "n_ivf": pa.array([len(a)], type=pa.int64()),
+            "recall": pa.array(
+                [_r4(len(e & a) / len(e), 4) if e else 0.0],
+                type=pa.float64()),
         })
 
     return (exact.union(approx)
             .groupby("query_id")
-            .map_groups(recall, batch_format="pandas"))
+            .map_groups(recall, batch_format="pyarrow"))
 
 
 def semantic_dedup(sf_dir: str):
@@ -255,11 +264,12 @@ def semantic_dedup(sf_dir: str):
                 "nemb": pa.array(list(xn)),
             })
 
-    def prune(g):
-        ids = g["vec_id"].to_numpy(dtype=np.int64)
+    def prune(g: pa.Table) -> pa.Table:
+        ids = g.column("vec_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
         order = np.argsort(ids)
         ids = ids[order]
-        m = np.stack(g["nemb"].to_numpy()[order])
+        m = list_column_matrix(g.column("nemb"), dtype=np.float64)[order]
         sims = m @ m.T
         # qualifying keepers are strictly earlier ids at sim >= tau;
         # argmax over the boolean row picks the FIRST (lowest-id) one
@@ -267,11 +277,12 @@ def semantic_dedup(sf_dir: str):
         qual[np.triu_indices(len(ids))] = False
         has = qual.any(axis=1)
         first = qual.argmax(axis=1)
-        return pd.DataFrame({
-            "vec_id": ids[has],
-            "keeper": ids[first[has]],
-            "cos_sim": round_half_away(
+        return pa.table({
+            "vec_id": pa.array(ids[has]),
+            "keeper": pa.array(ids[first[has]]),
+            "cos_sim": pa.array(round_half_away(
                 sims[np.arange(len(ids))[has], first[has]], 4),
+                type=pa.float64()),
         })
 
     return (
@@ -279,7 +290,7 @@ def semantic_dedup(sf_dir: str):
                        batch_format="pyarrow", batch_size=4096,
                        concurrency=2)
         .groupby("cluster")
-        .map_groups(prune, batch_format="pandas")
+        .map_groups(prune, batch_format="pyarrow")
     )
 
 
@@ -1423,11 +1434,16 @@ def ann_pq_topk(sf_dir: str, m: int = PQ_SUBSPACES, k: int = PQ_CODES):
                 "adc": pa.array(out_d, type=pa.int64()),
             })
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["adc", "neighbor_id"]).head(TOP_K)
-        g = g.reset_index(drop=True)
-        g["rank"] = (g.index + 1).astype(np.int64)
-        return g[["query_id", "neighbor_id", "rank", "adc"]]
+    def merge(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("adc", "ascending"),
+                       ("neighbor_id", "ascending")]).slice(0, TOP_K)
+        return pa.table({
+            "query_id": g.column("query_id"),
+            "neighbor_id": g.column("neighbor_id"),
+            "rank": pa.array(np.arange(1, g.num_rows + 1,
+                                       dtype=np.int64)),
+            "adc": g.column("adc"),
+        })
 
     ds = rd.read_parquet(_pq(sf_dir, "embeddings"),
                          columns=["vec_id", "embedding"])
@@ -1435,7 +1451,7 @@ def ann_pq_topk(sf_dir: str, m: int = PQ_SUBSPACES, k: int = PQ_CODES):
                            batch_format="pyarrow", batch_size=4096,
                            concurrency=2)
             .groupby("query_id")
-            .map_groups(merge, batch_format="pandas"))
+            .map_groups(merge, batch_format="pyarrow"))
 
 
 def ann_ivfpq_topk(sf_dir: str, m: int = PQ_SUBSPACES, k: int = PQ_CODES):
@@ -1513,11 +1529,16 @@ def ann_ivfpq_topk(sf_dir: str, m: int = PQ_SUBSPACES, k: int = PQ_CODES):
                 "adc": pa.array(out_d, type=pa.int64()),
             })
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["adc", "neighbor_id"]).head(TOP_K)
-        g = g.reset_index(drop=True)
-        g["rank"] = (g.index + 1).astype(np.int64)
-        return g[["query_id", "neighbor_id", "rank", "adc"]]
+    def merge(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("adc", "ascending"),
+                       ("neighbor_id", "ascending")]).slice(0, TOP_K)
+        return pa.table({
+            "query_id": g.column("query_id"),
+            "neighbor_id": g.column("neighbor_id"),
+            "rank": pa.array(np.arange(1, g.num_rows + 1,
+                                       dtype=np.int64)),
+            "adc": g.column("adc"),
+        })
 
     ds = rd.read_parquet(_pq(sf_dir, "embeddings"),
                          columns=["vec_id", "embedding"])
@@ -1525,7 +1546,7 @@ def ann_ivfpq_topk(sf_dir: str, m: int = PQ_SUBSPACES, k: int = PQ_CODES):
                            batch_format="pyarrow", batch_size=4096,
                            concurrency=2)
             .groupby("query_id")
-            .map_groups(merge, batch_format="pandas"))
+            .map_groups(merge, batch_format="pyarrow"))
 
 
 def ann_pq_recall(sf_dir: str):
@@ -1549,20 +1570,25 @@ def ann_pq_recall(sf_dir: str):
     approx = ann_pq_topk(sf_dir).map_batches(
         tag("pq"), batch_format="pyarrow").materialize()
 
-    def recall(g: pd.DataFrame) -> pd.DataFrame:
-        e = set(g.loc[g["src"] == "exact", "neighbor_id"])
-        a = set(g.loc[g["src"] == "pq", "neighbor_id"])
-        return pd.DataFrame({
-            "query_id": pd.array([int(g["query_id"].iloc[0])],
-                                 dtype="int64"),
-            "n_exact": pd.array([len(e)], dtype="int64"),
-            "n_pq": pd.array([len(a)], dtype="int64"),
-            "recall": [_r4(len(e & a) / len(e), 4) if e else 0.0],
+    def recall(g: pa.Table) -> pa.Table:
+        src_col = g.column("src")
+        e = set(g.filter(pc.equal(src_col, "exact"))
+                .column("neighbor_id").to_pylist())
+        a = set(g.filter(pc.equal(src_col, "pq"))
+                .column("neighbor_id").to_pylist())
+        return pa.table({
+            "query_id": pa.array([g.column("query_id")[0].as_py()],
+                                 type=pa.int64()),
+            "n_exact": pa.array([len(e)], type=pa.int64()),
+            "n_pq": pa.array([len(a)], type=pa.int64()),
+            "recall": pa.array(
+                [_r4(len(e & a) / len(e), 4) if e else 0.0],
+                type=pa.float64()),
         })
 
     return (exact.union(approx)
             .groupby("query_id")
-            .map_groups(recall, batch_format="pandas"))
+            .map_groups(recall, batch_format="pyarrow"))
 
 
 QUERIES = {

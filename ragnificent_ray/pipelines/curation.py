@@ -101,16 +101,27 @@ class _Signals:
         })
 
 
-def _resolve_bucket(g: pd.DataFrame) -> pd.DataFrame:
+def _resolve_bucket(g: pa.Table) -> pa.Table:
     """Per hash-bucket: mark the lowest doc_id of each text_hash
     canonical, then combine the gate verdicts into ``kept``."""
-    g = g.sort_values(["text_hash", "doc_id"])
-    g["is_canonical"] = (~g["text_hash"].duplicated()).astype("int64")
-    g["kept"] = ((g["passes_quality"] == 1)
-                 & (g["is_canonical"] == 1)
-                 & (g["n_contam_hits"] == 0)).astype("int64")
-    return g[["doc_id", "passes_quality", "guessed_lang",
-              "is_canonical", "n_contam_hits", "kept"]]
+    import numpy as np
+
+    g = g.sort_by([("text_hash", "ascending"), ("doc_id", "ascending")])
+    th = g.column("text_hash").to_numpy(
+        zero_copy_only=False).astype(object)
+    is_canon = np.r_[True, th[1:] != th[:-1]].astype(np.int64) \
+        if len(th) else np.zeros(0, dtype=np.int64)
+    pq_ = g.column("passes_quality").to_numpy(zero_copy_only=False)
+    nc = g.column("n_contam_hits").to_numpy(zero_copy_only=False)
+    kept = ((pq_ == 1) & (is_canon == 1) & (nc == 0)).astype(np.int64)
+    return pa.table({
+        "doc_id": g.column("doc_id"),
+        "passes_quality": g.column("passes_quality"),
+        "guessed_lang": g.column("guessed_lang"),
+        "is_canonical": pa.array(is_canon),
+        "n_contam_hits": g.column("n_contam_hits"),
+        "kept": pa.array(kept),
+    })
 
 
 def curate_corpus(sf_dir: str):
@@ -127,7 +138,7 @@ def curate_corpus(sf_dir: str):
                        batch_format="pyarrow", batch_size=4096,
                        concurrency=2)
         .groupby("bucket")
-        .map_groups(_resolve_bucket, batch_format="pandas")
+        .map_groups(_resolve_bucket, batch_format="pyarrow")
     )
 
 

@@ -34,6 +34,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -86,25 +87,28 @@ def sequence_pack(sf_dir: str, seq_len: int = SEQ_LEN):
         batch_size=8192).materialize()
     bucket_start_ref = _bucket_offsets(narrow)
 
-    def place(g: pd.DataFrame) -> pd.DataFrame:
-        base = ray.get(bucket_start_ref)[int(g["bucket"].iloc[0])]
-        g = g.sort_values("doc_id").reset_index(drop=True)
-        n = g["n_tokens"].to_numpy(dtype=np.int64)
+    def place(g: pa.Table) -> pa.Table:
+        base = ray.get(bucket_start_ref)[
+            int(g.column("bucket")[0].as_py())]
+        g = g.sort_by([("doc_id", "ascending")])
+        n = g.column("n_tokens").to_numpy(
+            zero_copy_only=False).astype(np.int64)
         start = base + np.concatenate(([0], np.cumsum(n)[:-1]))
         seq_id = start // seq_len
         last = np.maximum(start, start + n - 1)  # n=0 stays in its slot
         end_seq = last // seq_len
-        return pd.DataFrame({
-            "doc_id": g["doc_id"].astype("int64"),
-            "n_tokens": n,
-            "start_tok": start,
-            "seq_id": seq_id.astype(np.int64),
-            "seq_offset": (start % seq_len).astype(np.int64),
-            "n_seqs": np.where(n == 0, 0, end_seq - seq_id + 1)
-            .astype(np.int64),
+        return pa.table({
+            "doc_id": pc.cast(g.column("doc_id"), pa.int64()),
+            "n_tokens": pa.array(n),
+            "start_tok": pa.array(start),
+            "seq_id": pa.array(seq_id.astype(np.int64)),
+            "seq_offset": pa.array((start % seq_len).astype(np.int64)),
+            "n_seqs": pa.array(np.where(n == 0, 0, end_seq - seq_id + 1)
+                               .astype(np.int64)),
         })
 
-    return narrow.groupby("bucket").map_groups(place, batch_format="pandas")
+    return narrow.groupby("bucket").map_groups(place,
+                                               batch_format="pyarrow")
 
 
 _SEQ_BUCKETS = 4096  # bounded key space for the sequence assembly groupby
@@ -137,13 +141,15 @@ def packed_sequences(sf_dir: str, seq_len: int = SEQ_LEN):
     bucket_start_ref = _bucket_offsets(
         with_text.select_columns(["doc_id", "n_tokens", "bucket"]))
 
-    def segments(g: pd.DataFrame) -> pd.DataFrame:
-        base = ray.get(bucket_start_ref)[int(g["bucket"].iloc[0])]
-        g = g.sort_values("doc_id").reset_index(drop=True)
-        n = g["n_tokens"].to_numpy(dtype=np.int64)
+    def segments(g: pa.Table) -> pa.Table:
+        base = ray.get(bucket_start_ref)[
+            int(g.column("bucket")[0].as_py())]
+        g = g.sort_by([("doc_id", "ascending")])
+        n = g.column("n_tokens").to_numpy(
+            zero_copy_only=False).astype(np.int64)
         start = base + np.concatenate(([0], np.cumsum(n)[:-1]))
         out_seq, out_start, out_text, out_len = [], [], [], []
-        for i, text in enumerate(g["text"]):
+        for i, text in enumerate(g.column("text").to_pylist()):
             if n[i] == 0:
                 continue
             toks = text.strip().split()
@@ -155,28 +161,39 @@ def packed_sequences(sf_dir: str, seq_len: int = SEQ_LEN):
                 out_start.append(a)
                 out_text.append(" ".join(toks[a - start[i]:b - start[i]]))
                 out_len.append(b - a)
-        return pd.DataFrame({
-            "seq_id": pd.array(out_seq, dtype="int64"),
-            "seg_start": pd.array(out_start, dtype="int64"),
-            "seg_len": pd.array(out_len, dtype="int64"),
-            "seg_text": out_text,
-            "seq_bucket": pd.array(
-                [s % _SEQ_BUCKETS for s in out_seq], dtype="int64"),
+        return pa.table({
+            "seq_id": pa.array(out_seq, type=pa.int64()),
+            "seg_start": pa.array(out_start, type=pa.int64()),
+            "seg_len": pa.array(out_len, type=pa.int64()),
+            "seg_text": pa.array(out_text, type=pa.string()),
+            "seq_bucket": pa.array(
+                [s % _SEQ_BUCKETS for s in out_seq], type=pa.int64()),
         })
 
-    def assemble(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["seq_id", "seg_start"]).reset_index(drop=True)
-        agg = g.groupby("seq_id", sort=True).agg(
-            n_docs=("seg_start", "size"),
-            n_tokens=("seg_len", "sum"),
-            text=("seg_text", " ".join),
-        ).reset_index()
-        return agg[["seq_id", "n_docs", "n_tokens", "text"]]
+    def assemble(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("seq_id", "ascending"),
+                       ("seg_start", "ascending")])
+        sid = g.column("seq_id").to_numpy(zero_copy_only=False)
+        seg_len = g.column("seg_len").to_numpy(zero_copy_only=False)
+        texts = g.column("seg_text").to_pylist()
+        first = np.flatnonzero(np.r_[True, sid[1:] != sid[:-1]])
+        ends = np.r_[first[1:], len(sid)]
+        return pa.table({
+            "seq_id": pa.array(sid[first], type=pa.int64()),
+            "n_docs": pa.array(ends - first, type=pa.int64()),
+            "n_tokens": pa.array(np.add.reduceat(seg_len, first)
+                                 if len(first) else
+                                 np.zeros(0, dtype=np.int64),
+                                 type=pa.int64()),
+            "text": pa.array(
+                [" ".join(texts[a:b]) for a, b in zip(first, ends)],
+                type=pa.string()),
+        })
 
     return (with_text.groupby("bucket")
-            .map_groups(segments, batch_format="pandas")
+            .map_groups(segments, batch_format="pyarrow")
             .groupby("seq_bucket")
-            .map_groups(assemble, batch_format="pandas"))
+            .map_groups(assemble, batch_format="pyarrow"))
 
 
 def byte_shard_pack(ds, id_col: str, nbytes_col: str, bucket_col: str,
@@ -202,19 +219,22 @@ def byte_shard_pack(ds, id_col: str, nbytes_col: str, bucket_col: str,
     start_ref = ray.put(dict(zip(subtotals[bucket_col].tolist(),
                                  starts.tolist())))
 
-    def place(g: pd.DataFrame) -> pd.DataFrame:
-        base = ray.get(start_ref)[g[bucket_col].iloc[0]]
-        g = g.sort_values(id_col).reset_index(drop=True)
-        n = g[nbytes_col].to_numpy(dtype=np.int64)
+    def place(g: pa.Table) -> pa.Table:
+        base = ray.get(start_ref)[g.column(bucket_col)[0].as_py()]
+        g = g.sort_by([(id_col, "ascending")])
+        n = g.column(nbytes_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
         start = base + np.concatenate(([0], np.cumsum(n)[:-1]))
-        return pd.DataFrame({
-            id_col: g[id_col],
-            "nbytes": n,
-            "start_byte": start,
-            "shard_id": (start // shard_bytes).astype(np.int64),
+        return pa.table({
+            id_col: g.column(id_col),
+            "nbytes": pa.array(n),
+            "start_byte": pa.array(start),
+            "shard_id": pa.array((start // shard_bytes)
+                                 .astype(np.int64)),
         })
 
-    return ds.groupby(bucket_col).map_groups(place, batch_format="pandas")
+    return ds.groupby(bucket_col).map_groups(place,
+                                             batch_format="pyarrow")
 
 
 ORACLE_SQL = {

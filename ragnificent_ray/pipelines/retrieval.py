@@ -31,6 +31,7 @@ import os
 from collections import Counter
 
 import pandas as pd
+import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
@@ -131,18 +132,22 @@ def bm25_topk(sf_dir: str):
             "score": pa.array(out_s, type=pa.float64()),
         })
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "doc_id"],
-                          ascending=[False, True]).head(TOP_K)
-        g = g.reset_index(drop=True)
-        g["rank"] = g.index + 1
-        return g[["query_id", "doc_id", "rank", "score"]]
+    def merge(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("score", "descending"),
+                       ("doc_id", "ascending")]).slice(0, TOP_K)
+        return pa.table({
+            "query_id": g.column("query_id"),
+            "doc_id": g.column("doc_id"),
+            "rank": pa.array(np.arange(1, g.num_rows + 1,
+                                       dtype=np.int64)),
+            "score": g.column("score"),
+        })
 
     ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
     return (
         ds.map_batches(score_block, batch_format="pyarrow", batch_size=8192)
         .groupby("query_id")
-        .map_groups(merge, batch_format="pandas")
+        .map_groups(merge, batch_format="pyarrow")
     )
 
 
@@ -220,21 +225,27 @@ def inverted_index(sf_dir: str):
             "bucket": pa.array(out_b, type=pa.int32()),
         })
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["token", "doc_id"], ignore_index=True)
-        agg = g.groupby("token", sort=False).agg(
-            df=("doc_id", "size"),
-            postings=("doc_id", lambda s: ",".join(map(str, s))),
-        ).reset_index()
-        agg["postings_md5"] = [
-            hashlib.md5(p.encode()).hexdigest() for p in agg["postings"]]
-        agg["df"] = agg["df"].astype("int64")
-        return agg[["token", "df", "postings_md5"]]
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("token", "ascending"), ("doc_id", "ascending")])
+        tok = g.column("token").to_numpy(
+            zero_copy_only=False).astype(object)
+        doc = g.column("doc_id").to_numpy(zero_copy_only=False)
+        first = np.flatnonzero(np.r_[True, tok[1:] != tok[:-1]])
+        ends = np.r_[first[1:], len(tok)]
+        docs_str = doc.astype(str)
+        return pa.table({
+            "token": pa.array(tok[first], type=pa.string()),
+            "df": pa.array(ends - first, type=pa.int64()),
+            "postings_md5": pa.array(
+                [hashlib.md5(",".join(docs_str[a:b]).encode())
+                 .hexdigest() for a, b in zip(first, ends)],
+                type=pa.string()),
+        })
 
     return (
         ds.map_batches(pairs, batch_format="pyarrow", batch_size=8192)
         .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(per_bucket, batch_format="pyarrow")
         .map_batches(lambda b: b.drop_columns(["bucket"])
                      if "bucket" in b.column_names else b,
                      batch_format="pyarrow")
