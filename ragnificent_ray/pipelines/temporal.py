@@ -30,7 +30,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from ..functions.numeric import round_half_away
+from ..functions.numeric import grouped_cumcount, round_half_away
 
 _SESSION_GAP_US = 1_800_000_000  # 30-minute session gap
 _MIN_BUCKETS = 64
@@ -61,6 +61,27 @@ def _ts_us(series: pd.Series) -> np.ndarray:
     return series.to_numpy().astype("datetime64[us]").astype("int64")
 
 
+def _ts_us_col(col) -> np.ndarray:
+    """Arrow timestamp column → int64 microseconds (the Arrow-body
+    twin of :func:`_ts_us`; unit pinned to µs before the cast so a
+    nanosecond-typed column can never silently rescale)."""
+    return (col.cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype("int64"))
+
+
+def _fmt_ts(us: np.ndarray) -> list:
+    """int64 µs → ``%Y-%m-%d %H:%M:%S`` strings (bounded output rows)."""
+    return list(pd.to_datetime(us, unit="us")
+                .strftime("%Y-%m-%d %H:%M:%S"))
+
+
+def _run_starts(n: int, key_change: np.ndarray) -> np.ndarray:
+    """Per-row index of its run's first row, for a boolean new-run
+    mask over sorted rows."""
+    first = np.flatnonzero(key_change)
+    return np.repeat(first, np.diff(np.r_[first, n]))
+
+
 # ----------------------------------------------------------- session windows
 
 def sessionize(sf_dir: str):
@@ -81,15 +102,16 @@ def sessionize(sf_dir: str):
         return b.append_column(
             "bucket", pa.array(bucket.astype(np.int32)))
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts", "event_id"],
-                          kind="mergesort", ignore_index=True)
-        ts_us = _ts_us(g["ts"])
-        uid = g["user_id"].to_numpy()
-        new_user = np.empty(len(g), dtype=bool)
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        n = g.num_rows
+        ts_us = _ts_us_col(g.column("ts"))
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        new_user = np.empty(n, dtype=bool)
         new_user[0] = True
         np.not_equal(uid[1:], uid[:-1], out=new_user[1:])
-        gap = np.empty(len(g), dtype=bool)
+        gap = np.empty(n, dtype=bool)
         gap[0] = True
         gap[1:] = (ts_us[1:] - ts_us[:-1]) > _SESSION_GAP_US
         is_new = new_user | gap
@@ -97,27 +119,29 @@ def sessionize(sf_dir: str):
         boundary = np.cumsum(is_new)
         user_start = np.where(new_user)[0]
         offset = np.repeat(boundary[user_start] - 1,
-                           np.diff(np.append(user_start, len(g))))
-        g["session_no"] = boundary - offset
-        out = g.groupby(["user_id", "session_no"], as_index=False).agg(
-            session_start=("ts", "min"),
-            session_end=("ts", "max"),
-            n_events=("ts", "size"),
-            sum_value=("value", "sum"),
-        )
-        out["session_start"] = out["session_start"].dt.strftime(
-            "%Y-%m-%d %H:%M:%S")
-        out["session_end"] = out["session_end"].dt.strftime(
-            "%Y-%m-%d %H:%M:%S")
-        out["n_events"] = out["n_events"].astype("int64")
-        out["sum_value"] = round_half_away(
-            out["sum_value"].to_numpy(), 4)
-        return out
+                           np.diff(np.append(user_start, n)))
+        session_no = boundary - offset
+        # (user, session) runs are contiguous in this sort order
+        first = np.flatnonzero(is_new)
+        ends = np.r_[first[1:], n]
+        val = g.column("value").to_numpy(zero_copy_only=False)
+        sum_value = np.array([val[a:b].sum()
+                              for a, b in zip(first, ends)])
+        return pa.table({
+            "user_id": pa.array(uid[first].astype(np.int64)),
+            "session_no": pa.array(session_no[first].astype(np.int64)),
+            "session_start": pa.array(_fmt_ts(ts_us[first]),
+                                      type=pa.string()),
+            "session_end": pa.array(_fmt_ts(ts_us[ends - 1]),
+                                    type=pa.string()),
+            "n_events": pa.array((ends - first).astype(np.int64)),
+            "sum_value": pa.array(round_half_away(sum_value, 4)),
+        })
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=65536)
         .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(per_bucket, batch_format="pyarrow")
         .map_batches(lambda b: b.drop_columns(["bucket"])
                      if "bucket" in b.column_names else b,
                      batch_format="pyarrow")
@@ -213,6 +237,9 @@ def user_order_asof(sf_dir: str):
                 m["spend_to_date"].to_numpy(dtype=np.float64), 4),
         })
 
+    # deliberate pandas body: pd.merge_asof IS the vectorized as-of
+    # kernel (C-speed backward search per key); an Arrow reimplementation
+    # would re-derive it row-by-row for no gain
     return (
         orders.union(events)
         .groupby("bucket")
@@ -241,22 +268,29 @@ def user_rolling_avg(sf_dir: str):
         return b.append_column(
             "bucket", pa.array(bucket.astype(np.int32)))
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts", "event_id"],
-                          kind="mergesort", ignore_index=True)
-        r = (g.groupby("user_id", sort=False)["value"]
-             .rolling(3, min_periods=1).mean())
-        return pd.DataFrame({
-            "event_id": g["event_id"].astype("int64"),
-            "user_id": g["user_id"].astype("int64"),
-            "rolling_avg": round_half_away(
-                r.reset_index(drop=True).to_numpy(), 4),
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        n = g.num_rows
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        val = g.column("value").to_numpy(zero_copy_only=False)
+        starts = _run_starts(n, np.r_[True, uid[1:] != uid[:-1]])
+        idx = np.arange(n)
+        # oldest-first window sum, the SQL window fold order
+        v2 = np.where(idx - 1 >= starts, np.roll(val, 1), 0.0)
+        v3 = np.where(idx - 2 >= starts, np.roll(val, 2), 0.0)
+        cnt = np.minimum(idx - starts, 2) + 1
+        avg = (v3 + v2 + val) / cnt
+        return pa.table({
+            "event_id": pc.cast(g.column("event_id"), pa.int64()),
+            "user_id": pa.array(uid.astype(np.int64)),
+            "rolling_avg": pa.array(round_half_away(avg, 4)),
         })
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=65536)
         .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(per_bucket, batch_format="pyarrow")
         .map_batches(lambda b: b.drop_columns(["bucket"])
                      if "bucket" in b.column_names else b,
                      batch_format="pyarrow")
@@ -318,38 +352,49 @@ def purchase_attribution(sf_dir: str):
                 [np.zeros(n_a, dtype=np.float64), val]).astype(np.float64)),
         })
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        a = g[g["side"] == 0]
-        e = g[g["side"] == 1]
-        if not len(a) or not len(e):
-            return pd.DataFrame({
-                "event_id": pd.Series(dtype="int64"),
-                "user_id": pd.Series(dtype="int64"),
-                "n_events_24h": pd.Series(dtype="int64"),
-                "sum_value_24h": pd.Series(dtype="float64"),
+    def per_bucket(g: pa.Table) -> pa.Table:
+        side = g.column("side")
+        a = (g.filter(pc.equal(side, 0))
+             .select(["key", "ts_us", "event_id"])
+             .rename_columns(["key", "ts_us_a", "event_id"]))
+        e = (g.filter(pc.equal(side, 1))
+             .select(["key", "ts_us", "value"])
+             .rename_columns(["key", "ts_us_e", "value"]))
+        if not a.num_rows or not e.num_rows:
+            return pa.table({
+                "event_id": pa.array([], type=pa.int64()),
+                "user_id": pa.array([], type=pa.int64()),
+                "n_events_24h": pa.array([], type=pa.int64()),
+                "sum_value_24h": pa.array([], type=pa.float64()),
             })
-        m = a[["key", "ts_us", "event_id"]].merge(
-            e[["key", "ts_us", "value"]], on="key", how="inner",
-            suffixes=("_a", "_e"))
-        ets = m["ts_us_e"].to_numpy()
-        ats = m["ts_us_a"].to_numpy()
-        m = m[(ets < ats) & (ets >= ats - _ATTR_WINDOW_US)]
-        out = m.groupby(["event_id", "key"], as_index=False).agg(
-            n_events_24h=("value", "size"),
-            sum_value_24h=("value", "sum"),
-        )
-        return pd.DataFrame({
-            "event_id": out["event_id"].astype("int64"),
-            "user_id": out["key"].astype("int64"),
-            "n_events_24h": out["n_events_24h"].astype("int64"),
-            "sum_value_24h": round_half_away(
-                out["sum_value_24h"].to_numpy(dtype=np.float64), 4),
+        m = a.join(e, keys="key", join_type="inner")
+        ets = m.column("ts_us_e").to_numpy(zero_copy_only=False)
+        ats = m.column("ts_us_a").to_numpy(zero_copy_only=False)
+        m = m.filter(pa.array((ets < ats)
+                              & (ets >= ats - _ATTR_WINDOW_US)))
+        agg = (m.select(["event_id", "key", "value"])
+               .group_by(["event_id", "key"])
+               .aggregate([("value", "count"), ("value", "sum")]))
+        out = pa.table({
+            "event_id": agg.column("event_id"),
+            "key": agg.column("key"),
+            "n_events_24h": pc.cast(agg.column("value_count"),
+                                    pa.int64()),
+            "sum_value_24h": agg.column("value_sum"),
+        })
+        return pa.table({
+            "event_id": pc.cast(out.column("event_id"), pa.int64()),
+            "user_id": pc.cast(out.column("key"), pa.int64()),
+            "n_events_24h": out.column("n_events_24h"),
+            "sum_value_24h": pa.array(round_half_away(
+                out.column("sum_value_24h").to_numpy(
+                    zero_copy_only=False).astype(np.float64), 4)),
         })
 
     return (
         ds.map_batches(tag, batch_format="pyarrow", batch_size=65536)
         .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(per_bucket, batch_format="pyarrow")
         .map_batches(lambda b: b.drop_columns(["bucket"])
                      if "bucket" in b.column_names else b,
                      batch_format="pyarrow")
@@ -396,6 +441,9 @@ def events_funnel(sf_dir: str):
                for s in _FUNNEL},
         })
 
+    # deliberate pandas body: the staged funnel is a chain of per-stage
+    # indexed min-joins over a 3-entry stage list — a pandas-native
+    # kernel on a bucket-bounded group, emitting one row per bucket
     parts = (ds.map_batches(add_bucket, batch_format="pyarrow",
                             batch_size=65536)
              .groupby("bucket")
@@ -450,23 +498,30 @@ def trending_items(sf_dir: str):
             "wb": pa.array(wb),
         })
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        agg = g.groupby(["window_start", "item"], as_index=False)["n"].sum()
-        agg = agg.sort_values(["window_start", "n", "item"],
-                              ascending=[True, False, True],
-                              kind="mergesort", ignore_index=True)
-        agg["rank"] = agg.groupby("window_start").cumcount() + 1
-        agg = agg[agg["rank"] <= TRENDING_K]
-        return pd.DataFrame({
-            "window_start": agg["window_start"],
-            "item": agg["item"].to_numpy().astype(np.int64),
-            "n": agg["n"].to_numpy().astype(np.int64),
-            "rank": agg["rank"].to_numpy().astype(np.int64),
+    def topk(g: pa.Table) -> pa.Table:
+        agg = (g.select(["window_start", "item", "n"])
+               .group_by(["window_start", "item"])
+               .aggregate([("n", "sum")])
+               .rename_columns(["window_start", "item", "n"]))
+        agg = agg.sort_by([("window_start", "ascending"),
+                           ("n", "descending"),
+                           ("item", "ascending")])
+        ws = agg.column("window_start").to_numpy(
+            zero_copy_only=False).astype(object)
+        codes = np.unique(ws, return_inverse=True)[1]
+        rank = grouped_cumcount(codes) + 1
+        agg = agg.append_column("rank", pa.array(rank))
+        agg = agg.filter(pa.array(rank <= TRENDING_K))
+        return pa.table({
+            "window_start": agg.column("window_start"),
+            "item": pc.cast(agg.column("item"), pa.int64()),
+            "n": pc.cast(agg.column("n"), pa.int64()),
+            "rank": agg.column("rank"),
         })
 
     return (ds.map_batches(partial, batch_format="pyarrow",
                            batch_size=65536)
-            .groupby("wb").map_groups(topk, batch_format="pandas"))
+            .groupby("wb").map_groups(topk, batch_format="pyarrow"))
 
 
 def active_sessions_hourly(sf_dir: str):
@@ -493,21 +548,22 @@ def active_sessions_hourly(sf_dir: str):
 
     _HOUR_US = 3_600_000_000
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts", "event_id"],
-                          kind="mergesort", ignore_index=True)
-        ts_us = _ts_us(g["ts"])
-        uid = g["user_id"].to_numpy()
-        new_user = np.empty(len(g), dtype=bool)
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        n_rows = g.num_rows
+        ts_us = _ts_us_col(g.column("ts"))
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        new_user = np.empty(n_rows, dtype=bool)
         new_user[0] = True
         np.not_equal(uid[1:], uid[:-1], out=new_user[1:])
-        gap = np.empty(len(g), dtype=bool)
+        gap = np.empty(n_rows, dtype=bool)
         gap[0] = True
         gap[1:] = (ts_us[1:] - ts_us[:-1]) > _SESSION_GAP_US
         is_new = new_user | gap
         # session spans via sorted-run endpoints (ts is sorted per user)
         starts = ts_us[is_new]
-        end_idx = np.append(np.where(is_new)[0][1:] - 1, len(g) - 1)
+        end_idx = np.append(np.where(is_new)[0][1:] - 1, n_rows - 1)
         ends = ts_us[end_idx]
         h0 = starts // _HOUR_US
         h1 = ends // _HOUR_US
@@ -515,12 +571,10 @@ def active_sessions_hourly(sf_dir: str):
         base = np.repeat(h0, counts)
         step = np.arange(counts.sum(), dtype=np.int64) - np.repeat(
             np.cumsum(counts) - counts, counts)
-        hours = base + step
-        out = pd.DataFrame({"hour": hours}).groupby(
-            "hour", as_index=False).size()
-        return pd.DataFrame({
-            "hour": out["hour"].astype("int64"),
-            "n": out["size"].astype("int64"),
+        hrs, cnt = np.unique(base + step, return_counts=True)
+        return pa.table({
+            "hour": pa.array(hrs.astype(np.int64)),
+            "n": pa.array(cnt.astype(np.int64)),
         })
 
     def fold_hours(t: pa.Table) -> pa.Table:
@@ -542,7 +596,7 @@ def active_sessions_hourly(sf_dir: str):
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=65536)
         .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(per_bucket, batch_format="pyarrow")
         .map_batches(add_hour_bucket, batch_format="pyarrow")
         .groupby("hb")
         .map_groups(fold_hours, batch_format="pyarrow")
@@ -579,15 +633,18 @@ def rolling_active_users(sf_dir: str):
         return t.append_column(
             "bucket", pa.array((uid % n_buckets).astype(np.int32)))
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        pairs = g[["user_id", "day"]].drop_duplicates()
-        uid = np.repeat(pairs["user_id"].to_numpy(), _ROLLING_DAYS)
-        tgt = np.repeat(pairs["day"].to_numpy(), _ROLLING_DAYS) + np.tile(
-            np.arange(_ROLLING_DAYS, dtype=np.int64), len(pairs))
-        fan = pd.DataFrame({"user_id": uid, "day": tgt}).drop_duplicates()
-        out = fan.groupby("day", as_index=False).size()
-        return pd.DataFrame({"day": out["day"].astype("int64"),
-                             "n": out["size"].astype("int64")})
+    def per_bucket(g: pa.Table) -> pa.Table:
+        pairs = (g.select(["user_id", "day"])
+                 .group_by(["user_id", "day"]).aggregate([]))
+        pu = pairs.column("user_id").to_numpy(zero_copy_only=False)
+        pd_ = pairs.column("day").to_numpy(zero_copy_only=False)
+        uid = np.repeat(pu, _ROLLING_DAYS)
+        tgt = np.repeat(pd_, _ROLLING_DAYS) + np.tile(
+            np.arange(_ROLLING_DAYS, dtype=np.int64), len(pu))
+        fan = np.unique(np.stack([uid, tgt], axis=1), axis=0)
+        days, cnt = np.unique(fan[:, 1], return_counts=True)
+        return pa.table({"day": pa.array(days.astype(np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
 
     def fold_days(t: pa.Table) -> pa.Table:
         g = t.select(["day", "n"]).group_by("day").aggregate([("n", "sum")])
@@ -607,7 +664,7 @@ def rolling_active_users(sf_dir: str):
     return (
         ds.map_batches(day_user, batch_format="pyarrow", batch_size=65536)
         .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(per_bucket, batch_format="pyarrow")
         .map_batches(add_day_bucket, batch_format="pyarrow")
         .groupby("db")
         .map_groups(fold_days, batch_format="pyarrow")
@@ -694,20 +751,23 @@ def interarrival_histogram(sf_dir: str):
         return b.append_column(
             "bucket", pa.array(bucket.astype(np.int32)))
 
-    def gap_counts(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts", "event_id"],
-                          kind="mergesort", ignore_index=True)
-        us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        uid = g["user_id"].to_numpy()
-        same = np.empty(len(g), dtype=bool)
+    def gap_counts(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        n = g.num_rows
+        us = _ts_us_col(g.column("ts"))
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        same = np.empty(n, dtype=bool)
         same[:-1] = uid[1:] == uid[:-1]
         same[-1] = False
         delta_s = (np.roll(us, -1) - us)[same] // 1_000_000
         digits = (np.searchsorted(_POW10, delta_s, side="right")
                   + 1).astype(np.int64)
-        out = pd.DataFrame({"digits": digits})
-        return out.groupby("digits", as_index=False).size().rename(
-            columns={"size": "n_pairs"})
+        d, cnt = np.unique(digits, return_counts=True)
+        return pa.table({
+            "digits": pa.array(d),
+            "n_pairs": pa.array(cnt.astype(np.int64)),
+        })
 
     from ray.data.aggregate import Sum
 
@@ -715,7 +775,7 @@ def interarrival_histogram(sf_dir: str):
         ds.map_batches(add_bucket, batch_format="pyarrow",
                        batch_size=65536)
         .groupby("bucket")
-        .map_groups(gap_counts, batch_format="pandas")
+        .map_groups(gap_counts, batch_format="pyarrow")
         .groupby("digits")
         .aggregate(Sum("n_pairs", alias_name="n_pairs"))
     )
@@ -741,21 +801,24 @@ def events_late_arrival_stats(sf_dir: str):
         return b.append_column(
             "bucket", pa.array(bucket.astype(np.int32)))
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "event_id"], kind="mergesort",
-                          ignore_index=True)
-        us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        uid = g["user_id"].to_numpy()
-        same = np.empty(len(g), dtype=bool)
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("user_id", "ascending"),
+                       ("event_id", "ascending")])
+        n = g.num_rows
+        us = _ts_us_col(g.column("ts"))
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        same = np.empty(n, dtype=bool)
         same[:-1] = uid[1:] == uid[:-1]
         same[-1] = False
         delta = (np.roll(us, -1) - us)[same]
         inv = delta < 0
         worst_us = int(-delta[inv].min()) if inv.any() else 0
-        return pd.DataFrame({
-            "n_pairs": [int(same.sum())],
-            "n_inversions": [int(inv.sum())],
-            "worst_regression_s": [worst_us // 1_000_000],
+        return pa.table({
+            "n_pairs": pa.array([int(same.sum())], type=pa.int64()),
+            "n_inversions": pa.array([int(inv.sum())],
+                                     type=pa.int64()),
+            "worst_regression_s": pa.array([worst_us // 1_000_000],
+                                           type=pa.int64()),
         })
 
     from ray.data.aggregate import Max, Sum
@@ -764,7 +827,7 @@ def events_late_arrival_stats(sf_dir: str):
         ds.map_batches(add_bucket, batch_format="pyarrow",
                        batch_size=65536)
         .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(per_bucket, batch_format="pyarrow")
         .aggregate(Sum("n_pairs", alias_name="n_pairs"),
                    Sum("n_inversions", alias_name="n_inversions"),
                    Max("worst_regression_s",
@@ -805,37 +868,50 @@ def markov_transitions(sf_dir: str):
         return b.append_column(
             "bucket", pa.array(bucket.astype(np.int32)))
 
-    def pair_counts(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts", "event_id"],
-                          kind="mergesort", ignore_index=True)
-        cur = g["event_type"].to_numpy()
+    def pair_counts(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        n = g.num_rows
+        cur = g.column("event_type").to_numpy(
+            zero_copy_only=False).astype(object)
         nxt = np.roll(cur, -1)
-        same_user = np.empty(len(g), dtype=bool)
-        uid = g["user_id"].to_numpy()
+        same_user = np.empty(n, dtype=bool)
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
         same_user[:-1] = uid[1:] == uid[:-1]
         same_user[-1] = False
-        out = pd.DataFrame({"event_type": cur[same_user],
-                            "next_type": nxt[same_user]})
-        return out.groupby(["event_type", "next_type"],
-                           as_index=False).size().rename(
-            columns={"size": "cnt"})
+        out = (pa.table({
+            "event_type": pa.array(cur[same_user], type=pa.string()),
+            "next_type": pa.array(nxt[same_user], type=pa.string()),
+        }).group_by(["event_type", "next_type"])
+            .aggregate([("next_type", "count")]))
+        return pa.table({
+            "event_type": out.column("event_type"),
+            "next_type": out.column("next_type"),
+            "cnt": pc.cast(out.column("next_type_count"), pa.int64()),
+        })
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby(["event_type", "next_type"],
-                        as_index=False)["cnt"].sum()
-        tot = int(out["cnt"].sum())
-        out["cnt"] = out["cnt"].astype("int64")
-        out["prob"] = round_half_away(
-            out["cnt"].to_numpy() / float(tot), 6)
-        return out
+    def fold(g: pa.Table) -> pa.Table:
+        out = (g.select(["event_type", "next_type", "cnt"])
+               .group_by(["event_type", "next_type"])
+               .aggregate([("cnt", "sum")])
+               .rename_columns(["event_type", "next_type", "cnt"]))
+        cnt = pc.cast(out.column("cnt"), pa.int64())
+        tot = int(pc.sum(cnt).as_py() or 0)
+        return pa.table({
+            "event_type": out.column("event_type"),
+            "next_type": out.column("next_type"),
+            "cnt": cnt,
+            "prob": pa.array(round_half_away(
+                cnt.to_numpy(zero_copy_only=False) / float(tot), 6)),
+        })
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow",
                        batch_size=65536)
         .groupby("bucket")
-        .map_groups(pair_counts, batch_format="pandas")
+        .map_groups(pair_counts, batch_format="pyarrow")
         .groupby("event_type")
-        .map_groups(fold, batch_format="pandas")
+        .map_groups(fold, batch_format="pyarrow")
     )
 
 
@@ -1001,24 +1077,29 @@ def kaplan_meier_reorder(sf_dir: str):
             (b.column("o_custkey").to_numpy() % n_buckets)
             .astype(np.int32)))
 
-    def first_two(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
-                          kind="mergesort", ignore_index=True)
-        top = g.groupby("o_custkey", sort=False).head(2)
-        agg = top.groupby("o_custkey", sort=False).agg(
-            t1=("o_orderdate", "min"), t2=("o_orderdate", "max"),
-            n=("o_orderdate", "size"))
-        d1 = agg["t1"].to_numpy().astype("datetime64[D]").astype(np.int64)
-        d2 = agg["t2"].to_numpy().astype("datetime64[D]").astype(np.int64)
-        return pd.DataFrame({
-            "t1_day": d1, "t2_day": d2,
-            "ev": (agg["n"].to_numpy() >= 2).astype(np.int64),
+    def first_two(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("o_custkey", "ascending"),
+                       ("o_orderdate", "ascending"),
+                       ("o_orderkey", "ascending")])
+        cust = g.column("o_custkey").to_numpy(zero_copy_only=False)
+        day = (g.column("o_orderdate")
+               .to_numpy(zero_copy_only=False)
+               .astype("datetime64[D]").astype(np.int64))
+        rank = grouped_cumcount(cust)
+        keep = rank < 2
+        cust, day, rank = cust[keep], day[keep], rank[keep]
+        first = np.flatnonzero(np.r_[True, cust[1:] != cust[:-1]])
+        ends = np.r_[first[1:], len(cust)]
+        return pa.table({
+            "t1_day": pa.array(day[first]),
+            "t2_day": pa.array(day[ends - 1]),
+            "ev": pa.array((ends - first >= 2).astype(np.int64)),
         })
 
     firsts = (ds.map_batches(add_bucket, batch_format="pyarrow",
                              batch_size=65536)
               .groupby("bucket")
-              .map_groups(first_two, batch_format="pandas")
+              .map_groups(first_two, batch_format="pyarrow")
               .materialize())
     # censor at the end of observation = the global max ORDER date
     # (which may belong to a 3rd+ order, so it comes from the raw scan)
@@ -1400,27 +1481,34 @@ def _pair_matrix(sf_dir: str) -> list[dict]:
         return b.append_column(
             "bucket", pa.array(bucket.astype(np.int32)))
 
-    def pair_counts(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts", "event_id"],
-                          kind="mergesort", ignore_index=True)
-        cur = g["event_type"].to_numpy()
+    def pair_counts(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        n = g.num_rows
+        cur = g.column("event_type").to_numpy(
+            zero_copy_only=False).astype(object)
         nxt = np.roll(cur, -1)
-        same_user = np.empty(len(g), dtype=bool)
-        uid = g["user_id"].to_numpy()
+        same_user = np.empty(n, dtype=bool)
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
         same_user[:-1] = uid[1:] == uid[:-1]
         same_user[-1] = False
-        out = pd.DataFrame({"event_type": cur[same_user],
-                            "next_type": nxt[same_user]})
-        return out.groupby(["event_type", "next_type"],
-                           as_index=False).size().rename(
-            columns={"size": "cnt"})
+        out = (pa.table({
+            "event_type": pa.array(cur[same_user], type=pa.string()),
+            "next_type": pa.array(nxt[same_user], type=pa.string()),
+        }).group_by(["event_type", "next_type"])
+            .aggregate([("next_type", "count")]))
+        return pa.table({
+            "event_type": out.column("event_type"),
+            "next_type": out.column("next_type"),
+            "cnt": pc.cast(out.column("next_type_count"), pa.int64()),
+        })
 
     from ray.data.aggregate import Sum
 
     return (ds.map_batches(add_bucket, batch_format="pyarrow",
                            batch_size=65536)
             .groupby("bucket")
-            .map_groups(pair_counts, batch_format="pandas")
+            .map_groups(pair_counts, batch_format="pyarrow")
             .groupby(["event_type", "next_type"])
             .aggregate(Sum("cnt", alias_name="cnt"))
             .take_all())
@@ -1529,26 +1617,31 @@ def session_path_topk(sf_dir: str):
         return b.append_column(
             "bucket", pa.array(bucket.astype(np.int32)))
 
-    def tri_counts(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values(["user_id", "ts", "event_id"],
-                          kind="mergesort", ignore_index=True)
-        us = _ts_us(g["ts"])
-        uid = g["user_id"].to_numpy()
-        new = np.ones(len(g), dtype=np.int64)
-        if len(g) > 1:
+    def tri_counts(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        n = g.num_rows
+        us = _ts_us_col(g.column("ts"))
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        new = np.ones(n, dtype=np.int64)
+        if n > 1:
             same = uid[1:] == uid[:-1]
             new[1:] = (~same
                        | (us[1:] - us[:-1] > _SESSION_GAP_US)) \
                 .astype(np.int64)
         sid = np.cumsum(new)
-        t = g["event_type"]
-        ok = pd.Series(sid).eq(pd.Series(sid).shift(-2)).to_numpy()
-        path = (t + ">" + t.shift(-1) + ">" + t.shift(-2))[ok]
-        vc = path.value_counts()
+        t = g.column("event_type").to_numpy(
+            zero_copy_only=False).astype(object)
+        ok = np.zeros(n, dtype=bool)
+        if n > 2:
+            ok[:-2] = sid[:-2] == sid[2:]
+        idx = np.flatnonzero(ok)
+        paths = [f"{t[i]}>{t[i + 1]}>{t[i + 2]}" for i in idx]
+        vals, cnt = np.unique(np.asarray(paths, dtype=object),
+                              return_counts=True)
         return pa.table({
-            "path": pa.array(vc.index.to_numpy().astype(object),
-                             type=pa.string()),
-            "n": pa.array(vc.to_numpy().astype(np.int64)),
+            "path": pa.array(vals, type=pa.string()),
+            "n": pa.array(cnt.astype(np.int64)),
         })
 
     from ray.data.aggregate import Sum
@@ -1556,7 +1649,7 @@ def session_path_topk(sf_dir: str):
     return (ds.map_batches(add_bucket, batch_format="pyarrow",
                            batch_size=65536)
             .groupby("bucket")
-            .map_groups(tri_counts, batch_format="pandas")
+            .map_groups(tri_counts, batch_format="pyarrow")
             .groupby("path").aggregate(Sum("n", alias_name="n"))
             .sort(["n", "path"], descending=[True, False])
             .limit(PATH_TOPK))
@@ -1626,11 +1719,13 @@ def churn_labels(sf_dir: str):
         return b.append_column(
             "bucket", pa.array(bucket.astype(np.int32)))
 
-    def per_user(g: pd.DataFrame) -> pa.Table:
-        us = _ts_us(g["ts"])
+    def per_user(g: pa.Table) -> pa.Table:
+        us = _ts_us_col(g.column("ts"))
         early = us < split
-        sub = g[early]
-        if not len(sub):
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        et = g.column("event_type").to_numpy(
+            zero_copy_only=False).astype(object)
+        if not early.any():
             return pa.table({
                 "user_id": pa.array([], type=pa.int64()),
                 "n_events": pa.array([], type=pa.int64()),
@@ -1639,40 +1734,41 @@ def churn_labels(sf_dir: str):
                 "value_cents": pa.array([], type=pa.int64()),
                 "churned": pa.array([], type=pa.int64()),
             })
-        sub = sub.assign(
-            day=(us[early] // 86_400_000_000),
-            pur=(sub["event_type"].to_numpy() == "purchase")
-            .astype(np.int64),
-            cents=np.rint(sub["value"].to_numpy() * 100)
-            .astype(np.int64))
-        agg = sub.groupby("user_id").agg(
-            n_events=("day", "size"), n_purchases=("pur", "sum"),
-            n_active_days=("day", "nunique"), value_cents=("cents",
-                                                           "sum"))
-        late = g.loc[~early]
+        sub = pa.table({
+            "user_id": pa.array(uid[early].astype(np.int64)),
+            "day": pa.array(us[early] // 86_400_000_000),
+            "pur": pa.array((et[early] == "purchase")
+                            .astype(np.int64)),
+            "cents": pa.array(np.rint(
+                g.column("value").to_numpy(
+                    zero_copy_only=False)[early] * 100)
+                .astype(np.int64)),
+        })
+        agg = (sub.group_by("user_id")
+               .aggregate([("day", "count"), ("pur", "sum"),
+                           ("day", "count_distinct"),
+                           ("cents", "sum")]))
+        users = agg.column("user_id").to_numpy(zero_copy_only=False)
         late_users = set(
-            late.loc[late["event_type"].to_numpy() == "purchase",
-                     "user_id"].tolist())
+            uid[(~early) & (et == "purchase")].tolist())
         churned = np.fromiter(
-            (0 if u in late_users else 1 for u in agg.index),
-            dtype=np.int64, count=len(agg))
+            (0 if u in late_users else 1 for u in users),
+            dtype=np.int64, count=len(users))
         return pa.table({
-            "user_id": pa.array(agg.index.to_numpy().astype(np.int64)),
-            "n_events": pa.array(
-                agg["n_events"].to_numpy().astype(np.int64)),
-            "n_purchases": pa.array(
-                agg["n_purchases"].to_numpy().astype(np.int64)),
-            "n_active_days": pa.array(
-                agg["n_active_days"].to_numpy().astype(np.int64)),
-            "value_cents": pa.array(
-                agg["value_cents"].to_numpy().astype(np.int64)),
+            "user_id": pa.array(users.astype(np.int64)),
+            "n_events": pc.cast(agg.column("day_count"), pa.int64()),
+            "n_purchases": pc.cast(agg.column("pur_sum"), pa.int64()),
+            "n_active_days": pc.cast(agg.column("day_count_distinct"),
+                                     pa.int64()),
+            "value_cents": pc.cast(agg.column("cents_sum"),
+                                   pa.int64()),
             "churned": pa.array(churned),
         })
 
     return (ds.map_batches(add_bucket, batch_format="pyarrow",
                            batch_size=65536)
             .groupby("bucket")
-            .map_groups(per_user, batch_format="pandas"))
+            .map_groups(per_user, batch_format="pyarrow"))
 
 
 _CHURN_SQL = f"""
@@ -2383,13 +2479,15 @@ def cohort_retention(sf_dir: str):
             "week": pa.array(df["week"].to_numpy(), type=pa.int64()),
         })
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        weeks = np.unique(g["week"].to_numpy())
+    def per_user(g: pa.Table) -> pa.Table:
+        weeks = np.unique(g.column("week").to_numpy(
+            zero_copy_only=False))
         cw = int(weeks.min())
-        return pd.DataFrame({
-            "cohort_week": np.full(len(weeks), cw, dtype=np.int64),
-            "k": weeks - cw,
-            "n": np.ones(len(weeks), dtype=np.int64),
+        return pa.table({
+            "cohort_week": pa.array(np.full(len(weeks), cw,
+                                            dtype=np.int64)),
+            "k": pa.array((weeks - cw).astype(np.int64)),
+            "n": pa.array(np.ones(len(weeks), dtype=np.int64)),
         })
 
     from ray.data.aggregate import Sum
@@ -2397,7 +2495,7 @@ def cohort_retention(sf_dir: str):
     cells = (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
         .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+        .map_groups(per_user, batch_format="pyarrow")
         .groupby(["cohort_week", "k"])
         .aggregate(Sum("n", alias_name="n_users"))
     ).to_pandas()
