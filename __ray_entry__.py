@@ -1580,6 +1580,31 @@ def _dedup_keep_sql() -> str:
     """
 
 
+def _dedup_keep_best_sql() -> str:
+    """Oracle for dedup_keep_best: per cluster keep the max-n_chars
+    member (ties → min doc_id) plus untouched singletons."""
+    return f"""
+    WITH lab AS ({_dedup_clusters_sql()}),
+    q AS (
+        SELECT lab.doc_id, lab.component, d.n_chars
+        FROM lab JOIN documents d ON d.doc_id = lab.doc_id
+    ), win AS (
+        SELECT component, doc_id AS winner FROM (
+            SELECT component, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY component
+                                      ORDER BY n_chars DESC, doc_id) AS rn
+            FROM q) WHERE rn = 1
+    )
+    SELECT d.doc_id,
+           CAST(CASE WHEN w.winner IS NOT NULL THEN 1 ELSE 0 END
+                AS BIGINT) AS in_cluster
+    FROM documents d
+    LEFT JOIN q ON q.doc_id = d.doc_id
+    LEFT JOIN win w ON w.winner = d.doc_id
+    WHERE q.doc_id IS NULL OR w.winner IS NOT NULL
+    """
+
+
 def _ann_lsh_sql() -> str:
     """DuckDB oracle for ann_lsh_topk: the 8 seeded hyperplanes embedded
     as float64 literals (repr round-trips exactly), bucket = packed sign
@@ -1719,6 +1744,7 @@ def oracle_sql() -> dict[str, str]:
     """
     out["dedup_clusters"] = _dedup_clusters_sql()
     out["dedup_keep"] = _dedup_keep_sql()
+    out["dedup_keep_best"] = _dedup_keep_best_sql()
     out["dedup_cluster_sizes"] = f"""
     WITH lab AS ({_dedup_clusters_sql()}),
          c AS (SELECT component, COUNT(*) AS size FROM lab

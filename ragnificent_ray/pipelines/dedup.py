@@ -2184,3 +2184,117 @@ QUERIES = {
     "embedding_neardup_lsh": embedding_neardup_lsh,
 }
 
+
+
+def dedup_keep_best(sf_dir: str):
+    """Quality-keeper near-dedup — the curation-grade keep rule: per
+    MinHash near-dup cluster keep the member with the MOST CONTENT
+    (max ``n_chars``, ties → min doc_id) instead of
+    :func:`dedup_keep`'s min-id representative (what real corpus
+    curation does: of N near-identical pages, keep the fullest one).
+
+    Scale shape: cluster labels meet the pruned ``n_chars`` metadata
+    column in bounded doc-hash buckets (narrow int rows — text never
+    ships), per-cluster winners fold in component-hash buckets, and
+    the keep set assembles back in doc-hash buckets. No broadcast of
+    the removed set, no corpus-wide join, nothing corpus-sized on the
+    driver."""
+    n_buckets = _bucket_count(sf_dir)
+    labels = dedup_clusters(sf_dir)
+
+    def lab_rows(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids.astype(np.int64)),
+            "component": pc.cast(b.column("component"), pa.int64()),
+            "q": pa.array(np.full(len(ids), -1, dtype=np.int64)),
+            "bucket": pa.array((ids % n_buckets).astype(np.int32)),
+        })
+
+    def chr_rows(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids.astype(np.int64)),
+            "component": pa.array(np.full(len(ids), -1, dtype=np.int64)),
+            "q": pc.cast(b.column("n_chars"), pa.int64()),
+            "bucket": pa.array((ids % n_buckets).astype(np.int32)),
+        })
+
+    docs = rd.read_parquet(_pq(sf_dir, "documents"),
+                           columns=["doc_id", "n_chars"])
+    members = labels.map_batches(lab_rows, batch_format="pyarrow").union(
+        docs.map_batches(chr_rows, batch_format="pyarrow"))
+
+    def attach(g: pa.Table) -> pa.Table:
+        comp = g.column("component").to_numpy(zero_copy_only=False)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        q = g.column("q").to_numpy(zero_copy_only=False)
+        is_lab = comp >= 0
+        cid, cq = ids[~is_lab], q[~is_lab]
+        order = np.argsort(cid)
+        cid, cq = cid[order], cq[order]
+        lid = ids[is_lab]
+        qq = cq[np.searchsorted(cid, lid)]
+        return pa.table({
+            "component": pa.array(comp[is_lab]),
+            "doc_id": pa.array(lid),
+            "q": pa.array(qq),
+            "cb": pa.array((comp[is_lab] % n_buckets).astype(np.int32)),
+        })
+
+    labeled = members.groupby("bucket").map_groups(
+        attach, batch_format="pyarrow")
+
+    def winners(g: pa.Table) -> pa.Table:
+        comp = g.column("component").to_numpy(zero_copy_only=False)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        q = g.column("q").to_numpy(zero_copy_only=False)
+        # per component: max q, ties to min doc_id
+        order = np.lexsort((ids, -q, comp))
+        comp_s, ids_s = comp[order], ids[order]
+        first = np.zeros(len(comp_s), dtype=bool)
+        if len(comp_s):
+            first[0] = True
+            first[1:] = comp_s[1:] != comp_s[:-1]
+        win_of = dict(zip(comp_s[first].tolist(), ids_s[first].tolist()))
+        marker = np.fromiter(
+            (2 if win_of[c] == i else 1 for c, i in zip(comp, ids)),
+            dtype=np.int8, count=len(comp))
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "marker": pa.array(marker),
+            "bucket": pa.array((ids % n_buckets).astype(np.int32)),
+        })
+
+    marks = labeled.groupby("cb").map_groups(
+        winners, batch_format="pyarrow")
+
+    def doc_rows(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids.astype(np.int64)),
+            "marker": pa.array(np.zeros(len(ids), dtype=np.int8)),
+            "bucket": pa.array((ids % n_buckets).astype(np.int32)),
+        })
+
+    base = rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id"]) \
+        .map_batches(doc_rows, batch_format="pyarrow", batch_size=8192)
+
+    def fold(g: pa.Table) -> pa.Table:
+        f = (g.select(["doc_id", "marker"]).group_by("doc_id")
+             .aggregate([("marker", "max")]))
+        mx = f.column("marker_max").to_numpy(zero_copy_only=False)
+        keep = f.filter(pa.array(mx != 1))
+        return pa.table({
+            "doc_id": pc.cast(keep.column("doc_id"), pa.int64()),
+            "in_cluster": pa.array(
+                (keep.column("marker_max").to_numpy(zero_copy_only=False)
+                 == 2).astype(np.int64)),
+        })
+
+    return (base.union(marks)
+            .groupby("bucket")
+            .map_groups(fold, batch_format="pyarrow"))
+
+
+QUERIES["dedup_keep_best"] = dedup_keep_best

@@ -2805,3 +2805,329 @@ QUERIES = {
     "perplexity_buckets": perplexity_buckets,
     "pmi_bigrams": pmi_bigrams,
 }
+
+
+# ------------------------------------------ quantized logistic regression
+
+LOGREG_SCALE = 1_048_576      # 2^20 fixed-point probability/weight scale
+LOGREG_HALF = LOGREG_SCALE // 2
+LOGREG_ITERS = 3
+LOGREG_LR_DIV = 16            # effective lr = 1/16 per mean-gradient unit
+_LOGREG_LANGS = ("en", "de", "fr")
+
+
+def logreg_lang_gd(sf_dir: str, iters: int = LOGREG_ITERS):
+    """Quantized logistic-regression FIT by full-batch gradient descent
+    — the classifier-training shape behind learned quality filters
+    (fastText/CCNet-style doc scoring), value-checkable like
+    ``kmeans_fit``: the sigmoid is the HARD sigmoid
+    ``clamp(z/4 + 1/2, 0, 1)`` in 2^20 fixed point, so every forward
+    pass, gradient and weight update is exact integer arithmetic
+    (floor divisions, no floats) and the DuckDB oracle unrolls the
+    recurrence as CTEs — the 9th verified iterative algorithm.
+
+    Model: P(lang = 'en') from integer features
+    [1, |toks ∩ en-stopwords|, |toks ∩ de|, |toks ∩ fr|] (distinct
+    lowercase tokens; bounded 0–10 each). w starts at 0; per iteration
+    w_k ← w_k − floor(Σ_i (p_i − y_i·S)·f_ik / (n·LR_DIV)).
+
+    Scale shape (canonical distributed GD): weights broadcast via
+    ``ray.put`` (K ints), each batch folds to K partial-gradient rows
+    — the per-iteration exchange is K rows per block regardless of
+    corpus size — and the driver updates the tiny weight vector. The
+    integer feature table is materialized once and reused across
+    passes (at 100 TB re-read the pruned parquet instead and let the
+    object store spill). Ties: pred = 1 iff p ≥ S/2."""
+    from ..functions.numeric import list_column_matrix
+
+    profiles = [frozenset(_LANG_PROFILES[k]) for k in _LOGREG_LANGS]
+    K = 1 + len(profiles)
+
+    def feats(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        rows = np.empty((len(texts), K), dtype=np.int64)
+        rows[:, 0] = 1
+        for i, t in enumerate(texts):
+            toks = set(t.lower().split())
+            for j, prof in enumerate(profiles):
+                rows[i, j + 1] = len(toks & prof)
+        y = np.fromiter((1 if lg == "en" else 0 for lg in langs),
+                        dtype=np.int64, count=len(langs))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "f": pa.FixedSizeListArray.from_arrays(
+                pa.array(rows.ravel(), type=pa.int64()), K),
+            "y": pa.array(y, type=pa.int64()),
+        })
+
+    ints = rd.read_parquet(
+        _pq(sf_dir, "documents"), columns=["doc_id", "text", "lang"]
+    ).map_batches(feats, batch_format="pyarrow",
+                  batch_size=8192).materialize()
+    n = ints.count()
+
+    def _probs(z: np.ndarray) -> np.ndarray:
+        # hard sigmoid in fixed point: clamp(floor(z/4) + S/2, 0, S)
+        return np.clip(np.floor_divide(z, 4) + LOGREG_HALF,
+                       0, LOGREG_SCALE)
+
+    class Grad:
+        def __init__(self, ref):
+            self.w = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            F = list_column_matrix(b.column("f"), dtype=np.int64)
+            y = b.column("y").to_numpy(zero_copy_only=False)
+            err = _probs(F @ self.w) - y * LOGREG_SCALE
+            return pa.table({
+                "k": pa.array(np.arange(K, dtype=np.int32)),
+                "g": pa.array(err @ F, type=pa.int64()),
+            })
+
+    w = np.zeros(K, dtype=np.int64)
+    for _ in range(iters):
+        ref = ray.put(w)
+        small = (ints.map_batches(Grad, fn_constructor_kwargs={"ref": ref},
+                                  batch_format="pyarrow", batch_size=8192,
+                                  concurrency=2)
+                 .groupby("k").sum("g")).to_pandas().sort_values("k")
+        g = small["sum(g)"].to_numpy().astype(np.int64)
+        w = w - np.floor_divide(g, n * LOGREG_LR_DIV)
+
+    ref = ray.put(w)
+
+    class Final:
+        def __init__(self, ref):
+            self.w = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            F = list_column_matrix(b.column("f"), dtype=np.int64)
+            z = F @ self.w
+            p = _probs(z)
+            return pa.table({
+                "doc_id": b.column("doc_id"),
+                "z": pa.array(z, type=pa.int64()),
+                "p": pa.array(p, type=pa.int64()),
+                "pred": pa.array((p >= LOGREG_HALF).astype(np.int64)),
+                "y": b.column("y"),
+            })
+
+    return ints.map_batches(Final, fn_constructor_kwargs={"ref": ref},
+                            batch_format="pyarrow", batch_size=8192,
+                            concurrency=2)
+
+
+def _floordiv_sql(a: str, b: str) -> str:
+    """Exact floor division in SQL integer arithmetic (DuckDB ``//``
+    and ``%`` truncate toward zero; this corrects to floor semantics,
+    matching ``np.floor_divide``)."""
+    return f"((({a}) - (((({a}) % ({b})) + ({b})) % ({b}))) // ({b}))"
+
+
+def _logreg_sql(iters: int = LOGREG_ITERS) -> str:
+    S, half, K = LOGREG_SCALE, LOGREG_HALF, 1 + len(_LOGREG_LANGS)
+    feat_cols = ",\n           ".join(
+        f"len(list_intersect(toks, "
+        f"[{', '.join(repr(w) for w in sorted(_LANG_PROFILES[k]))}])) "
+        f"AS f{j + 1}"
+        for j, k in enumerate(_LOGREG_LANGS))
+    zexpr = " + ".join(f"w.w{k} * f{k}" for k in range(K))
+    p_of = lambda z: (f"LEAST(GREATEST({_floordiv_sql(z, '4')} + {half}, "
+                      f"0), {S})")
+    rounds = []
+    for i in range(1, iters + 1):
+        gcols = ", ".join(
+            f"SUM(err * f{k}) AS g{k}" for k in range(K))
+        wcols = ", ".join(
+            f"CAST(w.w{k} - {_floordiv_sql(f'g.g{k}', f'g.n * {LOGREG_LR_DIV}')} AS BIGINT) AS w{k}"
+            for k in range(K))
+        rounds.append(f"""e{i} AS (
+  SELECT f.*, {p_of(f'({zexpr})')} - y * {S} AS err
+  FROM f CROSS JOIN w{i - 1} w
+), g{i} AS (
+  SELECT {gcols}, COUNT(*) AS n FROM e{i}
+), w{i} AS (
+  SELECT {wcols} FROM w{i - 1} w CROSS JOIN g{i} g
+)""")
+    w0 = ", ".join(f"CAST(0 AS BIGINT) AS w{k}" for k in range(K))
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(regexp_split_to_array(lower(trim(text)),
+                                             '\\s+')) AS toks,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+), f AS (
+  SELECT doc_id, y, 1 AS f0,
+           {feat_cols}
+  FROM t
+), w0 AS (SELECT {w0}),
+{', '.join(rounds)}
+SELECT doc_id, CAST(z AS BIGINT) AS z, CAST(p AS BIGINT) AS p,
+       CAST(CASE WHEN p >= {half} THEN 1 ELSE 0 END AS BIGINT) AS pred,
+       CAST(y AS BIGINT) AS y
+FROM (SELECT f.doc_id, f.y, ({zexpr}) AS z,
+             {p_of(f'({zexpr})')} AS p
+      FROM f CROSS JOIN w{iters} w)
+"""
+
+
+# ---------------------------------------------------- domain quality gate
+
+def domain_quality_gate(sf_dir: str):
+    """RefinedWeb-style DOMAIN-level quality gate over the ``source``
+    column (the per-domain analog of per-doc quality filtering — at
+    crawl scale you drop whole low-quality domains before per-doc
+    scoring): per-source token/stopword-hit sums and the keep verdict
+    ``ratio_s ≥ 0.9 × ratio_global``, evaluated by exact integer
+    cross-multiplication (``hits_s·toks_all·10 ≥ hits_all·toks_s·9``)
+    so both engines decide identically with no float boundary.
+
+    Scale shape: one pruned scan folding to per-source partials inside
+    each batch (source cardinality is catalog-bounded), a tiny groupby,
+    and a driver-side verdict over the handful of source rows."""
+    stops = frozenset(STOPWORDS)
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["text", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        toks = np.empty(len(texts), dtype=np.int64)
+        hits = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            ws = t.strip().lower().split()
+            toks[i] = len(ws)
+            hits[i] = sum(w in stops for w in ws)
+        g = pa.table({
+            "source": b.column("source"),
+            "n_docs": pa.array(np.ones(len(texts), dtype=np.int64)),
+            "toks": pa.array(toks),
+            "hits": pa.array(hits),
+        }).group_by("source").aggregate(
+            [("n_docs", "sum"), ("toks", "sum"), ("hits", "sum")])
+        return g.rename_columns(["source", "n_docs", "toks", "hits"])
+
+    per_src = (ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=8192)
+               .groupby("source").sum(["n_docs", "toks", "hits"])
+               .to_pandas())
+    src = per_src["source"].to_numpy()
+    n_docs = per_src["sum(n_docs)"].to_numpy().astype(np.int64)
+    toks = per_src["sum(toks)"].to_numpy().astype(np.int64)
+    hits = per_src["sum(hits)"].to_numpy().astype(np.int64)
+    gt, gh = int(toks.sum()), int(hits.sum())
+    keep = np.fromiter(
+        (1 if int(h) * gt * 10 >= gh * int(tk) * 9 else 0
+         for h, tk in zip(hits, toks)), dtype=np.int64, count=len(src))
+    ratio = np.where(toks > 0, hits / np.maximum(toks, 1), 0.0)
+    return pa.table({
+        "source": pa.array(src, type=pa.string()),
+        "n_docs": pa.array(n_docs),
+        "n_tokens": pa.array(toks),
+        "stop_hits": pa.array(hits),
+        "stop_ratio": pa.array(round_half_away(ratio, 6),
+                               type=pa.float64()),
+        "keep_flag": pa.array(keep),
+    })
+
+
+_DOMAIN_GATE_SQL = f"""
+WITH p AS (
+  SELECT source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+             AS toks,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(list_filter(
+                  regexp_split_to_array(lower(trim(text)), '\\s+'),
+                  x -> x IN ({_SQL_STOPS}))) END AS hits
+  FROM documents
+), s AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(toks) AS toks,
+         SUM(hits) AS hits
+  FROM p GROUP BY source
+), g AS (SELECT SUM(toks) AS gt, SUM(hits) AS gh FROM s)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(toks AS BIGINT) AS n_tokens,
+       CAST(hits AS BIGINT) AS stop_hits,
+       ROUND(CASE WHEN toks = 0 THEN 0.0
+                  ELSE CAST(hits AS DOUBLE) / toks END, 6) AS stop_ratio,
+       CAST(CASE WHEN hits * g.gt * 10 >= g.gh * toks * 9
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep_flag
+FROM s CROSS JOIN g
+"""
+
+
+# ------------------------------------------------------- token fertility
+
+def token_fertility(sf_dir: str):
+    """Tokenizer FERTILITY census per language — BPE-ish tokens per
+    whitespace word (the standard multi-lingual tokenizer-quality
+    metric: fertility ≫ 1 means the tokenizer fragments that
+    language): per-lang exact integer sums of both token counts plus
+    the rounded ratio. One pruned scan, per-batch fold to the bounded
+    lang key space, tiny groupby."""
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["text", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        ws = np.empty(len(texts), dtype=np.int64)
+        bp = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            ws[i] = len(t.split())
+            bp[i] = len(_BPEISH.findall(t))
+        g = pa.table({
+            "lang": b.column("lang"),
+            "n_docs": pa.array(np.ones(len(texts), dtype=np.int64)),
+            "ws": pa.array(ws),
+            "bp": pa.array(bp),
+        }).group_by("lang").aggregate(
+            [("n_docs", "sum"), ("ws", "sum"), ("bp", "sum")])
+        return g.rename_columns(["lang", "n_docs", "ws", "bp"])
+
+    per_lang = (ds.map_batches(partial, batch_format="pyarrow",
+                               batch_size=8192)
+                .groupby("lang").sum(["n_docs", "ws", "bp"])
+                .to_pandas())
+    ws = per_lang["sum(ws)"].to_numpy().astype(np.int64)
+    bp = per_lang["sum(bp)"].to_numpy().astype(np.int64)
+    fert = np.where(ws > 0, bp / np.maximum(ws, 1), 0.0)
+    return pa.table({
+        "lang": pa.array(per_lang["lang"].to_numpy(), type=pa.string()),
+        "n_docs": pa.array(
+            per_lang["sum(n_docs)"].to_numpy().astype(np.int64)),
+        "ws_tokens": pa.array(ws),
+        "bpeish_tokens": pa.array(bp),
+        "fertility": pa.array(round_half_away(fert, 6),
+                              type=pa.float64()),
+    })
+
+
+_FERTILITY_SQL = r"""
+WITH p AS (
+  SELECT lang,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+             AS ws,
+         len(regexp_extract_all(text, '\w+|[^\w\s]')) AS bp
+  FROM documents
+), s AS (
+  SELECT lang, COUNT(*) AS n_docs, SUM(ws) AS ws, SUM(bp) AS bp
+  FROM p GROUP BY lang
+)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(ws AS BIGINT) AS ws_tokens, CAST(bp AS BIGINT) AS bpeish_tokens,
+       ROUND(CASE WHEN ws = 0 THEN 0.0
+                  ELSE CAST(bp AS DOUBLE) / ws END, 6) AS fertility
+FROM s
+"""
+
+
+QUERIES["logreg_lang_gd"] = logreg_lang_gd
+QUERIES["domain_quality_gate"] = domain_quality_gate
+QUERIES["token_fertility"] = token_fertility
+ORACLE_SQL["logreg_lang_gd"] = _logreg_sql()
+ORACLE_SQL["domain_quality_gate"] = _DOMAIN_GATE_SQL
+ORACLE_SQL["token_fertility"] = _FERTILITY_SQL
