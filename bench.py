@@ -164,8 +164,8 @@ QUERY_NAMES = [
     "cross_source_dup_matrix", "embedding_centroid_shift",
     "weekday_anova", "basket_triples", "mannwhitney_order_values",
     "chi2_lang_source", "quality_corr_matrix", "bootstrap_median_ci",
-    "logreg_lang_gd", "domain_quality_gate", "token_fertility",
-    "dedup_keep_best",
+    "logreg_quality_gd", "domain_quality_gate", "token_fertility",
+    "dedup_keep_best", "logreg_calibration", "temperature_mix_weights",
 ]
 
 

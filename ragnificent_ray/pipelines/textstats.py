@@ -2816,7 +2816,7 @@ LOGREG_LR_DIV = 16            # effective lr = 1/16 per mean-gradient unit
 _LOGREG_LANGS = ("en", "de", "fr")
 
 
-def logreg_lang_gd(sf_dir: str, iters: int = LOGREG_ITERS):
+def logreg_quality_gd(sf_dir: str, iters: int = LOGREG_ITERS):
     """Quantized logistic-regression FIT by full-batch gradient descent
     — the classifier-training shape behind learned quality filters
     (fastText/CCNet-style doc scoring), value-checkable like
@@ -2826,58 +2826,65 @@ def logreg_lang_gd(sf_dir: str, iters: int = LOGREG_ITERS):
     (floor divisions, no floats) and the DuckDB oracle unrolls the
     recurrence as CTEs — the 9th verified iterative algorithm.
 
-    Model: P(lang = 'en') from integer features
-    [1, |toks ∩ en-stopwords|, |toks ∩ de|, |toks ∩ fr|] (distinct
-    lowercase tokens; bounded 0–10 each). w starts at 0; per iteration
-    w_k ← w_k − floor(Σ_i (p_i − y_i·S)·f_ik / (n·LR_DIV)).
+    Task: predict the REPETITIVE-DOC label ``y = (2·|distinct toks| <
+    |toks|)`` (the boilerplate/low-lexical-diversity cut a quality
+    filter learns) from the mean-CENTERED token count — the centering
+    statistic ``μ = ⌊Σ toks / n⌋`` comes from its own exact-integer
+    distributed pre-pass (the standardization step real GD needs:
+    uncentered, the bias gradient is swamped and the fit stalls at the
+    majority class). w starts at 0; per iteration
+    w_k ← w_k − floor(Σ_i (p_i − y_i·S)·f_ik / (n·LR_DIV)) with
+    f = [1, toks − μ].
 
     Scale shape (canonical distributed GD): weights broadcast via
     ``ray.put`` (K ints), each batch folds to K partial-gradient rows
     — the per-iteration exchange is K rows per block regardless of
     corpus size — and the driver updates the tiny weight vector. The
-    integer feature table is materialized once and reused across
+    integer (toks, y) table is materialized once and reused across
     passes (at 100 TB re-read the pruned parquet instead and let the
-    object store spill). Ties: pred = 1 iff p ≥ S/2."""
-    from ..functions.numeric import list_column_matrix
-
-    profiles = [frozenset(_LANG_PROFILES[k]) for k in _LOGREG_LANGS]
-    K = 1 + len(profiles)
+    object store spill). Ties: pred = 1 iff p ≥ S/2. Fit quality is
+    pinned in pytest: ≥0.9 accuracy vs the 0.58 majority baseline."""
+    K = 2
 
     def feats(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        langs = batch.column("lang").to_pylist()
-        rows = np.empty((len(texts), K), dtype=np.int64)
-        rows[:, 0] = 1
+        toks = np.empty(len(texts), dtype=np.int64)
+        y = np.empty(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):
-            toks = set(t.lower().split())
-            for j, prof in enumerate(profiles):
-                rows[i, j + 1] = len(toks & prof)
-        y = np.fromiter((1 if lg == "en" else 0 for lg in langs),
-                        dtype=np.int64, count=len(langs))
+            ws = t.split()
+            toks[i] = len(ws)
+            y[i] = 1 if 2 * len(set(t.lower().split())) < len(ws) else 0
         return pa.table({
             "doc_id": batch["doc_id"],
-            "f": pa.FixedSizeListArray.from_arrays(
-                pa.array(rows.ravel(), type=pa.int64()), K),
-            "y": pa.array(y, type=pa.int64()),
+            "toks": pa.array(toks),
+            "y": pa.array(y),
         })
 
     ints = rd.read_parquet(
-        _pq(sf_dir, "documents"), columns=["doc_id", "text", "lang"]
+        _pq(sf_dir, "documents"), columns=["doc_id", "text"]
     ).map_batches(feats, batch_format="pyarrow",
                   batch_size=8192).materialize()
     n = ints.count()
+    mu = ints.sum("toks") // n      # exact integer floor mean
 
     def _probs(z: np.ndarray) -> np.ndarray:
         # hard sigmoid in fixed point: clamp(floor(z/4) + S/2, 0, S)
         return np.clip(np.floor_divide(z, 4) + LOGREG_HALF,
                        0, LOGREG_SCALE)
 
+    def _fmat(b: pa.Table) -> np.ndarray:
+        toks = b.column("toks").to_numpy(zero_copy_only=False)
+        F = np.empty((len(toks), K), dtype=np.int64)
+        F[:, 0] = 1
+        F[:, 1] = toks - mu
+        return F
+
     class Grad:
         def __init__(self, ref):
             self.w = ray.get(ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            F = list_column_matrix(b.column("f"), dtype=np.int64)
+            F = _fmat(b)
             y = b.column("y").to_numpy(zero_copy_only=False)
             err = _probs(F @ self.w) - y * LOGREG_SCALE
             return pa.table({
@@ -2902,8 +2909,7 @@ def logreg_lang_gd(sf_dir: str, iters: int = LOGREG_ITERS):
             self.w = ray.get(ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            F = list_column_matrix(b.column("f"), dtype=np.int64)
-            z = F @ self.w
+            z = _fmat(b) @ self.w
             p = _probs(z)
             return pa.table({
                 "doc_id": b.column("doc_id"),
@@ -2926,13 +2932,8 @@ def _floordiv_sql(a: str, b: str) -> str:
 
 
 def _logreg_sql(iters: int = LOGREG_ITERS) -> str:
-    S, half, K = LOGREG_SCALE, LOGREG_HALF, 1 + len(_LOGREG_LANGS)
-    feat_cols = ",\n           ".join(
-        f"len(list_intersect(toks, "
-        f"[{', '.join(repr(w) for w in sorted(_LANG_PROFILES[k]))}])) "
-        f"AS f{j + 1}"
-        for j, k in enumerate(_LOGREG_LANGS))
-    zexpr = " + ".join(f"w.w{k} * f{k}" for k in range(K))
+    S, half, K = LOGREG_SCALE, LOGREG_HALF, 2
+    zexpr = "w.w0 * f0 + w.w1 * f1"
     p_of = lambda z: (f"LEAST(GREATEST({_floordiv_sql(z, '4')} + {half}, "
                       f"0), {S})")
     rounds = []
@@ -2954,14 +2955,19 @@ def _logreg_sql(iters: int = LOGREG_ITERS) -> str:
     return f"""
 WITH t AS (
   SELECT doc_id,
-         list_distinct(regexp_split_to_array(lower(trim(text)),
-                                             '\\s+')) AS toks,
-         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+             AS toks,
+         len(list_distinct(regexp_split_to_array(lower(trim(text)),
+                                                 '\\s+'))) AS utoks
   FROM documents
+), mu AS (
+  SELECT SUM(toks) // COUNT(*) AS mu FROM t
 ), f AS (
-  SELECT doc_id, y, 1 AS f0,
-           {feat_cols}
-  FROM t
+  SELECT doc_id,
+         CASE WHEN 2 * utoks < toks THEN 1 ELSE 0 END AS y,
+         1 AS f0, toks - mu.mu AS f1
+  FROM t CROSS JOIN mu
 ), w0 AS (SELECT {w0}),
 {', '.join(rounds)}
 SELECT doc_id, CAST(z AS BIGINT) AS z, CAST(p AS BIGINT) AS p,
@@ -3125,9 +3131,133 @@ FROM s
 """
 
 
-QUERIES["logreg_lang_gd"] = logreg_lang_gd
+QUERIES["logreg_quality_gd"] = logreg_quality_gd
 QUERIES["domain_quality_gate"] = domain_quality_gate
 QUERIES["token_fertility"] = token_fertility
-ORACLE_SQL["logreg_lang_gd"] = _logreg_sql()
+ORACLE_SQL["logreg_quality_gd"] = _logreg_sql()
 ORACLE_SQL["domain_quality_gate"] = _DOMAIN_GATE_SQL
 ORACLE_SQL["token_fertility"] = _FERTILITY_SQL
+
+
+def logreg_calibration(sf_dir: str, bins: int = 10):
+    """Reliability diagram over :func:`logreg_quality_gd`'s predicted
+    probabilities — the CALIBRATION readout a learned quality filter
+    ships with (is p≈0.8 right 80% of the time?): predictions bucket
+    into ``bins`` equal-width fixed-point probability bins
+    (``bin = min(p·bins // S, bins−1)``, integer-exact), each bin
+    reports its size, mean predicted probability and observed positive
+    rate. Composes on the trained model's final pass: one bounded
+    per-batch fold to ≤``bins`` cells, a tiny groupby, float division
+    only in the last ≤``bins``-row step."""
+    preds = logreg_quality_gd(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        p = b.column("p").to_numpy(zero_copy_only=False)
+        y = b.column("y").to_numpy(zero_copy_only=False)
+        bn = np.minimum(p * bins // LOGREG_SCALE, bins - 1)
+        g = pa.table({
+            "bin": pa.array(bn.astype(np.int64)),
+            "n": pa.array(np.ones(len(p), dtype=np.int64)),
+            "sum_p": pa.array(p, type=pa.int64()),
+            "sum_y": pa.array(y, type=pa.int64()),
+        }).group_by("bin").aggregate(
+            [("n", "sum"), ("sum_p", "sum"), ("sum_y", "sum")])
+        return g.rename_columns(["bin", "n", "sum_p", "sum_y"])
+
+    per_bin = (preds.map_batches(partial, batch_format="pyarrow",
+                                 batch_size=8192)
+               .groupby("bin").sum(["n", "sum_p", "sum_y"])
+               .to_pandas())
+    n = per_bin["sum(n)"].to_numpy().astype(np.int64)
+    sp = per_bin["sum(sum_p)"].to_numpy().astype(np.int64)
+    sy = per_bin["sum(sum_y)"].to_numpy().astype(np.int64)
+    return pa.table({
+        "bin": pa.array(per_bin["bin"].to_numpy().astype(np.int64)),
+        "n": pa.array(n),
+        "mean_p": pa.array(
+            round_half_away(sp / (n * float(LOGREG_SCALE)), 6),
+            type=pa.float64()),
+        "frac_pos": pa.array(round_half_away(sy / n, 6),
+                             type=pa.float64()),
+    })
+
+
+def _logreg_calibration_sql(bins: int = 10) -> str:
+    return f"""
+    WITH pred AS ({_logreg_sql()})
+    SELECT CAST(LEAST(p * {bins} // {LOGREG_SCALE}, {bins - 1})
+                AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(p) AS DOUBLE)
+                 / (COUNT(*) * {float(LOGREG_SCALE)}), 6) AS mean_p,
+           ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS frac_pos
+    FROM pred GROUP BY bin
+    """
+
+
+# -------------------------------------------- temperature mixture weights
+
+MIX_ALPHA = 0.3          # UniMax/mT5-style temperature exponent
+MIX_QUANT = 1_000_000
+
+
+def temperature_mix_weights(sf_dir: str, alpha: float = MIX_ALPHA):
+    """Temperature-scaled SOURCE MIXTURE weights — the mT5/UniMax
+    sampling-rate computation for multi-source training: sampling
+    probability ∝ n_s^α (α<1 upsamples small sources). The power is
+    quantized once per source (``floor(n^α · 10^6)``, libm ``pow`` on
+    identical doubles in both engines) so the normalizing total is an
+    order-free exact integer sum; the reported weight and the implied
+    oversample factor (weight·N/n_s) divide exact ints, rounded at
+    6 dp. One metadata-only scan folding to per-source counts, then
+    driver arithmetic on the catalog-bounded source rows."""
+    ds = rd.read_parquet(_pq(sf_dir, "documents"), columns=["source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.table({
+            "source": b.column("source"),
+            "n_docs": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+        }).group_by("source").aggregate([("n_docs", "sum")])
+        return g.rename_columns(["source", "n_docs"])
+
+    per_src = (ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=8192)
+               .groupby("source").sum("n_docs").to_pandas())
+    n = per_src["sum(n_docs)"].to_numpy().astype(np.int64)
+    w = np.floor(np.power(n.astype(np.float64), alpha)
+                 * MIX_QUANT).astype(np.int64)
+    total_w, total_n = int(w.sum()), int(n.sum())
+    return pa.table({
+        "source": pa.array(per_src["source"].to_numpy(),
+                           type=pa.string()),
+        "n_docs": pa.array(n),
+        "w_quant": pa.array(w),
+        "weight": pa.array(round_half_away(w / total_w, 6),
+                           type=pa.float64()),
+        "oversample": pa.array(
+            round_half_away(w * total_n / (total_w * n.astype(np.float64)),
+                            6), type=pa.float64()),
+    })
+
+
+_TEMP_MIX_SQL = f"""
+WITH s AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+), q AS (
+  SELECT source, n_docs,
+         CAST(FLOOR(POWER(CAST(n_docs AS DOUBLE), {MIX_ALPHA})
+                    * {MIX_QUANT}) AS BIGINT) AS w_quant
+  FROM s
+), g AS (SELECT SUM(w_quant) AS tw, SUM(n_docs) AS tn FROM q)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs, w_quant,
+       ROUND(CAST(w_quant AS DOUBLE) / g.tw, 6) AS weight,
+       ROUND(CAST(w_quant AS DOUBLE) * g.tn
+             / (CAST(g.tw AS DOUBLE) * n_docs), 6) AS oversample
+FROM q CROSS JOIN g
+"""
+
+
+QUERIES["logreg_calibration"] = logreg_calibration
+QUERIES["temperature_mix_weights"] = temperature_mix_weights
+ORACLE_SQL["logreg_calibration"] = _logreg_calibration_sql()
+ORACLE_SQL["temperature_mix_weights"] = _TEMP_MIX_SQL

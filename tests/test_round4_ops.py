@@ -1,0 +1,155 @@
+"""Semantic pins for the round-4 session-B operators beyond DuckDB
+parity: the quantized logistic-regression recurrence against a pure-
+Python (numpy-free) replay, keeper invariants for dedup_keep_best, the
+domain-gate verdict recomputed from its own integer columns, and
+fertility/temperature-mixture algebraic invariants.
+"""
+
+import math
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def entry():
+    import __ray_entry__ as e
+    return e
+
+
+def _pure_python_logreg(sf: str):
+    """Numpy-free replay of logreg_quality_gd's exact integer
+    recurrence, straight from the parquet text — an implementation
+    independent of both the Ray pipeline and the SQL oracle."""
+    from ragnificent_ray.pipelines.textstats import (
+        LOGREG_HALF, LOGREG_ITERS, LOGREG_LR_DIV, LOGREG_SCALE)
+
+    t = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["doc_id", "text"])
+    rows = []
+    for did, text in zip(t.column("doc_id").to_pylist(),
+                         t.column("text").to_pylist()):
+        ws = text.split()
+        y = 1 if 2 * len(set(text.lower().split())) < len(ws) else 0
+        rows.append((did, len(ws), y))
+    n = len(rows)
+    mu = sum(tk for _, tk, _ in rows) // n
+    feats = [(did, (1, tk - mu), y) for did, tk, y in rows]
+    w = [0, 0]
+
+    def prob(z: int) -> int:
+        return min(max((z // 4) + LOGREG_HALF, 0), LOGREG_SCALE)
+
+    for _ in range(LOGREG_ITERS):
+        g = [0, 0]
+        for _, f, y in feats:
+            err = prob(w[0] * f[0] + w[1] * f[1]) - y * LOGREG_SCALE
+            g[0] += err * f[0]
+            g[1] += err * f[1]
+        # Python // floors — same semantics as np.floor_divide
+        w = [wk - (gk // (n * LOGREG_LR_DIV)) for wk, gk in zip(w, g)]
+
+    out = {}
+    for did, f, y in feats:
+        z = w[0] * f[0] + w[1] * f[1]
+        p = prob(z)
+        out[did] = (z, p, 1 if p >= LOGREG_HALF else 0, y)
+    return out
+
+
+def test_logreg_gd_matches_pure_python_replay(ray_session, entry):
+    got = entry.queries()["logreg_quality_gd"](SF).to_pandas()
+    want = _pure_python_logreg(SF)
+    assert len(got) == len(want)
+    for row in got.itertuples():
+        assert (row.z, row.p, row.pred, row.y) == want[row.doc_id], \
+            f"doc {row.doc_id}"
+
+
+def test_logreg_gd_beats_majority_baseline(ray_session, entry):
+    """Three hard-sigmoid GD steps on the centered token count must
+    separate repetitive from diverse docs far better than always
+    guessing the majority class — the fit is a real classifier, not
+    just a verified recurrence."""
+    got = entry.queries()["logreg_quality_gd"](SF).to_pandas()
+    acc = float((got["pred"] == got["y"]).mean())
+    majority = max(float(got["y"].mean()), 1 - float(got["y"].mean()))
+    assert acc > majority + 0.05
+    assert acc > 0.9
+
+
+def test_logreg_calibration_totals(ray_session, entry):
+    cal = entry.queries()["logreg_calibration"](SF).to_pandas()
+    preds = entry.queries()["logreg_quality_gd"](SF).to_pandas()
+    assert int(cal["n"].sum()) == len(preds)
+    assert cal["bin"].between(0, 9).all()
+    assert cal["mean_p"].between(0, 1).all()
+    assert cal["frac_pos"].between(0, 1).all()
+
+
+def test_dedup_keep_best_keeps_longest_member(ray_session, entry):
+    """Same clusters as dedup_keep (one keeper per cluster: identical
+    kept count and in_cluster total), but the keeper must be the
+    max-n_chars member (ties to min doc_id) of its cluster."""
+    import duckdb
+
+    keep_min = entry.queries()["dedup_keep"](SF).to_pandas()
+    keep_best = entry.queries()["dedup_keep_best"](SF).to_pandas()
+    assert len(keep_best) == len(keep_min)
+    assert int(keep_best["in_cluster"].sum()) == \
+        int(keep_min["in_cluster"].sum())
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    lab = con.execute(entry.oracle_sql()["dedup_clusters"]).fetchdf()
+    chars = dict(zip(*[c.to_pylist() for c in pq.read_table(
+        f"{SF}/documents.parquet",
+        columns=["doc_id", "n_chars"]).columns]))
+    best = {}
+    for did, comp in zip(lab["doc_id"], lab["component"]):
+        cand = (int(-chars[did]), int(did))
+        if comp not in best or cand < best[comp]:
+            best[comp] = cand
+    want_reps = sorted(did for _, did in best.values())
+    got_reps = sorted(
+        keep_best.loc[keep_best["in_cluster"] == 1, "doc_id"].tolist())
+    assert got_reps == want_reps
+
+
+def test_domain_gate_verdict_recomputable(ray_session, entry):
+    g = entry.queries()["domain_quality_gate"](SF).to_pandas()
+    gt, gh = int(g["n_tokens"].sum()), int(g["stop_hits"].sum())
+    for row in g.itertuples():
+        want = 1 if int(row.stop_hits) * gt * 10 >= \
+            gh * int(row.n_tokens) * 9 else 0
+        assert int(row.keep_flag) == want
+    assert int(g["keep_flag"].sum()) >= 1  # a gate that drops all is broken
+
+
+def test_token_fertility_at_least_one(ray_session, entry):
+    """Every whitespace word contributes ≥1 BPE-ish token, so
+    fertility ≥ 1 wherever the language has any words."""
+    f = entry.queries()["token_fertility"](SF).to_pandas()
+    nz = f[f["ws_tokens"] > 0]
+    assert len(nz) > 0
+    assert (nz["bpeish_tokens"] >= nz["ws_tokens"]).all()
+    assert (nz["fertility"] >= 1.0).all()
+
+
+def test_temperature_mix_upsamples_small_sources(ray_session, entry):
+    m = entry.queries()["temperature_mix_weights"](SF).to_pandas()
+    assert abs(float(m["weight"].sum()) - 1.0) < 1e-4
+    # α<1: smallest source gets the largest oversample factor
+    smallest = m.loc[m["n_docs"].idxmin()]
+    largest = m.loc[m["n_docs"].idxmax()]
+    if int(smallest["n_docs"]) < int(largest["n_docs"]):
+        assert float(smallest["oversample"]) > float(largest["oversample"])
+    # w_quant replays from n_docs via the same quantized pow
+    from ragnificent_ray.pipelines.textstats import MIX_ALPHA, MIX_QUANT
+    for row in m.itertuples():
+        assert int(row.w_quant) == math.floor(
+            float(row.n_docs) ** MIX_ALPHA * MIX_QUANT)
