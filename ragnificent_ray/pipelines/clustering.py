@@ -1764,3 +1764,74 @@ def _pq_recall_sql() -> str:
 
 
 ORACLE_SQL["ann_pq_recall"] = _pq_recall_sql()
+
+
+def ivf_cell_balance(sf_dir: str):
+    """IVF index BALANCE audit — the cell-size census that determines
+    ANN tail latency at scale (a probe into a hot cell scans that
+    cell's whole posting list, so max/mean cell skew IS the p99): every
+    vector assigned to its nearest of the ``N_CENTROIDS`` seed
+    centroids (same metric + (dist, cid) tiebreak as the IVF search
+    path), per-cell counts plus the corpus fraction. One broadcast of
+    the tiny centroid matrix, one block matmul + in-batch fold per
+    batch, a ≤K-key groupby — the audit costs one pruned scan."""
+    cent = _centroids(sf_dir)
+    c_sq = (cent * cent).sum(axis=1)
+    ref = ray.put((cent, c_sq))
+
+    ds = rd.read_parquet(_pq(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+
+    class CellCount:
+        def __init__(self, ref):
+            self.c, self.c_sq = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            x = list_column_matrix(batch.column("embedding"),
+                                   dtype=np.float64)
+            d = (x * x).sum(axis=1, keepdims=True) \
+                - 2.0 * (x @ self.c.T) + self.c_sq[None, :]
+            cell = np.argmin(d, axis=1).astype(np.int64)
+            g = pa.table({
+                "cell": pa.array(cell),
+                "n": pa.array(np.ones(len(cell), dtype=np.int64)),
+            }).group_by("cell").aggregate([("n", "sum")])
+            return g.rename_columns(["cell", "n"])
+
+    per_cell = (ds.map_batches(CellCount,
+                               fn_constructor_kwargs={"ref": ref},
+                               batch_format="pyarrow", batch_size=4096,
+                               concurrency=2)
+                .groupby("cell").sum("n").to_pandas())
+    n = per_cell["sum(n)"].to_numpy().astype(np.int64)
+    total = int(n.sum())
+    return pa.table({
+        "cell": pa.array(per_cell["cell"].to_numpy().astype(np.int64)),
+        "n_vecs": pa.array(n),
+        "frac": pa.array(round_half_away(n / total, 6),
+                         type=pa.float64()),
+    })
+
+
+ORACLE_SQL["ivf_cell_balance"] = f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ), c AS (
+      SELECT vec_id AS cid, emb AS cvec FROM e
+      WHERE vec_id < {N_CENTROIDS}
+    ), asg AS (
+      SELECT e.vec_id, c.cid,
+             list_distance(e.emb, c.cvec) ** 2 AS sqdist
+      FROM e CROSS JOIN c
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                 ORDER BY sqdist, cid) = 1
+    ), s AS (
+      SELECT cid AS cell, COUNT(*) AS n_vecs FROM asg GROUP BY cid
+    ), g AS (SELECT SUM(n_vecs) AS tot FROM s)
+    SELECT CAST(cell AS BIGINT) AS cell, CAST(n_vecs AS BIGINT) AS n_vecs,
+           ROUND(CAST(n_vecs AS DOUBLE) / g.tot, 6) AS frac
+    FROM s CROSS JOIN g
+"""
+QUERIES["ivf_cell_balance"] = ivf_cell_balance
