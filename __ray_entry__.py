@@ -1039,6 +1039,21 @@ def _image_curate_keep(sf_dir: str):
     return _image_keep_from_labels(sf_dir, labels)
 
 
+def _image_text_dup_pairs(sf_dir: str):
+    """Image+TEXT joint near-dup pairs over the crawl harvest — the
+    high-precision LAION-style dedup signal: both the banded-phash
+    exact-hamming verify AND caption-template equality must fire. See
+    ``pipelines/dedup.py: joint_caption_phash_pairs`` for the scale
+    shape. Rows-only (binary-payload world); planted agree /
+    visual-only / text-only cases pinned in
+    ``tests/test_round4_ops.py``."""
+    from ragnificent_ray.pipelines.dedup import joint_caption_phash_pairs
+
+    harvest = _crawl_harvest(sf_dir)
+    return joint_caption_phash_pairs(
+        harvest.select(["image_id", "phash", "caption"]))
+
+
 def _image_dhash_neardup(sf_dir: str):
     """Near-dup image pairs by DIFFERENCE-hash hamming — the dHash
     companion to ``harvest_phash_neardup``. An actor-pool decode stage
@@ -1234,6 +1249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dedup_keep": _image_dedup_keep,
         "image_curate_keep": _image_curate_keep,
         "image_dhash_neardup": _image_dhash_neardup,
+        "image_text_dup_pairs": _image_text_dup_pairs,
         "image_patchify": _image_patchify,
         "image_patch_dedup": _image_patch_dedup,
         "image_augment": _image_augment,

@@ -1835,3 +1835,149 @@ ORACLE_SQL["ivf_cell_balance"] = f"""
     FROM s CROSS JOIN g
 """
 QUERIES["ivf_cell_balance"] = ivf_cell_balance
+
+
+# ------------------------------------------------ gram power iteration
+
+PI_Q = 1000           # embedding quantization scale (exact e-3 ints)
+PI_S = 1_000_000      # eigenvector fixed-point scale after normalization
+PI_ITERS = 3
+_PI_SPLIT = 1 << 32   # int64-safe partial-cell split (hi/lo halves)
+
+
+def gram_power_iteration(sf_dir: str, iters: int = PI_ITERS):
+    """Top-eigenvector POWER ITERATION over the corpus second-moment
+    matrix M = Σ x xᵀ — the 10th value-checked iterative algorithm and
+    the distributed core of PCA/spectral methods (``embedding_spectrum``
+    folds M to the driver then calls LAPACK; this op never forms M —
+    each iteration is one corpus pass computing u = Σ xᵢ(xᵢ·v), the
+    matrix-free shape that still works when D² partials are too big or
+    M must stay implicit).
+
+    Integer discipline end-to-end: embeddings quantize to exact e-3
+    ints, v holds S-scaled ints, u accumulates exactly (per-batch int64
+    partials split into hi/lo 2³² cells so the cross-block fold can
+    never wrap — the ``graph_assortativity`` pattern — and the driver
+    reconstructs unbounded Python ints), and re-normalization is floor
+    division by max|u| — bit-deterministic on any cluster and replayed
+    by an unrolled-CTE DuckDB oracle in HUGEINT. The all-positive v₀
+    fixes the sign/orientation. Per-iteration exchange: 2·D partial
+    rows per block + one D-int broadcast; the quantized matrix is
+    materialized once (at 100 TB re-read the pruned parquet instead).
+
+    Output: (dim, v) — the S-scaled eigenvector — plus the Rayleigh-
+    quotient eigenvalue estimate from the last un-normalized pass
+    (float division of exact ints, mirrored by the oracle's
+    HUGEINT→DOUBLE casts). Pytest pins a numpy-free replay plus
+    the Rayleigh-ascent property (monotone climb bounded by LAPACK's
+    λ_max; full eigenvector convergence is gap-limited on this
+    near-isotropic corpus by design)."""
+    from ..functions.numeric import round_half_away
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        m = round_half_away(
+            list_column_matrix(batch.column("embedding"),
+                               dtype=np.float64) * PI_Q, 0
+        ).astype(np.int64)
+        d = m.shape[1]
+        return pa.table({
+            "x": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.ravel(), type=pa.int64()), d),
+        })
+
+    ints = rd.read_parquet(
+        _pq(sf_dir, "embeddings"), columns=["embedding"]
+    ).map_batches(to_int, batch_format="pyarrow",
+                  batch_size=4096).materialize()
+
+    class Partial:
+        def __init__(self, ref):
+            self.v = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            X = list_column_matrix(b.column("x"), dtype=np.int64)
+            # s_i = x_i . v  (<= D*Q*S = 6.4e10); u_j = sum_i x_ij*s_i
+            # (<= Q*6.4e10*4096 = 2.6e17 per batch: int64-safe)
+            s = X @ self.v
+            u = s @ X
+            hi = u // _PI_SPLIT
+            lo = u - hi * _PI_SPLIT
+            d = len(u)
+            return pa.table({
+                "dim": pa.array(np.arange(d, dtype=np.int64)),
+                "hi": pa.array(hi, type=pa.int64()),
+                "lo": pa.array(lo, type=pa.int64()),
+            })
+
+    def _fold_u(v: np.ndarray) -> list[int]:
+        ref = ray.put(v)
+        small = (ints.map_batches(Partial,
+                                  fn_constructor_kwargs={"ref": ref},
+                                  batch_format="pyarrow",
+                                  batch_size=4096, concurrency=2)
+                 .groupby("dim").sum(["hi", "lo"])).to_pandas() \
+            .sort_values("dim")
+        # exact reconstruction in unbounded Python ints
+        return [int(h) * _PI_SPLIT + int(l)
+                for h, l in zip(small["sum(hi)"], small["sum(lo)"])]
+
+    probe = ints.take_batch(1, batch_format="pyarrow")
+    D = len(probe.column("x")[0])
+    v = np.full(D, PI_S, dtype=np.int64)
+    rayleigh = 0.0
+    for it in range(iters):
+        u = _fold_u(v)
+        if it == iters - 1:
+            num = sum(int(vk) * uk for vk, uk in zip(v, u))
+            den = sum(int(vk) * int(vk) for vk in v)
+            # mirror the oracle: HUGEINT→DOUBLE casts, one division
+            rayleigh = round_half_away(float(num) / float(den), 6)
+        m = max(abs(uk) for uk in u)
+        v = np.array([(uk * PI_S) // m for uk in u], dtype=np.int64)
+
+    return pa.table({
+        "dim": pa.array(np.arange(D, dtype=np.int64)),
+        "v": pa.array(v, type=pa.int64()),
+        "rayleigh": pa.array(np.full(D, rayleigh), type=pa.float64()),
+    })
+
+
+def _gram_power_sql(iters: int = PI_ITERS) -> str:
+    from .textstats import _floordiv_sql as fdiv
+
+    rounds = []
+    for i in range(1, iters + 1):
+        rounds.append(f"""s{i} AS (
+  SELECT e.vec_id, SUM(e.x * v.v) AS s
+  FROM e JOIN v{i - 1} v ON v.dim = e.d GROUP BY e.vec_id
+), u{i} AS (
+  SELECT e.d AS dim, SUM(e.x * s{i}.s) AS u
+  FROM e JOIN s{i} ON s{i}.vec_id = e.vec_id GROUP BY e.d
+), m{i} AS (SELECT MAX(ABS(u)) AS m FROM u{i}),
+v{i} AS (
+  SELECT dim, {fdiv(f'u * {PI_S}', 'm.m')} AS v
+  FROM u{i} CROSS JOIN m{i} m
+)""")
+    last = iters
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         CAST(unnest(range(len(embedding))) AS INTEGER) AS d,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * {PI_Q})
+              AS BIGINT) AS x
+  FROM embeddings
+), v0 AS (
+  SELECT DISTINCT d AS dim, CAST({PI_S} AS HUGEINT) AS v FROM e
+), {', '.join(rounds)},
+ray AS (
+  SELECT ROUND(CAST(SUM(v.v * u.u) AS DOUBLE)
+               / CAST(SUM(v.v * v.v) AS DOUBLE), 6) AS rayleigh
+  FROM v{last - 1} v JOIN u{last} u USING (dim)
+)
+SELECT CAST(dim AS BIGINT) AS dim, CAST(v AS BIGINT) AS v, ray.rayleigh
+FROM v{last} CROSS JOIN ray
+"""
+
+
+QUERIES["gram_power_iteration"] = gram_power_iteration
+ORACLE_SQL["gram_power_iteration"] = _gram_power_sql()

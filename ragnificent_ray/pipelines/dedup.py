@@ -2298,3 +2298,76 @@ def dedup_keep_best(sf_dir: str):
 
 
 QUERIES["dedup_keep_best"] = dedup_keep_best
+
+
+# caption template normalization (same rule as the caption_template_dedup
+# query): strip the per-image id prefix, trim, lowercase
+import re as _re
+_CAPTION_PREFIX = _re.compile(r"^caption img-\d{4}-\d{4}-\d{2}:\s*")
+
+
+def joint_caption_phash_pairs(harvest, max_hamming: int = 8,
+                              join_partitions: int = 2):
+    """Image+TEXT joint near-dup pairs — the high-precision LAION-style
+    dedup signal over an image+caption table: a pair counts only when
+    BOTH modalities agree — the banded phash path's exact XOR-popcount
+    verify fires (visual near-dup) AND the two captions normalize to
+    the same template (textual dup). Single-modality hits (same pixels
+    re-captioned, same boilerplate caption on different images) are
+    exactly the false-positive classes each signal alone admits.
+
+    Scale shape: the visual pair set comes from the banded phash path
+    (no all-pairs); caption templates are narrow (image_id, md5) rows
+    hash-joined onto the two pair endpoints; the template-equality
+    filter is one vectorized compare. Pixels and caption text never
+    ship past their first hash. Rows-only (binary-payload world);
+    planted agree/visual-only/text-only cases pinned in
+    ``tests/test_round4_ops.py``."""
+    import ray.data as rd
+
+    from ..functions.hashing import md5_hex
+
+    if isinstance(harvest, pa.Table):
+        caps_src = rd.from_arrow(harvest.select(["image_id", "caption"]))
+        ph_src = harvest.select(["image_id", "phash"])
+    else:
+        caps_src = harvest.select_columns(["image_id", "caption"])
+        ph_src = harvest.select_columns(["image_id", "phash"])
+
+    pairs = phash_neardup_pairs(ph_src, max_hamming=max_hamming)
+
+    def tmpl(b: pa.Table) -> pa.Table:
+        caps = b.column("caption").to_pylist()
+        hs = [md5_hex(_CAPTION_PREFIX.sub("", c or "").strip().lower())
+              for c in caps]
+        return pa.table({
+            "image_id": b.column("image_id"),
+            "tmpl": pa.array(hs, type=pa.string()),
+        })
+
+    tm = caps_src.map_batches(tmpl, batch_format="pyarrow")
+    _join_args = dict(num_partitions=join_partitions,
+                      aggregator_ray_remote_args={"num_cpus": 0.25})
+
+    ta = tm.map_batches(
+        lambda t: pa.table({"image_id_a": t.column("image_id"),
+                            "tmpl_a": t.column("tmpl")}),
+        batch_format="pyarrow")
+    tb = tm.map_batches(
+        lambda t: pa.table({"image_id_b": t.column("image_id"),
+                            "tmpl_b": t.column("tmpl")}),
+        batch_format="pyarrow")
+    joined = (pairs.join(ta, "inner", on=("image_id_a",), **_join_args)
+              .join(tb, "inner", on=("image_id_b",), **_join_args))
+
+    def agree(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t.column("tmpl_a"), t.column("tmpl_b"))
+        f = t.filter(keep)
+        return pa.table({
+            "image_id_a": f.column("image_id_a"),
+            "image_id_b": f.column("image_id_b"),
+            "hamming": f.column("hamming"),
+            "template_hash": f.column("tmpl_a"),
+        })
+
+    return joined.map_batches(agree, batch_format="pyarrow")

@@ -153,3 +153,107 @@ def test_temperature_mix_upsamples_small_sources(ray_session, entry):
     for row in m.itertuples():
         assert int(row.w_quant) == math.floor(
             float(row.n_docs) ** MIX_ALPHA * MIX_QUANT)
+
+
+def test_joint_caption_phash_pairs_planted(ray_session):
+    """Both modalities must agree: a planted visual+textual dup pair
+    survives; a visual-only dup (same pixels, different caption) and a
+    text-only dup (same boilerplate caption, unrelated pixels) are
+    both rejected."""
+    import pyarrow as pa
+
+    from ragnificent_ray.pipelines.dedup import joint_caption_phash_pairs
+
+    # C pair: phashes differ in every 16-bit band -> no candidate
+    harvest = pa.table({
+        "image_id": ["a1", "a2", "b1", "b2", "c1", "c2"],
+        "phash": pa.array([7, 7, 99, 99, 0, -1], type=pa.int64()),
+        "caption": [
+            "caption img-0001-0001-01: A sunny Beach",
+            "caption img-0002-0002-02: a sunny beach ",
+            "caption img-0003-0003-03: red car",
+            "caption img-0004-0004-04: blue car",
+            "caption img-0005-0005-05: same template",
+            "caption img-0006-0006-06: same template",
+        ],
+    })
+    got = joint_caption_phash_pairs(harvest).to_pandas()
+    pairs = set(zip(got["image_id_a"], got["image_id_b"]))
+    assert pairs == {("a1", "a2")}
+    assert (got["hamming"] == 0).all()
+
+
+def test_joint_pairs_subset_of_phash_pairs(ray_session, entry):
+    """Over the real crawl harvest: every joint pair must appear in the
+    phash-only pair set (the joint signal only ever removes pairs)."""
+    joint = entry.queries()["image_text_dup_pairs"](SF).to_pandas()
+    if joint.empty:       # legitimate at the tiny tier: the planted
+        return            # test above carries the semantics
+    ph = entry.queries()["harvest_phash_neardup"](SF).to_pandas()
+    ph_set = set(zip(ph["image_id_a"], ph["image_id_b"]))
+    for a, b in zip(joint["image_id_a"], joint["image_id_b"]):
+        assert (a, b) in ph_set
+
+
+def _pure_python_power_iteration(sf: str):
+    """Numpy-free replay of gram_power_iteration's exact integer
+    recurrence from the raw parquet — independent of the Ray pipeline
+    and the SQL oracle."""
+    from ragnificent_ray.functions.numeric import round_half_away
+    from ragnificent_ray.pipelines.clustering import PI_ITERS, PI_Q, PI_S
+
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["embedding"])
+    X = [[int(round_half_away(float(x) * PI_Q, 0))
+          for x in row] for row in t.column("embedding").to_pylist()]
+    D = len(X[0])
+    v = [PI_S] * D
+    rayleighs = []
+    for it in range(PI_ITERS):
+        u = [0] * D
+        for row in X:
+            s = sum(xj * vj for xj, vj in zip(row, v))
+            for j in range(D):
+                u[j] += row[j] * s
+        num = sum(vk * uk for vk, uk in zip(v, u))
+        den = sum(vk * vk for vk in v)
+        rayleighs.append(round_half_away(float(num) / float(den), 6))
+        m = max(abs(uk) for uk in u)
+        v = [(uk * PI_S) // m for uk in u]
+    return v, rayleighs
+
+
+def test_gram_power_iteration_matches_pure_python_replay(ray_session,
+                                                         entry):
+    got = entry.queries()["gram_power_iteration"](SF).to_pandas() \
+        .sort_values("dim")
+    want_v, want_rays = _pure_python_power_iteration(SF)
+    assert got["v"].tolist() == want_v
+    assert float(got["rayleigh"].iloc[0]) == want_rays[-1]
+
+
+def test_gram_power_iteration_rayleigh_ascends_toward_lapack(ray_session,
+                                                             entry):
+    """Power iteration's defining property on a PSD matrix: the
+    Rayleigh quotient ascends monotonically and is bounded by LAPACK's
+    top eigenvalue of the same quantized second-moment matrix. (Full
+    convergence to the eigenvector is GAP-limited — this corpus'
+    uncentered spectrum is near-isotropic, so a fixed 3-pass run
+    verifiably climbs rather than lands; the recurrence itself is
+    value-checked by the oracle and the replay pin.)"""
+    from ragnificent_ray.functions.numeric import round_half_away
+    from ragnificent_ray.pipelines.clustering import PI_Q
+
+    got = entry.queries()["gram_power_iteration"](SF).to_pandas() \
+        .sort_values("dim")
+    _, rays = _pure_python_power_iteration(SF)
+    assert float(got["rayleigh"].iloc[0]) == rays[-1]
+    assert all(b > a for a, b in zip(rays, rays[1:]))  # strict ascent
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding"])
+    X = round_half_away(np.array(
+        t.column("embedding").to_pylist(), dtype=np.float64) * PI_Q, 0)
+    evals = np.linalg.eigvalsh(X.T @ X)
+    lam, mean_ev = evals[-1], float(evals.mean())
+    assert rays[-1] <= lam * (1 + 1e-9)
+    # the spectrum is nearly flat (mean ≈ 0.54·λ_max here), so the
+    # meaningful floor is a clear margin over the mean eigenvalue
+    assert rays[-1] > 1.2 * mean_ev
