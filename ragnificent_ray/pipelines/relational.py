@@ -3521,26 +3521,38 @@ def bootstrap_median_ci(sf_dir: str):
              .aggregate([("w", "sum")]))
         return g.rename_columns(["b", "x", "w"])
 
-    rows = (ds.map_batches(partial, batch_format="pyarrow",
-                           batch_size=65536)
-            .groupby("kb").map_groups(fold, batch_format="pyarrow")
-            .take_all())
-    per: dict[int, list] = {rep: [] for rep in range(BOOT_B)}
-    for r in rows:
-        per[int(r["b"])].append((int(r["x"]), int(r["w"])))
+    # stream the folded (replicate, value, weight) histogram cells to
+    # the driver as Arrow batches and fold vectorized — take_all()'s
+    # per-row Python dicts cost ~4 s at sf0.1 where this costs ~0.2 s
+    bs, xs, ws = [], [], []
+    folded = (ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=65536)
+              .groupby("kb").map_groups(fold, batch_format="pyarrow"))
+    for bt in folded.iter_batches(batch_size=65536,
+                                  batch_format="pyarrow"):
+        bs.append(bt.column("b").to_numpy(zero_copy_only=False))
+        xs.append(bt.column("x").to_numpy(zero_copy_only=False))
+        ws.append(bt.column("w").to_numpy(zero_copy_only=False))
+    b = np.concatenate(bs) if bs else np.empty(0, dtype=np.int64)
+    x = np.concatenate(xs) if xs else np.empty(0, dtype=np.int64)
+    w = np.concatenate(ws) if ws else np.empty(0, dtype=np.int64)
+    order = np.lexsort((x, b))
+    b, x, w = b[order], x[order], w[order]
     reps, meds = [], []
     for rep in range(BOOT_B):
-        hist = sorted(per[rep])
-        total = sum(w for _, w in hist)
-        cum = 0
-        med = hist[-1][0] if hist else 0
-        for x, w in hist:
-            cum += w
-            if 2 * cum >= total:
-                med = x
-                break
+        lo = np.searchsorted(b, rep, side="left")
+        hi = np.searchsorted(b, rep, side="right")
+        if hi == lo:
+            reps.append(rep)
+            meds.append(0)
+            continue
+        cum = np.cumsum(w[lo:hi])
+        total = int(cum[-1])
+        # lower weighted median: first x with 2*cum >= total, i.e.
+        # cum >= ceil(total / 2)
+        idx = int(np.searchsorted(cum, (total + 1) // 2, side="left"))
         reps.append(rep)
-        meds.append(med)
+        meds.append(int(x[lo + idx]))
     return pa.table({
         "replicate": pa.array(reps, type=pa.int64()),
         "median_cents": pa.array(meds, type=pa.int64()),
