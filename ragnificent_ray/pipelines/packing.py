@@ -298,3 +298,130 @@ QUERIES = {
     "sequence_pack": sequence_pack,
     "packed_sequences": packed_sequences,
 }
+
+
+# ------------------------------------------------- greedy padded packing
+
+PACK_SHARD = 64        # docs per independent greedy-packing shard
+
+
+def greedy_pack_stats(sf_dir: str, cap: int = SEQ_LEN,
+                      shard_docs: int = PACK_SHARD):
+    """GREEDY NON-SPLITTING sequence packing audit — the other standard
+    packing discipline next to :func:`packed_sequences`' boundary-
+    splitting stream: each document lands whole in a sequence (greedy
+    first-fit in doc order, truncated at ``cap`` if longer), sequences
+    pad to ``cap`` — so PADDING WASTE is the metric this op exists to
+    report (what fraction of training compute burns on pad tokens).
+
+    The fill recurrence is inherently sequential, so it runs SHARDED:
+    docs partition into independent ``shard_docs``-sized ranges
+    (``doc_id // shard_docs``) and the greedy state resets per shard —
+    exactly how production packers parallelize (pack within shard,
+    never across), deterministic on any cluster layout. Per (shard,
+    seq): docs, real tokens, pad tokens, truncated tokens.
+
+    Scale shape: one pruned scan to (doc_id, n) int rows, shards fold
+    in bounded shard-hash buckets; the per-shard recurrence walks
+    ≤``shard_docs`` ints. The oracle replays the fill recurrence as a
+    keyed recursive CTE."""
+    n_buckets = 64
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def counts(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = np.fromiter(
+            (len(t.split()) for t in b.column("text").to_pylist()),
+            dtype=np.int64, count=len(ids))
+        shard = ids // shard_docs
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "n": pa.array(n),
+            "shard": pa.array(shard),
+            "kb": pa.array((shard % n_buckets).astype(np.int32)),
+        })
+
+    def fold(g: pa.Table) -> pa.Table:
+        idx = np.lexsort((
+            g.column("doc_id").to_numpy(zero_copy_only=False),
+            g.column("shard").to_numpy(zero_copy_only=False)))
+        shard = g.column("shard").to_numpy(zero_copy_only=False)[idx]
+        n = g.column("n").to_numpy(zero_copy_only=False)[idx]
+        eff = np.minimum(n, cap)
+        trunc = n - eff
+        # sequential fill recurrence per shard (bounded at shard_docs
+        # steps; the genuinely-serial part production packers also
+        # serialize inside a shard)
+        out: dict[tuple, list] = {}
+        cur_shard, seq, fill = None, 0, 0
+        for i in range(len(shard)):
+            s, e = int(shard[i]), int(eff[i])
+            if s != cur_shard:
+                cur_shard, seq, fill = s, 0, e
+            elif fill + e > cap:
+                seq, fill = seq + 1, e
+            else:
+                fill += e
+            key = (s, seq)
+            row = out.setdefault(key, [0, 0, 0])
+            row[0] += 1
+            row[1] += e
+            row[2] += int(trunc[i])
+        keys = sorted(out)
+        return pa.table({
+            "shard": pa.array([k[0] for k in keys], type=pa.int64()),
+            "seq": pa.array([k[1] for k in keys], type=pa.int64()),
+            "n_docs": pa.array([out[k][0] for k in keys],
+                               type=pa.int64()),
+            "n_tokens": pa.array([out[k][1] for k in keys],
+                                 type=pa.int64()),
+            "pad_tokens": pa.array([cap - out[k][1] for k in keys],
+                                   type=pa.int64()),
+            "trunc_tokens": pa.array([out[k][2] for k in keys],
+                                     type=pa.int64()),
+        })
+
+    return (ds.map_batches(counts, batch_format="pyarrow",
+                           batch_size=8192)
+            .groupby("kb").map_groups(fold, batch_format="pyarrow"))
+
+
+def _greedy_pack_sql(cap: int = SEQ_LEN,
+                     shard_docs: int = PACK_SHARD) -> str:
+    return f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+             AS n
+  FROM documents
+), r AS (
+  SELECT doc_id, doc_id // {shard_docs} AS shard,
+         ROW_NUMBER() OVER (PARTITION BY doc_id // {shard_docs}
+                            ORDER BY doc_id) AS rn,
+         LEAST(n, {cap}) AS eff, n - LEAST(n, {cap}) AS trunc
+  FROM d
+), st(shard, rn, seq, fill) AS (
+  SELECT shard, rn, 0, eff FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.shard, r.rn,
+         CASE WHEN st.fill + r.eff > {cap} THEN st.seq + 1
+              ELSE st.seq END,
+         CASE WHEN st.fill + r.eff > {cap} THEN r.eff
+              ELSE st.fill + r.eff END
+  FROM st JOIN r ON r.shard = st.shard AND r.rn = st.rn + 1
+)
+SELECT st.shard, CAST(st.seq AS BIGINT) AS seq,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(r.eff) AS BIGINT) AS n_tokens,
+       CAST({cap} - SUM(r.eff) AS BIGINT) AS pad_tokens,
+       CAST(SUM(r.trunc) AS BIGINT) AS trunc_tokens
+FROM st JOIN r ON r.shard = st.shard AND r.rn = st.rn
+GROUP BY st.shard, st.seq
+"""
+
+
+QUERIES["greedy_pack_stats"] = greedy_pack_stats
+ORACLE_SQL["greedy_pack_stats"] = _greedy_pack_sql()
