@@ -1981,3 +1981,188 @@ FROM v{last} CROSS JOIN ray
 
 QUERIES["gram_power_iteration"] = gram_power_iteration
 ORACLE_SQL["gram_power_iteration"] = _gram_power_sql()
+
+
+# ---------------------------------------------------- IVF probe curve
+
+PROBE_LEVELS = 4
+
+
+def ann_ivf_probe_curve(sf_dir: str, levels: int = PROBE_LEVELS):
+    """IVF TUNING CURVE — recall@k at every probe depth nprobe ∈
+    1..``levels`` in ONE corpus pass (the ``minhash_threshold_curve``
+    of the ANN stack: you pick nprobe from this table, trading scan
+    fraction against recall). Instead of re-searching per level, each
+    corpus vector's cell gets its PROBE RANK within every query's
+    cell ordering (one block matmul against the broadcast centroids);
+    candidates at rank ≤ ``levels`` carry the rank, and the per-query
+    fold cuts each level's top-k as a prefix-filter of the same sorted
+    candidate list. Exact top-k (the ≤Q·k gold set) broadcasts into
+    the fold. Same metrics/tiebreaks as ``ann_ivf_topk``; fully
+    deterministic, oracle-value-checked per (nprobe, query)."""
+    from .ann import TOP_K as ANN_TOP_K
+    from .ann import ann_topk
+    from ..functions.numeric import round_half_away
+
+    cent = _centroids(sf_dir)
+    c_sq = (cent * cent).sum(axis=1)
+
+    t = pq.read_table(_pq(sf_dir, "embeddings"),
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", N_QUERIES)])
+    qids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    q = list_column_matrix(t.column("embedding"), dtype=np.float64)
+    order = np.argsort(qids)
+    qids, q = qids[order], q[order]
+    qd = (q * q).sum(axis=1, keepdims=True) - 2.0 * (q @ cent.T) \
+        + c_sq[None, :]
+    cell_order = np.argsort(qd, axis=1, kind="stable")
+    # prank[qi, cell] = probe depth at which query qi reaches the cell
+    prank = np.empty_like(cell_order)
+    rows = np.arange(cell_order.shape[0])[:, None]
+    prank[rows, cell_order] = np.arange(cell_order.shape[1])[None, :]
+
+    exact = ann_topk(sf_dir).to_pandas()
+    gold = {int(k): set(v["neighbor_id"])
+            for k, v in exact.groupby("query_id")}
+
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    ref = ray.put((qids, qn, prank, cent, c_sq))
+
+    ds = rd.read_parquet(_pq(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+
+    class Cand:
+        def __init__(self, ref):
+            (self.qids, self.qn, self.prank,
+             self.c, self.c_sq) = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = np.asarray(b.column("vec_id").to_pylist(),
+                             dtype=np.int64)
+            x = list_column_matrix(b.column("embedding"),
+                                   dtype=np.float64)
+            d = (x * x).sum(axis=1, keepdims=True) \
+                - 2.0 * (x @ self.c.T) + self.c_sq[None, :]
+            cell = np.argmin(d, axis=1)
+            xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+            out_q, out_n, out_s, out_r = [], [], [], []
+            for qi in range(len(self.qids)):
+                pr = self.prank[qi][cell]
+                mask = pr < levels
+                if not mask.any():
+                    continue
+                sims = self.qn[qi] @ xn[mask].T
+                out_q.extend([int(self.qids[qi])] * int(mask.sum()))
+                out_n.extend(ids[mask].tolist())
+                out_s.extend(sims.tolist())
+                out_r.extend((pr[mask] + 1).tolist())   # 1-based nprobe
+            return pa.table({
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
+                "min_probe": pa.array(out_r, type=pa.int64()),
+            })
+
+    def curve(g: pa.Table) -> pa.Table:
+        # gold is the ≤Q·k exact set — tiny, shipped in the closure
+        qid = int(g.column("query_id")[0].as_py())
+        nid = g.column("neighbor_id").to_numpy(zero_copy_only=False)
+        sim = g.column("sim").to_numpy(zero_copy_only=False)
+        mp = g.column("min_probe").to_numpy(zero_copy_only=False)
+        order = np.lexsort((nid, -sim))
+        nid, sim, mp = nid[order], sim[order], mp[order]
+        e = gold.get(qid, set())
+        out_l, out_hit, out_n = [], [], []
+        for lv in range(1, levels + 1):
+            keep = mp <= lv
+            top = nid[keep][:ANN_TOP_K]
+            out_l.append(lv)
+            out_n.append(len(top))
+            out_hit.append(len(e & set(top.tolist())))
+        return pa.table({
+            "nprobe": pa.array(out_l, type=pa.int64()),
+            "query_id": pa.array([qid] * levels, type=pa.int64()),
+            "n_exact": pa.array([len(e)] * levels, type=pa.int64()),
+            "n_topk": pa.array(out_n, type=pa.int64()),
+            "n_hit": pa.array(out_hit, type=pa.int64()),
+            "recall": pa.array(
+                [round_half_away(h / len(e), 4) if e else 0.0
+                 for h in out_hit], type=pa.float64()),
+        })
+
+    return (ds.map_batches(Cand, fn_constructor_kwargs={"ref": ref},
+                           batch_format="pyarrow", batch_size=4096,
+                           concurrency=2)
+            .groupby("query_id")
+            .map_groups(curve, batch_format="pyarrow"))
+
+
+def _probe_curve_sql(levels: int = PROBE_LEVELS) -> str:
+    from .ann import ORACLE_SQL as ANN_SQL
+    from .ann import TOP_K as ANN_TOP_K
+
+    lvl_rows = ", ".join(f"({i})" for i in range(1, levels + 1))
+    return f"""
+    WITH lv(nprobe) AS (VALUES {lvl_rows}),
+    e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ), c AS (
+      SELECT vec_id AS cid, emb AS cvec FROM e
+      WHERE vec_id < {N_CENTROIDS}
+    ), asg AS (
+      SELECT e.vec_id, c.cid,
+             list_distance(e.emb, c.cvec) ** 2 AS sqdist
+      FROM e CROSS JOIN c
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                 ORDER BY sqdist, cid) = 1
+    ), qp AS (
+      SELECT e.vec_id AS query_id, c.cid,
+             ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_distance(e.emb, c.cvec) ** 2, cid
+             ) AS prank
+      FROM e CROSS JOIN c
+      WHERE e.vec_id < {N_QUERIES}
+      QUALIFY prank <= {levels}
+    ), scored AS (
+      SELECT lv.nprobe, qp.query_id, a.vec_id AS neighbor_id,
+             list_cosine_similarity(qe.emb, ne.emb) AS sim
+      FROM qp
+      JOIN lv ON qp.prank <= lv.nprobe
+      JOIN asg a ON a.cid = qp.cid
+      JOIN e qe ON qe.vec_id = qp.query_id
+      JOIN e ne ON ne.vec_id = a.vec_id
+    ), topk AS (
+      SELECT nprobe, query_id, neighbor_id FROM scored
+      QUALIFY ROW_NUMBER() OVER (
+          PARTITION BY nprobe, query_id
+          ORDER BY sim DESC, neighbor_id) <= {ANN_TOP_K}
+    ), ex AS ({ANN_SQL["ann_topk"]}),
+    ne AS (SELECT query_id, COUNT(*) AS n_exact FROM ex
+           GROUP BY query_id),
+    nt AS (SELECT nprobe, query_id, COUNT(*) AS n_topk FROM topk
+           GROUP BY nprobe, query_id),
+    hits AS (
+      SELECT t.nprobe, t.query_id, COUNT(ex.neighbor_id) AS n_hit
+      FROM topk t LEFT JOIN ex
+        ON ex.query_id = t.query_id
+       AND ex.neighbor_id = t.neighbor_id
+      GROUP BY t.nprobe, t.query_id
+    )
+    SELECT lv.nprobe, ne.query_id, ne.n_exact,
+           COALESCE(nt.n_topk, 0) AS n_topk,
+           COALESCE(hits.n_hit, 0) AS n_hit,
+           ROUND(CAST(COALESCE(hits.n_hit, 0) AS DOUBLE)
+                 / ne.n_exact, 4) AS recall
+    FROM lv CROSS JOIN ne
+    LEFT JOIN nt ON nt.nprobe = lv.nprobe AND nt.query_id = ne.query_id
+    LEFT JOIN hits ON hits.nprobe = lv.nprobe
+                  AND hits.query_id = ne.query_id
+    """
+
+
+QUERIES["ann_ivf_probe_curve"] = ann_ivf_probe_curve
+ORACLE_SQL["ann_ivf_probe_curve"] = _probe_curve_sql()
