@@ -425,3 +425,138 @@ GROUP BY st.shard, st.seq
 
 QUERIES["greedy_pack_stats"] = greedy_pack_stats
 ORACLE_SQL["greedy_pack_stats"] = _greedy_pack_sql()
+
+
+def curated_pack_stats(sf_dir: str, cap: int = SEQ_LEN,
+                       shard_docs: int = PACK_SHARD):
+    """End-to-end CURATION → PACKING composition — the question a
+    training-data owner actually asks ("after the quality/dedup/
+    decontamination gates, what do my training shards look like and
+    how much padding do I pay?"): :func:`greedy_pack_stats`' sharded
+    greedy first-fit run over ONLY the documents `curation.
+    curate_corpus` keeps. Shard identity stays ``doc_id //
+    shard_docs`` (dropped docs leave holes, they don't reshuffle
+    survivors across shards — resumable and layout-independent).
+
+    Scale shape: the keep-set is an inner hash join of two narrow int
+    streams (verdicts never materialize on the driver), then the same
+    bounded shard-bucket fold as the uncurated audit."""
+    from .curation import curate_corpus
+
+    n_buckets = 64
+    kept = curate_corpus(sf_dir).map_batches(
+        lambda t: t.filter(
+            pc.equal(t.column("kept"), pa.scalar(1, pa.int64()))
+        ).select(["doc_id"]),
+        batch_format="pyarrow")
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    def counts(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = np.fromiter(
+            (len(t.split()) for t in b.column("text").to_pylist()),
+            dtype=np.int64, count=len(ids))
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "n": pa.array(n),
+        })
+
+    rows = (ds.map_batches(counts, batch_format="pyarrow",
+                           batch_size=8192)
+            .join(kept, "inner", on=("doc_id",), num_partitions=2,
+                  aggregator_ray_remote_args={"num_cpus": 0.25}))
+
+    def shardize(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        shard = ids // shard_docs
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n": b.column("n"),
+            "shard": pa.array(shard),
+            "kb": pa.array((shard % n_buckets).astype(np.int32)),
+        })
+
+    def fold(g: pa.Table) -> pa.Table:
+        idx = np.lexsort((
+            g.column("doc_id").to_numpy(zero_copy_only=False),
+            g.column("shard").to_numpy(zero_copy_only=False)))
+        shard = g.column("shard").to_numpy(zero_copy_only=False)[idx]
+        n = g.column("n").to_numpy(zero_copy_only=False)[idx]
+        eff = np.minimum(n, cap)
+        trunc = n - eff
+        out: dict[tuple, list] = {}
+        cur_shard, seq, fill = None, 0, 0
+        for i in range(len(shard)):
+            s, e = int(shard[i]), int(eff[i])
+            if s != cur_shard:
+                cur_shard, seq, fill = s, 0, e
+            elif fill + e > cap:
+                seq, fill = seq + 1, e
+            else:
+                fill += e
+            row = out.setdefault((s, seq), [0, 0, 0])
+            row[0] += 1
+            row[1] += e
+            row[2] += int(trunc[i])
+        keys = sorted(out)
+        return pa.table({
+            "shard": pa.array([k[0] for k in keys], type=pa.int64()),
+            "seq": pa.array([k[1] for k in keys], type=pa.int64()),
+            "n_docs": pa.array([out[k][0] for k in keys],
+                               type=pa.int64()),
+            "n_tokens": pa.array([out[k][1] for k in keys],
+                                 type=pa.int64()),
+            "pad_tokens": pa.array([cap - out[k][1] for k in keys],
+                                   type=pa.int64()),
+            "trunc_tokens": pa.array([out[k][2] for k in keys],
+                                     type=pa.int64()),
+        })
+
+    return (rows.map_batches(shardize, batch_format="pyarrow")
+            .groupby("kb").map_groups(fold, batch_format="pyarrow"))
+
+
+def _curated_pack_sql(cap: int = SEQ_LEN,
+                      shard_docs: int = PACK_SHARD) -> str:
+    from .curation import _CURATE_CORE_SQL
+
+    return f"""
+WITH RECURSIVE {_CURATE_CORE_SQL.strip().removeprefix("WITH ")},
+kv AS (SELECT doc_id FROM curated WHERE kept = 1),
+d2 AS (
+  SELECT d.doc_id,
+         CASE WHEN trim(d.text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(d.text), '\\s+')) END
+             AS n
+  FROM documents d JOIN kv USING (doc_id)
+), r2 AS (
+  SELECT doc_id, doc_id // {shard_docs} AS shard,
+         ROW_NUMBER() OVER (PARTITION BY doc_id // {shard_docs}
+                            ORDER BY doc_id) AS rn,
+         LEAST(n, {cap}) AS eff, n - LEAST(n, {cap}) AS trunc
+  FROM d2
+), st(shard, rn, seq, fill) AS (
+  SELECT shard, rn, 0, eff FROM r2 WHERE rn = 1
+  UNION ALL
+  SELECT r2.shard, r2.rn,
+         CASE WHEN st.fill + r2.eff > {cap} THEN st.seq + 1
+              ELSE st.seq END,
+         CASE WHEN st.fill + r2.eff > {cap} THEN r2.eff
+              ELSE st.fill + r2.eff END
+  FROM st JOIN r2 ON r2.shard = st.shard AND r2.rn = st.rn + 1
+)
+SELECT st.shard, CAST(st.seq AS BIGINT) AS seq,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(r2.eff) AS BIGINT) AS n_tokens,
+       CAST({cap} - SUM(r2.eff) AS BIGINT) AS pad_tokens,
+       CAST(SUM(r2.trunc) AS BIGINT) AS trunc_tokens
+FROM st JOIN r2 ON r2.shard = st.shard AND r2.rn = st.rn
+GROUP BY st.shard, st.seq
+"""
+
+
+QUERIES["curated_pack_stats"] = curated_pack_stats
+ORACLE_SQL["curated_pack_stats"] = _curated_pack_sql()
