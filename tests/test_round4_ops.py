@@ -257,3 +257,27 @@ def test_gram_power_iteration_rayleigh_ascends_toward_lapack(ray_session,
     # the spectrum is nearly flat (mean ≈ 0.54·λ_max here), so the
     # meaningful floor is a clear margin over the mean eigenvalue
     assert rays[-1] > 1.2 * mean_ev
+
+
+def test_range_partition_manifest_skew_and_totals(ray_session, entry):
+    """Manifest invariants over the real table: counts sum to the
+    corpus, partitions are ~equal by construction (ties may bunch),
+    cuts are non-decreasing actual data values, and the last cut is
+    the max."""
+    import duckdb
+
+    m = entry.queries()["range_partition_manifest"](SF).to_pandas() \
+        .sort_values("partition")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{SF}/orders.parquet')")
+    n, mx = con.execute(
+        "SELECT COUNT(*), MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT))"
+        " FROM orders").fetchone()
+    assert int(m["n_rows"].sum()) == n
+    cuts = m["cut_cents"].tolist()
+    assert cuts == sorted(cuts)
+    assert cuts[-1] == mx
+    # equal-count planning: no partition exceeds 2x the ideal share
+    # on this tie-free-ish distribution
+    assert int(m["n_rows"].max()) <= 2 * (n // len(m) + 1)
