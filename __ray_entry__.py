@@ -1039,6 +1039,133 @@ def _image_curate_keep(sf_dir: str):
     return _image_keep_from_labels(sf_dir, labels)
 
 
+def _image_keep_best_from(corpus_ids, labels, quality):
+    """Quality-keeper resolution for the image dedup family: per
+    cluster keep the member with MAX quality score (exact e-4 integer
+    compare, ties → lexicographic-min image_id). ``labels`` is a
+    Dataset of (image_id, component); ``quality`` a pa.Table of
+    (image_id, q_e4). Narrow string/int rows meet in bounded
+    id-hash buckets, winners fold per component bucket — pixels never
+    ship, nothing corpus-sized on the driver (bucket folds walk dicts
+    because image ids are strings — bounded per bucket)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ragnificent_ray.functions.hashing import stable_hash64
+
+    _B = 64
+
+    def _hb(ids) -> pa.Array:
+        return pa.array(
+            np.fromiter((stable_hash64(s) % _B for s in ids),
+                        dtype=np.int32, count=len(ids)))
+
+    lab_rows = labels.map_batches(
+        lambda t: pa.table({
+            "image_id": t.column("image_id"),
+            "component": t.column("component"),
+            "q": pa.array([-1] * t.num_rows, type=pa.int64()),
+            "hb": _hb(t.column("image_id").to_pylist()),
+        }), batch_format="pyarrow")
+    if isinstance(quality, pa.Table):
+        quality = rd.from_arrow(quality)
+    q_rows = quality.map_batches(
+        lambda t: pa.table({
+            "image_id": t.column("image_id"),
+            "component": pa.array([""] * t.num_rows, type=pa.string()),
+            "q": t.column("q_e4"),
+            "hb": _hb(t.column("image_id").to_pylist()),
+        }), batch_format="pyarrow")
+
+    def attach(g: pa.Table) -> pa.Table:
+        ids = g.column("image_id").to_pylist()
+        comp = g.column("component").to_pylist()
+        q = g.column("q").to_pylist()
+        score = {i: qq for i, c, qq in zip(ids, comp, q) if c == ""}
+        keep = [(c, i, score[i]) for i, c, qq in zip(ids, comp, q)
+                if c != ""]
+        return pa.table({
+            "component": pa.array([k[0] for k in keep],
+                                  type=pa.string()),
+            "image_id": pa.array([k[1] for k in keep],
+                                 type=pa.string()),
+            "q": pa.array([k[2] for k in keep], type=pa.int64()),
+            "cb": _hb([k[0] for k in keep]),
+        })
+
+    labeled = lab_rows.union(q_rows).groupby("hb").map_groups(
+        attach, batch_format="pyarrow")
+
+    def winners(g: pa.Table) -> pa.Table:
+        comp = g.column("component").to_pylist()
+        ids = g.column("image_id").to_pylist()
+        q = g.column("q").to_pylist()
+        best: dict[str, tuple] = {}
+        for c, i, qq in zip(comp, ids, q):
+            cand = (-qq, i)
+            if c not in best or cand < best[c]:
+                best[c] = cand
+        marker = [2 if best[c][1] == i else 1
+                  for c, i in zip(comp, ids)]
+        return pa.table({
+            "image_id": pa.array(ids, type=pa.string()),
+            "marker": pa.array(marker, type=pa.int8()),
+            "hb": _hb(ids),
+        })
+
+    marks = labeled.groupby("cb").map_groups(
+        winners, batch_format="pyarrow")
+
+    corpus = rd.from_arrow(pa.table({
+        "image_id": pa.array(corpus_ids, type=pa.string()),
+        "marker": pa.array(np.zeros(len(corpus_ids), dtype=np.int8)),
+        "hb": _hb(corpus_ids),
+    }))
+
+    def keep(g: pa.Table) -> pa.Table:
+        f = (g.select(["image_id", "marker"]).group_by("image_id")
+             .aggregate([("marker", "max")]))
+        mx = f.column("marker_max").to_numpy(zero_copy_only=False)
+        kept = f.filter(pa.array(mx != 1))
+        return pa.table({
+            "image_id": kept.column("image_id"),
+            "in_cluster": pa.array(
+                (kept.column("marker_max")
+                 .to_numpy(zero_copy_only=False) == 2).astype(np.int8)),
+        })
+
+    return corpus.union(marks).groupby("hb").map_groups(
+        keep, batch_format="pyarrow")
+
+
+def _image_keep_sharpest(sf_dir: str):
+    """The image twin of the text-side ``dedup_keep_best``: per phash
+    near-dup cluster keep the SHARPEST member (max Laplacian-variance
+    sharpness from the real-decode quality stage, e-4 integer compare,
+    ties → lexicographic-min image_id) instead of the min-id
+    representative — of N near-identical crawled images, keep the one
+    with the most detail. Labels from ``image_phash_clusters``,
+    scores from the ``ImageQualityStage`` actor pool, resolution via
+    :func:`_image_keep_best_from`'s bounded-bucket folds. Rows-only
+    (binary-payload input); planted sharper-duplicate case pinned in
+    ``tests/test_round4_ops.py``."""
+    import numpy as np
+    import pyarrow as pa
+
+    harvest = _crawl_harvest(sf_dir)
+    labels = _image_phash_clusters(sf_dir)
+    quality = _image_quality_scores(sf_dir).map_batches(
+        lambda t: pa.table({
+            "image_id": t.column("image_id"),
+            "q_e4": pa.array(np.rint(
+                t.column("sharpness").to_numpy(zero_copy_only=False)
+                * 1e4).astype(np.int64)),
+        }), batch_format="pyarrow")
+    ids = harvest.column("image_id").to_pylist()
+    return _image_keep_best_from(ids, labels, quality)
+
+
 def _image_text_dup_pairs(sf_dir: str):
     """Image+TEXT joint near-dup pairs over the crawl harvest — the
     high-precision LAION-style dedup signal: both the banded-phash
@@ -1250,6 +1377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_curate_keep": _image_curate_keep,
         "image_dhash_neardup": _image_dhash_neardup,
         "image_text_dup_pairs": _image_text_dup_pairs,
+        "image_keep_sharpest": _image_keep_sharpest,
         "image_patchify": _image_patchify,
         "image_patch_dedup": _image_patch_dedup,
         "image_augment": _image_augment,

