@@ -1046,8 +1046,9 @@ def _image_keep_best_from(corpus_ids, labels, quality):
     Dataset of (image_id, component); ``quality`` a pa.Table of
     (image_id, q_e4). Narrow string/int rows meet in bounded
     id-hash buckets, winners fold per component bucket — pixels never
-    ship, nothing corpus-sized on the driver (bucket folds walk dicts
-    because image ids are strings — bounded per bucket)."""
+    ship, nothing corpus-sized on the driver. Bucket folds are numpy
+    lexsort/searchsorted over the string keys (no per-row dict walks);
+    a label row with no quality row fails loudly."""
     import numpy as np
     import pyarrow as pa
     import ray.data as rd
@@ -1079,39 +1080,52 @@ def _image_keep_best_from(corpus_ids, labels, quality):
         }), batch_format="pyarrow")
 
     def attach(g: pa.Table) -> pa.Table:
-        ids = g.column("image_id").to_pylist()
-        comp = g.column("component").to_pylist()
-        q = g.column("q").to_pylist()
-        score = {i: qq for i, c, qq in zip(ids, comp, q) if c == ""}
-        keep = [(c, i, score[i]) for i, c, qq in zip(ids, comp, q)
-                if c != ""]
+        ids = np.asarray(g.column("image_id").to_pylist(), dtype=object)
+        comp = np.asarray(g.column("component").to_pylist(), dtype=object)
+        q = g.column("q").to_numpy(zero_copy_only=False)
+        is_q = comp == ""
+        qid, qv = ids[is_q], q[is_q]
+        order = np.argsort(qid)
+        qid, qv = qid[order], qv[order]
+        lid, lcomp = ids[~is_q], comp[~is_q]
+        idx = np.searchsorted(qid, lid)
+        bad = ((idx >= len(qid)) if len(qid) else
+               np.ones(len(lid), dtype=bool))
+        if len(qid):
+            bad = bad | (qid[np.minimum(idx, len(qid) - 1)] != lid)
+        if bad.any():
+            raise ValueError(
+                "image keeper: no quality row for image_id %s"
+                % lid[bad][:1])
         return pa.table({
-            "component": pa.array([k[0] for k in keep],
-                                  type=pa.string()),
-            "image_id": pa.array([k[1] for k in keep],
-                                 type=pa.string()),
-            "q": pa.array([k[2] for k in keep], type=pa.int64()),
-            "cb": _hb([k[0] for k in keep]),
+            "component": pa.array(lcomp, type=pa.string()),
+            "image_id": pa.array(lid, type=pa.string()),
+            "q": pa.array(qv[idx], type=pa.int64()),
+            "cb": _hb(lcomp.tolist()),
         })
 
     labeled = lab_rows.union(q_rows).groupby("hb").map_groups(
         attach, batch_format="pyarrow")
 
     def winners(g: pa.Table) -> pa.Table:
-        comp = g.column("component").to_pylist()
-        ids = g.column("image_id").to_pylist()
-        q = g.column("q").to_pylist()
-        best: dict[str, tuple] = {}
-        for c, i, qq in zip(comp, ids, q):
-            cand = (-qq, i)
-            if c not in best or cand < best[c]:
-                best[c] = cand
-        marker = [2 if best[c][1] == i else 1
-                  for c, i in zip(comp, ids)]
+        # max q, ties → lexicographic-min image_id: the first sorted
+        # row per component is the winner, scattered back through the
+        # sort permutation (string keys sort fine under np.lexsort)
+        comp = np.asarray(g.column("component").to_pylist())
+        ids = np.asarray(g.column("image_id").to_pylist())
+        q = g.column("q").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -q, comp))
+        comp_s = comp[order]
+        first = np.zeros(len(comp_s), dtype=bool)
+        if len(comp_s):
+            first[0] = True
+            first[1:] = comp_s[1:] != comp_s[:-1]
+        marker = np.empty(len(comp), dtype=np.int8)
+        marker[order] = np.where(first, np.int8(2), np.int8(1))
         return pa.table({
             "image_id": pa.array(ids, type=pa.string()),
             "marker": pa.array(marker, type=pa.int8()),
-            "hb": _hb(ids),
+            "hb": _hb(ids.tolist()),
         })
 
     marks = labeled.groupby("cb").map_groups(

@@ -1123,33 +1123,105 @@ def embedding_neardup_lsh(sf_dir: str, threshold: float = COSINE_THRESHOLD,
 
 NGRAM_SPAN_K = 8
 
+# Token-scale gram tables are consumed twice (the dup-mark pass and the
+# join-back). Holding them in the object store via ``materialize()``
+# parks ~16-24 B/token of narrow rows there for the whole query — at a
+# 100 TB corpus (~20 T tokens) that is ~0.5 PB of object-store
+# residency, the fleet's biggest. Instead each op writes the table ONCE
+# to a parquet checkpoint (sequential writes, column-compressed ints)
+# and every consumer re-reads only the columns it needs: residency
+# becomes sequential-disk, the object store holds only the streaming
+# working set, and the re-reads are column-pruned. Checkpoints live
+# until process exit (the returned Datasets are lazy) and are removed
+# atexit; override the root with $RAGNIFICENT_CKPT_DIR (a shared
+# filesystem path on a real cluster).
+_GRAM_CKPT_ROOT: str | None = None
 
-def _dup_gram_marks(doc_grams, n_buckets: int):
+
+def _gram_ckpt_dir(tag: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+    import uuid
+
+    global _GRAM_CKPT_ROOT
+    if _GRAM_CKPT_ROOT is None:
+        _GRAM_CKPT_ROOT = tempfile.mkdtemp(
+            prefix="ragnificent_gram_ckpt_",
+            dir=os.environ.get("RAGNIFICENT_CKPT_DIR"))
+        atexit.register(shutil.rmtree, _GRAM_CKPT_ROOT, ignore_errors=True)
+    path = os.path.join(_GRAM_CKPT_ROOT, f"{tag}-{uuid.uuid4().hex[:12]}")
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def _checkpointed(ds, tag: str):
+    """Execute ``ds`` into a parquet checkpoint; returns a reader
+    ``read(columns) -> Dataset`` for column-pruned re-reads."""
+    path = _gram_ckpt_dir(tag)
+    ds.write_parquet(path)
+
+    def read(columns: list[str]):
+        return rd.read_parquet(path, columns=columns)
+
+    return read
+
+
+def _dup_gram_marks(doc_grams, n_buckets: int, distinct: bool = True):
     """grams occurring in ≥2 distinct documents → (gram, is_dup=1).
 
-    Input rows must be (doc, gram)-distinct, so rows-per-gram = distinct
-    docs per gram. Counted in bounded gram-hash buckets with an Arrow
-    ``group_by`` body: Ray's native ``groupby("gram").count()`` walks
-    the key space per group, and at corpus-scale gram cardinality
-    (~1 gram/token) that per-group overhead dominated the whole op
-    (8.3 s of 9 s at sf0.1); the bucket fold is one bounded exchange
-    with a vectorized count inside."""
+    With ``distinct=True`` input rows must be GLOBALLY (doc, gram)-
+    distinct (rows-per-gram = distinct docs per gram) and only the
+    ``gram`` column ships into the bucket exchange. With
+    ``distinct=False`` rows may repeat — e.g. one row per token
+    position: a per-batch Arrow distinct combiner thins the exchange
+    and the bucket fold re-distincts EXACTLY before counting (all rows
+    of a gram co-locate in its bucket, so the global distinct is a
+    local group_by there — batch boundaries can never split it).
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        g = t.column("gram").to_numpy(zero_copy_only=False)
-        return pa.table({
-            "gram": t.column("gram"),
-            "gb": pa.array((g % n_buckets).astype(np.int32)),
-        })
+    Counted in bounded gram-hash buckets with an Arrow ``group_by``
+    body: Ray's native ``groupby("gram").count()`` walks the key space
+    per group, and at corpus-scale gram cardinality (~1 gram/token)
+    that per-group overhead dominated the whole op (8.3 s of 9 s at
+    sf0.1); the bucket fold is one bounded exchange with a vectorized
+    count inside."""
 
-    def bucket_marks(t: pa.Table) -> pa.Table:
-        c = (pa.table({"gram": t.column("gram")})
-             .group_by("gram").aggregate([("gram", "count")]))
-        f = c.filter(pc.greater_equal(c.column("gram_count"), 2))
-        return pa.table({
-            "gram": f.column("gram"),
-            "is_dup": pa.array(np.ones(f.num_rows, dtype=np.int64)),
-        })
+    if distinct:
+        def add_bucket(t: pa.Table) -> pa.Table:
+            g = t.column("gram").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "gram": t.column("gram"),
+                "gb": pa.array((g % n_buckets).astype(np.int32)),
+            })
+
+        def bucket_marks(t: pa.Table) -> pa.Table:
+            c = (pa.table({"gram": t.column("gram")})
+                 .group_by("gram").aggregate([("gram", "count")]))
+            f = c.filter(pc.greater_equal(c.column("gram_count"), 2))
+            return pa.table({
+                "gram": f.column("gram"),
+                "is_dup": pa.array(np.ones(f.num_rows, dtype=np.int64)),
+            })
+    else:
+        def add_bucket(t: pa.Table) -> pa.Table:
+            d = (pa.table({"doc_id": t.column("doc_id"),
+                           "gram": t.column("gram")})
+                 .group_by(["doc_id", "gram"]).aggregate([]))
+            g = d.column("gram").to_numpy(zero_copy_only=False)
+            return d.append_column(
+                "gb", pa.array((g % n_buckets).astype(np.int32)))
+
+        def bucket_marks(t: pa.Table) -> pa.Table:
+            d = (pa.table({"doc_id": t.column("doc_id"),
+                           "gram": t.column("gram")})
+                 .group_by(["doc_id", "gram"]).aggregate([]))
+            c = (pa.table({"gram": d.column("gram")})
+                 .group_by("gram").aggregate([("gram", "count")]))
+            f = c.filter(pc.greater_equal(c.column("gram_count"), 2))
+            return pa.table({
+                "gram": f.column("gram"),
+                "is_dup": pa.array(np.ones(f.num_rows, dtype=np.int64)),
+            })
 
     return (doc_grams.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("gb")
@@ -1167,7 +1239,9 @@ def duplicate_ngram_fraction(sf_dir: str, k: int = NGRAM_SPAN_K,
     never broadcast — one gram-keyed groupby counts distinct docs per
     gram (combiner: one row per distinct gram per doc), and the dup
     marks flow back via a gram-keyed LEFT OUTER hash-join before a
-    doc-keyed sum. Gram identity is the 48-bit token-md5 Horner mix
+    doc-keyed sum. The token-scale gram table itself is computed once
+    into a parquet checkpoint and column-pruned per consumer
+    (``_checkpointed``) — never parked in the object store. Gram identity is the 48-bit token-md5 Horner mix
     (``_gram_hashes``) on both sides, so the oracle hashes identically
     (collisions included)."""
     from ray.data.aggregate import Sum
@@ -1197,11 +1271,14 @@ def duplicate_ngram_fraction(sf_dir: str, k: int = NGRAM_SPAN_K,
             "occ": pa.array(occ, type=pa.int64()),
         })
 
-    go = ds.map_batches(grams, batch_format="pyarrow",
-                        batch_size=2048).materialize()
+    go = _checkpointed(
+        ds.map_batches(grams, batch_format="pyarrow", batch_size=2048),
+        "ngram_frac")
 
-    # distinct docs per gram (rows in go are (doc, gram)-distinct)
-    dup = _dup_gram_marks(go, _bucket_count(sf_dir))
+    # distinct docs per gram (checkpoint rows are (doc, gram)-distinct
+    # by construction: np.unique per doc, one row per corpus doc — so
+    # the mark side needs only the pruned gram column)
+    dup = _dup_gram_marks(go(["gram"]), _bucket_count(sf_dir))
 
     def mark(t: pa.Table) -> pa.Table:
         occ = t.column("occ").to_numpy(zero_copy_only=False)
@@ -1213,7 +1290,8 @@ def duplicate_ngram_fraction(sf_dir: str, k: int = NGRAM_SPAN_K,
         })
 
     per_doc = (
-        go.join(dup, "left_outer", on=("gram",), **join_args)
+        go(["doc_id", "gram", "occ"])
+        .join(dup, "left_outer", on=("gram",), **join_args)
         .map_batches(mark, batch_format="pyarrow")
         .groupby("doc_id")
         .aggregate(Sum("occ", alias_name="total_grams"),
@@ -1245,7 +1323,9 @@ def ngram_novelty(sf_dir: str, k: int = NGRAM_SPAN_K,
     complement of :func:`duplicate_ngram_fraction`, which marks
     repeats without attributing them).
 
-    Scale shape: distinct (doc, gram) rows stream out per batch; the
+    Scale shape: distinct (doc, gram) rows stream into a parquet
+    checkpoint read back by both consumers (``_checkpointed`` — the
+    token-scale table never sits in the object store); the
     first-seen owner per gram is a min-fold in bounded gram-hash
     buckets (Arrow ``group_by`` body — the corpus-scale gram key space
     never meets a native per-group walk); marks flow back via one
@@ -1282,8 +1362,9 @@ def ngram_novelty(sf_dir: str, k: int = NGRAM_SPAN_K,
             "gram": pa.array(np.concatenate(ghs)),
         })
 
-    go = ds.map_batches(grams, batch_format="pyarrow",
-                        batch_size=2048).materialize()
+    go = _checkpointed(
+        ds.map_batches(grams, batch_format="pyarrow", batch_size=2048),
+        "ngram_novelty")
 
     def add_bucket(t: pa.Table) -> pa.Table:
         g = t.column("gram").to_numpy(zero_copy_only=False)
@@ -1296,7 +1377,8 @@ def ngram_novelty(sf_dir: str, k: int = NGRAM_SPAN_K,
              .group_by("gram").aggregate([("first_doc", "min")]))
         return f.rename_columns(["gram", "first_doc"])
 
-    first = (go.map_batches(add_bucket, batch_format="pyarrow")
+    first = (go(["doc_id", "gram"])
+             .map_batches(add_bucket, batch_format="pyarrow")
              .groupby("gb")
              .map_groups(bucket_first, batch_format="pyarrow"))
 
@@ -1310,7 +1392,8 @@ def ngram_novelty(sf_dir: str, k: int = NGRAM_SPAN_K,
         })
 
     per_doc = (
-        go.join(first, "inner", on=("gram",), **join_args)
+        go(["doc_id", "gram"])
+        .join(first, "inner", on=("gram",), **join_args)
         .map_batches(mark, batch_format="pyarrow")
         .groupby("doc_id")
         .aggregate(Sum("n", alias_name="n_grams"),
@@ -1340,10 +1423,12 @@ def dup_spans(sf_dir: str, k: int = NGRAM_SPAN_K,
     how many tokens exact-substring dedup would cut.
 
     Scale shape mirrors the fraction op: gram-position rows (narrow
-    ints) → gram-keyed distinct-doc count → dup marks hash-join back
-    (inner — only duplicated positions survive), then interval merging
-    runs vectorized inside bounded doc-buckets, with token totals
-    riding the same union so zero-dup docs still report."""
+    ints, parquet-checkpointed once and column-pruned per consumer —
+    the mark side never reads ``pos``) → gram-keyed distinct-doc count
+    → dup marks hash-join back (inner — only duplicated positions
+    survive), then interval merging runs vectorized inside bounded
+    doc-buckets, with token totals riding the same union so zero-dup
+    docs still report."""
     if join_partitions is None:
         join_partitions = _join_partition_count(sf_dir, "documents")
     join_args = dict(num_partitions=join_partitions,
@@ -1375,18 +1460,16 @@ def dup_spans(sf_dir: str, k: int = NGRAM_SPAN_K,
             "gram": pa.array(np.concatenate(ghs)),
         })
 
-    occ = ds.map_batches(gram_pos, batch_format="pyarrow",
-                         batch_size=2048).materialize()
+    occ = _checkpointed(
+        ds.map_batches(gram_pos, batch_format="pyarrow", batch_size=2048),
+        "dup_spans")
 
-    def distinct_doc_gram(batch: pa.Table) -> pa.Table:
-        df = pa.table({"doc_id": batch["doc_id"],
-                       "gram": batch["gram"]}).to_pandas()
-        df = df.drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    dup = _dup_gram_marks(
-        occ.map_batches(distinct_doc_gram, batch_format="pyarrow"),
-        n_buckets)
+    # the mark side reads only (doc_id, gram); position rows repeat a
+    # (doc, gram) pair once per occurrence, so distinct=False runs the
+    # per-batch Arrow combiner + exact in-bucket distinct before the
+    # ≥2-distinct-docs count
+    dup = _dup_gram_marks(occ(["doc_id", "gram"]), n_buckets,
+                          distinct=False)
 
     def cov_rows(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
@@ -1396,7 +1479,8 @@ def dup_spans(sf_dir: str, k: int = NGRAM_SPAN_K,
             "bucket": pa.array((ids % n_buckets).astype(np.int32)),
         })
 
-    covered = (occ.join(dup, "inner", on=("gram",), **join_args)
+    covered = (occ(["doc_id", "pos", "gram"])
+               .join(dup, "inner", on=("gram",), **join_args)
                .map_batches(cov_rows, batch_format="pyarrow"))
 
     def tok_rows(batch: pa.Table) -> pa.Table:
@@ -2234,7 +2318,18 @@ def dedup_keep_best(sf_dir: str):
         order = np.argsort(cid)
         cid, cq = cid[order], cq[order]
         lid = ids[is_lab]
-        qq = cq[np.searchsorted(cid, lid)]
+        idx = np.searchsorted(cid, lid)
+        if len(lid) and (len(cid) == 0 or (idx >= len(cid)).any()
+                         or (cid[np.minimum(idx, len(cid) - 1)]
+                             != lid).any()):
+            missing = (lid[idx >= len(cid)][:1] if len(cid) == 0
+                       or (idx >= len(cid)).any()
+                       else lid[cid[np.minimum(idx, len(cid) - 1)]
+                                != lid][:1])
+            raise ValueError(
+                "dedup_keep_best: label doc_id %s has no metadata row"
+                % missing)
+        qq = cq[idx]
         return pa.table({
             "component": pa.array(comp[is_lab]),
             "doc_id": pa.array(lid),
@@ -2249,17 +2344,17 @@ def dedup_keep_best(sf_dir: str):
         comp = g.column("component").to_numpy(zero_copy_only=False)
         ids = g.column("doc_id").to_numpy(zero_copy_only=False)
         q = g.column("q").to_numpy(zero_copy_only=False)
-        # per component: max q, ties to min doc_id
+        # per component: max q, ties to min doc_id — the first sorted
+        # row of each component IS the winner row, so the marker
+        # scatters straight back through the sort permutation
         order = np.lexsort((ids, -q, comp))
-        comp_s, ids_s = comp[order], ids[order]
+        comp_s = comp[order]
         first = np.zeros(len(comp_s), dtype=bool)
         if len(comp_s):
             first[0] = True
             first[1:] = comp_s[1:] != comp_s[:-1]
-        win_of = dict(zip(comp_s[first].tolist(), ids_s[first].tolist()))
-        marker = np.fromiter(
-            (2 if win_of[c] == i else 1 for c, i in zip(comp, ids)),
-            dtype=np.int8, count=len(comp))
+        marker = np.empty(len(comp), dtype=np.int8)
+        marker[order] = np.where(first, np.int8(2), np.int8(1))
         return pa.table({
             "doc_id": pa.array(ids),
             "marker": pa.array(marker),
