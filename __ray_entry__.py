@@ -111,18 +111,22 @@ def _crawl_round_metrics(sf_dir: str):
     surface as a first-class query: one row per crawl round with the
     deterministic counters (frontier size, parsed/cached/failed pages,
     rendered, chunks, image frontier, harvest rows, next frontier)
-    plus the seen-shard scale audit (cumulative actor-heap bytes and
-    RPC fan-out watermarks per round — flat-bounded heap and
-    O(batches × shards) RPC counts are the north rule's cross-process
-    contract). Wall-time fields are intentionally excluded so the
-    result is run-stable (rows-only determinism gate)."""
+    plus the seen-shard and politeness-shard scale audits (cumulative
+    actor-heap bytes / domain-record counts and RPC fan-out watermarks
+    per round — flat-bounded heap and O(batches × shards) RPC counts
+    are the north rule's cross-process contract; politeness counts
+    cover the synchronous reservation RPCs only, since fire-and-forget
+    outcome reports land asynchronously). Wall-time fields are
+    intentionally excluded so the result is run-stable (rows-only
+    determinism gate)."""
     import pyarrow as pa
 
     res = _crawl(sf_dir)
     keys = ("n_frontier", "pages_parsed", "pages_from_cache",
             "pages_failed", "rendered", "chunks", "image_frontier",
             "harvest_rows", "next_frontier", "seen_shard_bytes",
-            "seen_rpc_calls", "seen_rpc_rows")
+            "seen_rpc_calls", "seen_rpc_rows", "polite_domains",
+            "polite_rpc_calls", "polite_rpc_rows")
     rounds = sorted(int(k.split("_", 1)[1]) for k in res.metrics
                     if k.startswith("round_"))
     cols: dict = {"round": pa.array(rounds, type=pa.int64())}

@@ -724,11 +724,23 @@ def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResu
             # rule's cross-process boundaries: RPC fan-out must stay
             # O(batches × shards) and actor heap flat-numpy-bounded.
             _sst = seen.rpc_stats()
+            _pst = politeness.rpc_stats()
             seen_telemetry = {
                 "seen_shard_bytes": sum(
                     st["memory_bytes"] for st in _sst),
                 "seen_rpc_calls": sum(st["rpc_calls"] for st in _sst),
                 "seen_rpc_rows": sum(st["rpc_rows_in"] for st in _sst),
+                # the other cross-process chatter on the critical path:
+                # per-domain slot reservations. Only the SYNCHRONOUS
+                # reservation counters go into round metrics — outcome
+                # reports are fire-and-forget, so their arrival at this
+                # snapshot is racy and would break the rows-only
+                # determinism gate on crawl_round_metrics.
+                "polite_domains": sum(st["domains"] for st in _pst),
+                "polite_rpc_calls": sum(
+                    st["reserve_rpc_calls"] for st in _pst),
+                "polite_rpc_rows": sum(
+                    st["reserve_rpc_rows"] for st in _pst),
             }
 
             # ---- deferred round finalization --------------------------------

@@ -68,6 +68,17 @@ class _PolitenessCore:
         self.adaptive_max_rate = adaptive_max_rate
         self.clock = clock
         self.domains: dict[str, _DomainState] = {}
+        # RPC telemetry (incremented at the shard RPC boundary, same
+        # audit as state/seen.py: cross-process fan-out on the crawl
+        # critical path must stay O(batches × shards)). Reservations
+        # are synchronous critical-path RPCs — their counters are exact
+        # per-round watermarks; outcome reports are fire-and-forget and
+        # tracked separately (racy at snapshot time by design).
+        self.reserve_rpc_calls = 0
+        self.reserve_rpc_rows_in = 0
+        self.reserve_rpc_rows_out = 0
+        self.report_rpc_calls = 0
+        self.report_rpc_rows_in = 0
 
     def _state(self, domain: str) -> _DomainState:
         st = self.domains.get(domain)
@@ -148,25 +159,72 @@ class _PolitenessCore:
             })
         return rows
 
+    def memory_bytes(self) -> int:
+        """Approximate actor-heap held by the per-domain records (the
+        bounded-growth audit: ~100 B of fixed fields + the rolling
+        response-time window + status-code dict per domain)."""
+        total = 0
+        for domain, st in self.domains.items():
+            total += (len(domain) + 200 + 8 * len(st.request_times)
+                      + 48 * len(st.status_codes))
+        return total
 
-@ray.remote(num_cpus=0.05)
-class PolitenessShard(_PolitenessCore):
-    """Ray actor wrapper. ``reserve`` times are on the *shard's* clock;
+    def rpc_stats(self) -> dict:
+        return {"rpc_calls": (self.reserve_rpc_calls
+                              + self.report_rpc_calls),
+                "rpc_rows_in": (self.reserve_rpc_rows_in
+                                + self.report_rpc_rows_in),
+                "rpc_rows_out": self.reserve_rpc_rows_out,
+                "reserve_rpc_calls": self.reserve_rpc_calls,
+                "reserve_rpc_rows": self.reserve_rpc_rows_in,
+                "report_rpc_calls": self.report_rpc_calls,
+                "report_rpc_rows": self.report_rpc_rows_in,
+                "memory_bytes": self.memory_bytes(),
+                "domains": len(self.domains)}
+
+
+class _PolitenessShardRPC(_PolitenessCore):
+    """Shard RPC surface. ``reserve`` times are on the *shard's* clock;
     callers only use them as relative delays (slot - shard_now), which
     a second RPC-free approximation handles: we return slots together
-    with the shard's current time."""
+    with the shard's current time.
+
+    Every public method here is an RPC entry point, so the telemetry
+    counters increment in these wrappers (rows_in = domain requests /
+    outcome reports carried by the call, rows_out = slots returned) —
+    mirroring ``state/seen.py``'s shard audit. Plain class so unit
+    tests exercise the counters actor-free."""
 
     def reserve_with_now(self, domain: str, n: int) -> tuple[list[float], float]:
+        self.reserve_rpc_calls += 1
+        self.reserve_rpc_rows_in += 1
+        self.reserve_rpc_rows_out += n
         return self.reserve(domain, n), self.clock()
 
     def reserve_many(self, pairs: list[tuple[str, int]]) -> tuple[dict, float]:
         """Batched reservation: one RPC covers every domain a fetch batch
         touches on this shard (RPC count per batch = shards, not domains)."""
+        self.reserve_rpc_calls += 1
+        self.reserve_rpc_rows_in += len(pairs)
+        self.reserve_rpc_rows_out += sum(n for _, n in pairs)
         return {d: self.reserve(d, n) for d, n in pairs}, self.clock()
 
+    def report_one(self, domain: str,
+                   outcomes: list[tuple[int, float, bool]]) -> None:
+        self.report_rpc_calls += 1
+        self.report_rpc_rows_in += len(outcomes)
+        self.report(domain, outcomes)
+
     def report_many(self, per_domain: dict) -> None:
+        self.report_rpc_calls += 1
+        self.report_rpc_rows_in += sum(len(o) for o in per_domain.values())
         for d, outcomes in per_domain.items():
             self.report(d, outcomes)
+
+
+@ray.remote(num_cpus=0.05)
+class PolitenessShard(_PolitenessShardRPC):
+    """Ray actor wrapper; tiny CPU reservation — it's a pacing service."""
 
 
 class PolitenessService:
@@ -223,7 +281,7 @@ class PolitenessService:
 
     def report(self, domain: str, outcomes: list[tuple[int, float, bool]]):
         # fire-and-forget: stats/adaptive updates need not block fetching
-        self.shard_for(domain).report.remote(domain, outcomes)
+        self.shard_for(domain).report_one.remote(domain, outcomes)
 
     def report_batch(self, per_domain: dict) -> None:
         """Fire-and-forget batched outcome report, one RPC per shard."""
@@ -239,6 +297,10 @@ class PolitenessService:
     def stats_rows(self) -> list[dict]:
         parts = ray.get([s.stats_rows.remote() for s in self.shards])
         return [r for p in parts for r in p]
+
+    def rpc_stats(self) -> list[dict]:
+        """Per-shard RPC/memory telemetry (see PolitenessShard)."""
+        return ray.get([s.rpc_stats.remote() for s in self.shards])
 
     def shutdown(self) -> None:
         for s in self.shards:

@@ -88,6 +88,32 @@ def test_politeness_wildcard_domain_limits():
     assert core._configured_rate("other.test") == 1.0
 
 
+def test_politeness_shard_rpc_telemetry():
+    """The shard RPC boundary counts calls/rows like the seen shards:
+    reservations (synchronous, critical-path) and reports
+    (fire-and-forget) tracked separately, memory audit bounded by the
+    per-domain records."""
+    from ragnificent_ray.state.politeness import _PolitenessShardRPC
+
+    t = [0.0]
+    s = _PolitenessShardRPC(default_rate=2.0, adaptive=False,
+                            clock=lambda: t[0])
+    slots, _now = s.reserve_many([("a.test", 3), ("b.test", 2)])
+    assert set(slots) == {"a.test", "b.test"}
+    s.reserve_with_now("a.test", 1)
+    s.report_many({"a.test": [(200, 0.1, False)] * 3})
+    s.report_one("b.test", [(500, 0.2, True)])
+    st = s.rpc_stats()
+    assert st["reserve_rpc_calls"] == 2
+    assert st["reserve_rpc_rows"] == 3      # 2 domains + 1 domain
+    assert st["rpc_rows_out"] == 6          # 3 + 2 + 1 slots handed out
+    assert st["report_rpc_calls"] == 2
+    assert st["report_rpc_rows"] == 4       # 3 outcomes + 1 outcome
+    assert st["rpc_calls"] == 4
+    assert st["domains"] == 2
+    assert 0 < st["memory_bytes"] < 2 * 1024
+
+
 def test_min_rank_claim_two_phase(ray_session):
     """Propose/resolve protocol: the minimum-rank proposal wins, already
     -seen hashes never win, the owner drains pending win or lose, and
