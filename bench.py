@@ -166,7 +166,9 @@ QUERY_NAMES = [
     "chi2_lang_source", "quality_corr_matrix", "bootstrap_median_ci",
     "logreg_quality_gd", "domain_quality_gate", "token_fertility",
     "dedup_keep_best", "logreg_calibration", "temperature_mix_weights",
-    "ivf_cell_balance", "gram_power_iteration", "greedy_pack_stats", "ann_ivf_probe_curve", "curated_pack_stats", "range_partition_manifest",
+    "ivf_cell_balance", "gram_power_iteration", "greedy_pack_stats",
+    "ann_ivf_probe_curve", "curated_pack_stats",
+    "range_partition_manifest",
 ]
 
 

@@ -305,6 +305,82 @@ QUERIES = {
 PACK_SHARD = 64        # docs per independent greedy-packing shard
 
 
+def _greedy_fold(cap: int):
+    """The sharded greedy first-fit fill recurrence as a bucket-fold
+    body — ONE copy shared by :func:`greedy_pack_stats` and
+    :func:`curated_pack_stats` so the two audits can never silently
+    diverge. Input groups carry (doc_id, n, shard); the per-shard
+    recurrence walks ≤``shard_docs`` ints (the genuinely-serial part
+    production packers also serialize inside a shard)."""
+
+    def fold(g: pa.Table) -> pa.Table:
+        idx = np.lexsort((
+            g.column("doc_id").to_numpy(zero_copy_only=False),
+            g.column("shard").to_numpy(zero_copy_only=False)))
+        shard = g.column("shard").to_numpy(zero_copy_only=False)[idx]
+        n = g.column("n").to_numpy(zero_copy_only=False)[idx]
+        eff = np.minimum(n, cap)
+        trunc = n - eff
+        out: dict[tuple, list] = {}
+        cur_shard, seq, fill = None, 0, 0
+        for i in range(len(shard)):
+            s, e = int(shard[i]), int(eff[i])
+            if s != cur_shard:
+                cur_shard, seq, fill = s, 0, e
+            elif fill + e > cap:
+                seq, fill = seq + 1, e
+            else:
+                fill += e
+            row = out.setdefault((s, seq), [0, 0, 0])
+            row[0] += 1
+            row[1] += e
+            row[2] += int(trunc[i])
+        keys = sorted(out)
+        return pa.table({
+            "shard": pa.array([k[0] for k in keys], type=pa.int64()),
+            "seq": pa.array([k[1] for k in keys], type=pa.int64()),
+            "n_docs": pa.array([out[k][0] for k in keys],
+                               type=pa.int64()),
+            "n_tokens": pa.array([out[k][1] for k in keys],
+                                 type=pa.int64()),
+            "pad_tokens": pa.array([cap - out[k][1] for k in keys],
+                                   type=pa.int64()),
+            "trunc_tokens": pa.array([out[k][2] for k in keys],
+                                     type=pa.int64()),
+        })
+
+    return fold
+
+
+def _greedy_recurrence_sql(cap: int, shard_docs: int, rel: str) -> str:
+    """ROW_NUMBER ordering + keyed recursive fill CTE + the final
+    per-(shard, seq) aggregate over ``rel(doc_id, n)`` — the single SQL
+    replay of :func:`_greedy_fold`, shared by both pack oracles."""
+    return f"""r AS (
+  SELECT doc_id, doc_id // {shard_docs} AS shard,
+         ROW_NUMBER() OVER (PARTITION BY doc_id // {shard_docs}
+                            ORDER BY doc_id) AS rn,
+         LEAST(n, {cap}) AS eff, n - LEAST(n, {cap}) AS trunc
+  FROM {rel}
+), st(shard, rn, seq, fill) AS (
+  SELECT shard, rn, 0, eff FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.shard, r.rn,
+         CASE WHEN st.fill + r.eff > {cap} THEN st.seq + 1
+              ELSE st.seq END,
+         CASE WHEN st.fill + r.eff > {cap} THEN r.eff
+              ELSE st.fill + r.eff END
+  FROM st JOIN r ON r.shard = st.shard AND r.rn = st.rn + 1
+)
+SELECT st.shard, CAST(st.seq AS BIGINT) AS seq,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(r.eff) AS BIGINT) AS n_tokens,
+       CAST({cap} - SUM(r.eff) AS BIGINT) AS pad_tokens,
+       CAST(SUM(r.trunc) AS BIGINT) AS trunc_tokens
+FROM st JOIN r ON r.shard = st.shard AND r.rn = st.rn
+GROUP BY st.shard, st.seq"""
+
+
 def greedy_pack_stats(sf_dir: str, cap: int = SEQ_LEN,
                       shard_docs: int = PACK_SHARD):
     """GREEDY NON-SPLITTING sequence packing audit — the other standard
@@ -343,49 +419,10 @@ def greedy_pack_stats(sf_dir: str, cap: int = SEQ_LEN,
             "kb": pa.array((shard % n_buckets).astype(np.int32)),
         })
 
-    def fold(g: pa.Table) -> pa.Table:
-        idx = np.lexsort((
-            g.column("doc_id").to_numpy(zero_copy_only=False),
-            g.column("shard").to_numpy(zero_copy_only=False)))
-        shard = g.column("shard").to_numpy(zero_copy_only=False)[idx]
-        n = g.column("n").to_numpy(zero_copy_only=False)[idx]
-        eff = np.minimum(n, cap)
-        trunc = n - eff
-        # sequential fill recurrence per shard (bounded at shard_docs
-        # steps; the genuinely-serial part production packers also
-        # serialize inside a shard)
-        out: dict[tuple, list] = {}
-        cur_shard, seq, fill = None, 0, 0
-        for i in range(len(shard)):
-            s, e = int(shard[i]), int(eff[i])
-            if s != cur_shard:
-                cur_shard, seq, fill = s, 0, e
-            elif fill + e > cap:
-                seq, fill = seq + 1, e
-            else:
-                fill += e
-            key = (s, seq)
-            row = out.setdefault(key, [0, 0, 0])
-            row[0] += 1
-            row[1] += e
-            row[2] += int(trunc[i])
-        keys = sorted(out)
-        return pa.table({
-            "shard": pa.array([k[0] for k in keys], type=pa.int64()),
-            "seq": pa.array([k[1] for k in keys], type=pa.int64()),
-            "n_docs": pa.array([out[k][0] for k in keys],
-                               type=pa.int64()),
-            "n_tokens": pa.array([out[k][1] for k in keys],
-                                 type=pa.int64()),
-            "pad_tokens": pa.array([cap - out[k][1] for k in keys],
-                                   type=pa.int64()),
-            "trunc_tokens": pa.array([out[k][2] for k in keys],
-                                     type=pa.int64()),
-        })
-
     return (ds.map_batches(counts, batch_format="pyarrow",
                            batch_size=8192)
-            .groupby("kb").map_groups(fold, batch_format="pyarrow"))
+            .groupby("kb").map_groups(_greedy_fold(cap),
+                                      batch_format="pyarrow"))
 
 
 def _greedy_pack_sql(cap: int = SEQ_LEN,
@@ -397,29 +434,7 @@ WITH RECURSIVE d AS (
               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
              AS n
   FROM documents
-), r AS (
-  SELECT doc_id, doc_id // {shard_docs} AS shard,
-         ROW_NUMBER() OVER (PARTITION BY doc_id // {shard_docs}
-                            ORDER BY doc_id) AS rn,
-         LEAST(n, {cap}) AS eff, n - LEAST(n, {cap}) AS trunc
-  FROM d
-), st(shard, rn, seq, fill) AS (
-  SELECT shard, rn, 0, eff FROM r WHERE rn = 1
-  UNION ALL
-  SELECT r.shard, r.rn,
-         CASE WHEN st.fill + r.eff > {cap} THEN st.seq + 1
-              ELSE st.seq END,
-         CASE WHEN st.fill + r.eff > {cap} THEN r.eff
-              ELSE st.fill + r.eff END
-  FROM st JOIN r ON r.shard = st.shard AND r.rn = st.rn + 1
-)
-SELECT st.shard, CAST(st.seq AS BIGINT) AS seq,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(r.eff) AS BIGINT) AS n_tokens,
-       CAST({cap} - SUM(r.eff) AS BIGINT) AS pad_tokens,
-       CAST(SUM(r.trunc) AS BIGINT) AS trunc_tokens
-FROM st JOIN r ON r.shard = st.shard AND r.rn = st.rn
-GROUP BY st.shard, st.seq
+), {_greedy_recurrence_sql(cap, shard_docs, "d")}
 """
 
 
@@ -479,44 +494,9 @@ def curated_pack_stats(sf_dir: str, cap: int = SEQ_LEN,
             "kb": pa.array((shard % n_buckets).astype(np.int32)),
         })
 
-    def fold(g: pa.Table) -> pa.Table:
-        idx = np.lexsort((
-            g.column("doc_id").to_numpy(zero_copy_only=False),
-            g.column("shard").to_numpy(zero_copy_only=False)))
-        shard = g.column("shard").to_numpy(zero_copy_only=False)[idx]
-        n = g.column("n").to_numpy(zero_copy_only=False)[idx]
-        eff = np.minimum(n, cap)
-        trunc = n - eff
-        out: dict[tuple, list] = {}
-        cur_shard, seq, fill = None, 0, 0
-        for i in range(len(shard)):
-            s, e = int(shard[i]), int(eff[i])
-            if s != cur_shard:
-                cur_shard, seq, fill = s, 0, e
-            elif fill + e > cap:
-                seq, fill = seq + 1, e
-            else:
-                fill += e
-            row = out.setdefault((s, seq), [0, 0, 0])
-            row[0] += 1
-            row[1] += e
-            row[2] += int(trunc[i])
-        keys = sorted(out)
-        return pa.table({
-            "shard": pa.array([k[0] for k in keys], type=pa.int64()),
-            "seq": pa.array([k[1] for k in keys], type=pa.int64()),
-            "n_docs": pa.array([out[k][0] for k in keys],
-                               type=pa.int64()),
-            "n_tokens": pa.array([out[k][1] for k in keys],
-                                 type=pa.int64()),
-            "pad_tokens": pa.array([cap - out[k][1] for k in keys],
-                                   type=pa.int64()),
-            "trunc_tokens": pa.array([out[k][2] for k in keys],
-                                     type=pa.int64()),
-        })
-
     return (rows.map_batches(shardize, batch_format="pyarrow")
-            .groupby("kb").map_groups(fold, batch_format="pyarrow"))
+            .groupby("kb").map_groups(_greedy_fold(cap),
+                                      batch_format="pyarrow"))
 
 
 def _curated_pack_sql(cap: int = SEQ_LEN,
@@ -532,29 +512,7 @@ d2 AS (
               ELSE len(regexp_split_to_array(trim(d.text), '\\s+')) END
              AS n
   FROM documents d JOIN kv USING (doc_id)
-), r2 AS (
-  SELECT doc_id, doc_id // {shard_docs} AS shard,
-         ROW_NUMBER() OVER (PARTITION BY doc_id // {shard_docs}
-                            ORDER BY doc_id) AS rn,
-         LEAST(n, {cap}) AS eff, n - LEAST(n, {cap}) AS trunc
-  FROM d2
-), st(shard, rn, seq, fill) AS (
-  SELECT shard, rn, 0, eff FROM r2 WHERE rn = 1
-  UNION ALL
-  SELECT r2.shard, r2.rn,
-         CASE WHEN st.fill + r2.eff > {cap} THEN st.seq + 1
-              ELSE st.seq END,
-         CASE WHEN st.fill + r2.eff > {cap} THEN r2.eff
-              ELSE st.fill + r2.eff END
-  FROM st JOIN r2 ON r2.shard = st.shard AND r2.rn = st.rn + 1
-)
-SELECT st.shard, CAST(st.seq AS BIGINT) AS seq,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(r2.eff) AS BIGINT) AS n_tokens,
-       CAST({cap} - SUM(r2.eff) AS BIGINT) AS pad_tokens,
-       CAST(SUM(r2.trunc) AS BIGINT) AS trunc_tokens
-FROM st JOIN r2 ON r2.shard = st.shard AND r2.rn = st.rn
-GROUP BY st.shard, st.seq
+), {_greedy_recurrence_sql(cap, shard_docs, "d2")}
 """
 
 

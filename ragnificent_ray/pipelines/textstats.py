@@ -2813,6 +2813,7 @@ LOGREG_SCALE = 1_048_576      # 2^20 fixed-point probability/weight scale
 LOGREG_HALF = LOGREG_SCALE // 2
 LOGREG_ITERS = 3
 LOGREG_LR_DIV = 16            # effective lr = 1/16 per mean-gradient unit
+_LOGREG_SPLIT = 1 << 32       # hi/lo partial-cell split (exact cross-block fold)
 _LOGREG_LANGS = ("en", "de", "fr")
 
 
@@ -2887,9 +2888,18 @@ def logreg_quality_gd(sf_dir: str, iters: int = LOGREG_ITERS):
             F = _fmat(b)
             y = b.column("y").to_numpy(zero_copy_only=False)
             err = _probs(F @ self.w) - y * LOGREG_SCALE
+            # per-batch partial is int64-safe (|err| ≤ S = 2^20, so
+            # 8192 rows stay exact for docs up to ~10^8 tokens); the
+            # CROSS-block fold is not at ~1e10-doc corpus sizes, so
+            # partials ship as hi/lo 2^32 cells (gram_power_iteration's
+            # pattern) and the driver reconstructs unbounded ints —
+            # exact at any corpus size, like the oracle's HUGEINT SUM
+            g = err @ F
+            hi = g // _LOGREG_SPLIT
             return pa.table({
                 "k": pa.array(np.arange(K, dtype=np.int32)),
-                "g": pa.array(err @ F, type=pa.int64()),
+                "hi": pa.array(hi, type=pa.int64()),
+                "lo": pa.array(g - hi * _LOGREG_SPLIT, type=pa.int64()),
             })
 
     w = np.zeros(K, dtype=np.int64)
@@ -2898,9 +2908,12 @@ def logreg_quality_gd(sf_dir: str, iters: int = LOGREG_ITERS):
         small = (ints.map_batches(Grad, fn_constructor_kwargs={"ref": ref},
                                   batch_format="pyarrow", batch_size=8192,
                                   concurrency=2)
-                 .groupby("k").sum("g")).to_pandas().sort_values("k")
-        g = small["sum(g)"].to_numpy().astype(np.int64)
-        w = w - np.floor_divide(g, n * LOGREG_LR_DIV)
+                 .groupby("k").sum(["hi", "lo"])).to_pandas().sort_values("k")
+        g = [int(h) * _LOGREG_SPLIT + int(l)
+             for h, l in zip(small["sum(hi)"], small["sum(lo)"])]
+        # Python // is floor division on exact ints (= np.floor_divide)
+        w = np.array([int(wk) - gk // (n * LOGREG_LR_DIV)
+                      for wk, gk in zip(w, g)], dtype=np.int64)
 
     ref = ray.put(w)
 
@@ -3234,8 +3247,11 @@ def temperature_mix_weights(sf_dir: str, alpha: float = MIX_ALPHA):
         "w_quant": pa.array(w),
         "weight": pa.array(round_half_away(w / total_w, 6),
                            type=pa.float64()),
+        # numerator in float64, mirroring the oracle's CAST-to-DOUBLE —
+        # the int64 product w * total_n would wrap at ~1e10-doc corpora
         "oversample": pa.array(
-            round_half_away(w * total_n / (total_w * n.astype(np.float64)),
+            round_half_away(w.astype(np.float64) * float(total_n)
+                            / (float(total_w) * n.astype(np.float64)),
                             6), type=pa.float64()),
     })
 
