@@ -1,0 +1,103 @@
+"""S13 Lance sink adapter: both branches of ``io/lance.py``.
+
+The sandbox has no ``pylance``, so the parquet stand-in is what every
+crawl run exercises; these tests additionally pin the REAL-Lance branch
+by injecting a fake ``lance`` module, so the non-sandbox path (the one
+the north rule's Lance-table output contract actually uses) cannot rot
+unnoticed: ``write_harvest`` must route a pyarrow Table through
+``lance.write_dataset(table, uri, mode="overwrite")``, a Ray Dataset
+through ``Dataset.write_lance(uri)``, and ``read_harvest`` through
+``lance.dataset(uri).to_table()``.
+"""
+
+import sys
+import types
+from unittest import mock
+
+import pyarrow as pa
+import pytest
+
+from ragnificent_ray.io import lance as lance_io
+
+HARVEST_SCHEMA = pa.schema([
+    ("image_id", pa.string()),
+    ("bytes", pa.binary()),
+    ("w", pa.int32()),
+    ("h", pa.int32()),
+    ("fmt", pa.string()),
+    ("caption", pa.string()),
+    ("phash", pa.int64()),
+])
+
+
+def _harvest_table() -> pa.Table:
+    return pa.table({
+        "image_id": pa.array(["a", "b"], type=pa.string()),
+        "bytes": pa.array([b"\x89PNG", b"\xff\xd8"], type=pa.binary()),
+        "w": pa.array([4, 8], type=pa.int32()),
+        "h": pa.array([4, 8], type=pa.int32()),
+        "fmt": pa.array(["png", "jpeg"], type=pa.string()),
+        "caption": pa.array(["cap a", "cap b"], type=pa.string()),
+        "phash": pa.array([1, 2], type=pa.int64()),
+    })
+
+
+@pytest.fixture
+def fake_lance(monkeypatch):
+    """A recording stand-in for the pylance module, installed only for
+    the duration of a test (HAVE_LANCE flips with it)."""
+    calls = {"write": [], "read": []}
+    mod = types.ModuleType("lance")
+
+    def write_dataset(table, uri, mode=None):
+        calls["write"].append((table, uri, mode))
+
+    def dataset(uri):
+        calls["read"].append(uri)
+        ds = mock.Mock()
+        ds.to_table.return_value = _harvest_table()
+        return ds
+
+    mod.write_dataset = write_dataset
+    mod.dataset = dataset
+    monkeypatch.setitem(sys.modules, "lance", mod)
+    monkeypatch.setattr(lance_io, "HAVE_LANCE", True)
+    return calls
+
+
+def test_real_lance_table_write(fake_lance, tmp_path):
+    t = _harvest_table()
+    uri = str(tmp_path / "harvest.lance")
+    lance_io.write_harvest(t, uri)
+    assert len(fake_lance["write"]) == 1
+    written, got_uri, mode = fake_lance["write"][0]
+    assert got_uri == uri and mode == "overwrite"
+    assert written.schema.equals(HARVEST_SCHEMA)
+    assert written.num_rows == 2
+
+
+def test_real_lance_dataset_write(fake_lance, tmp_path):
+    ds = mock.Mock(spec=["write_lance"])
+    uri = str(tmp_path / "harvest.lance")
+    lance_io.write_harvest(ds, uri)
+    ds.write_lance.assert_called_once_with(uri)
+    assert fake_lance["write"] == []  # Dataset path goes via write_lance
+
+
+def test_real_lance_read(fake_lance, tmp_path):
+    uri = str(tmp_path / "harvest.lance")
+    out = lance_io.read_harvest(uri)
+    assert fake_lance["read"] == [uri]
+    assert out.schema.equals(HARVEST_SCHEMA)
+
+
+def test_adapter_parquet_roundtrip_without_lance(tmp_path):
+    """The sandbox branch: parquet parts + _lance_adapter.json sidecar,
+    read back equal — and HAVE_LANCE must actually be off here."""
+    assert not lance_io.HAVE_LANCE
+    t = _harvest_table()
+    uri = str(tmp_path / "harvest.lance")
+    lance_io.write_harvest(t, uri)
+    assert (tmp_path / "harvest.lance" / "_lance_adapter.json").exists()
+    back = lance_io.read_harvest(uri)
+    assert back.equals(t)
