@@ -235,8 +235,30 @@ def main() -> None:
         "total_sec": round(total, 3),
         "host_dilation": dilation,
         "n_queries": len(queries),
+        "scaling": _last_scaling_summary(),
     }))
     ray.shutdown()
+
+
+def _last_scaling_summary() -> dict | None:
+    """The most recent ``--scaling`` result (written by ``scaling()``),
+    folded into the headline JSON so the two-parallelism-level
+    efficiency evidence is machine-readable from the bench artifact
+    itself, not only from BASELINE.md prose."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "scaling_last.json")
+    try:
+        with open(path) as f:
+            s = json.load(f)
+        return {
+            "lo_cpus": s["num_cpus"][0],
+            "hi_cpus": s["num_cpus"][1],
+            "pages_per_sec_lo": s["pages_per_sec_lo"],
+            "pages_per_sec_hi": s["pages_per_sec_hi"],
+            "efficiency": s["value"],
+        }
+    except (OSError, KeyError, ValueError, IndexError):
+        return None
 
 
 def _burn_worker(_):
@@ -459,6 +481,9 @@ def scaling() -> None:
         "host_dilation_at_lo": dil_lo,
     }
     print(json.dumps(result))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "scaling_last.json"), "w") as f:
+        json.dump(result, f, indent=2)
     _update_baseline_md(result)
 
 

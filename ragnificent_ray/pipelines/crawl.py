@@ -329,6 +329,13 @@ def _frontier_from_refs(blocks: list) -> rd.Dataset:
     2.49; pinned by a unit test that simulates their absence): a Ray
     upgrade that moves them degrades gracefully to the public
     ``from_arrow_refs`` — correct, just re-paying the metadata tasks.
+
+    Re-measured on Ray 2.49.2 (round 5): 64 refs on a cluster saturated
+    with 20 s tasks — fabricated 0.94 s vs ``from_arrow_refs`` 19.1 s
+    (the public path's per-ref metadata tasks queue behind the running
+    work; there is no ``override_num_blocks``/metadata-supplying public
+    constructor for pre-existing refs). Keep the guarded internals until
+    Ray grows one.
     """
     refs = [t for _, _, t in blocks]
     try:

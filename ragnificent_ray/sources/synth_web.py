@@ -354,9 +354,13 @@ class SynthWorld:
                 except ValueError:
                     return FetchResult(404, "text/plain", b"bad image")
                 if dd == d and pid < self.n_pages(d) and k < self.images_per_page:
-                    rec = self.image_record(d, pid, k)
+                    # serve bytes only — image_record would also decode,
+                    # phash and caption (the ground-truth extras), billing
+                    # ~0.1 ms/image of pure waste to the fetch stage
+                    data = encode_image(
+                        self.image_pixels(stem), self.image_fmt(d, pid, k))
                     ctype = "image/png" if ext == "png" else "application/octet-stream"
-                    return FetchResult(200, ctype, rec["bytes"])
+                    return FetchResult(200, ctype, data)
             return FetchResult(404, "text/plain", b"no such image")
         if path.startswith("/page/"):
             try:
