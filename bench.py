@@ -41,7 +41,10 @@ _DEFAULT_WORLD = (32, 1600, 3)
 # dilation up to 2x at high proc counts): every timed section keeps the
 # best of BENCH_TRIALS trials so one burst can't define the record
 TRIALS = int(os.environ.get("BENCH_TRIALS", "2"))
-SCALING_TRIALS = max(2, TRIALS)
+# BENCH_SCALING_TRIALS overrides for time-boxed runs; default keeps the
+# ≥2 interleaved trials that guard each leg against a steal burst
+SCALING_TRIALS = int(os.environ.get("BENCH_SCALING_TRIALS", "0")) \
+    or max(2, TRIALS)
 
 
 def _bench_world() -> tuple[int, int, int]:

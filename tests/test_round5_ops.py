@@ -1,0 +1,120 @@
+"""Round-5 scale-hardening pins.
+
+The exact-substring family's token-scale gram tables must never sit in
+the object store (`_checkpointed` parquet instead of `materialize()` —
+the 100-TB residency fix), `_dup_gram_marks(distinct=False)` must be
+batch-boundary-proof, and the keeper attach guards must fail loudly on
+missing metadata.
+"""
+
+import inspect
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_exact_substring_family_never_materializes():
+    """dup_spans / ngram_novelty / duplicate_ngram_fraction park their
+    token-position tables in a parquet checkpoint, not the object
+    store: no ``materialize()`` anywhere in the family, and each
+    consumer re-reads through the column-pruned ``_checkpointed``
+    reader."""
+    from ragnificent_ray.pipelines import dedup
+
+    for fn in (dedup.dup_spans, dedup.ngram_novelty,
+               dedup.duplicate_ngram_fraction):
+        src = inspect.getsource(fn)
+        assert ".materialize()" not in src, fn.__name__
+        assert "_checkpointed(" in src, fn.__name__
+
+
+def test_dup_spans_mark_side_prunes_pos():
+    """The dup-mark consumer of dup_spans' checkpoint must read only
+    (doc_id, gram) — re-reading ``pos`` would double the mark
+    exchange's width for nothing."""
+    from ragnificent_ray.pipelines import dedup
+
+    src = inspect.getsource(dedup.dup_spans)
+    mark_read = src.split("_dup_gram_marks(")[1].split(")")[0]
+    assert '"pos"' not in mark_read
+
+
+def test_dup_gram_marks_nondistinct_exact_across_batch_splits(ray_session):
+    """distinct=False must count DISTINCT docs per gram no matter how
+    batch boundaries split a doc's position rows: a gram occurring 3x
+    in ONE doc (split across 3 one-row batches) is not a dup; a gram
+    in two docs is."""
+    import ray.data as rd
+
+    from ragnificent_ray.pipelines.dedup import _dup_gram_marks
+
+    rows = pa.table({
+        "doc_id": pa.array([1, 1, 1, 2, 3], type=pa.int64()),
+        "gram": pa.array([77, 77, 77, 88, 88], type=pa.int64()),
+    })
+    # one row per block → every batch split lands between repeats
+    ds = rd.from_arrow(rows).repartition(5)
+    out = _dup_gram_marks(ds, n_buckets=4, distinct=False).to_pandas()
+    assert set(out["gram"]) == {88}
+
+
+def test_gram_checkpoint_roundtrip_and_column_pruning(ray_session):
+    """_checkpointed executes once and serves column-pruned re-reads."""
+    import ray.data as rd
+
+    from ragnificent_ray.pipelines.dedup import _checkpointed
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "pos": pa.array([0, 1, 2], type=pa.int64()),
+        "gram": pa.array([10, 20, 30], type=pa.int64()),
+    })
+    read = _checkpointed(rd.from_arrow(t), "pytest")
+    narrow = read(["doc_id", "gram"]).to_pandas()
+    assert list(narrow.columns) == ["doc_id", "gram"]
+    full = read(["doc_id", "pos", "gram"]).to_pandas()
+    assert full.shape == (3, 3)
+    assert sorted(full["gram"]) == [10, 20, 30]
+
+
+def test_keep_best_attach_rejects_missing_metadata(ray_session):
+    """A label row whose doc has no metadata row must raise, not
+    borrow a neighbor's n_chars (the searchsorted-equality guard)."""
+    import re
+
+    from ragnificent_ray.pipelines import dedup
+
+    src = inspect.getsource(dedup.dedup_keep_best)
+    assert "searchsorted" in src
+    assert re.search(r"raise ValueError", src), \
+        "attach must fail loudly on a missing metadata row"
+
+
+def test_image_attach_guard_vectorized():
+    """The image keeper's attach/winners are numpy lexsort/searchsorted
+    folds with a loud missing-quality-row guard — no per-row dict
+    walks left."""
+    import __ray_entry__ as e
+
+    src = inspect.getsource(e._image_keep_best_from)
+    assert "np.lexsort" in src and "searchsorted" in src
+    assert "raise ValueError" in src
+    assert "best[c]" not in src
+
+
+def test_politeness_reserve_counts_deterministic_shape(ray_session):
+    """Round metrics carry reservation watermarks; a second identical
+    reserve_many adds exactly one call and the same rows."""
+    from ragnificent_ray.state.politeness import _PolitenessShardRPC
+
+    s = _PolitenessShardRPC(default_rate=5.0, adaptive=False)
+    s.reserve_many([("a.test", 4)])
+    c1 = s.rpc_stats()["reserve_rpc_calls"]
+    s.reserve_many([("a.test", 4)])
+    st = s.rpc_stats()
+    assert st["reserve_rpc_calls"] == c1 + 1
+    assert st["reserve_rpc_rows"] == 2
+    assert st["rpc_rows_out"] == 8
