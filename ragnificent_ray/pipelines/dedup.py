@@ -1157,12 +1157,24 @@ def _gram_ckpt_dir(tag: str) -> str:
 
 def _checkpointed(ds, tag: str):
     """Execute ``ds`` into a parquet checkpoint; returns a reader
-    ``read(columns) -> Dataset`` for column-pruned re-reads."""
+    ``read(columns) -> Dataset`` for column-pruned re-reads.
+
+    Re-reads pass an explicit SIZE-scaled block count (one block per
+    ~32 MiB, min one per file): Ray's default reader parallelism spends
+    ~2 s on metadata sampling plus ~200 tiny read tasks for a small
+    checkpoint (measured 2.2 s cold / 0.54 s warm vs 0.15 s with an
+    explicit count at sf0.1), while at corpus scale the same rule keeps
+    blocks at the streaming-friendly tens-of-MiB the rest of the
+    pipelines target."""
     path = _gram_ckpt_dir(tag)
     ds.write_parquet(path)
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    nbytes = sum(os.path.getsize(os.path.join(path, f)) for f in files)
+    blocks = max(len(files), 1, int(nbytes // (32 << 20)))
 
     def read(columns: list[str]):
-        return rd.read_parquet(path, columns=columns)
+        return rd.read_parquet(path, columns=columns,
+                               override_num_blocks=blocks)
 
     return read
 
