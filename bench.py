@@ -171,7 +171,7 @@ QUERY_NAMES = [
     "dedup_keep_best", "logreg_calibration", "temperature_mix_weights",
     "ivf_cell_balance", "gram_power_iteration", "greedy_pack_stats",
     "ann_ivf_probe_curve", "curated_pack_stats",
-    "range_partition_manifest",
+    "range_partition_manifest", "seeded_shuffle_manifest",
 ]
 
 

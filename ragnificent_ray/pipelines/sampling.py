@@ -671,7 +671,96 @@ def split_leakage_audit(sf_dir: str):
             .map_groups(fold, batch_format="pyarrow"))
 
 
+# ------------------------------------------- seeded global shuffle planner
+
+SHUFFLE_BUCKETS = 64          # 2^6 range partitions of the key space
+_SHUFFLE_KEY_BITS = 56        # md5-56 keys fit signed int64
+_SHUFFLE_SHIFT = _SHUFFLE_KEY_BITS - 6
+
+
+def seeded_shuffle_manifest(sf_dir: str, epoch: int = 0):
+    """Deterministic GLOBAL-SHUFFLE planner — the training-order
+    randomization step done scale-correctly: instead of
+    ``random_shuffle()`` (a full all-to-all of the corpus bytes, not
+    resumable, different every run), every doc gets a seeded
+    pseudo-random 56-bit key (``md5(doc_id ':' epoch)``), the key
+    space range-partitions into ``SHUFFLE_BUCKETS`` equal-probability
+    buckets (top 6 key bits), and a writer emits one directory per
+    bucket with rows ordered by (key, doc_id) inside — a complete,
+    reproducible shuffle epoch from ONE narrow-column pass where only
+    the tiny manifest reaches the driver. A new ``epoch`` value reshuffles
+    without touching the recipe.
+
+    Manifest per bucket: doc count, total chars (the writer's size
+    planning signal), exact key range, and the first doc in shuffle
+    order (the resume cursor). Bucket-count uniformity IS the skew
+    audit: each doc lands in a bucket with probability 1/64
+    independent of doc_id locality."""
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch.column("doc_id").to_pylist()
+        key = np.fromiter(
+            (int(md5_hex(f"{d}:{epoch}")[:14], 16) for d in ids),
+            dtype=np.int64, count=len(ids))
+        return pa.table({
+            "doc_id": pa.array(np.asarray(ids, dtype=np.int64)),
+            "n_chars": batch.column("n_chars"),
+            "key": pa.array(key),
+            "bucket": pa.array((key >> _SHUFFLE_SHIFT).astype(np.int64)),
+        })
+
+    def fold(g: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        key = g.column("key").to_numpy(zero_copy_only=False)
+        chars = g.column("n_chars").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        head = np.lexsort((ids, key))[0]
+        return pa.table({
+            "bucket": pa.array(
+                [int(g.column("bucket")[0].as_py())], type=pa.int64()),
+            "n_docs": pa.array([len(ids)], type=pa.int64()),
+            "sum_chars": pa.array([int(chars.sum())], type=pa.int64()),
+            "min_key": pa.array([int(key.min())], type=pa.int64()),
+            "max_key": pa.array([int(key.max())], type=pa.int64()),
+            "first_doc": pa.array([int(ids[head])], type=pa.int64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=8192)
+            .groupby("bucket")
+            .map_groups(fold, batch_format="pyarrow"))
+
+
+_SEEDED_SHUFFLE_SQL = f"""
+WITH k AS (
+  SELECT doc_id, n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'),
+                              1, 14)) AS BIGINT) AS key
+  FROM documents
+), r AS (
+  SELECT *, key // {1 << _SHUFFLE_SHIFT} AS bucket,
+         ROW_NUMBER() OVER (PARTITION BY key // {1 << _SHUFFLE_SHIFT}
+                            ORDER BY key, doc_id) AS rn
+  FROM k
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(MIN(key) AS BIGINT) AS min_key,
+       CAST(MAX(key) AS BIGINT) AS max_key,
+       CAST(MIN(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS first_doc
+FROM r GROUP BY bucket
+"""
+
+
 ORACLE_SQL = {
+    "seeded_shuffle_manifest": _SEEDED_SHUFFLE_SQL,
     "split_leakage_audit": """
         WITH d AS (
           SELECT doc_id, md5(substr(text, 1, 32)) AS text_hash,
@@ -784,4 +873,5 @@ QUERIES = {
     "dataset_split": dataset_split,
     "weighted_sample": weighted_sample,
     "split_leakage_audit": split_leakage_audit,
+    "seeded_shuffle_manifest": seeded_shuffle_manifest,
 }

@@ -118,3 +118,32 @@ def test_politeness_reserve_counts_deterministic_shape(ray_session):
     assert st["reserve_rpc_calls"] == c1 + 1
     assert st["reserve_rpc_rows"] == 2
     assert st["rpc_rows_out"] == 8
+
+
+def test_seeded_shuffle_manifest_invariants(ray_session):
+    """Coverage (every doc in exactly one bucket), key-range disjointness
+    by construction (bucket = top key bits), determinism, and epoch
+    sensitivity (a new epoch produces a different permutation)."""
+    import pyarrow.parquet as pq
+
+    from ragnificent_ray.pipelines.sampling import (
+        SHUFFLE_BUCKETS, seeded_shuffle_manifest)
+
+    m = seeded_shuffle_manifest(SF).to_pandas().sort_values("bucket")
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    assert m["n_docs"].sum() == n_docs
+    assert m["bucket"].between(0, SHUFFLE_BUCKETS - 1).all()
+    assert m["bucket"].is_unique
+    # bucket id must equal the top 6 bits of every key it contains
+    assert ((m["min_key"].to_numpy() >> 50) == m["bucket"].to_numpy()).all()
+    assert ((m["max_key"].to_numpy() >> 50) == m["bucket"].to_numpy()).all()
+    # deterministic across runs
+    m2 = seeded_shuffle_manifest(SF).to_pandas().sort_values("bucket")
+    assert m.reset_index(drop=True).equals(m2.reset_index(drop=True))
+    # a different epoch re-permutes: some bucket's resume cursor moves
+    m_e1 = seeded_shuffle_manifest(SF, epoch=1).to_pandas() \
+        .sort_values("bucket").reset_index(drop=True)
+    assert m_e1["n_docs"].sum() == n_docs
+    merged = m.reset_index(drop=True).merge(
+        m_e1, on="bucket", suffixes=("_0", "_1"))
+    assert (merged["first_doc_0"] != merged["first_doc_1"]).any()
