@@ -225,7 +225,152 @@ ORACLE_SQL = {
     """,
 }
 
+def decontam_span_report(sf_dir: str):
+    """The benchmark OWNER's side of decontamination: per eval doc, how
+    compromised is it — how many of its distinct 8-grams appear in ≥1
+    train doc, and how many train docs touch it. :func:`decontaminate`
+    answers "which train docs must I drop"; this answers "which eval
+    items are already burned" (the report an eval maintainer publishes,
+    e.g. GPT-3 appendix C / the Lee et al. contamination studies).
+
+    Scale shape: the benchmark inverted index (gram → bench ids) is the
+    broadcast small side — built once driver-side from the row-filtered
+    bench read, ``ray.put`` once. The corpus streams per batch emitting
+    only ACTUAL hit rows (bench_id, gram, train doc) — sparse by
+    construction in a real corpus — which fold per bench id (a
+    catalog-bounded key space, so the groupby is bounded by benchmark
+    size, never corpus size). Zero-hit bench docs still report via the
+    tiny driver-built base rows."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ..functions.numeric import round_half_away
+
+    bench_tbl = pq.read_table(
+        _pq(sf_dir, "documents"), columns=["doc_id", "text"],
+        filters=[("doc_id", "<", _BENCH_MAX_ID)],
+    )
+    index: dict[str, list[int]] = {}
+    n_grams: dict[int, int] = {}
+    for bid, text in zip(bench_tbl.column("doc_id").to_pylist(),
+                         bench_tbl.column("text").to_pylist()):
+        gs = _doc_grams(text)
+        n_grams[int(bid)] = len(gs)
+        for g in gs:
+            index.setdefault(g, []).append(int(bid))
+    index_ref = ray.put(index)
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+
+    class Probe:
+        def __init__(self, ref):
+            self.index = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            batch = batch.filter(
+                pc.greater_equal(batch.column("doc_id"), _BENCH_MAX_ID))
+            bids, gs_out, tdocs = [], [], []
+            for d, t in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("text").to_pylist()):
+                for g in _doc_grams(t):
+                    for bid in self.index.get(g, ()):
+                        bids.append(bid)
+                        gs_out.append(g)
+                        tdocs.append(d)
+            return pa.table({
+                "bench_id": pa.array(bids, type=pa.int64()),
+                "g": pa.array(gs_out, type=pa.string()),
+                "train_doc": pa.array(tdocs, type=pa.int64()),
+            })
+
+    hits = ds.map_batches(Probe, fn_constructor_kwargs={"ref": index_ref},
+                          batch_format="pyarrow", batch_size=8192,
+                          concurrency=2)
+
+    def fold(g: pa.Table) -> pa.Table:
+        t = pa.table({"bench_id": g.column("bench_id"),
+                      "g": g.column("g"),
+                      "train_doc": g.column("train_doc")})
+        dg = (t.select(["bench_id", "g"])
+              .group_by(["bench_id", "g"]).aggregate([])
+              .group_by("bench_id").aggregate([("g", "count")]))
+        dd = (t.select(["bench_id", "train_doc"])
+              .group_by(["bench_id", "train_doc"]).aggregate([])
+              .group_by("bench_id").aggregate([("train_doc", "count")]))
+        out = dg.join(dd, keys=["bench_id"])
+        return pa.table({
+            "bench_id": pc.cast(out.column("bench_id"), pa.int64()),
+            "n_hit": pc.cast(out.column("g_count"), pa.int64()),
+            "n_train_docs": pc.cast(out.column("train_doc_count"),
+                                    pa.int64()),
+        })
+
+    folded = hits.groupby("bench_id").map_groups(
+        fold, batch_format="pyarrow")
+
+    base = rd.from_arrow(pa.table({
+        "bench_id": pa.array(sorted(n_grams), type=pa.int64()),
+        "n_hit": pa.array([0] * len(n_grams), type=pa.int64()),
+        "n_train_docs": pa.array([0] * len(n_grams), type=pa.int64()),
+    }))
+
+    def finish(t: pa.Table) -> pa.Table:
+        f = (t.group_by("bench_id")
+             .aggregate([("n_hit", "max"), ("n_train_docs", "max")]))
+        bid = f.column("bench_id").to_numpy(zero_copy_only=False)
+        ng = np.array([n_grams[int(b)] for b in bid], dtype=np.int64)
+        nh = f.column("n_hit_max").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bench_id": pa.array(bid.astype(np.int64)),
+            "n_grams": pa.array(ng),
+            "n_hit": pc.cast(f.column("n_hit_max"), pa.int64()),
+            "n_train_docs": pc.cast(f.column("n_train_docs_max"),
+                                    pa.int64()),
+            "hit_frac": pa.array(
+                round_half_away(nh / ng, 4), type=pa.float64()),
+        })
+
+    # the union is ≤ 2 rows per bench id (base zero + at most one fold
+    # row); the final fold is a catalog-bounded single-group pass
+    def add_one_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "fb", pa.array(np.zeros(t.num_rows, dtype=np.int32)))
+
+    return (base.union(folded)
+            .map_batches(add_one_bucket, batch_format="pyarrow")
+            .groupby("fb")
+            .map_groups(lambda g: finish(g.drop_columns(["fb"])),
+                        batch_format="pyarrow"))
+
+
+ORACLE_SQL["decontam_span_report"] = rf"""
+WITH {_GRAMS_CTE}, bench AS (
+  SELECT doc_id AS bench_id, unnest(list_distinct(gs)) AS g FROM grams
+  WHERE doc_id < {_BENCH_MAX_ID}
+), bstat AS (
+  SELECT bench_id, COUNT(*) AS n_grams FROM bench GROUP BY bench_id
+), train AS (
+  SELECT doc_id, unnest(list_distinct(gs)) AS g FROM grams
+  WHERE doc_id >= {_BENCH_MAX_ID}
+), hits AS (
+  SELECT b.bench_id, b.g, t.doc_id FROM bench b JOIN train t USING (g)
+), agg AS (
+  SELECT bench_id, COUNT(DISTINCT g) AS n_hit,
+         COUNT(DISTINCT doc_id) AS n_train_docs
+  FROM hits GROUP BY bench_id
+)
+SELECT bs.bench_id, CAST(bs.n_grams AS BIGINT) AS n_grams,
+       CAST(COALESCE(a.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(COALESCE(a.n_train_docs, 0) AS BIGINT) AS n_train_docs,
+       ROUND(COALESCE(a.n_hit, 0) / CAST(bs.n_grams AS DOUBLE), 4)
+           AS hit_frac
+FROM bstat bs LEFT JOIN agg a USING (bench_id)
+"""
+
+
 QUERIES = {
     "decontaminate": decontaminate,
     "decontaminate_bloom": decontaminate_bloom,
+    "decontam_span_report": decontam_span_report,
 }

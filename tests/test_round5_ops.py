@@ -147,3 +147,18 @@ def test_seeded_shuffle_manifest_invariants(ray_session):
     merged = m.reset_index(drop=True).merge(
         m_e1, on="bucket", suffixes=("_0", "_1"))
     assert (merged["first_doc_0"] != merged["first_doc_1"]).any()
+
+
+def test_decontam_span_report_hit_path(ray_session):
+    """The benchmark-side contamination report must exercise its HIT
+    path on the planted sf0.001 contamination (5 bench docs leak into
+    train) and keep the zero-hit bench docs reporting."""
+    from ragnificent_ray.pipelines.decontam import (
+        _BENCH_MAX_ID, decontam_span_report)
+
+    r = decontam_span_report(SF).to_pandas().sort_values("bench_id")
+    assert len(r) == _BENCH_MAX_ID          # every bench doc reports
+    assert (r["n_hit"] > 0).sum() >= 3      # planted leaks found
+    assert ((r["n_hit"] <= r["n_grams"]) & (r["hit_frac"] <= 1.0)).all()
+    assert (r.loc[r["n_hit"] == 0, "n_train_docs"] == 0).all()
+    assert (r.loc[r["n_hit"] > 0, "n_train_docs"] >= 1).all()
