@@ -731,9 +731,14 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.4,
             "band_hashes": pa.array(bands, type=pa.list_(pa.uint64())),
         })
 
-    sketches = ds.map_batches(
-        sketch_batch, batch_format="pyarrow", batch_size=1024
-    ).materialize()
+    # the sketch table carries the corpus's shingle sets (~8 B/token,
+    # token-scale like the exact-substring family's gram tables): one
+    # parquet checkpoint, consumed three times with pruned columns —
+    # bands never re-read shingles, the verify joins never re-read bands
+    sketches = _checkpointed(
+        ds.map_batches(sketch_batch, batch_format="pyarrow",
+                       batch_size=1024),
+        "minhash_sketch")
 
     def explode_bands(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
@@ -769,7 +774,7 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.4,
         return g.group_by(["doc_a", "doc_b"]).aggregate([])
 
     cands = (
-        sketches
+        sketches(["doc_id", "band_hashes"])
         .map_batches(explode_bands, batch_format="pyarrow", batch_size=4096)
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pyarrow")
@@ -789,7 +794,8 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.4,
                 col: pa.array(packed, type=pa.binary()),
             })
 
-        return sketches.map_batches(pack, batch_format="pyarrow")
+        return sketches(["doc_id", "shingles"]).map_batches(
+            pack, batch_format="pyarrow")
 
     return (
         cands
