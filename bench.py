@@ -610,7 +610,8 @@ def spread_bench() -> None:
         m = res.metrics.get(f"round_{r}", {})
         rounds[str(r)] = {k: m.get(k) for k in
                           ("seen_rpc_calls", "seen_rpc_rows",
-                           "seen_shard_bytes")}
+                           "seen_shard_bytes", "polite_rpc_calls",
+                           "polite_rpc_rows", "polite_domains")}
     print(json.dumps({
         "mode": "spread",
         "num_cpus": NUM_CPUS,

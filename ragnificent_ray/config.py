@@ -86,9 +86,10 @@ class CrawlConfig:
     # distribution knobs
     n_seen_shards: int = 8
     n_politeness_shards: int = 4
-    # place seen shards with scheduling_strategy="SPREAD" — one per
-    # node on a real cluster so shard heap and RPC load distribute;
-    # a no-op single-node but exercised by `bench.py --spread`
+    # place seen / politeness shards with scheduling_strategy="SPREAD"
+    # — one per node on a real cluster so shard heap and RPC load
+    # distribute; a no-op single-node but exercised by
+    # `bench.py --spread`
     seen_spread: bool = False
     # fetch runs task-based: fetch_concurrency caps concurrent fetch
     # tasks only when a politeness budget makes more waiting than work;

@@ -446,6 +446,7 @@ def run_crawl(cfg: CrawlConfig, out_dir: str, resume: bool = False) -> CrawlResu
         adaptive=cfg.adaptive_throttling,
         retry_delay=cfg.retry_delay,
         adaptive_max_rate=cfg.adaptive_max_rate,
+        spread=cfg.seen_spread,
     )
     seen = SeenSet(
         n_shards=cfg.n_seen_shards,

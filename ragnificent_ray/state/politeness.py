@@ -238,10 +238,13 @@ class PolitenessService:
         adaptive: bool = True,
         retry_delay: float = 2.0,
         adaptive_max_rate: float = 10.0,
+        spread: bool = False,
     ):
         self.n_shards = n_shards
+        cls = (PolitenessShard.options(scheduling_strategy="SPREAD")
+               if spread else PolitenessShard)
         self.shards = [
-            PolitenessShard.remote(
+            cls.remote(
                 default_rate=default_rate,
                 domain_limits=domain_limits,
                 adaptive=adaptive,
