@@ -245,10 +245,12 @@ def main() -> None:
 
 
 def _last_scaling_summary() -> dict | None:
-    """The most recent ``--scaling`` result (written by ``scaling()``),
-    folded into the headline JSON so the two-parallelism-level
-    efficiency evidence is machine-readable from the bench artifact
-    itself, not only from BASELINE.md prose."""
+    """The LAST RECORDED ``--scaling`` result (written, stamped with
+    time and host, by ``scaling()``), folded into the headline JSON so
+    the two-parallelism-level efficiency evidence is machine-readable
+    from the bench artifact itself, not only from BASELINE.md prose.
+    The stamp travels with it — this is the prior measurement, not a
+    claim that THIS run re-measured scaling."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "scaling_last.json")
     try:
@@ -260,6 +262,8 @@ def _last_scaling_summary() -> dict | None:
             "pages_per_sec_lo": s["pages_per_sec_lo"],
             "pages_per_sec_hi": s["pages_per_sec_hi"],
             "efficiency": s["value"],
+            "recorded_at": s.get("recorded_at"),
+            "recorded_on": s.get("recorded_on"),
         }
     except (OSError, KeyError, ValueError, IndexError):
         return None
@@ -485,9 +489,15 @@ def scaling() -> None:
         "host_dilation_at_lo": dil_lo,
     }
     print(json.dumps(result))
+    import platform
+    import time as _time
+
+    stamped = dict(result,
+                   recorded_at=_time.strftime("%Y-%m-%dT%H:%M:%S%z"),
+                   recorded_on=platform.node())
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "scaling_last.json"), "w") as f:
-        json.dump(result, f, indent=2)
+        json.dump(stamped, f, indent=2)
     _update_baseline_md(result)
 
 

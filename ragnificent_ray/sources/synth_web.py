@@ -356,9 +356,12 @@ class SynthWorld:
                 if dd == d and pid < self.n_pages(d) and k < self.images_per_page:
                     # serve bytes only — image_record would also decode,
                     # phash and caption (the ground-truth extras), billing
-                    # ~0.1 ms/image of pure waste to the fetch stage
+                    # ~0.1 ms/image of pure waste to the fetch stage.
+                    # Pixels key off the CANONICAL id (not the raw URL
+                    # stem) so alias spellings return identical bytes.
                     data = encode_image(
-                        self.image_pixels(stem), self.image_fmt(d, pid, k))
+                        self.image_pixels(self.image_id(d, pid, k)),
+                        self.image_fmt(d, pid, k))
                     ctype = "image/png" if ext == "png" else "application/octet-stream"
                     return FetchResult(200, ctype, data)
             return FetchResult(404, "text/plain", b"no such image")
