@@ -901,6 +901,38 @@ def _harvest_phash_neardup(sf_dir: str):
     return phash_neardup_pairs(harvest.select(["image_id", "phash"]))
 
 
+def _image_phash_threshold_curve(sf_dir: str, max_hamming: int = 15):
+    """Image-dedup threshold tuning curve — the picture-side twin of
+    ``minhash_threshold_curve``: verified near-dup pair counts per
+    exact phash hamming distance 0..15 (the full pigeonhole-exact range
+    of the 4×16-bit banding), the plot an operator reads before picking
+    the image near-dup cut ("how many more pairs does raising the
+    radius from 4 to 8 admit?"). Composes the full banded-candidate +
+    XOR-popcount-verify scale path and adds one ≤16-key integer fold.
+    Rows-only (binary-payload input); planted perturbed-copy pairs
+    pinned in pytest."""
+    import pyarrow as pa
+
+    from ragnificent_ray.pipelines.dedup import phash_neardup_pairs
+
+    harvest = _crawl_harvest(sf_dir)
+    pairs = phash_neardup_pairs(harvest.select(["image_id", "phash"]),
+                                max_hamming=max_hamming)
+
+    def bin_partial(b: pa.Table) -> pa.Table:
+        g = (pa.table({
+            "hamming": b.column("hamming"),
+            "n_pairs": pa.array([1] * b.num_rows, type=pa.int64()),
+        }).group_by("hamming").aggregate([("n_pairs", "sum")]))
+        return g.rename_columns(["hamming", "n_pairs"])
+
+    from ray.data.aggregate import Sum
+
+    return (pairs.map_batches(bin_partial, batch_format="pyarrow")
+            .groupby("hamming")
+            .aggregate(Sum("n_pairs", alias_name="n_pairs")))
+
+
 def _image_phash_clusters(sf_dir: str):
     """Near-dup image clusters: connected components over the banded
     phash-hamming pair set (the keep-one-per-cluster step for image
@@ -1391,6 +1423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "harvest_phash_neardup": _harvest_phash_neardup,
         "harvest_dedup_exact": _harvest_dedup_exact,
         "image_phash_clusters": _image_phash_clusters,
+        "image_phash_threshold_curve": _image_phash_threshold_curve,
         "image_dedup_keep": _image_dedup_keep,
         "image_curate_keep": _image_curate_keep,
         "image_dhash_neardup": _image_dhash_neardup,

@@ -162,3 +162,25 @@ def test_decontam_span_report_hit_path(ray_session):
     assert ((r["n_hit"] <= r["n_grams"]) & (r["hit_frac"] <= 1.0)).all()
     assert (r.loc[r["n_hit"] == 0, "n_train_docs"] == 0).all()
     assert (r.loc[r["n_hit"] > 0, "n_train_docs"] >= 1).all()
+
+
+def test_image_phash_threshold_curve(ray_session):
+    """The image-dedup threshold curve must see the planted perturbed
+    near-dup pairs at small hamming distances, bin by exact distance
+    within the pigeonhole-exact 0..15 range, and agree with the pair
+    set it composes."""
+    import __ray_entry__ as e
+
+    curve = e.queries()["image_phash_threshold_curve"](SF).to_pandas()
+    assert len(curve) >= 1
+    assert curve["hamming"].between(0, 15).all()
+    assert (curve["n_pairs"] > 0).all()
+    assert curve["hamming"].is_unique
+    # planted perturbed copies sit at small distances
+    assert curve.loc[curve["hamming"] <= 8, "n_pairs"].sum() > 0
+    # total pairs == the composed pair set at the same radius
+    pairs = e.queries()["harvest_phash_neardup"](SF)
+    import pandas as pd
+    pdf = pairs.to_pandas() if not isinstance(pairs, pd.DataFrame) else pairs
+    n8 = curve.loc[curve["hamming"] <= 8, "n_pairs"].sum()
+    assert n8 == len(pdf)
