@@ -184,3 +184,49 @@ def test_image_phash_threshold_curve(ray_session):
     pdf = pairs.to_pandas() if not isinstance(pairs, pd.DataFrame) else pairs
     n8 = curve.loc[curve["hamming"] <= 8, "n_pairs"].sum()
     assert n8 == len(pdf)
+
+
+def test_shuffle_write_resume_skips_finished_parts(ray_session, tmp_path):
+    """The resumable shuffled-corpus writer: full run covers every doc
+    exactly once in deterministic shuffle order; deleting three parts
+    and re-running rewrites ONLY those (untouched parts keep their
+    mtime); the reassembled corpus equals the source."""
+    import os
+    import time
+
+    import pyarrow.parquet as pq
+
+    from ragnificent_ray.pipelines.shuffle_write import (
+        _part_name, read_shuffled, shuffle_write)
+
+    out = str(tmp_path / "shuffled")
+    r1 = shuffle_write(SF, out)
+    n_src = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    assert r1["rows_written"] == n_src and r1["skipped"] == []
+    parts = sorted(os.listdir(out))
+    assert all(p.startswith("part-") for p in parts)
+
+    # shuffle order inside a part: keys non-decreasing
+    from ragnificent_ray.functions.hashing import md5_hex
+    first = pq.read_table(os.path.join(out, parts[0]))
+    keys = [int(md5_hex(f"{d}:0")[:14], 16)
+            for d in first.column("doc_id").to_pylist()]
+    assert keys == sorted(keys)
+
+    victims = [r1["written"][0], r1["written"][5], r1["written"][-1]]
+    for b in victims:
+        os.remove(os.path.join(out, _part_name(b)))
+    keep_mtime = {p: os.path.getmtime(os.path.join(out, p))
+                  for p in os.listdir(out)}
+    time.sleep(0.05)
+    r2 = shuffle_write(SF, out)
+    assert sorted(r2["written"]) == sorted(victims)
+    for p, m in keep_mtime.items():
+        assert os.path.getmtime(os.path.join(out, p)) == m
+    # third run: nothing left to do
+    r3 = shuffle_write(SF, out)
+    assert r3["written"] == [] and r3["rows_written"] == 0
+
+    back = read_shuffled(out).to_pandas()
+    assert len(back) == n_src
+    assert sorted(back["doc_id"]) == sorted(range(len(back)))
