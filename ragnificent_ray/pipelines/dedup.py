@@ -1167,8 +1167,9 @@ def _gram_ckpt_dir(tag: str) -> str:
     # first, so no stale part files mix in): repeated calls in one
     # process — bench trials, full parity sweeps — hold one checkpoint
     # per (query, input) instead of growing a fresh uuid dir each
-    # call. A lazy Dataset from a previous invocation of the same
-    # (query, input) re-reads identical (deterministic) content.
+    # call. A still-unconsumed lazy Dataset from a PREVIOUS invocation
+    # of the same (query, input) fails loudly (its files are gone) —
+    # consume a query's result before re-invoking it.
     path = os.path.join(_GRAM_CKPT_ROOT, tag)
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
