@@ -230,3 +230,38 @@ def test_shuffle_write_resume_skips_finished_parts(ray_session, tmp_path):
     back = read_shuffled(out).to_pandas()
     assert len(back) == n_src
     assert sorted(back["doc_id"]) == sorted(range(len(back)))
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_rows = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 14)),
+    min_size=1, max_size=60)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_rows, st.integers(1, 6), st.integers(1, 6))
+def test_dup_gram_marks_property_vs_pure_python(ray_session, rows,
+                                                n_buckets, n_blocks):
+    """Property: for ANY multiset of (doc, gram) position rows, ANY
+    bucket count and ANY block split, distinct=False marks exactly the
+    grams with >=2 distinct docs (the pure-Python reference)."""
+    import ray.data as rd
+
+    from ragnificent_ray.pipelines.dedup import _dup_gram_marks
+
+    docs = [r[0] for r in rows]
+    grams = [r[1] for r in rows]
+    t = pa.table({"doc_id": pa.array(docs, type=pa.int64()),
+                  "gram": pa.array(grams, type=pa.int64())})
+    ds = rd.from_arrow(t).repartition(min(n_blocks, len(rows)))
+    out = _dup_gram_marks(ds, n_buckets=n_buckets,
+                          distinct=False).to_pandas()
+    expect = {g for g in set(grams)
+              if len({d for d, gg in rows if gg == g}) >= 2}
+    got = set(out["gram"]) if len(out) else set()
+    assert got == expect
+    if len(out):
+        assert (out["is_dup"] == 1).all()
