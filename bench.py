@@ -172,7 +172,7 @@ QUERY_NAMES = [
     "ivf_cell_balance", "gram_power_iteration", "greedy_pack_stats",
     "ann_ivf_probe_curve", "curated_pack_stats",
     "range_partition_manifest", "seeded_shuffle_manifest",
-    "decontam_span_report",
+    "decontam_span_report", "events_watermark_windows",
 ]
 
 

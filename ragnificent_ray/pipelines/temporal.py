@@ -2039,7 +2039,144 @@ FROM walk
 """
 
 
+# --------------------------------------- watermark / late-data admission
+
+WATERMARK_LATENESS_S = 600   # allowed lateness
+WATERMARK_DELAY_MOD_S = 3600  # per-event network-delay spread
+_WM_NEG = -(1 << 62)          # watermark sentinel before any event
+_HOUR_US = 3_600_000_000
+
+
+def events_watermark_windows(sf_dir: str,
+                             lateness_s: int = WATERMARK_LATENESS_S):
+    """Streaming WATERMARK accounting — the late-data admission rule a
+    streaming engine applies, replayed exactly over the event log
+    (SURVEY §2.10's "streaming concerns" made first-class). The event
+    table is time-ordered at the source, so ARRIVAL order models the
+    real ingest: each event arrives at ``ts + delay`` where delay is a
+    deterministic md5 draw in [0, 1h) (the skewed-network model).
+    The watermark before an arrival is the max EVENT time among all
+    earlier arrivals; an event is LATE-DROPPED iff its event time lags
+    the watermark by more than ``lateness_s``. Per tumbling 1-hour
+    event-time window: accepted vs late-dropped counts — the census an
+    allowed-lateness knob is tuned from.
+
+    Scale shape — distributed prefix MAX over ARRIVAL-HOUR buckets
+    (``sequence_pack``'s exchange with max instead of sum, keyed by
+    the streaming-natural time ranges): one narrow fold sends one
+    (arrival-hour, max event-ts) row to the driver, the exclusive
+    running max broadcasts once via ``ray.put``, and the admission
+    test runs vectorized per bucket (``np.maximum.accumulate`` in
+    (arrival, event_id) order); the final window census is a bounded
+    groupby over the hours present. The oracle replays the identical
+    rule as one SQL running-max window over the same arrival order."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import md5_hex
+
+    lateness_us = int(lateness_s) * 1_000_000
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "ts"])
+
+    def _arrival(b: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        ids = b.column("event_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ts = b.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        delay_s = np.fromiter(
+            (int(md5_hex(str(i))[:8], 16) % WATERMARK_DELAY_MOD_S
+             for i in ids), dtype=np.int64, count=len(ids))
+        return ids, ts, ts + delay_s * 1_000_000
+
+    def narrow(b: pa.Table) -> pa.Table:
+        _, ts, arr = _arrival(b)
+        g = (pa.table({
+            "bucket": pa.array(arr // _HOUR_US),
+            "mx": pa.array(ts),
+        }).group_by("bucket").aggregate([("mx", "max")]))
+        return g.rename_columns(["bucket", "mx"])
+
+    sub = (ds.map_batches(narrow, batch_format="pyarrow",
+                          batch_size=65536)
+           .groupby("bucket").max("mx").to_pandas()
+           .sort_values("bucket").reset_index(drop=True))
+    mx = sub["max(mx)"].to_numpy(dtype=np.int64)
+    base = np.concatenate(
+        ([_WM_NEG], np.maximum.accumulate(mx)[:-1]))
+    base_ref = ray.put(dict(zip(
+        sub["bucket"].astype(np.int64).tolist(), base.tolist())))
+
+    def tag(b: pa.Table) -> pa.Table:
+        ids, ts, arr = _arrival(b)
+        return pa.table({
+            "event_id": pa.array(ids),
+            "ts_us": pa.array(ts),
+            "arrival_us": pa.array(arr),
+            "bucket": pa.array(arr // _HOUR_US),
+        })
+
+    def admit(g: pa.Table) -> pa.Table:
+        bucket_base = ray.get(base_ref)[
+            int(g.column("bucket")[0].as_py())]
+        order = np.lexsort((
+            g.column("event_id").to_numpy(zero_copy_only=False),
+            g.column("arrival_us").to_numpy(zero_copy_only=False)))
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)[order]
+        run = np.maximum.accumulate(ts)
+        wm = np.maximum(
+            np.concatenate(([_WM_NEG], run[:-1])), bucket_base)
+        ok = (ts >= wm - lateness_us).astype(np.int64)
+        win = pc.strftime(
+            pc.cast(pc.floor_temporal(
+                pa.array(ts, type=pa.timestamp("us")), unit="hour"),
+                pa.timestamp("s")),
+            format="%Y-%m-%d %H:%M:%S")
+        f = (pa.table({
+            "window_start": win,
+            "n_accepted": pa.array(ok),
+            "n_late": pa.array(1 - ok),
+        }).group_by("window_start").aggregate([
+            ("n_accepted", "sum"), ("n_late", "sum")]))
+        return f.rename_columns(["window_start", "n_accepted", "n_late"])
+
+    return (ds.map_batches(tag, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("bucket")
+            .map_groups(admit, batch_format="pyarrow")
+            .groupby("window_start")
+            .aggregate(Sum("n_accepted", alias_name="n_accepted"),
+                       Sum("n_late", alias_name="n_late")))
+
+
+_WATERMARK_SQL = f"""
+WITH a AS (
+  SELECT event_id, ts,
+         ts + to_seconds(
+             CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {WATERMARK_DELAY_MOD_S}) AS arrival
+  FROM events
+), o AS (
+  SELECT ts, MAX(ts) OVER (ORDER BY arrival, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM a
+), f AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+         CASE WHEN wm IS NULL
+                   OR ts >= wm - to_seconds({WATERMARK_LATENESS_S})
+              THEN 1 ELSE 0 END AS ok
+  FROM o
+)
+SELECT window_start, CAST(SUM(ok) AS BIGINT) AS n_accepted,
+       CAST(SUM(1 - ok) AS BIGINT) AS n_late
+FROM f GROUP BY window_start
+"""
+
+
 ORACLE_SQL = {
+    "events_watermark_windows": _WATERMARK_SQL,
     "acf_daily_orders": _acf_sql(),
     "ewma_daily_orders": _ewma_sql(),
     "markov_stationary": _markov_stationary_sql(),
@@ -2514,6 +2651,7 @@ def cohort_retention(sf_dir: str):
 
 
 QUERIES = {
+    "events_watermark_windows": events_watermark_windows,
     "acf_daily_orders": acf_daily_orders,
     "ewma_daily_orders": ewma_daily_orders,
     "markov_stationary": markov_stationary,

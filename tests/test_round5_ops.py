@@ -265,3 +265,18 @@ def test_dup_gram_marks_property_vs_pure_python(ray_session, rows,
     assert got == expect
     if len(out):
         assert (out["is_dup"] == 1).all()
+
+
+def test_events_watermark_windows_exercises_both_branches(ray_session):
+    """The watermark admission must drop SOME events as late under the
+    default knobs (delay spread 1h, lateness 10min) and accept the
+    rest; totals must cover the whole table."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    r = e.queries()["events_watermark_windows"](SF).to_pandas()
+    n_events = pq.read_metadata(f"{SF}/events.parquet").num_rows
+    assert int((r["n_accepted"] + r["n_late"]).sum()) == n_events
+    assert int(r["n_late"].sum()) > 0
+    assert int(r["n_accepted"].sum()) > 0
