@@ -280,3 +280,45 @@ def test_events_watermark_windows_exercises_both_branches(ray_session):
     assert int((r["n_accepted"] + r["n_late"]).sum()) == n_events
     assert int(r["n_late"].sum()) > 0
     assert int(r["n_accepted"].sum()) > 0
+
+
+def test_shuffle_write_ignores_stale_tmp(ray_session, tmp_path):
+    """A torn .tmp from a crashed writer must not count as a finished
+    part: the bucket rewrites and the stale tmp is replaced."""
+    import os
+
+    from ragnificent_ray.pipelines.shuffle_write import (
+        _part_name, shuffle_write)
+
+    out = str(tmp_path / "shuffled")
+    r1 = shuffle_write(SF, out)
+    victim = r1["written"][0]
+    os.remove(os.path.join(out, _part_name(victim)))
+    with open(os.path.join(out, f".part-{victim:04d}.tmp"), "w") as f:
+        f.write("torn")
+    r2 = shuffle_write(SF, out)
+    assert r2["written"] == [victim]
+    assert os.path.exists(os.path.join(out, _part_name(victim)))
+
+
+def test_gram_checkpoint_honors_ckpt_dir_env(ray_session, tmp_path,
+                                             monkeypatch):
+    """RAGNIFICENT_CKPT_DIR is the multi-node shared-filesystem knob:
+    checkpoints must land under it when set."""
+    import os
+
+    import ray.data as rd
+
+    from ragnificent_ray.pipelines import dedup
+
+    monkeypatch.setenv("RAGNIFICENT_CKPT_DIR", str(tmp_path))
+    monkeypatch.setattr(dedup, "_GRAM_CKPT_ROOT", None)
+    t = pa.table({"doc_id": pa.array([1], type=pa.int64()),
+                  "gram": pa.array([7], type=pa.int64())})
+    read = dedup._checkpointed(rd.from_arrow(t), "envtest")
+    assert read(["doc_id", "gram"]).count() == 1
+    roots = [d for d in os.listdir(tmp_path)
+             if d.startswith("ragnificent_gram_ckpt_")]
+    assert len(roots) == 1
+    assert os.path.isdir(os.path.join(tmp_path, roots[0], "envtest"))
+    monkeypatch.setattr(dedup, "_GRAM_CKPT_ROOT", None)
