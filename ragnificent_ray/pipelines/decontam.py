@@ -266,6 +266,7 @@ def decontam_span_report(sf_dir: str):
     class Probe:
         def __init__(self, ref):
             self.index = ray.get(ref)
+            self.keys = set(self.index)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             batch = batch.filter(
@@ -273,8 +274,10 @@ def decontam_span_report(sf_dir: str):
             bids, gs_out, tdocs = [], [], []
             for d, t in zip(batch.column("doc_id").to_pylist(),
                             batch.column("text").to_pylist()):
-                for g in _doc_grams(t):
-                    for bid in self.index.get(g, ()):
+                # C-level set intersection first: the inner loop walks
+                # only actual hits, not every gram of every doc
+                for g in _doc_grams(t) & self.keys:
+                    for bid in self.index[g]:
                         bids.append(bid)
                         gs_out.append(g)
                         tdocs.append(d)
