@@ -322,3 +322,55 @@ def test_gram_checkpoint_honors_ckpt_dir_env(ray_session, tmp_path,
     assert len(roots) == 1
     assert os.path.isdir(os.path.join(tmp_path, roots[0], "envtest"))
     monkeypatch.setattr(dedup, "_GRAM_CKPT_ROOT", None)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.integers(0, 3 * 3600), min_size=1, max_size=80,
+                unique=False))
+def test_watermark_windows_property_vs_pure_replay(ray_session, tmp_path_factory,
+                                                   offsets_s):
+    """Property: for ANY event-time stream (ties, bursts, gaps spanning
+    several arrival-hour buckets), the distributed prefix-max admission
+    equals a pure-Python replay of the same arrival-ordered rule."""
+    import pyarrow.parquet as pq_mod
+
+    from ragnificent_ray.functions.hashing import md5_hex
+    from ragnificent_ray.pipelines.temporal import (
+        WATERMARK_DELAY_MOD_S, WATERMARK_LATENESS_S,
+        events_watermark_windows)
+
+    base_us = 1_600_000_000 * 1_000_000
+    ids = list(range(len(offsets_s)))
+    ts_us = [base_us + o * 1_000_000 for o in offsets_s]
+    d = tmp_path_factory.mktemp("wm")
+    pq_mod.write_table(pa.table({
+        "event_id": pa.array(ids, type=pa.int64()),
+        "ts": pa.array(ts_us, type=pa.timestamp("us")),
+    }), str(d / "events.parquet"))
+
+    got = events_watermark_windows(str(d)).to_pandas()
+
+    # pure replay: arrival order, running max event time, admission
+    delay = [int(md5_hex(str(i))[:8], 16) % WATERMARK_DELAY_MOD_S
+             for i in ids]
+    arrival = [t + s * 1_000_000 for t, s in zip(ts_us, delay)]
+    order = sorted(range(len(ids)), key=lambda i: (arrival[i], ids[i]))
+    late_us = WATERMARK_LATENESS_S * 1_000_000
+    wm, n_ok, n_late = None, {}, {}
+    for i in order:
+        win = ts_us[i] // 3_600_000_000
+        ok = wm is None or ts_us[i] >= wm - late_us
+        (n_ok if ok else n_late)[win] = \
+            (n_ok if ok else n_late).get(win, 0) + 1
+        wm = ts_us[i] if wm is None else max(wm, ts_us[i])
+
+    import datetime as dt
+    def fmt(win):
+        t = dt.datetime.utcfromtimestamp(win * 3600)
+        return t.strftime("%Y-%m-%d %H:%M:%S")
+    wins = sorted(set(n_ok) | set(n_late))
+    expect = {fmt(w): (n_ok.get(w, 0), n_late.get(w, 0)) for w in wins}
+    got_map = {r.window_start: (int(r.n_accepted), int(r.n_late))
+               for r in got.itertuples()}
+    assert got_map == expect
