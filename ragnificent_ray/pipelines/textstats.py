@@ -87,9 +87,11 @@ def quality_scores(sf_dir: str):
 class LangId:
     """Stateful language-ID scorer (profiles built once per actor).
 
-    Heuristic: argmax of per-language stopword hit counts; ties and
-    zero-hit docs fall back to "und". Deterministic — the result is a
-    function of the text only (no SQL oracle: rows-only check)."""
+    Heuristic: argmax of per-language stopword hit counts; ties go to
+    the first language in sorted order and zero-hit docs fall back to
+    "und". Deterministic and value-checked — the DuckDB oracle
+    (``ORACLE_SQL["lang_id"]``) replays the profiles and the tie rule
+    with list_intersect + an ordered CASE."""
 
     def __init__(self):
         self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
